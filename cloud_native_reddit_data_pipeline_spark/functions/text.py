@@ -1,0 +1,96 @@
+"""Text column functions — all pure `pyspark.sql.functions` compositions
+(JVM-side, whole-stage-codegen friendly; no Python UDFs in this module).
+
+Re-expresses the reference's row-wise pandas `.apply(preprocess)` chain
+(redditProcessor.py:36-53, applied at :95 — SURVEY.md O19/O20) as native
+column expressions, which Catalyst folds into a single codegen stage and
+which scale linearly with partitions instead of one Python process.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference strips this exact hand-picked stopword list with a
+# word-boundary regex (redditProcessor.py:45-50).
+REFERENCE_STOPWORDS = [
+    "'ve", "ve", "this", "just", "like", "dont", "got", "really", "think",
+    "know", "knew", "actually", "way", "yeah", "did", "im", "ive", "st",
+    "want", "tho", "thats", "yes",
+]
+
+# string.punctuation, escaped for a Java/RE2 character class
+# (redditProcessor.py:42 builds the same class from string.punctuation).
+_PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~\\]"""
+
+URL_RE = r"http\S+|www\S+|https\S+"  # redditProcessor.py:38-39
+_WS_RE = r"\s+"
+
+
+def _stopword_re(words: list[str]) -> str:
+    return r"\b(?:" + "|".join(w.replace("'", "'") for w in words) + r")\b"
+
+
+STOPWORD_RE = _stopword_re(REFERENCE_STOPWORDS)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase -> strip URLs -> strip punctuation -> drop stopwords ->
+    collapse whitespace -> trim.  Exact semantics of preprocess()
+    (redditProcessor.py:36-53), as one chained native expression."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, URL_RE, "")
+    c = F.regexp_replace(c, _PUNCT_CLASS, "")
+    c = F.regexp_replace(c, STOPWORD_RE, "")
+    c = F.regexp_replace(c, _WS_RE, " ")
+    return F.trim(c)
+
+
+def normalize_sql(expr: str) -> str:
+    """The same chain as ANSI SQL text (used for DuckDB oracles)."""
+    c = f"lower({expr})"
+    c = f"regexp_replace({c}, '{URL_RE}', '', 'g')"
+    punct = _PUNCT_CLASS.replace("'", "''")
+    c = f"regexp_replace({c}, '{punct}', '', 'g')"
+    stop = STOPWORD_RE.replace("'", "''")
+    c = f"regexp_replace({c}, '{stop}', '', 'g')"
+    c = f"regexp_replace({c}, '{_WS_RE}', ' ', 'g')"
+    return f"trim({c})"
+
+
+def concat_title_body(title: Column | str, body: Column | str) -> Column:
+    """post text = title <> ' ' <> selftext (redditProcessor.py:81, O19)."""
+    return F.concat_ws(" ", title, body)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization to array<string> (empty string -> empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as array<string> — input to MinHash / Jaccard dedup.
+
+    Built with sequence+transform over the token array: stays JVM-side,
+    no explode needed when only the shingle set is wanted.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array())
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Key-collision fingerprint (OpenRefine-style): sorted distinct
+    tokens of the normalized text, md5-hashed.  A deterministic document
+    dedup key robust to word order and repetition."""
+    toks = tokens(normalize_text(col))
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

@@ -1,0 +1,109 @@
+"""Relational operators (SURVEY.md O11-O15, O25-O30, O33 + additive
+joins/rollup/pivot the reference lacks).
+
+Every function is a thin, composable DataFrame transformation: Catalyst
+sees the whole declarative plan (pruning/pushdown/reordering stay
+available), nothing is materialized early.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def project_rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Projection + rename (O11-O14: ES `_source` lists, defensive
+    re-projection addReddit.py:51-61, pandas rename redditProcessor.py:86).
+    Catalyst pushes the column pruning into the parquet scan."""
+    return df.select(*[F.col(src).alias(dst) for src, dst in mapping.items()])
+
+
+def contains_filter(df: DataFrame, cols: list[str], keyword: str) -> DataFrame:
+    """Full-text OR predicate over N columns (O15: ES multi_match
+    'coffee' over [title, selftext], redditProcessor.py:67-75).
+    `contains` on a lowered column is sargable enough for parquet
+    row-group stats to stay out of the way; no Python involved."""
+    pred = None
+    for c in cols:
+        p = F.lower(F.col(c)).contains(keyword.lower())
+        pred = p if pred is None else (pred | p)
+    return df.filter(pred)
+
+
+def schema_aligned_union(a: DataFrame, b: DataFrame, cols: list[str]) -> DataFrame:
+    """Bag union after projecting both sides to a common schema
+    (O28: pd.concat of posts+comments, redditProcessor.py:88-94).
+    unionByName keeps it order-insensitive on columns; no dedup —
+    faithful bag semantics."""
+    return a.select(*cols).unionByName(b.select(*cols))
+
+
+def sort_limit(df: DataFrame, order: list[Column], n: int | None = None) -> DataFrame:
+    """Global sort (O25) with optional limit (O26).  With a limit, Spark
+    runs TakeOrderedAndProject — no full global sort is materialized, which
+    is the scale-correct plan for top-N."""
+    out = df.orderBy(*order)
+    return out.limit(n) if n is not None else out
+
+
+def fk_join(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Parent-child FK join (O30: comments.p_id -> posts.id; the
+    reference only denormalizes at ingest, reddit_harvester_sydney.py:74).
+    Shuffle-hash/sort-merge on the key; AQE handles skew at runtime."""
+    return child.join(parent, child[child_key] == parent[parent_key], how)
+
+
+def broadcast_dim_join(fact: DataFrame, dims: list[tuple[DataFrame, str]]) -> DataFrame:
+    """Star-schema join with explicit broadcast of small dimension tables
+    — at 100 TB the fact side never shuffles for these joins."""
+    out = fact
+    for dim, key in dims:
+        out = out.join(F.broadcast(dim), key)
+    return out
+
+
+def topk_per_group(
+    df: DataFrame, partition_by: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Per-group top-k via rank window (O33: top-10 words per topic,
+    redditProcessor.py:113-121, generalized).  One shuffle on the group
+    key; the window sort is per-partition."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def positional_zip_join(a: DataFrame, b: DataFrame, order_a: list[Column], order_b: list[Column]) -> DataFrame:
+    """Literal equivalent of the reference's positional pandas index join
+    (O29, redditProcessor.py:123): row_number both sides over an explicit
+    total order, then equi-join on the row number.  Kept for parity; the
+    engine's analytics plan avoids it by carrying the natural key through
+    the pipeline (SURVEY.md section 7 hard-part 3)."""
+    wa = Window.orderBy(*order_a)
+    wb = Window.orderBy(*order_b)
+    an = a.withColumn("_rn", F.row_number().over(wa))
+    bn = b.withColumn("_rn", F.row_number().over(wb))
+    return an.join(bn, "_rn").drop("_rn")
+
+
+def rollup_counts(df: DataFrame, keys: list[str], measures: dict[str, Column]) -> DataFrame:
+    """ROLLUP aggregation (additive: not in the reference, SURVEY.md
+    "not present" list)."""
+    aggs = [expr.alias(name) for name, expr in measures.items()]
+    return df.rollup(*keys).agg(*aggs)
+
+
+def pivot_counts(df: DataFrame, key: str, pivot_col: str, values: list[str]) -> DataFrame:
+    """Pivot with an explicit value list — explicit values avoid the
+    extra distinct-scan Spark needs to discover them (scale win)."""
+    return df.groupBy(key).pivot(pivot_col, values).count()

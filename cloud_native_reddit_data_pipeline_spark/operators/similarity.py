@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (north-star extension —
+the reference has no vector search; SURVEY.md section 4 notes
+BucketedRandomProjectionLSH as the stock scale path).
+
+Two tiers:
+- `brute_force_topk`  — exact cosine top-k: broadcast the (small) query
+  set against the full corpus; per-query top-k via window rank.  The
+  corpus is scanned once, never shuffled by pair — only the tiny
+  (query_id, candidate) results move.
+- `lsh_topk`          — random-hyperplane LSH prefilter: candidates are
+  corpus rows sharing >= 1 band with the query, exact cosine re-ranks.
+  Trades recall for a corpus-partition-local join on short keys; the
+  scale path when the query set is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, hyperplane_bits, make_planes
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest (cosine) corpus rows for each query id.
+    Queries are taken from the corpus itself and broadcast; result
+    excludes the query row."""
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-signature bands bucket the corpus;
+    only bucket-mates of a query are scored.  Bands of r = n_planes/bands
+    bits each; a candidate must match the query on at least one band."""
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = make_planes(first["d"], n_planes)
+    rows_per_band = n_planes // bands
+
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), planes).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring(F.col("sig"), b * rows_per_band + 1, rows_per_band).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    qb = (
+        banded.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "band",
+            "key",
+        )
+    )
+    cand = (
+        banded.join(F.broadcast(qb), ["band", "key"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "qv", F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators over the `documents` table: document
+frequency / TF-IDF (SURVEY.md O31 relational form), token statistics,
+quality scoring, and n-gram language ID — all pure column expressions
+with exact SQL oracles (no UDFs, no model state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# A small english-function-word list for quality scoring + language ID.
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"]
+FR_STOPWORDS = ["le", "la", "les", "et", "est", "un", "une", "avec", "de", "pour"]
+
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": EN_STOPWORDS,
+    "de": DE_STOPWORDS,
+    "fr": FR_STOPWORDS,
+}
+
+
+def doc_frequency(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 2, max_df_frac: float = 0.95
+) -> DataFrame:
+    """Document-frequency aggregation — the relational core of
+    TfidfVectorizer(min_df=2, max_df=0.95) (redditProcessor.py:103-104).
+    Returns per-term df + idf over the corpus; min_df/max_df applied as
+    a HAVING filter.  explode -> distinct -> groupBy(term): the shuffle
+    carries (term, id) pairs once; countDistinct is exact."""
+    n_docs = df.count()
+    term_doc = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    return (
+        term_doc.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_docs)))
+        .select(
+            "term",
+            "df",
+            F.round(F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0, 4).alias("idf"),
+        )
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: whitespace token count, a BPE-ish
+    subword-unit count (runs of letters, digits, or single non-space
+    symbols — a cheap proxy for tokenizer cost), char count, and average
+    token length."""
+    toks = tokens(text_col)
+    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        bpe_ish.alias("n_subword_units"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.round(
+            F.when(n_tok > 0, (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok).otherwise(0.0), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document-quality scoring for training-data filtering:
+    length, stopword ratio, punctuation ratio, uniqueness (distinct/total
+    tokens), composite score in [0,1].  All native expressions."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"""[!"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"""), 0)
+    )
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    punct_ratio = F.when(F.length(F.col(text_col)) > 0, n_punct / F.length(F.col(text_col))).otherwise(0.0)
+    uniq_ratio = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * uniq_ratio
+        + F.lit(0.3) * length_score
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.1) * (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Function-word-profile language ID: score = matches of each
+    language's stopword profile; argmax with deterministic tie-break on
+    language code; 'und' (undetermined) when no profile matches."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _profile_hits(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _profile_hits(words) for lang, words in LANG_PROFILES.items()}
+    out = df.select(F.col(id_col), *[scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES])
+    langs = sorted(LANG_PROFILES)
+    best = None
+    for lang in langs:
+        c = F.col(f"score_{lang}")
+        best = c if best is None else F.greatest(best, c)
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))

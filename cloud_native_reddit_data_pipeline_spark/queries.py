@@ -1,0 +1,939 @@
+"""Query registry: every implemented operator from SURVEY.md section 2 (plus the
+north-star training-data operators) as a (spark_fn, oracle_sql) pair.
+
+The spark_fn takes (spark, sf_dir) and returns a DataFrame; the oracle
+is ANSI SQL DuckDB runs on the same parquet tables.  Column names and
+rounding are aligned on both sides because the driver compares by
+order-insensitive value hash over name-sorted columns.
+
+Float discipline:
+- additive aggregates go through per-row DECIMAL casts (exact, order-
+  insensitive) and back to DOUBLE;
+- derived doubles (ratios, cosines, sentiment) are round()ed to 4
+  digits on both sides after identical operation orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.sentiment import (
+    ALPHA,
+    LEXICON,
+    NEG_THRESHOLD,
+    POS_THRESHOLD,
+    label_from_score,
+    score_relational,
+)
+from .functions.text import normalize_sql, normalize_text
+from .functions.timeops import ts_to_iso
+from .operators import dedup, relational, similarity, textstats, windows
+from .sources.tables import load
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def dec_sum(col, scale: int = 2):
+    """Exact, order-insensitive SUM: per-row decimal cast, decimal sum,
+    double result.  Matches DuckDB SUM(CAST(x AS DECIMAL)) bit-for-bit."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dec_sum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# O31-flavored flagship aggregation (TPC-H Q1 shape): scan -> pushdown
+# filter -> 2-key groupBy with partial aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dec_sum_sql('l_quantity')} AS sum_qty,
+           {_dec_sum_sql('l_extendedprice')} AS sum_base_price,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           COUNT(*) AS count_order,
+           ROUND({_dec_sum_sql('l_quantity')} / COUNT(*), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4)
+        )
+    )
+
+
+# O11-O14: projection + rename (+ pushed filter).
+@register(
+    "project_rename",
+    """
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment,
+           c_acctbal AS balance
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return relational.project_rename(
+        c,
+        {
+            "c_custkey": "custkey",
+            "c_name": "name",
+            "c_mktsegment": "segment",
+            "c_acctbal": "balance",
+        },
+    )
+
+
+# O15: multi-column full-text OR predicate (ES multi_match analogue).
+@register(
+    "filter_contains",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%stream%'
+    """,
+)
+def filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = F.lower(F.col("text")).contains("spark") | F.lower(F.col("text")).contains(
+        "stream"
+    )
+    return docs.filter(pred).select("doc_id", "lang", "source")
+
+
+# O19+O20: concat + the reference's full normalization chain.
+@register(
+    "normalize_text",
+    f"""
+    SELECT doc_id, {normalize_sql("concat_ws(' ', source, text)")} AS clean_text
+    FROM documents
+    """,
+)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text(F.concat_ws(" ", "source", "text")).alias("clean_text"),
+    )
+
+
+# O18: timestamp -> ISO-8601+'Z' display encode.
+@register(
+    "ts_iso_encode",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def ts_iso_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.select("event_id", ts_to_iso("ts").alias("ts_iso"))
+
+
+# O22: JSON decode with explicit schema.
+@register(
+    "json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.from_json("props", "k int").getField("k").alias("k_val")
+    )
+
+
+# O28: schema-aligned bag union (posts ∪ comments shape).
+@register(
+    "union_schema_aligned",
+    """
+    SELECT o_orderkey AS id, o_orderdate AS created, 'order' AS src, o_totalprice AS val
+    FROM orders
+    UNION ALL
+    SELECT l_orderkey AS id, l_shipdate AS created, 'line' AS src, l_extendedprice AS val
+    FROM lineitem
+    """,
+)
+def union_schema_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("created"),
+        F.lit("order").alias("src"),
+        F.col("o_totalprice").alias("val"),
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_shipdate").alias("created"),
+        F.lit("line").alias("src"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    return relational.schema_aligned_union(o, l, ["id", "created", "src", "val"])
+
+
+# O25/O26: global sort + limit (TakeOrderedAndProject plan).
+@register(
+    "sort_limit",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return relational.sort_limit(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        100,
+    )
+
+
+# O30: FK equi-join + aggregation (comments⋈posts shape).
+@register(
+    "fk_join_agg",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {_dec_sum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def fk_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    joined = relational.fk_join(li, o, "l_orderkey", "o_orderkey", "inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice").alias("revenue"),
+    )
+
+
+# Anti join: parents with no children (orphan orders).
+@register(
+    "anti_join_orphans",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# Star-schema join with broadcast dims (additive; O30 at scale).
+@register(
+    "star_join_broadcast",
+    f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_orders,
+           {_dec_sum_sql('o.o_totalprice')} AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def star_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# O33: per-group top-k via rank window.
+@register(
+    "topk_per_group",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rk
+      FROM lineitem
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+# O31 relational form: document-frequency + idf (TfidfVectorizer core).
+@register(
+    "doc_frequency",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, COUNT(*) AS df,
+           ROUND(ln((1.0 + (SELECT n_docs FROM n)) / (1.0 + COUNT(*))) + 1.0, 4) AS idf
+    FROM tok
+    GROUP BY term
+    HAVING COUNT(*) >= 2 AND COUNT(*) <= CAST(0.95 * (SELECT n_docs FROM n) AS BIGINT)
+    """,
+)
+def doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.doc_frequency(docs, "doc_id", "text", min_df=2, max_df_frac=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (north-star): exact, fingerprint, MinHash+LSH, Jaccard,
+# SimHash, embedding-cosine near-dup.
+# ---------------------------------------------------------------------------
+
+# Exact content dedup via md5 group (hash-groupBy).
+@register(
+    "dedup_exact_content",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.content_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# Near-exact dedup via normalization fingerprint.
+@register(
+    "dedup_fingerprint",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {normalize_sql("text")} AS nt FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> ''))), ' ')) AS fp
+      FROM norm
+    )
+    SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM fp GROUP BY fp
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_dedup_groups(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_MINHASH_K = 8
+_SHINGLE_SQL = """
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w,
+             generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1) AS pos
+      FROM documents
+    ), led AS (
+      SELECT doc_id, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ), sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w, w1, w2) AS shingle
+      FROM led WHERE w2 IS NOT NULL
+    )
+"""
+
+_MINHASH_AGGS_SQL = ",\n           ".join(
+    f"MIN(md5(concat('{i}', '|', shingle))) AS h{i}" for i in range(_MINHASH_K)
+)
+
+
+# MinHash signatures: salted-md5 lexicographic min per shingle set.
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_id, {_MINHASH_AGGS_SQL}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=_MINHASH_K
+    )
+
+
+# MinHash-LSH candidate pairs (4 bands x 2 rows).
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLE_SQL}, sig AS (
+      SELECT doc_id, {_MINHASH_AGGS_SQL}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=_MINHASH_K
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, bands=4)
+
+
+# Exact n-gram (3-word shingle) Jaccard over intersecting pairs.
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_SQL}, sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.2
+    )
+
+
+# SimHash 60-bit signatures (shared md5 bit-vote formulation).
+@register(
+    "simhash_signatures",
+    dedup.simhash_sql("documents", "doc_id", "text", normalize_sql("text")),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star): token stats, quality scores, language ID,
+# relational sentiment.
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subword_units,
+           length(text) AS n_chars_measured,
+           ROUND(CASE WHEN len({_TOKS_SQL}) > 0
+                 THEN (length(text) - (len({_TOKS_SQL}) - 1)) / len({_TOKS_SQL})
+                 ELSE 0.0 END, 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+
+
+@register(
+    "quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len({_TOKS_SQL}) AS n_tok,
+             len(list_filter({_TOKS_SQL}, x -> list_contains([{_EN_LIST}], lower(x)))) AS n_stop,
+             len(regexp_extract_all(text, '[!"#$%&''()*+,\\-./:;<=>?@\\[\\]^_`{{|}}~]')) AS n_punct,
+             len(list_distinct({_TOKS_SQL})) AS n_uniq
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+             CASE WHEN length(text) > 0 THEN n_punct / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS uniq_ratio,
+             least(n_tok / 100.0, 1.0) AS length_score
+      FROM t
+    )
+    SELECT doc_id, n_tok AS n_tokens,
+           ROUND(stop_ratio, 4) AS stopword_ratio,
+           ROUND(punct_ratio, 4) AS punct_ratio,
+           ROUND(uniq_ratio, 4) AS uniq_ratio,
+           ROUND(0.4 * uniq_ratio + 0.3 * length_score
+                 + 0.2 * (1.0 - punct_ratio)
+                 + 0.1 * (1.0 - least(stop_ratio * 2, 1.0)), 4) AS quality_score
+    FROM r
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_LANG_SCORES_SQL = ",\n           ".join(
+    "len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),"
+    f" x -> list_contains([{', '.join(repr(w) for w in textstats.LANG_PROFILES[lang])}], x))) AS score_{lang}"
+    for lang in sorted(textstats.LANG_PROFILES)
+)
+
+_LANG_CASE_SQL = " ".join(
+    f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'"
+    for lang in sorted(textstats.LANG_PROFILES)
+)
+
+
+@register(
+    "langid",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+           {_LANG_SCORES_SQL}
+      FROM documents
+    ), b AS (
+      SELECT *, greatest(score_de, score_en, score_fr) AS best FROM s
+    )
+    SELECT doc_id, score_de, score_en, score_fr,
+           CASE {_LANG_CASE_SQL} ELSE 'und' END AS pred_lang
+    FROM b
+    """,
+)
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.langid(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_LEX_VALUES = ", ".join(f"('{w}', {v})" for w, v in sorted(LEXICON.items()))
+
+
+# O21 relational path: lexicon sentiment + threshold bucketing.
+@register(
+    "sentiment_relational",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ), lex(word, valence) AS (VALUES {_LEX_VALUES}),
+    s AS (
+      SELECT d.doc_id, COALESCE(SUM(l.valence), 0.0) AS x
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN tok t ON t.doc_id = d.doc_id
+      LEFT JOIN lex l ON l.word = t.word
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           ROUND(x / sqrt(x * x + {ALPHA}), 4) AS sentiment_score,
+           CASE WHEN ROUND(x / sqrt(x * x + {ALPHA}), 4) > {POS_THRESHOLD} THEN 'positive'
+                WHEN ROUND(x / sqrt(x * x + {ALPHA}), 4) < {NEG_THRESHOLD} THEN 'negative'
+                ELSE 'neutral' END AS sentiment
+    FROM s
+    """,
+)
+def sentiment_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_relational(load(spark, sf_dir, "documents"), ["doc_id"], "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search + embedding near-dup (north-star).
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
+def _neardup_bucket_sql(planes: list[list[float]]) -> str:
+    bits = []
+    for plane in planes:
+        lits = ", ".join(repr(x) for x in plane)
+        bits.append(
+            "CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+_NEARDUP_PLANES_N = 4
+_NEARDUP_THRESHOLD = 0.3
+
+
+def _neardup_oracle() -> str:
+    from .functions.vectors import make_planes
+
+    planes = make_planes(64, _NEARDUP_PLANES_N)
+    bucket = _neardup_bucket_sql(planes)
+    return f"""
+    WITH keyed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM keyed a JOIN keyed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_NEARDUP_THRESHOLD}
+    """
+
+
+@register("embedding_neardup", _neardup_oracle())
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_NEARDUP_PLANES_N,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (additive: the reference has no event-time story).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n_events,
+           {_dec_sum_sql('value')} AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.tumbling_agg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "window_sliding",
+    """
+    SELECT win_start, COUNT(*) AS n_events FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) + off AS win_start
+      FROM events
+      CROSS JOIN (VALUES (INTERVAL '0' MINUTE), (-INTERVAL '30' MINUTE)) x(off)
+    ) GROUP BY win_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.sliding_agg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "session_windows",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN datediff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                               ts) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS _new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM lagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_windows_gaps(
+        load(spark, sf_dir, "events"), gap_minutes=30
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additive relational: rollup, pivot, dedup-keep-first, approx distinct.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {_dec_sum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return relational.rollup_counts(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_items": F.count(F.lit(1)),
+            "sum_qty": dec_sum("l_quantity"),
+        },
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    piv = relational.pivot_counts(ev, "user_id", "event_type", _EVENT_TYPES)
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             row_number() OVER (PARTITION BY event_id ORDER BY ts, value) AS _rn
+      FROM (SELECT event_id, ts, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value FROM events)
+    ) WHERE _rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = ev.unionByName(ev)  # synthesize redelivery duplicates
+    return dedup.exact_dedup_keep_first(
+        doubled, "event_id", [F.asc("ts"), F.asc("value")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no DuckDB oracle — model-backed / streaming /
+# approximate / pandas-UDF operators; the driver records a weaker
+# rows-only check, per the harness contract).
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct")
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — approximate by construction, so no
+    value-hash oracle; structural sanity lives in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register("sentiment_pandas_udf")
+def sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21/O40 pandas-UDF surface (executor-singleton analyzer)."""
+    from .functions.sentiment import score_pandas_udf
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_pandas_udf(docs, "text").select(
+        "doc_id", "sentiment_score", "sentiment"
+    )
+
+
+@register("lda_topics")
+def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31-O34: TF-IDF -> LDA(k, seed) -> widened topic matrix.
+    Structural contract: k non-negative columns per row summing ~1."""
+    from .operators.topics import fit_topics, widen_topics
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    _, transformed = fit_topics(docs, id_col="doc_id", text_col="text", k=5, min_df=2.0)
+    return widen_topics(transformed, ["doc_id"], k=5)
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed approximate top-k (recall/latency
+    trade-off vs ann_cosine_topk; candidates only from matching bands)."""
+    return similarity.lsh_topk(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_planes=8, bands=4
+    )
+
+
+@register("media_features")
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads -> mapInPandas feature
+    extraction (deterministic stub decoder; see operators/multimodal.py)."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+        F.size("features").alias("dim"),
+    )
+
+
+@register("streaming_upsert")
+def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O7/O8/O16/O22/O35-O38 end-to-end: produce JSON batch messages
+    onto a file queue (with duplicates + one corrupt message), run the
+    Structured Streaming ingest with availableNow, and return the upserted
+    table.  Invariant: no duplicate ids survive (exactly-once upsert)."""
+    import json
+    import tempfile
+
+    from .streaming.ingest import (
+        ingest_posts_stream,
+        start_upsert_stream,
+        write_queue_batch,
+    )
+
+    docs = [
+        {
+            "author": f"u{i % 7}",
+            "created_utc": f"2024-01-{1 + i % 28:02d}T00:00:00Z",
+            "id": f"p{i:04d}",
+            "num_comments": i % 5,
+            "score": i % 100 - 10,
+            "selftext": f"body text {i}",
+            "subreddit": ["sydney", "melbourne", "brisbane"][i % 3],
+            "title": f"title {i}",
+            "url": f"https://example.com/{i}",
+        }
+        for i in range(200)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        queue = f"{tmp}/queue"
+        target = f"{tmp}/posts"
+        ckpt = f"{tmp}/ckpt"
+        for start in range(0, 200, 50):
+            write_queue_batch(queue, "rharvest", [json.dumps(docs[start : start + 50])])
+        # redelivery: first batch enqueued twice (O37 dup-risk path)
+        write_queue_batch(queue, "rharvest", [json.dumps(docs[0:50])])
+        write_queue_batch(queue, "rharvest", ["{not json"])  # quarantine path
+        stream = ingest_posts_stream(spark, queue)
+        q = start_upsert_stream(stream, target, ckpt, key="id", available_now=True)
+        q.awaitTermination(120)
+        out = spark.read.parquet(target)
+        return spark.createDataFrame(
+            out.select(
+                "id", "author", "subreddit", "score", "num_comments"
+            ).collect(),
+            out.select("id", "author", "subreddit", "score", "num_comments").schema,
+        )
+
+
+__all__ = ["queries", "oracle_sql", "register"]
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

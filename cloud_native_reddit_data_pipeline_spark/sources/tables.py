@@ -1,0 +1,58 @@
+"""Parquet table sources (SURVEY.md O4: the reference's full-index ES
+scroll scan becomes a plain columnar scan — Catalyst drives partitioning,
+column pruning, and predicate pushdown natively, replacing the manual
+`_source` projection + `multi_match` pushdown of redditProcessor.py:11-20,67-75).
+
+At 100 TB these are directories of parquet files (ideally partitioned /
+bucketed by the join keys); the loader API is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown are applied by
+    Catalyst at the parquet reader (check `.explain`: ReadSchema / PushedFilters).
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark does
+    not read natively: read it as long nanos (legacy conf) and convert to
+    a micros timestamp with integer arithmetic (floor division — exactly
+    DuckDB's nanos->micros truncation, keeping oracles aligned)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` can be used."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,123 @@
+"""Structured Streaming ingest — EP1+EP2 of the reference collapsed
+into one streaming query (SURVEY.md section 3): file-queue JSON batches ->
+explicit-schema parse (O22) -> stateful dedup (O16/O38) -> idempotent
+keyed upsert (O8/O37), on a processing-time trigger (O35).
+
+The reference's delivery contract is at-least-once (Redis peek ->
+process -> lrem-ack, addReddit.py:29-82) made idempotent by fixed ES
+`_id`s.  Structured Streaming's checkpoint gives exactly-once *source*
+tracking; the keyed-upsert sink (`upsert_parquet_by_key`) makes the
+end-to-end pipeline exactly-once — strictly stronger.
+
+The "queue" is a directory of JSON-lines files partitioned by topic
+(`topic=rharvest/...`), mirroring the reference's topic-keyed Redis
+lists (O7/O36: enqueue.py:32,45).  On a real deployment this is
+Kafka/Kinesis; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.reddit import POST_SCHEMA, explode_batches
+
+QUEUE_MESSAGE_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
+
+
+def write_queue_batch(path: str, topic: str, messages: list[str]) -> None:
+    """Producer side (O7: LPUSH json.dumps(batch)): append JSON-lines
+    messages under the topic partition dir."""
+    tdir = os.path.join(path, f"topic={topic}")
+    os.makedirs(tdir, exist_ok=True)
+    import uuid
+
+    fname = os.path.join(tdir, f"batch-{uuid.uuid4().hex}.json")
+    with open(fname, "w") as f:
+        for m in messages:
+            f.write(m.replace("\n", " ") + "\n")
+
+
+def read_queue_stream(spark: SparkSession, path: str, topic: str) -> DataFrame:
+    """Consumer side (O5: queue micro-batch read).  Topic routing (O36)
+    becomes partition pruning on `topic=` — unselected topics are never
+    read."""
+    return (
+        spark.readStream.format("text")
+        .schema(QUEUE_MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 32)  # rate cap, O26/O39 analogue
+        .load(os.path.join(path, f"topic={topic}"))
+    )
+
+
+def ingest_posts_stream(spark: SparkSession, queue_path: str, topic: str = "rharvest") -> DataFrame:
+    """Streaming post ingest: parse batches -> explode docs -> quarantine
+    malformed -> stateful dropDuplicates on the key (the reference's
+    Redis seen-id set, O16/O38 — unbounded state, faithful; swap to
+    dropDuplicatesWithinWatermark to bound it at scale)."""
+    raw = read_queue_stream(spark, queue_path, topic)
+    docs = explode_batches(raw, "value", POST_SCHEMA)
+    good = docs.filter(~F.col("_corrupt")).drop("_corrupt")
+    return good.dropDuplicates(["id"])
+
+
+def upsert_parquet_by_key(batch_df: DataFrame, target_dir: str, key: str) -> None:
+    """Idempotent keyed upsert into a parquet table (O8: ES
+    index(id=...) upsert; O37 ack semantics).
+
+    New rows win over existing rows with the same key (last-writer-wins
+    like ES re-index); implemented as read-existing -> anti-join -> keep +
+    append via full rewrite.  On a real deployment this is Delta
+    `MERGE INTO` — same logical contract, transactional file swap.  The
+    rewrite here is atomic via a temp-dir rename."""
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates([key])
+    if os.path.exists(target_dir):
+        existing = spark.read.parquet(target_dir)
+        keep = existing.join(batch.select(key), key, "left_anti")
+        merged = keep.unionByName(batch)
+    else:
+        merged = batch
+    tmp = target_dir.rstrip("/") + "._tmp_write"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.exists(target_dir):
+        shutil.rmtree(target_dir)
+    os.replace(tmp, target_dir)
+
+
+def start_upsert_stream(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str = "id",
+    trigger_seconds: int | None = 60,
+    available_now: bool = False,
+):
+    """Wire the ingest stream to the upsert sink via foreachBatch, with
+    the reference's 60s cadence (O35: fission cron '@every 60s') as the
+    processing-time trigger.  `available_now=True` drains the backlog
+    and stops — used by tests."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda bdf, _bid: upsert_parquet_by_key(bdf, target_dir, key)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_tumbling_counts(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the late-data policy the
+    reference lacks entirely (SURVEY.md O38 note)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
