@@ -81,7 +81,9 @@ def lsh_topk(
     )
     banded = sig.select(
         F.col(id_col), F.col(vec_col), F.explode(band_structs).alias("bk")
-    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    ).persist()  # consumed twice: query-side filter + corpus-side join
 
     qb = (
         banded.filter(F.col(id_col).isin(query_ids))
