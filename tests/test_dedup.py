@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cloud_native_reddit_data_pipeline_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different words about spark dataframes and shuffles"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_content_dedup(spark):
+    groups = dedup.content_dedup_groups(_docs(spark), "doc_id", "text").collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in groups}
+    assert by_keeper[1] == 2  # docs 1+2 collapse
+    assert by_keeper[3] == 1 and by_keeper[4] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in dedup.minhash_signatures(_docs(spark), "doc_id", "text", 8).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    # near-dup shares most minhashes with the original
+    shared = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert shared >= 4
+
+
+def test_lsh_pairs_find_dups_not_distinct_docs(spark):
+    sigs = dedup.minhash_signatures(_docs(spark), "doc_id", "text", 8)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 8, 4).collect()}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.0 + 1e-9
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 < pairs[(1, 3)] < 1.0
+
+
+def test_simhash_hamming_ranks_similarity(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark), "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_exact_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], "k int, v string"
+    )
+    out = dedup.exact_dedup_keep_first(df, "k", [F.asc("v")])
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "z")}

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+    ingest_posts_stream,
+    start_upsert_stream,
+    upsert_parquet_by_key,
+    write_queue_batch,
+)
+
+
+def _post(i, score=0):
+    return {
+        "author": f"u{i}",
+        "created_utc": "2024-01-01T00:00:00Z",
+        "id": f"p{i}",
+        "num_comments": 0,
+        "score": score,
+        "selftext": f"text {i}",
+        "subreddit": "sydney",
+        "title": f"t {i}",
+        "url": None,
+    }
+
+
+def test_stream_dedup_and_quarantine(spark, tmp_path):
+    queue = str(tmp_path / "q")
+    target = str(tmp_path / "t")
+    ckpt = str(tmp_path / "c")
+    write_queue_batch(queue, "rharvest", [json.dumps([_post(i) for i in range(5)])])
+    write_queue_batch(queue, "rharvest", [json.dumps([_post(i) for i in range(3, 8)])])
+    write_queue_batch(queue, "rharvest", ["{broken json!"])
+    stream = ingest_posts_stream(spark, queue)
+    q = start_upsert_stream(stream, target, ckpt, key="id", available_now=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 8  # p0..p7, overlap deduped, corrupt dropped
+    assert out.select("id").distinct().count() == 8
+
+
+def test_upsert_last_writer_wins(spark, tmp_path):
+    target = str(tmp_path / "t2")
+    first = spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int")
+    second = spark.createDataFrame([("b", 2), ("c", 2)], "id string, v int")
+    upsert_parquet_by_key(first, target, "id")
+    upsert_parquet_by_key(second, target, "id")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2}
+
+
+def test_upsert_idempotent_on_redelivery(spark, tmp_path):
+    target = str(tmp_path / "t3")
+    batch = spark.createDataFrame([("a", 1)], "id string, v int")
+    upsert_parquet_by_key(batch, target, "id")
+    upsert_parquet_by_key(batch, target, "id")  # redelivery
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_streaming_watermarked_window(spark, tmp_path):
+    """Watermarked tumbling agg runs incrementally over a file stream."""
+    import datetime as dt
+
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        streaming_tumbling_counts,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"ts": (base + dt.timedelta(minutes=m)).isoformat(), "event_type": "click"}
+        for m in (0, 10, 70)
+    ]
+    (src / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .json(str(src))
+    )
+    agg = streaming_tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[(0, "click")] == 2
+    assert got[(1, "click")] == 1

@@ -1,0 +1,72 @@
+"""normalize_text must reproduce the reference preprocess() semantics
+(redditProcessor.py:36-53) — checked against an independent Python
+re-implementation of the documented chain."""
+
+from __future__ import annotations
+
+import re
+import string
+
+import pyspark.sql.functions as F
+import pytest
+
+from cloud_native_reddit_data_pipeline_spark.functions.text import (
+    REFERENCE_STOPWORDS,
+    fingerprint,
+    normalize_text,
+    token_count,
+    word_shingles,
+)
+
+
+def reference_preprocess(text: str) -> str:
+    """Independent reimplementation of the reference chain for testing."""
+    text = text.lower()
+    text = re.sub(r"http\S+|www\S+|https\S+", "", text, flags=re.IGNORECASE)
+    text = re.sub(r"[" + re.escape(string.punctuation) + r"]", "", text)
+    text = re.sub(
+        r"\b(?:" + "|".join(REFERENCE_STOPWORDS) + r")\b", "", text, flags=re.IGNORECASE
+    )
+    return re.sub(r"\s+", " ", text).strip()
+
+
+CASES = [
+    "Hello World! This is JUST a test.",
+    "check https://example.com/x?a=1 and www.foo.bar links",
+    "I've got really good coffee... yes!",
+    "punct: []{}()<>@#$%^&*~`|\\/;:'\"-_=+",
+    "  many   spaces\tand\nnewlines  ",
+    "",
+    "thats the way (tho) I like it",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_normalize_matches_reference_chain(spark, text):
+    got = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(normalize_text("t").alias("c"))
+        .first()["c"]
+    )
+    assert got == reference_preprocess(text)
+
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "t string")
+    rows = df.select(
+        token_count("t").alias("n"), word_shingles("t", 3).alias("sh")
+    ).collect()
+    assert [r["n"] for r in rows] == [4, 2, 0]
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == []
+    assert rows[2]["sh"] == []
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [("The quick brown fox!",), ("brown FOX, the quick.",), ("other text",)],
+        "t string",
+    )
+    fps = [r["fp"] for r in df.select(fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from cloud_native_reddit_data_pipeline_spark.operators import windows
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        (0, base, 1, "click", 1.0),
+        (1, base + dt.timedelta(minutes=10), 1, "view", 2.0),
+        (2, base + dt.timedelta(hours=3), 1, "click", 3.0),
+        # user 2: one session
+        (3, base + dt.timedelta(minutes=5), 2, "click", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_session_windows_gap_splits(spark):
+    out = windows.session_windows_gaps(_events(spark), gap_minutes=30)
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_tumbling_counts(spark):
+    out = windows.tumbling_agg(_events(spark), width="1 hour")
+    counts = {(r["win_start"].hour, r["event_type"]): r["n_events"] for r in out.collect()}
+    assert counts[(0, "click")] == 2  # user1 + user2 clicks in hour 0
+    assert counts[(3, "click")] == 1
+
+
+def test_sliding_double_counts(spark):
+    out = windows.sliding_agg(_events(spark), width="1 hour", slide="30 minutes")
+    # every event lands in exactly 2 sliding windows
+    assert sum(r["n_events"] for r in out.collect()) == 2 * 4
