@@ -96,6 +96,74 @@ def positional_zip_join(a: DataFrame, b: DataFrame, order_a: list[Column], order
     return an.join(bn, "_rn").drop("_rn")
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the payload of the
+    latest right row with right_ts <= left_ts and equal keys.
+
+    Implemented as the union-merge formulation (tag sides -> one window
+    partitioned by key ordered by (ts, side) -> last non-null payload):
+    a SINGLE shuffle on the key, no per-row range probe — the plan that
+    survives 100 TB, unlike an inequality join (O(n*m) nested loop) or
+    per-left-row subqueries.  Right rows sort before left rows at equal
+    timestamps, so same-instant matches are included.
+
+    `payload` maps right-side column -> output alias.  `tiebreak` (a
+    column present on both sides) makes ordering among equal (ts, side)
+    rows deterministic."""
+    pay_struct = F.struct(*[F.col(c).alias(a) for c, a in payload.items()])
+    pay_type = right.select(pay_struct.alias("_pay")).schema["_pay"].dataType
+
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
+        pay_struct.alias("_pay"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("_l")).schema["_l"].dataType
+        ).alias("_lrow"),
+    )
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
+        F.lit(None).cast(pay_type).alias("_pay"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    order = [F.col("_ats"), F.col("_side")] + ([F.col("_tb")] if tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = rt.unionByName(lt).withColumn(
+        "_m", F.last("_pay", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        "_lrow.*",
+        *[F.col("_m").getField(a).alias(a) for a in payload.values()],
+    )
+
+
+def range_band_join(
+    fact: DataFrame, bands: DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi"
+) -> DataFrame:
+    """Theta/range join of a fact value against a tiny literal band table
+    (lo <= v < hi).  The band side is broadcast, so the 'nested loop' is
+    a constant-width scan per row — fine at any fact scale."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond)
+
+
 def rollup_counts(df: DataFrame, keys: list[str], measures: dict[str, Column]) -> DataFrame:
     """ROLLUP aggregation (additive: not in the reference, SURVEY.md
     "not present" list)."""
