@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.reddit import POST_SCHEMA, explode_batches
+from ..sources.reddit import COMMENT_SCHEMA, POST_SCHEMA, explode_batches
 
 QUEUE_MESSAGE_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
 
@@ -62,6 +62,56 @@ def ingest_posts_stream(spark: SparkSession, queue_path: str, topic: str = "rhar
     docs = explode_batches(raw, "value", POST_SCHEMA)
     good = docs.filter(~F.col("_corrupt")).drop("_corrupt")
     return good.dropDuplicates(["id"])
+
+
+def ingest_comments_stream(
+    spark: SparkSession, queue_path: str, topic: str = "rharvestcomment"
+) -> DataFrame:
+    """Streaming comment ingest — the second queue list of the reference
+    (addReddit.py:85-136), keyed on c_id."""
+    raw = read_queue_stream(spark, queue_path, topic)
+    docs = explode_batches(raw, "value", COMMENT_SCHEMA)
+    return docs.filter(~F.col("_corrupt")).drop("_corrupt").dropDuplicates(["c_id"])
+
+
+def ingest_posts_stream_bounded(
+    spark: SparkSession,
+    queue_path: str,
+    topic: str = "rharvest",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """The scale-correct variant of ingest_posts_stream: dedup state is
+    bounded by an event-time watermark (dropDuplicatesWithinWatermark)
+    instead of growing forever like the reference's Redis seen-id set
+    (SURVEY.md O38: no TTL, no watermark)."""
+    raw = read_queue_stream(spark, queue_path, topic)
+    docs = explode_batches(raw, "value", POST_SCHEMA)
+    good = docs.filter(~F.col("_corrupt")).drop("_corrupt")
+    return good.withWatermark("created_utc", watermark).dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+
+
+def streaming_session_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization with the native session_window operator —
+    state closes `gap` after the last event once the watermark passes.
+    The batch gaps-and-islands equivalent (oracle-checked) is
+    operators.windows.session_windows_gaps."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 def upsert_parquet_by_key(batch_df: DataFrame, target_dir: str, key: str) -> None:

@@ -1,0 +1,81 @@
+"""Physical-plan audits: the properties that matter at 100 TB, asserted
+on the actual executed plans (explain output), not assumed.
+
+- scans prune columns (ReadSchema) and push predicates (PushedFilters)
+- small dimension joins broadcast (no sort-merge shuffle of the fact)
+- the lexicon sentiment join broadcasts
+- hot relational paths stay inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cloud_native_reddit_data_pipeline_spark import queries as registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = registry.queries()["pricing_summary"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 5 needed columns reach the scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = registry.queries()["star_join_broadcast"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_sentiment_lexicon_join_broadcasts(spark):
+    df = registry.queries()["sentiment_relational"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_project_rename_prunes_scan(spark):
+    df = registry.queries()["project_rename"](spark, SF)
+    plan = plan_of(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_nationkey" not in read  # unused column never read
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" in plan
+
+
+def test_filter_contains_whole_stage_codegen(spark):
+    df = registry.queries()["filter_contains"](spark, SF)
+    plan = plan_of(df)
+    assert "*(1)" in plan  # '*' prefix == inside WholeStageCodegen
+    assert "BatchEvalPython" not in plan  # no python in the relational path
+
+
+def test_normalize_chain_has_no_python(spark):
+    df = registry.queries()["normalize_text"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_has_single_aggregate_shuffle(spark):
+    df = registry.queries()["minhash_signatures"](spark, SF)
+    plan = plan_of(df)
+    # shingle generation is a narrow map: no Window/Sort before the first
+    # exchange, and the signature agg partially aggregates map-side
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine of the 8 minhashes
+
+
+def test_asof_join_is_single_window_no_range_join(spark):
+    df = registry.queries()["asof_join_clicks_purchases"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("RunningWindowFunction") <= 1 or "Window" in plan
