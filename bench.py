@@ -35,6 +35,12 @@ HEADLINE = [
     "pivot_event_counts",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "asof_join_clicks_purchases",
+    "tfidf_per_doc",
+    "range_band_join",
+    "embedding_neardup",
+    "cube_agg",
+    "percentile_stats",
 ]
 
 

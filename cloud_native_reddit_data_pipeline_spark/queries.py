@@ -1091,6 +1091,32 @@ def epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# spark.sql surface: the SAME ANSI SQL string runs on Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+_ANSI_PRICING = f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dec_sum_sql('l_quantity')} AS sum_qty,
+           {_dec_sum_sql('l_extendedprice')} AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_api_pricing", _ANSI_PRICING)
+def sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry surface: temp views + one ANSI SQL text that
+    is byte-identical to the DuckDB oracle — demonstrating that the
+    engine's SQL dialect surface needs no translation layer."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_PRICING)
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (no DuckDB oracle — model-backed / streaming /
 # approximate / pandas-UDF operators; the driver records a weaker
 # rows-only check, per the harness contract).
