@@ -69,6 +69,9 @@ def main() -> None:
         n = df.count()  # full execution; count avoids driver-collect cost
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # Release intra-query persist() caches — leaked storage memory
+        # otherwise degrades later queries (measured: 3x on the last ones).
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 3)
 
     print(

@@ -31,6 +31,9 @@ def brute_force_topk(
     """Exact top-k nearest (cosine) corpus rows for each query id.
     Queries are taken from the corpus itself and broadcast; result
     excludes the query row."""
+    from ..sources.tables import fan_out
+
+    emb = fan_out(emb)
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -63,6 +66,9 @@ def lsh_topk(
     """Approximate top-k: hyperplane-signature bands bucket the corpus;
     only bucket-mates of a query are scored.  Bands of r = n_planes/bands
     bits each; a candidate must match the query on at least one band."""
+    from ..sources.tables import fan_out
+
+    emb = fan_out(emb)
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     planes = make_planes(first["d"], n_planes)
     rows_per_band = n_planes // bands

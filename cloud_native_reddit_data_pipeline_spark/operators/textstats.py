@@ -31,6 +31,9 @@ def doc_frequency(
     Returns per-term df + idf over the corpus; min_df/max_df applied as
     a HAVING filter.  explode -> distinct -> groupBy(term): the shuffle
     carries (term, id) pairs once; countDistinct is exact."""
+    from ..sources.tables import fan_out
+
+    df = fan_out(df)
     n_docs = df.count()
     term_doc = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")

@@ -405,8 +405,11 @@ _SHINGLE_SQL = """
     )
 """
 
+# One salted md5 per shingle yields four 32-bit hash functions (8-hex
+# chunks) — must match dedup.minhash_signatures exactly.
 _MINHASH_AGGS_SQL = ",\n           ".join(
-    f"MIN(md5(concat('{i}', '|', shingle))) AS h{i}" for i in range(_MINHASH_K)
+    f"MIN(substring(md5(concat('{i // 4}', '|', shingle)), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+    for i in range(_MINHASH_K)
 )
 
 
@@ -1024,8 +1027,9 @@ def tfidf_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_df=2 / max_df=0.95.  Two hash aggregations + one broadcastable
     join on the (small) vocabulary."""
     from .functions.text import tokens as _tokens
+    from .sources.tables import fan_out
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     n_docs = docs.count()
     tok = docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

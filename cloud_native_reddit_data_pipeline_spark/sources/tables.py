@@ -48,6 +48,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a compute-heavy input across the cluster.
+
+    Small tables often arrive as one unsplittable parquet row group, so a
+    narrow explode/hash stage would run on ONE core.  Round-robin
+    repartition to default parallelism fixes that; gated on the actual
+    partition count so it is a NO-OP at scale (a 100 TB input already
+    has thousands of splits — no extra shuffle is added there)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
