@@ -41,6 +41,9 @@ HEADLINE = [
     "embedding_neardup",
     "cube_agg",
     "percentile_stats",
+    "running_window_funcs",
+    "salted_join_agg",
+    "ann_ivf_topk",
 ]
 
 

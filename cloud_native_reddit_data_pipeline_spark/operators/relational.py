@@ -164,6 +164,83 @@ def range_band_join(
     return fact.join(F.broadcast(bands), cond)
 
 
+def running_aggregates(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    moving_n: int = 3,
+) -> DataFrame:
+    """Analytic-window family over one partitioned, totally-ordered
+    frame: running sum, previous value (lag), next value (lead), and a
+    trailing `moving_n`-row sum.  One window spec = ONE shuffle +
+    per-partition sort serves all four measures.
+
+    Sums run over decimal (then surface as double) so aggregation order
+    cannot perturb low bits — FP sums are order-dependent and Spark's
+    partial-aggregate order is nondeterministic."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return df.select(
+        F.col(part_col),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col),
+        F.sum(dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.lag(F.col(value_col)).over(w).alias("prev_value"),
+        F.lead(F.col(value_col)).over(w).alias("next_value"),
+        F.sum(dec)
+        .over(w.rowsBetween(-(moving_n - 1), 0))
+        .cast("double")
+        .alias(f"moving_sum{moving_n}"),
+    )
+
+
+def salted_join_agg(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    group_cols: list[str],
+    measures: dict[str, Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join + aggregation: the fact side appends a
+    salt in [0, n_salts) derived from a unique column hash, the dim side
+    is exploded n_salts times, and the join key becomes (key, salt) — a
+    hot key's rows now spread over n_salts reducers instead of one.
+
+    The aggregate result is salt-invariant, so correctness is identical
+    to the unsalted join (the oracle runs the plain join).  This is the
+    manual fallback when AQE skew-join can't kick in (e.g. the skewed
+    side is the output of an aggregation, or the runtime stats miss the
+    skew)."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted_fact.join(salted_dim, [key, "_salt"])
+    aggs = [expr.alias(name) for name, expr in measures.items()]
+    return joined.groupBy(*group_cols).agg(*aggs)
+
+
+def hash_split(
+    df: DataFrame, key_col: str, test_frac_hex: str = "1a", splits=("train", "test")
+) -> DataFrame:
+    """Deterministic train/test split by content hash — the
+    training-data-pipeline sampling primitive: membership depends only
+    on the key, so it is stable across runs, engines, partitionings, and
+    incremental re-ingests (no RNG, no seed drift).  `test_frac_hex` is
+    a 2-hex-digit threshold: '1a' keeps ~26/256 ~= 10% as test."""
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split", F.when(bucket < test_frac_hex, F.lit(splits[1])).otherwise(F.lit(splits[0]))
+    )
+
+
 def rollup_counts(df: DataFrame, keys: list[str], measures: dict[str, Column]) -> DataFrame:
     """ROLLUP aggregation (additive: not in the reference, SURVEY.md
     "not present" list)."""

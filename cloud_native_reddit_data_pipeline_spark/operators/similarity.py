@@ -54,6 +54,83 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale
+    path: partition the corpus into `n_centroids` cells by
+    nearest-centroid assignment; a query only scores the cells of its
+    `n_probe` nearest centroids.
+
+    Centroids here are a deterministic seed set (the first
+    `n_centroids` corpus rows) so results have an exact SQL oracle; a
+    k-means refinement of the same seed set is a drop-in replacement
+    and changes nothing about the plan shape.
+
+    Plan shape at scale: the centroid table is tiny and BROADCAST; cell
+    assignment is a narrow map over the corpus (argmax of K cosines per
+    row).  The probe join shuffles on cell id only; with an inverted
+    layout (corpus pre-partitioned by cell) it is co-located and
+    shuffle-free.  Cosines are rounded to 6 decimals before the argmax
+    with a centroid-id tie-break, so cell assignment is reproducible
+    across engines."""
+    from ..sources.tables import fan_out
+
+    emb = fan_out(emb)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+    ).persist()  # consumed twice: probe-list build + candidate join
+
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    probes = (
+        scored.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "centroid_id",
+            "ccos",
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+        )
+        # no distinct needed: assignment is unique per row and probe cells
+        # are unique per query, so each (query, neighbor) appears once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -963,6 +963,93 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNNING_WIN = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+
+@register(
+    "running_window_funcs",
+    f"""
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER ({_RUNNING_WIN} ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           lag(o_totalprice) OVER ({_RUNNING_WIN}) AS prev_value,
+           lead(o_totalprice) OVER ({_RUNNING_WIN}) AS next_value,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER ({_RUNNING_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+    FROM orders
+    """,
+)
+def running_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows (running total / lag / lead / trailing sum) —
+    additive over the reference's only window op (O33 top-k)."""
+    return relational.running_aggregates(
+        load(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {_dec_sum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_agg", _GROUPING_SETS_SQL)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the spark.sql surface — the same ANSI text runs
+    on both engines (complements cube_agg / rollup_agg)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "hash_split_sample",
+    """
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/test split (~10% test): stable
+    across runs, engines, and re-ingests — the sampling primitive a
+    training-data pipeline needs instead of seeded RNG."""
+    return relational.hash_split(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "split")
+
+
+@register(
+    "salted_join_agg",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           {_dec_sum_sql('l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted fact-dim join (manual fallback for when AQE
+    skew handling can't apply); aggregate result is salt-invariant, so
+    the oracle is the plain join."""
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return relational.salted_join_agg(
+        li,
+        o,
+        "o_orderkey",
+        ["o_orderpriority"],
+        {"n_items": F.count(F.lit(1)), "revenue": dec_sum("l_extendedprice")},
+    )
+
+
 @register(
     "percentile_stats",
     """
@@ -1160,6 +1247,51 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, transformed = fit_topics(docs, id_col="doc_id", text_col="text", k=5, min_df=2.0)
     return widen_topics(transformed, ["doc_id"], k=5)
+
+
+_IVF_K, _IVF_CENTROIDS, _IVF_PROBE = 5, 16, 4
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS ccos
+      FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid cells + n_probe search
+    (the inverted-file ANN scale path; see operators/similarity.ivf_topk)."""
+    return similarity.ivf_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=_IVF_K,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+    )
 
 
 @register("ann_lsh_topk")

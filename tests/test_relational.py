@@ -60,3 +60,39 @@ def test_rollup_has_grand_total(spark):
     assert len(rows) == 4  # (a,x),(a,y),(a,null),(null,null)
     total = [r for r in rows if r["k1"] is None and r["k2"] is None]
     assert total[0]["n"] == 2
+
+
+def test_running_aggregates_family(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, 10.0), ("c1", 2, 20.0), ("c1", 3, 30.0), ("c2", 1, 5.0)],
+        "ck string, seq int, price double",
+    )
+    out = relational.running_aggregates(df, "ck", ["seq"], "price", moving_n=2)
+    rows = {(r["ck"], r["seq"]): r for r in out.collect()}
+    assert rows[("c1", 3)]["running_total"] == 60.0
+    assert rows[("c1", 3)]["prev_value"] == 20.0
+    assert rows[("c1", 2)]["next_value"] == 30.0
+    assert rows[("c1", 3)]["moving_sum2"] == 50.0
+    assert rows[("c2", 1)]["prev_value"] is None
+    assert rows[("c2", 1)]["running_total"] == 5.0
+
+
+def test_salted_join_agg_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0)] * 50 + [(2, 1.0)] * 3, "k int, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, grp string")
+    salted = relational.salted_join_agg(
+        fact, dim, "k", ["grp"], {"n": F.count(F.lit(1)), "s": F.sum("v")}, n_salts=4
+    )
+    got = {(r["grp"], r["n"], r["s"]) for r in salted.collect()}
+    assert got == {("hot", 50, 500.0), ("cold", 3, 3.0)}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = {(r["id"], r["split"]) for r in relational.hash_split(df, "id").collect()}
+    b = {(r["id"], r["split"]) for r in relational.hash_split(df, "id").collect()}
+    assert a == b  # no RNG: stable across runs
+    frac = sum(1 for _, s in a if s == "test") / 2000
+    assert 0.06 < frac < 0.15  # ~26/256

@@ -34,6 +34,32 @@ def test_lsh_topk_candidates_subset_of_corpus(spark):
     assert any(r["neighbor_id"] == 10 for r in rows)
 
 
+def test_ivf_topk_assigns_cells_and_ranks(spark):
+    # centroids = vec_id < 2 -> cells around e_x (0) and e_y (2 maps to its own)
+    out = similarity.ivf_topk(_emb(spark), [0], k=3, n_centroids=3, n_probe=1)
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    # probe 1 cell: only vectors assigned to centroid 0's cell are candidates;
+    # the near-parallel vector 10 must be in it and rank first
+    assert rows and rows[0]["neighbor_id"] == 10
+    assert all(r["query_id"] == 0 for r in rows)
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ivf_recall_vs_exact(spark):
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, [0, 1], k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, [0, 1], k=5, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
 def test_lsh_recall_at_scale_sample(spark):
     """LSH top-k should recover most of the exact top-k on real data."""
     from cloud_native_reddit_data_pipeline_spark.sources.tables import load
