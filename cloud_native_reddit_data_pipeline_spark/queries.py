@@ -1371,6 +1371,53 @@ def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+@register("stateful_user_totals")
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals accumulated across TWO micro-batches of the
+    events table.  The final per-user state must equal the batch
+    aggregate — checked here by returning the final snapshot (max
+    n_events per user), deterministic regardless of batch split."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import running_user_totals
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(300)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_src"
+        # two files -> two micro-batches (maxFilesPerTrigger=1)
+        ev.filter(F.col("event_id") < 150).coalesce(1).write.parquet(f"{src}/b0")
+        ev.filter(F.col("event_id") >= 150).coalesce(1).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        totals = running_user_totals(stream)
+        qname = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        updates = spark.table(qname)
+        # final snapshot per user = the row with the highest n_events
+        final = updates.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_value, n_events)").alias("total_value"),
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
