@@ -95,6 +95,66 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(_extract, out_schema)
 
 
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Image resize via mapInPandas: aspect-preserving target dimensions
+    (real arithmetic, testable) + payload transform (stubbed: the real
+    pixel resample needs PIL; the stub emits a deterministic payload of
+    the correct new length so batch shapes and schemas are exercised).
+
+    Scale shape: narrow map, no shuffle; payload bytes stay inside Arrow
+    batches — a 100 TB image corpus resizes with zero data movement
+    beyond the scan and write."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("new_width", T.IntegerType(), True),
+            T.StructField("new_height", T.IntegerType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _target(w, h):
+        if w is None or h is None:
+            return None, None
+        scale = max_side / max(w, h)
+        if scale >= 1.0:
+            return int(w), int(h)
+        return max(1, round(w * scale)), max(1, round(h * scale))
+
+    def _stub_resample(payload: bytes, nw: int, nh: int) -> bytes:
+        # deterministic placeholder for the PIL resample: correct output
+        # length (nw*nh bytes, 1 "channel"), content a byte-mix of input
+        if payload is None or nw is None:
+            return None
+        n = nw * nh
+        return bytes((payload[i % len(payload)] * (i + 1)) % 256 for i in range(n))
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            dims = [_target(w, h) for w, h in zip(pdf["width"], pdf["height"])]
+            nw = [d[0] for d in dims]
+            nh = [d[1] for d in dims]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": pd.array(nw, dtype="Int32"),
+                    "new_height": pd.array(nh, dtype="Int32"),
+                    "payload": [
+                        _stub_resample(p, w, h)
+                        for p, w, h in zip(pdf["payload"], nw, nh)
+                    ],
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(_resize, out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode each video into frame
     timestamps (native `sequence`+`explode`); the per-frame decode is the

@@ -1321,6 +1321,32 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_resize")
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize + frame-sample plumbing: aspect-preserving
+    image resize (mapInPandas; pixel resample stubbed, dimension math
+    and batch shapes real) unioned with the JVM-side video frame
+    fan-out."""
+    from .operators.multimodal import frame_sample_plan, resize_images, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    resized = resize_images(media, max_side=32).select(
+        "media_id",
+        F.lit("resize").alias("op"),
+        F.col("new_width").cast("long").alias("out_a"),
+        F.col("new_height").cast("long").alias("out_b"),
+        F.length("payload").cast("long").alias("out_bytes"),
+    )
+    frames = frame_sample_plan(media, every_ms=5000)
+    frame_counts = frames.groupBy("media_id").agg(
+        F.lit("frame_sample").alias("op"),
+        F.count(F.lit(1)).alias("out_a"),
+        F.min("frame_ts_ms").cast("long").alias("out_b"),
+        F.lit(0).cast("long").alias("out_bytes"),
+    )
+    return resized.unionByName(frame_counts)
+
+
 @register("streaming_upsert")
 def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5/O7/O8/O16/O22/O35-O38 end-to-end: produce JSON batch messages

@@ -35,3 +35,26 @@ def test_frame_sample_counts(spark):
 def test_decode_frame_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_frame(b"x", 0)
+
+
+def test_resize_images_dims_and_payload(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    out = resize_images(synthetic_media(spark, 30), max_side=32).collect()
+    assert out  # images present
+    for r in out:
+        assert max(r["new_width"], r["new_height"]) <= 32
+        # aspect preserved within rounding
+        orig_ratio = r["width"] / r["height"]
+        new_ratio = r["new_width"] / r["new_height"]
+        assert abs(orig_ratio - new_ratio) < 0.2
+        assert len(r["payload"]) == r["new_width"] * r["new_height"]
+
+    # deterministic: same input -> same payload bytes
+    again = resize_images(synthetic_media(spark, 30), max_side=32).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
