@@ -406,9 +406,9 @@ _SHINGLE_SQL = """
 """
 
 # One salted md5 per shingle yields four 32-bit hash functions (8-hex
-# chunks) — must match dedup.minhash_signatures exactly.
+# chunks decoded to bigint) — must match dedup.minhash_signatures exactly.
 _MINHASH_AGGS_SQL = ",\n           ".join(
-    f"MIN(substring(md5(concat('{i // 4}', '|', shingle)), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+    f"MIN(('0x' || substring(md5(concat('{i // 4}', '|', shingle)), {(i % 4) * 8 + 1}, 8))::BIGINT) AS h{i}"
     for i in range(_MINHASH_K)
 )
 

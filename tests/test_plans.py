@@ -79,3 +79,46 @@ def test_asof_join_is_single_window_no_range_join(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("RunningWindowFunction") <= 1 or "Window" in plan
+
+
+def test_ivf_centroids_and_probes_broadcast(spark):
+    df = registry.queries()["ann_ivf_topk"](spark, SF)
+    plan = plan_of(df)
+    # centroid assignment + probe join both broadcast the small side;
+    # the corpus is never shuffled by pair
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_no_broadcast_of_fact(spark):
+    df = registry.queries()["salted_join_agg"](spark, SF)
+    plan = plan_of(df)
+    # the salted key join must partially aggregate map-side after the join
+    assert "partial_count" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_is_pure_projection(spark):
+    df = registry.queries()["hash_split_sample"](spark, SF)
+    plan = plan_of(df)
+    # no shuffle at all: hash-split membership is a narrow map
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_running_windows_single_shuffle(spark):
+    df = registry.queries()["running_window_funcs"](spark, SF)
+    plan = plan_of(df)
+    # all four analytic measures share ONE window spec = one exchange + sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_no_distinct_shuffle(spark):
+    df = registry.queries()["minhash_signatures"](spark, SF)
+    plan = plan_of(df)
+    # exactly one exchange: the final per-doc aggregate (no shingle
+    # distinct, no fan-out shuffle at sf with multi-partition input)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2  # fan_out round-robin + aggregate
+    assert "HashAggregate" in plan
