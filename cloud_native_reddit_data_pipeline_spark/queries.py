@@ -877,7 +877,26 @@ _BANDS = [("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("large", 150000.
 )
 def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    # band table from pure literals: stays JVM-side (a createDataFrame
+    # from Python rows would add a Python-runner ExistingRDD scan)
+    bands = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.lit(lo).alias("lo"),
+                            F.lit(hi).alias("hi"),
+                        )
+                        for b, lo, hi in _BANDS
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.*")
+    )
     joined = relational.range_band_join(o, bands, "o_totalprice")
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_orders"),
