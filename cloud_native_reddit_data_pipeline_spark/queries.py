@@ -1340,6 +1340,48 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_interval_join")
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join over the events table:
+    purchases joined to clicks of the same user within 1 hour.  Each
+    side arrives as one file micro-batch, so no row is watermark-late
+    and the result is deterministic (equals the batch interval join)."""
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import streaming_interval_join
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(2000)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        cdir, pdir = f"{tmp}/clicks", f"{tmp}/purchases"
+        evs = load(spark, sf_dir, "events").orderBy("event_id").limit(2000)
+        evs.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "value"
+        ).coalesce(1).write.parquet(cdir)
+        evs.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value"
+        ).coalesce(1).write.parquet(pdir)
+        cs = spark.readStream.schema(ev.schema).parquet(cdir)
+        ps = spark.readStream.schema(ev.schema).parquet(pdir)
+        qname = f"sjoin_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_interval_join(cs, ps, within="1 hour")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register("media_resize")
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize + frame-sample plumbing: aspect-preserving

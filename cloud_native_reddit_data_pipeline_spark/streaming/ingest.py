@@ -114,6 +114,38 @@ def streaming_session_counts(
     )
 
 
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: a right-side event
+    matches a left-side event of the same key when it lands within
+    [left.ts, left.ts + within].
+
+    Both the equality key AND the time-range predicate are required at
+    scale: the range bound + watermark lets Spark expire join state
+    (without it, both sides buffer forever).  State is partitioned by
+    the key — the only shuffle either stream pays per micro-batch."""
+    lw = left_stream.withWatermark("ts", watermark).alias("l")
+    rw = right_stream.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("r.value").alias("right_value"),
+    )
+
+
 def upsert_parquet_by_key(batch_df: DataFrame, target_dir: str, key: str) -> None:
     """Idempotent keyed upsert into a parquet table (O8: ES
     index(id=...) upsert; O37 ack semantics).
