@@ -1313,6 +1313,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("topic_labels")
+def topic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O33 ML path: LDA describeTopics -> 'topic_N: w1 .. w10' label
+    strings (the reference's argsort-slice topic naming,
+    redditProcessor.py:113-121).  Model-backed, rows-only check;
+    structural invariants (k rows, label format) pinned in tests."""
+    from .operators.topics import fit_topics, topic_names
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    model, _ = fit_topics(docs, id_col="doc_id", text_col="text", k=5, min_df=2.0)
+    return topic_names(model, top_n=10)
+
+
+_STRAT_FRACS = {"click": "80", "view": "14", "purchase": "ff", "error": "00"}
+_STRAT_CASE = " ".join(
+    f"WHEN event_type = '{t}' THEN '{h}'" for t, h in _STRAT_FRACS.items()
+)
+
+
+@register(
+    "stratified_hash_sample",
+    f"""
+    SELECT event_id, event_type FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2)
+          < (CASE {_STRAT_CASE} ELSE '00' END)
+    """,
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum md5-bucket
+    thresholds (~50% clicks, ~5% views, 100% purchases, 0% errors) —
+    rebalancing skewed event types for training without RNG; membership
+    is a pure narrow filter, reproducible on any engine."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    thr = None
+    for t, h in _STRAT_FRACS.items():
+        cond = F.col("event_type") == t
+        thr = F.when(cond, F.lit(h)) if thr is None else thr.when(cond, F.lit(h))
+    thr = thr.otherwise(F.lit("00"))
+    return ev.filter(bucket < thr).select("event_id", "event_type")
+
+
+@register("approx_percentiles")
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile, Greenwald-Khanna):
+    the scale path next to the exact percentile_stats — no global sort,
+    one pass, mergeable partials.  Approximate values differ per engine,
+    so this is a rows-only entry; the exact twin is oracle-checked."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_p50_p90_p99"
+        ),
+    )
+
+
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed approximate top-k (recall/latency
