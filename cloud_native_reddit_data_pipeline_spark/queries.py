@@ -862,6 +862,42 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "full_outer_join_coverage",
+    """
+    SELECT
+      CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+           WHEN o.o_custkey IS NULL THEN 'customer_only'
+           ELSE 'both' END AS side,
+      COUNT(*) AS n
+    FROM customer c
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def full_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (completes the join matrix next to inner / left /
+    anti / semi / as-of / range / salted): customers vs the distinct set
+    of big-order custkeys, bucketing rows by which side survives."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_custkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return joined.select(side.alias("side")).groupBy("side").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 _BANDS = [("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("large", 150000.0, 1e12)]
 
 
