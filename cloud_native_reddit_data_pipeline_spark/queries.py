@@ -1501,6 +1501,45 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.unionByName(frame_counts)
 
 
+@register("analytics_pipeline")
+def analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL EP3 analytics job (redditProcessor.py:56-156)
+    end-to-end as one plan: keyword filter -> schema-aligned union ->
+    normalize -> sentiment -> TF-IDF/LDA -> widened topics -> batch
+    stamp.  Post/comment corpora are derived deterministically from the
+    documents table so the job scales with sf.  Model-backed: rows-only
+    check; structure pinned by tests/test_analytics_plan.py."""
+    from .plans.analytics import run_analytics
+
+    docs = load(spark, sf_dir, "documents")
+    posts = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("created_utc"),
+        F.col("lang").alias("subreddit"),
+        (F.length("text") % 100).cast("int").alias("score"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("text").alias("selftext"),
+    )
+    comments = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).cast("string").alias("p_id"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("c_id"),
+        F.to_timestamp(F.lit("2024-01-01 01:00:00")).alias("created_utc"),
+        F.col("lang").alias("subreddit"),
+        (F.length("text") % 50).cast("int").alias("score"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("text").alias("body"),
+    )
+    analysis, _names = run_analytics(posts, comments, keyword="the", k=5)
+    return analysis.select(
+        "id",
+        "subreddit",
+        "sentiment",
+        F.round("sentiment_score", 4).alias("sentiment_score"),
+        F.round("topic_1", 4).alias("topic_1"),
+        "batch_id",
+    )
+
+
 @register("streaming_upsert")
 def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5/O7/O8/O16/O22/O35-O38 end-to-end: produce JSON batch messages

@@ -172,6 +172,46 @@ def upsert_parquet_by_key(batch_df: DataFrame, target_dir: str, key: str) -> Non
     os.replace(tmp, target_dir)
 
 
+def upsert_parquet_by_key_bucketed(
+    batch_df: DataFrame, target_dir: str, key: str, n_buckets: int = 64
+) -> None:
+    """Scale path for the keyed upsert: the table is laid out as
+    `bucket=N/` partitions (N = hash(key) mod n_buckets) and a batch
+    rewrites ONLY the buckets its keys hash into — cost is
+    O(touched_buckets / n_buckets * table), not O(table) like the plain
+    `upsert_parquet_by_key` rewrite.  With n_buckets sized so a bucket
+    fits an executor, per-batch upsert cost is flat no matter how big
+    the table grows (the same contract Delta MERGE gets from file-level
+    pruning on a clustered key)."""
+    spark = batch_df.sparkSession
+    bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    batch = batch_df.dropDuplicates([key]).withColumn("bucket", bucket_of)
+    touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
+    import shutil
+
+    for b in touched:
+        bdir = os.path.join(target_dir, f"bucket={b}")
+        newb = batch.filter(F.col("bucket") == b).drop("bucket")
+        if os.path.exists(bdir):
+            existing = spark.read.parquet(bdir)
+            merged = existing.join(newb.select(key), key, "left_anti").unionByName(newb)
+        else:
+            merged = newb
+        tmp = bdir.rstrip("/") + "._tmp_write"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(bdir):
+            shutil.rmtree(bdir)
+        os.replace(tmp, bdir)
+
+
+def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read a bucketed upsert target back as one table (the `bucket=`
+    partition column is pruned away)."""
+    return spark.read.option("basePath", target_dir).parquet(
+        os.path.join(target_dir, "bucket=*")
+    ).drop("bucket")
+
+
 def start_upsert_stream(
     stream_df: DataFrame,
     target_dir: str,

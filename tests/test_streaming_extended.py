@@ -91,3 +91,48 @@ def test_streaming_session_window(spark, tmp_path):
         got.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(got[1]) == [1, 2]
     assert got[2] == [1]
+
+
+def test_bucketed_upsert_touches_only_affected_buckets(spark, tmp_path):
+    import os
+
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        read_bucketed_table,
+        upsert_parquet_by_key_bucketed,
+    )
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(200)], "id string, v int"
+    )
+    upsert_parquet_by_key_bucketed(base, target, "id", n_buckets=8)
+    all_buckets = sorted(os.listdir(target))
+    assert all(b.startswith("bucket=") for b in all_buckets)
+    mtimes_before = {
+        b: os.path.getmtime(os.path.join(target, b)) for b in all_buckets
+    }
+
+    import time
+
+    time.sleep(1.1)
+    # update 2 keys (same content for k1? no - new v) + insert 1 new key
+    upd = spark.createDataFrame(
+        [("k1", 1001), ("k2", 1002), ("knew", 42)], "id string, v int"
+    )
+    upsert_parquet_by_key_bucketed(upd, target, "id", n_buckets=8)
+
+    out = read_bucketed_table(spark, target)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert len(got) == 201  # 200 + 1 new, no dup keys
+    assert got["k1"] == 1001 and got["k2"] == 1002 and got["knew"] == 42
+    assert got["k0"] == 0  # untouched rows intact
+
+    # buckets not containing k1/k2/knew were not rewritten
+    mtimes_after = {
+        b: os.path.getmtime(os.path.join(target, b))
+        for b in sorted(os.listdir(target))
+    }
+    untouched = [
+        b for b in all_buckets if mtimes_after[b] == mtimes_before[b]
+    ]
+    assert len(untouched) >= 5  # 3 keys hit at most 3 of 8 buckets
