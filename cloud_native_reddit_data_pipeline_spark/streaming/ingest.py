@@ -219,14 +219,23 @@ def start_upsert_stream(
     key: str = "id",
     trigger_seconds: int | None = 60,
     available_now: bool = False,
+    n_buckets: int | None = None,
 ):
     """Wire the ingest stream to the upsert sink via foreachBatch, with
     the reference's 60s cadence (O35: fission cron '@every 60s') as the
     processing-time trigger.  `available_now=True` drains the backlog
-    and stops — used by tests."""
-    writer = stream_df.writeStream.foreachBatch(
-        lambda bdf, _bid: upsert_parquet_by_key(bdf, target_dir, key)
-    ).option("checkpointLocation", checkpoint_dir)
+    and stops — used by tests.  `n_buckets` switches the sink to the
+    bucketed layout (per-batch cost flat in table size — the setting to
+    use beyond toy scale)."""
+    if n_buckets:
+        sink = lambda bdf, _bid: upsert_parquet_by_key_bucketed(  # noqa: E731
+            bdf, target_dir, key, n_buckets
+        )
+    else:
+        sink = lambda bdf, _bid: upsert_parquet_by_key(bdf, target_dir, key)  # noqa: E731
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
