@@ -1501,6 +1501,70 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.unionByName(frame_counts)
 
 
+@register(
+    "vector_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 4) AS l2_norm,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding), 4) + 0.0 AS mean_val,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x >= 0)) AS n_nonneg
+    FROM embeddings
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column (transform /
+    filter / aggregate) — all JVM-side expression evaluation, no UDF;
+    the per-row work scans the array once per measure in a narrow map."""
+    from .functions.vectors import as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        # + 0.0 normalizes IEEE negative zero (round can yield -0.0)
+        (F.round(total / F.size("embedding"), 4) + F.lit(0.0)).alias("mean_val"),
+        F.size(F.filter(v, lambda x: x >= 0)).alias("n_nonneg"),
+    )
+
+
+@register("grouped_zscore")
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map surface: per-event-type z-score
+    normalization, each group handed to pandas as one Arrow batch (the
+    grouped twin of mapInPandas; state-free twin of
+    applyInPandasWithState).  Model of use: per-group featurization
+    that genuinely needs pandas/numpy semantics.  Rows-only: the same
+    normalization is trivially expressible relationally (and the
+    relational twin is what production code should prefer — see
+    SCALE.md 'UDFs are the slow path')."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def _z(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - mu) / sd if sd and sd > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": z.round(4),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        _z, "event_id long, event_type string, zscore double"
+    )
+
+
 @register("analytics_pipeline")
 def analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FULL EP3 analytics job (redditProcessor.py:56-156)
