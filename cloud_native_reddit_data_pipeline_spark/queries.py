@@ -863,6 +863,97 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_measures",
+    """
+    SELECT o_orderkey, measure, ROUND(val, 4) AS val FROM (
+      SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    ) WHERE o_orderkey < 1000
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) via the native unpivot operator — the
+    inverse of pivot_event_counts.  Narrow map: each input row emits N
+    measure rows with no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "val")
+        .select("o_orderkey", "measure", F.round("val", 4).alias("val"))
+    )
+
+
+@register(
+    "ntile_deciles",
+    """
+    SELECT decile, COUNT(*) AS n, {sum_sql} AS decile_total
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    ) GROUP BY decile
+    """.format(sum_sql=_dec_sum_sql("o_totalprice")),
+)
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing via ntile over a total order (tie-broken on the
+    unique key so bucket membership is deterministic cross-engine).
+    Scale note: a single global-order window is one range-partitioned
+    sort — for percentile CUTS prefer approx_percentile; ntile is for
+    exact equal-frequency bucketing."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice").alias("decile_total"),
+        )
+    )
+
+
+@register(
+    "date_spine_daily_counts",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day FROM bounds
+    ), daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events FROM events GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(daily.n_events, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: generate the full day spine with
+    sequence()+explode (JVM-side, no driver loop), left-join daily
+    counts so gap days surface as zero — the standard time-series
+    completeness pattern.  The spine is tiny and broadcasts."""
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.select(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return F.broadcast(spine).join(daily, "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+@register(
     "full_outer_join_coverage",
     """
     SELECT
