@@ -94,3 +94,26 @@ def fingerprint(col: Column | str) -> Column:
     dedup key robust to word order and repetition."""
     toks = tokens(normalize_text(col))
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+ROLLING_HASH_BASE = 31
+ROLLING_HASH_MOD = 2147483647  # 2^31 - 1: a*31+x stays < 2^36, no overflow
+ROLLING_HASH_SEED = 7
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash of the full text: h = fold over chars of
+    (h * 31 + ascii(c)) mod (2^31 - 1), seed 7 — the classic
+    Rabin-Karp-style document fingerprint, exactly reproducible in any
+    engine with integer folds (DuckDB oracle: list_reduce).  A narrow
+    map: one pass over the characters, no shuffle.
+
+    vs `fingerprint`: this is order-SENSITIVE (byte-stream identity),
+    the token fingerprint is order-insensitive (content identity)."""
+    chars = F.filter(F.split(F.col(col) if isinstance(col, str) else col, ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(ROLLING_HASH_SEED).cast("long"),
+        lambda acc, x: (acc * ROLLING_HASH_BASE + x) % ROLLING_HASH_MOD,
+    )

@@ -863,6 +863,38 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_hash_fingerprint",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(7::BIGINT,
+                 list_transform(
+                   list_filter(string_split_regex(text, ''), c -> c <> ''),
+                   c -> ascii(c)::BIGINT)),
+               (a, x) -> (a * 31 + x) % 2147483647) AS rhash
+      FROM documents
+    )
+    SELECT rhash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM h GROUP BY rhash
+    """,
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-style rolling-hash document fingerprint (byte-stream
+    identity) grouped into dedup buckets — the order-sensitive twin of
+    the token fingerprint (functions/text.rolling_hash)."""
+    from .functions.text import rolling_hash
+    from .sources.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", rolling_hash("text").alias("rhash"))
+        .groupBy("rhash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
     "unpivot_measures",
     """
     SELECT o_orderkey, measure, ROUND(val, 4) AS val FROM (
