@@ -40,3 +40,28 @@ def test_normalize_idempotent(spark, texts):
     # stopword removal can expose new words, but whitespace/punct/case are fixed
     for a, b in zip(once.collect(), twice.collect()):
         assert b["c"] == reference_preprocess(a["c"])
+
+
+def _py_rolling_hash(s: str) -> int:
+    h = 7
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 2147483647
+    return h
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_rolling_hash_agrees_with_python_fold(spark, texts):
+    from cloud_native_reddit_data_pipeline_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["h"] for r in df.select(rolling_hash("t").alias("h")).collect()]
+    assert got == [_py_rolling_hash(t) for t in texts]
