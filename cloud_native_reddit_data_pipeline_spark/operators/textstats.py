@@ -85,11 +85,17 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     punct_ratio = F.when(F.length(F.col(text_col)) > 0, n_punct / F.length(F.col(text_col))).otherwise(0.0)
     uniq_ratio = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
     length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    # + 1e-9 before rounding: the weighted sum can land EXACTLY on a
+    # .xxxx5 boundary (ratios are small rationals), where engines
+    # legitimately disagree (JVM BigDecimal HALF_UP on the shortest
+    # decimal repr vs C round on the binary double).  The epsilon pushes
+    # boundary values off the knife edge identically everywhere.
     score = (
         F.lit(0.4) * uniq_ratio
         + F.lit(0.3) * length_score
         + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.1) * (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0)))
+        + F.lit(1e-9)
     )
     return df.select(
         F.col(id_col),

@@ -467,11 +467,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
-           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+           ROUND(inter / (sa.sz + sb.sz - inter) + 1e-9, 4) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.2
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,7 +541,7 @@ _EN_LIST = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
            ROUND(uniq_ratio, 4) AS uniq_ratio,
            ROUND(0.4 * uniq_ratio + 0.3 * length_score
                  + 0.2 * (1.0 - punct_ratio)
-                 + 0.1 * (1.0 - least(stop_ratio * 2, 1.0)), 4) AS quality_score
+                 + 0.1 * (1.0 - least(stop_ratio * 2, 1.0)) + 1e-9, 4) AS quality_score
     FROM r
     """,
 )

@@ -1,6 +1,6 @@
 """Fast parity smoke at sf0.001: a representative subset of oracle-backed
-queries checked against DuckDB inside pytest (the full 37-query gate is
-tools/parity_check.py)."""
+queries checked against DuckDB inside pytest (the full registry gate —
+67 queries at the time of writing — is tools/parity_check.py)."""
 
 from __future__ import annotations
 
