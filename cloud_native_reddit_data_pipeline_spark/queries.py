@@ -455,6 +455,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, bands=4)
 
 
+# Dedup-group clustering: connected components over the LSH pairs.
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL}, sig AS (
+      SELECT doc_id, {_MINHASH_AGGS_SQL}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), closure(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT c.node, e.dst FROM closure c JOIN edges e ON e.src = c.r
+    )
+    SELECT node, MIN(r) AS label FROM closure GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: iterative min-label propagation
+    over the MinHash-LSH candidate graph (the clustering step every
+    production dedup pipeline needs after candidate generation).
+    Oracle: recursive-CTE transitive closure."""
+    sigs = dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=_MINHASH_K
+    )
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, bands=4)
+    return dedup.connected_components(pairs)
+
+
 # Exact n-gram (3-word shingle) Jaccard over intersecting pairs.
 @register(
     "ngram_jaccard_pairs",

@@ -70,3 +70,18 @@ def test_exact_dedup_keep_first_deterministic(spark):
     out = dedup.exact_dedup_keep_first(df, "k", [F.asc("v")])
     got = {(r["k"], r["v"]) for r in out.collect()}
     assert got == {(1, "a"), (2, "z")}
+
+
+def test_connected_components_chain_cycle_pair(spark):
+    # chain 1-2-3-4, triangle 10-11-12 (cycle), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = dedup.connected_components(pairs)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
