@@ -44,6 +44,7 @@ HEADLINE = [
     "running_window_funcs",
     "salted_join_agg",
     "ann_ivf_topk",
+    "training_corpus_select",
 ]
 
 

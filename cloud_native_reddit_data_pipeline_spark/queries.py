@@ -621,6 +621,84 @@ def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.langid(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Capstone: the end-to-end training-data selection — quality gate +
+# language filter + exact-dedup keeper + deterministic train split, one
+# declarative plan.  Every stage reuses an operator that is ALSO
+# oracle-checked standalone.
+@register(
+    "training_corpus_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len({_TOKS_SQL}) AS n_tok,
+             len(list_filter({_TOKS_SQL}, x -> list_contains([{_EN_LIST}], lower(x)))) AS n_stop,
+             len(regexp_extract_all(text, '[!"#$%&''()*+,\\-./:;<=>?@\\[\\]^_`{{|}}~]')) AS n_punct,
+             len(list_distinct({_TOKS_SQL})) AS n_uniq
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+             CASE WHEN length(text) > 0 THEN n_punct / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS uniq_ratio,
+             least(n_tok / 100.0, 1.0) AS length_score
+      FROM t
+    ), q AS (
+      SELECT doc_id,
+             ROUND(0.4 * uniq_ratio + 0.3 * length_score
+                   + 0.2 * (1.0 - punct_ratio)
+                   + 0.1 * (1.0 - least(stop_ratio * 2, 1.0)) + 1e-9, 4) AS quality_score
+      FROM r
+    ), s AS (
+      SELECT doc_id,
+           {_LANG_SCORES_SQL}
+      FROM documents
+    ), b AS (
+      SELECT *, greatest(score_de, score_en, score_fr) AS best FROM s
+    ), l AS (
+      SELECT doc_id, CASE {_LANG_CASE_SQL} ELSE 'und' END AS pred_lang FROM b
+    ), hashed AS (
+      SELECT doc_id, md5(text) AS content_hash FROM documents
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM hashed GROUP BY content_hash
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT q.doc_id, q.quality_score, l.pred_lang
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    JOIN keepers k ON k.doc_id = q.doc_id
+    JOIN sp ON sp.doc_id = q.doc_id
+    WHERE q.quality_score >= 0.5 AND l.pred_lang = 'en' AND sp.split = 'train'
+    """,
+)
+def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection: keep documents that pass
+    the quality gate, classify as English, survive exact dedup as their
+    group's keeper, and fall in the train split.  Composes four
+    independently-oracled operators into ONE Catalyst plan — the
+    narrow stages fuse and the joins are all on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    q = textstats.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    lang = textstats.langid(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    keepers = (
+        dedup.content_dedup_groups(docs, "doc_id", "text")
+        .select(F.col("keeper_id").alias("doc_id"))
+    )
+    split = relational.hash_split(docs.select("doc_id"), "doc_id")
+    return (
+        q.join(lang, "doc_id")
+        .join(keepers, "doc_id")
+        .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "quality_score", "pred_lang")
+    )
+
+
 _LEX_VALUES = ", ".join(f"('{w}', {v})" for w, v in sorted(LEXICON.items()))
 
 
