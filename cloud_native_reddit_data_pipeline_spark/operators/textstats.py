@@ -69,10 +69,10 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic document-quality scoring for training-data filtering:
-    length, stopword ratio, punctuation ratio, uniqueness (distinct/total
-    tokens), composite score in [0,1].  All native expressions."""
+def quality_cols(text_col: str) -> dict[str, "F.Column"]:
+    """Per-row quality measures as COLUMN BUILDERS, so callers can
+    compute them inside an existing projection without another scan of
+    the table (see queries.training_corpus_select)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
@@ -97,27 +97,54 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.1) * (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0)))
         + F.lit(1e-9)
     )
-    return df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(uniq_ratio, 4).alias("uniq_ratio"),
-        F.round(score, 4).alias("quality_score"),
-    )
+    return {
+        "n_tokens": n_tok,
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "uniq_ratio": F.round(uniq_ratio, 4),
+        "quality_score": F.round(score, 4),
+    }
 
 
-def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Function-word-profile language ID: score = matches of each
-    language's stopword profile; argmax with deterministic tie-break on
-    language code; 'und' (undetermined) when no profile matches."""
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document-quality scoring for training-data filtering:
+    length, stopword ratio, punctuation ratio, uniqueness (distinct/total
+    tokens), composite score in [0,1].  All native expressions."""
+    cols = quality_cols(text_col)
+    return df.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
+
+
+def lang_score_cols(text_col: str) -> dict[str, "F.Column"]:
+    """Per-language profile-hit counts as column builders."""
     toks = tokens(F.lower(F.col(text_col)))
 
     def _profile_hits(words: list[str]):
         arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    scores = {lang: _profile_hits(words) for lang, words in LANG_PROFILES.items()}
+    return {lang: _profile_hits(words) for lang, words in LANG_PROFILES.items()}
+
+
+def pred_lang_col(text_col: str) -> "F.Column":
+    """Argmax language prediction as ONE column expression (ties broken
+    on language code; 'und' when no profile matches) — composable into
+    any projection without a scan of its own."""
+    scores = lang_score_cols(text_col)
+    langs = sorted(LANG_PROFILES)
+    best = None
+    for lang in langs:
+        best = scores[lang] if best is None else F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Function-word-profile language ID: score = matches of each
+    language's stopword profile; argmax with deterministic tie-break on
+    language code; 'und' (undetermined) when no profile matches."""
+    scores = lang_score_cols(text_col)
     out = df.select(F.col(id_col), *[scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES])
     langs = sorted(LANG_PROFILES)
     best = None

@@ -677,24 +677,33 @@ def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus selection: keep documents that pass
     the quality gate, classify as English, survive exact dedup as their
-    group's keeper, and fall in the train split.  Composes four
-    independently-oracled operators into ONE Catalyst plan — the
-    narrow stages fuse and the joins are all on doc_id."""
+    group's keeper, and fall in the train split.
+
+    All per-row measures (quality, language, split, content hash) are
+    COLUMN BUILDERS computed in ONE projection over ONE scan; keeper
+    selection is min(doc_id) over a content_hash window, so the whole
+    pipeline is one scan + ONE shuffle and no join.  (Joining the
+    standalone operator outputs instead would scan the table four times
+    and shuffle thrice.)  Keeper choice must precede the quality/lang
+    filters: the group keeper is defined over the full corpus."""
     docs = load(spark, sf_dir, "documents")
-    q = textstats.quality_scores(docs, "doc_id", "text").select(
-        "doc_id", "quality_score"
+    split_bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    feats = docs.select(
+        "doc_id",
+        textstats.quality_cols("text")["quality_score"].alias("quality_score"),
+        textstats.pred_lang_col("text").alias("pred_lang"),
+        F.when(split_bucket < "1a", F.lit("test")).otherwise(F.lit("train")).alias("split"),
+        F.md5(F.col("text")).alias("content_hash"),
     )
-    lang = textstats.langid(docs, "doc_id", "text").select("doc_id", "pred_lang")
-    keepers = (
-        dedup.content_dedup_groups(docs, "doc_id", "text")
-        .select(F.col("keeper_id").alias("doc_id"))
-    )
-    split = relational.hash_split(docs.select("doc_id"), "doc_id")
+    w = Window.partitionBy("content_hash")
     return (
-        q.join(lang, "doc_id")
-        .join(keepers, "doc_id")
-        .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
-        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+        feats.withColumn("_keeper", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("_keeper"))
+            & (F.col("quality_score") >= 0.5)
+            & (F.col("pred_lang") == "en")
+            & (F.col("split") == "train")
+        )
         .select("doc_id", "quality_score", "pred_lang")
     )
 
