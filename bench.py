@@ -45,6 +45,7 @@ HEADLINE = [
     "salted_join_agg",
     "ann_ivf_topk",
     "training_corpus_select",
+    "rolling_hash_fingerprint",
 ]
 
 
