@@ -2,8 +2,9 @@
 column functions (zip_with / aggregate), no UDFs, so the hot path stays
 in the JVM and whole-stage codegen.
 
-Used by similarity search and embedding near-dup (north-star extensions;
-the reference has no vector operations).
+Used by similarity search and embedding near-dup (north-star extensions
+per SURVEY.md §2 "not present" list; the reference has no vector
+operations).
 """
 
 from __future__ import annotations

@@ -1,4 +1,5 @@
-"""Multimodal column plumbing (north-star extension).
+"""Multimodal column plumbing (north-star extension; no counterpart in
+the reference — SURVEY.md §2 "not present" list / BASELINE.json).
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
