@@ -1114,6 +1114,23 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS decorrelation): customer rows with at
+    least one big order — no duplication from multiple matches, and the
+    probe side only ships the join key."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@register(
     "full_outer_join_coverage",
     """
     SELECT
