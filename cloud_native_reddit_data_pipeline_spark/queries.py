@@ -1114,6 +1114,34 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ordered_string_agg",
+    """
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderkey < 300
+    GROUP BY o_orderpriority
+    """,
+)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: collect_list is unordered in a distributed
+    engine, so the stable form is sort-then-join (array_sort before
+    array_join) — the only way string aggregation is reproducible across
+    partitionings."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "semi_join_big_spenders",
     """
     SELECT c_custkey, c_mktsegment FROM customer c
