@@ -1674,7 +1674,7 @@ _STRAT_CASE = " ".join(
 )
 def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-stratum md5-bucket
-    thresholds (~50% clicks, ~5% views, 100% purchases, 0% errors) —
+    thresholds (~50% clicks, ~8% views, ~99.6% purchases, 0% errors) —
     rebalancing skewed event types for training without RNG; membership
     is a pure narrow filter, reproducible on any engine."""
     ev = load(spark, sf_dir, "events")
