@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "pricing_summary",
+    "shipping_priority_top10",
+    "regional_supplier_volume",
     "fk_join_agg",
     "star_join_broadcast",
     "topk_per_group",

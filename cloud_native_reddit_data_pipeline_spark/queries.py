@@ -55,8 +55,10 @@ def _utc(spark: SparkSession) -> None:
 
 def dec_sum(col, scale: int = 2):
     """Exact, order-insensitive SUM: per-row decimal cast, decimal sum,
-    double result.  Matches DuckDB SUM(CAST(x AS DECIMAL)) bit-for-bit."""
-    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+    double result.  Matches DuckDB SUM(CAST(x AS DECIMAL)) bit-for-bit.
+    Accepts a column name or a Column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
 def _dec_sum_sql(expr: str, scale: int = 2) -> str:
@@ -1110,6 +1112,97 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return F.broadcast(spine).join(daily, "day", "left").select(
         "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+# TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue, top-10.
+@register(
+    "shipping_priority_top10",
+    f"""
+    SELECT l_orderkey, o_orderdate,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> fact join -> grouped
+    revenue -> top-10.  Catalyst pushes both date filters into the
+    scans; the limit becomes TakeOrderedAndProject (no global sort
+    materializes).  Decimal revenue makes the top-10 tie-break exact."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# TPC-H Q5 shape: 6-way snowflake join with a same-nation constraint.
+@register(
+    "regional_supplier_volume",
+    f"""
+    SELECT n_name, {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the full snowflake — fact joins two dimension
+    chains with a same-nation equality tying them.  supplier/nation/
+    region broadcast; only customer-orders-lineitem shuffle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
     )
 
 
