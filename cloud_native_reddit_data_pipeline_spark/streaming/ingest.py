@@ -243,6 +243,29 @@ def start_upsert_stream(
     return writer.start()
 
 
+def stream_metrics(query) -> dict:
+    """Operational metrics from a (finished or running) streaming query:
+    rows ingested, batches, per-batch rates, and stateful-operator
+    memory — the observability surface the reference got from
+    `fission fn log` + RedisInsight (README.md:76-87), here from
+    Structured Streaming's progress events.  At scale these numbers
+    drive alerting (watermark lag, state growth, batch duration)."""
+    progresses = [p for p in query.recentProgress if p is not None]
+    total_rows = sum(int(p.get("numInputRows", 0)) for p in progresses)
+    state_rows = 0
+    for p in progresses:
+        for op in p.get("stateOperators", []) or []:
+            state_rows = max(state_rows, int(op.get("numRowsTotal", 0)))
+    return {
+        "num_batches": len(progresses),
+        "total_input_rows": total_rows,
+        "max_state_rows": state_rows,
+        "last_batch_duration_ms": (
+            progresses[-1].get("batchDuration") if progresses else None
+        ),
+    }
+
+
 def streaming_tumbling_counts(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation — the late-data policy the
     reference lacks entirely (SURVEY.md O38 note)."""

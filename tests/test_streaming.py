@@ -129,3 +129,20 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     # cross-invocation Redis seen-id set (SURVEY O16/O38)
     assert got["p0"] == 1
     assert got["p100"] == 9
+
+
+def test_stream_metrics_counts_rows_and_state(spark, tmp_path):
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import stream_metrics
+
+    queue = str(tmp_path / "qm")
+    target = str(tmp_path / "tm")
+    ckpt = str(tmp_path / "cm")
+    write_queue_batch(queue, "rharvest", [json.dumps([_post(i) for i in range(7)])])
+    q = start_upsert_stream(
+        ingest_posts_stream(spark, queue), target, ckpt, key="id", available_now=True
+    )
+    q.awaitTermination(120)
+    m = stream_metrics(q)
+    assert m["num_batches"] >= 1
+    assert m["total_input_rows"] >= 1  # message rows entered the pipeline
+    assert m["max_state_rows"] == 7  # dropDuplicates state holds the 7 seen ids
