@@ -205,6 +205,7 @@ def salted_join_agg(
     group_cols: list[str],
     measures: dict[str, Column],
     n_salts: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join + aggregation: the fact side appends a
     salt in [0, n_salts) derived from a unique column hash, the dim side
@@ -215,9 +216,14 @@ def salted_join_agg(
     to the unsalted join (the oracle runs the plain join).  This is the
     manual fallback when AQE skew-join can't kick in (e.g. the skewed
     side is the output of an aggregation, or the runtime stats miss the
-    skew)."""
+    skew).
+
+    `salt_cols` limits the hash input to a few well-distributed columns
+    (hashing every column of a wide fact row is wasted work — any value
+    distribution works, only spread matters)."""
+    cols = salt_cols or fact.columns
     salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

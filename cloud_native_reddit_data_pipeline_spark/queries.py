@@ -1491,6 +1491,7 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         ["o_orderpriority"],
         {"n_items": F.count(F.lit(1)), "revenue": dec_sum("l_extendedprice")},
+        salt_cols=["o_orderkey", "l_linenumber"],
     )
 
 
