@@ -1865,6 +1865,49 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register("ml_lsh_simjoin")
+def ml_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Spark ML BucketedRandomProjectionLSH similarity self-join
+    (SURVEY §4: the built-in scale path next to the hand-rolled
+    hyperplane LSH).  Fixed seed makes the run deterministic; bucket
+    membership depends on the model's random projections, so the check
+    is rows-only.  Distances are euclidean (the ML API's metric) on
+    unit-normalized inputs, monotone with cosine."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from .functions.vectors import as_double, norm
+    from .sources.tables import fan_out
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    vd = as_double(F.col("embedding"))
+    unit = emb.select(
+        "vec_id",
+        array_to_vector(
+            F.transform(vd, lambda x: x / norm(vd))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        seed=42,
+        bucketLength=0.5,
+        numHashTables=4,
+    )
+    model = lsh.fit(unit)
+    # unit vectors: dist = sqrt(2 - 2cos), so 1.19 ~= cosine 0.29 —
+    # the same neighborhood the embedding_neardup oracle uses
+    joined = model.approxSimilarityJoin(unit, unit, 1.19, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("dist", 4).alias("dist"),
+        )
+    )
+
+
 @register("media_resize")
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize + frame-sample plumbing: aspect-preserving
