@@ -1115,6 +1115,110 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rank_dense_rank",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS drnk
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with REAL ties (ordering on a low-cardinality
+    status column) — integer outputs, exact cross-engine."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "filtered_aggregates",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           {_dec_sum_sql('l_quantity')} AS qty_all,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the FILTER clause): expressed as
+    aggregate-over-when so every branch stays in one hash-aggregate pass
+    — no self-joins, no repeated scans."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        dec_sum("l_quantity").alias("qty_all"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_quantity").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("qty_taxed"),
+    )
+
+
+@register(
+    "date_math",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(o_orderdate + INTERVAL '90 days' AS DATE) AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(quarter FROM o_orderdate) AS qtr
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic family — trunc, interval add, datediff,
+    extract; all integer/date-exact so the oracle is bitwise."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).cast("long").alias("days_since_epoch_start"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           length(c_name) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has_one
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function family (upper/length/substring/lpad/
+    contains) — byte-exact cross-engine."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.when(F.col("c_name").contains("1"), 1).otherwise(0).alias("has_one"),
+    )
+
+
 # TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue, top-10.
 @register(
     "shipping_priority_top10",
