@@ -1116,6 +1116,58 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_semantics",
+    """
+    SELECT e.event_id,
+           COALESCE(e.value, -1.0) AS value_or_default,
+           NULLIF(e.event_type, 'error') AS type_or_null,
+           CASE WHEN NULLIF(e.event_type, 'error') IS NOT DISTINCT FROM 'click'
+                THEN 1 ELSE 0 END AS null_safe_click
+    FROM events e WHERE e.event_id < 400
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling family: coalesce, nullif, and null-safe equality
+    (Spark's <=> is SQL's IS NOT DISTINCT FROM) — the semantics
+    three-valued logic usually gets wrong silently."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    type_or_null = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        F.coalesce("value", F.lit(-1.0)).alias("value_or_default"),
+        type_or_null.alias("type_or_null"),
+        F.when(type_or_null.eqNullSafe(F.lit("click")), 1).otherwise(0).alias(
+            "null_safe_click"
+        ),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[:5] AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS tok
+    FROM t, (SELECT unnest(generate_series(1, 5)) AS i) u
+    WHERE u.i <= len(toks)
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (ordinality-preserving flatten): the first 5
+    tokens of each document with their positions — order survives the
+    fan-out, which a plain explode does not guarantee consumers."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.slice(_tokens("text"), 1, 5)).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+@register(
     "rank_dense_rank",
     """
     SELECT o_orderpriority, o_orderkey,
