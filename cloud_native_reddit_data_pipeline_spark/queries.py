@@ -1116,6 +1116,39 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_set_ops",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[:12] AS a,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')[:12] AS b
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           len(list_distinct(a)) AS n_distinct,
+           len(list_intersect(a, b)) AS n_common,
+           len(list_distinct(a || b)) AS n_union
+    FROM t
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (distinct/intersect/union) over token arrays —
+    set CARDINALITIES, not element order, so the comparison is exact
+    even though engines order set results differently."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    a = F.slice(_tokens("text"), 1, 12)
+    b = F.slice(_tokens(F.lower(F.col("text"))), 1, 12)
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(a)).cast("long").alias("n_distinct"),
+        F.size(F.array_intersect(a, b)).cast("long").alias("n_common"),
+        F.size(F.array_distinct(F.concat(a, b))).cast("long").alias("n_union"),
+    )
+
+
+@register(
     "null_semantics",
     """
     SELECT e.event_id,

@@ -69,3 +69,22 @@ def test_every_oracle_key_has_query():
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_bench_headline_queries_all_registered():
+    import bench
+
+    assert set(bench.HEADLINE) <= set(entrymod.queries())
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    exact = ev.select(F.countDistinct("user_id").alias("n")).first()["n"]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n")
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.05  # sketch within 5% of truth
