@@ -1115,6 +1115,41 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_URL = r"https?://[^ ]+|www\.[^ ]+"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_URL}', '<URL>', 'g') AS scrubbed
+      FROM documents
+    )
+    SELECT doc_id, scrubbed,
+           CASE WHEN scrubbed <> text THEN 1 ELSE 0 END AS was_scrubbed
+    FROM s
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: redact emails and URLs with chained
+    regexp_replace (patterns restricted to the RE2/Java-regex common
+    subset so both engines substitute identically).  A narrow map —
+    scrubbing 100 TB is scan-bound, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_URL, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.when(scrubbed != F.col("text"), 1).otherwise(0).alias("was_scrubbed"),
+    )
+
+
 @register(
     "array_set_ops",
     """

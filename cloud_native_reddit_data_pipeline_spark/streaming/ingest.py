@@ -243,6 +243,35 @@ def start_upsert_stream(
     return writer.start()
 
 
+def start_daily_counts_stream(
+    events_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = False,
+):
+    """Incrementally-maintained aggregate table (streaming materialized
+    view): watermarked daily counts flow in UPDATE mode into a keyed
+    upsert, so each micro-batch rewrites only the day keys it touched
+    and the parquet table always equals the batch recomputation.  The
+    pattern the reference's full-corpus reprocessing job approximates
+    by refitting everything per run (redditProcessor.py:56-156)."""
+    daily = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("day"), "n_events")
+    )
+    writer = (
+        daily.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, _bid: upsert_parquet_by_key(bdf, target_dir, "day"))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_metrics(query) -> dict:
     """Operational metrics from a (finished or running) streaming query:
     rows ingested, batches, per-batch rates, and stateful-operator

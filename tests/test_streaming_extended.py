@@ -136,3 +136,42 @@ def test_bucketed_upsert_touches_only_affected_buckets(spark, tmp_path):
         b for b in all_buckets if mtimes_after[b] == mtimes_before[b]
     ]
     assert len(untouched) >= 5  # 3 keys hit at most 3 of 8 buckets
+
+
+def test_daily_counts_materialized_view_incremental(spark, tmp_path):
+    """The streaming aggregate table must equal the batch recomputation
+    after each incremental update."""
+    import datetime as dt
+    import json as _json
+
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        start_daily_counts_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    target = str(tmp_path / "daily")
+    ckpt = str(tmp_path / "ck")
+    base = dt.datetime(2024, 3, 1)
+
+    def _write(name, day_offsets):
+        rows = [
+            {"ts": (base + dt.timedelta(days=d, minutes=i)).isoformat()}
+            for i, d in enumerate(day_offsets)
+        ]
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    _write("b0.json", [0, 0, 1])
+    stream = spark.readStream.schema("ts timestamp").json(str(src))
+    q = start_daily_counts_stream(stream, target, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = {r["day"].day: r["n_events"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 2, 2: 1}
+
+    # second batch updates day 1 and adds day 3; only touched keys change
+    _write("b1.json", [0, 2, 2])
+    stream2 = spark.readStream.schema("ts timestamp").json(str(src))
+    q2 = start_daily_counts_stream(stream2, target, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    got = {r["day"].day: r["n_events"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 3, 2: 1, 3: 2}
