@@ -1115,6 +1115,53 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIME_RANGE_SQL = """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+             AS n_events_trailing_1h
+    FROM events
+    WHERE event_id < 2000
+"""
+
+
+@register("time_range_window", _TIME_RANGE_SQL)
+def time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE window frame (events per user in the last
+    hour) — the feature-engineering primitive row-frames can't express
+    when event spacing is irregular.  The same ANSI text runs on both
+    engines via the spark.sql surface.  One shuffle on user_id; frame
+    bounds are resolved in the per-partition sort."""
+    from .sources.tables import register_views
+
+    _utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_TIME_RANGE_SQL)
+
+
+@register(
+    "binary_functions",
+    """
+    SELECT doc_id,
+           substring(md5(text), 1, 16) AS content_hex,
+           to_base64(encode(substring(text, 1, 12))) AS head_b64,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def binary_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode family: hex digests, base64, byte lengths —
+    the opaque-payload plumbing used by the multimodal columns, checked
+    byte-exact."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("content_hex"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("head_b64"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
 _PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 _PII_URL = r"https?://[^ ]+|www\.[^ ]+"
 
