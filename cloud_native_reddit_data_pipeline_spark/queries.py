@@ -1115,6 +1115,65 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "synthetic_rows",
+    """
+    SELECT i AS id,
+           i % 7 AS bucket,
+           substring(md5(CAST(i AS VARCHAR)), 1, 8) AS tag,
+           CAST(i * i AS BIGINT) AS sq
+    FROM range(0, 1000) t(i)
+    """,
+)
+def synthetic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data generation from the range source —
+    spark.range is the parallel, driver-free way to synthesize test /
+    benchmark / backfill rows at any scale (each partition generates
+    its slice; no data ever leaves the executors)."""
+    return spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8).alias("tag"),
+        (F.col("id") * F.col("id")).cast("long").alias("sq"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(first_click) AS n_clickers,
+      COUNT(CASE WHEN last_purchase > first_click THEN 1 END) AS n_converted
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: users whose purchase follows their first click
+    — conditional min/max per user then a global conversion rollup; two
+    hash aggregates, no joins, no windows."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_click").alias("n_clickers"),
+        F.count(
+            F.when(F.col("last_purchase") > F.col("first_click"), 1)
+        ).alias("n_converted"),
+    )
+
+
 _TIME_RANGE_SQL = """
     SELECT event_id, user_id, ts,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
