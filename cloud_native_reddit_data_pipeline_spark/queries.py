@@ -1115,6 +1115,47 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 2048
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           CAST(FLOOR((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (in deterministic key
+    order) to fixed token-budget packs via a running token count — the
+    batching primitive that turns a cleaned corpus into training
+    sequences.  Single global-order window here (exact, oracle-able);
+    at 100 TB pack within partitions instead — packing needs no global
+    order, only budget adherence, so the shuffle disappears."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(_tokens("text")).cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return t.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET).alias(
+            "pack_id"
+        ),
+    )
+
+
 @register(
     "synthetic_rows",
     """
