@@ -1115,6 +1115,50 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_bigrams",
+    """
+    WITH tok AS (
+      SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM (
+        SELECT doc_id, u.tok AS w, u.pos
+        FROM (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 30
+        ) t, LATERAL (
+          SELECT unnest(toks) AS tok, unnest(generate_series(1, len(toks))) AS pos
+        ) u
+      )
+    )
+    SELECT doc_id, concat(w, ' ', w1) AS bigram FROM tok WHERE w1 IS NOT NULL
+    """,
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one input row expands to N
+    output rows from arbitrary Python — completing the UDF matrix
+    (pandas_udf / mapInPandas / applyInPandas / applyInPandasWithState /
+    udtf).  Semantics here (word bigrams) are relationally expressible,
+    which is what makes the exact oracle possible; real uses are
+    tokenizer or parser fan-outs that SQL can't express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("bigrams", Bigrams)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, b.bigram FROM _udtf_docs d, LATERAL bigrams(d.text) b"
+    )
+
+
 _PACK_BUDGET = 2048
 
 
