@@ -1116,6 +1116,30 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_bins",
+    f"""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+           COUNT(*) AS n,
+           {_dec_sum_sql('o_totalprice')} AS bin_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via arithmetic binning (floor-divide +
+    clamp) — one hash aggregate, the profiling primitive for choosing
+    partition bounds and spotting skew before a big job."""
+    o = load(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9).cast("long")
+    )
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("o_totalprice").alias("bin_total"),
+    )
+
+
+@register(
     "udtf_bigrams",
     """
     WITH tok AS (
