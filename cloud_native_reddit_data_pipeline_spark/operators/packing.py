@@ -1,0 +1,91 @@
+"""Sequence packing — the batching primitive that turns a cleaned,
+token-counted corpus into fixed-budget training sequences.
+
+Two formulations of the same greedy running-sum assignment:
+
+- ``pack_sequences`` (the scale path): shard the corpus on a
+  deterministic key, then pack *within* each shard with a partitioned
+  window.  Packing needs no global document order — only budget
+  adherence — so each shard's cumulative sum runs as an independent
+  task and the plan has exactly one shuffle (the window's hash
+  partitioning on the shard key).  At 100 TB this is the only viable
+  shape: N shards -> N parallel window tasks, no single-partition sort.
+
+- ``pack_sequences_global`` (the exact small-data twin): one
+  unpartitioned running sum in strict ``doc_id`` order.  Spark executes
+  an unpartitioned window on ONE partition — correct, oracle-able, and
+  deliberately reserved for bounded inputs (oracle runs, golden files).
+
+Pack ids from the sharded form are globally unique via shard-major
+encoding (``shard * 2^32 + local_pack``), so downstream group-bys on
+``pack_id`` never collide across shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: shard-major multiplier: supports 2^32 packs per shard before collision.
+_SHARD_STRIDE = 1 << 32
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Project (doc_id, n_tok): whitespace token count, JVM-side."""
+    from ..functions.text import tokens
+
+    return docs.select(
+        "doc_id", F.size(tokens(text_col)).cast("long").alias("n_tok")
+    )
+
+
+def pack_sequences(
+    with_ntok: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Partition-local greedy packing (the 100-TB path).
+
+    Shards rows by ``pmod(key, n_shards)``, runs the running token sum
+    per shard (partitioned window -> one ordinary hash-partition
+    shuffle, every shard packed in parallel), and emits globally unique
+    ``pack_id = shard * 2^32 + local_pack``.
+
+    Budget adherence is per-pack and therefore unaffected by sharding;
+    only the *grouping* of documents into packs differs from the global
+    form, which is exactly the freedom packing has.  ``n_shards``
+    should be sized so each shard's rows fit a task comfortably
+    (rows / n_shards well under tens of millions).
+    """
+    part = F.pmod(F.col(key_col), F.lit(n_shards)).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tok").over(w)
+    local_pack = F.floor((cum - F.col("n_tok")) / F.lit(budget))
+    return with_ntok.select("*", part).select(
+        key_col,
+        "n_tok",
+        "shard",
+        (F.col("shard") * F.lit(_SHARD_STRIDE) + local_pack).alias("pack_id"),
+    )
+
+
+def pack_sequences_global(
+    with_ntok: DataFrame, budget: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Exact global-order twin: single unpartitioned running sum.
+
+    Spark runs this on ONE partition (it will warn) — use only for
+    bounded inputs; ``pack_sequences`` is the scale form.
+    """
+    w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tok").over(w)
+    return with_ntok.select(
+        key_col,
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / F.lit(budget)).alias("pack_id"),
+    )

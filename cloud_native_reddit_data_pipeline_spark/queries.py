@@ -30,7 +30,7 @@ from .functions.sentiment import (
 )
 from .functions.text import normalize_sql, normalize_text
 from .functions.timeops import ts_to_iso
-from .operators import dedup, relational, similarity, textstats, windows
+from .operators import dedup, packing, relational, similarity, textstats, windows
 from .sources.tables import load
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -1205,23 +1205,48 @@ _PACK_BUDGET = 2048
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: assign documents (in deterministic key
-    order) to fixed token-budget packs via a running token count — the
-    batching primitive that turns a cleaned corpus into training
-    sequences.  Single global-order window here (exact, oracle-able);
-    at 100 TB pack within partitions instead — packing needs no global
-    order, only budget adherence, so the shuffle disappears."""
-    from .functions.text import tokens as _tokens
-
+    """Greedy sequence packing, exact global-order form: assign
+    documents (in deterministic key order) to fixed token-budget packs
+    via a running token count.  Single global-order window — exact and
+    oracle-able, reserved for bounded inputs; `sequence_packing_partitioned`
+    is the 100-TB shape (see operators/packing.py)."""
     docs = load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.size(_tokens("text")).cast("long").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return t.select(
-        "doc_id",
-        "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET).alias(
-            "pack_id"
-        ),
+    return packing.pack_sequences_global(
+        packing.with_token_counts(docs), _PACK_BUDGET
+    )
+
+
+@register(
+    "sequence_packing_partitioned",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % 32 AS shard,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok, shard,
+           shard * {1 << 32} + CAST(FLOOR((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT)
+             AS pack_id
+    FROM c
+    """,
+)
+def sequence_packing_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local greedy packing — the scale path the global form's
+    docstring promises: shard on pmod(doc_id, 32), pack within each
+    shard via a *partitioned* window (one hash shuffle, 32 parallel
+    window tasks, no single-partition sort), shard-major-encode pack
+    ids so they stay globally unique.  Budget adherence is identical to
+    the global form; only pack membership differs, which packing is
+    free to choose."""
+    docs = load(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        packing.with_token_counts(docs), _PACK_BUDGET, n_shards=32
     )
 
 

@@ -1,0 +1,71 @@
+"""Sequence packing: budget adherence, global-uniqueness of shard-major
+pack ids, and the plan property that motivates the partitioned form —
+its window is hash-partitioned (parallel), not single-partition.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cloud_native_reddit_data_pipeline_spark.operators import packing
+from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 512
+
+
+def _ntok(spark):
+    return packing.with_token_counts(load(spark, SF, "documents"))
+
+
+def test_partitioned_packing_respects_budget(spark):
+    packed = packing.pack_sequences(_ntok(spark), BUDGET, n_shards=8)
+    # greedy running-sum rule: a doc only joins a pack whose cumulative
+    # token count before it is still under budget (a lone doc may exceed
+    # the budget by itself — it can't be split)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pack_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bad = (
+        packed.withColumn("before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .filter(F.col("before") >= BUDGET)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_partitioned_pack_ids_unique_across_shards(spark):
+    packed = packing.pack_sequences(_ntok(spark), BUDGET, n_shards=8)
+    # (shard, local) -> pack_id must be injective: distinct pack_id
+    # count equals distinct (shard, pack_id) count
+    a = packed.select("pack_id").distinct().count()
+    b = packed.select("shard", "pack_id").distinct().count()
+    assert a == b > 0
+
+
+def test_global_twin_matches_partitioned_totals(spark):
+    nt = _ntok(spark)
+    g = packing.pack_sequences_global(nt, BUDGET)
+    p = packing.pack_sequences(nt, BUDGET, n_shards=8)
+    # both assign every doc exactly once and conserve total tokens
+    assert g.count() == p.count() == nt.count()
+    tg = g.agg(F.sum("n_tok")).first()[0]
+    tp = p.agg(F.sum("n_tok")).first()[0]
+    assert tg == tp
+
+
+def test_partitioned_window_is_hash_partitioned_not_single(spark):
+    packed = packing.pack_sequences(_ntok(spark), BUDGET, n_shards=8)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_global_form_is_single_partition_by_design(spark):
+    g = packing.pack_sequences_global(_ntok(spark), BUDGET)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan  # documented small-data-only shape
