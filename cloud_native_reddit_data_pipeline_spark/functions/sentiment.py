@@ -27,17 +27,12 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-# Embedded valence lexicon (VADER-style scale, roughly [-4, 4]).
-LEXICON: dict[str, float] = {
-    "good": 1.9, "great": 3.1, "excellent": 2.7, "best": 3.2, "love": 3.2,
-    "loved": 2.9, "like": 1.5, "nice": 1.8, "awesome": 3.1, "amazing": 2.8,
-    "happy": 2.7, "fast": 1.3, "win": 2.8, "better": 1.9, "perfect": 2.7,
-    "easy": 1.9, "fresh": 1.3, "smooth": 1.6, "rich": 1.9, "delicious": 2.6,
-    "bad": -2.5, "worst": -3.1, "hate": -2.7, "hated": -2.9, "terrible": -2.1,
-    "awful": -2.0, "slow": -1.2, "fail": -2.3, "failed": -2.3, "broken": -1.9,
-    "bitter": -1.4, "poor": -1.9, "wrong": -2.1, "error": -1.7, "bug": -1.5,
-    "sad": -2.1, "angry": -2.3, "annoying": -1.8, "useless": -1.9, "stale": -1.3,
-}
+# Valence lexicon (VADER scale, [-4, 4]): the ~300-entry curated set
+# shared with functions/vader.py, which also documents how to drop in
+# the stock 7.5k-entry vader_lexicon.txt (load_lexicon_file).  This
+# module's scorer is the *bag-of-words* semantics (sum + normalize);
+# vader.py layers the full negation/booster/caps/punctuation algorithm.
+from .vader import VADER_LEXICON as LEXICON
 
 ALPHA = 15.0  # VADER normalization constant: compound = x / sqrt(x*x + alpha)
 

@@ -1,0 +1,646 @@
+"""Full VADER sentiment semantics (SURVEY.md O21), Spark-first.
+
+The reference runs the stock VADER analyzer row-wise in pandas
+(fission_functions/redditProcessor/redditProcessor.py:23-33).  This
+module re-expresses the *algorithm* itself — not just a lexicon lookup —
+as pure relational Spark:
+
+- lexicon valence lookup (broadcast hash join against the valence table)
+- ALL-CAPS emphasis       (C_INCR = 0.733 when the doc mixes cases)
+- booster/dampener words  (B_INCR/B_DECR = +/-0.293, damped 0.95/0.9 at
+  distance 2/3, sign-matched, ALL-CAPS bonus on the booster itself)
+- negation flips          (N_SCALAR = -0.74 over a 3-token lookback,
+  including the "n't" suffix rule and the "never so/this" intensifier)
+- the "least" dampener    (_least_check: "least good" flips, "at least" doesn't)
+- but-clause reweighting  (tokens before "but" x0.5, after x1.5)
+- punctuation emphasis    (!: 0.292 each up to 4; ?: 0.18 each for 2-3, 0.96 for 4+)
+- VADER normalization     (x / sqrt(x^2 + 15), rounded to 4)
+
+All constants come from the published VADER paper (Hutto & Gilbert,
+ICWSM 2014) and the MIT-licensed reference implementation's documented
+behavior.  Omitted relative to stock VADER (documented, not silent):
+multi-word special-case idioms ("the bomb", "bad ass", ...) and
+multi-word boosters ("sort of") — token-level scan only, which is also
+how single tokens reach stock VADER's booster dict.
+
+Three execution paths, exact-value identical:
+
+1. ``score_vader_relational`` — posexplode + broadcast lexicon join +
+   3 lag windows over (doc, position) + one re-agg.  Everything stays in
+   Catalyst/codegen; the only shuffles are the window partition on doc id
+   and the final groupBy — both on the same key, so AQE coalesces them.
+   This is the 100-TB path.
+2. ``score_vader_py`` / ``vader_pandas_udf`` — the same arithmetic as
+   plain Python, Arrow-batched; the extension point for a dropped-in
+   stock ``vader_lexicon.txt`` (see ``load_lexicon_file``).
+3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
+   constants, used by the driver's correctness gate.
+
+The embedded ``VADER_LEXICON`` is a curated ~300-entry subset on the
+stock [-4, 4] scale (the full 7.5k-entry MIT file is not shippable in
+this container); ``load_lexicon_file`` parses the standard TSV so the
+real file is a drop-in replacement at deploy time.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --- constants (Hutto & Gilbert 2014) --------------------------------------
+
+B_INCR = 0.293
+B_DECR = -0.293
+C_INCR = 0.733
+N_SCALAR = -0.74
+ALPHA = 15.0  # normalization: x / sqrt(x*x + alpha)
+DAMP = {1: 1.0, 2: 0.95, 3: 0.9}
+
+POS_THRESHOLD = 0.05
+NEG_THRESHOLD = -0.05
+
+NEGATORS = [
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt", "doesnt",
+    "ain't", "aren't", "can't", "couldn't", "daren't", "didn't", "doesn't",
+    "dont", "hadnt", "hasnt", "havent", "isnt", "mightnt", "mustnt", "neither",
+    "don't", "hadn't", "hasn't", "haven't", "isn't", "mightn't", "mustn't",
+    "neednt", "needn't", "never", "none", "nope", "nor", "not", "nothing",
+    "nowhere", "oughtnt", "shant", "shouldnt", "oughtn't", "shan't",
+    "shouldn't", "uhuh", "wasnt", "werent", "uh-uh", "wasn't", "weren't",
+    "without", "wont", "wouldnt", "won't", "wouldn't", "rarely", "seldom",
+    "despite",
+]
+
+BOOSTERS_INCR = [
+    "absolutely", "amazingly", "awfully", "completely", "considerably",
+    "decidedly", "deeply", "effing", "enormously", "entirely", "especially",
+    "exceptionally", "extremely", "fabulously", "flipping", "flippin",
+    "fricking", "frickin", "frigging", "friggin", "fully", "fucking",
+    "greatly", "hella", "highly", "hugely", "incredibly", "intensely",
+    "majorly", "more", "most", "particularly", "purely", "quite", "really",
+    "remarkably", "so", "substantially", "thoroughly", "totally",
+    "tremendously", "uber", "unbelievably", "unusually", "utterly", "very",
+]
+
+BOOSTERS_DECR = [
+    "almost", "barely", "hardly", "kinda", "kindof", "kind-of", "less",
+    "little", "marginally", "occasionally", "partly", "scarcely", "slightly",
+    "somewhat", "sorta", "sortof", "sort-of",
+]
+
+# Curated valence lexicon on the stock VADER [-4, 4] scale.  Values for
+# the overlap with functions/sentiment.py's legacy 40-word LEXICON are
+# kept identical so the two scorers agree on shared vocabulary.
+VADER_LEXICON: dict[str, float] = {
+    # --- positive ---
+    "good": 1.9, "great": 3.1, "excellent": 2.7, "best": 3.2, "love": 3.2,
+    "loved": 2.9, "loves": 2.9, "loving": 2.9, "like": 1.5, "liked": 1.8,
+    "likes": 1.5, "nice": 1.8, "awesome": 3.1, "amazing": 2.8, "happy": 2.7,
+    "happier": 2.8, "happiest": 3.2, "happiness": 2.6, "fast": 1.3,
+    "win": 2.8, "wins": 2.7, "winner": 2.8, "winning": 2.4, "won": 2.7,
+    "better": 1.9, "perfect": 2.7, "perfectly": 2.7, "easy": 1.9,
+    "easier": 1.7, "fresh": 1.3, "smooth": 1.6, "rich": 1.9,
+    "delicious": 2.6, "wonderful": 2.7, "wonderfully": 2.9, "beautiful": 2.9,
+    "beautifully": 2.7, "brilliant": 2.8, "fantastic": 2.6, "fabulous": 2.3,
+    "superb": 3.1, "super": 2.9, "outstanding": 3.1, "impressive": 2.3,
+    "impressed": 2.1, "enjoy": 2.2, "enjoyed": 2.3, "enjoying": 2.2,
+    "enjoyable": 1.9, "fun": 2.3, "funny": 1.9, "glad": 2.0, "pleased": 1.9,
+    "pleasant": 2.3, "pleasure": 2.7, "delight": 2.9, "delighted": 2.8,
+    "delightful": 2.8, "charming": 2.5, "adorable": 2.2, "cute": 2.0,
+    "sweet": 2.0, "kind": 2.4, "kindness": 2.5, "friendly": 2.2,
+    "helpful": 1.8, "helps": 1.6, "help": 1.7, "helped": 1.5, "thank": 1.9,
+    "thanks": 1.9, "thankful": 2.3, "grateful": 2.3, "appreciate": 2.0,
+    "appreciated": 2.1, "welcome": 2.0, "congratulations": 2.9, "bravo": 2.6,
+    "celebrate": 2.7, "celebration": 2.6, "cheer": 2.3, "cheerful": 2.5,
+    "comfort": 1.5, "comfortable": 2.3, "confident": 2.2, "cool": 1.3,
+    "creative": 1.9, "clever": 2.2, "smart": 1.7, "genius": 2.8,
+    "gorgeous": 3.0, "magnificent": 3.4, "marvelous": 3.0, "stunning": 1.9,
+    "strong": 2.3, "stronger": 2.2, "success": 2.7, "successful": 2.8,
+    "succeed": 2.2, "improve": 1.9, "improved": 2.1, "improvement": 1.8,
+    "positive": 2.3, "positively": 2.4, "optimistic": 1.8, "hope": 1.9,
+    "hopeful": 2.0, "hopefully": 1.7, "promising": 1.6, "recommend": 1.6,
+    "recommended": 1.7, "reliable": 1.9, "robust": 1.4, "safe": 1.9,
+    "secure": 1.6, "stable": 1.3, "supported": 1.6, "support": 1.7,
+    "useful": 1.9, "valuable": 2.1, "worth": 1.3, "worthy": 1.9,
+    "trust": 2.3, "trusted": 2.1, "true": 2.2, "truth": 2.2, "honest": 2.3,
+    "fair": 1.6, "generous": 2.3, "gift": 1.9, "free": 2.3, "freedom": 2.3,
+    "peace": 2.5, "peaceful": 2.2, "calm": 1.3, "relaxed": 1.8,
+    "satisfied": 1.8, "satisfying": 2.0, "favorite": 2.0, "favourite": 2.0,
+    "interesting": 1.7, "interested": 1.6, "exciting": 2.2, "excited": 2.4,
+    "excitement": 2.1, "thrilled": 3.0, "ecstatic": 3.1, "joy": 2.8,
+    "joyful": 2.9, "bliss": 2.7, "laugh": 2.6, "laughed": 2.4,
+    "laughing": 2.4, "smile": 2.1, "smiled": 2.0, "smiling": 2.3,
+    "victory": 2.8, "triumph": 2.7, "epic": 1.6, "legend": 2.1,
+    "legendary": 2.1, "masterpiece": 3.0, "flawless": 2.7, "elegant": 2.1,
+    "efficient": 1.8, "effective": 1.8, "solid": 1.3, "vibrant": 2.0,
+    "warm": 1.6, "warmth": 1.9, "healthy": 1.7, "heal": 1.6, "healed": 1.8,
+    # --- negative ---
+    "bad": -2.5, "worst": -3.1, "worse": -2.1, "hate": -2.7, "hated": -2.9,
+    "hates": -2.5, "hating": -2.6, "terrible": -2.1, "terribly": -2.4,
+    "awful": -2.0, "slow": -1.2, "fail": -2.3, "failed": -2.3,
+    "failing": -2.2, "fails": -1.9, "failure": -2.5, "broken": -1.9,
+    "break": -1.4, "breaks": -1.3, "bitter": -1.4, "poor": -1.9,
+    "poorly": -2.1, "wrong": -2.1, "error": -1.7, "errors": -1.9,
+    "bug": -1.5, "bugs": -1.6, "sad": -2.1, "sadly": -2.0, "sadness": -2.2,
+    "angry": -2.3, "anger": -2.7, "annoying": -1.8, "annoyed": -1.9,
+    "annoy": -1.7, "useless": -1.9, "stale": -1.3, "horrible": -2.5,
+    "horribly": -2.6, "horrid": -2.5, "dreadful": -2.9, "disgusting": -2.4,
+    "disgust": -2.4, "disgusted": -2.3, "gross": -1.7, "nasty": -2.6,
+    "ugly": -2.3, "stupid": -2.4, "stupidity": -2.5, "idiot": -2.3,
+    "idiotic": -2.6, "dumb": -2.3, "fool": -1.9, "foolish": -2.0,
+    "ridiculous": -1.5, "pathetic": -2.5, "lame": -1.7, "mediocre": -0.8,
+    "disappointing": -2.2, "disappointed": -2.1, "disappointment": -2.2,
+    "disappoint": -1.9, "upset": -1.9, "upsetting": -2.1, "unhappy": -1.9,
+    "miserable": -2.6, "misery": -2.7, "depressed": -2.6, "depressing": -2.3,
+    "depression": -2.7, "cry": -2.1, "cried": -2.0, "crying": -2.2,
+    "tears": -1.0, "pain": -2.3, "painful": -2.4, "hurt": -2.1,
+    "hurts": -1.9, "hurting": -2.0, "suffer": -2.1, "suffered": -2.1,
+    "suffering": -2.4, "sick": -1.9, "sickening": -2.5, "ill": -1.8,
+    "disease": -1.9, "die": -2.9, "died": -2.6, "dying": -2.9,
+    "dead": -3.3, "death": -2.9, "kill": -3.0, "killed": -2.9,
+    "killing": -3.1, "murder": -3.2, "war": -2.9, "fight": -1.6,
+    "fighting": -1.5, "attack": -2.1, "attacked": -2.1, "threat": -2.4,
+    "threatening": -2.6, "danger": -2.4, "dangerous": -2.2, "risk": -1.1,
+    "risky": -1.3, "afraid": -2.2, "fear": -2.2, "feared": -2.1,
+    "scared": -2.2, "scary": -2.2, "terror": -3.1, "terrified": -3.0,
+    "horror": -2.7, "panic": -2.4, "anxious": -1.8, "anxiety": -2.4,
+    "worried": -1.7, "worry": -1.9, "worrying": -1.8, "stress": -1.9,
+    "stressed": -2.0, "stressful": -2.1, "trouble": -1.9, "troubled": -1.9,
+    "problem": -1.7, "problems": -1.7, "problematic": -1.9, "issue": -0.8,
+    "issues": -0.9, "crisis": -2.6, "disaster": -3.1, "disastrous": -2.9,
+    "catastrophe": -3.0, "tragic": -2.9, "tragedy": -3.4, "crash": -1.9,
+    "crashed": -1.7, "crashes": -1.7, "damage": -2.0, "damaged": -1.9,
+    "destroy": -2.7, "destroyed": -2.6, "destruction": -2.7, "ruin": -2.4,
+    "ruined": -2.4, "waste": -1.8, "wasted": -2.0, "lose": -1.7,
+    "loses": -1.6, "loser": -2.4, "losing": -1.9, "loss": -1.6,
+    "lost": -1.3, "regret": -1.9, "regrets": -1.8, "sorry": -0.3,
+    "shame": -2.1, "shameful": -2.5, "ashamed": -2.1, "guilt": -2.4,
+    "guilty": -2.2, "blame": -1.9, "blamed": -1.9, "liar": -2.6,
+    "lie": -1.9, "lied": -2.1, "lies": -1.9, "lying": -2.2, "fake": -1.9,
+    "fraud": -2.9, "scam": -2.3, "cheat": -2.4, "cheated": -2.4,
+    "steal": -2.4, "stolen": -2.1, "corrupt": -2.7, "corruption": -2.6,
+    "evil": -3.1, "cruel": -2.6, "cruelty": -2.9, "brutal": -2.4,
+    "violence": -2.9, "violent": -2.7, "abuse": -2.9, "abusive": -2.9,
+    "toxic": -2.5, "hostile": -2.2, "rude": -2.0, "insult": -2.2,
+    "insulting": -2.4, "offensive": -2.2, "offended": -1.9, "jerk": -2.1,
+    "selfish": -2.1, "greedy": -2.3, "jealous": -2.0, "envy": -1.4,
+    "boring": -1.3, "bored": -1.2, "dull": -1.7, "tired": -1.6,
+    "exhausted": -1.7, "weak": -1.9, "weakness": -1.8, "flaw": -1.6,
+    "flawed": -1.9, "defect": -1.7, "defective": -2.0, "inferior": -1.9,
+    "ignore": -1.5, "ignored": -1.6, "reject": -1.9, "rejected": -2.0,
+    "denied": -1.6, "deny": -1.3, "doubt": -1.2, "doubtful": -1.4,
+    "unfair": -2.3, "unfortunate": -1.9, "unfortunately": -1.6,
+}
+
+_NT_SUFFIX = "n't"
+
+
+def load_lexicon_file(path: str) -> dict[str, float]:
+    """Parse the standard ``vader_lexicon.txt`` TSV format
+    (``token<TAB>mean-valence<TAB>stddev<TAB>raw-ratings``), so the stock
+    MIT-licensed file is a drop-in upgrade for the embedded subset."""
+    lex: dict[str, float] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0].strip():
+                try:
+                    lex[parts[0].strip().lower()] = float(parts[1])
+                except ValueError:
+                    continue
+    return lex
+
+
+# --- pure-Python scorer (the definition; pandas-UDF path wraps it) ---------
+
+_TOKEN_STRIP = re.compile(r"^[^A-Za-z0-9']+|[^A-Za-z0-9']+$")
+
+
+def _tokenize(text: str) -> list[str]:
+    toks = [_TOKEN_STRIP.sub("", t) for t in re.split(r"\s+", text or "")]
+    return [t for t in toks if t]
+
+
+def _is_upper(tok: str) -> bool:
+    return tok == tok.upper() and tok != tok.lower()
+
+
+def _is_negator(w: str) -> bool:
+    return w in _NEG_SET or w.endswith(_NT_SUFFIX)
+
+
+_NEG_SET = set(NEGATORS)
+_INCR_SET = set(BOOSTERS_INCR)
+_DECR_SET = set(BOOSTERS_DECR)
+
+
+def _booster_scalar(
+    prev_cased: str, valence: float, cap_diff: bool, dist: int
+) -> float:
+    w = prev_cased.lower()
+    if w in _INCR_SET:
+        scalar = B_INCR
+    elif w in _DECR_SET:
+        scalar = B_DECR
+    else:
+        return 0.0
+    if valence < 0:
+        scalar = -scalar
+    if _is_upper(prev_cased) and cap_diff:
+        scalar += C_INCR if valence > 0 else -C_INCR
+    return scalar * DAMP[dist]
+
+
+def score_vader_py(text: str, lexicon: dict[str, float] | None = None) -> float:
+    """Reference scorer: identical arithmetic to the relational path."""
+    lex = lexicon or VADER_LEXICON
+    cased = _tokenize(text)
+    words = [t.lower() for t in cased]
+    n_up = sum(1 for t in cased if _is_upper(t))
+    cap_diff = 0 < n_up < len(cased)
+    but_idx = words.index("but") if "but" in words else None
+
+    total = 0.0
+    for i, w in enumerate(words):
+        if w not in lex:
+            continue
+        v = lex[w]
+        if _is_upper(cased[i]) and cap_diff:
+            v += C_INCR if v > 0 else -C_INCR
+        for d in (1, 2, 3):
+            j = i - d
+            if j < 0 or words[j] in lex:
+                continue
+            v += _booster_scalar(cased[j], v, cap_diff, d)
+            if d == 1:
+                if _is_negator(words[j]):
+                    v *= N_SCALAR
+            elif d == 2:
+                if words[j] == "never" and words[i - 1] in ("so", "this"):
+                    v *= 1.5
+                elif _is_negator(words[j]):
+                    v *= N_SCALAR
+            else:
+                if words[j] == "never" and (
+                    words[i - 2] in ("so", "this") or words[i - 1] in ("so", "this")
+                ):
+                    v *= 1.25
+                elif _is_negator(words[j]):
+                    v *= N_SCALAR
+        # least-check: "least good" flips, "at least good" / "very least" don't
+        if i >= 1 and words[i - 1] == "least" and words[i - 1] not in lex:
+            if i == 1 or words[i - 2] not in ("at", "very"):
+                v *= N_SCALAR
+        if but_idx is not None:
+            if i < but_idx:
+                v *= 0.5
+            elif i > but_idx:
+                v *= 1.5
+        total += v
+
+    ep = min((text or "").count("!"), 4) * 0.292
+    qm_count = (text or "").count("?")
+    qm = 0.96 if qm_count > 3 else (qm_count * 0.18 if qm_count > 1 else 0.0)
+    punct = ep + qm
+    if total > 0:
+        total += punct
+    elif total < 0:
+        total -= punct
+    return round(total / math.sqrt(total * total + ALPHA), 4)
+
+
+def label_for(score: float) -> str:
+    if score > POS_THRESHOLD:
+        return "positive"
+    if score < NEG_THRESHOLD:
+        return "negative"
+    return "neutral"
+
+
+# --- relational path (the 100-TB shape) ------------------------------------
+
+
+def _lexicon_df(spark: SparkSession, lexicon: dict[str, float]) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(lexicon.items()), "word string, valence double"
+    )
+
+
+def score_vader_relational(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lexicon: dict[str, float] | None = None,
+) -> DataFrame:
+    """Full VADER semantics in pure DataFrame ops.
+
+    Plan shape: posexplode (narrow) -> broadcast lexicon join -> one
+    window partition on the doc id (all three lags + the doc-level
+    counts share it) -> groupBy the same doc id (partial agg applies,
+    and the exchange is reused from the window) -> left join back onto
+    the input so empty/no-hit docs score 0.0 exactly like stock VADER.
+    No Python anywhere in the plan.
+    """
+    lex = lexicon or VADER_LEXICON
+    spark = df.sparkSession
+    lex_df = F.broadcast(_lexicon_df(spark, lex))
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")).alias(
+            "_p0", "_raw"
+        ),
+    ).select(
+        "_id",
+        "_p0",
+        F.regexp_replace("_raw", r"^[^A-Za-z0-9']+|[^A-Za-z0-9']+$", "").alias(
+            "_cased"
+        ),
+    ).filter(F.col("_cased") != "")
+
+    doc_w = Window.partitionBy("_id")
+    order_w = Window.partitionBy("_id").orderBy("_p0")
+
+    is_up = (F.col("_cased") == F.upper("_cased")) & (
+        F.col("_cased") != F.lower("_cased")
+    )
+    t = toks.select(
+        "_id",
+        "_p0",
+        "_cased",
+        F.lower("_cased").alias("word"),
+        is_up.alias("_up"),
+    )
+    t = t.join(lex_df, "word", "left")
+    n_up = F.sum(F.col("_up").cast("int")).over(doc_w)
+    n_tok = F.count(F.lit(1)).over(doc_w)
+    pos = F.row_number().over(order_w)
+    but_pos = F.min(F.when(F.col("word") == "but", F.col("_p0"))).over(doc_w)
+    t = t.select(
+        "*",
+        ((n_up > 0) & (n_up < n_tok)).alias("_capdiff"),
+        pos.alias("_pos"),
+        but_pos.alias("_butp"),
+        *[F.lag("word", d).over(order_w).alias(f"_w{d}") for d in (1, 2, 3)],
+        *[F.lag("_cased", d).over(order_w).alias(f"_c{d}") for d in (1, 2, 3)],
+        *[F.lag("valence", d).over(order_w).alias(f"_v{d}") for d in (1, 2, 3)],
+    ).filter(F.col("valence").isNotNull())
+
+    def up_col(c: Column) -> Column:
+        return (c == F.upper(c)) & (c != F.lower(c))
+
+    def is_neg(c: Column) -> Column:
+        return c.isin(NEGATORS) | c.endswith(_NT_SUFFIX)
+
+    def booster(d: int, v: Column) -> Column:
+        w, cs = F.col(f"_w{d}"), F.col(f"_c{d}")
+        base = (
+            F.when(w.isin(BOOSTERS_INCR), F.lit(B_INCR))
+            .when(w.isin(BOOSTERS_DECR), F.lit(B_DECR))
+            .otherwise(F.lit(0.0))
+        )
+        signed = F.when(v < 0, -base).otherwise(base)
+        caps = F.when(
+            (base != 0) & up_col(cs) & F.col("_capdiff"),
+            F.when(v > 0, F.lit(C_INCR)).otherwise(F.lit(-C_INCR)),
+        ).otherwise(F.lit(0.0))
+        guard = F.col(f"_v{d}").isNull() & w.isNotNull()
+        return F.when(guard, (signed + caps) * F.lit(DAMP[d])).otherwise(F.lit(0.0))
+
+    def neg_mult(d: int) -> Column:
+        w = F.col(f"_w{d}")
+        guard = F.col(f"_v{d}").isNull() & w.isNotNull()
+        if d == 1:
+            return F.when(guard & is_neg(w), F.lit(N_SCALAR)).otherwise(F.lit(1.0))
+        if d == 2:
+            return (
+                F.when(
+                    guard & (w == "never") & F.col("_w1").isin("so", "this"),
+                    F.lit(1.5),
+                )
+                .when(guard & is_neg(w), F.lit(N_SCALAR))
+                .otherwise(F.lit(1.0))
+            )
+        return (
+            F.when(
+                guard
+                & (w == "never")
+                & (F.col("_w2").isin("so", "this") | F.col("_w1").isin("so", "this")),
+                F.lit(1.25),
+            )
+            .when(guard & is_neg(w), F.lit(N_SCALAR))
+            .otherwise(F.lit(1.0))
+        )
+
+    caps_self = F.when(
+        F.col("_up") & F.col("_capdiff"),
+        F.when(F.col("valence") > 0, F.lit(C_INCR)).otherwise(F.lit(-C_INCR)),
+    ).otherwise(F.lit(0.0))
+    t = t.withColumn("_s1", F.col("valence") + caps_self)
+    t = t.withColumn("_s2", (F.col("_s1") + booster(1, F.col("_s1"))) * neg_mult(1))
+    t = t.withColumn("_s3", (F.col("_s2") + booster(2, F.col("_s2"))) * neg_mult(2))
+    t = t.withColumn("_s4", (F.col("_s3") + booster(3, F.col("_s3"))) * neg_mult(3))
+    least = F.when(
+        (F.col("_w1") == "least")
+        & F.col("_v1").isNull()
+        & (
+            (F.col("_pos") == 2)
+            | F.coalesce(~F.col("_w2").isin("at", "very"), F.lit(True))
+        ),
+        F.lit(N_SCALAR),
+    ).otherwise(F.lit(1.0))
+    t = t.withColumn("_s5", F.col("_s4") * least)
+    but_mult = (
+        F.when(F.col("_butp").isNotNull() & (F.col("_p0") < F.col("_butp")), 0.5)
+        .when(F.col("_butp").isNotNull() & (F.col("_p0") > F.col("_butp")), 1.5)
+        .otherwise(F.lit(1.0))
+    )
+    t = t.withColumn("_s6", F.col("_s5") * but_mult)
+
+    sums = t.groupBy("_id").agg(F.sum("_s6").alias("_x"))
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ep = F.least(F.regexp_count(txt, F.lit("!")), F.lit(4)) * 0.292
+    qm_count = F.regexp_count(txt, F.lit(r"\?"))
+    qm = (
+        F.when(qm_count > 3, F.lit(0.96))
+        .when(qm_count > 1, qm_count.cast("double") * 0.18)
+        .otherwise(F.lit(0.0))
+    )
+    out = df.join(sums, df[id_col] == sums["_id"], "left").drop("_id")
+    x = F.coalesce(F.col("_x"), F.lit(0.0))
+    y = (
+        F.when(x > 0, x + (ep + qm))
+        .when(x < 0, x - (ep + qm))
+        .otherwise(F.lit(0.0))
+    )
+    compound = F.round(y / F.sqrt(y * y + F.lit(ALPHA)), 4)
+    return out.select(
+        id_col,
+        compound.alias("sentiment_score"),
+        F.when(compound > POS_THRESHOLD, "positive")
+        .when(compound < NEG_THRESHOLD, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+    )
+
+
+def vader_pandas_udf(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow-batched twin of the relational path (O40 surface); swap the
+    lexicon via ``load_lexicon_file`` for stock-VADER fidelity."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<sentiment_score: double, sentiment: string>")
+    def _vader(texts: pd.Series) -> pd.DataFrame:
+        scores = texts.fillna("").map(score_vader_py)
+        return pd.DataFrame(
+            {"sentiment_score": scores, "sentiment": scores.map(label_for)}
+        )
+
+    return df.withColumn("_s", _vader(F.col(text_col))).select("*", "_s.*").drop("_s")
+
+
+# --- DuckDB oracle twin ----------------------------------------------------
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def vader_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    lexicon: dict[str, float] | None = None,
+) -> str:
+    """Generate the DuckDB SQL twin from the same constants, so the
+    driver's correctness gate checks the full semantic chain."""
+    lex = lexicon or VADER_LEXICON
+    lex_rows = ", ".join(
+        f"('{w.replace(chr(39), chr(39) * 2)}', {v})" for w, v in sorted(lex.items())
+    )
+    negs = _sql_list(NEGATORS)
+    incr = _sql_list(BOOSTERS_INCR)
+    decr = _sql_list(BOOSTERS_DECR)
+    up = "({c} = upper({c}) AND {c} <> lower({c}))"
+
+    def booster_sql(d: int, v: str) -> str:
+        damp = DAMP[d]
+        return f"""
+        CASE WHEN _v{d} IS NULL AND _w{d} IS NOT NULL THEN
+          ((CASE WHEN {v} < 0 THEN -1 ELSE 1 END)
+            * (CASE WHEN _w{d} IN ({incr}) THEN {B_INCR}
+                    WHEN _w{d} IN ({decr}) THEN {B_DECR} ELSE 0 END)
+           + CASE WHEN (CASE WHEN _w{d} IN ({incr}) OR _w{d} IN ({decr})
+                             THEN 1 ELSE 0 END) = 1
+                       AND {up.format(c=f'_c{d}')} AND _capdiff
+                  THEN (CASE WHEN {v} > 0 THEN {C_INCR} ELSE -{C_INCR} END)
+                  ELSE 0 END) * {damp}
+        ELSE 0 END"""
+
+    def isneg(w: str) -> str:
+        return f"({w} IN ({negs}) OR {w} LIKE '%n''t')"
+
+    neg1 = f"""CASE WHEN _v1 IS NULL AND _w1 IS NOT NULL AND {isneg('_w1')}
+               THEN {N_SCALAR} ELSE 1.0 END"""
+    neg2 = f"""CASE WHEN _v2 IS NULL AND _w2 IS NOT NULL
+                    AND _w2 = 'never' AND _w1 IN ('so','this') THEN 1.5
+               WHEN _v2 IS NULL AND _w2 IS NOT NULL AND {isneg('_w2')}
+               THEN {N_SCALAR} ELSE 1.0 END"""
+    neg3 = f"""CASE WHEN _v3 IS NULL AND _w3 IS NOT NULL AND _w3 = 'never'
+                    AND (_w2 IN ('so','this') OR _w1 IN ('so','this')) THEN 1.25
+               WHEN _v3 IS NULL AND _w3 IS NOT NULL AND {isneg('_w3')}
+               THEN {N_SCALAR} ELSE 1.0 END"""
+
+    return f"""
+    WITH _lex(word, valence) AS (VALUES {lex_rows}),
+    _tok0 AS (
+      SELECT {id_col} AS _id,
+             unnest(regexp_split_to_array(COALESCE({text_col}, ''), '\\s+')) AS _raw,
+             unnest(generate_series(1,
+               len(regexp_split_to_array(COALESCE({text_col}, ''), '\\s+')))) AS _p0
+      FROM {table}
+    ),
+    _tok AS (
+      SELECT _id, _p0,
+             regexp_replace(_raw, '^[^A-Za-z0-9'']+|[^A-Za-z0-9'']+$', '', 'g')
+               AS _cased
+      FROM _tok0
+    ),
+    _t1 AS (
+      SELECT _id, _p0, _cased, lower(_cased) AS word,
+             {up.format(c='_cased')} AS _up
+      FROM _tok WHERE _cased <> ''
+    ),
+    _t2 AS (
+      SELECT t.*, l.valence,
+             SUM(CASE WHEN _up THEN 1 ELSE 0 END)
+               OVER (PARTITION BY _id) AS _nup,
+             COUNT(*) OVER (PARTITION BY _id) AS _ntok,
+             ROW_NUMBER() OVER (PARTITION BY _id ORDER BY _p0) AS _pos,
+             MIN(CASE WHEN lower(_cased) = 'but' THEN _p0 END)
+               OVER (PARTITION BY _id) AS _butp,
+             lag(lower(_cased), 1) OVER (PARTITION BY _id ORDER BY _p0) AS _w1,
+             lag(lower(_cased), 2) OVER (PARTITION BY _id ORDER BY _p0) AS _w2,
+             lag(lower(_cased), 3) OVER (PARTITION BY _id ORDER BY _p0) AS _w3,
+             lag(_cased, 1) OVER (PARTITION BY _id ORDER BY _p0) AS _c1,
+             lag(_cased, 2) OVER (PARTITION BY _id ORDER BY _p0) AS _c2,
+             lag(_cased, 3) OVER (PARTITION BY _id ORDER BY _p0) AS _c3,
+             lag(l.valence, 1) OVER (PARTITION BY _id ORDER BY _p0) AS _v1,
+             lag(l.valence, 2) OVER (PARTITION BY _id ORDER BY _p0) AS _v2,
+             lag(l.valence, 3) OVER (PARTITION BY _id ORDER BY _p0) AS _v3
+      FROM _t1 t LEFT JOIN _lex l USING (word)
+    ),
+    _t3 AS (
+      SELECT *, (_nup > 0 AND _nup < _ntok) AS _capdiff,
+             valence + CASE WHEN _up AND (_nup > 0 AND _nup < _ntok)
+                            THEN CASE WHEN valence > 0 THEN {C_INCR}
+                                      ELSE -{C_INCR} END
+                            ELSE 0 END AS _s1
+      FROM _t2 WHERE valence IS NOT NULL
+    ),
+    _t4 AS (SELECT *, (_s1 + ({booster_sql(1, '_s1')})) * ({neg1}) AS _s2 FROM _t3),
+    _t5 AS (SELECT *, (_s2 + ({booster_sql(2, '_s2')})) * ({neg2}) AS _s3 FROM _t4),
+    _t6 AS (SELECT *, (_s3 + ({booster_sql(3, '_s3')})) * ({neg3}) AS _s4 FROM _t5),
+    _t7 AS (
+      SELECT *,
+        _s4 * (CASE WHEN _w1 = 'least' AND _v1 IS NULL
+                         AND (_pos = 2 OR COALESCE(_w2 NOT IN ('at','very'), TRUE))
+                    THEN {N_SCALAR} ELSE 1.0 END)
+            * (CASE WHEN _butp IS NOT NULL AND _p0 < _butp THEN 0.5
+                    WHEN _butp IS NOT NULL AND _p0 > _butp THEN 1.5
+                    ELSE 1.0 END) AS _s6
+      FROM _t6
+    ),
+    _sums AS (SELECT _id, SUM(_s6) AS _x FROM _t7 GROUP BY _id),
+    _docs AS (
+      SELECT {id_col}, COALESCE(s._x, 0.0) AS _x,
+             LEAST(len(regexp_extract_all(COALESCE({text_col}, ''), '!')), 4) * 0.292
+               AS _ep,
+             len(regexp_extract_all(COALESCE({text_col}, ''), '\\?')) AS _qmc
+      FROM {table} d LEFT JOIN _sums s ON d.{id_col} = s._id
+    ),
+    _y AS (
+      SELECT {id_col},
+             CASE WHEN _x > 0 THEN _x + (_ep + CASE WHEN _qmc > 3 THEN 0.96
+                                                    WHEN _qmc > 1 THEN _qmc * 0.18
+                                                    ELSE 0 END)
+                  WHEN _x < 0 THEN _x - (_ep + CASE WHEN _qmc > 3 THEN 0.96
+                                                    WHEN _qmc > 1 THEN _qmc * 0.18
+                                                    ELSE 0 END)
+                  ELSE 0.0 END AS _yv
+      FROM _docs
+    )
+    SELECT {id_col},
+           ROUND(_yv / sqrt(_yv * _yv + {ALPHA}), 4) AS sentiment_score,
+           CASE WHEN ROUND(_yv / sqrt(_yv * _yv + {ALPHA}), 4) > {POS_THRESHOLD}
+                THEN 'positive'
+                WHEN ROUND(_yv / sqrt(_yv * _yv + {ALPHA}), 4) < {NEG_THRESHOLD}
+                THEN 'negative'
+                ELSE 'neutral' END AS sentiment
+    FROM _y
+    """

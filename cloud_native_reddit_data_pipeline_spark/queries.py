@@ -739,6 +739,22 @@ def sentiment_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_relational(load(spark, sf_dir, "documents"), ["doc_id"], "text")
 
 
+# O21 full VADER semantics (negation/boosters/caps/punctuation/but-clause),
+# pure Catalyst; oracle is generated from the same constants
+# (functions/vader.py mirrors redditProcessor.py:23-33's stock analyzer).
+from .functions import vader as _vader  # noqa: E402
+
+
+@register(
+    "sentiment_vader",
+    _vader.vader_oracle_sql("documents", "doc_id", "text"),
+)
+def sentiment_vader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vader.score_vader_relational(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search + embedding near-dup (north-star).
 # ---------------------------------------------------------------------------

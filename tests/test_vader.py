@@ -1,0 +1,132 @@
+"""Full-VADER sentiment semantics (redditProcessor.py:23-33 parity):
+
+- pinned canonical cases: negation flip, booster scaling, ALL-CAPS
+  emphasis, punctuation emphasis, but-clause reweighting, never-so/this,
+  least-check — values match the stock analyzer where vocabulary overlaps
+  ("not good" = -0.3412 and "very good" = 0.4927 are the published stock
+  VADER outputs for the stock lexicon's good=1.9)
+- three-way exact agreement: pure-Python scorer == relational plan ==
+  generated DuckDB oracle, on crafted cases and on the documents table
+- threshold bucketing matches the reference's >0.05 / <-0.05 rule
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cloud_native_reddit_data_pipeline_spark.functions import vader
+from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    "good", "not good", "very good", "VERY good movie here", "good!!!",
+    "good but awful", "never so good", "this was never so good honestly",
+    "at least good", "least good thing", "extremely BAD day today",
+    "I do not hate it", "isn't terrible at all", "SO GREAT",
+    "barely useful", "really really love this", "what??? is this good???",
+    "kinda slow but absolutely amazing!!", "", "   ",
+    "no sentiment here at all", "wasn't very good",
+    "utterly broken and totally useless",
+]
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("good", 0.4404),
+        ("not good", -0.3412),  # stock VADER value: 1.9 * -0.74, normalized
+        ("very good", 0.4927),  # stock VADER value: booster +0.293
+        ("good!!!", 0.5826),  # 3 x 0.292 exclamation amplification
+        ("at least good", 0.4404),  # "at least" does NOT flip
+        ("least good thing", -0.3412),  # bare "least" flips
+        ("", 0.0),
+        ("no sentiment here at all", 0.0),
+    ],
+)
+def test_pinned_cases(text, expected):
+    assert vader.score_vader_py(text) == pytest.approx(expected, abs=1e-9)
+
+
+def test_semantic_orderings():
+    s = vader.score_vader_py
+    assert s("not good") < 0 < s("good")  # negation flips
+    assert s("very good") > s("good")  # booster amplifies
+    assert s("barely useful") < s("useful")  # dampener reduces
+    assert s("good!!!") > s("good!") > s("good")  # punctuation emphasis
+    assert s("GREAT day today") > s("great day today")  # caps (mixed-case doc)
+    assert s("SO GREAT") == s("so great")  # all-caps doc: no cap_diff
+    assert s("good but awful") < 0  # post-but clause dominates
+    assert s("never so good") > s("good")  # intensifier idiom, not negation
+
+
+def test_three_way_agreement_crafted(spark):
+    df = spark.createDataFrame(
+        list(enumerate(CASES)), "doc_id long, text string"
+    )
+    rel = {
+        r["doc_id"]: (r["sentiment_score"], r["sentiment"])
+        for r in vader.score_vader_relational(df, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", list(enumerate(CASES)))
+    ora = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(vader.vader_oracle_sql("docs", "doc_id", "text")).fetchall()
+    }
+    for i, c in enumerate(CASES):
+        py = vader.score_vader_py(c)
+        assert rel[i][0] == pytest.approx(py, abs=1e-9), (c, rel[i], py)
+        assert ora[i][0] == pytest.approx(py, abs=1e-9), (c, ora[i], py)
+        assert rel[i][1] == ora[i][1] == vader.label_for(py)
+
+
+def test_relational_matches_python_on_documents(spark):
+    docs = load(spark, SF, "documents")
+    rel = {
+        r["doc_id"]: r["sentiment_score"]
+        for r in vader.score_vader_relational(docs, "doc_id", "text").collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        assert rel[row["doc_id"]] == pytest.approx(
+            vader.score_vader_py(row["text"]), abs=1e-9
+        )
+
+
+def test_pandas_udf_path_agrees(spark):
+    docs = load(spark, SF, "documents").limit(100)
+    rel = {
+        r["doc_id"]: r["sentiment_score"]
+        for r in vader.score_vader_relational(docs, "doc_id", "text").collect()
+    }
+    pud = {
+        r["doc_id"]: r["sentiment_score"]
+        for r in vader.vader_pandas_udf(docs, "text")
+        .select("doc_id", "sentiment_score")
+        .collect()
+    }
+    assert rel == pud
+
+
+def test_lexicon_join_broadcasts(spark):
+    docs = load(spark, SF, "documents")
+    plan = (
+        vader.score_vader_relational(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan  # pure Catalyst, no Python in the plan
+
+
+def test_lexicon_file_loader(tmp_path):
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text("great\t3.1\t0.7\t[3, 3, 3]\nbad\t-2.5\t0.5\t[-2, -3]\n")
+    lex = vader.load_lexicon_file(str(p))
+    assert lex == {"great": 3.1, "bad": -2.5}
+    assert vader.score_vader_py("not great", lexicon=lex) == pytest.approx(
+        vader.score_vader_py("not great", lexicon={"great": 3.1}), abs=1e-9
+    )
