@@ -2529,6 +2529,7 @@ def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.ingest import (
         ingest_posts_stream,
+        read_bucketed_table,
         start_upsert_stream,
         write_queue_batch,
     )
@@ -2559,7 +2560,7 @@ def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = ingest_posts_stream(spark, queue)
         q = start_upsert_stream(stream, target, ckpt, key="id", available_now=True)
         q.awaitTermination(120)
-        out = spark.read.parquet(target)
+        out = read_bucketed_table(spark, target)
         return spark.createDataFrame(
             out.select(
                 "id", "author", "subreddit", "score", "num_comments"

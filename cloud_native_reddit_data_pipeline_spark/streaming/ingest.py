@@ -146,16 +146,50 @@ def streaming_interval_join(
     )
 
 
+def _recover_dir(target_dir: str) -> None:
+    """Crash recovery for the swap below: if a previous swap renamed the
+    live table aside (`._old`) and died before installing the new one,
+    restore it, so no batch ever merges against an empty table."""
+    old = target_dir.rstrip("/") + "._old"
+    if os.path.exists(old):
+        if not os.path.exists(target_dir):
+            os.replace(old, target_dir)
+        else:
+            import shutil
+
+            shutil.rmtree(old)  # swap completed; leftover backup
+
+
+def _swap_dir(tmp: str, target_dir: str) -> None:
+    """Install `tmp` as `target_dir` without a lost-table crash window:
+    rename the live table aside, install the new one, then drop the
+    backup.  Each step is a single atomic rename; a crash between them
+    leaves either the old table live or the old table at `._old`, which
+    `_recover_dir` restores on the next batch — never an empty target.
+    (On a real deployment this whole swap is Delta `MERGE INTO` /
+    Iceberg commit; this is the filesystem equivalent of their
+    metadata pointer flip.)"""
+    import shutil
+
+    old = target_dir.rstrip("/") + "._old"
+    if os.path.exists(target_dir):
+        os.replace(target_dir, old)
+    os.replace(tmp, target_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def upsert_parquet_by_key(batch_df: DataFrame, target_dir: str, key: str) -> None:
     """Idempotent keyed upsert into a parquet table (O8: ES
     index(id=...) upsert; O37 ack semantics).
 
     New rows win over existing rows with the same key (last-writer-wins
     like ES re-index); implemented as read-existing -> anti-join -> keep +
-    append via full rewrite.  On a real deployment this is Delta
-    `MERGE INTO` — same logical contract, transactional file swap.  The
-    rewrite here is atomic via a temp-dir rename."""
+    append via full rewrite + crash-safe directory swap (`_swap_dir`).
+    Cost is O(table) per batch — `upsert_parquet_by_key_bucketed` (the
+    `start_upsert_stream` default) rewrites only touched buckets."""
     spark = batch_df.sparkSession
+    _recover_dir(target_dir)
     batch = batch_df.dropDuplicates([key])
     if os.path.exists(target_dir):
         existing = spark.read.parquet(target_dir)
@@ -165,11 +199,7 @@ def upsert_parquet_by_key(batch_df: DataFrame, target_dir: str, key: str) -> Non
         merged = batch
     tmp = target_dir.rstrip("/") + "._tmp_write"
     merged.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    if os.path.exists(target_dir):
-        shutil.rmtree(target_dir)
-    os.replace(tmp, target_dir)
+    _swap_dir(tmp, target_dir)
 
 
 def upsert_parquet_by_key_bucketed(
@@ -185,23 +215,29 @@ def upsert_parquet_by_key_bucketed(
     pruning on a clustered key)."""
     spark = batch_df.sparkSession
     bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
-    batch = batch_df.dropDuplicates([key]).withColumn("bucket", bucket_of)
-    touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
-    import shutil
-
-    for b in touched:
-        bdir = os.path.join(target_dir, f"bucket={b}")
-        newb = batch.filter(F.col("bucket") == b).drop("bucket")
-        if os.path.exists(bdir):
-            existing = spark.read.parquet(bdir)
-            merged = existing.join(newb.select(key), key, "left_anti").unionByName(newb)
-        else:
-            merged = newb
-        tmp = bdir.rstrip("/") + "._tmp_write"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(bdir):
-            shutil.rmtree(bdir)
-        os.replace(tmp, bdir)
+    # persist: the sink runs one action per touched bucket plus the
+    # bucket-discovery collect — without it each action re-executes the
+    # whole upstream batch plan (for a streaming batch that re-runs the
+    # stateful dedup operator itself)
+    batch = batch_df.dropDuplicates([key]).withColumn("bucket", bucket_of).persist()
+    try:
+        touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
+        for b in touched:
+            bdir = os.path.join(target_dir, f"bucket={b}")
+            _recover_dir(bdir)
+            newb = batch.filter(F.col("bucket") == b).drop("bucket")
+            if os.path.exists(bdir):
+                existing = spark.read.parquet(bdir)
+                merged = existing.join(newb.select(key), key, "left_anti").unionByName(
+                    newb
+                )
+            else:
+                merged = newb
+            tmp = bdir.rstrip("/") + "._tmp_write"
+            merged.write.mode("overwrite").parquet(tmp)
+            _swap_dir(tmp, bdir)
+    finally:
+        batch.unpersist()
 
 
 def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -219,14 +255,19 @@ def start_upsert_stream(
     key: str = "id",
     trigger_seconds: int | None = 60,
     available_now: bool = False,
-    n_buckets: int | None = None,
+    n_buckets: int | None = 64,
 ):
     """Wire the ingest stream to the upsert sink via foreachBatch, with
     the reference's 60s cadence (O35: fission cron '@every 60s') as the
     processing-time trigger.  `available_now=True` drains the backlog
-    and stops — used by tests.  `n_buckets` switches the sink to the
-    bucketed layout (per-batch cost flat in table size — the setting to
-    use beyond toy scale)."""
+    and stops — used by tests.
+
+    The sink defaults to the bucketed layout (`bucket=N/` partitions,
+    per-batch cost O(touched buckets) — flat in table size, the only
+    viable shape beyond toy scale; read it back with
+    `read_bucketed_table`).  Pass `n_buckets=None` to opt out into the
+    plain single-directory layout, whose per-batch rewrite is O(table)
+    — acceptable only for small reference tables."""
     if n_buckets:
         sink = lambda bdf, _bid: upsert_parquet_by_key_bucketed(  # noqa: E731
             bdf, target_dir, key, n_buckets

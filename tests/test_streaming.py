@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 
 from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
     ingest_posts_stream,
+    read_bucketed_table,
     start_upsert_stream,
     upsert_parquet_by_key,
     write_queue_batch,
@@ -36,7 +37,7 @@ def test_stream_dedup_and_quarantine(spark, tmp_path):
     stream = ingest_posts_stream(spark, queue)
     q = start_upsert_stream(stream, target, ckpt, key="id", available_now=True)
     q.awaitTermination(120)
-    out = spark.read.parquet(target)
+    out = read_bucketed_table(spark, target)
     assert out.count() == 8  # p0..p7, overlap deduped, corrupt dropped
     assert out.select("id").distinct().count() == 8
 
@@ -57,6 +58,25 @@ def test_upsert_idempotent_on_redelivery(spark, tmp_path):
     upsert_parquet_by_key(batch, target, "id")
     upsert_parquet_by_key(batch, target, "id")  # redelivery
     assert spark.read.parquet(target).count() == 1
+
+
+def test_upsert_recovers_from_crash_between_swap_renames(spark, tmp_path):
+    """A crash after the live table was renamed aside but before the new
+    one was installed must NOT lose prior batches: the next upsert
+    restores `._old` and merges against it (the exactly-once contract
+    the ADVICE finding flagged against the old rmtree-then-replace)."""
+    import os
+
+    target = str(tmp_path / "t4")
+    first = spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int")
+    upsert_parquet_by_key(first, target, "id")
+    # simulate the crash window: table renamed aside, new one never landed
+    os.replace(target, target + "._old")
+    assert not os.path.exists(target)
+    second = spark.createDataFrame([("c", 2)], "id string, v int")
+    upsert_parquet_by_key(second, target, "id")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1, "b": 1, "c": 2}  # batch 1 survived the crash
 
 
 def test_streaming_watermarked_window(spark, tmp_path):
@@ -110,7 +130,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
         ingest_posts_stream(spark, queue), target, ckpt, key="id", available_now=True
     )
     q1.awaitTermination(120)
-    assert spark.read.parquet(target).count() == 5
+    assert read_bucketed_table(spark, target).count() == 5
 
     # new arrivals: a re-send of p0 (score=9) + brand-new p100
     write_queue_batch(
@@ -121,7 +141,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     )
     q2.awaitTermination(120)
 
-    out = spark.read.parquet(target)
+    out = read_bucketed_table(spark, target)
     got = {r["id"]: r["score"] for r in out.collect()}
     assert len(got) == 6  # 5 + 1 new, no duplicates from re-reading batch 1
     # dedup state SURVIVES the restart (checkpointed state store): the

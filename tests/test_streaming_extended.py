@@ -6,6 +6,7 @@ import json
 from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
     ingest_comments_stream,
     ingest_posts_stream_bounded,
+    read_bucketed_table,
     start_upsert_stream,
     streaming_session_counts,
     write_queue_batch,
@@ -32,7 +33,7 @@ def test_comment_stream_ingest(spark, tmp_path):
     stream = ingest_comments_stream(spark, queue)
     q = start_upsert_stream(stream, target, str(tmp_path / "c"), key="c_id", available_now=True)
     q.awaitTermination(120)
-    out = spark.read.parquet(target)
+    out = read_bucketed_table(spark, target)
     assert out.count() == 9
     assert out.filter("p_id = 'p0'").count() == 3
 
