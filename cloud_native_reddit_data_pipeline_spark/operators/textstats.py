@@ -157,3 +157,56 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
     return out.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
+
+
+def ranked_keyword_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Relevance-RANKED full-text search — the ES `multi_match` analogue
+    (redditProcessor.py:67-75) upgraded from the boolean
+    `contains_filter` reduction: per-document TF-IDF score over the
+    query keywords, deterministic top-k.
+
+    Scale shape: tokens are filtered to the query keywords BEFORE any
+    shuffle, so the per-term and per-doc aggregations move only rows
+    that actually hit a keyword (|hits|, not |corpus|); the per-term
+    document frequencies are a handful of rows and broadcast back; the
+    final top-k is TakeOrderedAndProject (per-partition heap + driver
+    merge), never a global sort.  idf = ln((1+N)/(1+df)) + 1, the
+    TfidfVectorizer formulation already used by `doc_frequency`; ties
+    broken on the id for a deterministic result set.
+    """
+    kws = sorted({w.lower() for w in keywords})
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    hits = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .select(id_col, F.lower(F.col("_t")).alias("term"))
+        .filter(F.col("term").isin(kws))
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        hits.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_hits"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * (F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("df"))) + 1.0)
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

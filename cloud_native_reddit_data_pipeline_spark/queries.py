@@ -350,6 +350,41 @@ def doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_frequency(docs, "doc_id", "text", min_df=2, max_df_frac=0.95)
 
 
+_SEARCH_KEYWORDS = ["join", "spark", "stream", "window"]
+
+
+# O15 upgraded: relevance-RANKED full-text search (the ES multi_match
+# capability redditProcessor.py:67-75 actually uses — scored, not boolean).
+@register(
+    "ranked_search",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS _n FROM documents),
+    hits AS (
+      SELECT doc_id, lower(term) AS term FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS term
+        FROM documents
+      ) WHERE lower(term) IN ({', '.join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))})
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits,
+             ROUND(SUM(tf * (ln((1.0 + _n) / (1.0 + df)) + 1.0)), 4) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_hits, score FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.ranked_keyword_search(
+        docs, "doc_id", "text", _SEARCH_KEYWORDS, k=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (north-star): exact, fingerprint, MinHash+LSH, Jaccard,
 # SimHash, embedding-cosine near-dup.

@@ -122,3 +122,14 @@ def test_minhash_no_distinct_shuffle(spark):
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 2  # fan_out round-robin + aggregate
     assert "HashAggregate" in plan
+
+
+def test_ranked_search_topk_heap_and_broadcasts(spark):
+    """Ranked full-text search: the keyword filter reaches the scan side
+    before any shuffle, the tiny df/N sides broadcast, and the top-k is
+    a TakeOrderedAndProject heap — never a global sort."""
+    df = registry.queries()["ranked_search"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
