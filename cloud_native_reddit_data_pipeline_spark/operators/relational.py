@@ -83,16 +83,72 @@ def topk_per_group(
     )
 
 
+def with_global_row_numbers(
+    df: DataFrame,
+    order: list[Column],
+    col_name: str = "_rn",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Contiguous 1-based global row numbers in `order`, WITHOUT a
+    single-partition sort: range-repartition on the order (parallel sort
+    shuffle), number rows within each partition, then add per-partition
+    offsets (a tiny driver-side cumulative sum over partition counts,
+    broadcast back) — the DataFrame form of RDD zipWithIndex's two-pass
+    scheme.
+
+    The range-partitioned intermediate is pinned with persist() while
+    the offsets are computed (range boundaries come from sampling, so an
+    unpinned recompute between the count pass and the numbering pass
+    could shift rows across partitions and corrupt the numbering); the
+    caller receives a localCheckpoint()ed result and the pin is
+    released before returning.  `order` must be a TOTAL order for the
+    numbering to be deterministic."""
+    spark = df.sparkSession
+    srt = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = sorted(
+            (r["_pid"], r["cnt"])
+            for r in srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        offsets, acc = [], 0
+        for pid, cnt in counts:
+            offsets.append((pid, acc))
+            acc += cnt
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, "_pid int, _off long")
+        )
+        w = Window.partitionBy("_pid").orderBy(*order)
+        out = (
+            srt.join(off_df, "_pid")
+            .withColumn(col_name, F.row_number().over(w) + F.col("_off"))
+            .drop("_pid", "_off")
+        )
+        # materialize before releasing the pin: the result must never
+        # re-execute the sampled range shuffle with fresh boundaries
+        # (checkpoint=False exposes the lazy plan for audits — the
+        # caller then owns pinning/materialization)
+        return out.localCheckpoint(eager=True) if checkpoint else out
+    finally:
+        if checkpoint:
+            srt.unpersist()
+
+
 def positional_zip_join(a: DataFrame, b: DataFrame, order_a: list[Column], order_b: list[Column]) -> DataFrame:
     """Literal equivalent of the reference's positional pandas index join
-    (O29, redditProcessor.py:123): row_number both sides over an explicit
-    total order, then equi-join on the row number.  Kept for parity; the
-    engine's analytics plan avoids it by carrying the natural key through
-    the pipeline (SURVEY.md section 7 hard-part 3)."""
-    wa = Window.orderBy(*order_a)
-    wb = Window.orderBy(*order_b)
-    an = a.withColumn("_rn", F.row_number().over(wa))
-    bn = b.withColumn("_rn", F.row_number().over(wb))
+    (O29, redditProcessor.py:123): number both sides over an explicit
+    total order, then equi-join on the row number.  Numbering uses
+    `with_global_row_numbers` (range partition + partition offsets), so
+    no single-partition Window sort appears at any size; the join on
+    `_rn` is an ordinary hash shuffle.  Kept for parity; the engine's
+    analytics plan avoids positional semantics by carrying the natural
+    key through the pipeline (SURVEY.md section 7 hard-part 3)."""
+    an = with_global_row_numbers(a, order_a)
+    bn = with_global_row_numbers(b, order_b)
     return an.join(bn, "_rn").drop("_rn")
 
 

@@ -1884,21 +1884,31 @@ def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def positional_zip_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O29 literal positional-join semantics via row_number zip (the
-    engine's analytics plan avoids this by keying on doc id; kept for
-    parity and oracle-checked here)."""
+    """O29 literal positional-join semantics (the engine's analytics
+    plan avoids this by keying on doc id; kept for parity).  The top-50
+    of each side comes from sort+limit — TakeOrderedAndProject, a
+    per-partition heap, NOT a global-sort window — and only the 50
+    surviving rows go through `positional_zip_join`'s partition-offset
+    numbering, so no unbounded single-partition sort exists in the
+    plan at any scale."""
     o = (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
     )
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    w_a = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    on = o.withColumn("_rn", F.row_number().over(w_a)).filter(F.col("_rn") <= 50)
-    w_b = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    cn = c.withColumn("_rn", F.row_number().over(w_b)).filter(F.col("_rn") <= 50)
-    return on.join(cn, "_rn").select(
-        "o_orderkey", "o_totalprice", "c_custkey", "c_acctbal"
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(50)
     )
+    return relational.positional_zip_join(
+        o,
+        c,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_acctbal")
 
 
 # ---------------------------------------------------------------------------
