@@ -13,7 +13,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # The reference strips this exact hand-picked stopword list with a
-# word-boundary regex (redditProcessor.py:45-50).
+# word-boundary regex (redditProcessor.py:45-50).  "'ve" can never match:
+# punctuation (including apostrophes) is stripped before stopword removal,
+# so the pattern is dead by construction — kept verbatim because the
+# reference carries the identical dead entry and parity means matching
+# its observable behavior, dead patterns included.
 REFERENCE_STOPWORDS = [
     "'ve", "ve", "this", "just", "like", "dont", "got", "really", "think",
     "know", "knew", "actually", "way", "yeah", "did", "im", "ive", "st",
@@ -29,7 +33,10 @@ _WS_RE = r"\s+"
 
 
 def _stopword_re(words: list[str]) -> str:
-    return r"\b(?:" + "|".join(w.replace("'", "'") for w in words) + r")\b"
+    # None of the reference's stopwords contain regex metacharacters other
+    # than the apostrophe (not special in Java or DuckDB regex), so the
+    # words are embedded as-is.
+    return r"\b(?:" + "|".join(words) + r")\b"
 
 
 STOPWORD_RE = _stopword_re(REFERENCE_STOPWORDS)

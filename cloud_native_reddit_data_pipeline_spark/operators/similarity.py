@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import materialize_and_release
 from ..functions.vectors import cosine, hyperplane_bits, make_planes
 
 
@@ -93,11 +94,13 @@ def ivf_topk(
         F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
     )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    # single consumer (the candidate join below; probes derive from
+    # `scored`, not from the assignment) — no persist needed
     assigned = (
         scored.withColumn("_rk", F.row_number().over(w_assign))
         .filter(F.col("_rk") == 1)
         .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
-    ).persist()  # consumed twice: probe-list build + candidate join
+    )
 
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     probes = (
@@ -189,8 +192,9 @@ def lsh_topk(
         F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+    return materialize_and_release(out, banded)
