@@ -38,6 +38,108 @@ def test_comment_stream_ingest(spark, tmp_path):
     assert out.filter("p_id = 'p0'").count() == 3
 
 
+def test_comment_queue_redelivery_restart_dedup(spark, tmp_path):
+    """At-least-once comment queue made exactly-once across restarts,
+    keyed on c_id (the reference's comment loop, addReddit.py:85-136:
+    peek -> fixed ES _id upsert -> ack).  A redelivered comment in a
+    later batch must be dropped by the checkpointed dedup state, and a
+    new query on the same checkpoint must not re-read committed files."""
+    queue = str(tmp_path / "q")
+    target = str(tmp_path / "t")
+    ckpt = str(tmp_path / "c")
+
+    write_queue_batch(
+        queue, "rharvestcomment", [json.dumps([_comment(i) for i in range(5)])]
+    )
+    q1 = start_upsert_stream(
+        ingest_comments_stream(spark, queue), target, ckpt, key="c_id", available_now=True
+    )
+    q1.awaitTermination(120)
+    assert read_bucketed_table(spark, target).count() == 5
+
+    # redelivery of c0 with mutated score + brand-new c100
+    redelivered = dict(_comment(0), score=999)
+    write_queue_batch(
+        queue, "rharvestcomment", [json.dumps([redelivered, _comment(100)])]
+    )
+    q2 = start_upsert_stream(
+        ingest_comments_stream(spark, queue), target, ckpt, key="c_id", available_now=True
+    )
+    q2.awaitTermination(120)
+
+    out = read_bucketed_table(spark, target)
+    got = {r["c_id"]: r["score"] for r in out.collect()}
+    assert len(got) == 6  # 5 + 1 new; the re-sent c0 created no duplicate
+    # dedup state survives the restart: the redelivered c0 is dropped
+    # as already-seen, exactly the reference's Redis seen-id semantics
+    assert got["c0"] == 0
+    assert got["c100"] == 100
+
+
+def test_comment_post_fk_path_end_to_end(spark, tmp_path):
+    """Both queues ingested, then the comment->post FK join (the
+    reference keeps the pair of ES indices linked by p_id): every
+    comment's parent resolves and per-post comment counts match."""
+    queue = str(tmp_path / "q")
+    posts = [
+        {
+            "author": "u",
+            "created_utc": "2024-01-01T00:00:00Z",
+            "id": f"p{i}",
+            "num_comments": 0,
+            "score": i,
+            "selftext": "s",
+            "subreddit": "sydney",
+            "title": f"post {i}",
+            "url": None,
+        }
+        for i in range(3)
+    ]
+    write_queue_batch(queue, "rharvest", [json.dumps(posts)])
+    write_queue_batch(
+        queue, "rharvestcomment", [json.dumps([_comment(i) for i in range(9)])]
+    )
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        ingest_posts_stream,
+    )
+
+    qp = start_upsert_stream(
+        ingest_posts_stream(spark, queue),
+        str(tmp_path / "tp"),
+        str(tmp_path / "cp"),
+        key="id",
+        available_now=True,
+    )
+    qc = start_upsert_stream(
+        ingest_comments_stream(spark, queue),
+        str(tmp_path / "tc"),
+        str(tmp_path / "cc"),
+        key="c_id",
+        available_now=True,
+    )
+    qp.awaitTermination(120)
+    qc.awaitTermination(120)
+
+    posts_tbl = read_bucketed_table(spark, str(tmp_path / "tp"))
+    comments_tbl = read_bucketed_table(spark, str(tmp_path / "tc"))
+    joined = comments_tbl.join(
+        posts_tbl.select("id", "title"),
+        comments_tbl.p_id == posts_tbl.id,
+        "inner",
+    )
+    assert joined.count() == 9  # no orphans: every p_id resolves
+    per_post = {
+        r["p_id"]: r["n"]
+        for r in joined.groupBy("p_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_post == {"p0": 3, "p1": 3, "p2": 3}
+    # orphan check the other way: anti-join is empty
+    orphans = comments_tbl.join(
+        posts_tbl.select("id"), comments_tbl.p_id == posts_tbl.id, "left_anti"
+    )
+    assert orphans.count() == 0
+
+
 def test_bounded_dedup_stream(spark, tmp_path):
     queue = str(tmp_path / "q2")
     posts = [
