@@ -3,11 +3,15 @@ the reference — SURVEY.md §2 "not present" list / BASELINE.json).
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched `mapInPandas` stages.  The actual codec work is STUBBED
-(no media libraries in this container) behind `DECODERS` — each stub is
-deterministic so the Spark-side plumbing (schema, batching, partition
-behavior) is fully testable.  Swapping in PIL/ffmpeg later changes only
-the stub body, not the plan.
+Arrow-batched `mapInPandas` stages.
+
+Real-or-stub switch (`DECODERS`): the IMAGE path is REAL — payloads are
+conforming PNGs, decoded/re-encoded by the pure-stdlib codec in
+`functions/png.py` (zlib + scanline filters), features are pixel
+histograms, resize is a true nearest-neighbor resample.  AUDIO and
+VIDEO decode remain deterministic declared stubs (no codec libraries in
+this container); swapping in ffmpeg later changes only the registry
+entry, not the plan.
 """
 
 from __future__ import annotations
@@ -34,9 +38,9 @@ FEATURE_DIM = 16
 
 
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a real decoder+encoder: hashes payload
-    bytes into a fixed-dim float vector.  Replace with a real model;
-    the mapInPandas contract stays identical."""
+    """Deterministic stand-in for the audio/video decoders: hashes
+    payload bytes into a fixed-dim float vector.  Replace with a real
+    model; the mapInPandas contract stays identical."""
     if payload is None:
         return [0.0] * dim
     acc = [0] * dim
@@ -45,21 +49,52 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]
     return [round(a / 997.0, 6) for a in acc]
 
 
+def _png_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL image feature extraction: decode the PNG payload
+    (functions/png.py, pure stdlib) and return its normalized
+    intensity histogram."""
+    from ..functions.png import decode_png, histogram_features
+
+    if payload is None:
+        return [0.0] * dim
+    _, _, pixels = decode_png(payload)
+    return histogram_features(pixels, bins=dim)
+
+
+# modality -> feature decoder; image is the real path, audio/video are
+# declared deterministic stubs (no codec libs in this container)
+DECODERS = {
+    "image": _png_decode_features,
+    "audio": _fake_decode_features,
+    "video": _fake_decode_features,
+}
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests (payload bytes are
-    a function of media_id)."""
+    """Deterministic synthetic media table for tests.  Image payloads
+    are REAL PNGs (encoded by functions/png.py) whose pixels are a
+    function of media_id; audio/video payloads are opaque byte strings
+    for the stubbed decoders."""
+    from ..functions.png import encode_png
+
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = bytes(((i * 7 + j * 13) % 251) for j in range(32 + (i % 5) * 8))
+        w = 64 + i % 8 if modality != "audio" else None
+        h = 64 + i % 4 if modality != "audio" else None
+        if modality == "image":
+            pixels = bytes(((i * 7 + x * 13) % 251) for x in range(w * h))
+            payload = encode_png(w, h, pixels)
+        else:
+            payload = bytes(((i * 7 + j * 13) % 251) for j in range(32 + (i % 5) * 8))
         rows.append(
             (
                 i,
                 modality,
                 payload,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
-                64 + i % 8 if modality != "audio" else None,
-                64 + i % 4 if modality != "audio" else None,
+                w,
+                h,
                 1000 * (1 + i % 30) if modality != "image" else None,
             )
         )
@@ -68,6 +103,9 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """mapInPandas feature extraction: binary payload -> array<float>.
+
+    Image payloads go through the REAL PNG decode (pixel histogram);
+    audio/video use the declared stub decoder — see DECODERS.
 
     Arrow moves each partition in columnar batches; the decoder is
     initialized once per partition (executor-singleton pattern), which
@@ -89,7 +127,10 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "features": pdf["payload"].map(_fake_decode_features),
+                    "features": [
+                        DECODERS[m](p)
+                        for m, p in zip(pdf["modality"], pdf["payload"])
+                    ],
                 }
             )
 
@@ -97,15 +138,16 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
 
 def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
-    """Image resize via mapInPandas: aspect-preserving target dimensions
-    (real arithmetic, testable) + payload transform (stubbed: the real
-    pixel resample needs PIL; the stub emits a deterministic payload of
-    the correct new length so batch shapes and schemas are exercised).
+    """REAL image resize via mapInPandas: decode the PNG payload, aspect-
+    preserving nearest-neighbor resample of the actual pixels, re-encode
+    to PNG (functions/png.py, pure stdlib — no PIL needed).
 
     Scale shape: narrow map, no shuffle; payload bytes stay inside Arrow
     batches — a 100 TB image corpus resizes with zero data movement
     beyond the scan and write."""
     import pandas as pd
+
+    from ..functions.png import decode_png, encode_png, resample_nearest
 
     out_schema = T.StructType(
         [
@@ -126,13 +168,13 @@ def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
             return int(w), int(h)
         return max(1, round(w * scale)), max(1, round(h * scale))
 
-    def _stub_resample(payload: bytes, nw: int, nh: int) -> bytes:
-        # deterministic placeholder for the PIL resample: correct output
-        # length (nw*nh bytes, 1 "channel"), content a byte-mix of input
+    def _resample(payload: bytes, nw: int, nh: int) -> bytes:
         if payload is None or nw is None:
             return None
-        n = nw * nh
-        return bytes((payload[i % len(payload)] * (i + 1)) % 256 for i in range(n))
+        w, h, pixels = decode_png(payload)
+        if (nw, nh) == (w, h):
+            return bytes(payload)
+        return encode_png(nw, nh, resample_nearest(pixels, w, h, nw, nh))
 
     def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -147,7 +189,7 @@ def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
                     "new_width": pd.array(nw, dtype="Int32"),
                     "new_height": pd.array(nh, dtype="Int32"),
                     "payload": [
-                        _stub_resample(p, w, h)
+                        _resample(p, w, h)
                         for p, w, h in zip(pdf["payload"], nw, nh)
                     ],
                 }

@@ -2333,8 +2333,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_features")
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads -> mapInPandas feature
-    extraction (deterministic stub decoder; see operators/multimodal.py)."""
+    """Multimodal feature extraction: binary payloads -> mapInPandas.
+    Image payloads are REAL PNGs decoded by the pure-stdlib codec
+    (pixel-histogram features); audio/video use the declared stub
+    decoder — see operators/multimodal.py DECODERS."""
     from .operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 64)
@@ -2436,9 +2438,9 @@ def ml_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_resize")
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize + frame-sample plumbing: aspect-preserving
-    image resize (mapInPandas; pixel resample stubbed, dimension math
-    and batch shapes real) unioned with the JVM-side video frame
+    """Multimodal resize + frame-sample: REAL aspect-preserving PNG
+    resize (decode -> nearest-neighbor resample -> re-encode, pure
+    stdlib, in mapInPandas) unioned with the JVM-side video frame
     fan-out."""
     from .operators.multimodal import frame_sample_plan, resize_images, synthetic_media
 
