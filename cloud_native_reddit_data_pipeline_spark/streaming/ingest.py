@@ -149,15 +149,40 @@ def streaming_interval_join(
 def _recover_dir(target_dir: str) -> None:
     """Crash recovery for the swap below: if a previous swap renamed the
     live table aside (`._old`) and died before installing the new one,
-    restore it, so no batch ever merges against an empty table."""
+    restore it, so no batch ever merges against an empty table.  Also
+    drops a stale `._tmp_write` leftover — either the write died midway
+    (dir is incomplete) or the swap never ran (dir is complete but its
+    batch will be redelivered by the streaming checkpoint and the upsert
+    is idempotent), so deleting is safe in both cases."""
+    import shutil
+
     old = target_dir.rstrip("/") + "._old"
+    tmp = target_dir.rstrip("/") + "._tmp_write"
     if os.path.exists(old):
         if not os.path.exists(target_dir):
             os.replace(old, target_dir)
         else:
-            import shutil
-
             shutil.rmtree(old)  # swap completed; leftover backup
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def _sweep_bucketed_table(target_dir: str) -> None:
+    """Crash-leftover sweep for a bucketed table: recover EVERY bucket
+    with a `._old` backup or stale `._tmp_write`, not just buckets the
+    current batch happens to touch.  Without this, a reader could keep
+    seeing a crashed bucket's stale state indefinitely (nothing else
+    would ever clean it if no later batch hashed into that bucket)."""
+    if not os.path.isdir(target_dir):
+        return
+    bases = set()
+    for name in os.listdir(target_dir):
+        if name.endswith("._old"):
+            bases.add(name[: -len("._old")])
+        elif name.endswith("._tmp_write"):
+            bases.add(name[: -len("._tmp_write")])
+    for b in bases:
+        _recover_dir(os.path.join(target_dir, b))
 
 
 def _swap_dir(tmp: str, target_dir: str) -> None:
@@ -219,12 +244,12 @@ def upsert_parquet_by_key_bucketed(
     # bucket-discovery collect — without it each action re-executes the
     # whole upstream batch plan (for a streaming batch that re-runs the
     # stateful dedup operator itself)
+    _sweep_bucketed_table(target_dir)  # recover ALL crashed buckets, not just touched
     batch = batch_df.dropDuplicates([key]).withColumn("bucket", bucket_of).persist()
     try:
         touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
         for b in touched:
             bdir = os.path.join(target_dir, f"bucket={b}")
-            _recover_dir(bdir)
             newb = batch.filter(F.col("bucket") == b).drop("bucket")
             if os.path.exists(bdir):
                 existing = spark.read.parquet(bdir)
@@ -242,10 +267,25 @@ def upsert_parquet_by_key_bucketed(
 
 def read_bucketed_table(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read a bucketed upsert target back as one table (the `bucket=`
-    partition column is pruned away)."""
-    return spark.read.option("basePath", target_dir).parquet(
-        os.path.join(target_dir, "bucket=*")
-    ).drop("bucket")
+    partition column is pruned away).
+
+    Reads ONLY directories named exactly `bucket=<digits>` — a bare
+    `bucket=*` glob would also match crash leftovers (`bucket=N._old`,
+    `bucket=N._tmp_write`) and silently show duplicate or stale rows.
+    The sweep first repairs any such leftovers table-wide."""
+    import re
+
+    _sweep_bucketed_table(target_dir)
+    bucket_dirs = [
+        os.path.join(target_dir, name)
+        for name in sorted(os.listdir(target_dir))
+        if re.fullmatch(r"bucket=\d+", name)
+    ]
+    if not bucket_dirs:
+        raise FileNotFoundError(f"no bucket=N directories under {target_dir}")
+    return (
+        spark.read.option("basePath", target_dir).parquet(*bucket_dirs).drop("bucket")
+    )
 
 
 def start_upsert_stream(

@@ -241,6 +241,42 @@ def test_bucketed_upsert_touches_only_affected_buckets(spark, tmp_path):
     assert len(untouched) >= 5  # 3 keys hit at most 3 of 8 buckets
 
 
+def test_bucketed_read_ignores_and_repairs_crash_leftovers(spark, tmp_path):
+    """A crash can leave `bucket=N._old` / `bucket=N._tmp_write` siblings
+    next to live bucket dirs (or a bucket present ONLY as `._old`, if the
+    swap died mid-rename).  Readers must never see those as data — a bare
+    `bucket=*` glob would — and opening the table must repair ALL of
+    them, not just buckets a later batch happens to touch."""
+    import os
+    import shutil
+
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        upsert_parquet_by_key_bucketed,
+    )
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(200)], "id string, v int")
+    upsert_parquet_by_key_bucketed(base, target, "id", n_buckets=8)
+    buckets = sorted(os.listdir(target))
+    assert len(buckets) == 8
+
+    # crash type 1: swap completed but backup never dropped -> stale dup rows
+    shutil.copytree(os.path.join(target, buckets[0]), os.path.join(target, buckets[0] + "._old"))
+    # crash type 2: tmp write finished (or not) but swap never ran
+    shutil.copytree(os.path.join(target, buckets[1]), os.path.join(target, buckets[1] + "._tmp_write"))
+    # crash type 3: live dir renamed aside, new dir never installed
+    os.replace(os.path.join(target, buckets[2]), os.path.join(target, buckets[2] + "._old"))
+
+    out = read_bucketed_table(spark, target)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert len(got) == 200  # no duplicates from ._old/._tmp_write, no lost bucket
+    assert got["k0"] == 0
+
+    # the sweep repaired the layout on disk, table-wide
+    names = sorted(os.listdir(target))
+    assert names == buckets  # ._old restored as live, leftovers removed
+
+
 def test_daily_counts_materialized_view_incremental(spark, tmp_path):
     """The streaming aggregate table must equal the batch recomputation
     after each incremental update."""
