@@ -18,10 +18,36 @@ as pure relational Spark:
 
 All constants come from the published VADER paper (Hutto & Gilbert,
 ICWSM 2014) and the MIT-licensed reference implementation's documented
-behavior.  Omitted relative to stock VADER (documented, not silent):
-multi-word special-case idioms ("the bomb", "bad ass", ...) and
-multi-word boosters ("sort of") — token-level scan only, which is also
-how single tokens reach stock VADER's booster dict.
+behavior.  Stock semantics implemented in full, including the obscure
+corners:
+
+- the stock tokenizer (whitespace split, ASCII punctuation stripped
+  from token edges, original token kept when the stripped form is <= 2
+  chars — the emoticon-preservation rule; pure-punctuation tokens stay
+  and occupy lag positions)
+- the "no" rules ("no" scores 0 before a lexicon word; a lexicon word
+  preceded by "no" at distance 1-2, or distance 3 over "or"/"nor",
+  is replaced by its raw valence * N_SCALAR)
+- the "never so/this" intensifiers — x1.5 at distance 2; at distance 3
+  stock's (quirky) operator precedence applies x1.25 whenever the word
+  directly before the hit is "so"/"this", "never" or not
+- the "without doubt" carve-outs at distances 2 and 3 (no negation)
+- multi-word special-case idioms (SPECIAL_CASES: "the bomb",
+  "kiss of death", ... — first match among the five lookback windows,
+  overridden by lookahead bigram/trigram matches, exactly stock's
+  check order inside the distance-3 iteration)
+- multi-word boosters (MULTIWORD_BOOSTERS: "kind of", "sort of",
+  "just enough" — added undamped, unsigned, again per stock)
+
+Deliberate divergences (documented, not silent):
+
+- the but-clause weights are applied POSITIONALLY; stock's
+  ``sentiments.index(sentiment)`` lookup-by-value misapplies the
+  multiplier when two tokens carry identical valence — we do not
+  replicate that bug
+- stock's SENTIMENT_LADEN_IDIOMS table ("cut the mustard", ...) is
+  dead code in the stock analyzer (defined, never invoked) and is
+  omitted here for the same reason
 
 Three execution paths, exact-value identical:
 
@@ -91,6 +117,24 @@ BOOSTERS_DECR = [
     "little", "marginally", "occasionally", "partly", "scarcely", "slightly",
     "somewhat", "sorta", "sortof", "sort-of",
 ]
+
+# Stock VADER's multi-word special cases: inside the distance-3
+# iteration, the five lookback n-grams are probed in order (first match
+# REPLACES the running valence), then the lookahead bigram/trigram
+# override it.  Single-token entries ("badass") are kept for parity;
+# they can never match a space-joined n-gram.
+SPECIAL_CASES: dict[str, float] = {
+    "the shit": 3.0, "the bomb": 3.0, "bad ass": 1.5, "badass": 1.5,
+    "bus stop": 0.0, "yeah right": -2.0, "kiss of death": -1.5,
+    "to die for": 3.0, "beating heart": 3.1, "broken heart": -2.9,
+}
+
+# Stock's space-containing booster entries, matched against the three
+# pure-lookback n-grams and ADDED raw (no distance damping, no sign
+# match, no caps bonus — that is stock behavior, not an omission).
+MULTIWORD_BOOSTERS: dict[str, float] = {
+    "just enough": B_DECR, "kind of": B_DECR, "sort of": B_DECR,
+}
 
 # Curated valence lexicon on the stock VADER [-4, 4] scale.  Values for
 # the overlap with functions/sentiment.py's legacy 40-word LEXICON are
@@ -217,12 +261,23 @@ def load_lexicon_file(path: str) -> dict[str, float]:
 
 # --- pure-Python scorer (the definition; pandas-UDF path wraps it) ---------
 
-_TOKEN_STRIP = re.compile(r"^[^A-Za-z0-9']+|[^A-Za-z0-9']+$")
+# string.punctuation as contiguous ASCII ranges (33-47, 58-64, 91-96,
+# 123-126) — shared verbatim by the Python, Spark and DuckDB tokenizers.
+PUNCT_EDGE_RE = r"^[!-/:-@\[-`{-~]+|[!-/:-@\[-`{-~]+$"
+_PUNCT_EDGE = re.compile(PUNCT_EDGE_RE)
+
+
+def _strip_punc_if_word(token: str) -> str:
+    """Stock tokenizer rule: strip ASCII punctuation from both edges;
+    if the stripped form has <= 2 chars, keep the ORIGINAL token (this
+    preserves emoticons like ":)" — and means 1-2 letter words keep any
+    trailing punctuation and miss the lexicon, exactly like stock)."""
+    stripped = _PUNCT_EDGE.sub("", token)
+    return token if len(stripped) <= 2 else stripped
 
 
 def _tokenize(text: str) -> list[str]:
-    toks = [_TOKEN_STRIP.sub("", t) for t in re.split(r"\s+", text or "")]
-    return [t for t in toks if t]
+    return [_strip_punc_if_word(t) for t in (text or "").split()]
 
 
 def _is_upper(tok: str) -> bool:
@@ -255,13 +310,43 @@ def _booster_scalar(
     return scalar * DAMP[dist]
 
 
+def _idioms_check_py(v: float, words: list[str], i: int) -> float:
+    """Stock _special_idioms_check, run inside the distance-3 iteration:
+    probe the five lookback n-grams in order (first SPECIAL_CASES match
+    replaces the valence), let the lookahead bigram then trigram
+    override, then add every MULTIWORD_BOOSTERS hit among the three
+    pure-lookback n-grams."""
+    onezero = f"{words[i - 1]} {words[i]}"
+    twoonezero = f"{words[i - 2]} {words[i - 1]} {words[i]}"
+    twoone = f"{words[i - 2]} {words[i - 1]}"
+    threetwoone = f"{words[i - 3]} {words[i - 2]} {words[i - 1]}"
+    threetwo = f"{words[i - 3]} {words[i - 2]}"
+    for seq in (onezero, twoonezero, twoone, threetwoone, threetwo):
+        if seq in SPECIAL_CASES:
+            v = SPECIAL_CASES[seq]
+            break
+    if len(words) - 1 > i:
+        zeroone = f"{words[i]} {words[i + 1]}"
+        if zeroone in SPECIAL_CASES:
+            v = SPECIAL_CASES[zeroone]
+    if len(words) - 1 > i + 1:
+        zeroonetwo = f"{words[i]} {words[i + 1]} {words[i + 2]}"
+        if zeroonetwo in SPECIAL_CASES:
+            v = SPECIAL_CASES[zeroonetwo]
+    for ngram in (threetwoone, threetwo, twoone):
+        if ngram in MULTIWORD_BOOSTERS:
+            v += MULTIWORD_BOOSTERS[ngram]
+    return v
+
+
 def score_vader_py(text: str, lexicon: dict[str, float] | None = None) -> float:
     """Reference scorer: identical arithmetic to the relational path."""
     lex = lexicon or VADER_LEXICON
     cased = _tokenize(text)
     words = [t.lower() for t in cased]
+    n = len(words)
     n_up = sum(1 for t in cased if _is_upper(t))
-    cap_diff = 0 < n_up < len(cased)
+    cap_diff = 0 < n_up < n
     but_idx = words.index("but") if "but" in words else None
 
     total = 0.0
@@ -269,6 +354,17 @@ def score_vader_py(text: str, lexicon: dict[str, float] | None = None) -> float:
         if w not in lex:
             continue
         v = lex[w]
+        # stock "no" rules: "no" before a lexicon word contributes 0
+        # itself; a hit preceded by "no" (distance 1-2, or 3 over
+        # or/nor) is REPLACED by its raw valence * N_SCALAR
+        if w == "no" and i + 1 < n and words[i + 1] in lex:
+            v = 0.0
+        if (
+            (i > 0 and words[i - 1] == "no")
+            or (i > 1 and words[i - 2] == "no")
+            or (i > 2 and words[i - 3] == "no" and words[i - 1] in ("or", "nor"))
+        ):
+            v = lex[w] * N_SCALAR
         if _is_upper(cased[i]) and cap_diff:
             v += C_INCR if v > 0 else -C_INCR
         for d in (1, 2, 3):
@@ -282,15 +378,24 @@ def score_vader_py(text: str, lexicon: dict[str, float] | None = None) -> float:
             elif d == 2:
                 if words[j] == "never" and words[i - 1] in ("so", "this"):
                     v *= 1.5
+                elif words[j] == "without" and words[i - 1] == "doubt":
+                    pass  # stock carve-out: no negation
                 elif _is_negator(words[j]):
                     v *= N_SCALAR
             else:
-                if words[j] == "never" and (
-                    words[i - 2] in ("so", "this") or words[i - 1] in ("so", "this")
-                ):
+                # stock's quirky precedence: 1.25 fires whenever the
+                # word directly before the hit is so/this, never or not
+                if (words[j] == "never" and words[i - 2] in ("so", "this")) or words[
+                    i - 1
+                ] in ("so", "this"):
                     v *= 1.25
+                elif words[j] == "without" and (
+                    words[i - 2] == "doubt" or words[i - 1] == "doubt"
+                ):
+                    pass  # stock carve-out: no negation
                 elif _is_negator(words[j]):
                     v *= N_SCALAR
+                v = _idioms_check_py(v, words, i)
         # least-check: "least good" flips, "at least good" / "very least" don't
         if i >= 1 and words[i - 1] == "least" and words[i - 1] not in lex:
             if i == 1 or words[i - 2] not in ("at", "very"):
@@ -310,7 +415,13 @@ def score_vader_py(text: str, lexicon: dict[str, float] | None = None) -> float:
         total += punct
     elif total < 0:
         total -= punct
-    return round(total / math.sqrt(total * total + ALPHA), 4)
+    norm = total / math.sqrt(total * total + ALPHA)
+    # HALF_UP on the shortest decimal repr — matches Spark F.round
+    # (BigDecimal.valueOf -> setScale HALF_UP); Python round() banker's
+    # rounding would diverge on exact 4th-decimal ties
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(norm)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
 
 
 def label_for(score: float) -> str:
@@ -349,18 +460,22 @@ def score_vader_relational(
     spark = df.sparkSession
     lex_df = F.broadcast(_lexicon_df(spark, lex))
 
+    stripped = F.regexp_replace("_raw", PUNCT_EDGE_RE, "")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")).alias(
             "_p0", "_raw"
         ),
-    ).select(
+    ).filter(F.col("_raw") != "").select(
         "_id",
         "_p0",
-        F.regexp_replace("_raw", r"^[^A-Za-z0-9']+|[^A-Za-z0-9']+$", "").alias(
+        # stock tokenizer: original token survives when the stripped
+        # form is <= 2 chars (emoticon preservation); pure-punctuation
+        # tokens are KEPT and occupy lag positions
+        F.when(F.length(stripped) <= 2, F.col("_raw")).otherwise(stripped).alias(
             "_cased"
         ),
-    ).filter(F.col("_cased") != "")
+    )
 
     doc_w = Window.partitionBy("_id")
     order_w = Window.partitionBy("_id").orderBy("_p0")
@@ -388,6 +503,8 @@ def score_vader_relational(
         *[F.lag("word", d).over(order_w).alias(f"_w{d}") for d in (1, 2, 3)],
         *[F.lag("_cased", d).over(order_w).alias(f"_c{d}") for d in (1, 2, 3)],
         *[F.lag("valence", d).over(order_w).alias(f"_v{d}") for d in (1, 2, 3)],
+        *[F.lead("word", d).over(order_w).alias(f"_wn{d}") for d in (1, 2)],
+        F.lead("valence", 1).over(order_w).alias("_vn1"),
     ).filter(F.col("valence").isNotNull())
 
     def up_col(c: Column) -> Column:
@@ -422,28 +539,99 @@ def score_vader_relational(
                     guard & (w == "never") & F.col("_w1").isin("so", "this"),
                     F.lit(1.5),
                 )
+                .when(  # stock carve-out: "without doubt" is not negated
+                    guard & (w == "without") & (F.col("_w1") == "doubt"),
+                    F.lit(1.0),
+                )
                 .when(guard & is_neg(w), F.lit(N_SCALAR))
                 .otherwise(F.lit(1.0))
             )
         return (
-            F.when(
+            F.when(  # stock's quirky precedence: _w1 in so/this alone fires 1.25
                 guard
-                & (w == "never")
-                & (F.col("_w2").isin("so", "this") | F.col("_w1").isin("so", "this")),
+                & (
+                    ((w == "never") & F.col("_w2").isin("so", "this"))
+                    | F.col("_w1").isin("so", "this")
+                ),
                 F.lit(1.25),
+            )
+            .when(
+                guard
+                & (w == "without")
+                & ((F.col("_w2") == "doubt") | (F.col("_w1") == "doubt")),
+                F.lit(1.0),
             )
             .when(guard & is_neg(w), F.lit(N_SCALAR))
             .otherwise(F.lit(1.0))
         )
 
+    # stock "no" rules (applied before caps and boosters): a hit
+    # preceded by "no" is replaced by raw valence * N_SCALAR; "no"
+    # itself scores 0 directly before another lexicon word
+    no_neg = (
+        (F.col("_w1") == "no")
+        | (F.col("_w2") == "no")
+        | ((F.col("_w3") == "no") & F.col("_w1").isin("or", "nor"))
+    )
+    no_zero = (F.col("word") == "no") & F.col("_vn1").isNotNull()
+    base_v = (
+        F.when(no_neg, F.col("valence") * F.lit(N_SCALAR))
+        .when(no_zero, F.lit(0.0))
+        .otherwise(F.col("valence"))
+    )
     caps_self = F.when(
         F.col("_up") & F.col("_capdiff"),
-        F.when(F.col("valence") > 0, F.lit(C_INCR)).otherwise(F.lit(-C_INCR)),
+        F.when(base_v > 0, F.lit(C_INCR)).otherwise(F.lit(-C_INCR)),
     ).otherwise(F.lit(0.0))
-    t = t.withColumn("_s1", F.col("valence") + caps_self)
+    t = t.withColumn("_s1", base_v + caps_self)
     t = t.withColumn("_s2", (F.col("_s1") + booster(1, F.col("_s1"))) * neg_mult(1))
     t = t.withColumn("_s3", (F.col("_s2") + booster(2, F.col("_s2"))) * neg_mult(2))
     t = t.withColumn("_s4", (F.col("_s3") + booster(3, F.col("_s3"))) * neg_mult(3))
+
+    # special idioms + multi-word boosters, gated exactly like stock:
+    # only when the distance-3 iteration runs (token exists, not in lex)
+    def _ngram(*cols: Column) -> Column:
+        out = cols[0]
+        for c in cols[1:]:
+            out = F.concat(out, F.lit(" "), c)  # F.concat nulls out whole n-gram
+        return out
+
+    def _case_lookup(c: Column, mapping: dict[str, float]) -> Column:
+        expr = None
+        for k, v in sorted(mapping.items()):
+            expr = (
+                F.when(c == k, F.lit(float(v)))
+                if expr is None
+                else expr.when(c == k, F.lit(float(v)))
+            )
+        return expr.otherwise(F.lit(None).cast("double"))
+
+    w0, w1, w2, w3 = (F.col(c) for c in ("word", "_w1", "_w2", "_w3"))
+    wn1, wn2 = F.col("_wn1"), F.col("_wn2")
+    onezero, twoonezero = _ngram(w1, w0), _ngram(w2, w1, w0)
+    twoone, threetwoone, threetwo = _ngram(w2, w1), _ngram(w3, w2, w1), _ngram(w3, w2)
+    zeroone, zeroonetwo = _ngram(w0, wn1), _ngram(w0, wn1, wn2)
+    idiom_val = F.coalesce(  # lookahead overrides; then stock's probe order
+        _case_lookup(zeroonetwo, SPECIAL_CASES),
+        _case_lookup(zeroone, SPECIAL_CASES),
+        _case_lookup(onezero, SPECIAL_CASES),
+        _case_lookup(twoonezero, SPECIAL_CASES),
+        _case_lookup(twoone, SPECIAL_CASES),
+        _case_lookup(threetwoone, SPECIAL_CASES),
+        _case_lookup(threetwo, SPECIAL_CASES),
+    )
+    mwb_sum = (
+        F.coalesce(_case_lookup(threetwoone, MULTIWORD_BOOSTERS), F.lit(0.0))
+        + F.coalesce(_case_lookup(threetwo, MULTIWORD_BOOSTERS), F.lit(0.0))
+        + F.coalesce(_case_lookup(twoone, MULTIWORD_BOOSTERS), F.lit(0.0))
+    )
+    guard3 = F.col("_v3").isNull() & F.col("_w3").isNotNull()
+    t = t.withColumn(
+        "_s4i",
+        F.when(guard3, F.coalesce(idiom_val, F.col("_s4")) + mwb_sum).otherwise(
+            F.col("_s4")
+        ),
+    )
     least = F.when(
         (F.col("_w1") == "least")
         & F.col("_v1").isNull()
@@ -453,7 +641,7 @@ def score_vader_relational(
         ),
         F.lit(N_SCALAR),
     ).otherwise(F.lit(1.0))
-    t = t.withColumn("_s5", F.col("_s4") * least)
+    t = t.withColumn("_s5", F.col("_s4i") * least)
     but_mult = (
         F.when(F.col("_butp").isNotNull() & (F.col("_p0") < F.col("_butp")), 0.5)
         .when(F.col("_butp").isNotNull() & (F.col("_p0") > F.col("_butp")), 1.5)
@@ -549,12 +737,48 @@ def vader_oracle_sql(
                THEN {N_SCALAR} ELSE 1.0 END"""
     neg2 = f"""CASE WHEN _v2 IS NULL AND _w2 IS NOT NULL
                     AND _w2 = 'never' AND _w1 IN ('so','this') THEN 1.5
+               WHEN _v2 IS NULL AND _w2 IS NOT NULL
+                    AND _w2 = 'without' AND _w1 = 'doubt' THEN 1.0
                WHEN _v2 IS NULL AND _w2 IS NOT NULL AND {isneg('_w2')}
                THEN {N_SCALAR} ELSE 1.0 END"""
-    neg3 = f"""CASE WHEN _v3 IS NULL AND _w3 IS NOT NULL AND _w3 = 'never'
-                    AND (_w2 IN ('so','this') OR _w1 IN ('so','this')) THEN 1.25
+    neg3 = f"""CASE WHEN _v3 IS NULL AND _w3 IS NOT NULL
+                    AND ((_w3 = 'never' AND _w2 IN ('so','this'))
+                         OR _w1 IN ('so','this')) THEN 1.25
+               WHEN _v3 IS NULL AND _w3 IS NOT NULL AND _w3 = 'without'
+                    AND (_w2 = 'doubt' OR _w1 = 'doubt') THEN 1.0
                WHEN _v3 IS NULL AND _w3 IS NOT NULL AND {isneg('_w3')}
                THEN {N_SCALAR} ELSE 1.0 END"""
+
+    def case_map(expr: str, mapping: dict[str, float]) -> str:
+        whens = " ".join(
+            f"WHEN ({expr}) = '{k}' THEN {float(v)}" for k, v in sorted(mapping.items())
+        )
+        return f"CASE {whens} ELSE NULL END"
+
+    onezero = "(_w1 || ' ' || word)"
+    twoonezero = "(_w2 || ' ' || _w1 || ' ' || word)"
+    twoone = "(_w2 || ' ' || _w1)"
+    threetwoone = "(_w3 || ' ' || _w2 || ' ' || _w1)"
+    threetwo = "(_w3 || ' ' || _w2)"
+    zeroone = "(word || ' ' || _wn1)"
+    zeroonetwo = "(word || ' ' || _wn1 || ' ' || _wn2)"
+    idiom_val = (
+        "COALESCE("
+        + ", ".join(
+            case_map(s, SPECIAL_CASES)
+            for s in (
+                zeroonetwo, zeroone, onezero, twoonezero,
+                twoone, threetwoone, threetwo,
+            )
+        )
+        + ")"
+    )
+    mwb_sum = " + ".join(
+        f"COALESCE({case_map(s, MULTIWORD_BOOSTERS)}, 0.0)"
+        for s in (threetwoone, threetwo, twoone)
+    )
+
+    edge = r"^[!-/:-@\[-`{-~]+|[!-/:-@\[-`{-~]+$"
 
     return f"""
     WITH _lex(word, valence) AS (VALUES {lex_rows}),
@@ -567,14 +791,15 @@ def vader_oracle_sql(
     ),
     _tok AS (
       SELECT _id, _p0,
-             regexp_replace(_raw, '^[^A-Za-z0-9'']+|[^A-Za-z0-9'']+$', '', 'g')
-               AS _cased
-      FROM _tok0
+             CASE WHEN length(regexp_replace(_raw, '{edge}', '', 'g')) <= 2
+                  THEN _raw
+                  ELSE regexp_replace(_raw, '{edge}', '', 'g') END AS _cased
+      FROM _tok0 WHERE _raw <> ''
     ),
     _t1 AS (
       SELECT _id, _p0, _cased, lower(_cased) AS word,
              {up.format(c='_cased')} AS _up
-      FROM _tok WHERE _cased <> ''
+      FROM _tok
     ),
     _t2 AS (
       SELECT t.*, l.valence,
@@ -592,29 +817,47 @@ def vader_oracle_sql(
              lag(_cased, 3) OVER (PARTITION BY _id ORDER BY _p0) AS _c3,
              lag(l.valence, 1) OVER (PARTITION BY _id ORDER BY _p0) AS _v1,
              lag(l.valence, 2) OVER (PARTITION BY _id ORDER BY _p0) AS _v2,
-             lag(l.valence, 3) OVER (PARTITION BY _id ORDER BY _p0) AS _v3
+             lag(l.valence, 3) OVER (PARTITION BY _id ORDER BY _p0) AS _v3,
+             lead(lower(_cased), 1) OVER (PARTITION BY _id ORDER BY _p0) AS _wn1,
+             lead(lower(_cased), 2) OVER (PARTITION BY _id ORDER BY _p0) AS _wn2,
+             lead(l.valence, 1) OVER (PARTITION BY _id ORDER BY _p0) AS _vn1
       FROM _t1 t LEFT JOIN _lex l USING (word)
     ),
     _t3 AS (
       SELECT *, (_nup > 0 AND _nup < _ntok) AS _capdiff,
-             valence + CASE WHEN _up AND (_nup > 0 AND _nup < _ntok)
-                            THEN CASE WHEN valence > 0 THEN {C_INCR}
-                                      ELSE -{C_INCR} END
-                            ELSE 0 END AS _s1
+             (CASE WHEN (_w1 = 'no') OR (_w2 = 'no')
+                        OR (_w3 = 'no' AND _w1 IN ('or','nor'))
+                   THEN valence * {N_SCALAR}
+                   WHEN word = 'no' AND _vn1 IS NOT NULL THEN 0.0
+                   ELSE valence END) AS _vb
       FROM _t2 WHERE valence IS NOT NULL
     ),
-    _t4 AS (SELECT *, (_s1 + ({booster_sql(1, '_s1')})) * ({neg1}) AS _s2 FROM _t3),
+    _t3b AS (
+      SELECT *, _vb + CASE WHEN _up AND _capdiff
+                           THEN CASE WHEN _vb > 0 THEN {C_INCR}
+                                     ELSE -{C_INCR} END
+                           ELSE 0 END AS _s1
+      FROM _t3
+    ),
+    _t4 AS (SELECT *, (_s1 + ({booster_sql(1, '_s1')})) * ({neg1}) AS _s2 FROM _t3b),
     _t5 AS (SELECT *, (_s2 + ({booster_sql(2, '_s2')})) * ({neg2}) AS _s3 FROM _t4),
     _t6 AS (SELECT *, (_s3 + ({booster_sql(3, '_s3')})) * ({neg3}) AS _s4 FROM _t5),
+    _t6b AS (
+      SELECT *,
+        CASE WHEN _v3 IS NULL AND _w3 IS NOT NULL
+             THEN COALESCE({idiom_val}, _s4) + {mwb_sum}
+             ELSE _s4 END AS _s4i
+      FROM _t6
+    ),
     _t7 AS (
       SELECT *,
-        _s4 * (CASE WHEN _w1 = 'least' AND _v1 IS NULL
+        _s4i * (CASE WHEN _w1 = 'least' AND _v1 IS NULL
                          AND (_pos = 2 OR COALESCE(_w2 NOT IN ('at','very'), TRUE))
                     THEN {N_SCALAR} ELSE 1.0 END)
             * (CASE WHEN _butp IS NOT NULL AND _p0 < _butp THEN 0.5
                     WHEN _butp IS NOT NULL AND _p0 > _butp THEN 1.5
                     ELSE 1.0 END) AS _s6
-      FROM _t6
+      FROM _t6b
     ),
     _sums AS (SELECT _id, SUM(_s6) AS _x FROM _t7 GROUP BY _id),
     _docs AS (

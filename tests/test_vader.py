@@ -29,6 +29,19 @@ CASES = [
     "kinda slow but absolutely amazing!!", "", "   ",
     "no sentiment here at all", "wasn't very good",
     "utterly broken and totally useless",
+    # stock "no" rules
+    "no good", "no fun or good options here", "there is no hope left",
+    # multi-word boosters (undamped, unsigned adds)
+    "it was sort of good", "it was kind of nice", "it was just enough good",
+    # special-case idioms: lookback + lookahead windows
+    "it was the kiss of death", "she has a broken heart",
+    "what a tragedy the kiss of death came", "this film is the bomb honestly",
+    "it was a bad ass show",
+    # quirky distance-3 precedence + without-doubt carve-outs
+    "tell me is this good", "this was never so good",
+    "it was without doubt excellent", "without doubt excellent",
+    # stock tokenizer: short tokens keep punctuation, punct tokens persist
+    "me! you! us! great", "ok! fine", "wow , not , good", ":) :( happy",
 ]
 
 
@@ -43,6 +56,23 @@ CASES = [
         ("least good thing", -0.3412),  # bare "least" flips
         ("", 0.0),
         ("no sentiment here at all", 0.0),
+        # stock "no" rules: replacement by raw valence * N_SCALAR
+        ("no good", -0.3412),  # same as "not good" in stock
+        ("no fun or good options here", -0.6259),  # "no ... or/nor" distance-3 path
+        # multi-word boosters added raw inside the distance-3 iteration
+        ("it was sort of good", 0.3832),  # 1.9 - 0.293
+        ("it was just enough good", 0.3832),
+        # special-case idioms replace the valence
+        ("it was the kiss of death", -0.3612),  # "kiss of death" -> -1.5
+        ("she has a broken heart", -0.5994),  # lookahead "broken heart" -> -2.9
+        # stock's quirky distance-3 precedence: "this/so" right before the
+        # hit fires 1.25 with no "never" anywhere
+        ("tell me is this good", 0.5228),
+        ("this was never so good", 0.7279),  # 1.9 +0.293, x1.5, x1.25
+        # "without doubt" carve-out: no negation ("doubt" itself still flips)
+        ("without doubt excellent", 0.6796),
+        # stock tokenizer: "me!" keeps its punctuation (stripped form <= 2)
+        ("me! you! us! great", 0.7163),
     ],
 )
 def test_pinned_cases(text, expected):
