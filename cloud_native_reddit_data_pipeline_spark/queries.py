@@ -533,15 +533,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-# Exact n-gram (3-word shingle) Jaccard over intersecting pairs.
+# Exact n-gram (3-word shingle) Jaccard over intersecting pairs.  The
+# df-cap (shingles in > 1000 docs excluded from the similarity universe)
+# mirrors dedup.jaccard_pairs' hot-shingle bound; at this sf no shingle
+# reaches the cap, so the filtered metric equals the plain one.
 @register(
     "ngram_jaccard_pairs",
     f"""
-    WITH {_SHINGLE_SQL}, sizes AS (
-      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    WITH {_SHINGLE_SQL}, kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+    ), shk AS (
+      SELECT sh.* FROM sh JOIN kept USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM shk GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,

@@ -53,6 +53,32 @@ def test_jaccard_exact_values(spark):
     assert 0.3 < pairs[(1, 3)] < 1.0
 
 
+def test_jaccard_hot_shingle_df_cap_bounds_pairs(spark):
+    """A boilerplate shingle shared by EVERY doc makes the shared-shingle
+    self-join quadratic; the df-cap must drop it from the similarity
+    universe so only genuinely-similar pairs survive, with bounded pair
+    counts.  Uncapped, the same corpus forms every cross pair."""
+    boiler = "subscribe to our newsletter for more great content daily"
+    docs = [(i, f"{boiler} unique{i} filler{i} words{i} tail{i}") for i in range(40)]
+    docs += [(100, f"{boiler} unique7 filler7 words7 tail7")]  # true dup of 7
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    capped = dedup.jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, max_shingle_df=10
+    ).collect()
+    # boilerplate shingles have df=41 > 10 -> excluded; only the true
+    # dup pair shares any KEPT shingle at all
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(7, 100)}
+    assert capped[0]["jaccard"] == 1.0  # filtered sets are identical
+
+    # uncapped at a threshold under the boilerplate floor (7 shared of 15
+    # union = 0.467): every cross pair materializes — the quadratic blowup
+    uncapped = dedup.jaccard_pairs(
+        df, "doc_id", "text", threshold=0.4, max_shingle_df=None
+    )
+    assert uncapped.count() == 41 * 40 // 2  # all C(41,2) pairs
+
+
 def test_simhash_hamming_ranks_similarity(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark), "doc_id", "text").collect()}
     assert sigs[1] == sigs[2]
