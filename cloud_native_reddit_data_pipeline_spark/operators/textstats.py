@@ -210,3 +210,61 @@ def ranked_keyword_search(
         )
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def ranked_keyword_search_bm25(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked full-text search — the actual scoring curve behind ES
+    `multi_match` (redditProcessor.py:67-75), vs `ranked_keyword_search`'s
+    TF-IDF: term-frequency saturation (k1) and document-length
+    normalization (b) with the Lucene idf, ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Same 100-TB shape as the TF-IDF form — keyword filter before any
+    shuffle, tiny df/avgdl aggregates broadcast back, TakeOrderedAndProject
+    top-k — plus one narrow projection for per-document length (token
+    array size, no explode/shuffle) whose corpus mean feeds the length
+    normalization."""
+    kws = sorted({w.lower() for w in keywords})
+    lens = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    stats = lens.select(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .select(id_col, F.lower(F.col("_t")).alias("term"))
+        .filter(F.col("term").isin(kws))
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        hits.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_hits"),
+            F.round(F.sum(idf * tf_sat), 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -385,6 +385,49 @@ def ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 (k1=1.2, b=0.75, Lucene idf) — the scoring curve ES multi_match
+# actually applies; term-frequency saturation + document-length
+# normalization on top of ranked_search's plan shape.
+@register(
+    "ranked_search_bm25",
+    f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS _n, AVG(dl) AS _avgdl FROM lens),
+    hits AS (
+      SELECT doc_id, lower(term) AS term FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS term
+        FROM documents
+      ) WHERE lower(term) IN ({', '.join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))})
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits,
+             ROUND(SUM(
+               ln(1.0 + (_n - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / _avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_hits, score FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def ranked_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.ranked_keyword_search_bm25(
+        docs, "doc_id", "text", _SEARCH_KEYWORDS, k=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (north-star): exact, fingerprint, MinHash+LSH, Jaccard,
 # SimHash, embedding-cosine near-dup.

@@ -133,3 +133,13 @@ def test_ranked_search_topk_heap_and_broadcasts(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ranked_search_bm25_same_scale_shape(spark):
+    """BM25 keeps the TF-IDF form's scale shape: heap top-k, broadcast
+    df/avgdl sides; the extra per-doc length is a narrow projection."""
+    df = registry.queries()["ranked_search_bm25"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

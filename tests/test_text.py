@@ -70,3 +70,31 @@ def test_fingerprint_order_invariant(spark):
     fps = [r["fp"] for r in df.select(fingerprint("t").alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_bm25_saturation_and_length_normalization(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        ranked_keyword_search_bm25,
+    )
+
+    pad = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "spark " + pad),                      # 1 hit, 21 tokens
+            (2, " ".join(["spark"] * 10) + " " + pad),  # 10 hits, 30 tokens
+            (3, "spark spark " + pad),                # 2 hits, 22 tokens
+            (4, "spark"),                             # 1 hit, 1 token (short doc)
+            (5, pad),                                 # no hits
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ranked_keyword_search_bm25(df, "doc_id", "text", ["spark"]).collect()
+    }
+    assert 5 not in got  # no hit, no row
+    # saturation: 10x the term frequency is nowhere near 10x the score
+    assert got[2] > got[3] > got[1]
+    assert got[2] < 3 * got[1]
+    # length normalization: same tf, shorter doc scores higher
+    assert got[4] > got[1]
