@@ -98,6 +98,28 @@ def test_exact_dedup_keep_first_deterministic(spark):
     assert got == {(1, "a"), (2, "z")}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 129-node path graph needs 128 rounds under min-label
+    propagation; large-star/small-star must finish (no non-convergence
+    warning, exact labels) within ceil(log2 n) + 2 rounds."""
+    import math
+    import warnings
+
+    n = 129
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    budget = math.ceil(math.log2(n)) + 2
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r["node"]: r["label"]
+            for r in dedup.connected_components(pairs, max_iter=budget).collect()
+        }
+    assert not [w for w in caught if "connected_components" in str(w.message)]
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_connected_components_chain_cycle_pair(spark):
     # chain 1-2-3-4, triangle 10-11-12 (cycle), isolated pair 20-21
     pairs = spark.createDataFrame(
