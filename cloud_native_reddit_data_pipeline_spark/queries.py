@@ -882,7 +882,8 @@ def _neardup_bucket_sql(planes: list[list[float]]) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
-_NEARDUP_PLANES_N = 4
+_NEARDUP_PLANES_N = 12
+_NEARDUP_BANDS = 3
 _NEARDUP_THRESHOLD = 0.3
 
 
@@ -890,16 +891,21 @@ def _neardup_oracle() -> str:
     from .functions.vectors import make_planes
 
     planes = make_planes(64, _NEARDUP_PLANES_N)
-    bucket = _neardup_bucket_sql(planes)
+    rpb = _NEARDUP_PLANES_N // _NEARDUP_BANDS
+    band_cols = ", ".join(
+        f"{_neardup_bucket_sql(planes[b * rpb:(b + 1) * rpb])} AS b{b}"
+        for b in range(_NEARDUP_BANDS)
+    )
+    any_band = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_NEARDUP_BANDS))
     return f"""
     WITH keyed AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {band_cols}
       FROM embeddings
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
     FROM keyed a JOIN keyed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ON a.vec_id < b.vec_id AND ({any_band})
     WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_NEARDUP_THRESHOLD}
     """
 
@@ -910,6 +916,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"),
         threshold=_NEARDUP_THRESHOLD,
         n_planes=_NEARDUP_PLANES_N,
+        bands=_NEARDUP_BANDS,
     )
 
 

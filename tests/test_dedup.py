@@ -98,6 +98,48 @@ def test_exact_dedup_keep_first_deterministic(spark):
     assert got == {(1, "a"), (2, "z")}
 
 
+def test_embedding_neardup_banded_recall_vs_brute_force(spark):
+    """Banded hyperplane LSH (OR across bands) must recover nearly all
+    planted near-dup pairs that a single all-bits bucket can miss on a
+    one-plane disagreement.  Deterministic: seeded data, LCG planes."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n_base = 16, 30
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_base)]
+    rows = [(i, [round(x, 4) for x in v]) for i, v in enumerate(base)]
+    # plant a jittered near-dup of each of the first 12 vectors
+    for i in range(12):
+        rows.append(
+            (100 + i, [round(x + rng.gauss(0, 0.02), 4) for x in base[i]])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    vecs = dict(rows)
+    truth = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[i], vecs[j]) >= 0.9
+    }
+    assert len(truth) >= 12  # the planted pairs are in the ground truth
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(
+            df, threshold=0.9, n_planes=12, bands=3
+        ).collect()
+    }
+    assert got <= truth  # exact cosine verify: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9
+
+
 def test_connected_components_long_chain_log_rounds(spark):
     """A 129-node path graph needs 128 rounds under min-label
     propagation; large-star/small-star must finish (no non-convergence
