@@ -51,6 +51,67 @@ HEADLINE = [
 ]
 
 
+def bench_streaming_ingest_upsert(spark) -> tuple[float, int]:
+    """End-to-end streaming path: JSON queue batches -> explicit-schema
+    parse -> stateful dedup -> bucketed idempotent upsert, drained with
+    availableNow (deterministic: fixed synthetic batches, ~10% redelivered
+    ids so the dedup + upsert merge paths both do real work).  Returns
+    (wall seconds, final table rows)."""
+    import shutil
+    import tempfile
+
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        ingest_posts_stream,
+        read_bucketed_table,
+        start_upsert_stream,
+        write_queue_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cnrdp-bench-stream-")
+    try:
+        queue = os.path.join(tmp, "queue")
+        target = os.path.join(tmp, "table")
+        ckpt = os.path.join(tmp, "ckpt")
+        n_batches, per = 24, 500
+        distinct = int(n_batches * per * 0.9)  # ~10% duplicate ids
+        for b in range(n_batches):
+            docs = [
+                {
+                    "author": f"user{(b * per + i) % 97}",
+                    "created_utc": "2024-01-01T00:00:00Z",
+                    "id": f"p{(b * per + i) % distinct}",
+                    "num_comments": i % 7,
+                    "score": i % 100,
+                    "selftext": "body text for the streaming benchmark row",
+                    "subreddit": "sydney",
+                    "title": f"post {b}-{i}",
+                    "url": None,
+                }
+                for i in range(per)
+            ]
+            write_queue_batch(queue, "rharvest", [json.dumps(docs)])
+        # Size shuffle/state partitions to the micro-batch, not the batch
+        # corpus: a 12k-row trigger with 32 state-store partitions pays
+        # pure task + state-maintenance overhead (measured 2x wall).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            t0 = time.perf_counter()
+            q = start_upsert_stream(
+                ingest_posts_stream(spark, queue), target, ckpt, key="id",
+                available_now=True,
+            )
+            q.awaitTermination(600)
+            dt = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        n = read_bucketed_table(spark, target).count()
+        assert n == distinct, f"streaming bench expected {distinct} rows, got {n}"
+        return dt, n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -79,6 +140,16 @@ def main() -> None:
         # Release intra-query persist() caches — leaked storage memory
         # otherwise degrades later queries (measured: 3x on the last ones).
         spark.catalog.clearCache()
+
+    # One end-to-end streaming row so ingest/upsert regressions surface
+    # in BENCH, not only in pytest.
+    t_stream, n_stream = bench_streaming_ingest_upsert(spark)
+    timings["streaming_ingest_upsert"] = round(t_stream, 3)
+    print(
+        f"# streaming_ingest_upsert: {timings['streaming_ingest_upsert']}s "
+        f"({n_stream} rows upserted, {n_stream / t_stream:.0f} rows/s)",
+        file=sys.stderr,
+    )
     total = round(time.perf_counter() - t_all, 3)
 
     print(
