@@ -102,14 +102,21 @@ def with_global_row_numbers(
     could shift rows across partitions and corrupt the numbering); the
     caller receives a localCheckpoint()ed result and the pin is
     released before returning.  `order` must be a TOTAL order for the
-    numbering to be deterministic."""
+    numbering to be deterministic.
+
+    ``checkpoint=False`` exposes the LAZY plan for audits and skips the
+    persist entirely — the caller owns pinning; executing that plan can
+    renumber rows if the sampled range shuffle recomputes between the
+    offset pass and the numbering pass.  (Persisting here without a
+    release handle would leak the pin for the session lifetime.)"""
     spark = df.sparkSession
     srt = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
+    if checkpoint:
+        srt = srt.persist()
     try:
         counts = sorted(
             (r["_pid"], r["cnt"])

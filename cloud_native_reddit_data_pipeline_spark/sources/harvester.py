@@ -111,7 +111,19 @@ class SubredditHarvester:
             if submission.id in self.seen:  # SISMEMBER, harvester:41
                 continue
             new_posts.append(post_doc(submission))
-            for comment in submission.comments:
+            # The reference flattens the FULL comment tree:
+            # comments.replace_more(limit=None) then comments.list()
+            # (reddit_harvester_sydney.py:60-63).  Mirror that when the
+            # injected client exposes the PRAW CommentForest API; plain
+            # iterables (tests, pre-flattened feeds) are used as-is and
+            # must already be flat.
+            forest = submission.comments
+            if hasattr(forest, "replace_more") and hasattr(forest, "list"):
+                forest.replace_more(limit=None)
+                comments = forest.list()
+            else:
+                comments = forest
+            for comment in comments:
                 new_comments.append(comment_doc(submission, comment))
             self.seen.add(submission.id)  # SADD, harvester:79
             count += 1

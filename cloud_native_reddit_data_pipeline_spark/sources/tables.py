@@ -48,16 +48,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parse_bytes(s: str, default: int = 128 * 1024 * 1024) -> int:
+    try:
+        s = s.strip().lower()
+        for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                             ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                             ("b", 1)):
+            if s.endswith(suffix):
+                return int(float(s[: -len(suffix)]) * mult)
+        return int(s)
+    except (ValueError, AttributeError):
+        return default
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread a compute-heavy input across the cluster.
 
     Small tables often arrive as one unsplittable parquet row group, so a
     narrow explode/hash stage would run on ONE core.  Round-robin
-    repartition to default parallelism fixes that; gated on the actual
-    partition count so it is a NO-OP at scale (a 100 TB input already
-    has thousands of splits — no extra shuffle is added there)."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    repartition to default parallelism fixes that; gated on the SPLIT
+    ESTIMATE max(n_files, size/maxPartitionBytes) — file metadata from
+    the analyzed plan, never `.rdd` (which would force full physical
+    planning per call) — so it is a NO-OP at scale (a 100 TB input
+    already has thousands of splits; no extra shuffle is added)."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 0
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est_splits = max(len(files), size // max_bytes)
+    if est_splits < target:
         return df.repartition(target)
     return df
 

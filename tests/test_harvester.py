@@ -69,6 +69,42 @@ def test_harvest_once_shapes_docs_and_batches(tmp_path):
     assert batch[0]["subreddit"] == "sydney"
 
 
+def test_harvest_flattens_praw_comment_forest(tmp_path):
+    """A PRAW-shaped CommentForest (replace_more + list) must be fully
+    flattened like the reference (reddit_harvester_sydney.py:60-63) —
+    nested replies included, MoreComments resolved first."""
+    from cloud_native_reddit_data_pipeline_spark.sources.harvester import (
+        SubredditHarvester,
+    )
+
+    class FakeForest:
+        def __init__(self, flat):
+            self._flat = flat
+            self.replace_more_calls = []
+
+        def replace_more(self, limit):
+            self.replace_more_calls.append(limit)
+
+        def list(self):
+            return list(self._flat)
+
+        def __iter__(self):  # top-level-only iteration must NOT be used
+            raise AssertionError("adapter iterated the forest directly")
+
+    epoch = 1704067200
+    flat = [
+        SimpleNamespace(id=f"c{j}", body=f"c {j}", created_utc=epoch + j, score=j)
+        for j in range(5)  # includes nested replies a plain iter would miss
+    ]
+    sub = _submission(0, n_comments=0)
+    forest = FakeForest(flat)
+    sub.comments = forest
+    h = SubredditHarvester(FakeClient([sub]), str(tmp_path / "q"), batch_size=10)
+    counts = h.harvest_once()
+    assert counts == {"posts": 1, "comments": 5}
+    assert forest.replace_more_calls == [None]  # replace_more(limit=None)
+
+
 def test_harvest_seen_set_and_batch_cap(tmp_path):
     from cloud_native_reddit_data_pipeline_spark.sources.harvester import (
         SubredditHarvester,
