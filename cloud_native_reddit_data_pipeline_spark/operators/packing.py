@@ -89,3 +89,44 @@ def pack_sequences_global(
         "n_tok",
         F.floor((cum - F.col("n_tok")) / F.lit(budget)).alias("pack_id"),
     )
+
+
+def chunk_fixed_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-length sequence chunking — the complement of packing:
+    split each document's token stream into consecutive `seq_len`-token
+    chunks (final chunk short; `n_pad` is what a trainer would pad).
+
+    Entirely array expressions inside one narrow projection — sequence +
+    slice over the token array, no explode-then-window, no shuffle at
+    ANY corpus size; the explode emits finished chunks only.  The 100-TB
+    plan is scan -> map, embarrassingly parallel."""
+    from ..functions.text import tokens
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(seq_len))).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(toks, i * seq_len + 1, seq_len).alias("t"),
+            ),
+        )
+    )
+    return (
+        docs.filter(n > 0)
+        .select(F.col(id_col), chunk.alias("ck"))
+        .select(
+            id_col,
+            F.col("ck.chunk_id").alias("chunk_id"),
+            F.size("ck.t").alias("n_chunk_tokens"),
+            (F.lit(seq_len) - F.size("ck.t")).alias("n_pad"),
+            F.array_join("ck.t", " ").alias("chunk_text"),
+        )
+    )

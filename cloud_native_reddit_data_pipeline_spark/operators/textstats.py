@@ -212,6 +212,71 @@ def ranked_keyword_search(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality measures for training-data filtering
+    (the Gopher/MassiveText repetition filters): duplicate-line
+    fraction, most-frequent-bigram fraction, duplicate-trigram
+    fraction.  High values mark boilerplate/template/spam documents
+    that survive length and stopword heuristics.
+
+    Scale shape: line stats are pure array expressions (narrow map);
+    the 2- and 3-gram stats share ONE explode and two groupBys keyed on
+    the same doc id (the n-grams travel tagged by n, so no second pass
+    over the text), and the final join is doc-id-keyed like everything
+    else — AQE coalesces the exchanges."""
+    from ..functions.text import word_shingles
+    from ..sources.tables import fan_out
+
+    df = fan_out(df)
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+        lambda x: F.trim(x) != "",
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("_uniq_lines"),
+    )
+    tag = lambda n: F.transform(  # noqa: E731
+        word_shingles(text_col, n),
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(F.concat(tag(2), tag(3))).alias("ng")
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    per = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    two, three = F.col("n") == 2, F.col("n") == 3
+    ag = per.groupBy(id_col).agg(
+        F.sum(F.when(two, F.col("c"))).alias("_tot2"),
+        F.max(F.when(two, F.col("c"))).alias("_top2"),
+        F.sum(F.when(three, F.col("c"))).alias("_tot3"),
+        F.count(F.when(three, F.lit(1))).alias("_uniq3"),
+    )
+
+    def frac(num, den):
+        # +1e-9: integer quotients can land exactly on .xxxx5 round
+        # boundaries where engine round semantics differ (see
+        # quality_cols); the epsilon shifts both engines identically
+        return F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)) + F.lit(1e-9), 4
+        )
+
+    return base.join(ag, id_col, "left").select(
+        id_col,
+        "n_lines",
+        frac(F.col("n_lines") - F.col("_uniq_lines"), F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.coalesce("_top2", F.lit(0)), F.coalesce("_tot2", F.lit(0))).alias(
+            "top_bigram_frac"
+        ),
+        frac(
+            F.coalesce("_tot3", F.lit(0)) - F.coalesce("_uniq3", F.lit(0)),
+            F.coalesce("_tot3", F.lit(0)),
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def ranked_keyword_search_bm25(
     df: DataFrame,
     id_col: str,

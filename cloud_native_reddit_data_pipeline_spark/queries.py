@@ -642,6 +642,52 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Gopher/MassiveText-style repetition filters: duplicate-line fraction,
+# most-frequent-bigram fraction, duplicate-trigram fraction.
+@register(
+    "repetition_stats",
+    f"""
+    WITH lines AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\n'),
+                             x -> trim(x) <> '')) AS n_lines,
+             len(list_distinct(list_filter(
+                 regexp_split_to_array(COALESCE(text, ''), '\\n'),
+                 x -> trim(x) <> ''))) AS n_uniq_lines
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                           i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    p2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    p3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    a2 AS (SELECT doc_id, SUM(c) AS tot2, MAX(c) AS top2 FROM p2 GROUP BY doc_id),
+    a3 AS (SELECT doc_id, SUM(c) AS tot3, COUNT(*) AS uniq3 FROM p3 GROUP BY doc_id)
+    SELECT l.doc_id, l.n_lines,
+           ROUND((CASE WHEN l.n_lines > 0
+                       THEN (l.n_lines - l.n_uniq_lines) / l.n_lines
+                       ELSE 0.0 END) + 1e-9, 4) AS dup_line_frac,
+           ROUND((CASE WHEN COALESCE(tot2, 0) > 0 THEN top2 / tot2
+                       ELSE 0.0 END) + 1e-9, 4) AS top_bigram_frac,
+           ROUND((CASE WHEN COALESCE(tot3, 0) > 0 THEN (tot3 - uniq3) / tot3
+                       ELSE 0.0 END) + 1e-9, 4) AS dup_trigram_frac
+    FROM lines l LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 _EN_LIST = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
 
 
@@ -1321,6 +1367,39 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return packing.pack_sequences_global(
         packing.with_token_counts(docs), _PACK_BUDGET
+    )
+
+
+_CHUNK_LEN = 64
+
+
+# Fixed-length training-sequence chunking (the complement of packing):
+# pure array expressions, one narrow projection, zero shuffles.
+@register(
+    "sequence_chunking",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0, CAST(ceil(len(t) / {float(_CHUNK_LEN)}) AS INT) - 1)) AS chunk_id
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           len(t[chunk_id * {_CHUNK_LEN} + 1 : (chunk_id + 1) * {_CHUNK_LEN}])
+             AS n_chunk_tokens,
+           {_CHUNK_LEN} - len(t[chunk_id * {_CHUNK_LEN} + 1 :
+                                (chunk_id + 1) * {_CHUNK_LEN}]) AS n_pad,
+           array_to_string(
+             t[chunk_id * {_CHUNK_LEN} + 1 : (chunk_id + 1) * {_CHUNK_LEN}], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.chunk_fixed_sequences(
+        load(spark, sf_dir, "documents"), _CHUNK_LEN
     )
 
 

@@ -98,3 +98,54 @@ def test_bm25_saturation_and_length_normalization(spark):
     assert got[2] < 3 * got[1]
     # length normalization: same tf, shorter doc scores higher
     assert got[4] > got[1]
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\ngamma delta"),   # dup line
+            (2, "buy now buy now buy now buy now"),       # repeated bigram
+            (3, "all words here are fully distinct ones"),
+            (4, ""),                                       # empty: all zeros
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-3)
+    # "buy now" appears 4x of 7 bigrams; 3-grams heavily duplicated too
+    assert got[2]["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-3)
+    assert got[2]["dup_trigram_frac"] > 0.5
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == pytest.approx(1 / 6, abs=1e-3)  # all unique
+    assert got[4] == {
+        "doc_id": 4, "n_lines": 0, "dup_line_frac": 0.0,
+        "top_bigram_frac": 0.0, "dup_trigram_frac": 0.0,
+    }
+
+
+def test_chunk_fixed_sequences_exact_and_shuffle_free(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.packing import (
+        chunk_fixed_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks -> 4+4+2
+            (2, "a b c"),                                # single short chunk
+            (3, ""),                                     # empty: no chunks
+        ],
+        "doc_id int, text string",
+    )
+    out = chunk_fixed_sequences(df, 4, "doc_id", "text")
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 2)]["n_chunk_tokens"] == 2 and rows[(1, 2)]["n_pad"] == 2
+    assert rows[(2, 0)]["n_pad"] == 1
+    # scale shape: a pure narrow projection — zero exchanges in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
