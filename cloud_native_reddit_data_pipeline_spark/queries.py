@@ -1370,6 +1370,32 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Eval-set decontamination: corpus docs sharing >= 2 distinct 3-gram
+# shingles with the (tiny, broadcast) benchmark slice are flagged.
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH {_SHINGLE_SQL}
+    SELECT c.doc_id,
+           b.doc_id AS bench_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh c JOIN sh b ON c.shingle = b.shingle
+    WHERE b.doc_id < 20 AND c.doc_id >= 20
+    GROUP BY c.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20).withColumnRenamed(
+        "doc_id", "bench_doc_id"
+    )
+    return dedup.benchmark_contamination(
+        corpus, bench, "doc_id", "text", "bench_doc_id", "text", min_hits=2
+    )
+
+
 _CHUNK_LEN = 64
 
 

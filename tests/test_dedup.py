@@ -175,3 +175,27 @@ def test_connected_components_chain_cycle_pair(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_benchmark_contamination_broadcast_and_semantics(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # contaminated
+            (101, "entirely unrelated corpus content goes here today"),
+            (102, "quick brown fox appears once only"),  # 1 shared shingle
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], "bench_id int, text string"
+    )
+    out = dedup.benchmark_contamination(
+        corpus, bench, "doc_id", "text", "bench_id", "text", min_hits=2
+    )
+    rows = {(r["doc_id"], r["bench_id"]): r["n_shared_shingles"] for r in out.collect()}
+    # doc 100 shares "the quick brown", "quick brown fox", "brown fox
+    # jumps" -> flagged; doc 102 shares only "quick brown fox" -> below
+    # min_hits
+    assert rows == {(100, 1): 3}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side broadcasts
