@@ -8,9 +8,12 @@ Arrow-batched `mapInPandas` stages.
 Real-or-stub switch (`DECODERS`): the IMAGE path is REAL — payloads are
 conforming PNGs, decoded/re-encoded by the pure-stdlib codec in
 `functions/png.py` (zlib + scanline filters), features are pixel
-histograms, resize is a true nearest-neighbor resample.  AUDIO and
-VIDEO decode remain deterministic declared stubs (no codec libraries in
-this container); swapping in ffmpeg later changes only the registry
+histograms, resize is a true nearest-neighbor resample.  The AUDIO path
+is REAL too — payloads are PCM16 WAVs decoded by `functions/wav.py`
+(stdlib wave+struct), features are duration/rms/zcr/peak + amplitude
+histogram, and `resample_audio` is a true linear resample.  VIDEO
+decode remains a deterministic declared stub (no container codecs for
+compressed video); swapping in ffmpeg later changes only the registry
 entry, not the plan.
 """
 
@@ -38,9 +41,9 @@ FEATURE_DIM = 16
 
 
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for the audio/video decoders: hashes
-    payload bytes into a fixed-dim float vector.  Replace with a real
-    model; the mapInPandas contract stays identical."""
+    """Deterministic stand-in for the VIDEO decoder: hashes payload
+    bytes into a fixed-dim float vector.  Replace with a real model;
+    the mapInPandas contract stays identical."""
     if payload is None:
         return [0.0] * dim
     acc = [0] * dim
@@ -61,30 +64,55 @@ def _png_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return histogram_features(pixels, bins=dim)
 
 
-# modality -> feature decoder; image is the real path, audio/video are
-# declared deterministic stubs (no codec libs in this container)
+def _wav_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL audio feature extraction: decode the PCM16 WAV payload
+    (functions/wav.py, pure stdlib) and compute duration/rms/zcr/peak
+    plus the normalized amplitude histogram."""
+    from ..functions.wav import audio_features, decode_wav
+
+    if payload is None:
+        return [0.0] * dim
+    rate, samples = decode_wav(payload)
+    return audio_features(rate, samples, dim)
+
+
+# modality -> feature decoder; image and audio are real codecs, video
+# is a declared deterministic stub (no compressed-video codec libs in
+# this container)
 DECODERS = {
     "image": _png_decode_features,
-    "audio": _fake_decode_features,
+    "audio": _wav_decode_features,
     "video": _fake_decode_features,
 }
 
 
+AUDIO_RATE = 8000
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests.  Image payloads
-    are REAL PNGs (encoded by functions/png.py) whose pixels are a
-    function of media_id; audio/video payloads are opaque byte strings
-    for the stubbed decoders."""
+    are REAL PNGs (encoded by functions/png.py) and audio payloads are
+    REAL PCM16 WAVs (functions/wav.py), both derived from media_id;
+    video payloads are opaque byte strings for the stubbed decoder."""
     from ..functions.png import encode_png
+    from ..functions.wav import encode_wav
 
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
         w = 64 + i % 8 if modality != "audio" else None
         h = 64 + i % 4 if modality != "audio" else None
+        duration_ms = 1000 * (1 + i % 30) if modality == "video" else None
         if modality == "image":
             pixels = bytes(((i * 7 + x * 13) % 251) for x in range(w * h))
             payload = encode_png(w, h, pixels)
+        elif modality == "audio":
+            n_samples = 160 + (i % 5) * 80
+            samples = [
+                ((i * 7 + j * 13) % 251 - 125) * 200 for j in range(n_samples)
+            ]
+            payload = encode_wav(AUDIO_RATE, samples)
+            duration_ms = n_samples * 1000 // AUDIO_RATE
         else:
             payload = bytes(((i * 7 + j * 13) % 251) for j in range(32 + (i % 5) * 8))
         rows.append(
@@ -95,7 +123,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
                 w,
                 h,
-                1000 * (1 + i % 30) if modality != "image" else None,
+                duration_ms,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -196,6 +224,52 @@ def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
             )
 
     return media.filter(F.col("modality") == "image").mapInPandas(_resize, out_schema)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """REAL audio resample via mapInPandas: decode the PCM16 WAV
+    payload, linear-interpolation resample of the actual samples to
+    `target_rate`, re-encode (functions/wav.py, pure stdlib — no ffmpeg
+    needed).
+
+    Scale shape mirrors resize_images: narrow map, no shuffle; payload
+    bytes stay inside Arrow batches — a 100 TB audio corpus resamples
+    with zero data movement beyond the scan and write."""
+    import pandas as pd
+
+    from ..functions.wav import decode_wav, encode_wav, resample_linear
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("src_rate", T.IntegerType(), True),
+            T.StructField("dst_rate", T.IntegerType(), False),
+            T.StructField("n_samples", T.IntegerType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _one(payload: bytes):
+        if payload is None:
+            return None, None, None
+        rate, samples = decode_wav(payload)
+        res = resample_linear(samples, rate, target_rate)
+        return rate, len(res), encode_wav(target_rate, res)
+
+    def _resample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            done = [_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_rate": pd.array([d[0] for d in done], dtype="Int32"),
+                    "dst_rate": pd.array([target_rate] * len(done), dtype="Int32"),
+                    "n_samples": pd.array([d[1] for d in done], dtype="Int32"),
+                    "payload": [d[2] for d in done],
+                }
+            )
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(_resample, out_schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -157,3 +157,60 @@ def test_extract_features_image_path_is_real_histogram(spark):
         _, _, pixels = decode_png(payload)
         assert feats[mid] == histogram_features(pixels, FEATURE_DIM)
         assert abs(sum(feats[mid]) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_wav_roundtrip_and_resample():
+    from cloud_native_reddit_data_pipeline_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+        resample_linear,
+    )
+
+    samples = [((j * 37) % 251 - 125) * 200 for j in range(400)]
+    rate, back = decode_wav(encode_wav(8000, samples))
+    assert rate == 8000 and back == samples  # lossless roundtrip
+
+    up = resample_linear(samples, 8000, 16000)
+    assert len(up) == 800
+    assert up[0] == samples[0] and up[-1] == samples[-1]  # endpoints preserved
+    assert resample_linear(samples, 8000, 8000) == samples
+
+
+def test_extract_features_audio_path_is_real(spark):
+    """Audio features must be computed from the decoded WAV samples —
+    proving the real codec runs, not the byte-hash stub."""
+    from cloud_native_reddit_data_pipeline_spark.functions.wav import (
+        audio_features,
+        decode_wav,
+    )
+
+    media = synthetic_media(spark, 12)
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("modality = 'audio'").collect()
+    }
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media).filter("modality = 'audio'").collect()
+    }
+    assert feats
+    for mid, payload in payloads.items():
+        rate, samples = decode_wav(payload)
+        assert feats[mid] == audio_features(rate, samples, FEATURE_DIM)
+        assert feats[mid][0] > 0  # real duration
+        assert abs(sum(feats[mid][4:]) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_resample_audio_rates_and_payload(spark):
+    from cloud_native_reddit_data_pipeline_spark.functions.wav import decode_wav
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        resample_audio,
+    )
+
+    out = resample_audio(synthetic_media(spark, 30), target_rate=16000).collect()
+    assert out  # audio rows present
+    for r in out:
+        assert r["src_rate"] == 8000 and r["dst_rate"] == 16000
+        rate, samples = decode_wav(bytes(r["payload"]))
+        assert rate == 16000
+        assert len(samples) == r["n_samples"] == 2 * (160 + (r["media_id"] % 5) * 80)
