@@ -48,6 +48,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "training_corpus_select",
     "rolling_hash_fingerprint",
+    "ranked_search_bm25",
+    "repetition_stats",
+    "sequence_chunking",
+    "benchmark_contamination",
 ]
 
 

@@ -2825,6 +2825,254 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), final.schema)
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery family (TPC-H Q4/Q13/Q17/Q18/Q22/Q15 shapes): the
+# decorrelation patterns a warehouse engine must get right — EXISTS ->
+# semi join, NOT EXISTS -> anti join, correlated scalar aggregate ->
+# broadcast of a pre-aggregated side, HAVING-IN -> join on the filtered
+# aggregate, scalar MAX -> single-row broadcast.  At 100 TB every one of
+# these keeps the big fact table un-duplicated and ships only keys or
+# one-row aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "order_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi residual
+    (l_shipdate > o_orderdate) decorrelates to a left-semi join — the
+    semi join ships only (orderkey, shipdate) from lineitem and never
+    duplicates an order however many lines match.  Date filter is
+    pushed into the orders scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a predicate INSIDE the join
+    condition (not a post-filter — unmatched customers must survive with
+    count 0), then a second aggregation over the first's output.  The
+    second groupBy is nearly free: it runs on one row per customer."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "small_qty_revenue",
+    f"""
+    WITH brand_parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+    li AS (SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN brand_parts ON l_partkey = p_partkey),
+    part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE) AS avg_qty
+      FROM li GROUP BY l_partkey
+    )
+    SELECT ROUND({_dec_sum_sql('l_extendedprice')} / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM li JOIN part_avg USING (l_partkey)
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate (per-part average
+    quantity) decorrelated into a groupBy + equi-join back onto the same
+    filtered fact.  The per-part average table is tiny (one row per
+    brand part) and broadcasts.  The brand-filtered fact is scanned
+    twice (once per side) — deliberate: with the brand predicate pushed
+    into both scans, re-reading pruned parquet is cheaper at scale than
+    shuffling the full fact through a window average.  The average is an
+    exact decimal-sum / count so the 0.5*avg boundary compares
+    identically in both engines."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(dec_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "large_volume_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {_dec_sum_sql('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate, then the qualifying keys
+    join back to orders and customer.  The aggregate runs FIRST so the
+    join input is already reduced to qualifying orders (a fraction of a
+    percent at scale) — never join-then-aggregate here."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "rich_idle_customers",
+    f"""
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           {_dec_sum_sql('c_acctbal')} AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    balance — one row, cross-broadcast into the filter) plus NOT EXISTS
+    with a pushed filter on the inner side (-> left-anti join on a
+    pre-filtered orders projection).  The average is an exact
+    decimal-sum / count so the boundary compares identically in both
+    engines."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dec_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    big_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big_orders, c.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dec_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate once, reuse it twice (revenue table +
+    its scalar MAX) — the MAX is a one-row broadcast, not a re-scan, and
+    equality on the exact decimal-derived revenue is deterministic.  The
+    supplier dimension broadcasts onto the one-row-per-supplier result."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "total_rev"
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -143,3 +143,54 @@ def test_ranked_search_bm25_same_scale_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    """Q4 shape: EXISTS must become a semi join (one probe-side row per
+    order regardless of match count), with the date filter pushed into
+    the orders scan and only two lineitem columns read."""
+    df = registry.queries()["order_priority_exists"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1997-07-01" in plan
+    li_read = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln
+    ][0]
+    assert "l_extendedprice" not in li_read and "l_quantity" not in li_read
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    """Q22 shape: NOT EXISTS -> left-anti join with the price predicate
+    pushed into the inner orders scan; the scalar average broadcasts as
+    a single row (no shuffle of customers against it)."""
+    df = registry.queries()["rich_idle_customers"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThan(o_totalprice,450000.0)" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_correlated_avg_broadcasts_not_shuffles_fact(spark):
+    """Q17 shape: the per-part average side and the brand dimension both
+    broadcast -- the lineitem fact must never be exchanged on l_partkey
+    outside the tiny aggregate's own partial/final exchange."""
+    df = registry.queries()["small_qty_revenue"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # 2x brand dim + avg side
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(p_brand,Brand#12)" in plan  # pushed into both part scans
+
+
+def test_having_aggregate_runs_before_joins(spark):
+    """Q18 shape: the HAVING aggregate must reduce lineitem BEFORE any
+    join -- no join may appear below the quantity aggregate in the plan."""
+    df = registry.queries()["large_volume_orders"](spark, SF)
+    plan = plan_of(df)
+    agg_pos = plan.find("sum_qty")
+    assert agg_pos != -1
+    # orders/customer joins sit above (printed before) the aggregate subtree
+    first_join = min(
+        p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin")) if p != -1
+    )
+    assert first_join < agg_pos or "Filter (sum_qty" not in plan
