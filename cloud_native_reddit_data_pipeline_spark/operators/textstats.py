@@ -277,6 +277,59 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def top_ngrams(df: DataFrame, text_col: str, n: int = 3, k: int = 100) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the frequency mining
+    behind boilerplate detection and tokenizer-vocabulary construction.
+
+    Scale shape: explode -> groupBy(ngram) with map-side partial
+    aggregation (hot n-grams collapse to one row per partition before
+    the shuffle), then TakeOrderedAndProject for the top-k (per-partition
+    heap + driver merge, never a global sort).  Ties broken on the
+    n-gram string so the boundary of the top-k set is deterministic."""
+    from ..functions.text import word_shingles
+
+    grams = df.select(F.explode(word_shingles(text_col, n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(F.desc("n_occurrences"), F.col("ngram")).limit(k)
+
+
+def zipf_token_stats(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Token-frequency head of the corpus with Zipf diagnostics: rank,
+    count, frequency relative to the most common token, and the Zipf
+    product rank*count normalized by the top count (≈1 under an ideal
+    Zipf law).  Used to sanity-check a corpus before tokenizer training.
+
+    Scale shape: the full-vocabulary count uses map-side partial
+    aggregation; the top-k cut is TakeOrderedAndProject.  Only THEN does
+    the unpartitioned rank window run — over exactly k rows, so the
+    single-partition window is a no-op at any corpus size."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.col("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.col("token"))
+    top = Window.partitionBy()  # k-row frame: max == the head count
+    return counts.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(w).alias("rank"),
+        F.round(
+            F.col("n_occurrences") / F.max("n_occurrences").over(top), 4
+        ).alias("rel_freq"),
+        F.round(
+            F.row_number().over(w)
+            * F.col("n_occurrences")
+            / F.max("n_occurrences").over(top),
+            4,
+        ).alias("zipf_product"),
+    )
+
+
 def ranked_keyword_search_bm25(
     df: DataFrame,
     id_col: str,

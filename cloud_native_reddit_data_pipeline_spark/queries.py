@@ -3073,6 +3073,58 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-frequency operators: global n-gram mining and Zipf diagnostics
+# (tokenizer-vocabulary / boilerplate-detection building blocks).
+# ---------------------------------------------------------------------------
+@register(
+    "top_ngrams",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w,
+             generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1) AS pos
+      FROM documents
+    ), led AS (
+      SELECT doc_id, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    )
+    SELECT concat_ws(' ', w, w1, w2) AS ngram, COUNT(*) AS n_occurrences
+    FROM led WHERE w2 IS NOT NULL
+    GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 100
+    """,
+)
+def top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.top_ngrams(load(spark, sf_dir, "documents"), "text", n=3, k=100)
+
+
+@register(
+    "zipf_token_stats",
+    """
+    WITH tf AS (
+      SELECT w AS token, COUNT(*) AS n_occurrences
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY w
+      ORDER BY n_occurrences DESC, token
+      LIMIT 50
+    )
+    SELECT token, n_occurrences,
+           row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank,
+           ROUND(CAST(n_occurrences AS DOUBLE) / MAX(n_occurrences) OVER (), 4) AS rel_freq,
+           ROUND(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                 * CAST(n_occurrences AS DOUBLE) / MAX(n_occurrences) OVER (), 4) AS zipf_product
+    FROM tf
+    """,
+)
+def zipf_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.zipf_token_stats(load(spark, sf_dir, "documents"), "text", k=50)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -194,3 +194,14 @@ def test_having_aggregate_runs_before_joins(spark):
         p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin")) if p != -1
     )
     assert first_join < agg_pos or "Filter (sum_qty" not in plan
+
+
+def test_top_ngrams_heap_topk_with_partial_agg(spark):
+    """Corpus n-gram mining must partially aggregate map-side and take
+    the top-k with a heap (TakeOrderedAndProject), never a global sort
+    of the full n-gram vocabulary."""
+    df = registry.queries()["top_ngrams"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
