@@ -3073,6 +3073,59 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_session_windows")
+def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization running AS A STREAM (the
+    batch gaps-and-islands twin is the oracle-checked `session_windows`):
+    two file micro-batches so the second batch's watermark closes and
+    emits the first batch's sessions — exercising session-state merge,
+    watermark advance, and append-mode finalization.  Rows-only by
+    nature (append mode emits only watermark-closed sessions; the
+    in-flight tail stays in state), with subset-correctness vs the batch
+    operator pinned in tests/test_streaming_extended.py."""
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import streaming_session_counts
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(3000)
+        .select("event_id", "ts", "user_id")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_src"
+        # time-ordered split: batch 1 = older half, batch 2 = newer half,
+        # so batch 2's watermark closes every batch-1 session
+        med = ev.agg(
+            F.expr("percentile_approx(cast(ts AS double), 0.5)").alias("m")
+        ).collect()[0]["m"]
+        ev.filter(F.col("ts").cast("double") <= med).coalesce(1).write.parquet(
+            f"{src}/b0"
+        )
+        ev.filter(F.col("ts").cast("double") > med).coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        sess = streaming_session_counts(stream, gap="30 minutes", watermark="0 seconds")
+        qname = f"sesswin_{uuid.uuid4().hex[:8]}"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-frequency operators: global n-gram mining and Zipf diagnostics
 # (tokenizer-vocabulary / boilerplate-detection building blocks).

@@ -314,3 +314,59 @@ def test_daily_counts_materialized_view_incremental(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["day"].day: r["n_events"] for r in spark.read.parquet(target).collect()}
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_streaming_session_window_append_emits_watermark_closed_sessions(
+    spark, tmp_path
+):
+    """Append mode with two micro-batches: the second batch's watermark
+    (max event time of batch 1, delay 0) must close and emit every
+    batch-1 session, while the in-flight batch-2 sessions stay in state.
+    This is the contract queries.streaming_session_windows relies on."""
+    import os
+
+    src = tmp_path / "ev2"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def _rows(specs):
+        return "\n".join(
+            json.dumps(
+                {"ts": (base + dt.timedelta(minutes=m)).isoformat(), "user_id": u}
+            )
+            for m, u in specs
+        )
+
+    # batch 0: user1 session (0,10 -> ends 40min), user2 session (0 -> ends 30min)
+    (src / "p0.json").write_text(_rows([(0, 1), (10, 1), (0, 2)]))
+    # batch 1: user1 at 120min, user3 at 130min -> watermark 130min closes batch-0
+    # sessions; these two stay in state (never emitted in append mode)
+    (src / "p1.json").write_text(_rows([(120, 1), (130, 3)]))
+    # file-stream order is mtime-based: force p0 strictly older
+    t = os.path.getmtime(src / "p1.json")
+    os.utime(src / "p0.json", (t - 10, t - 10))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = streaming_session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("select * from sessions_append").collect()
+    }
+    exp_end_u1 = base + dt.timedelta(minutes=40)
+    exp_end_u2 = base + dt.timedelta(minutes=30)
+    assert got == {
+        (1, base, exp_end_u1): 2,
+        (2, base, exp_end_u2): 1,
+    }
