@@ -30,7 +30,15 @@ from .functions.sentiment import (
 )
 from .functions.text import normalize_sql, normalize_text
 from .functions.timeops import ts_to_iso
-from .operators import dedup, packing, relational, similarity, textstats, windows
+from .operators import (
+    clustering,
+    dedup,
+    packing,
+    relational,
+    similarity,
+    textstats,
+    windows,
+)
 from .sources.tables import load
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -963,6 +971,26 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_NEARDUP_THRESHOLD,
         n_planes=_NEARDUP_PLANES_N,
         bands=_NEARDUP_BANDS,
+    )
+
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+@register(
+    "kmeans_embeddings",
+    clustering.kmeans_oracle_sql(k=_KMEANS_K, iters=_KMEANS_ITERS),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle Lloyd's k-means over the embedding corpus: decimal-
+    quantized arithmetic makes the iterative algorithm bit-identical
+    across engines (the usual FP-order nondeterminism is engineered
+    out), so even the per-vector squared distances hash-match the
+    DuckDB unrolled-CTE replay.  Broadcast centroids + one partial-agg
+    shuffle per round — the MLlib dataflow in pure DataFrame ops."""
+    return clustering.kmeans_lloyd(
+        load(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
     )
 
 
