@@ -1,0 +1,133 @@
+"""Graph analytics over relationship edges derived from the relational
+tables (north-star extension: the reference has no graph story, but a
+training-data pipeline needs link analysis for source weighting and
+spam/boilerplate domain scoring; SURVEY.md section 4).
+
+``pagerank`` is the Pregel dataflow in pure DataFrame ops:
+
+- **Ranks never leave the cluster.**  Each round is one equi-join of
+  the rank table with the (cached) edge table plus one partial-agg
+  shuffle keyed by destination — the same dataflow GraphX/Pregel runs,
+  with AQE free to handle hub skew.  The driver never collects ranks;
+  iteration count is fixed, so the whole job is a known finite DAG.
+- **Exact integer arithmetic, no floats anywhere.**  Ranks are BIGINT
+  unscaled values at scale 12 (rank 1.0 == 10^12).  The two divisions
+  of the textbook update  r' = 0.15 + 0.85 * sum(r_u / deg_u)  are
+  half-up integer divisions:  contrib = (2u + deg) div (2 deg)  and
+  0.85x = (170 x + 100) div 200.  Every engine computes identical
+  BIGINTs, so the DuckDB oracle hash-matches the raw rank_e12 column
+  with no float rounding contract at all.  (Bounds: with total rank
+  mass n * 10^12, the 170x intermediate needs x < 5.4e16 — any graph
+  whose hottest node gathers less than ~54,000 units of rank mass is
+  exact; beyond that, swap BIGINT for DECIMAL(38,0) unchanged.)
+- **Dangling nodes cannot occur** by construction here: edges are
+  symmetrized (u->v and v->u), so every node has out-degree >= 1.
+  Empty inflow is still COALESCEd to 0 identically on both paths.
+
+The default graph is the customer-supplier co-purchase bipartite graph
+(distinct (o_custkey, l_suppkey) pairs via the order key), node-id
+namespaced as 2*custkey / 2*suppkey+1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ONE = 1_000_000_000_000  # rank 1.0 at scale 12
+_BASE = 150_000_000_000  # 0.15 at scale 12
+
+
+def bipartite_copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Symmetrized customer<->supplier edges: distinct co-purchase pairs
+    with integer-namespaced node ids (even = customer, odd = supplier)."""
+    pairs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+    rev = pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank (d=0.85) over symmetric `edges`
+    (src BIGINT, dst BIGINT).  Returns (node, rank_e12) with rank_e12
+    the exact BIGINT rank at scale 12."""
+    edges = edges.persist()
+    try:
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        ranks = deg.select("node", "deg", F.lit(_ONE).cast("long").alias("u"))
+        for _ in range(iters):
+            contribs = ranks.select(
+                "node",
+                F.expr("(2 * u + deg) div (2 * deg)").alias("contrib"),
+            )
+            inflow = (
+                edges.join(contribs, edges["src"] == contribs["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("contrib").alias("inflow"))
+            )
+            ranks = deg.join(inflow, "node", "left").select(
+                "node",
+                "deg",
+                F.expr(
+                    f"cast({_BASE} + (170 * coalesce(inflow, 0) + 100) div 200"
+                    " as long)"
+                ).alias("u"),
+            )
+        out = ranks.select("node", F.col("u").alias("rank_e12"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def pagerank_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replay of `pagerank` over the co-purchase graph: identical
+    integer half-up arithmetic, unrolled one CTE pair per round."""
+    parts = [
+        """
+    pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode AS src, cnode AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, deg, CAST(1000000000000 AS BIGINT) AS u FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT node, (2 * u + deg) // (2 * deg) AS contrib FROM r{i - 1}
+    ),
+    in{i} AS (
+      SELECT e.dst AS node, SUM(c.contrib) AS inflow
+      FROM edges e JOIN c{i} c ON e.src = c.node
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT d.node, d.deg,
+             CAST(150000000000 + (170 * COALESCE(i.inflow, 0) + 100) // 200
+                  AS BIGINT) AS u
+      FROM deg d LEFT JOIN in{i} i ON d.node = i.node
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           node // 2 AS node_key, u AS rank_e12
+    FROM r{iters}
+    """
+    )

@@ -33,6 +33,7 @@ from .functions.timeops import ts_to_iso
 from .operators import (
     clustering,
     dedup,
+    graph,
     packing,
     relational,
     similarity,
@@ -991,6 +992,31 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per round — the MLlib dataflow in pure DataFrame ops."""
     return clustering.kmeans_lloyd(
         load(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+_PAGERANK_ITERS = 3
+
+
+@register("pagerank_copurchase", graph.pagerank_oracle_sql(iters=_PAGERANK_ITERS))
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer-supplier co-purchase
+    graph, computed entirely in BIGINT unscaled-x10^12 arithmetic so the
+    iterative ranks hash-match DuckDB exactly (no float rounding
+    contract).  Pregel dataflow: cached edges, one join + one partial-agg
+    shuffle per round, ranks never collected to the driver."""
+    ranks = graph.pagerank(
+        graph.bipartite_copurchase_edges(
+            load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+        ),
+        iters=_PAGERANK_ITERS,
+    )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        "rank_e12",
     )
 
 

@@ -1,0 +1,71 @@
+"""Invariants for the exact-integer PageRank (`operators/graph.py`).
+Cross-engine value parity is the oracle's job (queries.pagerank_copurchase);
+these pin the algorithmic contracts: symmetry, hub dominance, rank-mass
+conservation, and determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+    _ONE,
+    bipartite_copurchase_edges,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_regular_graph_all_ranks_equal(spark):
+    # 4-cycle: every node has degree 2 -> all ranks identical and == 1.0
+    out = pagerank(_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]), iters=4).collect()
+    ranks = {r["rank_e12"] for r in out}
+    assert len(out) == 4
+    assert ranks == {_ONE}
+
+
+def test_star_center_dominates(spark):
+    out = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(
+            _edges(spark, [(0, i) for i in range(1, 6)]), iters=3
+        ).collect()
+    }
+    center, leaves = out[0], [out[i] for i in range(1, 6)]
+    assert all(center > leaf for leaf in leaves)
+    assert len(set(leaves)) == 1  # leaves are symmetric
+
+
+def test_rank_mass_approximately_conserved(spark):
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4), (1, 4)])
+    out = pagerank(edges, iters=5)
+    total = out.agg(F.sum("rank_e12")).collect()[0][0]
+    n = out.count()
+    # symmetric graph, no dangling mass: total stays within integer
+    # half-up drift (< 1 unit at scale 6 per node per round)
+    assert abs(total - n * _ONE) < n * 10**7
+
+
+def test_deterministic_and_matches_shuffled_input(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)]
+    a = sorted(map(tuple, pagerank(_edges(spark, pairs), iters=3).collect()))
+    b = sorted(
+        map(tuple, pagerank(_edges(spark, list(reversed(pairs))), iters=3).collect())
+    )
+    assert a == b
+
+
+def test_bipartite_edges_symmetric_and_namespaced(spark):
+    li = spark.createDataFrame([(1, 10), (1, 11), (2, 10)], "l_orderkey long, l_suppkey long")
+    od = spark.createDataFrame([(1, 100), (2, 200)], "o_orderkey long, o_custkey long")
+    e = bipartite_copurchase_edges(li, od).collect()
+    es = {(r["src"], r["dst"]) for r in e}
+    assert len(e) == len(es) == 6  # 3 distinct pairs, both directions
+    fwd = {(s, d) for s, d in es if s % 2 == 0}
+    assert fwd == {(200, 21), (200, 23), (400, 21)}
+    assert {(d, s) for s, d in fwd} <= es
