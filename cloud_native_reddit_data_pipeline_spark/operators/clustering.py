@@ -70,12 +70,13 @@ def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _distance_to(centroid: list[Decimal]):
-    """Exact squared L2 distance from the `xd` array column to one
-    broadcast centroid: zip_with diff-square, decimal-sum aggregate."""
+def _distance_to(centroid: list[Decimal], vec=None):
+    """Exact squared L2 distance from a quantized array column (default
+    `xd`) to one broadcast centroid: zip_with diff-square, decimal-sum
+    aggregate."""
     cvec = F.array(*[F.lit(c).cast(QUANT) for c in centroid])
     return F.aggregate(
-        F.zip_with(F.col("xd"), cvec, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(F.col("xd") if vec is None else vec, cvec, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast(_DIST),
         lambda acc, x: (acc + x).cast(_DIST),
     )

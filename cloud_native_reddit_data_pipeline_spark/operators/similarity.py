@@ -198,3 +198,146 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "cos", "rk")
     )
     return materialize_and_release(out, banded)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory-compression path.
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the raw float corpus cannot stay resident; PQ stores each
+# vector as M subspace codes (here 4 bytes vs 256 raw) and answers
+# queries by asymmetric distance computation (ADC): a per-query distance
+# table of M x K exact subspace distances, summed via a code lookup.
+# The codebook is driver metadata (M*K*D/M quantized values, broadcast);
+# encoding is a NARROW map (no shuffle); ADC is a broadcast join of the
+# tiny distance table against the exploded code column plus one
+# partial-agg shuffle per (query, vector) sum.
+#
+# Determinism contract (same scheme as operators/clustering.py): all
+# arithmetic is DECIMAL at scale 6/12 — codes and ADC distances are
+# exact integers (dist * 10^12 as BIGINT), so the DuckDB oracle
+# hash-matches with no float rounding contract.  The codebook here is
+# the K lowest-id vectors' subvectors (deterministic seeds); at scale
+# you would train it per-subspace with `clustering.kmeans_lloyd` —
+# codebook choice is orthogonal to the encode/ADC mechanics.
+
+from decimal import ROUND_HALF_UP as _RHU
+from decimal import Decimal as _Dec
+from decimal import localcontext as _localctx
+
+from .clustering import QUANT as _PQ_QUANT
+from .clustering import _distance_to as _pq_distance_to
+from .clustering import _quantize as _pq_quantize
+
+_E12 = 1_000_000_000_000
+
+
+def _pq_seed_codebook(
+    quant: DataFrame, id_col: str, m: int, k: int
+) -> list[list[list[_Dec]]]:
+    """codebook[sub][code] = quantized subvector of the code-th lowest-id
+    row; subvector `sub` spans dims [sub*dsub, (sub+1)*dsub)."""
+    seeds = quant.orderBy(id_col).limit(k).collect()
+    dim = len(seeds[0]["xd"])
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    dsub = dim // m
+    return [
+        [list(r["xd"][s * dsub : (s + 1) * dsub]) for r in seeds] for s in range(m)
+    ]
+
+
+def _pq_code_cols(codebook, dsub: int):
+    """One argmin-code IntegerType column per subspace over the sliced
+    quantized vector (ties break to the lowest code, exact decimal)."""
+    cols = []
+    for s, cents in enumerate(codebook):
+        sub = F.slice(F.col("xd"), s * dsub + 1, dsub)
+        dists = F.array(
+            *[_pq_distance_to(c, vec=sub) for c in cents]
+        )
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code{s}")
+        )
+    return cols
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code0..code{m-1}) PQ codes — a narrow map against the
+    broadcast seed codebook."""
+    quant = _pq_quantize(emb, id_col, vec_col)
+    codebook = _pq_seed_codebook(quant, id_col, m, k)
+    dsub = len(codebook[0][0])
+    return quant.select(F.col(id_col), *_pq_code_cols(codebook, dsub))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    m: int = 4,
+    k: int = 16,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact subspace distance table per
+    query (driver-computed decimal, broadcast), summed over the corpus
+    codes.  Returns (query_id, neighbor_id, adc_e12, rk)."""
+    spark = emb.sparkSession
+    quant = _pq_quantize(emb, id_col, vec_col).persist()
+    try:
+        codebook = _pq_seed_codebook(quant, id_col, m, k)
+        dsub = len(codebook[0][0])
+
+        qrows = {
+            r[id_col]: list(r["xd"])
+            for r in quant.filter(F.col(id_col).isin(query_ids)).collect()
+        }
+        table_rows = []
+        with _localctx() as ctx:
+            ctx.prec = 50
+            for qid, xd in qrows.items():
+                for s, cents in enumerate(codebook):
+                    qsub = xd[s * dsub : (s + 1) * dsub]
+                    for code, cent in enumerate(cents):
+                        d = sum(
+                            (a - b) * (a - b) for a, b in zip(qsub, cent)
+                        )
+                        table_rows.append(
+                            (qid, s, code, int(d.scaleb(12).to_integral_exact()))
+                        )
+        dtable = spark.createDataFrame(
+            table_rows, "query_id long, sub int, code int, d_e12 long"
+        )
+
+        encoded = quant.select(
+            F.col(id_col), *_pq_code_cols(codebook, dsub)
+        ).select(
+            id_col,
+            F.posexplode(F.array(*[F.col(f"code{s}") for s in range(m)])).alias(
+                "sub", "code"
+            ),
+        )
+        adc = (
+            encoded.join(F.broadcast(dtable), ["sub", "code"])
+            .filter(F.col(id_col) != F.col("query_id"))
+            .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+            .agg(F.sum("d_e12").alias("adc_e12"))
+        )
+        w = Window.partitionBy("query_id").orderBy("adc_e12", "neighbor_id")
+        out = (
+            adc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .select("query_id", "neighbor_id", "adc_e12", "rk")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        quant.unpersist()
+    return out

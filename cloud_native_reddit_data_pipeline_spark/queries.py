@@ -995,6 +995,103 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4
+_PQ_K = 16
+_PQ_DSUB = 64 // _PQ_M
+
+
+def _pq_base_sql() -> str:
+    """Shared CTEs: quantized long-form vectors (float->double->decimal,
+    same contract as the k-means oracle), seed codebook, argmin codes."""
+    return f"""
+    long AS (
+      SELECT vec_id AS vid,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6)) AS val
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS code
+      FROM (SELECT vec_id AS vid FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    cent AS (
+      SELECT s.code, l.dim // {_PQ_DSUB} AS sub, l.dim % {_PQ_DSUB} AS sdim, l.val
+      FROM long l JOIN seeds s USING (vid)
+    ),
+    subdist AS (
+      SELECT l.vid, c.sub, c.code,
+             SUM((l.val - c.val) * (l.val - c.val)) AS d
+      FROM long l JOIN cent c
+        ON l.dim // {_PQ_DSUB} = c.sub AND l.dim % {_PQ_DSUB} = c.sdim
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vid, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY d, code) AS rn
+        FROM subdist
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "pq_codes",
+    "WITH "
+    + _pq_base_sql()
+    + f"""
+    SELECT vid AS vec_id,
+           {', '.join(f"CAST(MAX(CASE WHEN sub = {s} THEN code END) AS INT) AS code{s}" for s in range(_PQ_M))}
+    FROM codes GROUP BY vid
+    """,
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: 4 subspace codes per vector (4
+    bytes vs 256 raw — the ANN memory-compression path at 100 TB).
+    Narrow map against the broadcast seed codebook; exact-decimal
+    argmin hash-matches the DuckDB replay."""
+    return similarity.pq_encode(
+        load(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K
+    )
+
+
+@register(
+    "pq_ann_topk",
+    "WITH "
+    + _pq_base_sql()
+    + f"""
+    , dtable AS (
+      SELECT l.vid AS query_id, c.sub, c.code,
+             CAST(SUM((l.val - c.val) * (l.val - c.val)) * 1000000000000 AS BIGINT) AS d_e12
+      FROM long l JOIN cent c
+        ON l.dim // {_PQ_DSUB} = c.sub AND l.dim % {_PQ_DSUB} = c.sdim
+      WHERE l.vid IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.query_id, x.vid AS neighbor_id, SUM(t.d_e12) AS adc_e12
+      FROM codes x JOIN dtable t ON x.sub = t.sub AND x.code = t.code
+      WHERE x.vid <> t.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_e12, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_e12, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= 5
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance-computation top-5 over PQ codes: per-query
+    exact subspace distance table (driver metadata, broadcast) summed
+    via code lookup.  BIGINT distances at scale 12 — no float rounding
+    contract in the oracle."""
+    return similarity.pq_adc_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        m=_PQ_M,
+        k=_PQ_K,
+        topk=5,
+    )
+
+
 _PAGERANK_ITERS = 3
 
 

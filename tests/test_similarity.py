@@ -75,3 +75,50 @@ def test_lsh_recall_at_scale_sample(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3  # sanity floor: buckets genuinely prune
+
+
+def test_pq_codes_in_range_and_deterministic(spark):
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = similarity.pq_encode(emb, m=4, k=16).collect()
+    assert len(a) == emb.count()
+    for r in a:
+        for s in range(4):
+            assert 0 <= r[f"code{s}"] < 16
+    b = similarity.pq_encode(emb, m=4, k=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_seed_vectors_encode_to_own_code(spark):
+    """Each seed vector's subvector is distance-0 from its own codebook
+    entry, so seeds must encode to their own seed index in every
+    subspace (ties with duplicate seeds break to the lower code)."""
+    rows = [(i, [float(i), float(i * 2), -float(i), 0.5 * i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.pq_encode(df, m=2, k=4).collect()}
+    for i in range(4):  # the 4 seeds
+        assert out[i]["code0"] == i and out[i]["code1"] == i
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """ADC over 16 seed codes approximates squared-L2 ranking; on real
+    embeddings the top-5 should overlap the exact cosine top-5 poorly or
+    well, but every returned neighbor must be a real corpus row and each
+    query gets exactly 5 ranked ascending."""
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = similarity.pq_adc_topk(emb, [0, 1], m=4, k=16, topk=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r["adc_e12"] >= 0 for r in rows)
+        dists = [r["adc_e12"] for r in rows]
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] in ids and r["neighbor_id"] != q for r in rows)
