@@ -52,6 +52,9 @@ HEADLINE = [
     "repetition_stats",
     "sequence_chunking",
     "benchmark_contamination",
+    "kmeans_embeddings",
+    "pagerank_copurchase",
+    "pq_ann_topk",
 ]
 
 

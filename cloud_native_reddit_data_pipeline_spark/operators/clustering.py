@@ -70,26 +70,36 @@ def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _distance_to(centroid: list[Decimal], vec=None):
-    """Exact squared L2 distance from a quantized array column (default
-    `xd`) to one broadcast centroid: zip_with diff-square, decimal-sum
-    aggregate."""
-    cvec = F.array(*[F.lit(c).cast(QUANT) for c in centroid])
-    return F.aggregate(
-        F.zip_with(F.col("xd") if vec is None else vec, cvec, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast(_DIST),
-        lambda acc, x: (acc + x).cast(_DIST),
+def _dec_lit(v: Decimal) -> str:
+    return f"CAST('{format(v, 'f')}' AS {QUANT})"
+
+
+def dist_sql(centroid: list[Decimal], vec_sql: str = "xd") -> str:
+    """SQL text for the exact squared L2 distance from a quantized array
+    column to one broadcast centroid: zip_with diff-square, decimal-sum
+    aggregate.  Emitted as a string and parsed JVM-side in ONE F.expr
+    call: building k x d literal Columns through the py4j bridge costs
+    ~1 ms per call and dominated wall-clock (measured 2.7 s of a 5 s
+    encode) before this rewrite."""
+    cents = ",".join(_dec_lit(c) for c in centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({cents}), (a,b) -> (a-b)*(a-b)), "
+        f"CAST(0 AS {_DIST}), (acc,x) -> CAST(acc + x AS {_DIST}))"
     )
 
 
 def _assign(quant: DataFrame, centroids: list[list[Decimal]]) -> DataFrame:
-    dists = F.array(*[_distance_to(c) for c in centroids])
-    return quant.select(
-        "*",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_min(dists).alias("d"),
+    dists = "array(" + ",".join(dist_sql(c) for c in centroids) + ")"
+    return (
+        quant.select("*", F.expr(dists).alias("_dists"))
+        .select(
+            "*",
+            F.expr(
+                "CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"
+            ).alias("cluster"),
+            F.expr("array_min(_dists)").alias("d"),
+        )
+        .drop("_dists")
     )
 
 

@@ -225,8 +225,6 @@ from decimal import ROUND_HALF_UP as _RHU
 from decimal import Decimal as _Dec
 from decimal import localcontext as _localctx
 
-from .clustering import QUANT as _PQ_QUANT
-from .clustering import _distance_to as _pq_distance_to
 from .clustering import _quantize as _pq_quantize
 
 _E12 = 1_000_000_000_000
@@ -246,21 +244,29 @@ def _pq_seed_codebook(
     ]
 
 
-def _pq_code_cols(codebook, dsub: int):
-    """One argmin-code IntegerType column per subspace over the sliced
-    quantized vector (ties break to the lowest code, exact decimal)."""
-    cols = []
+def _pq_encode_df(quant: DataFrame, codebook, dsub: int) -> DataFrame:
+    """Project argmin-code IntegerType columns (one per subspace) over
+    the sliced quantized vector; ties break to the lowest code, exact
+    decimal.  Each subspace's k distances are emitted as ONE SQL string
+    parsed JVM-side (`clustering.dist_sql`) — per-literal py4j Column
+    construction dominated wall-clock before this."""
+    from .clustering import dist_sql
+
+    dist_cols = []
     for s, cents in enumerate(codebook):
-        sub = F.slice(F.col("xd"), s * dsub + 1, dsub)
-        dists = F.array(
-            *[_pq_distance_to(c, vec=sub) for c in cents]
-        )
-        cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"code{s}")
-        )
-    return cols
+        vec_sql = f"slice(xd, {s * dsub + 1}, {dsub})"
+        arr = "array(" + ",".join(dist_sql(c, vec_sql) for c in cents) + ")"
+        dist_cols.append(F.expr(arr).alias(f"_d{s}"))
+    with_dists = quant.select("*", *dist_cols)
+    code_cols = [
+        F.expr(
+            f"CAST(array_position(_d{s}, array_min(_d{s})) - 1 AS INT)"
+        ).alias(f"code{s}")
+        for s in range(len(codebook))
+    ]
+    return with_dists.select("*", *code_cols).drop(
+        "xd", *[f"_d{s}" for s in range(len(codebook))]
+    )
 
 
 def pq_encode(
@@ -275,7 +281,7 @@ def pq_encode(
     quant = _pq_quantize(emb, id_col, vec_col)
     codebook = _pq_seed_codebook(quant, id_col, m, k)
     dsub = len(codebook[0][0])
-    return quant.select(F.col(id_col), *_pq_code_cols(codebook, dsub))
+    return _pq_encode_df(quant, codebook, dsub)
 
 
 def pq_adc_topk(
@@ -317,9 +323,7 @@ def pq_adc_topk(
             table_rows, "query_id long, sub int, code int, d_e12 long"
         )
 
-        encoded = quant.select(
-            F.col(id_col), *_pq_code_cols(codebook, dsub)
-        ).select(
+        encoded = _pq_encode_df(quant, codebook, dsub).select(
             id_col,
             F.posexplode(F.array(*[F.col(f"code{s}") for s in range(m)])).alias(
                 "sub", "code"
