@@ -3504,6 +3504,53 @@ def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register("streaming_neardup_dedup")
+def streaming_neardup_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup AS A STREAM (streaming/neardup.py):
+    batch 1 seeds the corpus + band-key store; batch 2 carries 50
+    near-copies of batch-1 texts under new ids (must drop) and 50 fresh
+    docs (must survive).  Returns the accepted corpus ids — rows-only
+    (the store-join outcome is order-dependent state; the batch twin
+    `dedup_batch_against_store` is pytest-pinned)."""
+    import os
+    import tempfile
+
+    from .streaming.neardup import start_neardup_dedup_stream
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        b1 = docs.limit(150)
+        seen = docs.limit(50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near copy suffix")).alias("text"),
+        )
+        fresh = docs.orderBy(F.desc("doc_id")).limit(50)
+        b1.coalesce(1).write.json(f"{src}/b0")
+        seen.unionByName(fresh).coalesce(1).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_neardup_dedup_stream(
+            stream, f"{tmp}/corpus", f"{tmp}/store", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(f"{tmp}/corpus").select("doc_id").orderBy("doc_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-frequency operators: global n-gram mining and Zipf diagnostics
 # (tokenizer-vocabulary / boilerplate-detection building blocks).
