@@ -131,3 +131,136 @@ def pagerank_oracle_sql(iters: int = 3) -> str:
     FROM r{iters}
     """
     )
+
+
+def cosupply_edges(lineitem: DataFrame, min_orders: int = 3) -> DataFrame:
+    """Undirected supplier-supplier edges (src < dst): pairs co-occurring
+    in at least `min_orders` distinct orders.  Pair generation is
+    per-order (TPC-H orders hold <= 7 lineitems, so the per-key self-join
+    is bounded); the count filter is one partial-agg shuffle."""
+    os_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_pairs.alias("a"), os_pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .select("src", "dst")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation via degree orientation — the
+    standard scalable formulation: orient every undirected edge from its
+    lower-degree endpoint (ties to the lower id), so each wedge apex has
+    out-degree <= O(sqrt(|E|)) and the wedge self-join cannot blow up on
+    hubs; each triangle is generated exactly once.  Input edges must be
+    canonical (src < dst); returns (node, n_triangles) for nodes in at
+    least one triangle."""
+    edges = edges.select("src", "dst").distinct().persist()
+    try:
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
+        d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_dst"))
+        oriented = (
+            edges.join(d1, "src")
+            .join(d2, "dst")
+            .select(
+                F.when(
+                    (F.col("deg_src") < F.col("deg_dst"))
+                    | (
+                        (F.col("deg_src") == F.col("deg_dst"))
+                        & (F.col("src") < F.col("dst"))
+                    ),
+                    F.struct(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+                )
+                .otherwise(
+                    F.struct(F.col("dst").alias("lo"), F.col("src").alias("hi"))
+                )
+                .alias("e")
+            )
+            .select(F.col("e.lo").alias("src"), F.col("e.hi").alias("dst"))
+        )
+        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+        wedges = e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        ).select(
+            F.col("e1.src").alias("apex"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+        tris = wedges.join(
+            edges.select(
+                F.least("src", "dst").alias("b_"), F.greatest("src", "dst").alias("c_")
+            ).distinct(),
+            (F.col("b") == F.col("b_")) & (F.col("c") == F.col("c_")),
+        ).select("apex", "b", "c")
+        members = (
+            tris.select(F.col("apex").alias("node"))
+            .unionByName(tris.select(F.col("b").alias("node")))
+            .unionByName(tris.select(F.col("c").alias("node")))
+        )
+        out = members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def triangle_oracle_sql(min_orders: int = 3) -> str:
+    """DuckDB replay of cosupply_edges + triangle_counts (identical
+    orientation and wedge-closure logic)."""
+    return f"""
+    WITH os_pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM os_pairs a JOIN os_pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_orders}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+    oriented AS (
+      SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)
+                  THEN e.src ELSE e.dst END AS src,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)
+                  THEN e.dst ELSE e.src END AS dst
+      FROM edges e
+      JOIN deg d1 ON e.src = d1.node
+      JOIN deg d2 ON e.dst = d2.node
+    ),
+    wedges AS (
+      SELECT e1.src AS apex, e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    tris AS (
+      SELECT w.apex, w.b, w.c
+      FROM wedges w JOIN edges e
+        ON LEAST(w.b, w.c) = e.src AND GREATEST(w.b, w.c) = e.dst
+    ),
+    members AS (
+      SELECT apex AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM members GROUP BY node
+    """

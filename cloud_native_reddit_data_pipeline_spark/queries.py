@@ -1092,6 +1092,17 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("triangle_counts_cosupply", graph.triangle_oracle_sql(min_orders=3))
+def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-supply graph (suppliers
+    sharing >= 3 orders).  Degree-oriented wedge join — the scalable
+    formulation whose wedge fan-out is bounded by O(sqrt(|E|)) per apex
+    even on hub nodes; each triangle generated exactly once."""
+    return graph.triangle_counts(
+        graph.cosupply_edges(load(spark, sf_dir, "lineitem"), min_orders=3)
+    )
+
+
 _PAGERANK_ITERS = 3
 
 
