@@ -330,6 +330,71 @@ def zipf_token_stats(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     )
 
 
+def bigram_lm_perplexity(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """Per-document cross-entropy / perplexity under an add-k-smoothed
+    bigram language model trained on the corpus itself — the classic
+    perplexity quality filter for training-data curation (documents the
+    corpus LM finds surprising are boilerplate, non-language, or noise).
+
+    p(cur|prev) = (c(prev,cur) + k) / (c(prev) + k*V), V = |vocab|;
+    cross_entropy(doc) = mean over its bigram instances of -ln p;
+    perplexity = exp(cross_entropy).  Docs with < 2 tokens carry NULLs.
+
+    Scale shape: bigram pairs are built JVM-side from the token array
+    (sequence+element_at — no window, no per-token shuffle); instances
+    pre-aggregate per (doc, bigram) so the count join moves one row per
+    distinct bigram per doc, not one per token; corpus counts reuse those
+    partials (groupBy (prev,cur), then (prev)); V is a scalar broadcast.
+    Join keys are the bigram/context — the natural partitioning for a
+    vocabulary-sized model table at any corpus size.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    pair_t = "array<struct<prev:string,cur:string>>"
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    inst = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    per_doc = inst.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    c_bg = per_doc.groupBy("prev", "cur").agg(F.sum("n").alias("c"))
+    c_prev = c_bg.groupBy("prev").agg(F.sum("c").alias("cp"))
+    vocab = df.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    p = (F.col("c") + F.lit(k)) / (F.col("cp") + F.lit(k) * F.col("v"))
+    scored = (
+        per_doc.join(c_bg, ["prev", "cur"])
+        .join(c_prev, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (F.sum(F.col("n") * -F.log(p)) / F.sum("n")).alias("_ce"),
+        )
+    )
+    # +1e-9 before rounding: see quality_cols (engine round-boundary tie)
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("_ce") + F.lit(1e-9), 4).alias("cross_entropy"),
+            F.round(F.exp("_ce") + F.lit(1e-9), 4).alias("perplexity"),
+        )
+    )
+
+
 def ranked_keyword_search_bm25(
     df: DataFrame,
     id_col: str,
