@@ -33,10 +33,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown are applied by
     Catalyst at the parquet reader (check `.explain`: ReadSchema / PushedFilters).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark does
-    not read natively: read it as long nanos (legacy conf) and convert to
-    a micros timestamp with integer arithmetic (floor division — exactly
-    DuckDB's nanos->micros truncation, keeping oracles aligned)."""
+    Timestamp normalization: the generated parquet has carried both
+    TIMESTAMP(NANOS) (earlier rounds — Spark reads it only as long via the
+    legacy nanos conf) and timezone-less TIMESTAMP(MICROS) (current — Spark 4
+    would infer TIMESTAMP_NTZ).  Both are normalized to session-local
+    TIMESTAMP at the scan: NTZ inference is disabled on the session so the
+    reader produces TIMESTAMP directly (no cast -> timestamp predicates
+    still push down to the parquet scan), and the session timezone is UTC,
+    so the values match DuckDB's naive reading of the same file, keeping
+    every oracle aligned while LTZ-only functions (unix_micros, window,
+    sessionization) keep working unchanged."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
@@ -44,8 +51,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP.  A no-op projection
+    unless the file was written timezone-less; Catalyst still prunes/pushes
+    through the cast-free columns."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def _parse_bytes(s: str, default: int = 128 * 1024 * 1024) -> int:
