@@ -321,3 +321,43 @@ def pivot_counts(df: DataFrame, key: str, pivot_col: str, values: list[str]) -> 
     """Pivot with an explicit value list — explicit values avoid the
     extra distinct-scan Spark needs to discover them (scale win)."""
     return df.groupBy(key).pivot(pivot_col, values).count()
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from an event
+    log: per key, collapse consecutive identical attribute values to one
+    versioned row with [valid_from, valid_to) and an is_current flag —
+    the standard change-data-capture materialization (the reference only
+    last-writer-wins upserts, addReddit.py:63-64; this keeps history).
+
+    Scale shape: one shuffle on the key; both windows (change detection,
+    interval close) share the same partitioning so Catalyst plans a
+    single Exchange + sort; output is one row per value-change, which is
+    << input for slowly-changing attributes."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    changes = (
+        df.select(key_col, ts_col, attr_col, tiebreak_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return changes.select(
+        key_col,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -1,0 +1,112 @@
+"""Corpus sampling operators for training-data curation.
+
+The reference has no sampling at all (it processes every harvested
+document, redditProcessor.py:79-123); these are additive north-star
+operators: every serious LLM data pipeline re-weights its sources
+(temperature / alpha sampling a la multilingual LM training) and draws
+deterministic fixed-size per-group samples for eval sets.
+
+Both operators are RNG-free: membership is a pure function of the row
+key (md5 fraction), so results are identical across runs, engines,
+partitionings, and incremental re-ingests — the same invariant as
+relational.hash_split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_fraction(key: Column | str) -> Column:
+    """Deterministic uniform-ish u(key) in [0, 1): first 8 hex digits of
+    md5 as an integer over 16^8.  Matches the SQL oracle exactly
+    (both engines compute the same md5 and the same integer division)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature (alpha) mixture sampling: re-weight groups (sources /
+    languages / domains) by count^alpha, renormalize to shares, and keep
+    each group's rows at rate min(1, share*budget/count).  alpha<1 flattens
+    the mixture (up-samples small sources), alpha=1 keeps natural
+    proportions — the standard knob for multilingual/multi-domain
+    training mixes.
+
+    Returns the kept rows with their group, the group's rounded keep
+    rate, and the deterministic u(key) draw.
+
+    Scale shape: the per-group count is a tiny aggregate (#groups rows)
+    broadcast back onto the fact; membership is then a narrow filter —
+    the fact table itself never shuffles.  Weight summation is decimal
+    so group-iteration order cannot perturb shares (pow is IEEE-exact
+    for a given input in both engines)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # sum of count^alpha over groups, order-insensitively (decimal sum)
+    w = F.pow(F.col("_n").cast("double"), F.lit(alpha))
+    weighted = counts.withColumn("_w", w)
+    tot = weighted.agg(
+        F.sum(F.col("_w").cast("decimal(38,12)")).cast("double").alias("_tw")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("_w") / F.col("_tw")) * F.lit(float(budget)) / F.col("_n"),
+            ),
+        )
+        .select(group_col, "_rate")
+    )
+    u = hash_fraction(key_col)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("_u", u)
+        .filter(F.col("_u") < F.col("_rate"))
+        .select(
+            key_col,
+            group_col,
+            F.round(F.col("_rate") + F.lit(1e-9), 6).alias("keep_rate"),
+            F.round(F.col("_u") + F.lit(1e-9), 6).alias("draw"),
+        )
+    )
+
+
+def priority_sample_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int = 10
+) -> DataFrame:
+    """Deterministic exact-k sample per group: rank rows inside each
+    group by their md5 draw (ties broken by key) and keep the k lowest —
+    a distributed, re-runnable replacement for per-group reservoir
+    sampling (eval-set carving, per-domain spot-check samples).
+
+    Scale shape: one shuffle on the group key; the window ranks within
+    each group partition, and rows beyond k are dropped before any
+    further stage.  A pathologically hot group degrades one reducer
+    only; for k << group size a pre-filter on u(key) < k*c/n would
+    bound reducer input, omitted here for exactness."""
+    u = hash_fraction(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_u").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_u", u)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            key_col,
+            group_col,
+            F.col("_rk").alias("sample_rank"),
+            F.round(F.col("_u") + F.lit(1e-9), 6).alias("draw"),
+        )
+    )

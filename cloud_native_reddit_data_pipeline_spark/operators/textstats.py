@@ -451,3 +451,59 @@ def ranked_keyword_search_bm25(
         )
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def unigram_divergence(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group corpus drift: KL divergence and total-variation distance
+    between each group's unigram distribution p and the whole-corpus
+    distribution q — the standard monitor for source/domain composition
+    shift in training-data pipelines (a source whose token distribution
+    drifts from the mix is flagged before it skews the model).
+
+    TV is computed from group-present words only:
+    0.5*(sum|p-q| + (1 - sum q_present)) — the absent-word mass is
+    1 - sum(q over present words), so the full-vocab term never needs an
+    outer join against the vocabulary.
+
+    Scale shape: one explode -> (group, word) partial-agg (vocabulary-
+    sized, not corpus-sized); corpus counts reuse those partials via a
+    second groupBy on word; the join keys are words (natural partitioning
+    for vocabulary tables); the final aggregate is one row per group.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    words = df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_w"))
+    gw = words.groupBy("_g", "_w").agg(F.count(F.lit(1)).alias("_ngw"))
+    gt = gw.groupBy("_g").agg(
+        F.sum("_ngw").alias("_ng"), F.count(F.lit(1)).alias("_vocab_g")
+    )
+    cw = gw.groupBy("_w").agg(F.sum("_ngw").alias("_nw"))
+    tot = cw.agg(F.sum("_nw").alias("_n"))
+    p = F.col("_ngw") / F.col("_ng")
+    q = F.col("_nw") / F.col("_n")
+    per_word = (
+        gw.join(cw, "_w")
+        .join(gt, "_g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_g",
+            "_vocab_g",
+            "_ng",
+            (p * F.log(p / q)).alias("_klw"),
+            F.abs(p - q).alias("_adw"),
+            q.alias("_qw"),
+        )
+    )
+    return (
+        per_word.groupBy("_g")
+        .agg(
+            F.first("_ng").alias("n_tokens"),
+            F.first("_vocab_g").alias("vocab_size"),
+            F.round(F.sum("_klw") + F.lit(1e-9), 6).alias("kl_to_corpus"),
+            F.round(
+                F.lit(0.5) * (F.sum("_adw") + (F.lit(1.0) - F.sum("_qw")))
+                + F.lit(1e-9),
+                6,
+            ).alias("tv_to_corpus"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )

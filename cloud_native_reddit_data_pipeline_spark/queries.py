@@ -36,6 +36,7 @@ from .operators import (
     graph,
     packing,
     relational,
+    sampling,
     similarity,
     textstats,
     windows,
@@ -694,6 +695,169 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(
         load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# Per-document perplexity under a corpus-trained add-k bigram LM — the
+# classic LM-based quality filter for training-data curation (CCNet-style:
+# surprising docs are boilerplate/noise).  The oracle retrains the same
+# model in SQL: identical smoothing, identical vocabulary.
+@register(
+    "lm_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+      FROM documents
+    ),
+    inst AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS prev,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS cur
+      FROM toks WHERE len(t) >= 2
+    ),
+    pd AS (SELECT doc_id, prev, cur, COUNT(*) AS n FROM inst GROUP BY ALL),
+    cbg AS (SELECT prev, cur, SUM(n) AS c FROM pd GROUP BY ALL),
+    cprev AS (SELECT prev, SUM(c) AS cp FROM cbg GROUP BY ALL),
+    voc AS (SELECT COUNT(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+      SELECT pd.doc_id,
+             SUM(pd.n) AS n_bigrams,
+             SUM(pd.n * -ln((cbg.c + 0.5) / (cprev.cp + 0.5 * voc.v))) / SUM(pd.n) AS ce
+      FROM pd
+      JOIN cbg USING (prev, cur)
+      JOIN cprev USING (prev)
+      CROSS JOIN voc
+      GROUP BY pd.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(s.ce + 1e-9, 4) AS cross_entropy,
+           ROUND(exp(s.ce) + 1e-9, 4) AS perplexity
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bigram_lm_perplexity(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_U8_SQL = (
+    "CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) AS DOUBLE) / 4294967296.0"
+)
+
+
+# Temperature (alpha=0.5) mixture resampling over sources — the
+# multilingual/multi-domain training-mix primitive (up-samples small
+# sources, down-samples dominant ones; membership is a pure function of
+# doc_id, no RNG).
+@register(
+    "mixture_sample",
+    f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM counts),
+    tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS tw FROM w),
+    rates AS (
+      SELECT source, least(1.0, (w / tw) * 300.0 / n) AS rate
+      FROM w CROSS JOIN tot
+    ),
+    draws AS (SELECT doc_id, source, {_U8_SQL} AS u FROM documents)
+    SELECT d.doc_id, d.source,
+           ROUND(r.rate + 1e-9, 6) AS keep_rate,
+           ROUND(d.u + 1e-9, 6) AS draw
+    FROM draws d JOIN rates r USING (source)
+    WHERE d.u < r.rate
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.temperature_mixture_sample(
+        load(spark, sf_dir, "documents"), "source", "doc_id", alpha=0.5, budget=300
+    )
+
+
+# Deterministic exact-k per-group sample (reservoir-sampling replacement:
+# rank by md5 draw inside each group, keep the k lowest).
+@register(
+    "priority_sample",
+    f"""
+    SELECT doc_id, source, sample_rank, draw FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC)
+               AS sample_rank,
+             ROUND(u + 1e-9, 6) AS draw
+      FROM (SELECT doc_id, source, {_U8_SQL} AS u FROM documents)
+    ) WHERE sample_rank <= 12
+    """,
+)
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.priority_sample_per_group(
+        load(spark, sf_dir, "documents"), "source", "doc_id", k=12
+    )
+
+
+# Per-source unigram KL / total-variation vs the whole corpus — source
+# composition drift monitoring for the training mix.
+@register(
+    "unigram_divergence",
+    f"""
+    WITH words AS (
+      SELECT source AS g, unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS w
+      FROM documents
+    ),
+    gw AS (SELECT g, w, COUNT(*) AS ngw FROM words GROUP BY ALL),
+    gt AS (SELECT g, SUM(ngw) AS ng, COUNT(*) AS vocab_g FROM gw GROUP BY g),
+    cw AS (SELECT w, SUM(ngw) AS nw FROM gw GROUP BY w),
+    tot AS (SELECT SUM(nw) AS n FROM cw),
+    per_word AS (
+      SELECT gw.g, gt.vocab_g, gt.ng,
+             (gw.ngw / gt.ng) * ln((gw.ngw / gt.ng) / (cw.nw / tot.n)) AS klw,
+             abs(gw.ngw / gt.ng - cw.nw / tot.n) AS adw,
+             cw.nw / tot.n AS qw
+      FROM gw JOIN cw USING (w) JOIN gt USING (g) CROSS JOIN tot
+    )
+    SELECT g AS source,
+           CAST(MIN(ng) AS BIGINT) AS n_tokens,
+           CAST(MIN(vocab_g) AS BIGINT) AS vocab_size,
+           ROUND(SUM(klw) + 1e-9, 6) AS kl_to_corpus,
+           ROUND(0.5 * (SUM(adw) + (1.0 - SUM(qw))) + 1e-9, 6) AS tv_to_corpus
+    FROM per_word GROUP BY g
+    """,
+)
+def unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.unigram_divergence(
+        load(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+# SCD type-2 history build from the event log: per user, versioned
+# [valid_from, valid_to) intervals of the event_type attribute.
+@register(
+    "scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.scd2_history(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
     )
 
 
