@@ -1,0 +1,158 @@
+"""Distributed byte-pair-encoding (BPE) merge learning.
+
+The core of every modern LLM tokenizer (GPT-2/SentencePiece-style): start
+from characters, repeatedly merge the most frequent adjacent symbol pair.
+The reference has no tokenizer at all (its NLP is bag-of-words TF-IDF,
+redditProcessor.py:103-110); this is an additive north-star operator for
+the training-data pipeline — the engine that counts the corpus must be
+the engine that learns the vocabulary, or the corpus moves twice.
+
+Spark-first shape: the corpus collapses to the *word-frequency* table
+after one explode+groupBy (vocabulary-sized — millions of rows at 100 TB,
+not trillions), and every merge iteration is pair-counting + a per-word
+symbol rewrite on that small table.  Pair statistics aggregate with
+map-side combine; the argmax pair is a one-row collect (a learned model
+parameter, same driver-side role as the k-means centroid fetch in
+operators/clustering.py).  The symbol rewrite is a JVM-side higher-order
+aggregate (left-to-right non-overlapping, exactly classic BPE) — no
+Python UDF anywhere.  Lineage is truncated with localCheckpoint every few
+iterations, the same guard the iterative graph operators use.
+
+Determinism: pair counts are exact long sums; ties break lexicographically
+on (left, right).  tests/test_bpe.py pins the merge sequence against an
+independent pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+END_OF_WORD = "</w>"
+
+
+def word_symbol_table(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> (word, freq, syms) with syms = characters + end-of-word
+    marker.  One explode + one groupBy; everything after runs on this
+    vocabulary-sized table."""
+    words = df.select(
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    return vocab.withColumn(
+        "syms", F.concat(chars, F.array(F.lit(END_OF_WORD)))
+    )
+
+
+def _merge_adjacent(syms_col: str, left: str, right: str) -> F.Column:
+    """Rewrite a symbol array, replacing adjacent (left, right) pairs with
+    the concatenated symbol, left-to-right non-overlapping — classic BPE
+    application, as a codegen'd higher-order aggregate (no UDF)."""
+    merged = left + right
+    syms = F.col(syms_col)
+    step = F.aggregate(
+        F.sequence(F.lit(1), F.size(syms)),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"),
+        ),
+        lambda acc, i: F.when(
+            acc["skip"],
+            F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+        )
+        .when(
+            (F.element_at(syms, i) == F.lit(left))
+            & (F.coalesce(
+                F.element_at(syms, i + 1) == F.lit(right), F.lit(False)
+            )),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(True).alias("skip"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(F.element_at(syms, i))).alias("out"),
+                F.lit(False).alias("skip"),
+            )
+        ),
+        lambda acc: acc["out"],
+    )
+    return step
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus.  Returns a
+    DataFrame (rank int, left str, right str, merged str, pair_freq long)
+    in merge order — the merge table a tokenizer ships with."""
+    spark = df.sparkSession
+    cur = word_symbol_table(df, text_col).select("freq", "syms")
+    cur = cur.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        tail = F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))")
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(F.arrays_zip(F.col("syms").alias("l"), tail.alias("r"))).alias("p"),
+            )
+            .filter(F.col("p.r").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b.l, b.r, b.l + b.r, int(b.cnt)))
+        cur = cur.withColumn("syms", _merge_adjacent("syms", b.l, b.r))
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq long"
+    )
+
+
+def learn_bpe_merges_py(texts: list[str], n_merges: int = 20) -> list[tuple]:
+    """Independent pure-Python reference (for tests): identical greedy
+    semantics — word-frequency model, most-frequent pair, lexicographic
+    tie-break, left-to-right non-overlapping application."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            vocab[w] += 1
+    words = {w: list(w) + [END_OF_WORD] for w in vocab}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        out.append((rank, a, b, a + b, cnt))
+        for w, syms in words.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = new
+    return out

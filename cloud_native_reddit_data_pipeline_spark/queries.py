@@ -2922,6 +2922,21 @@ def sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_merges")
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (the LLM-tokenizer vocabulary
+    build) over the documents corpus: word-frequency model, most-frequent
+    adjacent pair per round, lexicographic tie-break.  Rows-only: the
+    greedy merge loop (argmax + left-to-right non-overlapping rewrite per
+    round) is not SQL-expressible; tests/test_bpe.py pins the exact merge
+    sequence against an independent pure-Python reference."""
+    from .operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(
+        load(spark, sf_dir, "documents").select("text"), "text", n_merges=12
+    )
+
+
 @register("lda_topics")
 def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O31-O34: TF-IDF -> LDA(k, seed) -> widened topic matrix.
