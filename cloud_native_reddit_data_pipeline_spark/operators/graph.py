@@ -58,7 +58,11 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Fixed-iteration PageRank (d=0.85) over symmetric `edges`
     (src BIGINT, dst BIGINT).  Returns (node, rank_e12) with rank_e12
     the exact BIGINT rank at scale 12."""
-    edges = edges.persist()
+    # Pay the src-shuffle once: every iteration joins edges on src, so
+    # hash-partition + persist up front and the per-round sort-merge join
+    # reuses the cached partitioning (no edge re-shuffle per iteration) —
+    # the same pay-once bucketing argument as repeated key joins.
+    edges = edges.repartition("src").persist()
     try:
         deg = edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("deg")
