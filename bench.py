@@ -55,6 +55,12 @@ HEADLINE = [
     "kmeans_embeddings",
     "pagerank_copurchase",
     "pq_ann_topk",
+    "lm_perplexity",
+    "mixture_sample",
+    "priority_sample",
+    "unigram_divergence",
+    "scd2_history",
+    "bpe_merges",
 ]
 
 
