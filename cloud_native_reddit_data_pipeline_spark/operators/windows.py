@@ -76,3 +76,75 @@ def session_windows_gaps(
             F.max(ts_col).alias("session_end"),
         )
     )
+
+
+def interpolate_daily(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Gap-filled daily series with linear interpolation: per group,
+    densify to the full calendar spine, then fill missing days by linear
+    interpolation between the nearest observed days (flat fill at the
+    edges) — the standard feature-engineering resample for irregular
+    event streams.
+
+    Daily means are decimal-summed (order-insensitive, engine-exact);
+    interpolation weights are day distances (exact integers), so the
+    result is oracle-reproducible.
+
+    Scale shape: the day spine is tiny and broadcasts; the observed
+    aggregate is one partial-agg shuffle on (group, day); both fill
+    windows share one (group, day-order) sort.  State per group is one
+    row per calendar day — bounded by the time range, not the data."""
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = df.groupBy(F.col(group_col).alias("g"), day.alias("day")).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    bounds = df.select(
+        F.date_trunc("day", F.min(ts_col)).alias("lo"),
+        F.date_trunc("day", F.max(ts_col)).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    groups = df.select(F.col(group_col).alias("g")).distinct()
+    dense = F.broadcast(spine.crossJoin(groups)).join(daily, ["g", "day"], "left")
+
+    w_back = (
+        Window.partitionBy("g")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("g")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_day = F.last(obs_day, ignorenulls=True).over(w_back)
+    prev_v = F.last(F.col("v"), ignorenulls=True).over(w_back)
+    next_day = F.first(obs_day, ignorenulls=True).over(w_fwd)
+    next_v = F.first(F.col("v"), ignorenulls=True).over(w_fwd)
+    frac = F.datediff(F.col("day"), prev_day).cast("double") / F.datediff(
+        next_day, prev_day
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return dense.select(
+        F.col("g").alias(group_col),
+        "day",
+        F.round(filled + F.lit(1e-9), round_to).alias("value"),
+        F.col("v").isNotNull().alias("observed"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+    )

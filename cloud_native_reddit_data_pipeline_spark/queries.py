@@ -1596,6 +1596,66 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gap-fill + linear interpolation of a sparse daily series (value > 180
+# thins the events to ~22-26 of 30 days per type, so the interpolation
+# path genuinely runs).  Daily means decimal-summed; interpolation
+# weights are exact day distances.
+@register(
+    "interpolate_daily",
+    """
+    WITH src AS (SELECT * FROM events WHERE value > 180),
+    daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v,
+             COUNT(*) AS n_obs
+      FROM src GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM src
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day FROM bounds
+    ),
+    dense AS (
+      SELECT gr.g, spine.day, daily.v, daily.n_obs
+      FROM spine CROSS JOIN (SELECT DISTINCT event_type AS g FROM src) gr
+      LEFT JOIN daily ON daily.g = gr.g AND daily.day = spine.day
+    ),
+    filled AS (
+      SELECT g, day, v, n_obs,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wb AS prev_day,
+             last_value(v IGNORE NULLS) OVER wb AS prev_v,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wf AS next_day,
+             first_value(v IGNORE NULLS) OVER wf AS next_v
+      FROM dense
+      WINDOW wb AS (PARTITION BY g ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY g ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT g AS event_type, day,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                     / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+           END + 1e-9, 4) AS value,
+           (v IS NOT NULL) AS observed,
+           COALESCE(n_obs, 0) AS n_obs
+    FROM filled
+    """,
+)
+def interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 180)
+    return windows.interpolate_daily(ev, "event_type", "ts", "value")
+
+
 @register(
     "histogram_bins",
     f"""

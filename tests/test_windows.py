@@ -40,3 +40,33 @@ def test_sliding_double_counts(spark):
     out = windows.sliding_agg(_events(spark), width="1 hour", slide="30 minutes")
     # every event lands in exactly 2 sliding windows
     assert sum(r["n_events"] for r in out.collect()) == 2 * 4
+
+
+def test_interpolate_daily_fills_gaps(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        interpolate_daily,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").filter(F.col("value") > 180)
+    out = interpolate_daily(ev, "event_type", "ts", "value")
+    rows = out.collect()
+    assert rows and all(r.value is not None for r in rows)
+    # spine completeness: every group covers the identical full day range
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.event_type, []).append(r)
+    spans = {g: (min(x.day for x in v), max(x.day for x in v), len(v)) for g, v in by_g.items()}
+    assert len(set(spans.values())) == 1
+    # interpolated values lie within [min, max] of the observed neighbors
+    for g, v in by_g.items():
+        v.sort(key=lambda r: r.day)
+        obs = [r.value for r in v if r.observed]
+        lo, hi = min(obs), max(obs)
+        for r in v:
+            if not r.observed:
+                assert lo - 1e-6 <= r.value <= hi + 1e-6
+    # at least one gap actually exercised the interpolation path
+    assert any(not r.observed for r in rows)
