@@ -361,3 +361,69 @@ def scd2_history(
         F.row_number().over(w2).alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnostics — the profile you run BEFORE picking a
+    join strategy (broadcast / salt / AQE skew hints): per-key counts
+    reduced to one row of distribution measures (max/mean ratio, top-1
+    share, exact interpolated p50/p99, Shannon entropy in nats).
+
+    Scale shape: one partial-agg shuffle on the key (the same shuffle
+    the join itself would do), then a single-row aggregate; entropy and
+    share terms are decimal-summed so the result is engine-exact."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.select("cnt")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(
+                F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1))) + F.lit(1e-9), 4
+            ).alias("max_over_mean"),
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt") + F.lit(1e-9), 6
+            ).alias("top1_share"),
+            F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+            F.round(
+                (
+                    F.log(F.sum("cnt"))
+                    - F.sum(
+                        (F.col("cnt") * F.log("cnt")).cast("decimal(38,12)")
+                    ).cast("double")
+                    / F.sum("cnt")
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_col: str,
+    op_col: str,
+    seq_cols: list[str],
+    payload_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Change-data-capture apply: collapse an ordered changelog of
+    upserts and deletes to the final table state — last operation per
+    key wins; a trailing delete removes the key entirely (the batch twin
+    of the streaming keyed upsert, extended with delete semantics the
+    reference's ES upserts never had).
+
+    Scale shape: one shuffle on the key, one row_number window, then a
+    narrow filter — output is at most one row per live key."""
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    return (
+        changelog.select(key_col, op_col, *seq_cols, *payload_cols)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col(op_col) != delete_op))
+        .select(key_col, *payload_cols)
+    )

@@ -345,3 +345,63 @@ def pq_adc_topk(
     finally:
         quant.unpersist()
     return out
+
+
+def label_centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    cluster-coherence / label-confusion diagnostic for an embedding
+    table (which classes are near-duplicates in embedding space?).
+
+    Everything is relational long-form: posexplode to (label, dim, val),
+    centroid = decimal-summed mean per (label, dim), then a self-join on
+    dim with decimal-summed products — the dot products and norms are
+    order-insensitive, so the whole matrix is engine-exact.  Emits the
+    upper triangle (l1 < l2).
+
+    Scale shape: the explode shuffles one row per (label, dim) after
+    map-side partial aggregation — the centroid table is
+    |labels| x dim, tiny regardless of corpus size; the pairwise join is
+    centroids-only and never touches the embedding table again."""
+    long = emb.select(
+        F.col(label_col).alias("l"), F.posexplode(vec_col).alias("i", "x")
+    )
+    cent = long.groupBy("l", "i").agg(
+        (
+            # float -> double first: both engines widen the binary value
+            # exactly, then round identically at the decimal cast (no
+            # representable tie exists at 10 fractional digits)
+            F.sum(F.col("x").cast("double").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    a = cent.select(F.col("l").alias("l1"), "i", F.col("c").alias("c1"))
+    b = cent.select(F.col("l").alias("l2"), "i", F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "i")
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+            F.sum((F.col("c1") * F.col("c2")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_dot"),
+            F.sum((F.col("c1") * F.col("c1")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_n1"),
+            F.sum((F.col("c2") * F.col("c2")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_n2"),
+        )
+    )
+    return pairs.select(
+        "l1",
+        "l2",
+        F.round(
+            F.col("_dot") / (F.sqrt("_n1") * F.sqrt("_n2")) + F.lit(1e-9),
+            round_to,
+        ).alias("centroid_cos"),
+    )

@@ -1596,6 +1596,98 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Join-key skew diagnostics over the lineitem supplier key — the profile
+# run before choosing broadcast vs salt vs AQE skew handling.
+@register(
+    "join_key_skew",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MAX(cnt) AS max_cnt,
+           ROUND(MAX(cnt) / (SUM(cnt) / COUNT(*)) + 1e-9, 4) AS max_over_mean,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) + 1e-9, 6) AS top1_share,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt,
+           ROUND(ln(SUM(cnt))
+                 - CAST(SUM(CAST(cnt * ln(cnt) AS DECIMAL(38,12))) AS DOUBLE)
+                   / SUM(cnt)
+                 + 1e-9, 6) AS entropy_nats
+    FROM counts
+    """,
+)
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.key_skew_profile(
+        load(spark, sf_dir, "lineitem"), "l_suppkey"
+    )
+
+
+# CDC apply: collapse the event log to final per-user state (last op
+# wins; a trailing 'error' acts as a delete tombstone).
+@register(
+    "cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ts, event_id, event_type, value
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+      FROM log
+    )
+    SELECT user_id, event_type, value FROM r WHERE rk = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+    )
+    return relational.cdc_apply(
+        ev, "user_id", "op", ["ts", "event_id"], ["event_type", "value"]
+    )
+
+
+# Pairwise cosine between per-label embedding centroids (label-confusion
+# diagnostic); long-form relational, decimal-exact dot products.
+@register(
+    "label_centroid_cos",
+    """
+    WITH long AS (
+      SELECT label AS l,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT l, i,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM long GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.l AS l1, b.l AS l2,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(a.c * a.c AS DECIMAL(38,18))) AS DOUBLE) AS n1,
+             CAST(SUM(CAST(b.c * b.c AS DECIMAL(38,18))) AS DOUBLE) AS n2
+      FROM cent a JOIN cent b ON a.i = b.i AND a.l < b.l
+      GROUP BY 1, 2
+    )
+    SELECT l1, l2,
+           ROUND(dot / (sqrt(n1) * sqrt(n2)) + 1e-9, 6) AS centroid_cos
+    FROM pairs
+    """,
+)
+def label_centroid_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroid_similarity(
+        load(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
 # Gap-fill + linear interpolation of a sparse daily series (value > 180
 # thins the events to ~22-26 of 30 days per type, so the interpolation
 # path genuinely runs).  Daily means decimal-summed; interpolation

@@ -123,3 +123,34 @@ def test_global_row_numbers_no_single_partition_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "hashpartitioning(_pid" in plan  # window runs partitioned
+
+
+def test_key_skew_profile_measures(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 8 + ["b"] * 1 + ["c"] * 1], "k string"
+    )
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_keys == 3 and r.n_rows == 10 and r.max_cnt == 8
+    assert abs(r.top1_share - 0.8) < 1e-6
+    assert abs(r.max_over_mean - 2.4) < 1e-6
+    assert r.entropy_nats > 0
+
+
+def test_cdc_apply_last_op_wins_and_deletes(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import cdc_apply
+
+    rows = [
+        (1, "U", 1, 1, "x"),
+        (1, "U", 2, 2, "y"),   # live: y
+        (2, "U", 1, 3, "x"),
+        (2, "D", 2, 4, None),  # deleted
+        (3, "D", 1, 5, None),
+        (3, "U", 2, 6, "z"),   # re-created after delete: z
+    ]
+    df = spark.createDataFrame(rows, "k int, op string, seq int, tb int, v string")
+    out = {r.k: r.v for r in cdc_apply(df, "k", "op", ["seq", "tb"], ["v"]).collect()}
+    assert out == {1: "y", 3: "z"}

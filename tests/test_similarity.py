@@ -122,3 +122,18 @@ def test_pq_adc_recall_vs_exact_l2(spark):
         dists = [r["adc_e12"] for r in rows]
         assert dists == sorted(dists)
         assert all(r["neighbor_id"] in ids and r["neighbor_id"] != q for r in rows)
+
+
+def test_label_centroid_similarity_structure(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    out = label_centroid_similarity(emb).collect()
+    assert len(out) == n_labels * (n_labels - 1) // 2  # upper triangle
+    for r in out:
+        assert r.l1 < r.l2
+        assert -1.0 - 1e-6 <= r.centroid_cos <= 1.0 + 1e-6
