@@ -212,6 +212,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def union_schema_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("id"),
         F.col("o_orderdate").alias("created"),
@@ -856,6 +857,7 @@ def unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     return relational.scd2_history(
         load(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
     )
@@ -1349,6 +1351,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     return windows.session_windows_gaps(
         load(spark, sf_dir, "events"), gap_minutes=30
     )
@@ -1414,6 +1417,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     ev = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -1455,6 +1459,7 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each click gets the user's latest preceding
     purchase (union-merge formulation, one shuffle — see
     relational.asof_join_backward)."""
+    _utc(spark)
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", "value"
@@ -2232,6 +2237,7 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/interval arithmetic family — trunc, interval add, datediff,
     extract; all integer/date-exact so the oracle is bitwise."""
+    _utc(spark)
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return o.select(
         "o_orderkey",
@@ -2293,6 +2299,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue -> top-10.  Catalyst pushes both date filters into the
     scans; the limit becomes TakeOrderedAndProject (no global sort
     materializes).  Decimal revenue makes the top-10 tie-break exact."""
+    _utc(spark)
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
@@ -2819,6 +2826,7 @@ _RUNNING_WIN = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
 def running_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows (running total / lag / lead / trailing sum) —
     additive over the reference's only window op (O33 top-k)."""
+    _utc(spark)
     return relational.running_aggregates(
         load(spark, sf_dir, "orders"),
         "o_custkey",
