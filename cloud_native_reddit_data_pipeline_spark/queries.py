@@ -1601,6 +1601,44 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Prefix-filtered exact Jaccard join (PPJoin-style): the oracle is the
+# UNFILTERED all-shared-shingle join, so a hash match re-proves that
+# prefix filtering is lossless at the threshold.
+@register(
+    "jaccard_prefix_join",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared) + 1e-9, 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_prefix_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=3, threshold=0.5,
+    )
+
+
 # Join-key skew diagnostics over the lineitem supplier key — the profile
 # run before choosing broadcast vs salt vs AQE skew handling.
 @register(

@@ -199,3 +199,55 @@ def test_benchmark_contamination_broadcast_and_semantics(spark):
     assert rows == {(100, 1): 3}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # benchmark side broadcasts
+
+
+def test_jaccard_prefix_join_matches_unfiltered(spark):
+    """Prefix filtering is lossless: same pairs as the direct
+    shared-shingle Jaccard (df cap disabled) at the threshold."""
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_pairs,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, "doc_id", "text", threshold=t).collect()
+    }
+    full = jaccard_pairs(docs, "doc_id", "text", max_shingle_df=None)
+    want = {}
+    for r in full.collect():
+        if r.jaccard >= t:
+            a, b = sorted((r.id_a, r.id_b))
+            want[(a, b)] = r.jaccard
+    assert set(got) == set(want)
+    for k, (_, jac) in got.items():
+        assert jac >= t and abs(jac - want[k]) < 1e-3
+
+
+def test_jaccard_prefix_bounds_hot_shingle_fanout(spark):
+    """A boilerplate shingle shared by EVERY doc must not blow up the
+    candidate join: it sorts to the end of each doc's frequency-ranked
+    shingle list and falls out of the prefixes, so candidate pairs stay
+    near the true-pair count instead of C(n_docs, 2)."""
+    import pyspark.sql.functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    n = 60
+    boiler = "all rights reserved"  # one 3-shingle in every doc
+    rows = [(i, f"unique{i} token{i} w{i} x{i} y{i} z{i} {boiler}") for i in range(n)]
+    # two planted near-dups
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.4).collect()
+    found = {(r.id_a, r.id_b) for r in out}
+    assert (100, 101) in found
+    # the 60 boilerplate-only docs share ONLY the hot shingle; none of
+    # those C(60,2)=1770 pairs may survive (their true Jaccard < 0.4)
+    assert all(a >= 100 for a, b in found)
