@@ -61,6 +61,17 @@ HEADLINE = [
     "unigram_divergence",
     "scd2_history",
     "bpe_merges",
+    "interpolate_daily",
+    "join_key_skew",
+    "cdc_apply",
+    "label_centroid_cos",
+    # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
+    # ngram_jaccard_pairs) are correctness-gated but not benched here:
+    # the synthetic corpus draws every token from a ~50-word vocabulary,
+    # so NO shingle is rare and every sparse-similarity join degenerates
+    # toward all-pairs — an adversarial input that misrepresents the
+    # algorithms' scale behavior on real corpora (see
+    # operators/dedup.jaccard_prefix_pairs docstring).
 ]
 
 

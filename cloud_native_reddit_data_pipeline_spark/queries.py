@@ -1629,13 +1629,13 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
-    WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+    WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.7
     """,
 )
 def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_prefix_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
-        shingle_n=3, threshold=0.5,
+        shingle_n=3, threshold=0.7,
     )
 
 
@@ -3491,6 +3491,64 @@ def analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("topic_1", 4).alias("topic_1"),
         "batch_id",
     )
+
+
+@register("streaming_cdc_upsert")
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply end-to-end: a changelog stream of upserts and
+    delete tombstones through the checkpointed bucketed sink with
+    SEQ-AUTHORITATIVE merge (max-seq row wins, tombstones persisted) —
+    correct under micro-batch reordering and redelivery, unlike
+    arrival-order CDC.  Returns the live view.  Rows-only: the sink is
+    stateful-on-disk; batch-equivalence vs relational.cdc_apply and the
+    tombstone-resurrection property are pinned in
+    tests/test_streaming_cdc.py."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming.ingest import (
+        read_cdc_table,
+        start_cdc_upsert_stream,
+        write_queue_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        queue, target, ckpt = f"{tmp}/q", f"{tmp}/t", f"{tmp}/c"
+        # 150 creates, 50 updates, 30 deletes (some re-created after)
+        b1 = [dict(k=k, op="U", seq=k, v=f"v{k}") for k in range(150)]
+        b2 = [dict(k=k, op="U", seq=1000 + k, v=f"v{k}b") for k in range(50)]
+        b3 = [dict(k=k, op="D", seq=2000 + k, v=None) for k in range(30)]
+        b4 = [dict(k=k, op="U", seq=3000 + k, v=f"v{k}c") for k in range(10)]
+        for b in (b1, b2, b3, b4):
+            write_queue_batch(queue, "cdc", [_json.dumps(b)])
+        raw = (
+            spark.readStream.schema(
+                T.StructType([T.StructField("value", T.StringType(), True)])
+            )
+            .option("maxFilesPerTrigger", 1)
+            .text(f"{queue}/topic=cdc")
+        )
+        stream = raw.select(
+            F.explode(F.from_json("value", T.ArrayType(schema))).alias("r")
+        ).select("r.*")
+        q = start_cdc_upsert_stream(
+            stream, target, ckpt, key="k", op_col="op", seq_cols=["seq"],
+            available_now=True, n_buckets=16,
+        )
+        q.awaitTermination(120)
+        out = read_cdc_table(spark, target)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
 
 
 @register("streaming_upsert")
