@@ -507,3 +507,93 @@ def unigram_divergence(df: DataFrame, group_col: str, text_col: str) -> DataFram
         )
         .withColumnRenamed("_g", group_col)
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Mergeable count-min sketch of the corpus token stream as a
+    DataFrame of (row, col, cnt) counters — the streaming-friendly
+    frequency summary (point lookups overestimate, never underestimate).
+    Hashes are md5-slice based (identical in any engine), so the sketch
+    is bit-reproducible and exactly oracle-checkable, unlike opaque
+    binary sketch buffers.
+
+    Scale shape: explode -> narrow hash projection -> one partial-agg
+    shuffle bounded by depth*width counters regardless of corpus size;
+    sketches of corpus shards merge by summing counters on (row, col) —
+    the property that makes the sketch a distributed aggregate."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    w = df.select(F.explode(toks).alias("w"))
+    rows = [
+        w.select(
+            F.lit(d).alias("row"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(str(d)), F.col("w"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("col"),
+        )
+        for d in range(depth)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    return allrows.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min point queries for the corpus's top-N exact tokens:
+    estimate = min over the depth counters each token hashes into.
+    Emits (token, exact count, estimate) — the estimate provably >=
+    exact, with error bounded by the sketch shape; having both columns
+    oracle-checked pins the whole sketch construction."""
+    sketch = count_min_sketch(df, text_col, depth, width)
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    exact = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(top_n)
+    )
+    probes = exact.select(
+        "w",
+        "exact_cnt",
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(str(d)), F.col("w"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias(f"_c{d}")
+            for d in range(depth)
+        ],
+    )
+    est = None
+    joined = probes
+    for d in range(depth):
+        s = sketch.filter(F.col("row") == d).select(
+            F.col("col").alias(f"_c{d}"), F.col("cnt").alias(f"_cnt{d}")
+        )
+        joined = joined.join(F.broadcast(s), f"_c{d}")
+    est = F.least(*[F.col(f"_cnt{d}") for d in range(depth)])
+    return joined.select(
+        F.col("w").alias("token"),
+        "exact_cnt",
+        est.alias("cms_estimate"),
+    )

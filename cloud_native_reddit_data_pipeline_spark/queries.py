@@ -1601,6 +1601,51 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D, _CMS_W, _CMS_TOP = 4, 256, 20
+_CMS_COL = (
+    "CAST(concat('0x', substring(md5('{d}|' || {w}), 1, 8)) AS BIGINT) % "
+    + str(_CMS_W)
+)
+_CMS_JOINS = "\n    ".join(
+    f"JOIN sketch s{d} ON s{d}.d = {d} AND s{d}.col = "
+    + _CMS_COL.format(d=d, w="e.w")
+    for d in range(_CMS_D)
+)
+
+
+# Count-min sketch: mergeable (row, col, cnt) counter table + point
+# estimates for the exact top tokens — a sketch whose construction is
+# bit-reproducible (md5-slice hashing), hence exactly oracle-checkable
+# unlike opaque binary sketch buffers.
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH w AS (
+      SELECT unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT d.d, {_CMS_COL.format(d="' || d.d || '", w="w.w")} AS col
+      FROM w CROSS JOIN (SELECT unnest([{", ".join(map(str, range(_CMS_D)))}]) AS d) d
+    ),
+    sketch AS (SELECT d, col, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+    exact AS (
+      SELECT w, COUNT(*) AS exact_cnt FROM w GROUP BY 1
+      ORDER BY exact_cnt DESC, w ASC LIMIT {_CMS_TOP}
+    )
+    SELECT e.w AS token, e.exact_cnt,
+           LEAST({", ".join(f"s{d}.cnt" for d in range(_CMS_D))}) AS cms_estimate
+    FROM exact e
+    {_CMS_JOINS}
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.cms_point_estimates(
+        load(spark, sf_dir, "documents"), "text",
+        top_n=_CMS_TOP, depth=_CMS_D, width=_CMS_W,
+    )
+
+
 # Prefix-filtered exact Jaccard join (PPJoin-style): the oracle is the
 # UNFILTERED all-shared-shingle join, so a hash match re-proves that
 # prefix filtering is lossless at the threshold.

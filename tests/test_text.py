@@ -149,3 +149,32 @@ def test_chunk_fixed_sequences_exact_and_shuffle_free(spark):
     # scale shape: a pure narrow projection — zero exchanges in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        cms_point_estimates,
+        count_min_sketch,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    est = cms_point_estimates(docs, "text", top_n=15).collect()
+    assert len(est) == 15
+    for r in est:
+        assert r.cms_estimate >= r.exact_cnt  # one-sided error
+    # mergeability: sketch(shard1) + sketch(shard2) == sketch(all)
+    s1 = count_min_sketch(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    s2 = count_min_sketch(docs.filter(F.col("doc_id") % 2 == 1), "text")
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("m_cnt"))
+    )
+    whole = count_min_sketch(docs, "text").withColumnRenamed("cnt", "w_cnt")
+    diff = merged.join(whole, ["row", "col"], "full").filter(
+        F.coalesce("m_cnt", F.lit(0)) != F.coalesce("w_cnt", F.lit(0))
+    )
+    assert diff.count() == 0
