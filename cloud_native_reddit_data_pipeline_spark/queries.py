@@ -3180,6 +3180,23 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_encode")
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip: learn 12 BPE merges from the corpus, then
+    encode the corpus with them — per-document word/BPE-token counts and
+    chars-per-token.  The rewrite runs on the distinct-word table only
+    (vocabulary-sized, like the learner).  Rows-only; the encode path is
+    pinned against an independent Python reference in tests/test_bpe.py."""
+    from .operators.bpe import bpe_encode_stats, learn_bpe_merges
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs, "text", n_merges=12).collect()
+    ]
+    return bpe_encode_stats(docs, "doc_id", "text", merges)
+
+
 @register("lda_topics")
 def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O31-O34: TF-IDF -> LDA(k, seed) -> widened topic matrix.

@@ -39,3 +39,44 @@ def test_bpe_exhausts_small_corpus(spark):
     want = learn_bpe_merges_py(["ab ab"], n_merges=50)
     assert out == want
     assert len(out) == 2  # (a,b)->ab, (ab,</w>)->ab</w>
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cloud_native_reddit_data_pipeline_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encode_stats,
+        learn_bpe_merges,
+        learn_bpe_merges_py,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(50)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    merges = [(r.left, r.right) for r in learn_bpe_merges(docs, "text", n_merges=8).collect()]
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_stats(docs, "doc_id", "text", merges).collect()
+    }
+
+    def encode_py(text):
+        total_words = total_bpe = 0
+        for w in (text or "").lower().split():
+            syms = list(w) + [END_OF_WORD]
+            for a, b in merges:
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            total_words += 1
+            total_bpe += len(syms)
+        return total_words, total_bpe
+
+    for doc_id, text in texts.items():
+        assert got[doc_id] == encode_py(text), doc_id
