@@ -65,6 +65,7 @@ HEADLINE = [
     "join_key_skew",
     "cdc_apply",
     "label_centroid_cos",
+    "cms_heavy_hitters",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

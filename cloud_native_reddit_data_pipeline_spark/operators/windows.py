@@ -148,3 +148,66 @@ def interpolate_daily(
         F.col("v").isNotNull().alias("observed"),
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
     )
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct-user count per calendar day (the "7-day
+    active users" metric).  COUNT(DISTINCT) over a sliding range is not
+    an incremental window aggregate — each day needs its own distinct
+    set — so the exact formulation is a spine-to-activity range join:
+    one row per (day, active user-day) pair, then a per-day distinct
+    count.
+
+    Scale shape: the day spine is tiny and broadcasts; the range join
+    fans each (user, day) activity row out to at most `window_days`
+    spine days (bounded, narrow), and the final aggregate is a
+    count-distinct partial-agg on the day key.  The daily-activity
+    pre-aggregate (user, day) collapses the event stream first, so the
+    fan-out multiplies days-distinct rows, not raw events."""
+    day = F.date_trunc("day", F.col(ts_col))
+    activity = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    bounds = df.select(
+        F.date_trunc("day", F.min(ts_col)).alias("lo"),
+        F.date_trunc("day", F.max(ts_col)).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    joined = F.broadcast(spine).join(
+        activity,
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") > F.col("day") - F.expr(f"INTERVAL {window_days} DAYS")),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("u").alias(f"active_{window_days}d")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    max_offset_days: int = 14,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active day
+    (the cohort), counted on each later day-offset they return —
+    the standard product-analytics triangle.
+
+    Scale shape: first-day per user is one partial-agg shuffle on the
+    user key; activity joins back on the same key (co-partitioned);
+    the output is (cohort_day, offset) cells — calendar-bounded, tiny."""
+    day = F.date_trunc("day", F.col(ts_col))
+    activity = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    first = activity.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    return (
+        activity.join(first, "u")
+        .withColumn("day_offset", F.datediff(F.col("d"), F.col("cohort_day")))
+        .filter(F.col("day_offset") <= max_offset_days)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+    )

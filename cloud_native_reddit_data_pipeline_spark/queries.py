@@ -1601,6 +1601,59 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rolling 7-day distinct active users per calendar day — exact
+# formulation via spine-to-activity range join (COUNT DISTINCT over a
+# sliding range is not an incremental window aggregate).
+@register(
+    "rolling_active_users",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d FROM events
+    ),
+    bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day FROM bounds
+    )
+    SELECT spine.day, COUNT(DISTINCT a.u) AS active_7d
+    FROM spine JOIN activity a
+      ON a.d <= spine.day AND a.d > spine.day - INTERVAL '7 days'
+    GROUP BY spine.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.rolling_distinct_users(
+        load(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
+# Cohort retention triangle: users bucketed by first active day, counted
+# at each later day offset they return.
+@register(
+    "cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d FROM events
+    ),
+    first AS (SELECT u, MIN(d) AS cohort_day FROM activity GROUP BY u)
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+           COUNT(DISTINCT a.u) AS n_users
+    FROM activity a JOIN first f USING (u)
+    WHERE date_diff('day', f.cohort_day, a.d) <= 14
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.cohort_retention(
+        load(spark, sf_dir, "events"), "ts", "user_id", max_offset_days=14
+    )
+
+
 _CMS_D, _CMS_W, _CMS_TOP = 4, 256, 20
 _CMS_COL = (
     "CAST(concat('0x', substring(md5('{d}|' || {w}), 1, 8)) AS BIGINT) % "

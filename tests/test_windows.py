@@ -70,3 +70,32 @@ def test_interpolate_daily_fills_gaps(spark):
                 assert lo - 1e-6 <= r.value <= hi + 1e-6
     # at least one gap actually exercised the interpolation path
     assert any(not r.observed for r in rows)
+
+
+def test_rolling_and_cohort_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        cohort_retention,
+        rolling_distinct_users,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    n_users = ev.select("user_id").distinct().count()
+    roll = rolling_distinct_users(ev, "ts", "user_id", window_days=7).collect()
+    assert roll and all(0 < r.active_7d <= n_users for r in roll)
+    # widening the window can only grow the count
+    wide = {
+        r.day: r.active_30d
+        for r in rolling_distinct_users(ev, "ts", "user_id", window_days=30).collect()
+    }
+    for r in roll:
+        assert wide[r.day] >= r.active_7d
+
+    coh = cohort_retention(ev, "ts", "user_id", max_offset_days=14).collect()
+    day0 = {r.cohort_day: r.n_users for r in coh if r.day_offset == 0}
+    assert sum(day0.values()) == n_users  # every user in exactly one cohort
+    for r in coh:
+        assert 0 <= r.day_offset <= 14
+        assert r.n_users <= day0[r.cohort_day]  # retention never exceeds cohort size
