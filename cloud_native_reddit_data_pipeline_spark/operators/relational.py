@@ -427,3 +427,25 @@ def cdc_apply(
         .filter((F.col("_rk") == 1) & (F.col(op_col) != delete_op))
         .select(key_col, *payload_cols)
     )
+
+
+def dq_report(checks: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Data-quality report: each entry is (check_name, violations_df);
+    emits one row per check with its violation count — the pre-ingest
+    gate a production pipeline runs before promoting a batch
+    (the engine-side generalization of the reference's defensive
+    .get() re-projection, addReddit.py:51-61).
+
+    Scale shape: each check is an independent aggregate/anti-join whose
+    plan Catalyst optimizes separately; the report union is #checks
+    single-row frames.  Violation DataFrames are COUNTED, not collected
+    — a failing check at 100 TB costs one aggregate, not a transfer."""
+    frames = []
+    for name, df in checks:
+        frames.append(df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        ))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1601,6 +1601,72 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-quality gate: null / PK-uniqueness / FK-orphan / value-range
+# checks across the warehouse, one row per check.
+@register(
+    "dq_checks",
+    """
+    SELECT 'orders_null_custkey' AS check_name, COUNT(*) AS n_violations
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_dup_pk', COUNT(*) FROM
+      (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_orphan_fk', COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_range', COUNT(*) FROM lineitem
+    WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'customer_orphan_nation', COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'events_null_user', COUNT(*) FROM events WHERE user_id IS NULL
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    events = load(spark, sf_dir, "events")
+    checks = [
+        ("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        (
+            "orders_dup_pk",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1),
+        ),
+        (
+            "lineitem_orphan_fk",
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem_qty_range",
+            lineitem.filter(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            ),
+        ),
+        (
+            "customer_orphan_nation",
+            customer.join(
+                nation.select(F.col("n_nationkey").alias("c_nationkey")),
+                "c_nationkey",
+                "left_anti",
+            ),
+        ),
+        ("events_null_user", events.filter(F.col("user_id").isNull())),
+    ]
+    return relational.dq_report(checks)
+
+
 # Rolling 7-day distinct active users per calendar day — exact
 # formulation via spine-to-activity range join (COUNT DISTINCT over a
 # sliding range is not an incremental window aggregate).

@@ -154,3 +154,21 @@ def test_cdc_apply_last_op_wins_and_deletes(spark):
     df = spark.createDataFrame(rows, "k int, op string, seq int, tb int, v string")
     out = {r.k: r.v for r in cdc_apply(df, "k", "op", ["seq", "tb"], ["v"]).collect()}
     assert out == {1: "y", 3: "z"}
+
+
+def test_dq_report_counts_violations(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import dq_report
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    dirty = spark.createDataFrame([(None, "x"), (3, None)], "k int, v string")
+    out = {
+        r.check_name: r.n_violations
+        for r in dq_report(
+            [
+                ("null_keys", dirty.filter("k IS NULL")),
+                ("null_vals", dirty.filter("v IS NULL")),
+                ("clean_null_keys", clean.filter("k IS NULL")),
+            ]
+        ).collect()
+    }
+    assert out == {"null_keys": 1, "null_vals": 1, "clean_null_keys": 0}
