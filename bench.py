@@ -66,6 +66,9 @@ HEADLINE = [
     "cdc_apply",
     "label_centroid_cos",
     "cms_heavy_hitters",
+    "dq_checks",
+    "rolling_active_users",
+    "cohort_retention",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

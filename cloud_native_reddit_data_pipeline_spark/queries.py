@@ -1601,6 +1601,51 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_BITS, _Z_BUCKET_BITS = 5, 6
+_Z_INTERLEAVE = " + ".join(
+    f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+# Z-order (Morton) layout assignment over (customer, order-id-as-time):
+# exact integer quantization + bit interleave; the pruning win of the
+# layout is asserted in tests/test_layout.py.
+@register(
+    "zorder_layout",
+    f"""
+    WITH bounds AS (
+      SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+             MIN(o_orderkey) AS ylo, MAX(o_orderkey) AS yhi
+      FROM orders
+    ),
+    q AS (
+      SELECT o_orderkey,
+             CAST(floor(((o_custkey - xlo) * {(1 << _Z_BITS) - 1} * 1.0)
+                        / greatest(xhi - xlo, 1)) AS BIGINT) AS qx,
+             CAST(floor(((o_orderkey - ylo) * {(1 << _Z_BITS) - 1} * 1.0)
+                        / greatest(yhi - ylo, 1)) AS BIGINT) AS qy
+      FROM orders CROSS JOIN bounds
+    )
+    SELECT o_orderkey,
+           CAST({_Z_INTERLEAVE} AS BIGINT) AS zvalue,
+           CAST(({_Z_INTERLEAVE}) >> {2 * _Z_BITS - _Z_BUCKET_BITS} AS BIGINT)
+             AS zbucket
+    FROM q
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import zorder_assignment
+
+    return zorder_assignment(
+        load(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderkey",
+        bits=_Z_BITS,
+        bucket_bits=_Z_BUCKET_BITS,
+    ).select("o_orderkey", "zvalue", "zbucket")
+
+
 # Data-quality gate: null / PK-uniqueness / FK-orphan / value-range
 # checks across the warehouse, one row per check.
 @register(

@@ -1,0 +1,67 @@
+"""Z-order layout: Morton code correctness and the actual pruning win —
+a rectangle predicate must touch a small fraction of Z-buckets, which is
+the entire point of the layout (single-column layouts cannot give this
+for two-dimensional predicates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_native_reddit_data_pipeline_spark.operators.layout import (
+    zorder_assignment,
+)
+from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_morton_code_locality(spark):
+    """Adjacent cells differ in few code bits; exact code check on a
+    hand-computable grid."""
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = zorder_assignment(df, "x", "y", bits=3, bucket_bits=2)
+    codes = {(r.x, r.y): r.zvalue for r in out.collect()}
+    # bits=3 over 0..7 quantizes identically (span 7 -> q == value)
+    def morton(x, y):
+        z = 0
+        for i in range(3):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in codes.items():
+        assert z == morton(x, y), (x, y)
+
+
+def test_zorder_rectangle_prunes_buckets(spark):
+    """A 10%x10% rectangle in (custkey, orderkey) space must touch far
+    fewer Z-buckets than exist overall — and far fewer rows than a scan
+    of the same row count under a hash layout would."""
+    orders = load(spark, SF_SMOKE, "orders")
+    z = zorder_assignment(orders, "o_custkey", "o_orderkey", bits=5, bucket_bits=6)
+    z = z.persist()
+    try:
+        n_buckets = z.select("zbucket").distinct().count()
+        lo_c, hi_c = (
+            orders.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+        )
+        lo_o, hi_o = (
+            orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+        )
+        span_c, span_o = hi_c - lo_c, hi_o - lo_o
+        rect = z.filter(
+            (F.col("o_custkey") >= lo_c)
+            & (F.col("o_custkey") <= lo_c + span_c // 10)
+            & (F.col("o_orderkey") >= lo_o)
+            & (F.col("o_orderkey") <= lo_o + span_o // 10)
+        )
+        touched = rect.select("zbucket").distinct().count()
+        assert rect.count() > 0
+        # a 10% x 10% rectangle covers ~1% of the space; allow generous
+        # slack for quantization-boundary straddle, but the win must be
+        # decisive: under a hash or single-column layout the same query
+        # touches essentially ALL buckets
+        assert touched <= n_buckets * 0.25, (touched, n_buckets)
+    finally:
+        z.unpersist()
