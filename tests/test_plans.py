@@ -258,3 +258,42 @@ def test_pq_encode_is_narrow_no_exchange(spark):
     emb = load(spark, SF, "embeddings")
     plan = plan_of(similarity.pq_encode(emb, m=4, k=16))
     assert "Exchange" not in plan, "PQ encode must be a narrow map"
+
+
+def test_contamination_broadcasts_hashed_shingles(spark):
+    """The bench side broadcasts and the join probes 8-byte xxhash64
+    keys — the corpus never sort-merge shuffles against the benchmark."""
+    df = registry.queries()["benchmark_contamination"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin [_sh" in plan
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_never_shuffles_fact(spark):
+    """Per-source keep rates broadcast back onto the documents scan: the
+    fact side must join by broadcast, not exchange."""
+    df = registry.queries()["mixture_sample"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_assignment_is_shuffle_free(spark):
+    """Morton assignment = tiny bounds aggregate broadcast + narrow
+    projection; no Exchange may touch the orders scan output."""
+    df = registry.queries()["zorder_layout"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds cross join
+    # the only exchange allowed is the single-partition one feeding the
+    # bounds aggregate, never a hashpartitioning of the fact
+    assert "hashpartitioning(o_" not in plan
+
+
+def test_lm_perplexity_model_joins_on_bigram_keys(spark):
+    """The count join moves one row per distinct (doc, bigram); vocab is
+    a broadcast scalar; no BatchEvalPython anywhere."""
+    df = registry.queries()["lm_perplexity"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab-size join
