@@ -130,3 +130,46 @@ def chunk_fixed_sequences(
             F.array_join("ck.t", " ").alias("chunk_text"),
         )
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    seq_len: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunking (stride < seq_len overlaps
+    adjacent chunks by seq_len - stride tokens) — the retrieval /
+    long-context prep twin of `chunk_fixed_sequences`: overlap keeps
+    sentences that straddle a boundary retrievable from both sides.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens
+    (every token is covered; the final chunk may be short).  Same 100-TB
+    plan as fixed chunking: sequence + slice in one narrow projection,
+    explode emits finished chunks, no shuffle at any corpus size."""
+    from ..functions.text import tokens
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(toks, i * stride + 1, seq_len).alias("t"),
+            ),
+        )
+    )
+    return (
+        docs.filter(n > 0)
+        .select(F.col(id_col), chunk.alias("ck"))
+        .select(
+            id_col,
+            F.col("ck.chunk_id").alias("chunk_id"),
+            (F.col("ck.chunk_id") * stride).alias("start_token"),
+            F.size("ck.t").alias("n_chunk_tokens"),
+            F.array_join("ck.t", " ").alias("chunk_text"),
+        )
+    )

@@ -405,3 +405,42 @@ def label_centroid_similarity(
             round_to,
         ).alias("centroid_cos"),
     )
+
+
+def int8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = 127 / max|x|, q_i = round(x_i * scale) — the 4x memory/IO
+    compression applied before serving or PQ training.  Pure array
+    expressions (transform + aggregate), narrow map, no shuffle; both
+    engines round half away from zero, and max|x| folds over exact
+    float-widened doubles, so the codes are engine-exact.  Emits the
+    quantized codes plus the max reconstruction error for QA."""
+    from ..functions.vectors import as_double
+
+    v = as_double(F.col(vec_col))
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    recon_err = F.aggregate(
+        F.zip_with(
+            v,
+            q,
+            lambda x, c: F.abs(
+                x - F.when(scale > 0, c.cast("double") / scale).otherwise(F.lit(0.0))
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, e: F.greatest(a, e),
+    )
+    return emb.select(
+        F.col(id_col),
+        q.alias("q8"),
+        F.round(max_abs + F.lit(1e-9), 6).alias("max_abs"),
+        F.round(recon_err + F.lit(1e-9), 6).alias("max_recon_err"),
+    )

@@ -1601,6 +1601,73 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDE_LEN, _SLIDE_STRIDE = 64, 48
+
+
+# Overlapping sliding-window chunking (RAG / long-context prep): stride
+# 48 overlaps adjacent 64-token chunks by 16 tokens.
+@register(
+    "sliding_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0, CAST(ceil(len(t) / {float(_SLIDE_STRIDE)}) AS INT) - 1)) AS chunk_id
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * {_SLIDE_STRIDE} AS INT) AS start_token,
+           len(t[chunk_id * {_SLIDE_STRIDE} + 1 :
+                 chunk_id * {_SLIDE_STRIDE} + {_SLIDE_LEN}]) AS n_chunk_tokens,
+           array_to_string(t[chunk_id * {_SLIDE_STRIDE} + 1 :
+                             chunk_id * {_SLIDE_STRIDE} + {_SLIDE_LEN}], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.sliding_chunks(
+        load(spark, sf_dir, "documents"), _SLIDE_LEN, _SLIDE_STRIDE
+    )
+
+
+# Symmetric int8 quantization of embeddings (serving/PQ-prep
+# compression), engine-exact codes + reconstruction-error QA.
+@register(
+    "int8_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           e -> abs(e)), 'max') AS ma
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x, ma,
+             CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, x, ma, sc,
+             list_transform(x, e -> CAST(round(e * sc) AS INT)) AS q8
+      FROM s
+    )
+    SELECT vec_id, q8,
+           ROUND(ma + 1e-9, 6) AS max_abs,
+           ROUND(list_aggregate(
+                   list_transform(generate_series(1, len(x)),
+                     i -> abs(x[i] - CASE WHEN sc > 0 THEN q8[i] / sc
+                                          ELSE 0.0 END)),
+                   'max') + 1e-9, 6) AS max_recon_err
+    FROM q
+    """,
+)
+def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.int8_quantize(load(spark, sf_dir, "embeddings"))
+
+
 _Z_BITS, _Z_BUCKET_BITS = 5, 6
 _Z_INTERLEAVE = " + ".join(
     f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"

@@ -69,3 +69,30 @@ def test_global_form_is_single_partition_by_design(spark):
     g = packing.pack_sequences_global(_ntok(spark), BUDGET)
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in plan  # documented small-data-only shape
+
+
+def test_sliding_chunks_overlap_and_coverage(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.packing import (
+        sliding_chunks,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    out = sliding_chunks(docs, 64, 48).collect()
+    texts = {r.doc_id: (r.text or "").split() for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        toks = texts[doc_id]
+        for r in chunks:
+            want = toks[r.start_token : r.start_token + 64]
+            assert r.chunk_text.split() == want  # exact slice
+            assert r.n_chunk_tokens == len(want)
+        # consecutive chunks overlap by 16 tokens (when both full)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_token - a.start_token == 48
+        # coverage: every token index falls inside some chunk
+        covered = max(r.start_token + r.n_chunk_tokens for r in chunks)
+        assert covered == len(toks)

@@ -137,3 +137,19 @@ def test_label_centroid_similarity_structure(spark):
     for r in out:
         assert r.l1 < r.l2
         assert -1.0 - 1e-6 <= r.centroid_cos <= 1.0 + 1e-6
+
+
+def test_int8_quantize_bounds(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        int8_quantize,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = int8_quantize(emb).collect()
+    assert out
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.q8)
+        if r.max_abs > 0:
+            # reconstruction error bound: half a quantization step
+            assert r.max_recon_err <= 0.5 * r.max_abs / 127 + 1e-6
