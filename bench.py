@@ -66,6 +66,9 @@ HEADLINE = [
     "cdc_apply",
     "label_centroid_cos",
     "cms_heavy_hitters",
+    "sliding_chunks",
+    "int8_quantize",
+    "zorder_layout",
     "dq_checks",
     "rolling_active_users",
     "cohort_retention",
