@@ -3543,10 +3543,53 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")
+def _ann_lsh_oracle(n_planes: int = 8, bands: int = 4, k: int = 5) -> str:
+    """Exact replay of similarity.lsh_topk: the hyperplanes are
+    deterministic literals (make_planes), so the banded signatures,
+    candidate set, and cosine re-rank are all SQL-expressible — the same
+    construction that backs embedding_neardup's oracle."""
+    from .functions.vectors import make_planes
+
+    planes = make_planes(64, n_planes)
+    rpb = n_planes // bands
+    band_cols = ", ".join(
+        f"{_neardup_bucket_sql(planes[b * rpb:(b + 1) * rpb])} AS b{b}"
+        for b in range(bands)
+    )
+    any_band = " OR ".join(f"c.b{b} = q.b{b}" for b in range(bands))
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+    return f"""
+    WITH keyed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {band_cols}
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             {", ".join(f"b{b}" for b in range(bands))}
+      FROM keyed WHERE vec_id IN ({ids})
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v
+      FROM keyed c JOIN q ON c.vec_id <> q.query_id AND ({any_band})
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_cosine_similarity(qv, v), 4) AS cos
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed approximate top-k (recall/latency
-    trade-off vs ann_cosine_topk; candidates only from matching bands)."""
+    trade-off vs ann_cosine_topk; candidates only from matching bands).
+    Oracle-backed: the plane literals are shared with the SQL replay."""
     return similarity.lsh_topk(
         load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_planes=8, bands=4
     )
