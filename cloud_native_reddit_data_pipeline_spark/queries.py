@@ -1601,6 +1601,46 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANALYZE-style table profile of orders: per-column NDV / null fraction
+# / min / max in ONE pass (grouping-free multi-aggregate; the stats a
+# cost-based optimizer or data catalog collects).
+@register(
+    "table_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS ndv_custkey,
+           COUNT(DISTINCT o_orderstatus) AS ndv_status,
+           COUNT(DISTINCT o_orderpriority) AS ndv_priority,
+           ROUND(1.0 - COUNT(o_custkey) * 1.0 / COUNT(*) + 1e-9, 6)
+             AS null_frac_custkey,
+           MIN(o_orderkey) AS min_orderkey,
+           MAX(o_orderkey) AS max_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) + 1e-9, 4) AS avg_totalprice
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.countDistinct("o_orderpriority").alias("ndv_priority"),
+        F.round(
+            F.lit(1.0) - F.count("o_custkey") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("null_frac_custkey"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("avg_totalprice"),
+    )
+
+
 _SLIDE_LEN, _SLIDE_STRIDE = 64, 48
 
 
