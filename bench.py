@@ -5,7 +5,11 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 The headline set exercises every scale-relevant plan shape: pushdown
 agg, shuffle joins (broadcast + sort-merge), window rank, event-time
 windows, sessionization, hash dedup, MinHash-LSH, SimHash, relational
-sentiment, and brute-force + LSH vector search.
+sentiment, brute-force + LSH + IVF + PQ vector search, iterative
+algorithms (k-means, PageRank, BPE), LM-based quality scores, corpus
+sampling, calendar analytics (interpolation, rolling actives, cohorts),
+CDC/SCD2, sketches (count-min), layout (Z-order), the DQ gate, and one
+end-to-end streaming ingest->upsert row.
 """
 
 from __future__ import annotations
