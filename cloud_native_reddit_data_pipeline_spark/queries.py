@@ -1601,6 +1601,149 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Relational grouped outlier detection — the scale twin of the
+# grouped_zscore pandas-UDF demo (SCALE.md: "UDFs are the slow path"):
+# decimal-exact moments per group, |z| > 3 flags, pure column math.
+@register(
+    "grouped_outliers",
+    """
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type, n, s / n AS mu,
+             sqrt(greatest((ss - s * s / n) / (n - 1), 0.0)) AS sd
+      FROM m WHERE n > 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (WHERE abs((e.value - st.mu) / st.sd) > 3)
+                AS BIGINT) AS n_outliers,
+           CAST(MIN(st.n) AS BIGINT) AS n_rows,
+           ROUND(MIN(st.mu) + 1e-9, 4) AS mean_value,
+           ROUND(MIN(st.sd) + 1e-9, 4) AS std_value
+    FROM events e JOIN stats st USING (event_type)
+    WHERE st.sd > 0
+    GROUP BY e.event_type
+    """,
+)
+def grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum(
+            F.col("value").cast("decimal(18,6)")
+            * F.col("value").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    stats = (
+        m.filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            "n",
+            (F.col("s") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            ).alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(z > 3, 1).otherwise(0)).alias("n_outliers"),
+            F.min("n").alias("n_rows"),
+            F.round(F.min("mu") + F.lit(1e-9), 4).alias("mean_value"),
+            F.round(F.min("sd") + F.lit(1e-9), 4).alias("std_value"),
+        )
+    )
+
+
+_MB_MIN_SUPPORT = 3
+
+
+# Market-basket association rules over parts co-occurring in orders:
+# support / confidence / lift with exact decimal-free integer counts.
+@register(
+    "association_rules",
+    f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    item AS (SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS cxy
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MB_MIN_SUPPORT}
+    )
+    SELECT p.x AS antecedent, p.y AS consequent, p.cxy AS pair_count,
+           ROUND(p.cxy * 1.0 / n_orders.n + 1e-9, 6) AS support,
+           ROUND(p.cxy * 1.0 / ix.c + 1e-9, 6) AS confidence,
+           ROUND((p.cxy * 1.0 / n_orders.n)
+                 / ((ix.c * 1.0 / n_orders.n) * (iy.c * 1.0 / n_orders.n))
+                 + 1e-9, 4) AS lift
+    FROM pair p
+    JOIN item ix ON ix.l_partkey = p.x
+    JOIN item iy ON iy.l_partkey = p.y
+    CROSS JOIN n_orders
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= _MB_MIN_SUPPORT)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("c").alias("cx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("c").alias("cy"))
+    n = F.col("n")
+    return (
+        pair.join(ix, "x")
+        .join(iy, "y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("cxy").alias("pair_count"),
+            F.round(F.col("cxy") / n + F.lit(1e-9), 6).alias("support"),
+            F.round(F.col("cxy") / F.col("cx") + F.lit(1e-9), 6).alias("confidence"),
+            F.round(
+                (F.col("cxy") / n) / ((F.col("cx") / n) * (F.col("cy") / n))
+                + F.lit(1e-9),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
 # ANALYZE-style table profile of orders: per-column NDV / null fraction
 # / min / max in ONE pass (grouping-free multi-aggregate; the stats a
 # cost-based optimizer or data catalog collects).
