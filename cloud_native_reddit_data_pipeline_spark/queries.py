@@ -1601,6 +1601,34 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Blocked edit-distance entity matching over part names (noun-word
+# blocking, exact Levenshtein verify — identical in both engines).
+@register(
+    "fuzzy_part_matches",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS k, levenshtein(a.p_name, b.p_name) AS d
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT k AS p_partkey,
+           COUNT(*) AS n_fuzzy_matches,
+           CAST(MIN(d) AS INT) AS min_distance
+    FROM pairs GROUP BY 1
+    """,
+)
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return dedup.fuzzy_match_stats(
+        p, "p_partkey", "p_name", F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=2,
+    )
+
+
 # Relational grouped outlier detection — the scale twin of the
 # grouped_zscore pandas-UDF demo (SCALE.md: "UDFs are the slow path"):
 # decimal-exact moments per group, |z| > 3 flags, pure column math.
