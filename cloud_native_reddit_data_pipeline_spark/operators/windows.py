@@ -211,3 +211,50 @@ def cohort_retention(
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("u").alias("n_users"))
     )
+
+
+def interval_overlap_degree(
+    intervals: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Interval-overlap degree: for each interval, how many intervals
+    with a DIFFERENT first key overlap it in time (concurrency
+    analysis: simultaneous sessions, overlapping incidents).
+
+    Scale shape: a direct inequality self-join is a cartesian band —
+    instead each interval explodes to the time buckets it spans
+    (bounded by its duration), candidates come from bucket equality,
+    and the true overlap predicate (a.start <= b.end AND b.start <=
+    a.end, inclusive) verifies after distinct-ing multi-bucket pairs.
+    One shuffle on the bucket key; fan-out proportional to interval
+    length over bucket size — pick the bucket near the typical
+    duration."""
+    a_keys = [F.col(f"a.{k}").alias(k) for k in key_cols]
+    buckets = F.explode(
+        F.sequence(
+            F.date_trunc(bucket, F.col(start_col)),
+            F.date_trunc(bucket, F.col(end_col)),
+            F.expr(f"INTERVAL 1 {bucket.upper()}"),
+        )
+    ).alias("_bk")
+    exploded = intervals.select(
+        *key_cols, F.col(start_col).alias("_s"), F.col(end_col).alias("_e"), buckets
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bk") == F.col("b._bk"))
+            & (F.col(f"a.{key_cols[0]}") != F.col(f"b.{key_cols[0]}"))
+            & (F.col("a._s") <= F.col("b._e"))
+            & (F.col("b._s") <= F.col("a._e")),
+        )
+        .select(*a_keys, *[F.col(f"b.{k}").alias(f"_b_{k}") for k in key_cols])
+        .distinct()
+    )
+    return cand.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_overlapping")
+    )

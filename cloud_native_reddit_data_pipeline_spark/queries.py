@@ -1601,6 +1601,52 @@ def date_spine_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Concurrent-session analysis: per session, the number of other users'
+# sessions overlapping it in time.  The engine buckets intervals to
+# avoid the cartesian band join; the oracle is the direct inequality
+# join, so a hash match proves the bucketed candidates are complete.
+@register(
+    "session_overlap",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN datediff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                               ts) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS _new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_seq
+    )
+    SELECT a.user_id, a.session_seq, COUNT(*) AS n_overlapping
+    FROM sess a JOIN sess b
+      ON a.user_id <> b.user_id
+     AND a.session_start <= b.session_end
+     AND b.session_start <= a.session_end
+    GROUP BY a.user_id, a.session_seq
+    """,
+)
+def session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    sess = windows.session_windows_gaps(
+        load(spark, sf_dir, "events"), gap_minutes=30
+    )
+    return windows.interval_overlap_degree(
+        sess.select("user_id", "session_seq", "session_start", "session_end"),
+        ["user_id", "session_seq"],
+        "session_start",
+        "session_end",
+    )
+
+
 # Blocked edit-distance entity matching over part names (noun-word
 # blocking, exact Levenshtein verify — identical in both engines).
 @register(
