@@ -79,6 +79,8 @@ HEADLINE = [
     "association_rules",
     "fuzzy_part_matches",
     "session_overlap",
+    "promo_revenue_share",
+    "disjunctive_filter_revenue",
     "rolling_active_users",
     "cohort_retention",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
