@@ -81,6 +81,7 @@ HEADLINE = [
     "session_overlap",
     "promo_revenue_share",
     "disjunctive_filter_revenue",
+    "supplier_cnt_by_part_attrs",
     "rolling_active_users",
     "cohort_retention",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,

@@ -1647,6 +1647,41 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q16 shape: distinct-supplier counts per part attribute with
+# negative predicates (<>, NOT LIKE, IN-list) pushed to the dim scan.
+@register(
+    "supplier_cnt_by_part_attrs",
+    """
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'SMALL%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY 1, 2
+    """,
+)
+def supplier_cnt_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: negative predicates (<>, NOT LIKE, IN) filter
+    the part dimension BEFORE the broadcast join, then a two-phase
+    distinct count per (brand, size)."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").startswith("SMALL")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # TPC-H Q19 shape: disjunctive multi-attribute predicates (brand x size
 # x quantity bands) that Catalyst must push as one OR filter.
 @register(
