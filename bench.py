@@ -51,6 +51,7 @@ HEADLINE = [
     "salted_join_agg",
     "ann_ivf_topk",
     "training_corpus_select",
+    "training_corpus_select_v2",
     "rolling_hash_fingerprint",
     "ranked_search_bm25",
     "repetition_stats",

@@ -2064,6 +2064,92 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_quantize(load(spark, sf_dir, "embeddings"))
 
 
+def _training_v2_oracle() -> str:
+    """Composed oracle for the v2 capstone: reuses the lm_perplexity
+    oracle verbatim as a subquery, the shingle CTEs for contamination,
+    and the mixture-rate arithmetic — one SQL statement replaying the
+    whole selection pipeline."""
+    ppl_sql = _ORACLES["lm_perplexity"]
+    return f"""
+    WITH {_SHINGLE_SQL},
+    cont AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT c.doc_id, b.doc_id AS bench_doc_id
+        FROM sh c JOIN sh b ON c.shingle = b.shingle
+        WHERE b.doc_id < 20 AND c.doc_id >= 20
+        GROUP BY c.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
+      )
+    ),
+    corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    ppl AS (SELECT * FROM ({ppl_sql})),
+    surv AS (
+      SELECT d.doc_id, d.source, p.perplexity
+      FROM corpus d
+      JOIN keepers USING (doc_id)
+      JOIN ppl p USING (doc_id)
+      WHERE p.perplexity <= 31.0
+        AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM surv GROUP BY source),
+    w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM counts),
+    tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS tw FROM w),
+    rates AS (
+      SELECT source, least(1.0, (w / tw) * 200.0 / n) AS rate
+      FROM w CROSS JOIN tot
+    ),
+    draws AS (SELECT s.*, {_U8_SQL.replace("doc_id", "s.doc_id")} AS u FROM surv s)
+    SELECT d.doc_id, d.source, d.perplexity,
+           ROUND(r.rate + 1e-9, 6) AS keep_rate,
+           ROUND(d.u + 1e-9, 6) AS draw
+    FROM draws d JOIN rates r USING (source)
+    WHERE d.u < r.rate
+    """
+
+
+@register("training_corpus_select_v2")
+def training_corpus_select_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 capstone: the full selection pipeline composed from the
+    round's new families — exact content dedup (keep-first), bigram-LM
+    perplexity filter (<= 31), eval-set decontamination (>= 2 shared
+    shingles with the benchmark slice), and temperature mixture sampling
+    (alpha 0.5, budget 200) — in ONE lazy plan with ONE composed SQL
+    oracle replaying every stage.  Scale shape: each stage keeps its own
+    audited plan (hash-keyed dedup shuffle, vocabulary-sized LM joins,
+    broadcast benchmark shingles, broadcast mixture rates); composition
+    adds no new shuffles beyond the stages' own."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20).withColumnRenamed(
+        "doc_id", "bench_doc_id"
+    )
+    keepers = dedup.content_dedup_groups(corpus, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    ppl = textstats.bigram_lm_perplexity(docs, "doc_id", "text").select(
+        "doc_id", "perplexity"
+    )
+    contaminated = dedup.benchmark_contamination(
+        corpus, bench, "doc_id", "text", "bench_doc_id", "text", min_hits=2
+    ).select("doc_id").distinct()
+    surv = (
+        corpus.join(keepers, "doc_id")
+        .join(ppl, "doc_id")
+        .filter(F.col("perplexity") <= 31.0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    sampled = sampling.temperature_mixture_sample(
+        surv, "source", "doc_id", alpha=0.5, budget=200
+    )
+    return sampled.join(
+        surv.select("doc_id", "perplexity"), "doc_id"
+    ).select("doc_id", "source", "perplexity", "keep_rate", "draw")
+
+
+_ORACLES["training_corpus_select_v2"] = _training_v2_oracle()
+
+
 _Z_BITS, _Z_BUCKET_BITS = 5, 6
 _Z_INTERLEAVE = " + ".join(
     f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
