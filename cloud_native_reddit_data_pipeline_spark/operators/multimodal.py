@@ -5,16 +5,20 @@ Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched `mapInPandas` stages.
 
-Real-or-stub switch (`DECODERS`): the IMAGE path is REAL — payloads are
+All three modality paths are REAL (`DECODERS`): IMAGE payloads are
 conforming PNGs, decoded/re-encoded by the pure-stdlib codec in
 `functions/png.py` (zlib + scanline filters), features are pixel
-histograms, resize is a true nearest-neighbor resample.  The AUDIO path
-is REAL too — payloads are PCM16 WAVs decoded by `functions/wav.py`
-(stdlib wave+struct), features are duration/rms/zcr/peak + amplitude
+histograms, resize is a true nearest-neighbor resample.  AUDIO
+payloads are PCM16 WAVs decoded by `functions/wav.py` (stdlib
+wave+struct), features are duration/rms/zcr/peak + amplitude
 histogram, and `resample_audio` is a true linear resample.  VIDEO
-decode remains a deterministic declared stub (no container codecs for
-compressed video); swapping in ffmpeg later changes only the registry
-entry, not the plan.
+payloads are uncompressed Y4M (YUV4MPEG2) streams decoded by
+`functions/y4m.py` (text header + raw luma planes), features are
+duration/frame-count/mean-luma/motion + pooled luma histogram, and
+`extract_frames` decodes real frames and re-encodes them as PNGs
+(the video→image bridge).  Compressed codecs (h264/jpeg/mp3) are the
+one boundary this container cannot cross — swapping in ffmpeg/PIL
+changes only the decoder registry entries, not the Spark plan.
 """
 
 from __future__ import annotations
@@ -41,9 +45,10 @@ FEATURE_DIM = 16
 
 
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for the VIDEO decoder: hashes payload
-    bytes into a fixed-dim float vector.  Replace with a real model;
-    the mapInPandas contract stays identical."""
+    """Deterministic stand-in decoder for COMPRESSED payloads (h264
+    etc. — no codec libs in this container): hashes payload bytes into
+    a fixed-dim float vector.  Kept as the documented extension point;
+    the three uncompressed paths below are real."""
     if payload is None:
         return [0.0] * dim
     acc = [0] * dim
@@ -76,32 +81,53 @@ def _wav_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return audio_features(rate, samples, dim)
 
 
-# modality -> feature decoder; image and audio are real codecs, video
-# is a declared deterministic stub (no compressed-video codec libs in
-# this container)
+def _y4m_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL video feature extraction: decode the Y4M payload
+    (functions/y4m.py, pure stdlib) and compute duration/frames/mean-
+    luma/motion plus the pooled luma histogram."""
+    from ..functions.y4m import decode_y4m, video_features
+
+    if payload is None:
+        return [0.0] * dim
+    w, h, fn, fd, frames = decode_y4m(payload)
+    return video_features(w, h, fn, fd, frames, dim)
+
+
+# modality -> feature decoder; all three are real pure-stdlib codecs
+# (PNG / PCM16 WAV / Y4M) — _fake_decode_features above remains the
+# extension point for compressed formats
 DECODERS = {
     "image": _png_decode_features,
     "audio": _wav_decode_features,
-    "video": _fake_decode_features,
+    "video": _y4m_decode_features,
 }
 
 
 AUDIO_RATE = 8000
 
 
+VIDEO_FPS = 2
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests.  Image payloads
-    are REAL PNGs (encoded by functions/png.py) and audio payloads are
-    REAL PCM16 WAVs (functions/wav.py), both derived from media_id;
-    video payloads are opaque byte strings for the stubbed decoder."""
+    """Deterministic synthetic media table for tests.  All payloads are
+    REAL: images are PNGs (functions/png.py), audio clips are PCM16
+    WAVs (functions/wav.py), videos are Y4M luma streams
+    (functions/y4m.py), all derived from media_id."""
     from ..functions.png import encode_png
     from ..functions.wav import encode_wav
+    from ..functions.y4m import encode_y4m
 
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        w = 64 + i % 8 if modality != "audio" else None
-        h = 64 + i % 4 if modality != "audio" else None
+        if modality == "image":
+            w, h = 64 + i % 8, 64 + i % 4
+        elif modality == "video":
+            # smaller frames than images: N frames per payload
+            w, h = 32 + i % 8, 24 + i % 4
+        else:
+            w = h = None
         duration_ms = 1000 * (1 + i % 30) if modality == "video" else None
         if modality == "image":
             pixels = bytes(((i * 7 + x * 13) % 251) for x in range(w * h))
@@ -114,7 +140,11 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             payload = encode_wav(AUDIO_RATE, samples)
             duration_ms = n_samples * 1000 // AUDIO_RATE
         else:
-            payload = bytes(((i * 7 + j * 13) % 251) for j in range(32 + (i % 5) * 8))
+            frames = [
+                bytes(((i * 7 + f * 31 + x * 13) % 251) for x in range(w * h))
+                for f in range(duration_ms * VIDEO_FPS // 1000)
+            ]
+            payload = encode_y4m(w, h, VIDEO_FPS, 1, frames)
         rows.append(
             (
                 i,
@@ -132,8 +162,8 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """mapInPandas feature extraction: binary payload -> array<float>.
 
-    Image payloads go through the REAL PNG decode (pixel histogram);
-    audio/video use the declared stub decoder — see DECODERS.
+    All three modalities go through REAL pure-stdlib decodes (PNG /
+    PCM16 WAV / Y4M luma) — see DECODERS.
 
     Arrow moves each partition in columnar batches; the decoder is
     initialized once per partition (executor-singleton pattern), which
@@ -274,9 +304,11 @@ def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode each video into frame
-    timestamps (native `sequence`+`explode`); the per-frame decode is the
-    stubbed NotImplementedError below.  Demonstrates that the expensive
-    fan-out (1 row -> N frames) happens JVM-side before any Python."""
+    timestamps (native `sequence`+`explode`) WITHOUT touching payload
+    bytes.  Demonstrates that the cheap metadata fan-out (1 row -> N
+    timestamps) happens JVM-side; the payload-carrying decode path is
+    `extract_frames`, which fans out inside the Arrow batch instead so
+    the payload bytes are never duplicated N× through a shuffle."""
     frames = media.filter(F.col("modality") == "video").select(
         "media_id",
         F.explode(
@@ -286,6 +318,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return frames
 
 
-def decode_frame(payload: bytes, frame_ts_ms: int):  # pragma: no cover - stub
-    """Real frame decode requires ffmpeg/PIL — not in this container."""
-    raise NotImplementedError("media decode stubbed: no codec libraries in container")
+def decode_frame(payload: bytes, frame_ts_ms: int) -> tuple[int, int, bytes]:
+    """REAL single-frame decode: (width, height, luma_pixels) of the
+    Y4M frame covering `frame_ts_ms` (functions/y4m.py, pure stdlib).
+    Compressed codecs (h264 etc.) would slot in here via ffmpeg."""
+    from ..functions.y4m import frame_at
+
+    return frame_at(payload, frame_ts_ms)
+
+
+def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame extraction via mapInPandas: decode each Y4M
+    payload ONCE, sample a frame every `every_ms`, and re-encode each
+    sampled frame as a grayscale PNG — the video→image bridge that
+    feeds frames into the image featurize/resize/dedup family.
+
+    Scale shape: narrow map, no shuffle; the 1→N fan-out happens
+    INSIDE the Arrow batch (variable-length mapInPandas output), so
+    the multi-megabyte payload is decoded once per video and never
+    duplicated N× the way a JVM-side explode of the payload column
+    would be."""
+    import pandas as pd
+
+    from ..functions.png import encode_png
+    from ..functions.y4m import decode_y4m
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ts_ms", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_ts_ms", "width", "height", "payload")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, fn, fd, frames = decode_y4m(bytes(payload))
+                dur_ms = len(frames) * 1000 * fd // fn
+                for ts in range(0, max(dur_ms, 1), every_ms):
+                    idx = min(ts * fn // (1000 * fd), len(frames) - 1)
+                    out["media_id"].append(mid)
+                    out["frame_ts_ms"].append(ts)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["payload"].append(encode_png(w, h, frames[idx]))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(_frames, out_schema)
+    )

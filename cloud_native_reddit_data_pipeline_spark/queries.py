@@ -4080,9 +4080,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_features")
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: binary payloads -> mapInPandas.
-    Image payloads are REAL PNGs decoded by the pure-stdlib codec
-    (pixel-histogram features); audio/video use the declared stub
-    decoder — see operators/multimodal.py DECODERS."""
+    All three modality paths are REAL pure-stdlib codecs: PNG images
+    (pixel histogram), PCM16 WAV audio (duration/rms/zcr/peak +
+    amplitude histogram), Y4M video (duration/frames/mean-luma/motion
+    + pooled luma histogram) — see operators/multimodal.py DECODERS."""
     from .operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 64)
@@ -4184,11 +4185,11 @@ def ml_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_resize")
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize + frame-sample: REAL aspect-preserving PNG
+    """Multimodal resize + frame-extract: REAL aspect-preserving PNG
     resize (decode -> nearest-neighbor resample -> re-encode, pure
-    stdlib, in mapInPandas) unioned with the JVM-side video frame
-    fan-out."""
-    from .operators.multimodal import frame_sample_plan, resize_images, synthetic_media
+    stdlib, in mapInPandas) unioned with REAL Y4M frame extraction
+    (decode-once fan-out to PNG frames inside the Arrow batch)."""
+    from .operators.multimodal import extract_frames, resize_images, synthetic_media
 
     media = synthetic_media(spark, 64)
     resized = resize_images(media, max_side=32).select(
@@ -4198,12 +4199,12 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_height").cast("long").alias("out_b"),
         F.length("payload").cast("long").alias("out_bytes"),
     )
-    frames = frame_sample_plan(media, every_ms=5000)
+    frames = extract_frames(media, every_ms=5000)
     frame_counts = frames.groupBy("media_id").agg(
-        F.lit("frame_sample").alias("op"),
+        F.lit("frame_extract").alias("op"),
         F.count(F.lit(1)).alias("out_a"),
         F.min("frame_ts_ms").cast("long").alias("out_b"),
-        F.lit(0).cast("long").alias("out_bytes"),
+        F.sum(F.length("payload")).cast("long").alias("out_bytes"),
     )
     return resized.unionByName(frame_counts)
 

@@ -32,9 +32,103 @@ def test_frame_sample_counts(spark):
         assert per_video[mid] == (dur + 999) // 1000
 
 
-def test_decode_frame_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_frame(b"x", 0)
+def test_y4m_roundtrip_and_foreign_stream():
+    """Payload-roundtrip invariant for the real video codec, plus
+    decoding a hand-built C420 stream (chroma skipped, luma kept)."""
+    from cloud_native_reddit_data_pipeline_spark.functions.y4m import (
+        decode_y4m,
+        duration_ms,
+        encode_y4m,
+        frame_at,
+    )
+
+    w, h = 6, 4
+    frames = [bytes((f * 31 + x * 7) % 256 for x in range(w * h)) for f in range(5)]
+    stream = encode_y4m(w, h, 2, 1, frames)
+    assert decode_y4m(stream) == (w, h, 2, 1, frames)
+    assert duration_ms(stream) == 2500  # 5 frames @ 2fps
+    # frame_at floors ts*fps and clamps at the end
+    assert frame_at(stream, 0) == (w, h, frames[0])
+    assert frame_at(stream, 1000) == (w, h, frames[2])
+    assert frame_at(stream, 99999) == (w, h, frames[-1])
+
+    # foreign 4:2:0 stream: luma + half-size chroma planes per frame
+    luma = bytes(range(w * h))
+    chroma = bytes((w // 2) * (h // 2)) * 2
+    c420 = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        + b"FRAME\n" + luma + chroma
+        + b"FRAME\n" + luma + chroma
+    )
+    assert decode_y4m(c420) == (w, h, 25, 1, [luma, luma])
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a y4m")
+
+
+def test_decode_frame_is_real():
+    from cloud_native_reddit_data_pipeline_spark.functions.y4m import encode_y4m
+
+    w, h = 4, 3
+    frames = [bytes([f] * (w * h)) for f in range(4)]
+    stream = encode_y4m(w, h, 1, 1, frames)
+    assert decode_frame(stream, 2500) == (w, h, frames[2])
+
+
+def test_extract_features_video_path_is_real(spark):
+    """Video features must be computed from the decoded Y4M frames —
+    proving the real codec runs, not the byte-hash stub."""
+    from cloud_native_reddit_data_pipeline_spark.functions.y4m import (
+        decode_y4m,
+        video_features,
+    )
+
+    media = synthetic_media(spark, 12)
+    payloads = {
+        r["media_id"]: (bytes(r["payload"]), r["duration_ms"])
+        for r in media.filter("modality = 'video'").collect()
+    }
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media).filter("modality = 'video'").collect()
+    }
+    assert feats
+    for mid, (payload, dur) in payloads.items():
+        w, h, fn, fd, frames = decode_y4m(payload)
+        assert feats[mid] == video_features(w, h, fn, fd, frames, FEATURE_DIM)
+        assert feats[mid][0] == dur / 1000  # real duration from frame count
+        assert feats[mid][1] == len(frames)
+        assert abs(sum(feats[mid][4:]) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_extract_frames_bridges_video_to_png(spark):
+    from cloud_native_reddit_data_pipeline_spark.functions.png import decode_png
+    from cloud_native_reddit_data_pipeline_spark.functions.y4m import frame_at
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        extract_frames,
+    )
+
+    media = synthetic_media(spark, 30)
+    out = extract_frames(media, every_ms=5000).collect()
+    assert out
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("modality = 'video'").collect()
+    }
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter("modality = 'video'").collect()
+    }
+    seen = {}
+    for r in out:
+        seen[r["media_id"]] = seen.get(r["media_id"], 0) + 1
+        # each emitted frame is a real PNG of the real Y4M frame at that ts
+        w, h, pixels = decode_png(bytes(r["payload"]))
+        assert (w, h) == (r["width"], r["height"])
+        assert (w, h, pixels) == frame_at(payloads[r["media_id"]], r["frame_ts_ms"])
+    # every video emitted ceil(duration/every_ms) frames
+    for mid, dur in durations.items():
+        assert seen[mid] == (dur + 4999) // 5000
 
 
 def test_resize_images_dims_and_payload(spark):
