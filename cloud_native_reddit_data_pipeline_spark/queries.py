@@ -653,6 +653,49 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Substring-level duplicate spans (Lee et al. 2022 ExactSubstr shape):
+# maximal token runs whose 5-grams repeat corpus-wide — the cut-the-
+# passage dedup granularity the whole-document family can't express.
+# Both sides hash grams to the same 60-bit md5 prefix and merge
+# adjacent-or-overlapping grams with identical gap logic.
+@register(
+    "duplicate_spans",
+    f"""
+    WITH g AS (
+      SELECT doc_id, u.pos,
+             ('0x' || substring(md5(u.gram), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) d,
+      LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 4)) AS pos,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+      ) u
+      WHERE len(t) >= 5
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+    ), hit AS (
+      SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS new_span
+      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grps AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+    FROM grps GROUP BY doc_id, grp
+    """,
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+
+
 # Gopher/MassiveText-style repetition filters: duplicate-line fraction,
 # most-frequent-bigram fraction, duplicate-trigram fraction.
 @register(

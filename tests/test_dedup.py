@@ -251,3 +251,45 @@ def test_jaccard_prefix_bounds_hot_shingle_fanout(spark):
     # the 60 boilerplate-only docs share ONLY the hot shingle; none of
     # those C(60,2)=1770 pairs may survive (their true Jaccard < 0.4)
     assert all(a >= 100 for a, b in found)
+
+
+def test_duplicate_spans_planted_passage(spark):
+    """A passage repeated across two documents must come back as one
+    maximal span in each, with exact 1-based token boundaries; unique
+    text must produce no spans."""
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    rows = [
+        (1, f"alpha beta {passage} gamma delta"),          # passage at tokens 3..12
+        (2, f"{passage} omega psi chi phi upsilon"),       # passage at tokens 1..10
+        (3, "entirely unique words nothing repeats here at all ok fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.span_start, r.span_end): r.span_tokens
+        for r in duplicate_spans(df, "doc_id", "text", k=5).collect()
+    }
+    assert out == {(1, 3, 12): 10, (2, 1, 10): 10}
+
+
+def test_duplicate_spans_merges_and_splits(spark):
+    """Two repeats inside ONE doc count as duplication; spans further
+    than k apart stay separate spans."""
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    rep = "one two three four five"  # exactly k=5 tokens
+    filler = "u1 u2 u3 u4 u5 u6 u7 u8"  # 8 unique tokens > k gap
+    df = spark.createDataFrame(
+        [(1, f"{rep} {filler} {rep}")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(df, "doc_id", "text", k=5).collect()
+    )
+    # tokens 1-5 and 14-18 both hold the repeated 5-gram; gap of 8 > k
+    assert out == [(1, 5), (14, 18)]
