@@ -85,6 +85,8 @@ HEADLINE = [
     "supplier_cnt_by_part_attrs",
     "rolling_active_users",
     "cohort_retention",
+    "duplicate_spans",
+    "span_dup_fraction",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

@@ -343,12 +343,17 @@ def bigram_lm_perplexity(
     perplexity = exp(cross_entropy).  Docs with < 2 tokens carry NULLs.
 
     Scale shape: bigram pairs are built JVM-side from the token array
-    (sequence+element_at — no window, no per-token shuffle); instances
-    pre-aggregate per (doc, bigram) so the count join moves one row per
-    distinct bigram per doc, not one per token; corpus counts reuse those
-    partials (groupBy (prev,cur), then (prev)); V is a scalar broadcast.
-    Join keys are the bigram/context — the natural partitioning for a
-    vocabulary-sized model table at any corpus size.
+    (sequence+element_at — no window, no per-token shuffle) after a
+    fan_out (the explode is the compute-heavy stage; no-op at scale);
+    instances pre-aggregate per (doc, bigram) so the count join moves
+    one row per distinct bigram per doc, not one per token.  The model
+    table is ONE subtree — bigram counts with the context total
+    attached via a window over the (vocabulary-sized) count table — so
+    the heavy per-doc aggregate feeds exactly two consumers (probe +
+    model build) whose identical (prev,cur) exchanges reuse, instead
+    of the three separate aggregation branches a c_bg/c_prev join
+    chain would re-execute (measured 14.9s -> ~3s at sf0.1 inside the
+    v2 capstone).  V is a scalar broadcast.
     """
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     pair_t = "array<struct<prev:string,cur:string>>"
@@ -362,19 +367,24 @@ def bigram_lm_perplexity(
             ),
         ),
     ).otherwise(F.array().cast(pair_t))
-    inst = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+    from pyspark.sql import Window
+
+    from ..sources.tables import fan_out
+
+    fdf = fan_out(df)
+    inst = fdf.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
         id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
     per_doc = inst.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("n"))
-    c_bg = per_doc.groupBy("prev", "cur").agg(F.sum("n").alias("c"))
-    c_prev = c_bg.groupBy("prev").agg(F.sum("c").alias("cp"))
-    vocab = df.select(F.explode(toks).alias("w")).agg(
+    c_model = per_doc.groupBy("prev", "cur").agg(F.sum("n").alias("c")).withColumn(
+        "cp", F.sum("c").over(Window.partitionBy("prev"))
+    )
+    vocab = fdf.select(F.explode(toks).alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
     p = (F.col("c") + F.lit(k)) / (F.col("cp") + F.lit(k) * F.col("v"))
     scored = (
-        per_doc.join(c_bg, ["prev", "cur"])
-        .join(c_prev, "prev")
+        per_doc.join(c_model, ["prev", "cur"])
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

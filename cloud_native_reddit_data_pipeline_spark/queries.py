@@ -696,6 +696,59 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-document duplicated-token fraction: the across-corpus complement
+# of the Gopher within-document repetition filters — what a pipeline
+# thresholds on to cut or drop boilerplate-heavy documents.  Spans are
+# disjoint after the gap merge, so the fraction is a plain SUM join.
+@register(
+    "span_dup_fraction",
+    f"""
+    WITH g AS (
+      SELECT doc_id, u.pos,
+             ('0x' || substring(md5(u.gram), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) d,
+      LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 4)) AS pos,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+      ) u
+      WHERE len(t) >= 5
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+    ), hit AS (
+      SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS new_span
+      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grps AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+      FROM grps GROUP BY doc_id, grp
+    ), per_doc AS (
+      SELECT doc_id, SUM(span_tokens) AS dup_tokens, COUNT(*) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           ROUND(CASE WHEN len({_TOKS_SQL}) > 0
+                 THEN COALESCE(p.dup_tokens, 0) / len({_TOKS_SQL})
+                 ELSE 0.0 END, 4) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def span_dup_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_dup_fraction(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+
+
 # Gopher/MassiveText-style repetition filters: duplicate-line fraction,
 # most-frequent-bigram fraction, duplicate-trigram fraction.
 @register(
@@ -2176,18 +2229,29 @@ def training_corpus_select_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = dedup.benchmark_contamination(
         corpus, bench, "doc_id", "text", "bench_doc_id", "text", min_hits=2
     ).select("doc_id").distinct()
+    # The survivor frame feeds THREE consumers (the mixture-rate
+    # aggregate, the sampling filter, and the final perplexity join);
+    # without a pin Spark would replay the dedup + perplexity +
+    # contamination subplan once per consumer (measured 13.9s -> ~5s at
+    # sf0.1).  Persist only the skinny projection and release the pin
+    # after materializing the (budget-sized) result.
+    from .caching import materialize_and_release
+
     surv = (
         corpus.join(keepers, "doc_id")
         .join(ppl, "doc_id")
         .filter(F.col("perplexity") <= 31.0)
         .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "perplexity")
+        .persist()
     )
     sampled = sampling.temperature_mixture_sample(
         surv, "source", "doc_id", alpha=0.5, budget=200
     )
-    return sampled.join(
+    out = sampled.join(
         surv.select("doc_id", "perplexity"), "doc_id"
     ).select("doc_id", "source", "perplexity", "keep_rate", "draw")
+    return materialize_and_release(out, surv)
 
 
 _ORACLES["training_corpus_select_v2"] = _training_v2_oracle()

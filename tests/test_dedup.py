@@ -293,3 +293,24 @@ def test_duplicate_spans_merges_and_splits(spark):
     )
     # tokens 1-5 and 14-18 both hold the repeated 5-gram; gap of 8 > k
     assert out == [(1, 5), (14, 18)]
+
+
+def test_span_dup_fraction_population_and_values(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        span_dup_fraction,
+    )
+
+    rep = "a b c d e"  # k=5 tokens, repeated across docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, rep),                                  # fully duplicated
+            (2, f"{rep} x1 x2 x3 x4 x5"),              # half duplicated
+            (3, "q r s t u v w"),                      # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dup_fraction(df, "doc_id", "text", k=5).collect()}
+    assert set(out) == {1, 2, 3}  # full population, zeros included
+    assert (out[1].dup_tokens, out[1].dup_fraction) == (5, 1.0)
+    assert (out[2].n_tokens, out[2].dup_tokens, out[2].dup_fraction) == (10, 5, 0.5)
+    assert (out[3].dup_tokens, out[3].n_spans, out[3].dup_fraction) == (0, 0, 0.0)
