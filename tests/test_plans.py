@@ -297,3 +297,53 @@ def test_lm_perplexity_model_joins_on_bigram_keys(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab-size join
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """AQE runtime filtering: a selective dimension filter must inject a
+    bloom filter onto the fact side (bloom_filter_agg on the build,
+    might_contain on the probe) when the size thresholds allow — the
+    mechanism that keeps a 100 TB fact scan from shuffling rows a
+    filtered dimension would discard anyway.  Local data sits under the
+    production thresholds, so the test lowers them to prove the plan
+    shape; at scale the defaults take over."""
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, SF, "lineitem")
+        orders = load(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the probe lands on the fact side's join key
+        assert "might_contain" in plan and "l_orderkey" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
