@@ -749,6 +749,64 @@ def span_dup_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ExactSubstr CUT: duplicated spans removed from the text itself
+# (all occurrences; whitespace-normalized reconstruction).  The cut is
+# a pure JVM array expression — filter-with-index + exists over each
+# doc's (tiny) span array; DuckDB replays it with the same nested
+# lambdas.
+@register(
+    "cut_duplicate_spans",
+    f"""
+    WITH g AS (
+      SELECT doc_id, u.pos,
+             ('0x' || substring(md5(u.gram), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) d,
+      LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 4)) AS pos,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+      ) u
+      WHERE len(t) >= 5
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+    ), hit AS (
+      SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS new_span
+      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grps AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+      FROM grps GROUP BY doc_id, grp
+    ), arrs AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM spans GROUP BY doc_id
+    ), docs AS (
+      SELECT d.doc_id, {_TOKS_SQL} AS t, a.sp
+      FROM documents d LEFT JOIN arrs a ON d.doc_id = a.doc_id
+    )
+    SELECT doc_id, len(t) AS n_tokens,
+           len(CASE WHEN sp IS NULL THEN t
+                ELSE list_filter(t, (x, i) ->
+                     len(list_filter(sp, z -> i BETWEEN z.s AND z.e)) = 0)
+                END) AS n_kept_tokens,
+           COALESCE(array_to_string(CASE WHEN sp IS NULL THEN t
+                ELSE list_filter(t, (x, i) ->
+                     len(list_filter(sp, z -> i BETWEEN z.s AND z.e)) = 0)
+                END, ' '), '') AS cleaned_text
+    FROM docs
+    """,
+)
+def cut_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cut_duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+
+
 # Gopher/MassiveText-style repetition filters: duplicate-line fraction,
 # most-frequent-bigram fraction, duplicate-trigram fraction.
 @register(

@@ -314,3 +314,31 @@ def test_span_dup_fraction_population_and_values(spark):
     assert (out[1].dup_tokens, out[1].dup_fraction) == (5, 1.0)
     assert (out[2].n_tokens, out[2].dup_tokens, out[2].dup_fraction) == (10, 5, 0.5)
     assert (out[3].dup_tokens, out[3].n_spans, out[3].dup_fraction) == (0, 0, 0.0)
+
+
+def test_cut_duplicate_spans_removes_passage_keeps_rest(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        cut_duplicate_spans,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {passage} gamma delta"),
+            (2, f"{passage} omega psi chi phi upsilon"),
+            (3, "entirely unique words nothing repeats here at all ok fine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cut_duplicate_spans(df, "doc_id", "text", k=5).collect()}
+    assert out[1].cleaned_text == "alpha beta gamma delta"
+    assert out[2].cleaned_text == "omega psi chi phi upsilon"
+    assert (out[1].n_tokens, out[1].n_kept_tokens) == (14, 4)
+    # untouched doc passes through whitespace-normalized but complete
+    assert out[3].cleaned_text.split() == df.collect()[2].text.split()
+    # fully-duplicated doc becomes empty, not null
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in cut_duplicate_spans(df2, "doc_id", "text", k=5).collect()}
+    assert out2[1].cleaned_text == "" and out2[1].n_kept_tokens == 0
