@@ -31,7 +31,7 @@ namespaced as 2*custkey / 2*suppkey+1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _ONE = 1_000_000_000_000  # rank 1.0 at scale 12
@@ -268,3 +268,74 @@ def triangle_oracle_sql(min_orders: int = 3) -> str:
     )
     SELECT node, COUNT(*) AS n_triangles FROM members GROUP BY node
     """
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over symmetric `edges` (src BIGINT, dst BIGINT): every node
+    starts as its own label; each round it adopts the most frequent
+    label among its neighbors, ties broken by SMALLEST label — the
+    deterministic variant (random tie-breaks don't survive an oracle,
+    and min-ties are the standard reproducible choice).  Fixed `iters`
+    keeps the DAG finite and makes the unrolled SQL oracle possible,
+    exactly like `pagerank`; synchronous LPA can oscillate on bipartite
+    structures, which a bounded round count also sidesteps.
+
+    Returns (node, label) — nodes sharing a label after `iters` rounds
+    form a community (source clustering / spam-domain grouping over the
+    same graphs PageRank weighs).
+
+    Scale shape mirrors pagerank: edges hash-partition on src ONCE
+    (persist) and every round reuses that partitioning for the
+    label⋈edge join; the per-round frequency vote is a groupBy
+    (dst, label) partial aggregate plus one max_by-style window pick —
+    all shuffles keyed on node id; localCheckpoint at the end releases
+    the loop lineage."""
+    edges = edges.repartition("src").persist()
+    try:
+        labels = edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(iters):
+            votes = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.desc("n"), F.asc("label")
+            )
+            labels = (
+                votes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("node", "label")
+            )
+        out = labels.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def label_propagation_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB oracle replaying `label_propagation` exactly:
+    `edges_cte` must define a CTE named `edges(src, dst)` (symmetric).
+    Same min-tie frequency vote per round, same fixed iteration count."""
+    rounds = ["l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"]
+    prev = "l0"
+    for i in range(iters):
+        rounds.append(
+            f"""v{i} AS (
+              SELECT e.dst AS node, l.label, COUNT(*) AS n
+              FROM edges e JOIN {prev} l ON e.src = l.node
+              GROUP BY e.dst, l.label
+            ), l{i + 1} AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label ASC) AS rn
+                FROM v{i}
+              ) WHERE rn = 1
+            )"""
+        )
+        prev = f"l{i + 1}"
+    return f"WITH {edges_cte}, " + ", ".join(rounds) + f" SELECT node, label FROM {prev}"

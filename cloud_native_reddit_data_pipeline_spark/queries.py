@@ -1448,6 +1448,34 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_EDGES_CTE = """pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode AS src, cnode AS dst FROM pairs
+    )"""
+
+
+@register(
+    "label_propagation",
+    graph.label_propagation_oracle_sql(_LPA_EDGES_CTE, iters=3),
+)
+def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (min-tie) synchronous label propagation over the
+    co-purchase graph: community labels after 3 fixed rounds, exactly
+    replayed by an unrolled-CTE oracle — the community-detection
+    counterpart of the integer PageRank."""
+    return graph.label_propagation(
+        graph.bipartite_copurchase_edges(
+            load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+        ),
+        iters=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (additive: the reference has no event-time story).
 # ---------------------------------------------------------------------------

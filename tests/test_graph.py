@@ -69,3 +69,38 @@ def test_bipartite_edges_symmetric_and_namespaced(spark):
     fwd = {(s, d) for s, d in es if s % 2 == 0}
     assert fwd == {(200, 21), (200, 23), (400, 21)}
     assert {(d, s) for s, d in fwd} <= es
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    """Two disjoint triangles + a 4-clique: after 3 rounds every node
+    in a clique carries the clique minimum; components never mix."""
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+           (20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[10], out[11], out[12]} == {10}
+    assert {out[20], out[21], out[22], out[23]} == {20}
+
+
+def test_label_propagation_min_tie_is_deterministic(spark):
+    """A path node with one neighbor vote each side must take the
+    SMALLER label (the documented tie-break), every run."""
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(5, 6), (6, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    for _ in range(2):
+        out = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
+        # node 6 sees {5, 7} once each -> ties to 5
+        assert out[6] == 5

@@ -347,3 +347,22 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_duplicate_spans_plan_no_selfjoin_no_cartesian(spark):
+    """The ExactSubstr span family must stay linear: no self-join of
+    the gram table (the jaccard blow-up mode), no cartesian product,
+    and the gap-merge window + span groupBy share the doc-id exchange
+    (AQE may add coalesce reads but no second hash exchange on the
+    window output)."""
+    df = registry.queries()["duplicate_spans"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one semi join (positions vs duplicated grams), no inner
+    # self-join of the gram table
+    assert plan.count("LeftSemi") == 1
+    # window and final aggregate both partition by doc_id: the
+    # hash-partition exchanges in the plan are gram-hash, doc-id, and
+    # nothing more
+    assert plan.count("hashpartitioning") <= 4
