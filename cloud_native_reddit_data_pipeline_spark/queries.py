@@ -5009,6 +5009,56 @@ def streaming_neardup_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register("streaming_span_cut")
+def streaming_span_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr cut AS A STREAM (streaming/spans.py):
+    batch 1 seeds the corpus + gram store; batch 2 re-sends 50 batch-1
+    texts under new ids (their full text is a known passage — arrives
+    cut to empty) and 50 fresh docs (arrive whole).  Returns per-doc
+    kept-token accounting — rows-only (order-dependent store state;
+    the batch twin equals cut_duplicate_spans, pytest-pinned)."""
+    import os
+    import tempfile
+
+    from .streaming.spans import start_span_cut_stream
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        b1 = docs.limit(150)
+        repeats = docs.limit(50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        fresh = docs.orderBy(F.desc("doc_id")).limit(50)
+        b1.coalesce(1).write.json(f"{src}/b0")
+        repeats.unionByName(fresh).coalesce(1).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_span_cut_stream(
+            stream, f"{tmp}/corpus", f"{tmp}/store", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = (
+            spark.read.parquet(f"{tmp}/corpus")
+            .select("doc_id", "n_tokens", "n_kept_tokens")
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-frequency operators: global n-gram mining and Zipf diagnostics
 # (tokenizer-vocabulary / boilerplate-detection building blocks).
