@@ -807,6 +807,109 @@ def cut_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# v3 capstone: the ExactSubstr family composed into corpus selection —
+# cut repeated passages FIRST (keep documents, lose boilerplate), then
+# keep docs still >= 20 tokens with dup_fraction < 0.5 of the original,
+# then a deterministic 90/10 hash split.  One composed oracle replays
+# cut -> threshold -> split; selection happens on the CLEANED text, the
+# ordering a cut-based pipeline must use (filter-then-cut would drop
+# docs whose only flaw was cuttable).
+@register(
+    "training_corpus_select_v3",
+    f"""
+    WITH g AS (
+      SELECT doc_id, u.pos,
+             ('0x' || substring(md5(u.gram), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) d,
+      LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 4)) AS pos,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+      ) u
+      WHERE len(t) >= 5
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+    ), hit AS (
+      SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS new_span
+      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grps AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+      FROM grps GROUP BY doc_id, grp
+    ), arrs AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM spans GROUP BY doc_id
+    ), cut AS (
+      SELECT d.doc_id, d.source, len(t) AS n_tokens,
+             len(kept) AS n_kept_tokens,
+             COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+      FROM (
+        SELECT d.doc_id, d.source, {_TOKS_SQL} AS t,
+               CASE WHEN a.sp IS NULL THEN {_TOKS_SQL}
+                    ELSE list_filter({_TOKS_SQL}, (x, i) ->
+                         len(list_filter(a.sp, z -> i BETWEEN z.s AND z.e)) = 0)
+               END AS kept
+        FROM documents d LEFT JOIN arrs a ON d.doc_id = a.doc_id
+      ) d
+    )
+    SELECT doc_id, source, n_tokens, n_kept_tokens,
+           ROUND(CASE WHEN n_tokens > 0
+                 THEN (n_tokens - n_kept_tokens) / n_tokens
+                 ELSE 0.0 END + 1e-9, 4) AS cut_fraction,
+           CASE WHEN CAST(CAST(concat('0x',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.9
+                THEN 'train' ELSE 'test' END AS split
+    FROM cut
+    WHERE n_kept_tokens >= 20
+      AND n_kept_tokens * 2 > n_tokens
+    """,
+)
+def training_corpus_select_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-first selection: cut corpus-repeated passages, keep
+    documents whose CLEANED text still has >= 20 tokens and retains
+    more than half the original, stamp a deterministic 90/10 hash
+    split.  Composition adds one filter and one narrow projection to
+    the cut plan — no new shuffles."""
+    from .operators.sampling import hash_fraction
+
+    cut = dedup.cut_duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        cut.join(src, "doc_id")
+        .filter(
+            (F.col("n_kept_tokens") >= 20)
+            & (F.col("n_kept_tokens") * 2 > F.col("n_tokens"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_kept_tokens",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    (F.col("n_tokens") - F.col("n_kept_tokens"))
+                    / F.col("n_tokens"),
+                ).otherwise(0.0)
+                + F.lit(1e-9),
+                4,
+            ).alias("cut_fraction"),
+            F.when(hash_fraction("doc_id") < 0.9, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
 # Gopher/MassiveText-style repetition filters: duplicate-line fraction,
 # most-frequent-bigram fraction, duplicate-trigram fraction.
 @register(
