@@ -3314,6 +3314,36 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q6 shape: the simplest full-pushdown scan-aggregate — every
+# predicate (date range, discount band, quantity cap) reaches the
+# parquet scan as PushedFilters, the projection prunes to three
+# columns, one decimal partial-aggregate row crosses the wire.
+@register(
+    "forecast_revenue_q6",
+    f"""
+    SELECT {_dec_sum_sql('l_extendedprice * l_discount', 6)} AS forecast_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+            "forecast_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 @register(
     "date_math",
     """
