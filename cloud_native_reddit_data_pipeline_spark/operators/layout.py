@@ -16,7 +16,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,4 +77,41 @@ def zorder_assignment(
             "zbucket", F.shiftright(F.col("zvalue"), 2 * bits - bucket_bits)
         )
         .drop("_xlo", "_xhi", "_ylo", "_yhi")
+    )
+
+
+def training_shard_assignment(
+    df: DataFrame, key_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic training-shard export assignment — the LAST step
+    of a data pipeline before the trainer reads: every row gets a
+    shard in [0, n_shards) by key hash (balanced in expectation,
+    reproducible across reruns and engines) and a within-shard
+    position by hash order (the "global shuffle" trainers need,
+    WITHOUT a global sort: ordering is per shard, so each shard sorts
+    independently and in parallel).
+
+    Hash = first 8 md5 hex digits of the key as an integer — the same
+    primitive as `sampling.hash_fraction`, so shard membership,
+    ordering, and any downstream split/sample draws all derive from
+    one engine-exact function.
+
+    Scale shape: one narrow hash projection, one shuffle on shard id,
+    one per-shard sort (row_number window) — writing with
+    partitionBy(shard) then streams each shard to its own directory.
+    A global orderBy(rand()) — the naive shuffle — would be one
+    all-data range sort with a sampled boundary pass; this is the
+    standard sharded equivalent trainers actually consume."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        df.select(
+            F.col(key_col),
+            h.alias("h"),
+            (h % n_shards).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(key_col, "shard", "pos")
     )

@@ -2491,6 +2491,32 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "zvalue", "zbucket")
 
 
+# Deterministic training-shard export: balanced md5 shards with a
+# reproducible hash-order position inside each shard — the sharded
+# equivalent of a global training shuffle, with no global sort.
+@register(
+    "training_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                AS INT) AS pos
+    FROM h
+    """,
+)
+def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import training_shard_assignment
+
+    return training_shard_assignment(
+        load(spark, sf_dir, "documents"), "doc_id", n_shards=8
+    )
+
+
 # Data-quality gate: null / PK-uniqueness / FK-orphan / value-range
 # checks across the warehouse, one row per check.
 @register(

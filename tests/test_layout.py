@@ -65,3 +65,29 @@ def test_zorder_rectangle_prunes_buckets(spark):
         assert touched <= n_buckets * 0.25, (touched, n_buckets)
     finally:
         z.unpersist()
+
+
+def test_training_shard_assignment_balanced_and_deterministic(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.layout import (
+        training_shard_assignment,
+    )
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    out = training_shard_assignment(df, "doc_id", n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 4000
+    # every shard in range; positions are 1..n contiguous per shard
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # md5 balance: no shard more than 35% off the uniform share
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(sizes) == 8
+    assert max(sizes) < 500 * 1.35 and min(sizes) > 500 * 0.65
+    # deterministic across reruns
+    again = {(r["doc_id"]): (r["shard"], r["pos"])
+             for r in training_shard_assignment(df, "doc_id", n_shards=8).collect()}
+    assert {(r["doc_id"]): (r["shard"], r["pos"]) for r in rows} == again
