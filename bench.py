@@ -89,6 +89,8 @@ HEADLINE = [
     "span_dup_fraction",
     "cut_duplicate_spans",
     "training_corpus_select_v3",
+    "forecast_revenue_q6",
+    "training_shards",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

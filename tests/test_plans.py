@@ -366,3 +366,16 @@ def test_duplicate_spans_plan_no_selfjoin_no_cartesian(spark):
     # hash-partition exchanges in the plan are gram-hash, doc-id, and
     # nothing more
     assert plan.count("hashpartitioning") <= 4
+
+
+def test_forecast_revenue_q6_full_pushdown(spark):
+    """The Q6 shape is pure scan throughput: all three predicates must
+    reach the parquet scan and the projection must prune to the three
+    needed columns."""
+    df = registry.queries()["forecast_revenue_q6"](spark, SF)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_returnflag" not in read
