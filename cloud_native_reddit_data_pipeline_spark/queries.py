@@ -730,7 +730,7 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
       FROM grps GROUP BY doc_id, grp
     ), per_doc AS (
-      SELECT doc_id, SUM(span_tokens) AS dup_tokens, COUNT(*) AS n_spans
+      SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens, COUNT(*) AS n_spans
       FROM spans GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -1490,7 +1490,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3
     ),
     adc AS (
-      SELECT t.query_id, x.vid AS neighbor_id, SUM(t.d_e12) AS adc_e12
+      SELECT t.query_id, x.vid AS neighbor_id, CAST(SUM(t.d_e12) AS BIGINT) AS adc_e12
       FROM codes x JOIN dtable t ON x.sub = t.sub AND x.code = t.code
       WHERE x.vid <> t.query_id
       GROUP BY 1, 2
@@ -4136,8 +4136,8 @@ def tfidf_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to_json_encode",
     """
     SELECT event_id,
-           to_json(struct_pack(event_id := event_id, event_type := event_type,
-                               user_id := user_id)) AS doc,
+           CAST(to_json(struct_pack(event_id := event_id, event_type := event_type,
+                                    user_id := user_id)) AS VARCHAR) AS doc,
            concat(event_id, '_', 'b1') AS sink_id
     FROM events
     """,

@@ -59,12 +59,26 @@ def band_key_rows(
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def _read_store(spark: SparkSession, store_dir: str, id_col: str) -> DataFrame | None:
+def _read_store(
+    spark: SparkSession,
+    store_dir: str,
+    id_col: str,
+    before_batch_id: int | None = None,
+) -> DataFrame | None:
+    """Read the band-key store, EXCLUDING partitions at or after
+    `before_batch_id`.  A crash between the store write and the
+    streaming commit makes foreachBatch replay the same batch_id with
+    its own keys already in `batch=<id>`; without this filter every
+    replayed document collides with itself and the whole batch is
+    dropped.  Partition-column filter == partition prune."""
     if not os.path.isdir(store_dir) or not any(
         e.startswith("batch=") for e in os.listdir(store_dir)
     ):
         return None
-    return spark.read.parquet(store_dir)
+    store = spark.read.parquet(store_dir)
+    if before_batch_id is not None:
+        store = store.filter(F.col("batch") < F.lit(int(before_batch_id)))
+    return store
 
 
 def dedup_batch_against_store(
@@ -116,6 +130,36 @@ def dedup_batch_against_store(
     return survivors, new_keys
 
 
+def process_neardup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """One foreachBatch step, module-level so crash-replay is directly
+    testable: calling it twice with the same batch_id must yield the
+    same survivor set (the store read excludes this batch's own
+    partition — see _read_store)."""
+    if batch_df.isEmpty():
+        return
+    store = _read_store(spark, store_dir, id_col, before_batch_id=batch_id)
+    survivors, new_keys = dedup_batch_against_store(
+        batch_df, store, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, f"batch={batch_id}")
+    )
+    new_keys.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={batch_id}")
+    )
+
+
 def start_neardup_dedup_stream(
     stream: DataFrame,
     corpus_dir: str,
@@ -134,17 +178,17 @@ def start_neardup_dedup_stream(
     spark = stream.sparkSession
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        store = _read_store(spark, store_dir, id_col)
-        survivors, new_keys = dedup_batch_against_store(
-            batch_df, store, id_col, text_col, num_hashes, bands, shingle_n
-        )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, f"batch={batch_id}")
-        )
-        new_keys.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
+        process_neardup_batch(
+            spark,
+            batch_df,
+            batch_id,
+            corpus_dir,
+            store_dir,
+            id_col,
+            text_col,
+            num_hashes,
+            bands,
+            shingle_n,
         )
 
     return (

@@ -45,12 +45,24 @@ from ..operators.dedup import (
 GRAM_STORE_SCHEMA = "h LONG"
 
 
-def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+def _read_store(
+    spark: SparkSession, store_dir: str, before_batch_id: int | None = None
+) -> DataFrame | None:
+    """Read the gram store, EXCLUDING partitions at or after
+    `before_batch_id`.  A crash between the store write and the
+    streaming commit makes foreachBatch replay the same batch_id with
+    its own grams already in `batch=<id>`; without this filter every
+    gram of the replayed batch matches the store and every document is
+    fully cut.  Filtering on the partition column keeps the exclusion
+    a partition-prune, not a scan."""
     if not os.path.isdir(store_dir) or not any(
         e.startswith("batch=") for e in os.listdir(store_dir)
     ):
         return None
-    return spark.read.parquet(store_dir)
+    store = spark.read.parquet(store_dir)
+    if before_batch_id is not None:
+        store = store.filter(F.col("batch") < F.lit(int(before_batch_id)))
+    return store
 
 
 def span_cut_batch_against_store(
@@ -92,6 +104,34 @@ def span_cut_batch_against_store(
     return cleaned, new_grams
 
 
+def process_span_cut_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> None:
+    """One foreachBatch step, module-level so crash-replay is directly
+    testable: calling it twice with the same batch_id must produce the
+    same corpus files (the store read excludes this batch's own
+    partition — see _read_store)."""
+    if batch_df.isEmpty():
+        return
+    store = _read_store(spark, store_dir, before_batch_id=batch_id)
+    cleaned, new_grams = span_cut_batch_against_store(
+        batch_df, store, id_col, text_col, k
+    )
+    cleaned.write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, f"batch={batch_id}")
+    )
+    new_grams.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={batch_id}")
+    )
+
+
 def start_span_cut_stream(
     stream: DataFrame,
     corpus_dir: str,
@@ -108,17 +148,8 @@ def start_span_cut_stream(
     spark = stream.sparkSession
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        store = _read_store(spark, store_dir)
-        cleaned, new_grams = span_cut_batch_against_store(
-            batch_df, store, id_col, text_col, k
-        )
-        cleaned.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, f"batch={batch_id}")
-        )
-        new_grams.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
+        process_span_cut_batch(
+            spark, batch_df, batch_id, corpus_dir, store_dir, id_col, text_col, k
         )
 
     return (

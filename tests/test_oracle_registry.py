@@ -88,3 +88,25 @@ def test_approx_distinct_within_tolerance(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("n")
     ).first()["n"]
     assert abs(approx - exact) / exact < 0.05  # sketch within 5% of truth
+
+
+def test_parity_gate_catches_hugeint_promotion(spark, ducks):
+    """Round-3 regression pin: the local parity gate must flag a DuckDB
+    HUGEINT column (SUM(BIGINT) promotion) against a Spark long even
+    when every value matches — the driver's hash is type-sensitive."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from parity_check import duck_type_to_canon, type_mismatches
+
+    rel = ducks.sql("SELECT SUM(o_custkey) AS s FROM orders")
+    sdf = spark.sql("SELECT CAST(42 AS BIGINT) AS s")
+    tm = type_mismatches(sdf.schema, rel.columns, rel.types)
+    assert tm == [("s", "int", "hugeint")]
+    # and the cast fix clears it
+    rel2 = ducks.sql("SELECT CAST(SUM(o_custkey) AS BIGINT) AS s FROM orders")
+    assert type_mismatches(sdf.schema, rel2.columns, rel2.types) == []
+    # int-width family collapses (driver-hash equivalent)
+    assert duck_type_to_canon("INTEGER") == duck_type_to_canon("BIGINT")
+    # but decimal widths stay exact
+    assert duck_type_to_canon("DECIMAL(12,2)") != duck_type_to_canon("DECIMAL(12,4)")

@@ -99,3 +99,26 @@ def test_batch_core_matches_streaming_outcome(spark):
 
     sigs = minhash_signatures(batch, "doc_id", "text")
     assert band_key_rows(sigs, "doc_id").count() == 3 * 4
+
+
+def test_crash_replay_does_not_poison_neardup(spark, tmp_path):
+    """Replaying a batch_id after a crash-after-store-write must not
+    drop the whole batch through self-collision: the store read
+    excludes the current batch's own partition."""
+    from cloud_native_reddit_data_pipeline_spark.streaming.neardup import (
+        process_neardup_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    text = "the quick brown fox jumps over the lazy dog tonight again"
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    process_neardup_batch(spark, df, 0, corpus, store)
+    assert spark.read.parquet(corpus + "/batch=0").count() == 1
+    # replay the SAME batch_id: survivor must persist, not self-collide
+    process_neardup_batch(spark, df, 0, corpus, store)
+    assert spark.read.parquet(corpus + "/batch=0").count() == 1
+    # a LATER batch with the same content still drops (strict < filter)
+    df2 = spark.createDataFrame([(2, text)], "doc_id LONG, text STRING")
+    process_neardup_batch(spark, df2, 1, corpus, store)
+    assert spark.read.parquet(corpus + "/batch=1").count() == 0

@@ -101,3 +101,34 @@ def test_batch_step_standalone_matches_batch_operator_when_no_store(spark):
     assert {k: (v.n_tokens, v.n_kept_tokens, v.cleaned_text) for k, v in got.items()} == {
         k: (v.n_tokens, v.n_kept_tokens, v.cleaned_text) for k, v in want.items()
     }
+
+
+def test_crash_replay_does_not_poison_span_cut(spark, tmp_path):
+    """If a batch crashes after its gram-store write but before the
+    streaming commit, foreachBatch replays the same batch_id — the
+    replay must NOT see the batch's own grams in the store (else every
+    gram matches and the replayed corpus partition is emptied)."""
+    from cloud_native_reddit_data_pipeline_spark.streaming.spans import (
+        process_span_cut_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, f"alpha beta {PASSAGE} gamma delta epsilon")], SCHEMA
+    )
+    process_span_cut_batch(spark, df, 0, corpus, store)
+    first = spark.read.parquet(corpus + "/batch=0").collect()
+    # simulate crash-after-store-write: replay the SAME batch_id
+    process_span_cut_batch(spark, df, 0, corpus, store)
+    replay = spark.read.parquet(corpus + "/batch=0").collect()
+    assert {r.doc_id: r.cleaned_text for r in replay} == {
+        r.doc_id: r.cleaned_text for r in first
+    }
+    # intact: nothing in this unique doc should have been cut
+    assert replay[0].n_kept_tokens == replay[0].n_tokens
+    # and a LATER batch still sees batch-0 evidence (filter is strict <)
+    df2 = spark.createDataFrame([(2, f"{PASSAGE} omega psi chi phi upsilon")], SCHEMA)
+    process_span_cut_batch(spark, df2, 1, corpus, store)
+    later = spark.read.parquet(corpus + "/batch=1").collect()
+    assert later[0].cleaned_text == "omega psi chi phi upsilon"

@@ -1,6 +1,13 @@
 """Local stand-in for the driver's t2 correctness gate: run every
 queries() entry at a given sf against its oracle_sql() via DuckDB and
-compare row-count, column names, and (order-insensitive) values.
+compare row-count, column names, column TYPES, and (order-insensitive)
+values.
+
+The driver's value hash is type-sensitive: a DuckDB HUGEINT (e.g. the
+implicit promotion of SUM(BIGINT)) hashes differently from a Spark
+long even when every value is identical.  Round 3 shipped two reds for
+exactly that reason, so this gate now maps both engines' column types
+to a canonical form and fails on any mismatch.
 
 Usage: python tools/parity_check.py [sf_dir] [query ...]
 """
@@ -11,6 +18,81 @@ import math
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def duck_type_to_canon(type_str: str) -> str:
+    """Canonicalise a DuckDB type name.  All int64-representable
+    integer widths collapse to one family (the driver's hash treats
+    them alike — round-3 evidence: Spark int row_number vs DuckDB
+    BIGINT was hash-green), but HUGEINT/UHUGEINT/UBIGINT keep their
+    own names so SUM(BIGINT) promotions are caught."""
+    s = str(type_str).strip().upper()
+    if s.endswith("[]"):
+        return f"array<{duck_type_to_canon(s[:-2])}>"
+    if s.startswith("DECIMAL"):
+        return s.replace(" ", "")
+    simple = {
+        "BIGINT": "int",
+        "INTEGER": "int",
+        "SMALLINT": "int",
+        "TINYINT": "int",
+        "HUGEINT": "hugeint",
+        "UHUGEINT": "uhugeint",
+        "UBIGINT": "ulong",
+        "UINTEGER": "int",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "REAL": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+        "TIMESTAMP_NS": "timestamp",
+        "BLOB": "binary",
+    }
+    return simple.get(s, s.lower())
+
+
+def spark_type_to_canon(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"array<{spark_type_to_canon(dt.elementType)}>"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    simple = {
+        T.LongType: "int",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.StringType: "string",
+        T.BooleanType: "boolean",
+        T.DateType: "date",
+        T.TimestampType: "timestamp",
+        T.TimestampNTZType: "timestamp",
+        T.BinaryType: "binary",
+    }
+    for cls, canon in simple.items():
+        if isinstance(dt, cls):
+            return canon
+    return dt.simpleString()
+
+
+def type_mismatches(spark_schema, duck_cols, duck_types) -> list:
+    """Return [(col, spark_canon, duck_canon)] for every column whose
+    canonical types differ.  Catches HUGEINT/long, DECIMAL width, and
+    INT/BIGINT drift that value comparison alone cannot see."""
+    spark_by_name = {f.name: spark_type_to_canon(f.dataType) for f in spark_schema.fields}
+    out = []
+    for cname, dtype in zip(duck_cols, duck_types):
+        d_canon = duck_type_to_canon(str(dtype))
+        s_canon = spark_by_name.get(cname)
+        if s_canon is not None and s_canon != d_canon:
+            out.append((cname, s_canon, d_canon))
+    return out
 
 
 def to_comparable(rows, colnames):
@@ -54,6 +136,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            sschema = sdf.schema
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL] {name}: spark error: {str(e)[:500]}")
@@ -66,6 +149,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
+            otypes = rel.types
             orows = [dict(zip(ocols, r)) for r in rel.fetchall()]
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
@@ -75,6 +159,13 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            tm = type_mismatches(sschema, ocols, otypes)
+            if tm:
+                problems.append(
+                    "TYPE mismatch (driver hash is type-sensitive): "
+                    + ", ".join(f"{c}: spark={s} oracle={d}" for c, s, d in tm)
+                )
         if len(sdicts) != len(orows):
             problems.append(f"rowcount spark={len(sdicts)} oracle={len(orows)}")
         if not problems:
