@@ -70,7 +70,11 @@ def _merge_adjacent(syms_col: str, left: str, right: str) -> F.Column:
         .when(
             (F.element_at(syms, i) == F.lit(left))
             & (F.coalesce(
-                F.element_at(syms, i + 1) == F.lit(right), F.lit(False)
+                # try_element_at: i+1 runs past the array at the last
+                # index, and ANSI-mode element_at would throw there —
+                # the old form survived only because And short-circuits
+                # on a '</w>'-suffix invariant (ADVICE r3).
+                F.try_element_at(syms, i + 1) == F.lit(right), F.lit(False)
             )),
             F.struct(
                 F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
@@ -88,20 +92,69 @@ def _merge_adjacent(syms_col: str, left: str, right: str) -> F.Column:
     return step
 
 
+def _select_merge_batch(rows, max_batch: int):
+    """Pick the longest PREFIX of the sorted pair list that provably
+    yields the same merge sequence as one-at-a-time greedy BPE.
+
+    rows are sorted by (cnt desc, l asc, r asc).  A prefix p1..pj is
+    sequentially-exact when (a) it is consecutive in sorted order (no
+    pair may be skipped: a skipped higher-count pair could still win a
+    later round), (b) the pairs are pairwise symbol-disjoint and no
+    pair's symbol equals an earlier selected pair's concatenation (so
+    no earlier merge can create or destroy occurrences of a later batch
+    member), and (c) every selected count is STRICTLY greater than t,
+    the count of the first excluded pair.  (c) is what makes created
+    pairs harmless: any pair a batch merge can create descends from an
+    initial pair that conflicts with the batch, and every conflicting
+    pair ranks at or below the exclusion point, so created counts are
+    <= t < count(p_i) — sequential greedy still picks p_i at its turn.
+    Falls back to the plain argmax [p1] when truncation empties the
+    prefix (always exact)."""
+    batch, used, concats = [], set(), set()
+    t = 0
+    for row in rows:
+        conflict = (
+            row.l in used
+            or row.r in used
+            or row.l in concats
+            or row.r in concats
+            or (row.l + row.r) in used
+        )
+        if conflict or len(batch) >= max_batch:
+            t = row.cnt
+            break
+        batch.append(row)
+        used.update((row.l, row.r))
+        concats.add(row.l + row.r)
+    batch = [b for b in batch if b.cnt > t] or batch[:1]
+    return batch
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int = 20,
     checkpoint_every: int = 2,
+    max_batch: int = 8,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from the corpus.  Returns a
     DataFrame (rank int, left str, right str, merged str, pair_freq long)
-    in merge order — the merge table a tokenizer ships with."""
+    in merge order — the merge table a tokenizer ships with.
+
+    Each pass counts pairs ONCE and applies a batch of provably-
+    independent merges (`_select_merge_batch`), collapsing the
+    n_merges sequential count->collect->rewrite rounds to ~n/batch
+    passes — the count shuffle over the vocabulary table is the
+    dominant per-round cost at scale, and the batch rule guarantees
+    the output sequence is bit-identical to one-merge-per-round
+    greedy (pinned against the pure-Python reference in tests)."""
     spark = df.sparkSession
     cur = word_symbol_table(df, text_col).select("freq", "syms")
     cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    rounds_since_ckpt = 0
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
         tail = F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))")
         pairs = (
             cur.filter(F.size("syms") >= 2)
@@ -113,14 +166,26 @@ def learn_bpe_merges(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
-        if not best:
+        cap = min(max_batch, remaining)
+        # cap+1 rows: the first excluded pair (if any) is the exactness
+        # bound t in _select_merge_batch
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(cap + 1)
+            .collect()
+        )
+        if not top:
             break
-        b = best[0]
-        merges.append((rank, b.l, b.r, b.l + b.r, int(b.cnt)))
-        cur = cur.withColumn("syms", _merge_adjacent("syms", b.l, b.r))
-        if rank % checkpoint_every == 0:
+        batch = _select_merge_batch(top, cap)
+        for b in batch:
+            merges.append((len(merges) + 1, b.l, b.r, b.l + b.r, int(b.cnt)))
+            # batch members are mutually independent, so stacking the
+            # rewrites in one pass equals applying them one round apiece
+            cur = cur.withColumn("syms", _merge_adjacent("syms", b.l, b.r))
+        rounds_since_ckpt += len(batch)
+        if rounds_since_ckpt >= checkpoint_every:
             cur = cur.localCheckpoint(eager=True)
+            rounds_since_ckpt = 0
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq long"
     )

@@ -80,3 +80,55 @@ def test_bpe_encode_matches_python_reference(spark):
 
     for doc_id, text in texts.items():
         assert got[doc_id] == encode_py(text), doc_id
+
+
+def test_bpe_batched_equals_sequential_on_overlapping_pairs(spark):
+    """Adversarial: top pairs share symbols ('a b' and 'b c' chains), so
+    the batch selector must truncate — batched output must still equal
+    the one-merge-per-round Python reference exactly."""
+    texts = [
+        "abc abc abc abc ab ab bc bc bc a b c",
+        "aab abb bba baa ab ba",
+        "xy xy xyz zyx yx yx yx",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (4, 8, 12):
+        got = [tuple(r) for r in learn_bpe_merges(df, "text", n_merges=n).collect()]
+        assert got == learn_bpe_merges_py(texts, n_merges=n), n
+
+
+def test_bpe_batch_size_invariance(spark):
+    """max_batch is a pure performance knob: 1 (sequential), 4, 8 must
+    produce identical merge tables."""
+    docs = load(spark, SF_SMOKE, "documents").select("text").limit(80)
+    outs = [
+        [tuple(r) for r in learn_bpe_merges(docs, "text", n_merges=8, max_batch=m).collect()]
+        for m in (1, 4, 8)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_select_merge_batch_rules():
+    from collections import namedtuple
+
+    from cloud_native_reddit_data_pipeline_spark.operators.bpe import (
+        _select_merge_batch,
+    )
+
+    P = namedtuple("P", "l r cnt")
+    # disjoint prefix, strict count gap: all taken
+    rows = [P("a", "b", 10), P("c", "d", 8), P("e", "f", 5)]
+    assert _select_merge_batch(rows, 8) == rows
+    # conflict at rank 2 (shares 'b'): batch stops AND ties with the
+    # excluded count are dropped
+    rows = [P("a", "b", 10), P("b", "c", 10)]
+    assert _select_merge_batch(rows, 8) == [P("a", "b", 10)]
+    # count tie with first excluded pair truncates (created-pair guard)
+    rows = [P("a", "b", 10), P("c", "d", 8), P("d", "e", 8)]
+    assert _select_merge_batch(rows, 8) == [P("a", "b", 10)]
+    # symbol equal to an earlier concat conflicts ('ab' == 'a'+'b')
+    rows = [P("a", "b", 10), P("ab", "c", 7)]
+    assert _select_merge_batch(rows, 8) == [P("a", "b", 10)]
+    # fallback: truncation always keeps the argmax
+    rows = [P("a", "b", 10), P("c", "a", 10)]
+    assert _select_merge_batch(rows, 8) == [P("a", "b", 10)]
