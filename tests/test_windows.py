@@ -99,3 +99,37 @@ def test_rolling_and_cohort_invariants(spark):
     for r in coh:
         assert 0 <= r.day_offset <= 14
         assert r.n_users <= day0[r.cohort_day]  # retention never exceeds cohort size
+
+
+def test_interval_overlap_sweep_matches_bruteforce_on_hot_bucket(spark):
+    """Skewed concurrency: many sessions piled into the same hour.  The
+    sweep must (a) agree with an O(n^2) brute force, (b) contain no
+    self-join in the physical plan (round 3's bucket-pairwise form was
+    quadratic inside a hot bucket)."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        interval_overlap_degree,
+    )
+
+    rows = [
+        (i % 7, i, f"2024-01-01 10:{i % 50:02d}:00", f"2024-01-01 10:{(i % 50) + 9:02d}:30")
+        for i in range(60)
+    ] + [(99, 1000, "2024-01-02 08:00:00", "2024-01-02 08:00:00")]  # zero-length, isolated
+    df = spark.createDataFrame(
+        rows, "user_id long, session_seq long, s string, e string"
+    ).select(
+        "user_id", "session_seq",
+        F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"),
+    )
+    out = interval_overlap_degree(df, ["user_id", "session_seq"], "s", "e")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # only the broadcast bucket-prefix join
+    got = {(r.user_id, r.session_seq): r.n_overlapping for r in out.collect()}
+    py = [(u, q, s, e) for u, q, s, e in ((r[0], r[1], r[2], r[3]) for r in df.collect())]
+    want = {}
+    for u, q, s, e in py:
+        n = sum(1 for u2, q2, s2, e2 in py if u2 != u and s <= e2 and s2 <= e)
+        if n > 0:
+            want[(u, q)] = n
+    assert got == want
