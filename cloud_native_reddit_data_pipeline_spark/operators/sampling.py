@@ -48,8 +48,10 @@ def temperature_mixture_sample(
     Scale shape: the per-group count is a tiny aggregate (#groups rows)
     broadcast back onto the fact; membership is then a narrow filter —
     the fact table itself never shuffles.  Weight summation is decimal
-    so group-iteration order cannot perturb shares (pow is IEEE-exact
-    for a given input in both engines)."""
+    so group-iteration order cannot perturb shares, and the keep rate is
+    quantized to DECIMAL(18,9) before the membership compare (pow is NOT
+    correctly rounded in either engine; the raw double can differ in the
+    last ulp)."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     # sum of count^alpha over groups, order-insensitively (decimal sum)
     w = F.pow(F.col("_n").cast("double"), F.lit(alpha))
@@ -61,10 +63,17 @@ def temperature_mixture_sample(
         weighted.crossJoin(F.broadcast(tot))
         .withColumn(
             "_rate",
+            # quantize to DECIMAL(18,9) before the membership compare:
+            # JVM and libm pow are not correctly rounded, so a raw
+            # double rate can differ in the last ulp between engines and
+            # flip u < rate for a boundary draw (ADVICE r3).  A decimal
+            # cast from double rounds half-up identically in both
+            # engines, making membership a function of exactly-
+            # reproducible values.
             F.least(
                 F.lit(1.0),
                 (F.col("_w") / F.col("_tw")) * F.lit(float(budget)) / F.col("_n"),
-            ),
+            ).cast("decimal(18,9)"),
         )
         .select(group_col, "_rate")
     )

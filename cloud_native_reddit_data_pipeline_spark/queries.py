@@ -1018,7 +1018,10 @@ _U8_SQL = (
     w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM counts),
     tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS tw FROM w),
     rates AS (
-      SELECT source, least(1.0, (w / tw) * 300.0 / n) AS rate
+      -- DECIMAL(18,9) quantize mirrors the engine: membership must not
+      -- depend on the last ulp of pow (see sampling.py)
+      SELECT source,
+             CAST(least(1.0, (w / tw) * 300.0 / n) AS DECIMAL(18,9)) AS rate
       FROM w CROSS JOIN tot
     ),
     draws AS (SELECT doc_id, source, {_U8_SQL} AS u FROM documents)

@@ -444,7 +444,12 @@ def upsert_cdc_by_key_bucketed(
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
-    seq_cols = seq_cols or []
+    if not seq_cols:
+        # op-only ordering silently loses last-writer-wins (ADVICE r3)
+        raise ValueError(
+            "upsert_cdc_by_key_bucketed requires seq_cols: without a "
+            "monotone sequence the merge cannot order conflicting ops"
+        )
     _sweep_bucketed_table(target_dir)
     bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     batch = batch_df.withColumn("bucket", bucket_of).persist()
@@ -462,8 +467,15 @@ def upsert_cdc_by_key_bucketed(
             unioned = existing.unionByName(batch)
         else:
             unioned = batch
+        # final tie-break: a stable hash over the full row, so two
+        # distinct rows with equal (key, seq, op) but different payloads
+        # resolve to a deterministic winner instead of whichever task
+        # order row_number saw first (ADVICE r3)
+        row_hash = F.xxhash64(*[F.col(c) for c in unioned.columns])
         w = Window.partitionBy(key).orderBy(
-            *[F.col(c).desc() for c in seq_cols], F.col(op_col).asc()
+            *[F.col(c).desc() for c in seq_cols],
+            F.col(op_col).asc(),
+            row_hash.asc(),
         )
         merged = (
             unioned.withColumn("_rk", F.row_number().over(w))

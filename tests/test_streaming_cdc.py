@@ -134,3 +134,34 @@ def test_cdc_tombstone_blocks_resurrection(spark, tmp_path):
     assert read_cdc_table(spark, target).count() == 0
     # tombstone is still physically present until compaction
     assert read_bucketed_table(spark, target).filter("k = 7 AND op = 'D'").count() == 1
+
+
+def test_cdc_equal_seq_tie_is_deterministic(spark, tmp_path):
+    """Two rows with equal (key, seq, op) but different payloads must
+    resolve to the same winner on every run (stable row-hash tie-break,
+    not task arrival order), and empty seq_cols is a contract error."""
+    import pytest
+
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        upsert_cdc_by_key_bucketed,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "U", 5, "payload-a"), (1, "U", 5, "payload-b"), (2, "U", 1, "x")],
+        "k long, op string, seq long, v string",
+    )
+    winners = set()
+    for i in range(3):
+        target = str(tmp_path / f"t{i}")
+        upsert_cdc_by_key_bucketed(
+            batch.repartition(4), target, key="k", seq_cols=["seq"], n_buckets=4
+        )
+        rows = {r.k: r.v for r in read_cdc_table(spark, target).collect()}
+        winners.add(rows[1])
+        assert rows[2] == "x"
+    assert len(winners) == 1  # same winner every run
+
+    with pytest.raises(ValueError, match="seq_cols"):
+        upsert_cdc_by_key_bucketed(
+            batch, str(tmp_path / "err"), key="k", seq_cols=[]
+        )
