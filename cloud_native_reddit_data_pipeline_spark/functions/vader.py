@@ -62,10 +62,11 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~300-entry subset on the
-stock [-4, 4] scale (the full 7.5k-entry MIT file is not shippable in
-this container); ``load_lexicon_file`` parses the standard TSV so the
-real file is a drop-in replacement at deploy time.
+The embedded ``VADER_LEXICON`` is a curated ~830-entry subset on the
+stock [-4, 4] scale, grown each round from the published ICWSM-2014
+word list's most frequent terms (the full 7.5k-entry MIT file is not
+shippable in this container); ``load_lexicon_file`` parses the
+standard TSV so the real file is a drop-in replacement at deploy time.
 """
 
 from __future__ import annotations
@@ -238,6 +239,123 @@ VADER_LEXICON: dict[str, float] = {
     "ignore": -1.5, "ignored": -1.6, "reject": -1.9, "rejected": -2.0,
     "denied": -1.6, "deny": -1.3, "doubt": -1.2, "doubtful": -1.4,
     "unfair": -2.3, "unfortunate": -1.9, "unfortunately": -1.6,
+    # --- round-4 growth: next tranche of high-frequency terms from the
+    # published ICWSM-2014 word list (curated values on the same stock
+    # [-4, 4] scale; all three scoring paths and the SQL oracle consume
+    # this one dict, so internal agreement is structural) ---
+    "accomplish": 1.9, "accomplished": 1.8, "achievement": 2.1,
+    "admire": 2.0, "admired": 2.2, "adore": 2.9, "adored": 2.5,
+    "advantage": 1.6, "agree": 1.5, "agreeable": 1.8, "alive": 1.6,
+    "ambitious": 1.3, "angel": 2.1, "attract": 1.6, "attractive": 1.9,
+    "award": 2.5, "awarded": 2.0, "benefit": 1.7, "benefits": 1.5,
+    "bless": 1.8, "blessed": 2.9, "blessing": 2.6, "bold": 1.2,
+    "bonus": 2.2, "boost": 1.7, "brave": 2.4, "bright": 1.9,
+    "capable": 1.6, "care": 2.2, "cared": 2.0, "careful": 1.4,
+    "caring": 2.2, "champion": 2.4, "cherish": 2.3, "classic": 1.4,
+    "clean": 1.7, "commitment": 1.6, "compassion": 2.2, "confidence": 2.3,
+    "courage": 2.2, "courageous": 2.6, "create": 1.1, "cure": 1.8,
+    "dear": 1.6, "decent": 1.7, "dedicated": 1.7, "divine": 2.4,
+    "eager": 1.5, "earnest": 1.7, "encourage": 2.3, "encouraged": 1.9,
+    "energetic": 1.9, "entertaining": 1.9, "enthusiastic": 2.2,
+    "excel": 2.0, "excellence": 3.1, "faith": 1.9, "faithful": 2.1,
+    "fame": 1.9, "famous": 1.7, "fascinating": 2.4, "favor": 1.7,
+    "fearless": 1.9, "fine": 0.8, "finest": 2.7, "fortunate": 2.0,
+    "fortune": 2.1, "forgive": 1.5, "forgiven": 1.6, "gain": 1.7,
+    "gained": 1.6, "gentle": 1.9, "gifted": 1.9, "glorious": 2.8,
+    "glory": 2.0, "grace": 1.9, "graceful": 2.1, "grand": 2.2,
+    "greater": 1.9, "greatest": 3.2, "greet": 1.3, "growth": 1.6,
+    "heaven": 2.3, "heavenly": 2.6, "hero": 2.6, "heroic": 2.4,
+    "honor": 2.3, "honored": 2.5, "hug": 2.1, "hugs": 1.9,
+    "humor": 1.7, "ideal": 2.2, "innovative": 1.9, "inspire": 2.2,
+    "inspired": 2.3, "inspiring": 2.5, "intelligent": 2.3,
+    "interest": 1.5, "invite": 1.1, "invited": 1.3, "justice": 2.0,
+    "keen": 1.4, "luck": 1.8, "luckily": 2.1, "lucky": 1.8,
+    "matter": 1.1, "mature": 1.4, "merry": 2.1, "miracle": 2.8,
+    "motivated": 1.9, "noble": 2.2, "okay": 0.9, "ok": 1.2,
+    "opportunity": 1.6, "paradise": 2.9, "passion": 2.2,
+    "passionate": 2.1, "patience": 1.6, "patient": 1.3, "play": 1.3,
+    "playful": 1.9, "popular": 2.1, "praise": 2.4, "praised": 2.3,
+    "precious": 2.4, "pretty": 2.2, "pride": 1.5, "privileged": 1.9,
+    "prize": 2.1, "productive": 1.9, "profit": 1.8, "progress": 1.8,
+    "protect": 1.5, "protected": 1.6, "proud": 2.1, "radiant": 2.4,
+    "relief": 1.9, "relieved": 1.9, "rescue": 1.6, "rescued": 1.6,
+    "respect": 2.1, "respected": 2.3, "reward": 2.2, "rewarding": 2.3,
+    "satisfaction": 2.0, "satisfy": 1.8, "save": 2.2, "saved": 1.8,
+    "savior": 2.4, "share": 1.2, "shared": 1.1, "shine": 1.7,
+    "shining": 1.9, "sincere": 2.1, "skilled": 1.7, "soulmate": 2.6,
+    "special": 1.7, "splendid": 2.9, "strength": 2.1, "succeeded": 2.2,
+    "succeeding": 2.0, "superior": 2.1, "supporting": 1.6,
+    "supportive": 2.0, "surprise": 1.4, "surprised": 1.2,
+    "talent": 1.9, "talented": 2.3, "terrific": 2.7, "treasure": 2.2,
+    "tremendous": 2.4, "triumphant": 2.8, "unique": 1.4, "uplifting": 2.4,
+    "vital": 1.1, "vivid": 1.4, "warmly": 2.1, "wealth": 2.2,
+    "wealthy": 1.9, "well": 1.1, "wise": 2.1, "wisdom": 2.4, "wish": 1.7,
+    "wow": 2.8, "yay": 2.4, "yes": 1.7, "yummy": 2.4,
+    "abandon": -1.9, "abandoned": -2.0, "accident": -2.1, "accused": -1.9,
+    "ache": -1.6, "addict": -1.9, "addicted": -1.7, "afflicted": -1.9,
+    "aggravated": -2.1, "aggression": -2.2, "aggressive": -1.6,
+    "agonizing": -2.9, "agony": -2.9, "alarm": -1.4, "alarming": -1.9,
+    "alone": -1.0, "annoyance": -1.9, "annoys": -1.6, "apathy": -1.2,
+    "apology": -0.2, "argue": -1.6, "argument": -1.6, "arrogant": -2.2,
+    "avoid": -1.2, "avoided": -1.2, "awkward": -1.3, "banned": -2.0,
+    "bankrupt": -2.6, "battle": -1.6, "betray": -2.8, "betrayed": -2.8,
+    "bias": -1.0, "biased": -1.4, "bore": -1.1, "bother": -1.4,
+    "bothered": -1.5, "broke": -1.6, "bully": -2.6, "burden": -1.5,
+    "cancer": -3.4, "chaos": -2.1, "chaotic": -1.9, "collapse": -1.9,
+    "complain": -1.6, "complained": -1.8, "complaint": -1.5,
+    "conflict": -1.6, "confused": -1.3, "confusing": -1.4,
+    "contempt": -2.0, "coward": -2.1, "crap": -2.4, "crazy": -1.4,
+    "crime": -2.5, "criminal": -2.5, "critical": -1.1, "criticism": -1.6,
+    "criticize": -1.7, "crushed": -2.0, "curse": -2.0, "cursed": -2.2,
+    "damn": -1.7, "darkness": -1.2, "deceive": -2.2, "deceived": -2.1,
+    "defeat": -1.9, "defeated": -2.1, "deficit": -1.6, "degrade": -2.0,
+    "delay": -1.3, "delayed": -1.4, "demon": -2.3, "denial": -1.4,
+    "desperate": -1.9, "despair": -2.7, "despise": -2.6, "devastated": -3.0,
+    "devastating": -2.8, "devil": -2.6, "difficult": -1.5, "dirty": -1.8,
+    "disadvantage": -1.7, "disagree": -1.5, "discomfort": -1.7,
+    "discourage": -1.9, "discouraged": -1.9, "dishonest": -2.4,
+    "dislike": -1.6, "dismal": -2.4, "disrespect": -2.1, "distress": -2.1,
+    "distressed": -2.2, "disturbing": -2.2, "dread": -2.2, "drop": -1.1,
+    "dropped": -1.1, "drown": -2.5, "drunk": -1.4, "embarrassed": -1.8,
+    "embarrassing": -1.9, "emergency": -2.2, "enemy": -2.3, "enraged": -2.6,
+    "fatal": -2.7, "fatigue": -1.5, "fault": -1.8, "fears": -1.8,
+    "fired": -2.2, "freak": -1.6, "frustrated": -2.1, "frustrating": -2.0,
+    "frustration": -2.1, "fury": -2.6, "grief": -2.5, "grim": -2.2,
+    "harass": -2.4, "harassed": -2.4, "harm": -2.4, "harmful": -2.4,
+    "harsh": -1.9, "hell": -2.4, "helpless": -2.0, "hesitant": -1.0,
+    "hopeless": -2.5, "humiliated": -2.5, "humiliation": -2.6,
+    "hunger": -1.9, "hungry": -1.1, "hurtful": -2.4, "illegal": -2.4,
+    "illness": -2.0, "impossible": -1.5, "inadequate": -1.9,
+    "incompetent": -2.4, "injured": -2.0, "injury": -2.0, "injustice": -2.5,
+    "insane": -1.7, "insecure": -1.7, "interrupt": -1.4, "irritated": -2.0,
+    "irritating": -2.1, "isolated": -1.5, "lack": -1.4, "lazy": -1.6,
+    "limited": -1.0, "lonely": -1.7, "mad": -2.2, "madness": -1.8,
+    "mess": -1.6, "messed": -1.7, "mistake": -1.7, "mistakes": -1.8,
+    "mock": -1.8, "mocked": -1.9, "moody": -1.3, "mourn": -2.2,
+    "negative": -1.8, "neglect": -1.9, "neglected": -2.0, "nervous": -1.3,
+    "nightmare": -2.6, "obnoxious": -2.3, "obstacle": -1.4, "odd": -0.9,
+    "outrage": -2.4, "outraged": -2.5, "overwhelmed": -1.4,
+    "paralyzed": -2.2, "paranoid": -1.9, "pessimistic": -1.8, "petty": -1.5,
+    "pity": -1.3, "poison": -2.5, "poisoned": -2.6, "pollution": -1.9,
+    "pressure": -1.2, "prison": -2.2, "protest": -1.3, "punish": -2.1,
+    "punished": -2.2, "punishment": -2.1, "rage": -2.5, "refuse": -1.6,
+    "refused": -1.6, "resent": -1.9, "restless": -1.2, "revenge": -2.3,
+    "riot": -2.3, "rotten": -2.4, "ruthless": -2.5, "sarcastic": -1.4,
+    "savage": -1.9, "scandal": -2.2, "scare": -1.9, "scream": -1.7,
+    "screamed": -1.8, "severe": -1.9, "shock": -1.5, "shocked": -1.6,
+    "shocking": -1.7, "shortage": -1.6, "shout": -1.2, "shouted": -1.4,
+    "sin": -1.9, "skeptical": -1.3, "slave": -2.7, "sore": -1.5,
+    "sorrow": -2.4, "strange": -0.9, "strict": -1.2, "struggle": -1.7,
+    "struggled": -1.8, "struggling": -1.9, "suck": -1.9, "sucks": -1.9,
+    "suspicious": -1.5, "tense": -1.3, "threatened": -2.2, "torture": -2.9,
+    "tortured": -2.9, "tough": -0.9, "trauma": -2.4, "traumatic": -2.6,
+    "trash": -2.0, "unacceptable": -2.1, "uncertain": -1.2,
+    "uncomfortable": -1.6, "unemployed": -1.9, "unhealthy": -2.0,
+    "unpleasant": -2.1, "unreliable": -1.9, "unsafe": -2.0,
+    "unstable": -1.6, "unwanted": -1.9, "urgent": -1.1, "vicious": -2.6,
+    "victim": -1.9, "vulnerable": -1.2, "warning": -1.4, "weary": -1.4,
+    "weep": -2.2, "whine": -1.5, "wicked": -2.1, "worthless": -2.5,
+    "wreck": -2.0, "wrecked": -2.1,
 }
 
 _NT_SUFFIX = "n't"

@@ -42,6 +42,18 @@ CASES = [
     "it was without doubt excellent", "without doubt excellent",
     # stock tokenizer: short tokens keep punctuation, punct tokens persist
     "me! you! us! great", "ok! fine", "wow , not , good", ":) :( happy",
+    # round-4 lexicon growth tranche: new positive/negative vocabulary
+    # through every path (negation, boosters, caps, idiom windows)
+    "what an accomplishment, truly inspiring work",
+    "not impressed, very frustrating and a huge mistake",
+    "blessed and grateful for this tremendous opportunity",
+    "an absolute nightmare: delayed, overwhelmed, and betrayed",
+    "VERY courageous rescue, the hero was fearless!!",
+    "kind of awkward but sort of charming",
+    "no mercy for the ruthless villain's savage betrayal",
+    "without doubt the finest, most splendid masterpiece",
+    "struggling with grief and sorrow, utterly hopeless",
+    "wow, yay, terrific news — we won the award!",
 ]
 
 
@@ -160,3 +172,13 @@ def test_lexicon_file_loader(tmp_path):
     assert vader.score_vader_py("not great", lexicon=lex) == pytest.approx(
         vader.score_vader_py("not great", lexicon={"great": 3.1}), abs=1e-9
     )
+
+
+def test_round4_lexicon_growth_semantics():
+    s = vader.score_vader_py
+    assert len(vader.VADER_LEXICON) >= 800
+    assert s("inspiring") > 0 > s("nightmare")
+    assert s("not inspiring") < 0 < s("not worthless")  # negation flips new words
+    assert s("very terrific") > s("terrific")  # boosters on new words
+    assert s("TERRIFIC news today") > s("terrific news today")  # caps emphasis
+    assert s("hopeless!!!") < s("hopeless!") < s("hopeless")
