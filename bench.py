@@ -91,6 +91,10 @@ HEADLINE = [
     "training_corpus_select_v3",
     "forecast_revenue_q6",
     "training_shards",
+    "khop_reachability",
+    "asof_join_forward",
+    "weighted_sample",
+    "agg_state_merge",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

@@ -339,3 +339,65 @@ def label_propagation_oracle_sql(edges_cte: str, iters: int = 3) -> str:
         )
         prev = f"l{i + 1}"
     return f"WITH {edges_cte}, " + ", ".join(rounds) + f" SELECT node, label FROM {prev}"
+
+
+def khop_reachability(edges: DataFrame, seeds: list[int], k: int = 3) -> DataFrame:
+    """Minimum-hop BFS distance labeling from a seed set, bounded at
+    `k` hops — the recursive-CTE query class (reachability, blast
+    radius, neighborhood expansion) that Spark SQL cannot express with
+    WITH RECURSIVE, done as the standard iterative frontier dataflow.
+
+    Each round is ONE equi-join of the current frontier against the
+    src-partitioned cached edge table plus a distinct and an anti-join
+    against the visited set — the frontier never exceeds the node set,
+    rounds are bounded by k, and lineage is truncated per round
+    (localCheckpoint), so the job is a known finite DAG.  Returns
+    (node, dist) with dist the MINIMUM distance <= k; seeds are dist 0.
+
+    Oracle: `khop_oracle_sql` replays it as a DuckDB WITH RECURSIVE
+    (UNION-distinct recursion on (node, dist) keeps the walk count
+    linear) + min(dist) — exact integer parity."""
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").repartition("src").persist()
+    try:
+        visited = spark.createDataFrame(
+            [(int(s), 0) for s in seeds], "node long, dist int"
+        )
+        frontier = visited.select("node")
+        for d in range(1, k + 1):
+            nxt = (
+                edges.join(
+                    frontier.withColumnRenamed("node", "src"), "src", "semi"
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(d))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("node")
+    finally:
+        edges.unpersist()
+    return visited
+
+
+def khop_oracle_sql(edges_cte: str, seeds: list[int], k: int = 3) -> str:
+    """DuckDB WITH RECURSIVE twin of `khop_reachability` over the same
+    edge CTE.  UNION (distinct) recursion bounds the state at
+    |nodes| x k rows; min(dist) collapses multiple discovery depths."""
+    seed_rows = ", ".join(f"({s})" for s in seeds)
+    return f"""
+    WITH RECURSIVE {edges_cte},
+    bfs(node, dist) AS (
+      SELECT * FROM (VALUES {seed_rows}) s(node), (SELECT 0) d(dist)
+      UNION
+      SELECT e.dst AS node, b.dist + 1 AS dist
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {k}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS dist
+    FROM bfs GROUP BY node
+    """

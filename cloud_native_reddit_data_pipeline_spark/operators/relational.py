@@ -217,6 +217,66 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, attach the payload of the
+    EARLIEST right row with right_ts >= left_ts and equal keys — the
+    mirror of `asof_join_backward` (next-fill / "what happened next"
+    semantics: next purchase after a click, next reading after an
+    alarm).
+
+    Same union-merge single-shuffle plan, scanned in DESCENDING time
+    order: right rows sort before left rows at equal timestamps, so
+    same-instant matches are included; `last(ignorenulls)` over the
+    unbounded-preceding frame then holds the nearest following right
+    row at each left row.  For a deterministic nearest among equal
+    right timestamps pass `tiebreak` (the SMALLEST tiebreak at the
+    winning instant is attached)."""
+    pay_struct = F.struct(*[F.col(c).alias(a) for c, a in payload.items()])
+    pay_type = right.select(pay_struct.alias("_pay")).schema["_pay"].dataType
+
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
+        pay_struct.alias("_pay"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("_l")).schema["_l"].dataType
+        ).alias("_lrow"),
+    )
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
+        F.lit(None).cast(pay_type).alias("_pay"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    order = [F.col("_ats").desc(), F.col("_side").asc()] + (
+        [F.col("_tb").desc()] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = rt.unionByName(lt).withColumn(
+        "_m", F.last("_pay", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        "_lrow.*",
+        *[F.col("_m").getField(a).alias(a) for a in payload.values()],
+    )
+
+
 def range_band_join(
     fact: DataFrame, bands: DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi"
 ) -> DataFrame:
@@ -449,3 +509,33 @@ def dq_report(checks: list[tuple[str, DataFrame]]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def incremental_agg_merge(
+    df: DataFrame,
+    batch_col: Column,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-level mergeable aggregation — the incremental-view-
+    maintenance pattern: per-(batch, group) PARTIAL states (count, sum,
+    min, max) first, then a pure state MERGE per group.  At scale the
+    partial level is what each micro-batch/partition persists; the
+    merge level is the always-fresh rollup — no raw-row rescan.  The
+    merged result must equal a direct one-level aggregation (the SQL
+    oracle computes exactly that, so the hash match proves merge
+    associativity end-to-end).  Sums are decimal, so partial order
+    cannot perturb them."""
+    partial = df.groupBy(batch_col.alias("_batch"), F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(28,4)")).alias("_s"),
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+    )
+    return partial.groupBy(group_col).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_s").cast("decimal(32,4)").alias("sum_value"),
+        F.min("_mn").alias("min_value"),
+        F.max("_mx").alias("max_value"),
+        F.count(F.lit(1)).alias("n_batches"),
+    )

@@ -119,3 +119,46 @@ def priority_sample_per_group(
             F.round(F.col("_u") + F.lit(1e-9), 6).alias("draw"),
         )
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ExpJ key formulation): each row draws the deterministic md5
+    fraction u(key) and competes on the exponential key -ln(u)/w — the
+    k SMALLEST keys form an exact weight-proportional sample.  The
+    standard one-pass distributed scheme for importance-weighted corpus
+    carving (sample long documents more, rare sources more, etc.).
+
+    Determinism contract: u is shifted to (v + 0.5)/2^32 so ln(0) is
+    impossible, and the E-S key is quantized to DECIMAL(28,12) before
+    ranking (ln is not correctly rounded in either engine — the same
+    last-ulp guard as temperature_mixture_sample), with the row key as
+    tie-break.
+
+    Scale shape: a narrow map computes the key, then orderBy+limit
+    compiles to TakeOrdered (per-partition top-k + driver merge of k
+    rows) — no global sort, no shuffle of the corpus.  The final rank
+    window runs on the k collected survivors only."""
+    v = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(16**8))
+    es_key = (-F.log(u) / F.col(weight_col).cast("double")).cast("decimal(28,12)")
+    topk = (
+        df.select(
+            F.col(key_col),
+            F.col(weight_col).alias("weight"),
+            es_key.alias("_k"),
+        )
+        .orderBy(F.col("_k").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_k").asc(), F.col(key_col).asc())
+    return topk.withColumn("sample_rank", F.row_number().over(w)).select(
+        key_col, "weight", F.col("_k").cast("double").alias("es_key"), "sample_rank"
+    )

@@ -1058,6 +1058,58 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted sampling without replacement (Efraimidis-Spirakis): longer
+# documents proportionally more likely; deterministic md5 draws, E-S key
+# quantized to DECIMAL(28,12) so the rank order is engine-exact.
+@register(
+    "weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             CAST(
+               -ln((CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE)
+             AS DECIMAL(28,12)) AS k
+      FROM documents
+    )
+    SELECT doc_id, weight, CAST(k AS DOUBLE) AS es_key, rk AS sample_rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY k ASC, doc_id ASC) AS rk FROM keyed
+    ) WHERE rk <= 100
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.weighted_priority_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100
+    )
+
+
+# Two-level mergeable aggregation (incremental-view-maintenance shape):
+# per-batch partial states merged per group must equal the one-level
+# direct aggregation the oracle computes.
+@register(
+    "agg_state_merge",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(32,4)) AS sum_value,
+           MIN(l_quantity) AS min_value,
+           MAX(l_quantity) AS max_value,
+           COUNT(DISTINCT l_orderkey % 16) AS n_batches
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return relational.incremental_agg_merge(
+        li,
+        batch_col=(F.col("l_orderkey") % 16),
+        group_col="l_returnflag",
+        value_col="l_quantity",
+    )
+
+
 # Per-source unigram KL / total-variation vs the whole corpus — source
 # composition drift monitoring for the training mix.
 @register(
@@ -1582,6 +1634,29 @@ def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Customers 0 and 1 in the even/odd bipartite node namespace.
+_KHOP_SEEDS = [0, 2]
+
+
+@register(
+    "khop_reachability",
+    graph.khop_oracle_sql(_LPA_EDGES_CTE, _KHOP_SEEDS, k=3),
+)
+def khop_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop reachability (min BFS distance <= 3) from a seed
+    customer set over the co-purchase graph — the recursive-CTE query
+    class, expressed as the iterative frontier dataflow Spark wants
+    (one semi-join + anti-join per round against cached edges) and
+    replayed by a DuckDB WITH RECURSIVE oracle."""
+    return graph.khop_reachability(
+        graph.bipartite_copurchase_edges(
+            load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+        ),
+        _KHOP_SEEDS,
+        k=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (additive: the reference has no event-time story).
 # ---------------------------------------------------------------------------
@@ -1762,6 +1837,53 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         payload={"ts": "last_purchase_ts", "value": "last_purchase_value"},
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "asof_join_forward",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts AS _ats, 0 AS _side, event_id AS _tb,
+             struct_pack(next_purchase_ts := ts, next_purchase_value := value) AS _pay,
+             NULL::BIGINT AS event_id, NULL::TIMESTAMP AS ts, NULL::DOUBLE AS value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1, event_id, NULL, event_id, ts, value
+      FROM events WHERE event_type = 'click'
+    ), m AS (
+      SELECT *, last_value(_pay IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY _ats DESC, _side ASC, _tb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _m
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, value,
+           _m.next_purchase_ts AS next_purchase_ts,
+           _m.next_purchase_value AS next_purchase_value
+    FROM m WHERE _side = 1
+    """,
+)
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click gets the user's EARLIEST following
+    purchase ("what happened next") — the mirror of the backward
+    variant, same union-merge single-shuffle plan scanned in descending
+    time order (relational.asof_join_forward)."""
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return relational.asof_join_forward(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "next_purchase_ts", "value": "next_purchase_value"},
         tiebreak="event_id",
     )
 

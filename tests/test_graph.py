@@ -104,3 +104,27 @@ def test_label_propagation_min_tie_is_deterministic(spark):
         out = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
         # node 6 sees {5, 7} once each -> ties to 5
         assert out[6] == 5
+
+
+def test_khop_reachability_crafted(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+        khop_reachability,
+    )
+
+    # path 1-2-3-4-5 plus island 9<->10; symmetric edges
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.dist
+        for r in khop_reachability(edges, seeds=[1], k=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: excluded
+
+    # min-dist with two seeds and a shortcut
+    got2 = {
+        r.node: r.dist
+        for r in khop_reachability(edges, seeds=[1, 4], k=2).collect()
+    }
+    assert got2 == {1: 0, 4: 0, 2: 1, 3: 1, 5: 1}

@@ -257,7 +257,11 @@ def test_pq_encode_is_narrow_no_exchange(spark):
 
     emb = load(spark, SF, "embeddings")
     plan = plan_of(similarity.pq_encode(emb, m=4, k=16))
-    assert "Exchange" not in plan, "PQ encode must be a narrow map"
+    # the one-row codebook frame arrives via BroadcastExchange (free);
+    # what must NOT appear is a shuffle of the corpus
+    assert "Exchange hashpartitioning" not in plan, "PQ encode must not shuffle"
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # codebook rides along as data
 
 
 def test_contamination_broadcasts_hashed_shingles(spark):

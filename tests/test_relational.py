@@ -172,3 +172,62 @@ def test_dq_report_counts_violations(spark):
         ).collect()
     }
     assert out == {"null_keys": 1, "null_vals": 1, "clean_null_keys": 0}
+
+
+def test_asof_join_forward_crafted(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        asof_join_forward,
+    )
+
+    # tiebreak column must exist on BOTH sides (backward-variant contract)
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 102), (3, 7, 103)],
+        "k long, t long, rid long",
+    )
+    right = spark.createDataFrame(
+        # k=1: rights at 10 (same instant, two rows -> smallest rid wins),
+        # 20, 30; k=2: right before left only; k=3: none
+        [(1, 10, 7, "a"), (1, 10, 6, "b"), (1, 20, 8, "c"), (1, 30, 9, "d"),
+         (2, 3, 1, "e")],
+        "k long, t long, rid long, v string",
+    )
+    out = {
+        r.rid: (r.next_v, r.next_rid)
+        for r in asof_join_forward(
+            left, right, keys=["k"], left_ts="t", right_ts="t",
+            payload={"v": "next_v", "rid": "next_rid"}, tiebreak="rid",
+        ).collect()
+    }
+    assert out[100] == ("b", 6)  # same-instant match, smallest tiebreak
+    assert out[101] == ("d", 9)  # next following
+    assert out[102] == (None, None)  # only earlier rights
+    assert out[103] == (None, None)  # no rights at all
+
+
+def test_incremental_agg_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        incremental_agg_merge,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    merged = {
+        r.l_returnflag: (r.n_rows, float(r.sum_value), r.min_value, r.max_value)
+        for r in incremental_agg_merge(
+            li, F.col("l_orderkey") % 16, "l_returnflag", "l_quantity"
+        ).collect()
+    }
+    direct = {
+        r.l_returnflag: (
+            r.n, float(r.s), r.mn, r.mx
+        )
+        for r in li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("s"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        ).collect()
+    }
+    assert merged == direct

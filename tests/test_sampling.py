@@ -94,3 +94,31 @@ def test_unigram_divergence_bounds(spark):
         assert r.kl_to_corpus >= -1e-6  # KL >= 0 (tiny float slack)
         assert -1e-6 <= r.tv_to_corpus <= 1.0 + 1e-6
         assert r.n_tokens > 0 and r.vocab_size > 0
+
+
+def test_weighted_sample_matches_python_formula(spark):
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    rows = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+
+    def es_key(doc_id, w):
+        v = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (v + 0.5) / 16**8
+        return Decimal(-math.log(u) / w).quantize(Decimal("1e-12"))
+
+    want = sorted(rows, key=lambda d: (es_key(d, rows[d]), d))[:20]
+    got = [
+        r.doc_id
+        for r in weighted_priority_sample(docs, "doc_id", "n_chars", k=20)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert got == want
