@@ -375,3 +375,139 @@ def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(_frames, out_schema)
     )
+
+
+def image_patches(media: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style image patching: decode each PNG ONCE and emit one row
+    per non-overlapping patch x patch tile — (media_id, patch_row,
+    patch_col, mean_intensity, pixels) — the tokenization step of a
+    vision-transformer training pipeline (image -> patch sequence).
+    Ragged right/bottom tiles are emitted at their true size.
+
+    Scale shape: same as `extract_frames` — the 1->N fan-out happens
+    INSIDE the Arrow batch (variable-length mapInPandas output), so the
+    payload is decoded once per image and its bytes never ride an
+    exploded column through a shuffle; downstream patch embedding
+    consumes fixed-size byte rows."""
+    import pandas as pd
+
+    from ..functions.png import decode_png
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("patch_row", T.IntegerType(), False),
+            T.StructField("patch_col", T.IntegerType(), False),
+            T.StructField("pw", T.IntegerType(), False),
+            T.StructField("ph", T.IntegerType(), False),
+            T.StructField("mean_intensity", T.DoubleType(), False),
+            T.StructField("pixels", T.BinaryType(), False),
+        ]
+    )
+
+    def _patches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ("media_id", "patch_row", "patch_col", "pw", "ph",
+                "mean_intensity", "pixels")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, pixels = decode_png(bytes(payload))
+                for pr in range((h + patch - 1) // patch):
+                    for pc in range((w + patch - 1) // patch):
+                        ph = min(patch, h - pr * patch)
+                        pw = min(patch, w - pc * patch)
+                        tile = bytearray()
+                        for dy in range(ph):
+                            row0 = (pr * patch + dy) * w + pc * patch
+                            tile += pixels[row0 : row0 + pw]
+                        out["media_id"].append(mid)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["pw"].append(pw)
+                        out["ph"].append(ph)
+                        out["mean_intensity"].append(
+                            round(sum(tile) / len(tile), 6)
+                        )
+                        out["pixels"].append(bytes(tile))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_patches, out_schema)
+    )
+
+
+def vad_segments(
+    media: DataFrame, frame_ms: int = 20, threshold: float = 0.5
+) -> DataFrame:
+    """Energy-threshold voice-activity detection over PCM16 WAV
+    payloads: per-frame RMS energy, frames above `threshold` x the
+    clip's overall RMS are voiced, and consecutive voiced frames merge
+    into segments — (media_id, seg_start_ms, seg_end_ms, n_frames,
+    mean_energy).  The speech-data curation primitive (silence
+    trimming, speech-ratio filtering) ahead of ASR/audio-LM training.
+
+    Scale shape: one decode per clip inside the Arrow batch, segment
+    fan-out in-batch (a clip yields at most duration/frame_ms rows),
+    no shuffle."""
+    import pandas as pd
+
+    from ..functions.wav import decode_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("seg_start_ms", T.IntegerType(), False),
+            T.StructField("seg_end_ms", T.IntegerType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("mean_energy", T.DoubleType(), False),
+        ]
+    )
+
+    def _vad(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ("media_id", "seg_start_ms", "seg_end_ms", "n_frames", "mean_energy")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, samples = decode_wav(bytes(payload))
+                if not samples:
+                    continue
+                spf = max(rate * frame_ms // 1000, 1)
+                clip_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+                gate = threshold * clip_rms
+                seg = None  # (start_frame, energies)
+                n_frames_total = (len(samples) + spf - 1) // spf
+                for fi in range(n_frames_total):
+                    fr = samples[fi * spf : (fi + 1) * spf]
+                    rms = (sum(s * s for s in fr) / len(fr)) ** 0.5
+                    if rms > gate:
+                        if seg is None:
+                            seg = (fi, [])
+                        seg[1].append(rms)
+                    elif seg is not None:
+                        out["media_id"].append(mid)
+                        out["seg_start_ms"].append(seg[0] * frame_ms)
+                        out["seg_end_ms"].append(fi * frame_ms)
+                        out["n_frames"].append(len(seg[1]))
+                        out["mean_energy"].append(
+                            round(sum(seg[1]) / len(seg[1]), 6)
+                        )
+                        seg = None
+                if seg is not None:
+                    out["media_id"].append(mid)
+                    out["seg_start_ms"].append(seg[0] * frame_ms)
+                    out["seg_end_ms"].append(n_frames_total * frame_ms)
+                    out["n_frames"].append(len(seg[1]))
+                    out["mean_energy"].append(round(sum(seg[1]) / len(seg[1]), 6))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("modality") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(_vad, out_schema)
+    )

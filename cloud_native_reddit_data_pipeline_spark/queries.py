@@ -4686,6 +4686,34 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.unionByName(frame_counts)
 
 
+@register("media_patches_vad")
+def media_patches_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal tokenization primitives: ViT-style 8x8 image patching
+    (decode-once in-batch fan-out, one row per tile with its real
+    pixel bytes) unioned with energy-threshold voice-activity segments
+    over the PCM16 audio clips — the patch-sequence and
+    silence-trimming steps a vision/audio training pipeline runs
+    before embedding."""
+    from .operators.multimodal import image_patches, synthetic_media, vad_segments
+
+    media = synthetic_media(spark, 64)
+    patches = image_patches(media, patch=8).groupBy("media_id").agg(
+        F.lit("image_patches").alias("op"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.round(F.avg("mean_intensity"), 4).alias("mean_stat"),
+        F.sum(F.length("pixels")).cast("long").alias("out_bytes"),
+    )
+    vad = vad_segments(media, frame_ms=20).groupBy("media_id").agg(
+        F.lit("vad_segments").alias("op"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.round(F.avg("mean_energy"), 4).alias("mean_stat"),
+        F.sum(F.col("seg_end_ms") - F.col("seg_start_ms")).cast("long").alias(
+            "out_bytes"
+        ),
+    )
+    return patches.unionByName(vad)
+
+
 @register(
     "vector_stats",
     """

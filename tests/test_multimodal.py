@@ -308,3 +308,74 @@ def test_resample_audio_rates_and_payload(spark):
         rate, samples = decode_wav(bytes(r["payload"]))
         assert rate == 16000
         assert len(samples) == r["n_samples"] == 2 * (160 + (r["media_id"] % 5) * 80)
+
+
+def test_image_patches_reassemble_exactly(spark):
+    """Patches must tile the image: reassembling every (row, col) tile
+    reproduces the original pixel buffer byte-for-byte, ragged edges
+    included."""
+    from cloud_native_reddit_data_pipeline_spark.functions.png import decode_png
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        image_patches,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12).filter("modality = 'image'")
+    originals = {
+        r.media_id: decode_png(bytes(r.payload))
+        for r in media.select("media_id", "payload").collect()
+    }
+    patches = {}
+    for r in image_patches(media, patch=8).collect():
+        patches.setdefault(r.media_id, {})[(r.patch_row, r.patch_col)] = r
+    for mid, (w, h, pixels) in originals.items():
+        tiles = patches[mid]
+        n_rows = (h + 7) // 8
+        n_cols = (w + 7) // 8
+        assert set(tiles) == {(i, j) for i in range(n_rows) for j in range(n_cols)}
+        rebuilt = bytearray(len(pixels))
+        for (pr, pc), t in tiles.items():
+            assert t.pw == min(8, w - pc * 8) and t.ph == min(8, h - pr * 8)
+            for dy in range(t.ph):
+                row0 = (pr * 8 + dy) * w + pc * 8
+                rebuilt[row0 : row0 + t.pw] = bytes(t.pixels)[dy * t.pw : (dy + 1) * t.pw]
+        assert bytes(rebuilt) == pixels, mid
+
+
+def test_vad_segments_match_python_reference(spark):
+    """Segments must equal a direct Python re-computation on the decoded
+    samples (frame RMS gate at 0.5x clip RMS, consecutive merge)."""
+    from cloud_native_reddit_data_pipeline_spark.functions.wav import decode_wav
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        synthetic_media,
+        vad_segments,
+    )
+
+    media = synthetic_media(spark, 12).filter("modality = 'audio'")
+    clips = {
+        r.media_id: decode_wav(bytes(r.payload))
+        for r in media.select("media_id", "payload").collect()
+    }
+    got = {}
+    for r in vad_segments(media, frame_ms=20).collect():
+        got.setdefault(r.media_id, []).append(
+            (r.seg_start_ms, r.seg_end_ms, r.n_frames)
+        )
+    for mid, (rate, samples) in clips.items():
+        spf = max(rate * 20 // 1000, 1)
+        clip_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+        segs, cur = [], None
+        nf = (len(samples) + spf - 1) // spf
+        for fi in range(nf):
+            fr = samples[fi * spf : (fi + 1) * spf]
+            rms = (sum(s * s for s in fr) / len(fr)) ** 0.5
+            if rms > 0.5 * clip_rms:
+                cur = (fi, 1) if cur is None else (cur[0], cur[1] + 1)
+            elif cur is not None:
+                segs.append((cur[0] * 20, fi * 20, cur[1]))
+                cur = None
+        if cur is not None:
+            segs.append((cur[0] * 20, nf * 20, cur[1]))
+        assert sorted(got.get(mid, [])) == sorted(segs), mid
+    # at least one clip must yield a real segmentation (non-trivial fixture)
+    assert any(got.values())
