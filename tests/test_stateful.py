@@ -60,3 +60,74 @@ def test_state_accumulates_across_microbatches(spark, tmp_path):
     u3 = [r for r in updates if r["user_id"] == 3]
     assert len(u2) == 1 and (u2[0]["n_events"], u2[0]["total_value"]) == (1, 7.0)
     assert len(u3) == 1 and (u3[0]["n_events"], u3[0]["total_value"]) == (1, 2.0)
+
+
+def test_transform_with_state_profiles(spark, tmp_path):
+    """transformWithStateInPandas (typed MapState on RocksDB): the
+    per-user event-type histogram must accumulate across micro-batches
+    and the final emission must equal the batch groupBy.  SKIPS where
+    google.protobuf is broken (this container) — the operator raises
+    ImportError eagerly there, verified below."""
+    import pytest
+
+    from cloud_native_reddit_data_pipeline_spark.streaming.stateful import (
+        user_event_profiles,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            user_event_profiles(
+                spark.readStream.format("rate").load()
+            )
+        pytest.skip("google.protobuf unusable here; eager ImportError verified")
+
+    rows = [
+        (0, 1, "view"), (1, 1, "click"), (2, 2, "view"),
+        (3, 1, "view"), (4, 2, "purchase"), (5, 3, "error"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    src = str(tmp_path / "src")
+    df.filter(F.col("event_id") < 3).coalesce(1).write.parquet(f"{src}/b0")
+    df.filter(F.col("event_id") >= 3).coalesce(1).write.parquet(f"{src}/b1")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        q = (
+            user_event_profiles(stream)
+            .writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        updates = spark.table("tws_test").collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # final (max-total) emission per user must equal the batch truth
+    final = {}
+    for r in updates:
+        if r.user_id not in final or r.total_events > final[r.user_id].total_events:
+            final[r.user_id] = r
+    assert (final[1].total_events, final[1].n_types) == (3, 2)
+    assert (final[1].top_type, final[1].top_type_n) == ("view", 2)
+    assert (final[2].total_events, final[2].n_types) == (2, 2)
+    assert final[2].top_type == "purchase"  # tie at 1 -> lexicographic
+    assert (final[3].total_events, final[3].top_type) == (1, "error")
+    # user 1 emitted in both batches (state carried across)
+    assert len([r for r in updates if r.user_id == 1]) == 2
