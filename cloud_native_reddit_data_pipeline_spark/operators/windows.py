@@ -323,3 +323,84 @@ def interval_overlap_degree(
             (F.col("_g_le") - F.col("_g_lt")) - (F.col("_u_le") - F.col("_u_lt"))
         ).alias("n_overlapping"),
     ).filter(F.col("n_overlapping") > 0)
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type) with counts — the path-analysis /
+    next-action model behind funnels and session QA.
+
+    Scale shape: one window (partition by user, order by time) builds
+    the adjacent pairs, then a partial-agg shuffle on the tiny
+    (from, to) key space; per-from normalization is a window over the
+    aggregated matrix (|types|^2 rows, negligible)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt) + F.lit(1e-9), round_to
+        ).alias("p"),
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quantile segmentation over
+    a purchase stream: per-user stats, ntile quartiles on each axis
+    (deterministic tie-break on the user key), and the combined
+    "r-f-m" segment string — the standard customer-value grid.
+
+    Scale shape: the event stream collapses to one row per user first
+    (partial-agg shuffle); the three ntile windows rank the PER-USER
+    table, which is orders of magnitude smaller than the stream.  The
+    global ntile ranking is a total order by definition — at extreme
+    user counts swap in approx percentile boundaries."""
+    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(F.date_trunc("day", F.col(ts_col))).alias("_last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("monetary"),
+    )
+    ref = df.agg(F.max(F.date_trunc("day", F.col(ts_col))).alias("_ref_day"))
+    base = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff(F.col("_ref_day"), F.col("_last_day"))
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return (
+        base.withColumn("r", F.ntile(n_tiles).over(w_r))
+        .withColumn("f", F.ntile(n_tiles).over(w_f))
+        .withColumn("m", F.ntile(n_tiles).over(w_m))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r",
+            "f",
+            "m",
+            F.concat_ws("-", "r", "f", "m").alias("segment"),
+        )
+    )

@@ -587,6 +587,55 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL}, sig AS (
+      SELECT doc_id, {_MINHASH_AGGS_SQL}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), closure(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT c.node, e.dst FROM closure c JOIN edges e ON e.src = c.r
+    ), comp AS (
+      SELECT node, MIN(r) AS label FROM closure GROUP BY node
+    )
+    SELECT label, doc_id AS keeper_id, n_members, n_chars AS keeper_n_chars
+    FROM (
+      SELECT c.label, d.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY c.label) AS n_members,
+             row_number() OVER (PARTITION BY c.label
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after near-dup clustering: keep each
+    component's LONGEST member (n_chars, ties to the lowest doc_id) —
+    the keep-the-best-copy policy real pipelines apply where
+    exact_dedup_keep_first keeps the smallest id."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MINHASH_K)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, bands=4)
+    comps = dedup.connected_components(pairs)
+    return dedup.keep_best_per_component(comps, docs, "doc_id", "n_chars")
+
+
 # Exact n-gram (3-word shingle) Jaccard over intersecting pairs.  The
 # df-cap (shingles in > 1000 docs excluded from the similarity universe)
 # mirrors dedup.jaccard_pairs' hot-shingle bound; at this sf no shingle
@@ -1655,6 +1704,66 @@ def khop_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _KHOP_SEEDS,
         k=3,
     )
+
+
+# First-order Markov transitions over per-user event sequences — the
+# path-analysis model behind funnels (P(next_type | type) + counts).
+@register(
+    "event_transitions",
+    """
+    WITH nx AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)
+                 + 1e-9, 6) AS p
+    FROM cnt
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.event_transition_matrix(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+# RFM (recency/frequency/monetary) quartile segmentation over purchases.
+@register(
+    "rfm_segments",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    per_user AS (
+      SELECT user_id,
+             MAX(date_trunc('day', ts)) AS last_day,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS monetary
+      FROM p GROUP BY user_id
+    ), ref AS (SELECT MAX(date_trunc('day', ts)) AS ref_day FROM p),
+    base AS (
+      SELECT user_id, datediff('day', last_day, ref_day) AS recency_days,
+             frequency, monetary
+      FROM per_user CROSS JOIN ref
+    )
+    SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m,
+           concat(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC), '-',
+                  ntile(4) OVER (ORDER BY frequency DESC, user_id ASC), '-',
+                  ntile(4) OVER (ORDER BY monetary DESC, user_id ASC)) AS segment
+    FROM base
+    """,
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return windows.rfm_segments(ev, "user_id", "ts", "value")
 
 
 # ---------------------------------------------------------------------------

@@ -342,3 +342,22 @@ def test_cut_duplicate_spans_removes_passage_keeps_rest(spark):
     )
     out2 = {r.doc_id: r for r in cut_duplicate_spans(df2, "doc_id", "text", k=5).collect()}
     assert out2[1].cleaned_text == "" and out2[1].n_kept_tokens == 0
+
+
+def test_keep_best_per_component_policy(spark):
+    """Longest member wins; ties break to the lowest id."""
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        keep_best_per_component,
+    )
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, label long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (10, 5), (11, 5)], "doc_id long, n_chars long"
+    )
+    got = {
+        r.label: (r.keeper_id, r.n_members, r.keeper_n_chars)
+        for r in keep_best_per_component(comps, docs, "doc_id", "n_chars").collect()
+    }
+    assert got == {1: (2, 3, 90), 10: (10, 2, 5)}
