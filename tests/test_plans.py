@@ -383,3 +383,39 @@ def test_forecast_revenue_q6_full_pushdown(spark):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" in read
     assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """E-S weighted sampling must compile to TakeOrdered (per-partition
+    top-k + driver merge), never a global sort of the corpus."""
+    df = registry.queries()["weighted_sample"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_asof_forward_single_key_shuffle(spark):
+    """Forward as-of: one hash shuffle on the join key, no join operator
+    at all (union-merge window formulation)."""
+    df = registry.queries()["asof_join_forward"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_agg_state_merge_two_level_hash_agg(spark):
+    """Mergeable-state aggregation: both levels must stay HashAggregate
+    with map-side partial aggregation."""
+    df = registry.queries()["agg_state_merge"](spark, SF)
+    plan = plan_of(df)
+    assert "SortAggregate" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_event_transitions_single_user_sort(spark):
+    """Transition matrix: the event stream is sorted once (per-user
+    window); the normalization window runs on the tiny aggregated
+    matrix only."""
+    df = registry.queries()["event_transitions"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan  # no join anywhere
