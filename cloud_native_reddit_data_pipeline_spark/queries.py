@@ -4887,6 +4887,72 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GROUPED_AGG pandas UDAF: completes the Python UDF matrix (scalar
+# pandas_udf / grouped-map applyInPandas / mapInPandas / UDTF / stateful
+# — this is the custom-AGGREGATE surface).  Decimal-quantized trimmed
+# mean so the aggregate is engine-exact and the DuckDB oracle replays
+# it with window trimming.
+@register(
+    "trimmed_mean_udaf",
+    """
+    WITH v AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_used,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                 + 1e-9, 6) AS trimmed_mean
+    FROM v
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per event type via a GROUPED_AGG pandas UDF —
+    the robust-statistics aggregate the built-ins lack.  Inside the
+    UDAF every value is quantized to DECIMAL(18,6) exactly as Spark's
+    double->decimal cast does (exact binary expansion, half-up), summed
+    as exact decimals, and divided as a correctly-rounded double — so
+    the trimmed mean is bit-identical to the oracle's window-trimmed
+    decimal aggregate regardless of pandas' summation order.
+
+    Scale shape: one groupBy shuffle; Arrow moves each group's values
+    once.  The trim itself is order-statistic work a window would sort
+    for anyway — here it sorts per group inside the UDAF."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, so signature inference
+    # cannot see pd.Series -> float here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _trimmed_mean(v):
+        vals = sorted(v.dropna())
+        k = len(vals) // 10
+        kept = vals[k : len(vals) - k] if k else vals
+        if not kept:
+            return 0.0
+        six = Decimal("0.000001")
+        total = sum(Decimal(x).quantize(six, ROUND_HALF_UP) for x in kept)
+        return round(float(total) / len(kept) + 1e-9, 6)
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # GROUPED_AGG UDFs cannot mix with native aggregates in one agg();
+    # n_used comes from a native pass joined on the tiny type key
+    means = ev.groupBy("event_type").agg(_trimmed_mean("value").alias("trimmed_mean"))
+    counts = ev.groupBy("event_type").agg(
+        F.expr("count(1) - 2 * (count(1) div 10)").alias("n_used")
+    )
+    return counts.join(means, "event_type").select(
+        "event_type", "n_used", "trimmed_mean"
+    )
+
+
 @register("analytics_pipeline")
 def analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FULL EP3 analytics job (redditProcessor.py:56-156)

@@ -231,3 +231,21 @@ def test_incremental_agg_merge_equals_direct(spark):
         ).collect()
     }
     assert merged == direct
+
+
+def test_observed_quality_piggybacks_on_one_pass(spark):
+    from pyspark.sql import Observation
+
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        with_observed_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 4.0), (4, 7.0)], "id long, v double"
+    )
+    obs = Observation("quality")
+    out = with_observed_quality(df, obs, "v")
+    assert out.count() == 4  # rows pass through unchanged
+    m = obs.get
+    assert m["n_rows"] == 4 and m["n_null"] == 1
+    assert (m["min_v"], m["max_v"]) == (4.0, 10.0)
