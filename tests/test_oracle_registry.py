@@ -110,3 +110,32 @@ def test_parity_gate_catches_hugeint_promotion(spark, ducks):
     assert duck_type_to_canon("INTEGER") == duck_type_to_canon("BIGINT")
     # but decimal widths stay exact
     assert duck_type_to_canon("DECIMAL(12,2)") != duck_type_to_canon("DECIMAL(12,4)")
+
+
+def test_bench_final_json_fits_driver_tail_buffer():
+    """The driver keeps only the last 2000 bytes of stdout; the final
+    JSON line must parse from that tail at any query count."""
+    import json
+
+    import bench
+
+    qs = {f"query_with_a_rather_long_name_{i:03d}": round(i * 0.37, 2) for i in range(120)}
+    payload = {
+        "metric": "headline_query_wall_seconds",
+        "value": 123.45,
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+    }
+    line = bench._emit_final_json(payload, limit=1950)
+    assert len(line) <= 1950
+    parsed = json.loads(line)
+    assert parsed["value"] == 123.45 and parsed.get("queries_truncated") is True
+    # the EXPENSIVE queries survive truncation (the cheap ones drop)
+    kept = parsed["queries"]
+    assert "query_with_a_rather_long_name_119" in kept
+    # small payloads pass through untouched
+    small = {**payload, "queries": {"q1": 1.0}}
+    line2 = bench._emit_final_json(small, limit=1950)
+    assert json.loads(line2)["queries"] == {"q1": 1.0}
+    assert "queries_truncated" not in json.loads(line2)
