@@ -1224,6 +1224,70 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Point-in-time (PIT) join — feature-store correctness semantics: each
+# fact row gets the dimension VERSION valid at its event time (no
+# leakage from future versions).  Composed as SCD2 history + a backward
+# as-of on valid_from (versions partition time, so latest valid_from <=
+# ts IS the [from, to) interval match the oracle verifies directly).
+@register(
+    "point_in_time_join",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             CAST(row_number() OVER w AS INT) AS version
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           h.event_type AS state_at_event,
+           h.version AS state_version
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') f
+    JOIN hist h
+      ON h.user_id = f.user_id AND h.valid_from <= f.ts
+     AND (h.valid_to > f.ts OR h.valid_to IS NULL)
+    """,
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT join of purchase facts against the user-state SCD2 history:
+    the union-merge as-of plan (ONE shuffle on the user key) replaces
+    the oracle's interval join — the scale-correct formulation, proven
+    equivalent by the hash match (versions partition time, so the
+    latest valid_from <= ts is exactly the interval-valid version;
+    among same-instant versions the highest wins, skipping
+    empty-interval versions)."""
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    hist = relational.scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        # tiebreak column must exist on both sides; the left value is
+        # inert (left rows sort after right rows by _side already)
+        F.lit(0).alias("version"),
+    )
+    return relational.asof_join_backward(
+        facts,
+        hist.select("user_id", "valid_from", "event_type", "version"),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        payload={"event_type": "state_at_event", "version": "state_version"},
+        tiebreak="version",
+    ).drop("version")
+
+
 _EN_LIST = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
 
 
