@@ -65,3 +65,75 @@ def test_rolling_hash_agrees_with_python_fold(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r["h"] for r in df.select(rolling_hash("t").alias("h")).collect()]
     assert got == [_py_rolling_hash(t) for t in texts]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # first key (user)
+            st.integers(min_value=0, max_value=500),  # start offset (minutes)
+            st.integers(min_value=0, max_value=120),  # duration (minutes)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_overlap_sweep_property(spark, raw):
+    """Random interval sets: the counting sweep must equal the O(n^2)
+    brute force (inclusive bounds, different-first-key only) on
+    arbitrary overlap structure, including cross-bucket and zero-length
+    intervals."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        interval_overlap_degree,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+        for i, (u, s, d) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, session_seq long, s timestamp, e timestamp"
+    ).select(
+        "user_id", "session_seq", F.col("s"), F.col("e")
+    )
+    got = {
+        (r.user_id, r.session_seq): r.n_overlapping
+        for r in interval_overlap_degree(
+            df, ["user_id", "session_seq"], "s", "e"
+        ).collect()
+    }
+    want = {}
+    for u, i, s, e in rows:
+        n = sum(1 for u2, i2, s2, e2 in rows if u2 != u and s <= e2 and s2 <= e)
+        if n > 0:
+            want[(u, i)] = n
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet=list("abc"), min_size=1, max_size=5),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_batched_bpe_property(spark, words):
+    """Random tiny-alphabet corpora (maximal pair overlap/tie pressure):
+    batched merge learning must reproduce the one-merge-per-round
+    Python reference exactly."""
+    from cloud_native_reddit_data_pipeline_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_py,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = [tuple(r) for r in learn_bpe_merges(df, "text", n_merges=6).collect()]
+    assert got == learn_bpe_merges_py([text], n_merges=6)
