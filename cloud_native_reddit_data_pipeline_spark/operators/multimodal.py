@@ -511,3 +511,51 @@ def vad_segments(
         .select("media_id", "payload")
         .mapInPandas(_vad, out_schema)
     )
+
+
+def scene_changes(media: DataFrame, threshold: float = 12.0) -> DataFrame:
+    """Scene-change detection over Y4M video payloads: mean absolute
+    luma difference between consecutive frames; a jump above
+    `threshold` marks a cut — (media_id, frame_idx, frame_ts_ms,
+    mean_abs_diff).  The video curation twin of `vad_segments`
+    (shot segmentation ahead of frame sampling: sample per SCENE, not
+    per second, so long static shots don't dominate the frame set).
+
+    Scale shape: one decode per video inside the Arrow batch, cut rows
+    fan out in-batch (at most n_frames-1 per clip), no shuffle."""
+    import pandas as pd
+
+    from ..functions.y4m import decode_y4m
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_ts_ms", T.IntegerType(), False),
+            T.StructField("mean_abs_diff", T.DoubleType(), False),
+        ]
+    )
+
+    def _cuts(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ("media_id", "frame_idx", "frame_ts_ms", "mean_abs_diff")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, fn, fd, frames = decode_y4m(bytes(payload))
+                for i in range(1, len(frames)):
+                    a, b = frames[i - 1], frames[i]
+                    diff = sum(abs(x - y) for x, y in zip(a, b)) / len(a)
+                    if diff > threshold:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_ts_ms"].append(i * 1000 * fd // fn)
+                        out["mean_abs_diff"].append(round(diff, 6))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(_cuts, out_schema)
+    )

@@ -4867,7 +4867,12 @@ def media_patches_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the PCM16 audio clips — the patch-sequence and
     silence-trimming steps a vision/audio training pipeline runs
     before embedding."""
-    from .operators.multimodal import image_patches, synthetic_media, vad_segments
+    from .operators.multimodal import (
+        image_patches,
+        scene_changes,
+        synthetic_media,
+        vad_segments,
+    )
 
     media = synthetic_media(spark, 64)
     patches = image_patches(media, patch=8).groupBy("media_id").agg(
@@ -4884,7 +4889,13 @@ def media_patches_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_bytes"
         ),
     )
-    return patches.unionByName(vad)
+    scenes = scene_changes(media, threshold=12.0).groupBy("media_id").agg(
+        F.lit("scene_changes").alias("op"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.round(F.avg("mean_abs_diff"), 4).alias("mean_stat"),
+        F.max("frame_ts_ms").cast("long").alias("out_bytes"),
+    )
+    return patches.unionByName(vad).unionByName(scenes)
 
 
 @register(

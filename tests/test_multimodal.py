@@ -379,3 +379,31 @@ def test_vad_segments_match_python_reference(spark):
         assert sorted(got.get(mid, [])) == sorted(segs), mid
     # at least one clip must yield a real segmentation (non-trivial fixture)
     assert any(got.values())
+
+
+def test_scene_changes_match_python_reference(spark):
+    """Cuts must equal a direct Python recomputation of the mean
+    absolute luma diff on the decoded frames, and at least one clip in
+    the fixture must yield a cut."""
+    from cloud_native_reddit_data_pipeline_spark.functions.y4m import decode_y4m
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        scene_changes,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12).filter("modality = 'video'")
+    clips = {
+        r.media_id: decode_y4m(bytes(r.payload))
+        for r in media.select("media_id", "payload").collect()
+    }
+    got = {}
+    for r in scene_changes(media, threshold=12.0).collect():
+        got.setdefault(r.media_id, []).append((r.frame_idx, r.frame_ts_ms))
+    want = {}
+    for mid, (w, h, fn, fd, frames) in clips.items():
+        for i in range(1, len(frames)):
+            d = sum(abs(x - y) for x, y in zip(frames[i - 1], frames[i])) / len(frames[i])
+            if d > 12.0:
+                want.setdefault(mid, []).append((i, i * 1000 * fd // fn))
+    assert {k: sorted(v) for k, v in got.items()} == want
+    assert any(want.values())
