@@ -95,6 +95,7 @@ HEADLINE = [
     "asof_join_forward",
     "weighted_sample",
     "agg_state_merge",
+    "point_in_time_join",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,
