@@ -524,8 +524,11 @@ def incremental_agg_merge(
     merge level is the always-fresh rollup — no raw-row rescan.  The
     merged result must equal a direct one-level aggregation (the SQL
     oracle computes exactly that, so the hash match proves merge
-    associativity end-to-end).  Sums are decimal, so partial order
-    cannot perturb them."""
+    associativity end-to-end).  Partial sums accumulate in DECIMAL so
+    merge order cannot perturb them, but the OUTPUT is the exact sum
+    scaled by 10^4 as BIGINT (`sum_value_e4`) — final schemas never
+    carry DECIMAL columns, whose engine-specific payloads are a hash
+    hazard across engines (same convention as PageRank's e12 ranks)."""
     partial = df.groupBy(batch_col.alias("_batch"), F.col(group_col)).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(value_col).cast("decimal(28,4)")).alias("_s"),
@@ -534,7 +537,7 @@ def incremental_agg_merge(
     )
     return partial.groupBy(group_col).agg(
         F.sum("_n").alias("n_rows"),
-        F.sum("_s").cast("decimal(32,4)").alias("sum_value"),
+        (F.sum("_s") * F.lit(10000)).cast("long").alias("sum_value_e4"),
         F.min("_mn").alias("min_value"),
         F.max("_mx").alias("max_value"),
         F.count(F.lit(1)).alias("n_batches"),

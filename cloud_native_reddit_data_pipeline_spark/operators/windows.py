@@ -374,13 +374,18 @@ def rfm_segments(
     (partial-agg shuffle); the three ntile windows rank the PER-USER
     table, which is orders of magnitude smaller than the stream.  The
     global ntile ranking is a total order by definition — at extreme
-    user counts swap in approx percentile boundaries."""
+    user counts swap in approx percentile boundaries.
+
+    The monetary sum accumulates in DECIMAL (order-independent exact)
+    but is EMITTED as `monetary_e4` — the exact sum × 10^4 as BIGINT —
+    because DECIMAL payloads hash engine-specifically (same convention
+    as `incremental_agg_merge`)."""
     per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
         F.max(F.date_trunc("day", F.col(ts_col))).alias("_last_day"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col(value_col).cast("decimal(18,4)"))
-        .cast("decimal(18,4)")
-        .alias("monetary"),
+        (F.sum(F.col(value_col).cast("decimal(18,4)")) * F.lit(10000))
+        .cast("long")
+        .alias("monetary_e4"),
     )
     ref = df.agg(F.max(F.date_trunc("day", F.col(ts_col))).alias("_ref_day"))
     base = per_user.crossJoin(F.broadcast(ref)).withColumn(
@@ -388,7 +393,7 @@ def rfm_segments(
     )
     w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
     w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("monetary_e4"), F.asc("user_id"))
     return (
         base.withColumn("r", F.ntile(n_tiles).over(w_r))
         .withColumn("f", F.ntile(n_tiles).over(w_f))
@@ -397,7 +402,7 @@ def rfm_segments(
             "user_id",
             "recency_days",
             "frequency",
-            "monetary",
+            "monetary_e4",
             "r",
             "f",
             "m",

@@ -1142,7 +1142,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(32,4)) AS sum_value,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) * 10000 AS BIGINT) AS sum_value_e4,
            MIN(l_quantity) AS min_value,
            MAX(l_quantity) AS max_value,
            COUNT(DISTINCT l_orderkey % 16) AS n_batches
@@ -1806,21 +1806,21 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              MAX(date_trunc('day', ts)) AS last_day,
              COUNT(*) AS frequency,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS monetary
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS monetary_e4
       FROM p GROUP BY user_id
     ), ref AS (SELECT MAX(date_trunc('day', ts)) AS ref_day FROM p),
     base AS (
       SELECT user_id, datediff('day', last_day, ref_day) AS recency_days,
-             frequency, monetary
+             frequency, monetary_e4
       FROM per_user CROSS JOIN ref
     )
-    SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+    SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency, monetary_e4,
            ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
            ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
-           ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m,
+           ntile(4) OVER (ORDER BY monetary_e4 DESC, user_id ASC) AS m,
            concat(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC), '-',
                   ntile(4) OVER (ORDER BY frequency DESC, user_id ASC), '-',
-                  ntile(4) OVER (ORDER BY monetary DESC, user_id ASC)) AS segment
+                  ntile(4) OVER (ORDER BY monetary_e4 DESC, user_id ASC)) AS segment
     FROM base
     """,
 )

@@ -139,3 +139,45 @@ def test_bench_final_json_fits_driver_tail_buffer():
     line2 = bench._emit_final_json(small, limit=1950)
     assert json.loads(line2)["queries"] == {"q1": 1.0}
     assert "queries_truncated" not in json.loads(line2)
+
+
+def test_parity_check_rejects_decimal_outputs(spark, ducks):
+    """The driver's value hash treats DECIMAL payloads as engine-specific
+    (round-3 HUGEINT, round-4 agg_state_merge reds) — parity_check must
+    flag ANY final-output DECIMAL column, Spark-side or oracle-side."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from parity_check import decimal_columns
+
+    bad = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS amount, 1 AS k")
+    rel = ducks.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS amount, 1 AS k")
+    hits = decimal_columns(bad.schema, rel.columns, rel.types)
+    assert any("amount (spark" in h for h in hits)
+    assert any("amount (oracle" in h for h in hits)
+    # clean schemas pass
+    good = spark.sql("SELECT CAST(15000 AS BIGINT) AS amount_e4, 1 AS k")
+    grel = ducks.sql("SELECT CAST(15000 AS BIGINT) AS amount_e4, 1 AS k")
+    assert decimal_columns(good.schema, grel.columns, grel.types) == []
+
+
+def test_no_registered_query_emits_decimal(spark):
+    """Registry-wide guard: every non-streaming queries() entry must have
+    a DECIMAL-free output schema (lazy — schemas only, no execution)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from parity_check import decimal_columns
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_") or name.startswith("ml_"):
+            continue  # streams/ML materialize eagerly; covered by parity sweep
+        try:
+            schema = fn(spark, SF_DIR).schema
+        except Exception:
+            continue  # build errors are caught by the parity harness
+        hits = decimal_columns(schema)
+        if hits:
+            offenders[name] = hits
+    assert offenders == {}

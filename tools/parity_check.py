@@ -81,6 +81,23 @@ def spark_type_to_canon(dt) -> str:
     return dt.simpleString()
 
 
+def decimal_columns(spark_schema, duck_cols=None, duck_types=None) -> list:
+    """Return every output column whose type is DECIMAL on either
+    engine.  DECIMAL payloads hash engine-specifically even at equal
+    precision/scale (round-3 HUGEINT, round-4 `agg_state_merge`
+    DECIMAL reds) — final schemas must emit a scaled BIGINT or a
+    rounded DOUBLE instead, so ANY decimal output is a hard failure."""
+    hits = []
+    for f in spark_schema.fields:
+        if "DECIMAL" in spark_type_to_canon(f.dataType).upper():
+            hits.append(f"{f.name} (spark {spark_type_to_canon(f.dataType)})")
+    if duck_cols is not None:
+        for cname, dtype in zip(duck_cols, duck_types):
+            if "DECIMAL" in duck_type_to_canon(str(dtype)).upper():
+                hits.append(f"{cname} (oracle {duck_type_to_canon(str(dtype))})")
+    return hits
+
+
 def type_mismatches(spark_schema, duck_cols, duck_types) -> list:
     """Return [(col, spark_canon, duck_canon)] for every column whose
     canonical types differ.  Catches HUGEINT/long, DECIMAL width, and
@@ -145,6 +162,10 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(srows)} rows, cols={scols}")
             if len(srows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
+            dec = decimal_columns(sschema)
+            if dec:
+                failures.append((name, f"DECIMAL output columns: {dec}"))
+                print(f"[FAIL] {name}: DECIMAL output columns (hash hazard): {dec}")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -157,6 +178,9 @@ def main() -> int:
             continue
         sdicts = [r.asDict() for r in srows]
         problems = []
+        dec = decimal_columns(sschema, ocols, otypes)
+        if dec:
+            problems.append(f"DECIMAL output columns (hash hazard): {dec}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         else:
