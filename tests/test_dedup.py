@@ -140,6 +140,56 @@ def test_embedding_neardup_banded_recall_vs_brute_force(spark):
     assert recall >= 0.9
 
 
+def test_embedding_neardup_hot_bucket_cap_bounds_pairs(spark):
+    """Pathological skew: m identical embeddings collapse into ONE
+    bucket per band.  Uncapped that is C(m,2) pairs; with
+    `max_bucket_size` the bucket switches to star pairing — exactly
+    m-1 pairs, every one anchored at the bucket representative (min
+    id), so downstream connected components still recovers the full
+    duplicate cluster transitively."""
+    m = 40
+    v = [1.0, 0.5, -0.25, 2.0] * 4
+    rows = [(i, v) for i in range(m)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_neardup_pairs(
+        df, threshold=0.9, n_planes=12, bands=3, max_bucket_size=8
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(pairs) == m - 1  # star, not C(40,2)=780 quadratic pairs
+    assert all(a == 0 for a, _ in pairs)  # all anchored at the min-id rep
+    assert {b for _, b in pairs} == set(range(1, m))
+    assert all(abs(r["cos"] - 1.0) < 1e-9 for r in out)
+
+
+def test_embedding_neardup_cap_inactive_is_exact(spark):
+    """When no bucket exceeds the cap, the capped path must emit
+    byte-identical pairs to max_bucket_size=None — the cap machinery
+    may not perturb the uncapped semantics."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 4) for _ in range(16)]) for i in range(60)
+    ]
+    for i in range(10):
+        rows.append((200 + i, rows[i][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.8, n_planes=12, bands=3)
+    capped = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in dedup.embedding_neardup_pairs(
+            df, max_bucket_size=4096, **kw
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in dedup.embedding_neardup_pairs(
+            df, max_bucket_size=None, **kw
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) >= 10
+
+
 def test_connected_components_long_chain_log_rounds(spark):
     """A 129-node path graph needs 128 rounds under min-label
     propagation; large-star/small-star must finish (no non-convergence
