@@ -92,40 +92,57 @@ def _merge_adjacent(syms_col: str, left: str, right: str) -> F.Column:
     return step
 
 
-def _select_merge_batch(rows, max_batch: int):
+def _select_merge_batch(rows, max_batch: int, known_symbols=frozenset()):
     """Pick the longest PREFIX of the sorted pair list that provably
     yields the same merge sequence as one-at-a-time greedy BPE.
 
     rows are sorted by (cnt desc, l asc, r asc).  A prefix p1..pj is
     sequentially-exact when (a) it is consecutive in sorted order (no
     pair may be skipped: a skipped higher-count pair could still win a
-    later round), (b) the pairs are pairwise symbol-disjoint and no
-    pair's symbol equals an earlier selected pair's concatenation (so
-    no earlier merge can create or destroy occurrences of a later batch
-    member), and (c) every selected count is STRICTLY greater than t,
-    the count of the first excluded pair.  (c) is what makes created
-    pairs harmless: any pair a batch merge can create descends from an
-    initial pair that conflicts with the batch, and every conflicting
-    pair ranks at or below the exclusion point, so created counts are
-    <= t < count(p_i) — sequential greedy still picks p_i at its turn.
-    Falls back to the plain argmax [p1] when truncation empties the
-    prefix (always exact)."""
+    later round), (b) the pairs are pairwise symbol-disjoint, no pair's
+    symbol equals an earlier selected pair's concatenation, and no two
+    selected pairs share a concatenation (so no earlier merge can
+    create or destroy occurrences of a later batch member), and
+    (c) every selected count is STRICTLY greater than t, the count of
+    the first excluded pair.  (c) is what makes created pairs harmless:
+    any pair a batch merge can create descends from an initial pair
+    that conflicts with the batch, and every conflicting pair ranks at
+    or below the exclusion point, so created counts are <= t <
+    count(p_i) — sequential greedy still picks p_i at its turn.
+
+    (c)'s bound assumes created pairs are NEW.  If a selected pair's
+    concatenation already exists as a vocabulary symbol via a DIFFERENT
+    formation (``'abc'`` from ``ab+c`` when the batch merges ``a+bc``),
+    a PRE-EXISTING pair like (X, 'abc') with count <= t gets boosted by
+    up to t on top — potentially past a later batch member in (t, 2t),
+    which sequential greedy would then reorder.  ``known_symbols`` (the
+    symbols prior merges created; initial symbols are single characters
+    and can never equal a 2+-char concatenation, except the end-of-word
+    marker which is included) closes that hole: such a pair may still
+    be selected, but the batch STOPS after it, so no later member can
+    be outrun.  Falls back to the plain argmax [p1] when truncation
+    empties the prefix (always exact)."""
     batch, used, concats = [], set(), set()
     t = 0
+    stop_after = False
     for row in rows:
+        concat = row.l + row.r
         conflict = (
             row.l in used
             or row.r in used
             or row.l in concats
             or row.r in concats
-            or (row.l + row.r) in used
+            or concat in used
+            or concat in concats
         )
-        if conflict or len(batch) >= max_batch:
+        if conflict or stop_after or len(batch) >= max_batch:
             t = row.cnt
             break
         batch.append(row)
         used.update((row.l, row.r))
-        concats.add(row.l + row.r)
+        concats.add(concat)
+        if concat in known_symbols:
+            stop_after = True
     batch = [b for b in batch if b.cnt > t] or batch[:1]
     return batch
 
@@ -152,6 +169,10 @@ def learn_bpe_merges(
     cur = word_symbol_table(df, text_col).select("freq", "syms")
     cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
+    # every non-initial symbol is some applied merge's concatenation;
+    # initial symbols are single chars (never equal to a 2+-char
+    # concat) plus the end-of-word marker
+    known_symbols: set[str] = {END_OF_WORD}
     rounds_since_ckpt = 0
     while len(merges) < n_merges:
         remaining = n_merges - len(merges)
@@ -176,9 +197,10 @@ def learn_bpe_merges(
         )
         if not top:
             break
-        batch = _select_merge_batch(top, cap)
+        batch = _select_merge_batch(top, cap, known_symbols)
         for b in batch:
             merges.append((len(merges) + 1, b.l, b.r, b.l + b.r, int(b.cnt)))
+            known_symbols.add(b.l + b.r)
             # batch members are mutually independent, so stacking the
             # rewrites in one pass equals applying them one round apiece
             cur = cur.withColumn("syms", _merge_adjacent("syms", b.l, b.r))

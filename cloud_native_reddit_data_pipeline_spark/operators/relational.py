@@ -178,9 +178,15 @@ def asof_join_backward(
     per-left-row subqueries.  Right rows sort before left rows at equal
     timestamps, so same-instant matches are included.
 
-    `payload` maps right-side column -> output alias.  `tiebreak` (a
-    column present on both sides) makes ordering among equal (ts, side)
-    rows deterministic."""
+    `payload` maps right-side column -> output alias.
+
+    WARNING — determinism: with ``tiebreak=None`` the window order is
+    only (ts, side), so when SEVERAL right rows share (keys, right_ts)
+    the attached payload is whichever the sort saw last — it can vary
+    run to run.  Pass `tiebreak` (a column present on both sides,
+    unique per (keys, ts) on the right — an event id / version) whenever
+    right-side timestamp duplicates are possible; every registered query
+    does."""
     pay_struct = F.struct(*[F.col(c).alias(a) for c, a in payload.items()])
     pay_type = right.select(pay_struct.alias("_pay")).schema["_pay"].dataType
 
@@ -236,9 +242,13 @@ def asof_join_forward(
     order: right rows sort before left rows at equal timestamps, so
     same-instant matches are included; `last(ignorenulls)` over the
     unbounded-preceding frame then holds the nearest following right
-    row at each left row.  For a deterministic nearest among equal
-    right timestamps pass `tiebreak` (the SMALLEST tiebreak at the
-    winning instant is attached)."""
+    row at each left row.
+
+    WARNING — determinism: same caveat as `asof_join_backward` — with
+    ``tiebreak=None``, multiple right rows sharing (keys, right_ts)
+    attach a run-to-run nondeterministic payload.  Pass `tiebreak`
+    whenever right-side timestamp duplicates are possible (the SMALLEST
+    tiebreak at the winning instant is attached)."""
     pay_struct = F.struct(*[F.col(c).alias(a) for c, a in payload.items()])
     pay_type = right.select(pay_struct.alias("_pay")).schema["_pay"].dataType
 

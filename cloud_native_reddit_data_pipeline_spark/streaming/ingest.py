@@ -419,7 +419,7 @@ def upsert_cdc_by_key_bucketed(
     target_dir: str,
     key: str,
     op_col: str = "op",
-    seq_cols: list[str] | None = None,
+    seq_cols: list[str] = (),
     n_buckets: int = 64,
 ) -> None:
     """CDC twin of `upsert_parquet_by_key_bucketed`: the batch is a
@@ -467,11 +467,24 @@ def upsert_cdc_by_key_bucketed(
             unioned = existing.unionByName(batch)
         else:
             unioned = batch
-        # final tie-break: a stable hash over the full row, so two
-        # distinct rows with equal (key, seq, op) but different payloads
-        # resolve to a deterministic winner instead of whichever task
-        # order row_number saw first (ADVICE r3)
-        row_hash = F.xxhash64(*[F.col(c) for c in unioned.columns])
+        # final tie-break: a stable hash over an EXPLICIT column list —
+        # key + seq + op first, then payload columns sorted by name —
+        # so two distinct rows with equal (key, seq, op) but different
+        # payloads resolve to a deterministic winner (ADVICE r3), and
+        # the winner does not drift if the physical column order or the
+        # column set evolves between the stored table and a batch
+        # (ADVICE r4).  Map-typed payloads are unhashable and excluded.
+        from pyspark.sql import types as T
+
+        lead = [key, *seq_cols, op_col]
+        by_name = {f.name: f.dataType for f in unioned.schema.fields}
+        payload = sorted(
+            c
+            for c in unioned.columns
+            if c not in {*lead, "bucket"}
+            and not isinstance(by_name[c], T.MapType)
+        )
+        row_hash = F.xxhash64(*[F.col(c) for c in lead + payload])
         w = Window.partitionBy(key).orderBy(
             *[F.col(c).desc() for c in seq_cols],
             F.col(op_col).asc(),
@@ -517,7 +530,7 @@ def start_cdc_upsert_stream(
     checkpoint_dir: str,
     key: str = "id",
     op_col: str = "op",
-    seq_cols: list[str] | None = None,
+    seq_cols: list[str] = (),
     trigger_seconds: int | None = 60,
     available_now: bool = False,
     n_buckets: int = 64,
@@ -525,7 +538,16 @@ def start_cdc_upsert_stream(
     """Wire a changelog stream (rows carrying an op column) to the CDC
     bucketed sink via checkpointed foreachBatch — exactly-once apply of
     upserts AND deletes; redelivered batches are idempotent (last-op-
-    wins against identical content)."""
+    wins against identical content).
+
+    `seq_cols` is REQUIRED and validated here, at stream construction —
+    a misconfigured stream must fail at wiring time, not asynchronously
+    inside foreachBatch on the first micro-batch (ADVICE r4)."""
+    if not seq_cols:
+        raise ValueError(
+            "start_cdc_upsert_stream requires seq_cols: without a "
+            "monotone sequence the merge cannot order conflicting ops"
+        )
     sink = lambda bdf, _bid: upsert_cdc_by_key_bucketed(  # noqa: E731
         bdf, target_dir, key, op_col, seq_cols, n_buckets
     )

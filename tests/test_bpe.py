@@ -132,3 +132,32 @@ def test_select_merge_batch_rules():
     # fallback: truncation always keeps the argmax
     rows = [P("a", "b", 10), P("c", "a", 10)]
     assert _select_merge_batch(rows, 8) == [P("a", "b", 10)]
+
+
+def test_select_merge_batch_known_symbol_poison():
+    """A selected pair whose concatenation ALREADY exists as a symbol
+    (different formation, e.g. 'abc' = ab+c earlier vs a+bc now) can
+    boost a pre-existing pair past a later batch member, so the batch
+    must stop right after it (ADVICE r4)."""
+    from collections import namedtuple
+
+    from cloud_native_reddit_data_pipeline_spark.operators.bpe import (
+        _select_merge_batch,
+    )
+
+    P = namedtuple("P", "l r cnt")
+    rows = [P("a", "bc", 10), P("x", "y", 8), P("p", "q", 5)]
+    # without the known symbol, the whole disjoint prefix is taken
+    assert _select_merge_batch(rows, 8) == rows
+    # 'abc' pre-exists: batch stops after the poisoning member — the
+    # count-8 pair could be outrun by a boosted pre-existing (X,'abc')
+    got = _select_merge_batch(rows, 8, known_symbols={"abc"})
+    assert got == [P("a", "bc", 10)]
+    # poison in a LATER member truncates from there, keeping the prefix
+    rows = [P("x", "y", 10), P("a", "bc", 8), P("p", "q", 5)]
+    got = _select_merge_batch(rows, 8, known_symbols={"abc"})
+    assert got == [P("x", "y", 10), P("a", "bc", 8)]
+    # two batch members sharing one concatenation ('abc' via a+bc and
+    # ab+c) double-form the same symbol — the second must conflict
+    rows = [P("a", "bc", 10), P("ab", "c", 8), P("p", "q", 5)]
+    assert _select_merge_batch(rows, 8) == [P("a", "bc", 10)]

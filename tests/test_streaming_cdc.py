@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -165,3 +167,44 @@ def test_cdc_equal_seq_tie_is_deterministic(spark, tmp_path):
         upsert_cdc_by_key_bucketed(
             batch, str(tmp_path / "err"), key="k", seq_cols=[]
         )
+
+
+def test_cdc_stream_wiring_requires_seq_cols(spark, tmp_path):
+    """Misconfiguration must fail at stream CONSTRUCTION, not
+    asynchronously inside foreachBatch on the first micro-batch."""
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        start_cdc_upsert_stream,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS id", "'U' AS op", "value AS seq")
+    )
+    with pytest.raises(ValueError, match="seq_cols"):
+        start_cdc_upsert_stream(
+            stream,
+            str(tmp_path / "tbl"),
+            str(tmp_path / "ckpt"),
+            key="id",
+        )
+
+
+def test_cdc_tiebreak_hash_is_column_order_stable(spark, tmp_path):
+    """The (key, seq, op)-tie winner must not depend on the PHYSICAL
+    column order of the batch: two batches carrying the same rows with
+    payload columns in different orders must resolve identically
+    (schema-evolution-stable explicit hash list, ADVICE r4)."""
+    from cloud_native_reddit_data_pipeline_spark.streaming.ingest import (
+        read_cdc_table,
+        upsert_cdc_by_key_bucketed,
+    )
+
+    rows = [(1, "U", 5, "x", 10), (1, "U", 5, "y", 20)]
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    b1 = spark.createDataFrame(rows, "k int, op string, seq int, a string, b int")
+    upsert_cdc_by_key_bucketed(b1, t1, key="k", seq_cols=["seq"], n_buckets=2)
+    b2 = b1.select("b", "a", "k", "seq", "op")  # same rows, shuffled columns
+    upsert_cdc_by_key_bucketed(b2, t2, key="k", seq_cols=["seq"], n_buckets=2)
+    r1 = {tuple(sorted(r.asDict().items())) for r in read_cdc_table(spark, t1).drop("bucket").collect()}
+    r2 = {tuple(sorted(r.asDict().items())) for r in read_cdc_table(spark, t2).drop("bucket").collect()}
+    assert r1 == r2 and len(r1) == 1
