@@ -141,13 +141,23 @@ def process_neardup_batch(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    compact_every: int | None = 16,
 ) -> None:
     """One foreachBatch step, module-level so crash-replay is directly
     testable: calling it twice with the same batch_id must yield the
     same survivor set (the store read excludes this batch's own
-    partition — see _read_store)."""
+    partition — see _read_store).
+
+    Every `compact_every` batches the band-key store's older partitions
+    fold into one, deduplicated per (band, key) — the store is consumed
+    with set semantics, so decisions are unchanged while per-batch
+    store reads stop growing with stream age (streaming/store.py)."""
     if batch_df.isEmpty():
         return
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        from .store import compact_store
+
+        compact_store(spark, store_dir, batch_id, dedup_keys=["band", "key"])
     store = _read_store(spark, store_dir, id_col, before_batch_id=batch_id)
     survivors, new_keys = dedup_batch_against_store(
         batch_df, store, id_col, text_col, num_hashes, bands, shingle_n
@@ -170,6 +180,7 @@ def start_neardup_dedup_stream(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    compact_every: int | None = 16,
 ):
     """Streaming corpus builder: accepted docs append to `corpus_dir`,
     their band keys to `store_dir`; near-dups of anything already
@@ -189,6 +200,7 @@ def start_neardup_dedup_stream(
             num_hashes,
             bands,
             shingle_n,
+            compact_every,
         )
 
     return (

@@ -113,13 +113,23 @@ def process_span_cut_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    compact_every: int | None = 16,
 ) -> None:
     """One foreachBatch step, module-level so crash-replay is directly
     testable: calling it twice with the same batch_id must produce the
     same corpus files (the store read excludes this batch's own
-    partition — see _read_store)."""
+    partition — see _read_store).
+
+    Every `compact_every` batches the gram store's older partitions
+    fold into one, deduplicated per gram hash — exactly the distinct-
+    gram shrink the module docstring promises; lookups are semi joins,
+    so cut decisions are unchanged (streaming/store.py)."""
     if batch_df.isEmpty():
         return
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        from .store import compact_store
+
+        compact_store(spark, store_dir, batch_id, dedup_keys=["h"])
     store = _read_store(spark, store_dir, before_batch_id=batch_id)
     cleaned, new_grams = span_cut_batch_against_store(
         batch_df, store, id_col, text_col, k
@@ -140,6 +150,7 @@ def start_span_cut_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    compact_every: int | None = 16,
 ):
     """Streaming corpus cleaner: every document is accepted, but spans
     repeating the accepted corpus (or a batch-mate) arrive CUT; gram
@@ -149,7 +160,15 @@ def start_span_cut_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_span_cut_batch(
-            spark, batch_df, batch_id, corpus_dir, store_dir, id_col, text_col, k
+            spark,
+            batch_df,
+            batch_id,
+            corpus_dir,
+            store_dir,
+            id_col,
+            text_col,
+            k,
+            compact_every,
         )
 
     return (
