@@ -5223,6 +5223,78 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), final.schema)
 
 
+# Stateful streaming event-type profiles — the applyInPandasWithState
+# twin of the protobuf-gated transformWithStateInPandas processor
+# (streaming/stateful.py; twin-equivalence pinned in tests).  The final
+# per-user state after both micro-batches equals the batch aggregate,
+# so this stateful operator gets a FULL value-hash oracle.
+@register(
+    "stateful_user_profiles",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM c
+    ),
+    tot AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS total_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    )
+    SELECT t.user_id, t.total_events, t.n_types,
+           r.event_type AS top_type, CAST(r.n AS BIGINT) AS top_type_n
+    FROM tot t JOIN ranked r ON t.user_id = r.user_id AND r.rk = 1
+    """,
+)
+def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .streaming.stateful import user_event_profiles_compat
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_src"
+        ev.filter(F.pmod("event_id", F.lit(2)) == 0).coalesce(1).write.parquet(
+            f"{src}/b0"
+        )
+        ev.filter(F.pmod("event_id", F.lit(2)) == 1).coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        profiles = user_event_profiles_compat(stream.drop("event_id"))
+        qname = f"stateful_profiles_{uuid.uuid4().hex[:8]}"
+        q = (
+            profiles.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        updates = spark.table(qname)
+        # final snapshot = the emission with the highest total_events
+        # (each emission for a user strictly grows total_events)
+        w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+        final = (
+            updates.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+
+
 # ---------------------------------------------------------------------------
 # Correlated-subquery family (TPC-H Q4/Q13/Q17/Q18/Q22/Q15 shapes): the
 # decorrelation patterns a warehouse engine must get right — EXISTS ->

@@ -154,3 +154,104 @@ def user_event_profiles(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Environment-gated-twin harness: this container's protobuf is absent,
+# so transformWithStateInPandas has never EXECUTED here.  Two stand-ins
+# keep its semantics tested anyway: (1) a local replay that drives the
+# EXACT UserProfileProcessor code against an in-memory MapState (the
+# state protocol is the only protobuf-framed piece; the processor logic
+# itself is plain Python), and (2) an applyInPandasWithState twin of
+# the same profile computation that DOES execute here.  The
+# twin-equivalence test pins all three (processor replay, twin stream,
+# batch groupBy) to identical results, so when the native path unblocks
+# it is already semantics-verified.
+# ---------------------------------------------------------------------------
+
+
+class _LocalMapState:
+    """In-memory stand-in for the TWS typed MapState surface the
+    processor uses (containsKey/getValue/updateValue/iterator)."""
+
+    def __init__(self) -> None:
+        self._m: dict = {}
+
+    def containsKey(self, key) -> bool:
+        return key in self._m
+
+    def getValue(self, key):
+        return self._m[key]
+
+    def updateValue(self, key, value) -> None:
+        self._m[key] = value
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
+class _LocalHandle:
+    def getMapState(self, name, key_schema, value_schema) -> _LocalMapState:
+        return _LocalMapState()
+
+
+def replay_user_profile_processor(batches):
+    """Drive `UserProfileProcessor` (the transformWithStateInPandas
+    processor) locally: `batches` is a list of pandas DataFrames with
+    (user_id, event_type) columns, one per micro-batch.  Returns the
+    LAST emission per user as {user_id: row-dict} — exactly what the
+    Update-mode stream's final state would show."""
+    processors: dict = {}
+    last: dict = {}
+    for pdf in batches:
+        for uid, part in pdf.groupby("user_id"):
+            proc = processors.get(uid)
+            if proc is None:
+                proc = _make_user_profile_processor()
+                proc.init(_LocalHandle())
+                processors[uid] = proc
+            for out in proc.handleInputRows((uid,), iter([part]), None):
+                last[uid] = out.iloc[0].to_dict()
+    return last
+
+
+def _user_profile_compat_fn(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState twin of UserProfileProcessor: the
+    event-type histogram rides in parallel (types, counts) arrays (the
+    GroupState tuple encoding of the TWS MapState)."""
+    import pandas as pd
+
+    types, ns = state.get if state.exists else ([], [])
+    counts = dict(zip(types, [int(x) for x in ns]))
+    for pdf in pdf_iter:
+        for et, n in pdf.groupby("event_type").size().items():
+            counts[et] = counts.get(et, 0) + int(n)
+    items = sorted(counts.items())
+    state.update((list(k for k, _ in items), list(v for _, v in items)))
+    top_type, top_n = sorted(items, key=lambda kv: (-kv[1], kv[0]))[0]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "total_events": [sum(counts.values())],
+            "n_types": [len(counts)],
+            "top_type": [top_type],
+            "top_type_n": [top_n],
+        }
+    )
+
+
+USER_PROFILE_COMPAT_STATE_SCHEMA = "types array<string>, ns array<long>"
+
+
+def user_event_profiles_compat(events_stream: DataFrame) -> DataFrame:
+    """The applyInPandasWithState twin of `user_event_profiles` — same
+    output schema and semantics, no protobuf dependency.  Use this
+    where TWS is unavailable; the equivalence test guarantees swapping
+    them is behavior-neutral."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _user_profile_compat_fn,
+        USER_PROFILE_OUTPUT_SCHEMA,
+        USER_PROFILE_COMPAT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

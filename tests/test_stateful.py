@@ -131,3 +131,73 @@ def test_transform_with_state_profiles(spark, tmp_path):
     assert (final[3].total_events, final[3].top_type) == (1, "error")
     # user 1 emitted in both batches (state carried across)
     assert len([r for r in updates if r.user_id == 1]) == 2
+
+
+def test_tws_twin_equivalence(spark, tmp_path):
+    """The protobuf-gated transformWithStateInPandas processor, its
+    applyInPandasWithState twin, and the batch groupBy must all agree:
+    the processor code runs here via the local MapState replay (the
+    protobuf framing is the ONLY blocked piece), the twin runs as a
+    real stream — when the native TWS path unblocks it is already
+    semantics-verified."""
+    from cloud_native_reddit_data_pipeline_spark.streaming.stateful import (
+        replay_user_profile_processor,
+        user_event_profiles_compat,
+    )
+
+    rows = [
+        (0, 1, "view"), (1, 1, "click"), (2, 2, "view"),
+        (3, 1, "view"), (4, 2, "purchase"), (5, 3, "error"),
+        (6, 1, "click"), (7, 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    src = str(tmp_path / "src")
+    df.filter(F.col("event_id") < 4).coalesce(1).write.parquet(f"{src}/b0")
+    df.filter(F.col("event_id") >= 4).coalesce(1).write.parquet(f"{src}/b1")
+
+    # 1) the exact TWS processor, replayed over the same two batches
+    pdf = df.toPandas()
+    replayed = replay_user_profile_processor(
+        [pdf[pdf.event_id < 4], pdf[pdf.event_id >= 4]]
+    )
+
+    # 2) the applyInPandasWithState twin as a real stream
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        user_event_profiles_compat(stream)
+        .writeStream.format("memory")
+        .queryName("tws_twin_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    twin = {}
+    for r in spark.table("tws_twin_test").collect():
+        cur = twin.get(r["user_id"])
+        if cur is None or r["total_events"] > cur["total_events"]:
+            twin[r["user_id"]] = r.asDict()
+
+    # 3) the batch ground truth
+    truth = {}
+    for uid, part in pdf.groupby("user_id"):
+        counts = part.groupby("event_type").size().sort_index()
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        truth[uid] = {
+            "user_id": uid,
+            "total_events": int(counts.sum()),
+            "n_types": len(counts),
+            "top_type": items[0][0],
+            "top_type_n": int(items[0][1]),
+        }
+
+    assert set(replayed) == set(twin) == set(truth) == {1, 2, 3}
+    for uid in truth:
+        got_r = {k: replayed[uid][k] for k in truth[uid]}
+        got_t = {k: twin[uid][k] for k in truth[uid]}
+        assert got_r == truth[uid], f"processor replay diverges for {uid}"
+        assert got_t == truth[uid], f"twin stream diverges for {uid}"
