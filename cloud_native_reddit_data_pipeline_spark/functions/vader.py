@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~830-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~1,520-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -356,6 +356,189 @@ VADER_LEXICON: dict[str, float] = {
     "victim": -1.9, "vulnerable": -1.2, "warning": -1.4, "weary": -1.4,
     "weep": -2.2, "whine": -1.5, "wicked": -2.1, "worthless": -2.5,
     "wreck": -2.0, "wrecked": -2.1,
+    # --- round-5 growth: third tranche from the published ICWSM-2014
+    # word list (positives then negatives, alphabetical; plus common
+    # internet slang).  Same curation rules as the round-4 tranche. ---
+    "able": 1.0, "abundance": 1.8, "accept": 1.2, "accepted": 1.3,
+    "acclaimed": 2.1, "accomplishment": 2.0, "achieve": 1.7, "achieved": 1.7,
+    "active": 1.3, "admirable": 2.4, "advanced": 1.3, "adventure": 1.7,
+    "adventurous": 1.6, "affection": 2.2, "affectionate": 2.3,
+    "affordable": 1.5, "agreed": 1.2, "amaze": 2.5, "amazed": 2.4,
+    "amuse": 1.7, "amused": 1.7, "amusing": 1.9, "appeal": 1.2,
+    "appealing": 1.8, "applaud": 2.0, "approval": 1.7, "approve": 1.7,
+    "approved": 1.8, "assure": 1.2, "assured": 1.4, "astonishing": 2.1,
+    "authentic": 1.7, "balanced": 1.2, "beloved": 2.4, "beneficial": 1.9,
+    "benevolent": 2.4, "brightest": 2.3, "brilliance": 2.7, "capability": 1.2,
+    "celebrated": 2.2, "charisma": 2.0, "charitable": 1.9, "charm": 2.0,
+    "cheered": 2.1, "cheers": 1.8, "clarity": 1.4, "comedy": 1.5,
+    "comfortably": 1.9, "commend": 1.9, "committed": 1.3, "competent": 1.6,
+    "compliment": 1.9, "complimentary": 1.9, "confidently": 2.1,
+    "congrats": 2.4, "considerate": 2.0, "convenient": 1.5, "courteous": 1.9,
+    "cozy": 1.8, "creativity": 1.9, "credible": 1.5, "dazzling": 2.5,
+    "dependable": 1.9, "deserve": 1.0, "deserved": 1.2, "desirable": 1.6,
+    "desire": 1.4, "determined": 1.5, "devoted": 2.0, "dignity": 1.7,
+    "diligent": 1.7, "distinguished": 2.0, "dynamic": 1.4, "earn": 1.4,
+    "earned": 1.5, "ease": 1.4, "ecstasy": 2.9, "effortless": 1.7,
+    "elegance": 2.2, "embrace": 1.5, "eminent": 1.7, "empower": 1.9,
+    "empowered": 1.9, "enchanting": 2.4, "endorse": 1.4, "endorsed": 1.4,
+    "engaging": 1.6, "enrich": 1.9, "enriched": 1.9, "enthusiasm": 2.1,
+    "exquisite": 2.6, "extraordinary": 2.5, "exuberant": 2.4,
+    "fascinate": 2.0, "fascinated": 2.1, "favorable": 1.9, "festive": 1.9,
+    "flatter": 1.4, "flattered": 1.9, "flourish": 2.0, "flourishing": 2.1,
+    "fond": 1.8, "fondness": 2.0, "forgiveness": 1.6, "frank": 1.0,
+    "friend": 2.2, "friendship": 2.3, "ftw": 2.0, "fulfill": 1.6,
+    "fulfilled": 1.9, "fulfillment": 1.9, "generosity": 2.3, "genuine": 1.7,
+    "gladly": 1.9, "glee": 2.4, "gleeful": 2.4, "glow": 1.6, "glowing": 1.8,
+    "goodness": 2.1, "gracious": 2.1, "gratified": 2.0, "gratitude": 2.1,
+    "haha": 2.0, "hahaha": 2.2, "handsome": 2.2, "happily": 2.5,
+    "harmless": 1.0, "harmonious": 2.1, "harmony": 1.9, "heartfelt": 2.2,
+    "heartwarming": 2.6, "honesty": 2.2, "honorable": 2.2, "hooray": 2.3,
+    "hopes": 1.7, "hospitable": 1.9, "humane": 1.8, "humble": 1.2,
+    "hurray": 2.3, "immaculate": 2.2, "important": 1.2, "impress": 2.0,
+    "incredible": 2.6, "innocent": 1.4, "innovation": 1.6, "insightful": 1.9,
+    "integrity": 2.1, "intellect": 1.7, "intelligence": 2.1, "intimate": 1.6,
+    "intrigued": 1.4, "intriguing": 1.6, "invincible": 1.9, "inviting": 1.6,
+    "irresistible": 1.9, "jolly": 2.2, "jubilant": 2.6, "laughter": 2.4,
+    "lively": 1.9, "lmao": 2.1, "lol": 1.7, "lovable": 2.6, "lovely": 2.6,
+    "lover": 2.1, "loyal": 2.0, "loyalty": 2.1, "magic": 1.8, "magical": 2.2,
+    "majestic": 2.3, "meaningful": 1.7, "mercy": 1.5, "merit": 1.5,
+    "mighty": 1.6, "motivate": 1.7, "motivation": 1.6, "neat": 1.7,
+    "nicely": 1.8, "nifty": 1.7, "nurture": 1.7, "optimism": 2.0,
+    "organized": 1.3, "original": 1.3, "outgoing": 1.4, "overjoyed": 2.9,
+    "peacefully": 2.2, "perfection": 2.7, "playfully": 1.8, "pleasantly": 2.0,
+    "pleasing": 1.9, "polished": 1.4, "polite": 1.8, "powerful": 1.6,
+    "prestige": 1.8, "prestigious": 2.0, "priceless": 2.2, "privilege": 1.7,
+    "prodigy": 2.2, "proficient": 1.7, "promise": 1.4, "promised": 1.3,
+    "promote": 1.4, "promoted": 1.8, "prosper": 2.1, "prosperity": 2.2,
+    "prosperous": 2.2, "protective": 1.3, "proudly": 2.1, "pure": 1.5,
+    "purity": 1.7, "radiance": 2.1, "reassure": 1.5, "reassured": 1.7,
+    "refined": 1.4, "refreshing": 1.9, "rejoice": 2.4, "remarkable": 2.2,
+    "renowned": 2.0, "resilient": 1.7, "resolve": 1.0, "resolved": 1.2,
+    "respectful": 2.0, "restore": 1.2, "restored": 1.3, "revive": 1.4,
+    "revived": 1.5, "righteous": 1.7, "rofl": 2.5, "romantic": 2.1,
+    "safely": 1.8, "salvation": 1.9, "satisfactory": 1.4, "savvy": 1.6,
+    "sensational": 2.3, "serene": 2.0, "sharp": 1.0, "shiny": 1.5,
+    "significant": 1.0, "sincerely": 1.7, "skill": 1.4, "skillful": 1.8,
+    "smarter": 1.8, "smartest": 2.2, "soothe": 1.6, "soothing": 1.8,
+    "sophisticated": 1.6, "sparkle": 1.8, "spectacular": 2.6, "spirited": 1.7,
+    "splendor": 2.4, "steadfast": 1.6, "stellar": 2.4, "stimulating": 1.6,
+    "strengthen": 1.6, "strengthened": 1.7, "striking": 1.3, "stylish": 1.7,
+    "sublime": 2.2, "sufficient": 1.0, "suitable": 1.1, "sunny": 1.8,
+    "superbly": 2.8, "supreme": 2.1, "sure": 1.1, "surely": 1.3,
+    "survive": 1.1, "survived": 1.2, "survivor": 1.4, "sweetheart": 2.4,
+    "sweetly": 2.0, "sympathetic": 1.4, "tender": 1.6, "thankfully": 1.9,
+    "thoughtful": 1.9, "thrill": 2.2, "thrilling": 2.3, "thrive": 2.0,
+    "thriving": 2.1, "tidy": 1.3, "tolerant": 1.4, "tranquil": 1.9,
+    "treat": 1.4, "trusting": 1.7, "trustworthy": 2.2, "truthful": 1.9,
+    "upbeat": 1.9, "upgrade": 1.4, "upgraded": 1.5, "valiant": 2.0,
+    "valued": 1.7, "victorious": 2.5, "vigorous": 1.4, "virtue": 1.8,
+    "virtuous": 2.0, "welcomed": 1.8, "welcoming": 1.9, "wholesome": 1.9,
+    "willing": 1.1, "winners": 2.4, "witty": 1.9, "wonder": 1.4,
+    "woohoo": 2.5, "worthwhile": 1.7, "zeal": 1.7, "zest": 1.7,
+    "abysmal": -2.5, "accusation": -1.7, "accuse": -1.8, "addiction": -2.0,
+    "adversary": -1.4, "adverse": -1.7, "adversity": -1.6, "ailing": -1.7,
+    "alarmed": -1.5, "alienate": -1.7, "alienated": -1.8, "anguish": -2.6,
+    "animosity": -2.1, "anxiously": -1.5, "appalled": -2.2, "appalling": -2.3,
+    "apprehensive": -1.2, "arrest": -1.9, "arrested": -2.0, "assault": -2.6,
+    "assaulted": -2.6, "atrocious": -2.6, "atrocity": -2.9, "backlash": -1.7,
+    "bankruptcy": -2.4, "barbaric": -2.5, "beaten": -1.9, "beg": -1.3,
+    "begged": -1.4, "belittle": -1.9, "bitterly": -1.9, "bizarre": -1.1,
+    "blackmail": -2.4, "bleak": -1.9, "blunder": -1.7, "bombed": -2.2,
+    "boycott": -1.4, "breakdown": -1.9, "bribe": -1.9, "brutality": -2.7,
+    "brutally": -2.6, "bummer": -1.6, "burdened": -1.6, "burned": -1.6,
+    "calamity": -2.4, "careless": -1.6, "casualty": -2.2,
+    "catastrophic": -2.9, "cheating": -2.3, "clash": -1.4, "clueless": -1.6,
+    "complication": -1.4, "condemn": -1.9, "condemned": -2.1,
+    "confusion": -1.3, "contaminated": -1.9, "corrupted": -2.4,
+    "crappy": -2.2, "creepy": -1.9, "cries": -1.7, "crippled": -2.1,
+    "cruelly": -2.6, "crumbling": -1.5, "cynical": -1.4, "damages": -1.7,
+    "dammit": -2.3, "damned": -1.9, "damnit": -2.3, "deadly": -2.6,
+    "deceit": -2.2, "deceitful": -2.3, "deception": -2.1, "decline": -1.2,
+    "declined": -1.2, "deficient": -1.6, "degraded": -1.9, "dejected": -2.0,
+    "demise": -2.0, "demolish": -1.7, "demolished": -1.7, "denounce": -1.8,
+    "deprived": -1.8, "deserted": -1.6, "desolate": -2.0, "despised": -2.5,
+    "destructive": -2.4, "deteriorate": -1.8, "deteriorating": -1.9,
+    "detrimental": -1.9, "difficulties": -1.4, "difficulty": -1.2,
+    "dire": -2.0, "disapprove": -1.7, "disbelief": -1.2, "discontent": -1.6,
+    "discrimination": -2.3, "disgrace": -2.2, "disgraceful": -2.4,
+    "disheartened": -2.0, "dishonor": -2.1, "disillusioned": -1.7,
+    "dismay": -1.8, "disorder": -1.6, "displeased": -1.8, "disrupt": -1.4,
+    "disrupted": -1.4, "disruption": -1.4, "dissatisfied": -1.8,
+    "distorted": -1.3, "distraught": -2.4, "disturbed": -1.9, "divorce": -1.6,
+    "doom": -2.2, "doomed": -2.3, "doubts": -1.2, "downfall": -1.9,
+    "dreaded": -2.1, "dreading": -2.0, "dumped": -1.8, "dysfunctional": -1.9,
+    "embarrassment": -1.8, "endanger": -1.9, "erratic": -1.3,
+    "exhausting": -1.6, "exploit": -1.7, "exploited": -1.9, "failures": -2.3,
+    "falsely": -1.6, "famine": -2.6, "fatality": -2.6, "faulty": -1.7,
+    "fearful": -2.0, "feeble": -1.5, "fever": -1.3, "fiasco": -1.9,
+    "filthy": -2.1, "flop": -1.6, "foe": -1.7, "forbidden": -1.4,
+    "foul": -1.9, "frantic": -1.6, "fraudulent": -2.5, "fright": -1.9,
+    "frightened": -2.0, "frightening": -2.1, "frown": -1.3, "furious": -2.4,
+    "futile": -1.7, "gloom": -1.9, "gloomy": -1.8, "greed": -2.2,
+    "grievance": -1.5, "grieving": -2.2, "grumpy": -1.4, "hardship": -1.8,
+    "hatred": -2.9, "heartbreak": -2.6, "heartbreaking": -2.6,
+    "heartbroken": -2.8, "hectic": -1.2, "hinder": -1.4, "hindrance": -1.5,
+    "hoax": -1.6, "homeless": -2.2, "horrendous": -2.6, "horrific": -2.8,
+    "hostility": -2.2, "humiliate": -2.4, "hysteria": -1.7, "idiots": -2.4,
+    "ignorance": -1.7, "ignorant": -1.9, "immoral": -2.1, "impatient": -1.2,
+    "imprisoned": -2.1, "inability": -1.4, "incapable": -1.7,
+    "incompetence": -2.1, "inconsistent": -1.1, "inconvenience": -1.4,
+    "inconvenient": -1.4, "inept": -1.9, "infected": -1.9, "infection": -1.9,
+    "infuriated": -2.5, "infuriating": -2.4, "insufficient": -1.3,
+    "insulted": -2.1, "insults": -2.2, "intimidate": -1.9,
+    "intimidated": -1.9, "intolerant": -1.8, "irrational": -1.4,
+    "irresponsible": -1.8, "irritate": -1.8, "jail": -1.9, "jailed": -2.0,
+    "jeopardy": -1.7, "junk": -1.5, "lawsuit": -1.4, "lethal": -2.4,
+    "lifeless": -1.9, "loathe": -2.5, "loneliness": -1.9, "losses": -1.7,
+    "lousy": -1.9, "maddening": -2.2, "malicious": -2.3, "manipulate": -1.6,
+    "manipulated": -1.7, "manipulative": -1.9, "massacre": -3.1,
+    "meaningless": -1.7, "meh": -0.9, "menace": -1.9, "merciless": -2.4,
+    "miserably": -2.4, "misfortune": -1.9, "misguided": -1.4, "mislead": -1.7,
+    "misleading": -1.8, "mistaken": -1.3, "mistrust": -1.6,
+    "misunderstanding": -1.2, "misunderstood": -1.2, "mockery": -1.8,
+    "monotonous": -1.3, "monster": -1.9, "morbid": -1.9, "mourning": -2.2,
+    "murderer": -3.1, "naive": -1.2, "nonsense": -1.5, "obscene": -2.1,
+    "offend": -1.9, "oppress": -2.1, "oppressed": -2.1, "oppression": -2.3,
+    "outcry": -1.5, "overdue": -1.1, "overpriced": -1.6, "painfully": -2.2,
+    "panicked": -2.0, "penalty": -1.4, "peril": -1.9, "perish": -2.1,
+    "persecution": -2.3, "pessimism": -1.7, "pest": -1.5, "plague": -2.1,
+    "plagued": -2.0, "pointless": -1.6, "poverty": -2.2, "powerless": -1.8,
+    "prejudice": -1.9, "prohibited": -1.3, "provoke": -1.4, "provoked": -1.4,
+    "quit": -1.1, "racism": -2.7, "racist": -2.7, "rant": -1.1,
+    "reckless": -1.7, "regretful": -1.7, "regrettable": -1.8,
+    "regretted": -1.8, "reluctant": -1.0, "remorse": -1.7, "repulsive": -2.4,
+    "resentful": -1.9, "resentment": -1.9, "ridicule": -1.8,
+    "ridiculed": -1.9, "rob": -2.2, "robbed": -2.2, "robbery": -2.3,
+    "rubbish": -1.6, "rudely": -2.1, "sabotage": -2.1, "sadder": -2.1,
+    "saddest": -2.7, "scorn": -1.8, "screwed": -1.7, "setback": -1.4,
+    "shaky": -1.1, "shattered": -2.0, "sinister": -2.1, "slander": -2.1,
+    "sloppy": -1.4, "sluggish": -1.2, "smug": -1.3, "sneaky": -1.1,
+    "sob": -1.9, "somber": -1.5, "spite": -1.8, "spiteful": -2.1,
+    "starving": -1.9, "stink": -1.5, "stinks": -1.6, "stranded": -1.5,
+    "stubborn": -1.1, "stuck": -1.2, "substandard": -1.6, "sue": -1.3,
+    "sued": -1.4, "suffers": -2.0, "suicidal": -2.9, "suicide": -2.9,
+    "superficial": -1.2, "suspect": -1.1, "suspected": -1.2,
+    "suspended": -1.4, "tedious": -1.4, "terrorism": -3.1, "terrorist": -3.0,
+    "theft": -2.1, "thief": -2.2, "threaten": -2.2, "threats": -2.2,
+    "thug": -2.1, "timid": -1.0, "tiresome": -1.4, "tiring": -1.2,
+    "torment": -2.5, "tormented": -2.6, "tragically": -2.9, "traitor": -2.5,
+    "trapped": -1.7, "traumatized": -2.5, "troublesome": -1.7,
+    "turmoil": -1.9, "tyranny": -2.5, "tyrant": -2.4, "ugh": -1.8,
+    "unable": -1.1, "unbearable": -2.3, "unconvincing": -1.3,
+    "undermine": -1.5, "undesirable": -1.6, "uneasy": -1.3, "unethical": -2.1,
+    "unfairly": -2.1, "unfit": -1.5, "unforgiving": -1.9, "unfriendly": -1.8,
+    "unfulfilled": -1.6, "ungrateful": -1.9, "unimpressed": -1.4,
+    "uninspired": -1.3, "unjust": -2.2, "unlucky": -1.6, "unmotivated": -1.4,
+    "unprofessional": -1.8, "unsatisfactory": -1.7, "unsatisfied": -1.6,
+    "unsuccessful": -1.7, "unsupported": -1.3, "untrustworthy": -2.1,
+    "unwelcome": -1.6, "uproar": -1.5, "vain": -1.2, "vengeance": -2.2,
+    "vile": -2.6, "villain": -2.3, "violate": -2.1, "violated": -2.3,
+    "violation": -2.0, "virus": -1.8, "vomit": -2.0, "vulgar": -1.9,
+    "warned": -1.2, "weaken": -1.5, "weakened": -1.5, "wept": -2.0,
+    "whining": -1.5, "woe": -1.9, "woeful": -2.0, "worrisome": -1.7,
+    "worsen": -1.8, "worsened": -1.9, "wound": -1.9, "wounded": -2.1,
+    "wrath": -2.4, "wrongly": -1.7, "wtf": -2.5, "yell": -1.4, "yelled": -1.5,
+    "yelling": -1.6, "yikes": -1.1,
 }
 
 _NT_SUFFIX = "n't"

@@ -54,6 +54,17 @@ CASES = [
     "without doubt the finest, most splendid masterpiece",
     "struggling with grief and sorrow, utterly hopeless",
     "wow, yay, terrific news — we won the award!",
+    # round-5 lexicon growth tranche (828 -> 1,521 entries)
+    "a heartwarming and spectacular performance, truly remarkable",
+    "not trustworthy: manipulative, deceitful, and fraudulent",
+    "the renovation was exquisite, the craftsmanship immaculate",
+    "appalling service, overpriced junk and a rude unprofessional staff",
+    "VERY resilient community, thriving against adversity!!",
+    "kind of tedious but sort of intriguing",
+    "no forgiveness for the merciless tyrant's atrocity",
+    "lol that was hilarious, hahaha",
+    "ugh, wtf, this is unbearable",
+    "she survived heartbreak and emerged victorious, overjoyed",
 ]
 
 
