@@ -1586,6 +1586,47 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def _semantic_dedup_oracle() -> str:
+    """Compose the k-means oracle (as a nested-WITH CTE) with the
+    within-cluster cosine EXISTS drop — the SQL replay of
+    dedup.semantic_dedup's keep-smallest-id policy."""
+    km = clustering.kmeans_oracle_sql(k=_KMEANS_K, iters=_KMEANS_ITERS)
+    return f"""
+    WITH km AS ({km}),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM km a JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE ROUND(list_cosine_similarity(va.v, vb.v), 4) >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT k.vec_id, k.cluster, (d.vec_id IS NULL) AS is_kept
+    FROM km k LEFT JOIN drops d ON d.vec_id = k.vec_id
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    clusters bound the pairwise cosine, keep-smallest-id inside each
+    cluster (`operators/dedup.semantic_dedup`).  Clustering reuses the
+    decimal-exact Lloyd's loop so the whole composition — iterative
+    clustering AND the similarity pruning — hash-matches the DuckDB
+    replay end-to-end."""
+    return dedup.semantic_dedup(
+        load(spark, sf_dir, "embeddings"),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
 _PQ_M = 4
 _PQ_K = 16
 _PQ_DSUB = 64 // _PQ_M

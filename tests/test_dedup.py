@@ -411,3 +411,21 @@ def test_keep_best_per_component_policy(spark):
         for r in keep_best_per_component(comps, docs, "doc_id", "n_chars").collect()
     }
     assert got == {1: (2, 3, 90), 10: (10, 2, 5)}
+
+
+def test_semantic_dedup_keeps_one_per_duplicate_group(spark):
+    """Identical vectors land in one cluster and only the smallest id
+    survives; dissimilar vectors all survive."""
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    v3 = [0.0, 0.0, -1.0, 0.0]
+    rows = [(1, v1), (2, v1), (3, v1), (10, v2), (11, v3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in dedup.semantic_dedup(
+            df, k=3, iters=2, threshold=0.95
+        ).collect()
+    }
+    assert out[1] is True and out[2] is False and out[3] is False
+    assert out[10] is True and out[11] is True
