@@ -124,3 +124,40 @@ def rolling_hash(col: Column | str) -> Column:
         F.lit(ROLLING_HASH_SEED).cast("long"),
         lambda acc, x: (acc * ROLLING_HASH_BASE + x) % ROLLING_HASH_MOD,
     )
+
+
+# PII scrubbing — standard training-data hygiene (the reference has no
+# redaction story; additive north-star surface).  Patterns are
+# deliberately RE2-safe (no lookaround, \b + character classes only) so
+# the EXACT same regex runs in Spark's Java engine and DuckDB's RE2 —
+# the oracle replays the identical chain.  Order matters and is fixed:
+# email first (may contain digits/dots), then SSN-shaped ids, then
+# phones, then IPv4.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails / SSN-shaped ids / phones / IPv4 addresses with
+    typed placeholder tokens, in the fixed `PII_PATTERNS` order.  A
+    narrow per-row map (chained codegen'd regexp_replace) — no shuffle,
+    no Python; at 100 TB this rides the same scan as any other
+    projection."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One count column per PII class (aliased n_<class>), computed on
+    the ORIGINAL text — audit metrics that ship with the scrub."""
+    src = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(src, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]

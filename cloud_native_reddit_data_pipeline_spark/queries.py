@@ -1354,6 +1354,58 @@ def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.langid(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# PII scrubbing (training-data hygiene).  The synthetic corpus carries
+# no PII, so both engines deterministically INJECT one email / SSN /
+# phone / IPv4 per document from doc_id before scrubbing — proving the
+# redaction chain fires on every row, with identical regex semantics
+# (RE2-safe patterns) across engines.  Output hashes the scrubbed text.
+def _pii_scrub_oracle() -> str:
+    from .functions.text import PII_PATTERNS
+
+    t = "t"
+    for _, pat, repl in PII_PATTERNS:
+        t = f"regexp_replace({t}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com ref 123-45-6789 call 555-010-',
+                    lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+                    ' from 10.0.0.', CAST(doc_id % 256 AS VARCHAR)) AS t
+      FROM documents
+    )
+    SELECT doc_id, {counts}, md5({t}) AS scrubbed_hash
+    FROM aug
+    """
+
+
+@register("pii_scrub", _pii_scrub_oracle())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import pii_counts, scrub_pii
+
+    aug = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref 123-45-6789 call 555-010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        *pii_counts("t"),
+        F.md5(scrub_pii("t")).alias("scrubbed_hash"),
+    )
+
+
 # Capstone: the end-to-end training-data selection — quality gate +
 # language filter + exact-dedup keeper + deterministic train split, one
 # declarative plan.  Every stage reuses an operator that is ALSO

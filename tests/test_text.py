@@ -178,3 +178,31 @@ def test_cms_never_underestimates_and_merges(spark):
         F.coalesce("m_cnt", F.lit(0)) != F.coalesce("w_cnt", F.lit(0))
     )
     assert diff.count() == 0
+
+
+def test_pii_scrub_redacts_all_classes(spark):
+    from cloud_native_reddit_data_pipeline_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "mail a.b+c@sub.example.org or bob@x.io now"),
+        (2, "ssn 123-45-6789 phone 415-555-1234 alt 415.555.9999"),
+        (3, "server at 192.168.0.1 and 10.0.0.255 ok"),
+        (4, "clean text with digits 12345 and date 2024-01-02"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", *pii_counts("t"), scrub_pii("t").alias("s")
+        ).collect()
+    }
+    assert out[1]["n_email"] == 2 and out[1]["s"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 2
+    assert out[2]["s"] == "ssn <ID> phone <PHONE> alt <PHONE>"
+    assert out[3]["n_ip"] == 2 and out[3]["s"] == "server at <IP> and <IP> ok"
+    # no false positives: plain digits and ISO dates survive
+    assert out[4]["s"] == rows[3][1]
+    assert all(out[4][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ip"))
