@@ -96,6 +96,8 @@ HEADLINE = [
     "weighted_sample",
     "agg_state_merge",
     "point_in_time_join",
+    "semantic_dedup",
+    "pii_scrub",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

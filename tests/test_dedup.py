@@ -429,3 +429,17 @@ def test_semantic_dedup_keeps_one_per_duplicate_group(spark):
     }
     assert out[1] is True and out[2] is False and out[3] is False
     assert out[10] is True and out[11] is True
+
+
+def test_auto_lsh_planes_scales_with_corpus():
+    """Auto-sized banding: bits per band grow logarithmically with the
+    corpus so expected bucket occupancy stays near the target — the
+    knob that keeps banded near-dup linear at scale."""
+    assert dedup.auto_lsh_planes(100, bands=3) == 6  # floor: 2 bits/band
+    assert dedup.auto_lsh_planes(2_000, bands=3) == 9  # ceil(log2(2000/256))=3
+    assert dedup.auto_lsh_planes(20_000, bands=3) == 21
+    assert dedup.auto_lsh_planes(2_000_000, bands=3) == 39
+    # expected occupancy under the auto sizing stays <= target
+    for n in (2_000, 20_000, 2_000_000):
+        bits = dedup.auto_lsh_planes(n, bands=3) // 3
+        assert n / (2 ** bits) <= 256

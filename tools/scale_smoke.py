@@ -1,0 +1,160 @@
+"""Scale smoke: synthesize a FACTOR-times copy of an sf directory and
+time a candidate set of queries at both scales, reporting the wall-
+clock ratio against the data ratio.  Queries scaling clearly worse
+than ~linear get flagged — the failure mode the per-round sf0.1 bench
+cannot see.
+
+The scaled data is for TIMING ONLY (correctness gates always run on
+the driver-generated parquet): copy i shifts every entity key by
+i * (max_key + 1) so keys stay unique, fact tables multiply while the
+part/supplier catalog stays fixed (10x orders over the same parts —
+the realistic axis), document text gets a per-copy marker token to
+avoid a pure exact-duplicate explosion, and embedding copies are
+regenerated from a deterministic hash so vector space fills instead of
+stacking 10 identical points on every original.
+
+Usage: python tools/scale_smoke.py [factor] [query ...]
+Writes the report into BENCH_DETAIL.json under "scale_smoke".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf_scaled"
+
+DEFAULT_QUERIES = [
+    "session_overlap",
+    "khop_reachability",
+    "association_rules",
+    "embedding_neardup",
+    "minhash_lsh_pairs",
+    "duplicate_spans",
+    "pagerank_copurchase",
+    "training_corpus_select_v2",
+    "pricing_summary",
+]
+
+
+def build_scaled(spark, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    os.makedirs(DST, exist_ok=True)
+    # small dims + fixed catalog: copy once, unscaled
+    for t in ("region", "nation", "supplier", "part"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    def shifted_union(df, shift_cols, extra=None):
+        maxes = {
+            c: df.agg(F.max(c)).collect()[0][0] + 1 for c in shift_cols
+        }
+        parts = []
+        for i in range(factor):
+            p = df
+            for c in shift_cols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * maxes[c]))
+            if extra is not None:
+                p = extra(p, i)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    jobs = {
+        "customer": (["c_custkey"], None),
+        "orders": (["o_orderkey", "o_custkey"], None),
+        "lineitem": (["l_orderkey"], None),
+        "events": (["event_id", "user_id"], None),
+        "documents": (
+            ["doc_id"],
+            lambda p, i: p.withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(f" dv{i}")) if i else F.col("text"),
+            ),
+        ),
+        "embeddings": (
+            ["vec_id"],
+            lambda p, i: p.withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.lit(i), j),
+                            F.lit(2000001),
+                        )
+                        / F.lit(1000000.0)
+                        - F.lit(1.0)
+                    ).cast("float"),
+                )
+                if i
+                else F.col("embedding"),
+            ),
+        ),
+    }
+    for t, (cols, extra) in jobs.items():
+        out = f"{DST}/{t}.parquet"
+        if os.path.exists(out):
+            continue
+        df = load(spark, SRC, t)
+        shifted_union(df, cols, extra).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+        print(f"[scaled] {t}")
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    import __spark_entry__ as entrymod
+    from cloud_native_reddit_data_pipeline_spark.session import build_session
+
+    spark = build_session("scale-smoke")
+    build_scaled(spark, factor)
+
+    qs = entrymod.queries()
+    report = {"factor": factor, "queries": {}}
+    for name in names:
+        fn = qs[name]
+        times = {}
+        for label, d in (("base", SRC), ("scaled", DST)):
+            spark.catalog.clearCache()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(spark, d).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = round(best, 2)
+            times[f"{label}_rows"] = n
+        ratio = round(times["scaled"] / max(times["base"], 0.01), 2)
+        flag = "SUPERLINEAR" if ratio > factor * 1.5 else "ok"
+        report["queries"][name] = {**times, "time_ratio": ratio, "flag": flag}
+        print(f"{name}: base={times['base']}s scaled={times['scaled']}s "
+              f"ratio={ratio}x (data x{factor}) [{flag}]")
+
+    detail_path = "/root/repo/BENCH_DETAIL.json"
+    try:
+        detail = json.load(open(detail_path))
+    except Exception:
+        detail = {}
+    detail["scale_smoke"] = report
+    json.dump(detail, open(detail_path, "w"), indent=1)
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
