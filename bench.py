@@ -98,6 +98,7 @@ HEADLINE = [
     "point_in_time_join",
     "semantic_dedup",
     "pii_scrub",
+    "ivf_pq_topk",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

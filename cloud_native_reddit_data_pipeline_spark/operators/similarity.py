@@ -450,3 +450,113 @@ def int8_quantize(
         F.round(max_abs + F.lit(1e-9), 6).alias("max_abs"),
         F.round(recon_err + F.lit(1e-9), 6).alias("max_recon_err"),
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k: int = 16,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS-style production shape: the IVF
+    probe bounds WHICH vectors are scored (only members of each query's
+    `n_probe` nearest cells) and PQ asymmetric distance bounds HOW MUCH
+    each scoring costs (m code lookups instead of a d-dim dot product).
+
+    Plan shape at scale: centroids, probe set, and the per-query
+    subspace distance table are all tiny broadcasts; cell assignment
+    and PQ encoding are narrow maps over the corpus; the only joins are
+    candidate ∩ codes on the vector id and the broadcast ADC lookup —
+    the corpus shuffles at most once (on cell id; zero times with an
+    inverted layout pre-partitioned by cell).  Exactness contract
+    matches `pq_adc_topk`: decimal-quantized arithmetic, BIGINT e12
+    distances, deterministic tie-breaks — the full composition has a
+    value-hash oracle."""
+    from ..sources.tables import fan_out
+
+    spark = emb.sparkSession
+    emb = fan_out(emb)
+    # --- IVF: cell assignment + probes (same construction as ivf_topk)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("centroid_id").alias("cell"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probes = (
+        scored.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), "centroid_id", "ccos")
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+
+    # --- PQ: codes + per-query ADC table (same construction as
+    # pq_adc_topk), scoring restricted to the IVF candidates
+    quant = _pq_quantize(emb, id_col, vec_col).persist()
+    try:
+        codebook = _pq_seed_codebook(quant, id_col, m, k)
+        dsub = len(codebook[0][0])
+        qrows = {
+            r[id_col]: list(r["xd"])
+            for r in quant.filter(F.col(id_col).isin(query_ids)).collect()
+        }
+        table_rows = []
+        with _localctx() as ctx:
+            ctx.prec = 50
+            for qid, xd in qrows.items():
+                for s, cents_s in enumerate(codebook):
+                    qsub = xd[s * dsub : (s + 1) * dsub]
+                    for code, cent in enumerate(cents_s):
+                        d = sum((a - b) * (a - b) for a, b in zip(qsub, cent))
+                        table_rows.append(
+                            (qid, s, code, int(d.scaleb(12).to_integral_exact()))
+                        )
+        dtable = spark.createDataFrame(
+            table_rows, "query_id long, sub int, code int, d_e12 long"
+        )
+        encoded = _pq_encode_df(quant, codebook, dsub).select(
+            id_col,
+            F.posexplode(
+                F.array(*[F.col(f"code{s}") for s in range(m)])
+            ).alias("sub", "code"),
+        )
+        adc = (
+            cand.join(encoded, id_col)
+            .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+            .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+            .agg(F.sum("d_e12").alias("adc_e12"))
+        )
+        w = Window.partitionBy("query_id").orderBy("adc_e12", "neighbor_id")
+        out = (
+            adc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .select("query_id", "neighbor_id", "adc_e12", "rk")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        quant.unpersist()
+    return out

@@ -1776,6 +1776,83 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_CENTROIDS, _IVFPQ_PROBE = 16, 4
+
+
+@register(
+    "ivf_pq_topk",
+    "WITH "
+    + _pq_base_sql()
+    + f"""
+    , dtable AS (
+      SELECT l.vid AS query_id, c.sub, c.code,
+             CAST(SUM((l.val - c.val) * (l.val - c.val)) * 1000000000000 AS BIGINT) AS d_e12
+      FROM long l JOIN cent c
+        ON l.dim // {_PQ_DSUB} = c.sub AND l.dim % {_PQ_DSUB} = c.sdim
+      WHERE l.vid IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+      GROUP BY 1, 2, 3
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    icents AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {_IVFPQ_CENTROIDS}
+    ),
+    iscored AS (
+      SELECT e.vec_id, c.centroid_id,
+             ROUND(list_cosine_similarity(e.v, c.cv), 6) AS ccos
+      FROM v e CROSS JOIN icents c
+    ),
+    iassigned AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, centroid_id) AS rk
+        FROM iscored) WHERE rk = 1
+    ),
+    iprobes AS (
+      SELECT query_id, cell FROM (
+        SELECT vec_id AS query_id, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, centroid_id) AS rk
+        FROM iscored WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+      ) WHERE rk <= {_IVFPQ_PROBE}
+    ),
+    icand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM iassigned a JOIN iprobes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.neighbor_id, CAST(SUM(t.d_e12) AS BIGINT) AS adc_e12
+      FROM icand cd
+      JOIN codes x ON x.vid = cd.neighbor_id
+      JOIN dtable t ON t.query_id = cd.query_id
+                   AND t.sub = x.sub AND t.code = x.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_e12, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_e12, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= 5
+    """,
+)
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS production shape): the IVF probe
+    bounds WHICH vectors are scored, PQ asymmetric distance bounds the
+    per-vector cost to m code lookups.  Centroids, probes, and the ADC
+    table broadcast; the corpus shuffles once at most.  The composed
+    oracle nests the PQ CTEs with the IVF assignment — the whole
+    two-stage approximate index hash-matches."""
+    return similarity.ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        n_centroids=_IVFPQ_CENTROIDS,
+        n_probe=_IVFPQ_PROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        topk=5,
+    )
+
+
 @register("triangle_counts_cosupply", graph.triangle_oracle_sql(min_orders=3))
 def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the co-supply graph (suppliers

@@ -214,18 +214,20 @@ def test_incremental_agg_merge_equals_direct(spark):
 
     li = load(spark, "/root/testdata/sf0.001", "lineitem")
     merged = {
-        r.l_returnflag: (r.n_rows, float(r.sum_value), r.min_value, r.max_value)
+        r.l_returnflag: (r.n_rows, r.sum_value_e4, r.min_value, r.max_value)
         for r in incremental_agg_merge(
             li, F.col("l_orderkey") % 16, "l_returnflag", "l_quantity"
         ).collect()
     }
     direct = {
         r.l_returnflag: (
-            r.n, float(r.s), r.mn, r.mx
+            r.n, r.s_e4, r.mn, r.mx
         )
         for r in li.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("s"),
+            (F.sum(F.col("l_quantity").cast("decimal(28,4)")) * F.lit(10000))
+            .cast("long")
+            .alias("s_e4"),
             F.min("l_quantity").alias("mn"),
             F.max("l_quantity").alias("mx"),
         ).collect()

@@ -153,3 +153,52 @@ def test_int8_quantize_bounds(spark):
         if r.max_abs > 0:
             # reconstruction error bound: half a quantization step
             assert r.max_recon_err <= 0.5 * r.max_abs / 127 + 1e-6
+
+
+def test_ivf_pq_full_probe_equals_pq_adc(spark):
+    """With n_probe = n_centroids every cell is probed, so the IVF
+    prefilter admits the whole corpus and IVF-PQ must equal plain PQ
+    ADC exactly — isolating the probe logic from the scoring."""
+    import random
+
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 4) for _ in range(16)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [40, 41]
+    full = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["adc_e12"])
+        for r in ivf_pq_topk(
+            df, qids, n_centroids=4, n_probe=4, m=4, k=8, topk=5
+        ).collect()
+    }
+    plain = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["adc_e12"])
+        for r in pq_adc_topk(df, qids, m=4, k=8, topk=5).collect()
+    }
+    assert full == plain and len(full) == 10
+
+
+def test_ivf_pq_partial_probe_subsets_candidates(spark):
+    """With a single probed cell, every returned neighbor must belong to
+    the query's nearest cell — the probe actually prunes."""
+    import random
+
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 4) for _ in range(16)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_pq_topk(df, [50], n_centroids=4, n_probe=1, m=4, k=8, topk=50)
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 0 < len(got) < 63  # pruned: strictly fewer than the corpus
