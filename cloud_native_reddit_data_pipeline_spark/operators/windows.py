@@ -409,3 +409,88 @@ def rfm_segments(
             F.concat_ws("-", "r", "f", "m").alias("segment"),
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase …): for each
+    user, the EARLIEST event of step 1, then the earliest step-2 event
+    strictly after it, and so on — the standard product-analytics funnel
+    with strict event ordering.  Returns one row per user who reached
+    step 1: (user, stages_completed, ts_step1..ts_stepK).
+
+    Spark-first shape: ONE shuffle (groupBy user) collecting each
+    user's events as a sorted array of (ts, tiebreak, type) structs,
+    then a codegen'd `aggregate` fold advances the stage counter in a
+    single left-to-right pass — no per-stage join-back, no repeated
+    scans (the 3-level conditional-min formulation the SQL oracle uses
+    costs one aggregate + one join per stage; the fold is equivalent
+    because the first qualifying event in time order IS the conditional
+    minimum).  Determinism: events sort by (ts, tiebreak); a same-
+    timestamp next-step event only counts if its tiebreak is larger,
+    matching the oracle's tuple comparison."""
+    k = len(steps)
+    ev = df.select(
+        F.col(user_col).alias("user_id"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak).alias("tb"),
+            F.col(type_col).alias("et"),
+        ).alias("e"),
+    ).filter(F.col(f"e.et").isin(steps))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.named_struct(
+        F.lit("n"), F.lit(0),
+        F.lit("hits"),
+        F.array().cast(
+            "array<struct<ts:timestamp,tb:bigint>>"
+        ),
+    )
+    fold = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda acc, e: F.when(
+            (acc["n"] < F.lit(k))
+            & (e["et"] == F.element_at(step_arr, acc["n"] + 1))
+            & (
+                (acc["n"] == 0)
+                | (e["ts"] > F.element_at(acc["hits"], -1)["ts"])
+                | (
+                    (e["ts"] == F.element_at(acc["hits"], -1)["ts"])
+                    & (e["tb"] > F.element_at(acc["hits"], -1)["tb"])
+                )
+            ),
+            F.struct(
+                (acc["n"] + 1).alias("n"),
+                F.concat(
+                    acc["hits"],
+                    F.array(F.struct(e["ts"].alias("ts"), e["tb"].alias("tb"))),
+                ).alias("hits"),
+            ),
+        ).otherwise(acc),
+    )
+    out = per_user.select("user_id", fold.alias("_f")).filter(
+        F.col("_f.n") >= 1
+    )
+    return out.select(
+        "user_id",
+        F.col("_f.n").alias("stages_completed"),
+        *[
+            # try_element_at: users stuck before step i have fewer than
+            # i hits, and ANSI element_at throws out-of-bounds there —
+            # NULL is the contract (matches the oracle's left joins)
+            F.try_element_at(F.col("_f.hits"), F.lit(i + 1))["ts"].alias(
+                f"ts_step{i + 1}"
+            )
+            for i in range(k)
+        ],
+    )

@@ -2000,6 +2000,64 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.rfm_segments(ev, "user_id", "ts", "value")
 
 
+# Ordered-funnel conversion view -> click -> purchase: earliest step-1
+# event, then earliest step-2 event strictly after it (tuple-compare
+# (ts, event_id) tie-break), etc.  Spark computes it with ONE shuffle
+# (sorted-array fold per user); the oracle replays the equivalent
+# 3-level conditional-min formulation.
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "funnel_steps",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    r1 AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM e WHERE event_type = 'view'
+    ),
+    s1 AS (SELECT user_id, ts AS t1, event_id AS e1 FROM r1 WHERE rn = 1),
+    r2 AS (
+      SELECT c.user_id, c.ts, c.event_id,
+             row_number() OVER (PARTITION BY c.user_id ORDER BY c.ts, c.event_id) AS rn
+      FROM e c JOIN s1 ON s1.user_id = c.user_id
+      WHERE c.event_type = 'click'
+        AND (c.ts > s1.t1 OR (c.ts = s1.t1 AND c.event_id > s1.e1))
+    ),
+    s2 AS (SELECT user_id, ts AS t2, event_id AS e2 FROM r2 WHERE rn = 1),
+    r3 AS (
+      SELECT c.user_id, c.ts, c.event_id,
+             row_number() OVER (PARTITION BY c.user_id ORDER BY c.ts, c.event_id) AS rn
+      FROM e c JOIN s2 ON s2.user_id = c.user_id
+      WHERE c.event_type = 'purchase'
+        AND (c.ts > s2.t2 OR (c.ts = s2.t2 AND c.event_id > s2.e2))
+    ),
+    s3 AS (SELECT user_id, ts AS t3 FROM r3 WHERE rn = 1)
+    SELECT s1.user_id,
+           CAST(1 + (CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             AS stages_completed,
+           s1.t1 AS ts_step1, s2.t2 AS ts_step2, s3.t3 AS ts_step3
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.funnel_stages(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        _FUNNEL_STEPS,
+        tiebreak="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (additive: the reference has no event-time story).
 # ---------------------------------------------------------------------------

@@ -133,3 +133,40 @@ def test_interval_overlap_sweep_matches_bruteforce_on_hot_bucket(spark):
         if n > 0:
             want[(u, q)] = n
     assert got == want
+
+
+def test_funnel_stages_strict_ordering_and_ties(spark):
+    """Funnel semantics: steps must advance strictly forward in
+    (ts, event_id) order — a click BEFORE the first view does not
+    count, a same-timestamp next step counts only with a larger
+    event id."""
+    from datetime import datetime as DT
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        funnel_stages,
+    )
+
+    t = lambda m: DT(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full funnel in order
+        (1, t(0), 1, "view"), (2, t(1), 1, "click"), (3, t(2), 1, "purchase"),
+        # u2: click precedes the first view -> stuck at stage 1
+        (4, t(0), 2, "click"), (5, t(1), 2, "view"),
+        # u3: same-ts click with larger event id counts (tuple compare)
+        (6, t(0), 3, "view"), (7, t(0), 3, "click"),
+        # u4: same-ts click with SMALLER event id does not count
+        (9, t(0), 4, "view"), (8, t(0), 4, "click"),
+        # u5: no view at all -> absent from output
+        (10, t(0), 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["user_id"]: r["stages_completed"]
+        for r in funnel_stages(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], "event_id",
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 2, 4: 1}
