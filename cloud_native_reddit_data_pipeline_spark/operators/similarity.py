@@ -560,3 +560,45 @@ def ivf_pq_topk(
     finally:
         quant.unpersist()
     return out
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner (RAG lexical + vector legs): each leg
+    contributes 1/(c + rank) for the documents it ranked; missing
+    documents simply contribute nothing.  Returns the fused top-k with
+    the leg count per document.
+
+    Determinism: each document receives at most len(legs) IEEE-double
+    terms; with the usual two legs the sum is order-independent
+    (addition is commutative), and the fused score rounds to 6 places
+    before the final rank with an id tie-break.
+
+    Scale shape: legs are already top-N frames (tiny); the fuse is a
+    union + one groupBy on the id and a rank window over <= N*legs
+    rows — driver-free, broadcast-free, cost independent of corpus
+    size."""
+    parts = [
+        leg.select(F.col(id_col), F.col(rank_col).alias("_r")) for leg in legs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(c) + F.col("_r"))), 6).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rrf_score", "n_legs", "rank")
+    )

@@ -439,6 +439,107 @@ def ranked_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid retrieval: BM25 lexical leg + embedding-cosine vector leg,
+# combined with reciprocal-rank fusion (1/(60+rank)) — the standard
+# RAG retrieval stack end-to-end in one declarative plan.  vec_id and
+# doc_id share the entity key space (TESTDATA contract), so vector
+# ranks address documents directly.
+_RRF_QUERY_VEC, _RRF_LEG_N, _RRF_C = 7, 50, 60
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS _n, AVG(dl) AS _avgdl FROM lens),
+    hits AS (
+      SELECT doc_id, lower(term) AS term FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS term
+        FROM documents
+      ) WHERE lower(term) IN ({', '.join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))})
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    lexscored AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1.0 + (_n - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / _avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    lexrank AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM lexscored
+      ) WHERE rank <= {_RRF_LEG_N}
+    ),
+    vq AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_RRF_QUERY_VEC}
+    ),
+    vscored AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), vq.qv), 4) AS cos
+      FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> {_RRF_QUERY_VEC}
+    ),
+    vrank AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM vscored
+      ) WHERE rank <= {_RRF_LEG_N}
+    ),
+    legs AS (
+      SELECT doc_id, rank FROM lexrank
+      UNION ALL
+      SELECT doc_id, rank FROM vrank
+    ),
+    fused AS (
+      SELECT doc_id,
+             ROUND(SUM(1.0 / ({_RRF_C} + rank)), 6) AS rrf_score,
+             COUNT(*) AS n_legs
+      FROM legs GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_legs, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: BM25 top-N + brute-force-cosine top-N,
+    fused by reciprocal rank (`similarity.rrf_fuse`).  Both legs are
+    oracle-checked standalone (`ranked_search_bm25`, `ann_cosine_topk`);
+    the fusion itself is tiny post-processing of two top-N frames."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    lex = textstats.ranked_keyword_search_bm25(
+        docs, "doc_id", "text", _SEARCH_KEYWORDS, k=_RRF_LEG_N
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_rank = (
+        lex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RRF_LEG_N)
+        .select("doc_id", "rank")
+    )
+    vec = similarity.brute_force_topk(
+        load(spark, sf_dir, "embeddings"), [_RRF_QUERY_VEC], k=_RRF_LEG_N
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("rank"))
+    return similarity.rrf_fuse(
+        [lex_rank, vec], id_col="doc_id", k=20, c=_RRF_C
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (north-star): exact, fingerprint, MinHash+LSH, Jaccard,
 # SimHash, embedding-cosine near-dup.

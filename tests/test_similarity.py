@@ -202,3 +202,22 @@ def test_ivf_pq_partial_probe_subsets_candidates(spark):
     out = ivf_pq_topk(df, [50], n_centroids=4, n_probe=1, m=4, k=8, topk=50)
     got = {r["neighbor_id"] for r in out.collect()}
     assert 0 < len(got) < 63  # pruned: strictly fewer than the corpus
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF arithmetic: shared docs get both reciprocal terms, leg-only
+    docs one; ranking orders by fused score with id tie-break."""
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    vec = spark.createDataFrame([(2, 1), (4, 2), (1, 3)], "doc_id int, rank int")
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["n_legs"], r["rank"])
+        for r in rrf_fuse([lex, vec], k=10, c=60).collect()
+    }
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2, 1)  # best fused
+    assert out[1] == (round(1 / 61 + 1 / 63, 6), 2, 2)
+    assert out[3][1] == 1 and out[4][1] == 1  # single-leg docs survive
+    assert out[3][2] > out[1][2]
