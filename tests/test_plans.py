@@ -419,3 +419,49 @@ def test_event_transitions_single_user_sort(spark):
     df = registry.queries()["event_transitions"](spark, SF)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan  # no join anywhere
+
+
+def test_pii_scrub_is_narrow_scan_project(spark):
+    """PII scrubbing must ride the scan: no exchange, no python eval,
+    codegen'd regexp chain."""
+    df = registry.queries()["pii_scrub"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read and "source" not in read  # pruned
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup: the within-cluster cosine join must be an equi-join on
+    the cluster id — never an all-pairs cartesian."""
+    df = registry.queries()["semantic_dedup"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_shuffle_no_join(spark):
+    """Funnel fold: ONE hash shuffle (groupBy user), no join operator,
+    no per-stage join-back."""
+    df = registry.queries()["funnel_steps"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hybrid_rrf_fusion_stays_tiny(spark):
+    """RRF fusion: the corpus-sized work lives in the legs; the fusion
+    itself must not introduce a sort-merge join or python eval."""
+    df = registry.queries()["hybrid_search_rrf"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_pq_broadcasts_all_metadata(spark):
+    """IVF-PQ: centroids, probes, codebook, and the ADC table are all
+    broadcast; the corpus side never sort-merge joins."""
+    df = registry.queries()["ivf_pq_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
