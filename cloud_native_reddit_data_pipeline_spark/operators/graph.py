@@ -401,3 +401,116 @@ def khop_oracle_sql(edges_cte: str, seeds: list[int], k: int = 3) -> str:
     SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS dist
     FROM bfs GROUP BY node
     """
+
+
+_E6 = 1_000_000  # HITS fixed point: score 1.0 at scale 6
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over DIRECTED edges
+    (src = hub side, dst = authority side): a_t = normalize(A^T h_{t-1}),
+    h_t = normalize(A a_t), sum-normalized to the e6 fixed point with
+    integer half-up division — every value every round is an exact
+    BIGINT, so the iterative result hash-matches the unrolled-CTE
+    oracle (the same no-float contract as `pagerank`'s e12 ranks).
+
+    Returns (node, kind 'hub'|'authority', score_e6).
+
+    Scale shape: edges are hash-partitioned once and persisted; each
+    half-round is one join + one partial-agg shuffle, plus a one-row
+    broadcast for the normalizing sum.  Overflow headroom: raw scores
+    are <= max_degree * 1e6 and the normalizing multiply stays under
+    2e17 for edge counts into the billions; beyond that drop the fixed
+    point to e3 or shard the sum."""
+    edges = edges.repartition("src").persist()
+    try:
+        hubs = (
+            edges.select("src")
+            .distinct()
+            .select(F.col("src").alias("node"), F.lit(_E6).cast("long").alias("s"))
+        )
+        auth = None
+        for _ in range(iters):
+            araw = (
+                edges.join(hubs, edges["src"] == hubs["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("s").alias("raw"))
+            )
+            sa = araw.agg(F.sum("raw").alias("_t"))
+            auth = araw.crossJoin(F.broadcast(sa)).select(
+                "node",
+                F.expr(f"cast((2 * raw * {_E6} + _t) div (2 * _t) as long)").alias(
+                    "s"
+                ),
+            )
+            hraw = (
+                edges.join(auth, edges["dst"] == auth["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("s").alias("raw"))
+            )
+            sh = hraw.agg(F.sum("raw").alias("_t"))
+            hubs = hraw.crossJoin(F.broadcast(sh)).select(
+                "node",
+                F.expr(f"cast((2 * raw * {_E6} + _t) div (2 * _t) as long)").alias(
+                    "s"
+                ),
+            )
+        out = hubs.select(
+            "node", F.lit("hub").alias("kind"), F.col("s").alias("score_e6")
+        ).unionByName(
+            auth.select(
+                "node",
+                F.lit("authority").alias("kind"),
+                F.col("s").alias("score_e6"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def hits_oracle_sql(iters: int = 2) -> str:
+    """DuckDB replay of `hits` over the directed customer->supplier
+    co-purchase graph: identical integer half-up arithmetic, one CTE
+    quadruple per round (raw/sum per side).  DuckDB SUM(BIGINT) is
+    HUGEINT; every score casts back to BIGINT at the round boundary."""
+    parts = [
+        f"""
+    dedges AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS node, CAST({_E6} AS BIGINT) AS s FROM dedges)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    ar{i} AS (
+      SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS raw
+      FROM dedges e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1
+    ),
+    asum{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM ar{i}),
+    a{i} AS (
+      SELECT node,
+             CAST((2 * raw * {_E6} + t) // (2 * t) AS BIGINT) AS s
+      FROM ar{i} CROSS JOIN asum{i}
+    ),
+    hr{i} AS (
+      SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS raw
+      FROM dedges e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+    ),
+    hsum{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM hr{i}),
+    h{i} AS (
+      SELECT node,
+             CAST((2 * raw * {_E6} + t) // (2 * t) AS BIGINT) AS s
+      FROM hr{i} CROSS JOIN hsum{i}
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT node, 'hub' AS kind, s AS score_e6 FROM h{iters}
+    UNION ALL
+    SELECT node, 'authority' AS kind, s AS score_e6 FROM a{iters}
+    """
+    )

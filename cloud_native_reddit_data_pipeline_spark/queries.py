@@ -1965,6 +1965,29 @@ def triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_ITERS = 2
+
+
+@register("hits_copurchase", graph.hits_oracle_sql(iters=_HITS_ITERS))
+def hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED customer->supplier
+    co-purchase graph: customers are hubs, suppliers authorities.
+    Sum-normalized e6 fixed point with integer half-up division each
+    round — the iterative scores hash-match the unrolled-CTE replay
+    exactly (the pagerank no-float contract, second algorithm)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.hits(pairs, iters=_HITS_ITERS)
+
+
 _PAGERANK_ITERS = 3
 
 

@@ -128,3 +128,28 @@ def test_khop_reachability_crafted(spark):
         for r in khop_reachability(edges, seeds=[1, 4], k=2).collect()
     }
     assert got2 == {1: 0, 4: 0, 2: 1, 3: 1, 5: 1}
+
+
+def test_hits_star_graph_semantics(spark):
+    """Crafted star: one supplier bought by every customer must take
+    ALL the authority mass; a supplier with a single buyer gets the
+    minority share; hub scores split by how many strong authorities a
+    customer touches."""
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import hits
+
+    # customers 0,2,4 all buy supplier 1; customer 4 also buys supplier 3
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1), (4, 1), (4, 3)], "src long, dst long"
+    )
+    out = {
+        (r["node"], r["kind"]): r["score_e6"]
+        for r in hits(edges, iters=2).collect()
+    }
+    # authority: supplier 1 dominates supplier 3
+    assert out[(1, "authority")] > out[(3, "authority")]
+    # hubs: customer 4 touches both authorities -> highest hub score
+    assert out[(4, "hub")] > out[(0, "hub")] == out[(2, "hub")]
+    # sum-normalization: each side sums to ~1e6 (integer rounding slack)
+    auth_sum = sum(v for (n, k), v in out.items() if k == "authority")
+    hub_sum = sum(v for (n, k), v in out.items() if k == "hub")
+    assert abs(auth_sum - 1_000_000) <= 2 and abs(hub_sum - 1_000_000) <= 2
