@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~1,520-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~1,820-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -539,6 +539,87 @@ VADER_LEXICON: dict[str, float] = {
     "worsen": -1.8, "worsened": -1.9, "wound": -1.9, "wounded": -2.1,
     "wrath": -2.4, "wrongly": -1.7, "wtf": -2.5, "yell": -1.4, "yelled": -1.5,
     "yelling": -1.6, "yikes": -1.1,
+    # --- round-5 growth, second tranche: hand-curated regular
+    # inflections (-s/-es/-d/-ed) of existing entries at the base
+    # word's valence — the stock list rates inflections separately
+    # but adjacently; the base value is the curation rule here. ---
+    "accepts": 1.2, "achieves": 1.7, "admires": 2.0, "adores": 2.9,
+    "advantages": 1.6, "adventures": 1.7, "agrees": 1.5, "amazes": 2.5,
+    "amuses": 1.7, "angels": 2.1, "applauds": 2.0, "appreciates": 2.0,
+    "approves": 1.7, "assures": 1.2, "attracts": 1.6, "awards": 2.5,
+    "boosts": 1.7, "braved": 2.4, "braves": 2.4, "celebrates": 2.7,
+    "champions": 2.4, "charms": 2.0, "cleans": 1.7, "comforts": 1.5,
+    "commends": 1.9, "cured": 1.8, "cures": 1.8, "delights": 2.9,
+    "desired": 1.4, "desires": 1.4, "earns": 1.4, "eased": 1.4, "eases": 1.4,
+    "embraced": 1.5, "embraces": 1.5, "encourages": 2.3, "endorses": 1.4,
+    "excels": 2.0, "favors": 1.7, "fortunes": 2.1, "freedoms": 2.3,
+    "frees": 2.3, "friends": 2.2, "friendships": 2.3, "fulfills": 1.6,
+    "gains": 1.7, "gifts": 1.9, "glows": 1.6, "graced": 1.9, "graces": 1.9,
+    "greets": 1.3, "growths": 1.6, "heroes": 2.6, "honors": 2.3,
+    "humors": 1.7, "improves": 1.9, "inspires": 2.2, "laughs": 2.6,
+    "legends": 2.1, "masterpieces": 3.0, "merits": 1.5, "miracles": 2.8,
+    "motivates": 1.7, "nurtured": 1.7, "nurtures": 1.7, "passions": 2.2,
+    "pleasures": 2.7, "praises": 2.4, "prides": 1.5, "privileges": 1.7,
+    "prizes": 2.1, "profits": 1.8, "promises": 1.4, "promotes": 1.4,
+    "protects": 1.5, "reassures": 1.5, "recommends": 1.6, "rejoiced": 2.4,
+    "rejoices": 2.4, "reliefs": 1.9, "rescues": 1.6, "respects": 2.1,
+    "restores": 1.2, "rewards": 2.2, "saves": 2.2, "saviors": 2.4,
+    "shares": 1.2, "shines": 1.7, "skills": 1.4, "smiles": 2.1,
+    "soothed": 1.6, "soothes": 1.6, "sparkled": 1.8, "sparkles": 1.8,
+    "splendors": 2.4, "strengths": 2.1, "supports": 1.7, "surprises": 1.4,
+    "survives": 1.1, "survivors": 1.4, "talents": 1.9, "thrills": 2.2,
+    "treasured": 2.2, "treasures": 2.2, "treats": 1.4, "triumphs": 2.7,
+    "trusts": 2.3, "truths": 2.2, "upgrades": 1.4, "virtues": 1.8,
+    "welcomes": 2.0, "wishes": 1.7,
+    "abandons": -1.9, "abused": -2.9, "abuses": -2.9, "accidents": -2.1,
+    "accuses": -1.8, "ached": -1.6, "aches": -1.6, "addicts": -1.9,
+    "aggressions": -2.2, "alarms": -1.4, "alienates": -1.7,
+    "annoyances": -1.9, "argued": -1.6, "argues": -1.6, "assaults": -2.6,
+    "attacks": -2.1, "avoids": -1.2, "bankrupts": -2.6, "battled": -1.6,
+    "battles": -1.6, "belittled": -1.9, "belittles": -1.9, "blackmails": -2.4,
+    "blames": -1.9, "boycotts": -1.4, "breakdowns": -1.9, "bribed": -1.9,
+    "bribes": -1.9, "catastrophes": -3.0, "cheats": -2.4, "collapsed": -1.9,
+    "collapses": -1.9, "complains": -1.6, "complaints": -1.5,
+    "condemns": -1.9, "conflicts": -1.6, "confusions": -1.3, "corrupts": -2.7,
+    "cowards": -2.1, "crimes": -2.5, "criticisms": -1.6, "criticized": -1.7,
+    "criticizes": -1.7, "curses": -2.0, "damns": -1.7, "deaths": -2.9,
+    "deceits": -2.2, "declines": -1.2, "defeats": -1.9, "defects": -1.7,
+    "deficits": -1.6, "degrades": -2.0, "demises": -2.0, "demons": -2.3,
+    "denounced": -1.8, "denounces": -1.8, "depressions": -2.7,
+    "despairs": -2.7, "despises": -2.6, "deteriorated": -1.8,
+    "deteriorates": -1.8, "devils": -2.6, "disadvantages": -1.7,
+    "disagreed": -1.5, "disagrees": -1.5, "disappoints": -1.9,
+    "disapproved": -1.7, "disapproves": -1.7, "discomforts": -1.7,
+    "discourages": -1.9, "diseases": -1.9, "disgraced": -2.2,
+    "disgraces": -2.2, "disgusts": -2.4, "dishonors": -2.1, "disliked": -1.6,
+    "dislikes": -1.6, "disrespects": -2.1, "disrupts": -1.4, "divorced": -1.6,
+    "divorces": -1.6, "dooms": -2.2, "downfalls": -1.9, "dreads": -2.2,
+    "drowns": -2.5, "exploits": -1.7, "fakes": -1.9, "faults": -1.8,
+    "fights": -1.6, "flaws": -1.6, "flops": -1.6, "fools": -1.9,
+    "frauds": -2.9, "frights": -1.9, "frowns": -1.3, "griefs": -2.5,
+    "guilts": -2.4, "harms": -2.4, "heartbreaks": -2.6, "hoaxes": -1.6,
+    "horrors": -2.7, "humiliates": -2.4, "ignores": -1.5, "interrupts": -1.4,
+    "intimidates": -1.9, "irritates": -1.8, "jails": -1.9, "jerks": -2.1,
+    "kills": -3.0, "lacks": -1.4, "lawsuits": -1.4, "liars": -2.6,
+    "loathed": -2.5, "loathes": -2.5, "menaced": -1.9, "menaces": -1.9,
+    "misfortunes": -1.9, "misleads": -1.7, "mistrusts": -1.6, "mocks": -1.8,
+    "mourns": -2.2, "neglects": -1.9, "nightmares": -2.6, "obstacles": -1.4,
+    "offends": -1.9, "oppressions": -2.3, "outrages": -2.4, "pains": -2.3,
+    "perils": -1.9, "pessimisms": -1.7, "plagues": -2.1, "poisons": -2.5,
+    "prejudices": -1.9, "pressured": -1.2, "pressures": -1.2, "prisons": -2.2,
+    "provokes": -1.4, "punishes": -2.1, "rages": -2.5, "refuses": -1.6,
+    "rejects": -1.9, "resents": -1.9, "revenges": -2.3, "ridicules": -1.8,
+    "riots": -2.3, "ruins": -2.4, "sabotaged": -2.1, "sabotages": -2.1,
+    "scams": -2.3, "scares": -1.9, "scorns": -1.8, "screams": -1.7,
+    "setbacks": -1.4, "shames": -2.1, "shocks": -1.5, "shouts": -1.2,
+    "slaves": -2.7, "sorrows": -2.4, "spites": -1.8, "struggles": -1.7,
+    "sucked": -1.9, "sucking": -1.9, "terrors": -3.1, "thefts": -2.1,
+    "thieves": -2.2, "threatens": -2.2, "thugs": -2.1, "tortures": -2.9,
+    "traitors": -2.5, "traumas": -2.4, "troubles": -1.9, "tyrants": -2.4,
+    "undermined": -1.5, "undermines": -1.5, "uproars": -1.5, "upsets": -1.9,
+    "victims": -1.9, "villains": -2.3, "violates": -2.1, "vomits": -2.0,
+    "wastes": -1.8, "weeps": -2.2, "whined": -1.5, "whines": -1.5,
+    "wounds": -1.9, "wrecks": -2.0, "yells": -1.4,
 }
 
 _NT_SUFFIX = "n't"

@@ -65,6 +65,12 @@ CASES = [
     "lol that was hilarious, hahaha",
     "ugh, wtf, this is unbearable",
     "she survived heartbreak and emerged victorious, overjoyed",
+    # round-5 inflection tranche (1,521 -> 1,820 entries)
+    "he abandons his promises and blames everyone else",
+    "she achieves and inspires, truly amazes the critics",
+    "the scandal disgraces the villains and ruins their frauds",
+    "not discouraged: the team celebrates, rejoices and thrives",
+    "threats, insults and curses — the mob riots and attacks",
 ]
 
 
