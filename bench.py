@@ -99,6 +99,13 @@ HEADLINE = [
     "semantic_dedup",
     "pii_scrub",
     "ivf_pq_topk",
+    "kmv_distinct_custkeys",
+    "bloom_semi_join_orders",
+    "sssp_cosupply",
+    "pareto_skyline_parts",
+    "snapshot_diff_users",
+    "token_label_leakage",
+    "inverted_index_terms",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

@@ -514,3 +514,116 @@ def hits_oracle_sql(iters: int = 2) -> str:
     SELECT node, 'authority' AS kind, s AS score_e6 FROM a{iters}
     """
     )
+
+
+def cosupply_weighted_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """Directed weighted edges over the supplier co-supply graph:
+    both orientations of each undirected co-supply pair, with integer
+    cost ``w = 10 - LEAST(9, n_shared_orders)`` (more co-occurrence =
+    cheaper hop, w in [1, 9]).  Integer weights keep every downstream
+    shortest-path value an exact BIGINT — the same no-float contract as
+    `pagerank`/`hits`."""
+    os_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_pairs.alias("a"), os_pairs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .withColumn("w", F.lit(10) - F.least(F.lit(9), F.col("n_orders")))
+    )
+    return pairs.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "w")
+    )
+
+
+def sssp_bellman_ford(
+    edges: DataFrame, source: int, rounds: int = 4
+) -> DataFrame:
+    """Bounded single-source shortest paths by synchronous Bellman-Ford
+    relaxation: after R rounds, dist(v) is the exact minimum-cost path
+    from `source` using <= R edges (the R-bounded SSSP semantics —
+    deterministic whether or not the graph has converged, which is what
+    makes a fixed-round oracle replay possible).
+
+    Scale shape (the same iterative dataflow as `pagerank`/`khop`):
+    edges are hash-partitioned on src and persisted once; each round is
+    ONE equi-join of the current distance table against edges plus one
+    min-combine shuffle, with lineage truncated per round
+    (localCheckpoint) so the plan never grows.  Distances are exact
+    BIGINTs (integer edge weights), so the unrolled-CTE oracle
+    hash-matches with no float contract.
+
+    Returns (node, dist) for every node reached within `rounds` hops.
+    """
+    edges = edges.select("src", "dst", "w").repartition("src").persist()
+    try:
+        dist = edges.sparkSession.createDataFrame(
+            [(int(source), 0)], "node long, dist long"
+        )
+        for _ in range(rounds):
+            relaxed = (
+                edges.join(dist.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+                )
+                .unionByName(dist)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            dist = relaxed
+    finally:
+        edges.unpersist()
+    return dist
+
+
+def sssp_oracle_sql(
+    source: int, rounds: int = 4, min_orders: int = 2
+) -> str:
+    """DuckDB replay of `sssp_bellman_ford` over the weighted co-supply
+    graph: one min-combine CTE per relaxation round, identical integer
+    arithmetic (exact BIGINT parity, like the other graph oracles)."""
+    edges_cte = f"""
+    os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    wpairs AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             10 - LEAST(9, COUNT(*)) AS w
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_orders}
+    ),
+    wedges AS (
+      SELECT s1 AS src, s2 AS dst, w FROM wpairs
+      UNION ALL
+      SELECT s2 AS src, s1 AS dst, w FROM wpairs
+    ),
+    d0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""
+    parts = [edges_cte]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i - 1} d JOIN wedges e ON e.src = d.node
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d{rounds}
+    """
+    )

@@ -569,3 +569,104 @@ def with_observed_quality(df: DataFrame, observation, value_col: str) -> DataFra
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
     )
+
+
+def pareto_skyline_2d(
+    df: DataFrame, minimize_col: str, maximize_col: str
+) -> DataFrame:
+    """Two-dimensional skyline (Borzsony et al. 2001): rows not
+    dominated by any other row, where `a` dominates `b` iff
+    a.minimize <= b.minimize AND a.maximize >= b.maximize with at
+    least one strict.  Ties on both dimensions are mutually
+    non-dominating, so duplicates of a skyline point all survive.
+
+    Distributed shape (the standard partition-then-merge skyline):
+
+    1. per-(minimize)-value max of the maximize column — any row below
+       its own group max is dominated at equal cost;
+    2. LOCAL sweep per shuffle partition: sort candidates by
+       (minimize asc, maximize desc) within each partition and drop
+       rows whose maximize does not exceed the running max of all
+       strictly-cheaper predecessors — locally dominated implies
+       globally dominated, so this prunes safely in parallel;
+    3. GLOBAL sweep over the (small) local-skyline survivors with the
+       same running-max window on a single ordered partition;
+    4. join the skyline (minimize, maximize) points back to the input
+       to recover full rows including ties.
+
+    The global step sees only per-partition skylines (typically a few
+    points each), so the single-partition window is a few-KB sort, not
+    a global shuffle of the input."""
+    mn, mx = "_sk_min", "_sk_max"
+    cand = (
+        df.select(F.col(minimize_col).alias(mn), F.col(maximize_col).alias(mx))
+        .groupBy(mn)
+        .agg(F.max(mx).alias(mx))
+    )
+
+    def _sweep(frame: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col(mn).asc(), F.col(mx).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            frame.withColumn("_prev", F.max(mx).over(w))
+            .filter(F.col("_prev").isNull() | (F.col(mx) > F.col("_prev")))
+            .drop("_prev")
+        )
+
+    local = _sweep(
+        cand.withColumn("_pid", F.spark_partition_id()), ["_pid"]
+    ).drop("_pid")
+    skyline_points = _sweep(local, [])
+    return df.join(
+        F.broadcast(skyline_points),
+        (F.col(minimize_col) == F.col(mn)) & (F.col(maximize_col) == F.col(mx)),
+        "left_semi",
+    )
+
+
+def snapshot_diff(
+    events: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_cols: list,
+    t1: str,
+    t2: str,
+) -> DataFrame:
+    """Differential snapshot comparison (Labio & Garcia-Molina 1996,
+    the warehouse table-diff problem): materialize the per-key LATEST
+    value of `attr_col` as of two cutoff instants and emit one row per
+    key with its change status — 'added' (absent at t1), 'removed'
+    (absent at t2), 'changed', or 'unchanged' — plus both values.
+
+    Each snapshot is one window argmax per key (deterministic via
+    `order_cols` tie-break); the diff is a single full outer join on
+    the key.  At scale both snapshots partition on the same key, so
+    AQE plans the outer join shuffle-free after the windows; nothing
+    ever leaves the cluster."""
+    def snap(cutoff: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            events.filter(F.col(ts_col) <= F.lit(cutoff).cast("timestamp"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(key_col).alias("key"), F.col(attr_col).alias(out))
+        )
+
+    a = snap(t1, "val_t1")
+    b = snap(t2, "val_t2")
+    return a.join(b, "key", "full_outer").select(
+        "key",
+        "val_t1",
+        "val_t2",
+        F.when(F.col("val_t1").isNull(), F.lit("added"))
+        .when(F.col("val_t2").isNull(), F.lit("removed"))
+        .when(F.col("val_t1") == F.col("val_t2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

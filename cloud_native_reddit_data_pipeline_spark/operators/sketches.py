@@ -1,0 +1,262 @@
+"""Deterministic, exactly-oracle-checkable sketches (north-star
+extension; the reference pipeline has no sketch story, but cardinality
+and membership sketches are core OLAP-at-scale machinery).
+
+Spark's built-in sketches (``approx_count_distinct`` HLL++,
+``BloomFilterAggregate``) are approximate-by-construction with opaque
+binary buffers, so they can only ever be rows-only-checked.  These
+operators instead build the sketches from md5-slice hashes — the same
+bit-reproducible hashing convention as ``textstats.cms_point_estimates``
+— so DuckDB can replay the identical construction and the driver's
+value-hash gate proves the estimator END TO END, not just its shape:
+
+- ``kmv_distinct``      k-minimum-values distinct-count estimator
+                        (Bar-Yossef et al. 2002): per group, keep the k
+                        smallest hash values; estimate = (k-1) / h_(k).
+- ``bloom_semi_join``   classic bloom-filtered semi-join with exact
+                        false-positive accounting: build an m-bit /
+                        j-hash filter over the dim keys, probe the fact
+                        side, and report candidate / true / false-
+                        positive counts.
+
+Hash fraction convention: the first 13 hex chars of md5 are 52 bits —
+exactly a double's mantissa — parsed with ``conv(_, 16, 10)`` on Spark
+and ``CAST('0x'||_ AS BIGINT)`` on DuckDB, so both engines see the same
+integer in [0, 16^13).
+
+Scale shape: KMV is one distinct + one per-group top-k window (the
+sketch state per group is k values — this is the mergeable-sketch
+pattern: partial k-mins union then re-min); the bloom bit table is
+O(m) rows and broadcast to the probe side, which is exactly how
+Spark's own runtime row-level filters ship build-side bloom bits to
+the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX13 = 16**13  # 2^52: hash-fraction denominator, exact in a double
+
+
+def _h52(col) -> F.Column:
+    """52-bit uniform hash of a column: first 13 hex chars of md5 of
+    the value's canonical string form, as BIGINT in [0, 2^52)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct estimate per group, next to the exact
+    count: hash every key to a 52-bit fraction, keep the k smallest
+    DISTINCT hashes per group, estimate |D| = (k-1) * M / h_(k) where
+    h_(k) is the k-th minimum and M = 16^13.  Groups with fewer than k
+    distinct keys report the exact count (the sketch is exact below
+    capacity — standard KMV semantics).
+
+    The estimate column is ROUND(est, 4) DOUBLE computed from exact
+    BIGINTs with one division, so DuckDB replays it bit-for-bit.
+
+    Scale: one distinct shuffle on (group, hash) then a per-group
+    top-k window — per-group state is k longs, mergeable by union +
+    re-min, which is how the partial sketches would combine across
+    100 TB of partitions."""
+    h = (
+        df.select(F.col(group_col).alias("grp"), _h52(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = h.select(
+        "grp",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("nd"),
+    )
+    return (
+        ranked.filter((F.col("rn") == k) | ((F.col("nd") < k) & (F.col("rn") == 1)))
+        .select(
+            "grp",
+            F.col("nd").cast("long").alias("n_exact"),
+            F.when(
+                F.col("nd") >= k,
+                F.round(
+                    F.lit(float(k - 1)) * F.lit(float(_HEX13)) / F.col("h"), 4
+                ),
+            )
+            .otherwise(F.col("nd").cast("double"))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+def kmv_oracle_sql(
+    table: str, group_expr: str, key_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of `kmv_distinct` — identical md5-slice hashing and
+    (k-1)*M/h_k arithmetic."""
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT {group_expr} AS grp,
+             CAST(concat('0x', substring(md5(CAST({key_expr} AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h
+      FROM {table}
+    ),
+    r AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS nd
+      FROM h
+    )
+    SELECT grp,
+           CAST(nd AS BIGINT) AS n_exact,
+           CASE WHEN nd >= {k}
+                THEN ROUND(CAST({k - 1} AS DOUBLE) * CAST({_HEX13} AS DOUBLE) / h, 4)
+                ELSE CAST(nd AS DOUBLE) END AS kmv_estimate
+    FROM r
+    WHERE rn = {k} OR (nd < {k} AND rn = 1)
+    """
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 8192,
+    j_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filtered semi-join with exact false-positive accounting —
+    the runtime-filter pattern (build-side bloom shipped to the probe
+    scan) made visible and exactly checkable.
+
+    Build: each distinct dim key sets j bit positions
+    ``md5(i || '|' || key)[0:8] % m``.  Probe: a fact row is a bloom
+    CANDIDATE iff all j of its positions are set.  Output is one row:
+    probe count, candidate count, true-match count (exact semi-join),
+    false positives, and the measured fp rate among true negatives.
+
+    Scale: the bit table is at most m rows (here 8 KiB worth) —
+    broadcast to the probe side, so the fact table is scanned once
+    with no shuffle; the exact semi-join for accounting broadcasts
+    the dim keys the same way.  In production the accounting columns
+    are dropped and the candidate filter IS the pushed-down runtime
+    filter."""
+    dk = dim_keys.select(F.col(dim_key).cast("string").alias("_k")).distinct()
+    hash_idx = F.explode(
+        F.array(*[F.lit(i) for i in range(j_hashes)])
+    ).alias("i")
+    bits = (
+        dk.select("_k", hash_idx)
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("i"), F.col("_k"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = fact.select(F.col(fact_key).cast("string").alias("_k"))
+    probe_bits = probe.withColumn("_rid", F.monotonically_increasing_id()).select(
+        "_rid",
+        "_k",
+        hash_idx,
+    ).select(
+        "_rid",
+        "_k",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("i"), F.col("_k"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        ).alias("bit"),
+    )
+    hits_per_row = (
+        probe_bits.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("_rid", "_k")
+        .agg(F.count(F.lit(1)).alias("_nbits"))
+    )
+    candidates = hits_per_row.filter(F.col("_nbits") == j_hashes).select(
+        "_rid", "_k"
+    )
+    true_rows = probe.join(F.broadcast(dk), "_k", "left_semi")
+    n_probe = probe.agg(F.count(F.lit(1)).alias("c"))
+    n_cand = candidates.agg(F.count(F.lit(1)).alias("c"))
+    n_true = true_rows.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        n_probe.select(F.col("c").alias("n_probe"))
+        .crossJoin(n_cand.select(F.col("c").alias("n_candidates")))
+        .crossJoin(n_true.select(F.col("c").alias("n_true")))
+        .select(
+            "n_probe",
+            "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+            F.round(
+                (F.col("n_candidates") - F.col("n_true"))
+                / F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def bloom_oracle_sql(
+    fact_table: str,
+    fact_key: str,
+    dim_sql: str,
+    m_bits: int = 8192,
+    j_hashes: int = 3,
+) -> str:
+    """DuckDB twin of `bloom_semi_join`; `dim_sql` selects one column
+    of dim keys."""
+    idx = ", ".join(str(i) for i in range(j_hashes))
+    return f"""
+    WITH dk AS (SELECT DISTINCT CAST(k AS VARCHAR) AS k FROM ({dim_sql})),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substring(md5(i || '|' || k), 1, 8)) AS BIGINT)
+             % {m_bits} AS bit
+      FROM dk CROSS JOIN (SELECT unnest([{idx}]) AS i)
+    ),
+    probe AS (
+      SELECT row_number() OVER () AS rid, CAST({fact_key} AS VARCHAR) AS k
+      FROM {fact_table}
+    ),
+    pb AS (
+      SELECT p.rid, p.k,
+             CAST(concat('0x', substring(md5(i || '|' || p.k), 1, 8)) AS BIGINT)
+             % {m_bits} AS bit
+      FROM probe p CROSS JOIN (SELECT unnest([{idx}]) AS i)
+    ),
+    cand AS (
+      SELECT rid FROM pb
+      WHERE bit IN (SELECT bit FROM bits)
+      GROUP BY rid, k HAVING COUNT(*) = {j_hashes}
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM probe) AS n_probe,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM probe WHERE k IN (SELECT k FROM dk)) AS n_true
+    )
+    SELECT CAST(n_probe AS BIGINT) AS n_probe,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates - n_true AS BIGINT) AS n_false_pos,
+           ROUND((n_candidates - n_true) * 1.0
+                 / GREATEST(n_probe - n_true, 1), 6) AS fp_rate
+    FROM stats
+    """

@@ -607,3 +607,109 @@ def cms_point_estimates(
         "exact_cnt",
         est.alias("cms_estimate"),
     )
+
+
+def token_label_chi2(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    min_df: int = 5,
+    top_n: int = 40,
+) -> DataFrame:
+    """Token-label association strength: per-token chi-square statistic
+    over the (token-presence x label) contingency table — the standard
+    label-leakage / shortcut-feature detector for training corpora (a
+    token whose presence nearly determines the source/label is either a
+    boilerplate artifact or a leak; both need review before training).
+
+    For token t with document frequency n_t over N docs and label s with
+    n_s docs, the observed present-cell is O_ts = |docs in s containing
+    t|, expected E_ts = n_t * n_s / N, and the full 2xK statistic is
+
+        chi2_t = sum_s (O_ts - E_ts)^2 * (1/E_ts + 1/(n_s - E_ts))
+
+    (the absent row folds into the closed form).  Tokens with n_t <
+    `min_df` or n_t = N are excluded (degenerate/zero-variance tables).
+
+    Scale shape: one distinct (doc, token) explode -> two vocabulary-
+    sized partial aggs (per-token, per-(token,label)) plus a labels-
+    sized broadcast grid; nothing is ever corpus x vocab.  Output is
+    the top_n tokens by chi2 — a bounded report."""
+    toks = F.array_distinct(F.transform(tokens(text_col), lambda t: F.lower(t)))
+    dt = df.select(
+        F.col(label_col).alias("_s"), F.explode(toks).alias("_t")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    tok_df = dt.groupBy("_t").agg(F.count(F.lit(1)).alias("_nt"))
+    lab_counts = df.groupBy(F.col(label_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_ns")
+    )
+    present = dt.groupBy("_t", "_s").agg(F.count(F.lit(1)).alias("_o"))
+    grid = (
+        tok_df.crossJoin(F.broadcast(lab_counts))
+        .join(present, ["_t", "_s"], "left")
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("_nt") >= min_df) & (F.col("_nt") < F.col("_n")))
+    )
+    e = F.col("_nt") * F.col("_ns") / F.col("_n")
+    o = F.coalesce(F.col("_o"), F.lit(0)).cast("double")
+    cell = (o - e) * (o - e) * (F.lit(1.0) / e + F.lit(1.0) / (F.col("_ns") - e))
+    out = (
+        grid.select("_t", "_nt", cell.alias("_c"))
+        .groupBy("_t")
+        .agg(
+            F.first("_nt").alias("doc_freq"),
+            F.round(F.sum("_c") + F.lit(1e-9), 6).alias("chi2"),
+        )
+        .select(
+            F.col("_t").alias("token"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "chi2",
+        )
+    )
+    return out.orderBy(F.desc("chi2"), F.col("token")).limit(top_n)
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Materialized inverted index: for each sufficiently frequent
+    term, the sorted posting list of containing document ids plus
+    document frequency and collection frequency — the search-engine
+    build step behind `ranked_search`/`ranked_search_bm25` (those
+    recompute postings per query; a real deployment materializes this
+    table once and semi-joins it).
+
+    Scale shape: explode -> one (term, doc) partial count (collection
+    frequency falls out of the same pass) -> per-term sort-collect.
+    Posting lists are per-term local sorts (no global order), and the
+    df >= `min_df` filter plus top_n bound the output; at 100 TB the
+    same plan writes the full index partitioned by term hash instead
+    of limiting."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    td = (
+        df.select(F.col(id_col).alias("_d"), F.explode(toks).alias("_t"))
+        .groupBy("_t", "_d")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    return (
+        td.groupBy("_t")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("_tf").alias("coll_freq"),
+            F.sort_array(F.collect_list("_d")).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+        .select(
+            F.col("_t").alias("term"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("coll_freq").cast("long").alias("coll_freq"),
+            "postings",
+        )
+        .orderBy(F.desc("doc_freq"), F.col("term"))
+        .limit(top_n)
+    )

@@ -6097,6 +6097,200 @@ def zipf_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.zipf_token_stats(load(spark, sf_dir, "documents"), "text", k=50)
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: deterministic sketches, weighted shortest paths,
+# skyline, differential snapshots, label-leakage detection, inverted
+# index — each an oracle-backed classic the surface did not yet cover.
+
+from .operators import sketches  # noqa: E402
+
+
+# KMV (k-minimum-values) distinct estimator per order priority — the
+# mergeable cardinality sketch, built from md5-slice hashes so the
+# estimate itself (not just its shape) is exactly oracle-checked,
+# unlike the opaque HLL buffer behind approx_distinct.
+@register(
+    "kmv_distinct_custkeys",
+    sketches.kmv_oracle_sql("orders", "o_orderpriority", "o_custkey", k=64),
+)
+def kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.kmv_distinct(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey", k=64
+    )
+
+
+# Bloom-filtered semi-join (runtime-filter pattern) with exact
+# false-positive accounting: build over BUILDING-segment customers,
+# probe the orders fact.
+@register(
+    "bloom_semi_join_orders",
+    sketches.bloom_oracle_sql(
+        "orders",
+        "o_custkey",
+        "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'",
+        m_bits=8192,
+        j_hashes=3,
+    ),
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return sketches.bloom_semi_join(
+        load(spark, sf_dir, "orders"), dim, "o_custkey", "c_custkey",
+        m_bits=8192, j_hashes=3,
+    )
+
+
+# Bounded single-source shortest paths (Bellman-Ford, 4 relaxation
+# rounds) over the weighted supplier co-supply graph — the weighted
+# companion of khop_reachability, exact-integer vs an unrolled oracle.
+@register(
+    "sssp_cosupply",
+    graph.sssp_oracle_sql(source=1, rounds=4, min_orders=2),
+)
+def sssp_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.sssp_bellman_ford(
+        graph.cosupply_weighted_edges(load(spark, sf_dir, "lineitem"), min_orders=2),
+        source=1,
+        rounds=4,
+    )
+
+
+# Two-dimensional Pareto skyline over the part catalog: cheapest-for-
+# their-size parts (minimize retail price, maximize size), via the
+# partition-local-then-global sweep.
+@register(
+    "pareto_skyline_parts",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part a
+      WHERE a.p_retailprice <= b.p_retailprice AND a.p_size >= b.p_size
+        AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size)
+    )
+    """,
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pareto_skyline_2d(
+        load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    )
+
+
+# Differential snapshot diff: each user's latest event_type as of
+# Jan 15 vs Jan 25, with added/changed/unchanged status — the
+# warehouse table-diff operator.
+@register(
+    "snapshot_diff_users",
+    """
+    WITH a AS (
+      SELECT user_id AS key, event_type AS val_t1 FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT user_id AS key, event_type AS val_t2 FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(a.key, b.key) AS key, val_t1, val_t2,
+           CASE WHEN val_t1 IS NULL THEN 'added'
+                WHEN val_t2 IS NULL THEN 'removed'
+                WHEN val_t1 = val_t2 THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.key = b.key
+    """,
+)
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.snapshot_diff(
+        load(spark, sf_dir, "events"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        t1="2024-01-15 00:00:00",
+        t2="2024-01-25 00:00:00",
+    )
+
+
+# Token-label chi-square: which tokens most strongly predict a
+# document's source — the label-leakage / boilerplate-shortcut
+# detector for training corpora.
+@register(
+    "token_label_leakage",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source AS s,
+             unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS t
+      FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    tok AS (SELECT t, COUNT(*) AS nt FROM dt GROUP BY t),
+    lab AS (SELECT source AS s, COUNT(*) AS ns FROM documents GROUP BY source),
+    pres AS (SELECT t, s, COUNT(*) AS o FROM dt GROUP BY t, s),
+    grid AS (
+      SELECT tok.t, tok.nt, lab.s, lab.ns, COALESCE(pres.o, 0) AS o, nd.n
+      FROM tok CROSS JOIN lab
+      LEFT JOIN pres ON pres.t = tok.t AND pres.s = lab.s
+      CROSS JOIN nd
+      WHERE tok.nt >= 5 AND tok.nt < nd.n
+    ),
+    cells AS (
+      SELECT t, nt,
+             (o - nt * ns * 1.0 / n) * (o - nt * ns * 1.0 / n)
+             * (1.0 / (nt * ns * 1.0 / n) + 1.0 / (ns - nt * ns * 1.0 / n)) AS c
+      FROM grid
+    )
+    SELECT t AS token, CAST(MIN(nt) AS BIGINT) AS doc_freq,
+           ROUND(SUM(c) + 1e-9, 6) AS chi2
+    FROM cells GROUP BY t
+    ORDER BY chi2 DESC, token LIMIT 40
+    """,
+)
+def token_label_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_label_chi2(
+        load(spark, sf_dir, "documents"), "source", "text", min_df=5, top_n=40
+    )
+
+
+# Materialized inverted index: sorted postings + df/cf for the most
+# frequent terms — the build step behind the ranked-search queries.
+@register(
+    "inverted_index_terms",
+    f"""
+    WITH td AS (
+      SELECT t, doc_id, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS t
+        FROM documents
+      ) GROUP BY t, doc_id
+    )
+    SELECT t AS term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS coll_freq,
+           list_sort(list(doc_id)) AS postings
+    FROM td GROUP BY t
+    HAVING COUNT(*) >= 5
+    ORDER BY doc_freq DESC, term LIMIT 50
+    """,
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.inverted_index(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_df=5, top_n=50
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -465,3 +465,60 @@ def test_ivf_pq_broadcasts_all_metadata(spark):
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_no_cartesian_single_distinct(spark):
+    """KMV sketch: one distinct + per-group window; never a cartesian
+    and never a python eval."""
+    df = registry.queries()["kmv_distinct_custkeys"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_semi_join_broadcasts_bits(spark):
+    """Bloom semi-join: the bit table and the dim keys are broadcast —
+    the fact side is never shuffled through a sort-merge join (this IS
+    the runtime-filter shape)."""
+    df = registry.queries()["bloom_semi_join_orders"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pareto_skyline_broadcast_joinback(spark):
+    """Skyline: the frontier (tiny) joins back to the input as a
+    broadcast semi-join; the input is never cartesian-paired."""
+    df = registry.queries()["pareto_skyline_parts"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_joins_on_key_only(spark):
+    """Snapshot diff: two windows + one full outer join on the key —
+    no python eval, no cartesian."""
+    df = registry.queries()["snapshot_diff_users"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_inverted_index_no_joins(spark):
+    """Inverted index build is a pure aggregation pipeline: explode,
+    two groupBys, top-n — no join operator of any kind."""
+    df = registry.queries()["inverted_index_terms"](spark, SF)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin"):
+        assert op not in plan
+
+
+def test_token_label_chi2_stays_jvm_side(spark):
+    """Label-leakage chi2: vocabulary-sized aggregations only, no
+    python eval; the labels grid rides a broadcast."""
+    df = registry.queries()["token_label_leakage"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,164 @@
+"""Deterministic sketches (KMV, bloom semi-join) and the round-5
+relational additions (skyline, snapshot diff, SSSP, token-label chi2,
+inverted index): semantic unit tests on constructed fixtures, where
+the expected answer is known independently of the oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cloud_native_reddit_data_pipeline_spark.operators import (
+    graph,
+    relational,
+    sketches,
+    textstats,
+)
+
+
+def test_kmv_exact_below_capacity(spark):
+    """A group with fewer than k distinct keys reports the exact count
+    as its estimate (KMV is exact below capacity)."""
+    df = spark.createDataFrame(
+        [("g", i % 10) for i in range(100)], "grp_in string, k int"
+    )
+    out = sketches.kmv_distinct(df, "grp_in", "k", k=64).collect()
+    assert len(out) == 1
+    assert out[0]["n_exact"] == 10
+    assert out[0]["kmv_estimate"] == 10.0
+
+
+def test_kmv_estimate_near_truth(spark):
+    """Above capacity the estimate lands within the standard KMV error
+    envelope (~1/sqrt(k-2) relative) of the true cardinality."""
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long").select(
+        F.lit("g").alias("grp_in"), "k"
+    )
+    row = sketches.kmv_distinct(df, "grp_in", "k", k=64).collect()[0]
+    assert row["n_exact"] == n
+    assert abs(row["kmv_estimate"] - n) / n < 0.5  # 4-sigma envelope
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """Every true match must be a bloom candidate (no false negatives
+    ever); false positives are bounded by the m/n regime."""
+    fact = spark.createDataFrame([(i % 200,) for i in range(1000)], "fk long")
+    dim = spark.createDataFrame([(i,) for i in range(50)], "dk long")
+    row = sketches.bloom_semi_join(
+        fact, dim, "fk", "dk", m_bits=4096, j_hashes=3
+    ).collect()[0]
+    assert row["n_probe"] == 1000
+    assert row["n_candidates"] >= row["n_true"]  # no false negatives
+    assert row["n_true"] == 250  # keys 0..49 appear 5x each
+    assert row["n_false_pos"] == row["n_candidates"] - row["n_true"]
+
+
+def test_pareto_skyline_known_frontier(spark):
+    """Hand-checked 2-D skyline: minimize x, maximize y; duplicates of
+    a frontier point survive, dominated rows do not."""
+    rows = [
+        (1, 1.0, 5),  # frontier
+        (2, 2.0, 5),  # dominated by 1 (more expensive, same y)
+        (3, 2.0, 7),  # frontier
+        (4, 3.0, 7),  # dominated by 3
+        (5, 3.0, 9),  # frontier
+        (6, 1.0, 5),  # duplicate of 1 -> survives
+        (7, 0.5, 1),  # frontier (cheapest overall)
+    ]
+    df = spark.createDataFrame(rows, "id int, x double, y int")
+    got = sorted(
+        r["id"] for r in relational.pareto_skyline_2d(df, "x", "y").collect()
+    )
+    assert got == [1, 3, 5, 6, 7]
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/changed/unchanged/removed all classified correctly against
+    a constructed event log."""
+    rows = [
+        # user 1: A at t<=t1, B later -> changed
+        (1, 1, "A", "2024-01-10 00:00:00"),
+        (2, 1, "B", "2024-01-20 00:00:00"),
+        # user 2: only after t1 -> added
+        (3, 2, "C", "2024-01-18 00:00:00"),
+        # user 3: same value both snapshots -> unchanged
+        (4, 3, "D", "2024-01-05 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["key"]: r["status"]
+        for r in relational.snapshot_diff(
+            df,
+            "user_id",
+            "event_type",
+            "ts",
+            ["ts", "event_id"],
+            "2024-01-15 00:00:00",
+            "2024-01-25 00:00:00",
+        ).collect()
+    }
+    assert out == {1: "changed", 2: "added", 3: "unchanged"}
+
+
+def test_sssp_exact_small_graph(spark):
+    """Bellman-Ford on a hand-built weighted graph: the 2-edge cheap
+    path must beat the 1-edge expensive path once rounds allow it."""
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (3, 2, 1), (2, 4, 1)],
+        "src long, dst long, w int",
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.sssp_bellman_ford(edges, source=1, rounds=3).collect()
+    }
+    assert got == {1: 0, 3: 1, 2: 2, 4: 3}
+
+
+def test_sssp_round_bound_semantics(spark):
+    """With rounds=1 only direct edges are relaxed — the R-bounded
+    contract the oracle replays."""
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (3, 2, 1)], "src long, dst long, w int"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.sssp_bellman_ford(edges, source=1, rounds=1).collect()
+    }
+    assert got == {1: 0, 2: 9, 3: 1}
+
+
+def test_token_label_chi2_detects_leak(spark):
+    """A token perfectly correlated with one label scores far above an
+    evenly spread token."""
+    rows = []
+    for i in range(40):
+        label = "a" if i < 20 else "b"
+        leak = "leakword" if label == "a" else "otherword"
+        rows.append((i, label, f"{leak} common{i % 4} filler"))
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {
+        r["token"]: r["chi2"]
+        for r in textstats.token_label_chi2(
+            df, "src", "text", min_df=5, top_n=10
+        ).collect()
+    }
+    assert out["leakword"] == max(out.values())
+    assert out["leakword"] > 30.0  # perfect 20/0 split on 40 docs
+    assert out["common0"] < 1.0  # evenly spread across labels
+
+
+def test_inverted_index_postings_sorted_and_complete(spark):
+    df = spark.createDataFrame(
+        [(3, "x y"), (1, "x z"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = {
+        r["term"]: r
+        for r in textstats.inverted_index(df, "doc_id", "text", min_df=2, top_n=10).collect()
+    }
+    assert out["x"]["postings"] == [1, 2, 3]
+    assert out["x"]["doc_freq"] == 3 and out["x"]["coll_freq"] == 3
+    assert out["y"]["postings"] == [2, 3]
+    assert "z" in out and out["z"]["postings"] == [1, 2]
