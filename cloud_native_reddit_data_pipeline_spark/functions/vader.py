@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~1,820-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~2,930-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -620,6 +620,299 @@ VADER_LEXICON: dict[str, float] = {
     "victims": -1.9, "villains": -2.3, "violates": -2.1, "vomits": -2.0,
     "wastes": -1.8, "weeps": -2.2, "whined": -1.5, "whines": -1.5,
     "wounds": -1.9, "wrecks": -2.0, "yells": -1.4,
+    # --- round-5 growth: inflections, derivations, adverbs, slang ---
+    "adequate": 0.9, "adorably": 2.4, "amicable": 1.7, "ample": 1.1,
+    "ardent": 1.6, "astound": 1.8, "astounded": 1.8, "astounding": 2.1,
+    "audacious": 0.9, "avid": 1.3, "awesomely": 2.7, "based": 1.2,
+    "befriend": 1.7, "befriended": 1.7, "blameless": 1.4, "blessings": 2.4,
+    "blissful": 2.9, "bolder": 1.4, "boldest": 1.8, "boldly": 1.4,
+    "boosted": 1.5, "boosting": 1.5, "bountiful": 1.9, "bravely": 1.9,
+    "braver": 2.0, "bravest": 2.5, "brighter": 1.4, "brilliantly": 2.6,
+    "brisk": 0.6, "buoyant": 1.4, "calmer": 1.2, "calmest": 1.5,
+    "candid": 1.2, "captivate": 1.9, "captivated": 1.9, "captivating": 2.1,
+    "carefree": 1.6, "caress": 1.8, "cheaper": 0.8, "cheapest": 0.9,
+    "cheerfully": 2.1, "cherishing": 2.3, "chic": 1.4, "civility": 1.4,
+    "classy": 1.9, "cleaner": 1.1, "cleanest": 1.4, "cleverer": 1.7,
+    "cleverest": 2.1, "colorful": 1.3, "comical": 1.5, "commendable": 2.1,
+    "commended": 1.9, "comply": 0.6, "composed": 0.9, "conciliate": 1.1,
+    "confide": 1.1, "congenial": 1.7, "conquer": 1.6, "conquered": 1.3,
+    "console": 1.2, "consoled": 1.2, "contentment": 2.0, "cooler": 1.3,
+    "coolest": 1.9, "cordial": 1.7, "craving": 0.4, "cuddly": 2.0,
+    "cuter": 1.9, "cutest": 2.4, "cya": 0.4, "dainty": 1.1, "dashing": 1.9,
+    "dazzle": 2.0, "dazzled": 2.0, "deft": 1.3, "delectable": 2.2,
+    "devotion": 2.1, "dignified": 1.8, "docile": 0.4, "dope": 1.9,
+    "dutiful": 1.3, "easiest": 1.6, "elate": 2.2, "elation": 2.5,
+    "eloquent": 1.9, "emancipate": 1.7, "embolden": 1.4, "empathize": 1.5,
+    "empowering": 2.0, "enchant": 2.0, "enchanted": 2.1, "endear": 1.7,
+    "endearing": 1.9, "enlighten": 1.8, "enlightened": 1.8, "enliven": 1.7,
+    "enthrall": 1.9, "enthralled": 2.0, "entice": 1.3, "enticing": 1.5,
+    "epicness": 2.4, "equitable": 1.4, "esteem": 1.8, "esteemed": 1.9,
+    "euphoria": 2.9, "euphoric": 2.8, "exalt": 1.9, "exalted": 2.0,
+    "excellently": 2.6, "exemplary": 2.3, "exhilarate": 2.2,
+    "exhilarating": 2.4, "exonerate": 1.4, "faster": 1.2, "fastest": 1.6,
+    "feisty": 0.6, "fervent": 1.4, "fidelity": 1.6, "finesse": 1.6,
+    "fire": 1.3, "flattering": 1.6, "forgiving": 1.8, "formidable": 0.9,
+    "fortitude": 1.7, "fruitful": 1.7, "fulfilling": 1.9, "funnier": 1.7,
+    "funniest": 2.1, "generously": 1.9, "genial": 1.6, "gentler": 1.4,
+    "gentlest": 1.7, "gleam": 1.3, "gleaming": 1.5, "glorify": 1.8,
+    "goat": 1.9, "gr8": 2.2, "gracefully": 1.9, "grandeur": 2.0,
+    "gratify": 1.8, "gratifying": 1.9, "grin": 1.6, "grinning": 1.7,
+    "grit": 0.9, "gusto": 1.4, "hail": 0.9, "hardy": 1.1, "heroism": 2.4,
+    "hilarious": 2.3, "honestly": 1.4, "hugz": 1.9, "humility": 1.4,
+    "ideally": 1.6, "idol": 1.6, "idyllic": 2.1, "illustrious": 2.1,
+    "ily": 3.0, "imaginative": 1.6, "impeccable": 2.3, "indulgent": 0.6,
+    "ingenious": 2.2, "ingenuity": 1.9, "innocence": 1.5, "inquisitive": 1.1,
+    "intact": 0.8, "intrepid": 1.6, "intrigue": 1.2, "invigorate": 1.8,
+    "invigorating": 1.9, "jovial": 2.0, "joyfully": 2.4, "judicious": 1.4,
+    "kinder": 1.9, "kindest": 2.5, "kindhearted": 2.3, "kindly": 1.7,
+    "kudos": 2.1, "lavish": 1.4, "legit": 1.4, "lenient": 0.9,
+    "liberate": 1.8, "liberated": 1.8, "liberation": 1.9, "lit": 1.8,
+    "lovingly": 2.4, "luckier": 1.9, "luckiest": 2.4, "luminous": 1.7,
+    "luscious": 2.1, "lush": 1.5, "luster": 1.3, "luv": 2.5,
+    "luxurious": 2.2, "luxury": 2.0, "magnificence": 2.5, "marvel": 1.9,
+    "marveled": 1.9, "masterful": 2.1, "masterly": 2.0, "mellow": 1.0,
+    "merciful": 1.9, "merriment": 2.1, "mindful": 1.3, "mirth": 2.0,
+    "modest": 1.1, "modesty": 1.2, "motivating": 1.8, "muah": 1.9,
+    "nicer": 1.9, "nicest": 2.3, "nimble": 1.2, "nostalgia": 0.9,
+    "nostalgic": 0.9, "nourish": 1.5, "nourishing": 1.6, "nurturing": 1.8,
+    "omg": 1.3, "opportune": 1.3, "optimist": 1.8, "opulent": 1.7,
+    "overcome": 1.4, "pacify": 1.1, "painless": 1.3, "pamper": 1.5,
+    "pampered": 1.6, "paramount": 1.4, "passionately": 2.0, "perk": 1.3,
+    "perks": 1.3, "perseverance": 1.9, "persevere": 1.7, "persistent": 1.1,
+    "phenomenal": 2.7, "phew": 0.7, "picturesque": 2.0, "pinnacle": 1.9,
+    "plentiful": 1.5, "pls": 0.3, "plz": 0.3, "poignant": 0.9, "poise": 1.4,
+    "poised": 1.2, "politely": 1.4, "ponder": 0.4, "positivity": 2.1,
+    "prettier": 1.9, "prettiest": 2.3, "prevail": 1.5, "prevailed": 1.5,
+    "pristine": 2.1, "profound": 1.4, "progressive": 1.2, "prominent": 1.4,
+    "prospered": 2.0, "prudent": 1.3, "punctual": 1.3, "quaint": 1.1,
+    "rad": 2.0, "rapture": 2.4, "rapturous": 2.4, "ravishing": 2.3,
+    "reconcile": 1.3, "reconciliation": 1.6, "redeem": 1.4, "redeemed": 1.5,
+    "redemption": 1.6, "refine": 1.1, "refuge": 1.1, "regal": 1.7,
+    "rejoicing": 2.4, "rejuvenate": 1.9, "rejuvenated": 1.9, "reliance": 0.6,
+    "renew": 1.3, "renewed": 1.4, "renown": 1.7, "resilience": 1.8,
+    "resolute": 1.4, "resounding": 1.3, "resourceful": 1.7, "respite": 1.1,
+    "resplendent": 2.2, "revel": 1.6, "revelation": 1.1, "revere": 1.9,
+    "revered": 2.0, "reverence": 1.9, "revitalize": 1.8, "richer": 1.6,
+    "richest": 2.0, "rigorous": 0.6, "rugged": 0.4, "safer": 1.6,
+    "safest": 1.9, "sane": 1.1, "sanguine": 1.4, "savor": 1.6,
+    "savored": 1.7, "scrumptious": 2.2, "seamless": 1.6, "secured": 1.4,
+    "sedate": 0.3, "selfless": 2.1, "sensible": 1.4, "serenity": 2.0,
+    "shrewd": 0.9, "slay": 1.8, "slick": 0.9, "solace": 1.3,
+    "solidarity": 1.6, "soulful": 1.6, "spacious": 1.3, "sparkling": 1.9,
+    "spellbinding": 2.1, "spotless": 1.7, "stainless": 0.8, "stalwart": 1.3,
+    "staunch": 0.9, "stoic": 0.3, "strongest": 2.1, "stupendous": 2.5,
+    "sturdy": 1.1, "successfully": 1.9, "sumptuous": 2.0, "superiority": 1.1,
+    "surmount": 1.2, "surpass": 1.4, "surpassed": 1.4, "sweeter": 1.9,
+    "sweetest": 2.4, "sympathize": 1.3, "sympathy": 1.4, "tactful": 1.5,
+    "tasteful": 1.6, "tasty": 1.9, "tenacious": 1.2, "tenacity": 1.4,
+    "tenderness": 1.8, "thankyou": 2.0, "thorough": 1.2, "thx": 1.5,
+    "timeless": 1.7, "tranquility": 1.9, "triumphantly": 2.5,
+    "truthfully": 1.5, "undaunted": 1.2, "uplift": 1.9, "uplifted": 1.9,
+    "uproarious": 1.1, "upscale": 1.2, "valor": 1.9, "vanquish": 1.1,
+    "venerable": 1.7, "vibes": 1.0, "vibrancy": 1.7, "victoriously": 2.4,
+    "vindicate": 1.2, "vitality": 1.6, "vivacious": 1.9, "warmer": 1.1,
+    "warmest": 1.6, "wellbeing": 1.9, "whimsical": 1.1, "wiser": 1.9,
+    "wisest": 2.3, "wondrous": 2.4, "xoxo": 2.6,
+    "aching": -1.7, "angerly": -1.9, "angrily": -1.9, "antagonistic": -1.9,
+    "antagonize": -1.9, "apathetic": -1.2, "atrocities": -3.1,
+    "austere": -0.9, "backstab": -2.4, "backstabber": -2.6, "bashful": -0.4,
+    "belligerent": -2.0, "bereave": -2.0, "bereaved": -2.1,
+    "bewildered": -1.1, "blunders": -1.7, "bogus": -1.6, "bonkers": -1.1,
+    "brazen": -1.0, "brute": -2.1, "bullied": -2.3, "bullies": -2.2,
+    "bullying": -2.4, "burdens": -1.6, "calamities": -2.6,
+    "carelessly": -1.6, "casualties": -2.2, "clickbait": -1.6,
+    "coerce": -1.7, "coerced": -1.8, "coercion": -1.9, "colder": -0.9,
+    "coldest": -1.2, "complacent": -0.8, "concede": -0.6, "condone": -0.6,
+    "contagion": -1.7, "contaminate": -1.9, "contemptible": -2.3,
+    "corrode": -1.4, "corrosive": -1.5, "covet": -0.9, "cowardice": -1.9,
+    "cramped": -1.1, "cranky": -1.6, "crazier": -0.9, "craziest": -1.1,
+    "creepier": -1.7, "creepiest": -2.0, "crestfallen": -2.0, "cringe": -1.7,
+    "cringeworthy": -1.9, "cringey": -1.8, "cringiest": -2.0,
+    "cripple": -2.0, "crises": -2.3, "crueler": -2.4, "cruelest": -2.9,
+    "crumble": -1.3, "crushing": -1.9, "cunning": -0.4, "curt": -1.0,
+    "cynic": -1.4, "cynicism": -1.6, "darker": -0.9, "darkest": -1.4,
+    "daunting": -1.5, "debacle": -2.2, "decadent": -0.9, "decay": -1.6,
+    "decayed": -1.7, "deceptive": -1.9, "defamation": -2.2, "defame": -2.1,
+    "defiant": -1.2, "defile": -2.1, "deformed": -1.8, "defraud": -2.3,
+    "degenerate": -1.9, "dehumanize": -2.3, "deject": -1.9,
+    "delinquent": -1.7, "delirious": -1.1, "deluded": -1.6, "delusion": -1.6,
+    "demean": -1.9, "demeaning": -2.0, "demoralize": -2.0,
+    "demoralized": -2.1, "denigrate": -2.1, "deplete": -1.3,
+    "depleted": -1.4, "deplorable": -2.4, "deplore": -2.1, "deprave": -2.2,
+    "depraved": -2.4, "deprive": -1.8, "deride": -1.8, "derision": -1.9,
+    "derogatory": -2.0, "desecrate": -2.3, "desolation": -2.1,
+    "desperately": -1.6, "despondent": -2.2, "destitute": -2.1,
+    "detain": -1.4, "detained": -1.5, "detest": -2.4, "detestable": -2.5,
+    "detriment": -1.7, "devastate": -2.6, "devious": -1.8, "devour": -0.6,
+    "dilapidated": -1.7, "dirtier": -1.4, "dirtiest": -1.8, "disarray": -1.5,
+    "disband": -0.9, "discredit": -1.8, "disdain": -2.0, "disdainful": -1.9,
+    "disenchanted": -1.6, "disfigured": -2.0, "dishearten": -1.9,
+    "disinterest": -1.1, "disoriented": -1.2, "disparage": -2.0,
+    "displeasure": -1.8, "disquiet": -1.3, "distaste": -1.7,
+    "distasteful": -1.9, "distort": -1.4, "distrustful": -1.7,
+    "disturb": -1.6, "disturbance": -1.5, "dodgy": -1.4, "dominate": -0.6,
+    "downcast": -1.9, "downhearted": -2.0, "drab": -1.2, "draconian": -2.1,
+    "dreary": -1.7, "dubious": -1.3, "dud": -1.4, "dumber": -2.1,
+    "dumbest": -2.4, "edgy": -0.9, "eerie": -1.4, "encroach": -1.3,
+    "endangered": -1.9, "ennui": -1.3, "enrage": -2.4, "enslave": -2.4,
+    "enslaved": -2.5, "entangle": -1.1, "envious": -1.4, "eww": -1.9,
+    "ewww": -2.0, "exasperate": -1.8, "exasperated": -1.9,
+    "excruciating": -2.8, "expel": -1.5, "expelled": -1.6, "extort": -2.2,
+    "extortion": -2.3, "fabricate": -1.4, "fabricated": -1.5,
+    "facetious": -0.4, "faithless": -1.7, "fallacy": -1.5, "falter": -1.2,
+    "fanatic": -1.2, "farce": -1.5, "fatigued": -1.5, "fearfully": -1.7,
+    "felony": -2.4, "ferocious": -1.7, "ffs": -2.2, "fickle": -1.1,
+    "filth": -2.1, "flimsy": -1.2, "fluke": -0.4, "fml": -2.4, "foes": -1.7,
+    "foolishly": -1.6, "forlorn": -2.0, "forsake": -1.8, "forsaken": -1.9,
+    "fractious": -1.4, "frail": -1.3, "frenzy": -1.2, "fret": -1.4,
+    "fretting": -1.5, "friction": -1.2, "friendless": -1.8,
+    "frightful": -2.2, "frigid": -1.2, "frivolous": -1.1, "frustrate": -2.0,
+    "fume": -1.6, "fuming": -1.9, "furiously": -2.2, "gaudy": -1.1,
+    "ghastly": -2.3, "gloat": -0.9, "glum": -1.7, "graceless": -1.5,
+    "grave": -1.6, "grime": -1.4, "grimy": -1.5, "gruesome": -2.6,
+    "grumble": -1.4, "gtfo": -2.4, "gullible": -1.3, "gutless": -1.9,
+    "hamper": -1.3, "hampered": -1.4, "haphazard": -1.1, "harassment": -2.4,
+    "harder": -0.6, "hardest": -0.9, "hassle": -1.5, "hassled": -1.6,
+    "hateful": -2.8, "haughty": -1.4, "havoc": -1.9, "hazard": -1.6,
+    "hazardous": -1.8, "heartache": -2.2, "heartless": -2.4, "heinous": -2.7,
+    "helplessly": -1.7, "hideous": -2.3, "homesick": -1.5,
+    "hopelessly": -2.0, "hypocrisy": -2.1, "hypocrite": -2.1,
+    "hysterical": -1.0, "impair": -1.5, "impaired": -1.6, "impede": -1.3,
+    "imperfect": -1.2, "imperil": -1.9, "impersonal": -0.9, "impolite": -1.7,
+    "impotent": -1.6, "impoverished": -1.9, "imprison": -1.9,
+    "improper": -1.4, "imprudent": -1.4, "impure": -1.4, "inaccurate": -1.3,
+    "inact": -0.9, "inconsiderate": -1.8, "indecent": -1.7,
+    "indifference": -1.2, "indifferent": -1.1, "indignant": -1.6,
+    "indignation": -1.8, "ineffective": -1.5, "inefficient": -1.5,
+    "infest": -1.9, "infested": -2.0, "inflict": -1.8, "infuriate": -2.4,
+    "ingrate": -1.8, "ingratitude": -1.8, "inhibit": -1.1,
+    "inhospitable": -1.6, "inhuman": -2.3, "inhumane": -2.4,
+    "iniquity": -2.1, "injure": -1.9, "insanity": -1.8, "insecurity": -1.6,
+    "insensitive": -1.7, "insidious": -1.9, "insignificant": -1.3,
+    "insincere": -1.6, "insolent": -1.7, "instability": -1.4,
+    "insufferable": -2.2, "interference": -1.2, "intolerable": -2.1,
+    "intolerance": -1.9, "intrude": -1.4, "intrusion": -1.5,
+    "intrusive": -1.5, "invalid": -1.2, "irate": -2.2, "irreparable": -1.9,
+    "irreverent": -1.2, "irritable": -1.7, "isolation": -1.6, "jaded": -1.4,
+    "jeopardize": -1.9, "joyless": -2.0, "kaput": -1.6,
+    "lackadaisical": -1.2, "lackluster": -1.4, "lament": -1.9,
+    "lamented": -1.9, "languish": -1.6, "lax": -0.9, "lethargic": -1.4,
+    "lethargy": -1.4, "liability": -1.3, "livid": -2.4, "loath": -2.1,
+    "loathing": -2.6, "loathsome": -2.6, "lonesome": -1.8, "longing": -0.6,
+    "lousier": -1.9, "lousiest": -2.2, "loveless": -1.9, "ludicrous": -1.7,
+    "lull": -0.4, "lurid": -1.6, "macabre": -2.0, "madder": -1.9,
+    "maddest": -2.2, "malaise": -1.6, "malevolent": -2.4, "malice": -2.4,
+    "malign": -2.0, "malignant": -2.2, "maltreat": -2.3, "mangle": -1.8,
+    "mangled": -1.9, "mar": -1.3, "marred": -1.5, "martyr": -1.1,
+    "maul": -2.1, "mauled": -2.2, "mayhem": -2.1, "meaner": -1.8,
+    "meanest": -2.2, "meddle": -1.3, "mediocrity": -1.2, "melancholy": -1.9,
+    "meltdown": -1.9, "menacing": -2.0, "messy": -1.4, "mischief": -1.1,
+    "miserly": -1.6, "misfit": -1.3, "misgiving": -1.3, "mishap": -1.5,
+    "misinform": -1.6, "misinformation": -1.8, "mismanage": -1.6,
+    "misrepresent": -1.7, "mistreat": -2.1, "mistreated": -2.2,
+    "mistreatment": -2.2, "misunderstand": -1.3, "moan": -1.3,
+    "moaning": -1.3, "molest": -2.9, "monotony": -1.3, "monstrous": -2.3,
+    "moron": -2.4, "moronic": -2.4, "morose": -1.9, "mortified": -2.1,
+    "mournful": -2.1, "muddle": -1.1, "mundane": -0.9, "murky": -1.2,
+    "mutilate": -2.7, "mutilated": -2.8, "mutiny": -1.8, "myopic": -1.1,
+    "nag": -1.4, "nagging": -1.5, "naughty": -1.2, "nauseating": -2.1,
+    "nauseous": -1.8, "nefarious": -2.3, "neglectful": -1.8,
+    "negligence": -1.8, "negligent": -1.7, "nemesis": -1.6,
+    "nervously": -1.2, "nervousness": -1.3, "neurotic": -1.4, "newbie": -0.6,
+    "nonchalant": -0.3, "nonsensical": -1.5, "noob": -1.4, "notorious": -1.6,
+    "novice": -0.4, "noxious": -2.0, "nuisance": -1.5, "numb": -1.3,
+    "obliterate": -2.2, "obliterated": -2.3, "oblivious": -1.1,
+    "obscenity": -2.1, "obsess": -1.1, "obsessed": -1.0, "obsession": -1.0,
+    "obsolete": -1.2, "obstinate": -1.3, "obstruct": -1.4,
+    "obstruction": -1.4, "odious": -2.3, "ominous": -1.8, "omission": -1.1,
+    "onerous": -1.4, "onslaught": -1.8, "opportunistic": -0.9,
+    "oppressive": -2.3, "ordeal": -1.7, "ostracize": -1.9, "outcast": -1.6,
+    "outdone": -0.9, "outlaw": -1.3, "overbearing": -1.6, "overburden": -1.6,
+    "overpower": -1.1, "overrated": -1.4, "overreact": -1.3,
+    "oversight": -1.1, "overwhelm": -1.3, "overwhelming": -1.0,
+    "overzealous": -1.1, "pandemonium": -1.9, "paralyze": -2.0,
+    "paranoia": -1.7, "pariah": -1.9, "pathetically": -2.1,
+    "patronize": -1.4, "patronizing": -1.6, "peculiar": -0.6,
+    "penalize": -1.6, "pensive": -0.3, "perilous": -2.0, "perished": -2.2,
+    "pernicious": -2.1, "perpetrator": -2.0, "persecute": -2.3,
+    "perturb": -1.3, "perturbed": -1.4, "pervert": -2.1, "perverted": -2.2,
+    "pessimist": -1.7, "pester": -1.5, "petrified": -2.1, "phony": -1.8,
+    "pitiful": -1.9, "plight": -1.7, "plummet": -1.6, "plunder": -2.0,
+    "pollute": -1.9, "polluted": -2.0, "pompous": -1.6, "poorer": -1.4,
+    "poorest": -1.7, "possessive": -1.3, "posthumous": -1.1,
+    "precarious": -1.5, "predatory": -1.9, "predicament": -1.5,
+    "premonition": -0.9, "preposterous": -1.7, "pretentious": -1.6,
+    "procrastinate": -1.3, "profane": -1.9, "profanity": -1.9,
+    "prohibit": -1.3, "provocation": -1.5, "provocative": -0.6,
+    "pungent": -1.1, "punitive": -1.6, "qualm": -1.1, "quandary": -1.3,
+    "quarrel": -1.7, "quarreled": -1.7, "quell": -0.6, "quibble": -1.1,
+    "quitter": -1.6, "radical": -0.9, "rancid": -2.0, "rancor": -2.0,
+    "ranting": -1.5, "rascal": -1.1, "rash": -1.2, "ravage": -2.1,
+    "ravaged": -2.2, "rebellious": -1.3, "rebuke": -1.7, "rebuked": -1.8,
+    "recession": -1.9, "recklessly": -1.8, "recklessness": -1.8,
+    "regression": -1.2, "relentless": -0.9, "relinquish": -0.9,
+    "remorseful": -1.9, "renegade": -1.2, "repel": -1.3, "repent": -0.6,
+    "reprehensible": -2.4, "repress": -1.5, "repression": -1.8,
+    "reprimand": -1.7, "reprisal": -1.7, "reproach": -1.6, "repugnant": -2.3,
+    "repulse": -2.0, "repulsed": -2.1, "restrict": -1.2, "restricted": -1.2,
+    "retaliate": -1.8, "retaliation": -1.9, "reticent": -0.6, "revile": -2.1,
+    "reviled": -2.2, "revolt": -1.8, "revolting": -2.4, "revulsion": -2.3,
+    "rift": -1.2, "rile": -1.4, "riled": -1.5, "rip": -1.1, "ripped": -1.1,
+    "riskier": -1.2, "riskiest": -1.5, "rot": -1.8, "rowdy": -1.1,
+    "rueful": -1.4, "ruinous": -2.2, "rupture": -1.4, "rust": -0.9,
+    "rusty": -0.9, "sabotaging": -2.1, "sacrifice": -0.4, "sacrificed": -0.6,
+    "sadistic": -2.7, "salty": -1.1, "sarcasm": -1.1, "savagely": -2.2,
+    "scandalous": -2.2, "scapegoat": -1.7, "scarier": -1.8, "scariest": -2.2,
+    "scathing": -1.9, "sceptical": -1.2, "scold": -1.6, "scolded": -1.7,
+    "scorched": -1.3, "scornful": -1.9, "scourge": -2.0, "scraggly": -1.1,
+    "scrap": -0.9, "scrappy": -0.4, "scum": -2.4, "seethe": -1.8,
+    "seething": -1.9, "selfishness": -1.9, "senile": -1.6, "senseless": -1.8,
+    "sever": -1.2, "shabby": -1.5, "shackle": -1.6, "shady": -1.6,
+    "sham": -1.8, "shambles": -1.8, "shamefully": -1.9, "shameless": -1.6,
+    "shatter": -1.7, "shoddy": -1.8, "shun": -1.7, "shunned": -1.8,
+    "sicker": -1.7, "sickest": -1.9, "silly": -0.9, "simplistic": -0.9,
+    "skeptic": -1.1, "sketchy": -1.5, "slanderous": -2.2, "slaughter": -2.8,
+    "slaughtered": -2.9, "sleazy": -1.9, "slime": -1.6, "slimy": -1.7,
+    "slower": -0.7, "slowest": -1.0, "smear": -1.6, "smeared": -1.7,
+    "smh": -1.3, "smother": -1.4, "snide": -1.5, "snob": -1.6,
+    "snobbish": -1.7, "sordid": -1.9, "sorrowful": -2.3, "sour": -1.4,
+    "spam": -1.6, "spammer": -1.9, "spammy": -1.6, "spank": -1.1,
+    "spineless": -1.9, "spoil": -1.4, "spoiled": -1.6, "spook": -1.2,
+    "spooky": -1.2, "sporadic": -0.6, "spurious": -1.6, "squabble": -1.4,
+    "squander": -1.7, "squandered": -1.8, "stagnant": -1.2, "stagnate": -1.2,
+    "stammer": -0.9, "stench": -2.0, "stereotype": -1.3, "sterile": -0.9,
+    "stern": -1.1, "stfu": -2.7, "stifle": -1.4, "stifled": -1.5,
+    "stigma": -1.6, "stinky": -1.9, "stormy": -1.2, "strained": -1.2,
+    "strangle": -2.3, "strenuous": -1.1, "stricken": -1.8, "strife": -1.8,
+    "stupidly": -1.9, "subdue": -0.9, "subjugate": -1.9, "submissive": -0.9,
+    "subpar": -1.4, "subservient": -1.1, "subvert": -1.4, "succumb": -1.4,
+    "suffocate": -2.1, "suffocating": -2.2, "suppress": -1.4,
+    "suppression": -1.6, "surly": -1.5, "sus": -1.0, "swindle": -2.1,
+    "swindled": -2.2, "taboo": -1.2, "tactless": -1.6, "taint": -1.6,
+    "tainted": -1.8, "tamper": -1.3, "tantrum": -1.6, "tarnish": -1.6,
+    "tarnished": -1.7, "tasteless": -1.5, "tearful": -1.7, "tension": -1.3,
+    "terrify": -2.6, "terrifying": -2.7, "thankless": -1.4,
+    "thoughtless": -1.7, "toil": -1.1, "torrid": -0.9, "traitorous": -2.5,
+    "transgress": -1.6, "treacherous": -2.3, "treachery": -2.4,
+    "treason": -2.4, "trepidation": -1.5, "tribulation": -1.7, "trite": -1.1,
+    "trivial": -0.9, "troll": -1.8, "trolling": -1.7, "trolls": -1.8,
+    "truant": -1.2, "turbulent": -1.4, "uglier": -2.0, "uglies": -1.9,
+    "ugliest": -2.4, "unappreciated": -1.6, "unattractive": -1.7,
+    "unconcerned": -0.9, "uncouth": -1.5, "undependable": -1.6,
+    "underestimate": -1.1, "unfavorable": -1.5, "unhappily": -1.9,
+    "unjustly": -2.0, "unkind": -1.8, "unlawful": -1.8, "unpopular": -1.4,
+    "unqualified": -1.4, "unruly": -1.4, "unscrupulous": -2.0,
+    "unsettling": -1.5, "unsure": -1.0, "unwise": -1.4, "uptight": -1.3,
+    "vagrant": -1.3, "vandalism": -2.0, "vapid": -1.3, "vengeful": -2.2,
+    "venom": -1.9, "venomous": -2.1, "vex": -1.5, "vexed": -1.6,
+    "viciously": -2.4, "vilify": -2.1, "vindictive": -2.0, "violently": -2.3,
+    "wail": -1.6, "wane": -0.9, "wary": -1.1, "wasteful": -1.6,
+    "wavering": -0.9, "weaker": -1.3, "weakest": -1.7, "weeping": -2.2,
+    "wickedness": -2.2, "wilt": -1.1, "wimp": -1.4, "wince": -1.2,
+    "wistful": -0.4, "withdrawn": -1.2, "wither": -1.3, "withered": -1.4,
+    "witless": -1.6, "woes": -2.1, "worser": -2.3, "wrathful": -2.5,
+    "wreak": -1.6, "wretched": -2.3, "wrongdoing": -1.9, "wrongful": -1.9,
+    "yuck": -1.8, "yucky": -1.9, "zealot": -1.1,
 }
 
 _NT_SUFFIX = "n't"
