@@ -106,6 +106,9 @@ HEADLINE = [
     "snapshot_diff_users",
     "token_label_leakage",
     "inverted_index_terms",
+    "ohlc_daily_bars",
+    "daily_trend_ols",
+    "ann_truncation_recall",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

@@ -602,3 +602,57 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(id_col, "rrf_score", "n_legs", "rank")
     )
+
+
+def truncation_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    dims: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of dimension-truncated cosine search against the
+    full-dimension ground truth — the Matryoshka-style evaluation that
+    decides whether a cheaper prefix of the embedding is good enough
+    to serve (truncate-and-renormalize retrieval trades index size for
+    recall; this measures the trade exactly).
+
+    Both legs run the same deterministic brute-force top-k (rounded
+    cosine, id tie-break); recall = |trunc-top-k  ∩  full-top-k| / k
+    per query.  Cosine is scale-invariant, so truncation without
+    renormalization is exactly the truncate-renormalize ranking.
+
+    Scale shape: two broadcast-query scans of the corpus + one join of
+    two (|Q| x k)-row frames — the evaluation cost is two searches,
+    never a third pass over the corpus."""
+    full = brute_force_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    truncated = brute_force_topk(
+        emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims)),
+        query_ids,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    overlap = (
+        truncated.alias("t")
+        .join(
+            F.broadcast(full.alias("f")),
+            (F.col("t.query_id") == F.col("f.query_id"))
+            & (F.col("t.neighbor_id") == F.col("f.neighbor_id")),
+        )
+        .groupBy(F.col("t.query_id").alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(F.broadcast(overlap), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(float(k)), 4
+            ).alias("recall_at_k"),
+        )
+    )

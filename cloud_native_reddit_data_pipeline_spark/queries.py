@@ -6291,6 +6291,120 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Daily OHLC bars per event type — timeseries candlestick downsampling
+# (open/close via strict (ts, event_id) order, exact-decimal mean).
+@register(
+    "ohlc_daily_bars",
+    """
+    WITH marked AS (
+      SELECT CAST(ts AS DATE) AS bar_date, event_type AS key, value AS v,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT bar_date, key,
+           ROUND(MAX(CASE WHEN ra = 1 THEN v END), 4) AS open,
+           ROUND(MAX(v), 4) AS high,
+           ROUND(MIN(v), 4) AS low,
+           ROUND(MAX(CASE WHEN rd = 1 THEN v END), 4) AS close,
+           COUNT(*) AS volume,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 + 1e-9, 4) AS mean_value
+    FROM marked GROUP BY bar_date, key
+    """,
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.ohlc_bars(load(spark, sf_dir, "events"))
+
+
+# Per-event-type OLS trend of daily totals: closed-form slope/intercept
+# over exact integer sums — drift/growth monitoring as one aggregate.
+@register(
+    "daily_trend_ols",
+    """
+    WITH daily AS (
+      SELECT event_type AS key,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT key, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY key
+    )
+    SELECT key, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day,
+           ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS intercept
+    FROM stats
+    """,
+)
+def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.daily_trend(load(spark, sf_dir, "events"))
+
+
+# Matryoshka truncation evaluation: recall@10 of 16-dim-prefix cosine
+# search vs the full 64-dim ground truth, per query.
+_TRUNC_DIMS, _TRUNC_K = 16, 10
+
+
+@register(
+    "ann_truncation_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+    ),
+    full_ranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv,
+                         CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id
+               ) AS rk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      ) WHERE rk <= {_TRUNC_K}
+    ),
+    trunc_ranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv[1:{_TRUNC_DIMS}],
+                         CAST(e.embedding AS DOUBLE[])[1:{_TRUNC_DIMS}]), 4)
+                         DESC, e.vec_id
+               ) AS rk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      ) WHERE rk <= {_TRUNC_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.neighbor_id) / {float(_TRUNC_K)}, 4) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM full_ranked) f
+    LEFT JOIN (
+      SELECT tr.query_id, tr.neighbor_id
+      FROM trunc_ranked tr JOIN full_ranked fr
+        ON fr.query_id = tr.query_id AND fr.neighbor_id = tr.neighbor_id
+    ) t ON t.query_id = f.query_id
+    GROUP BY f.query_id
+    """,
+)
+def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.truncation_recall(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
+        dims=_TRUNC_DIMS, k=_TRUNC_K,
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

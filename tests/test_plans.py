@@ -522,3 +522,29 @@ def test_token_label_chi2_stays_jvm_side(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_shuffle(spark):
+    """OHLC bars: windows and aggregate share the (day, key)
+    partitioning — one hash exchange total, no join."""
+    df = registry.queries()["ohlc_daily_bars"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_daily_trend_two_aggregates_no_join(spark):
+    """Daily OLS trend: two cascaded aggregations, nothing else."""
+    df = registry.queries()["daily_trend_ols"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_truncation_recall_broadcast_queries(spark):
+    """Truncation recall: both search legs broadcast the query set; the
+    corpus is never sort-merge joined or cartesian-paired with itself."""
+    df = registry.queries()["ann_truncation_recall"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

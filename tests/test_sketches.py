@@ -162,3 +162,72 @@ def test_inverted_index_postings_sorted_and_complete(spark):
     assert out["x"]["doc_freq"] == 3 and out["x"]["coll_freq"] == 3
     assert out["y"]["postings"] == [2, 3]
     assert "z" in out and out["z"]["postings"] == [1, 2]
+
+
+def test_ohlc_bars_known_values(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators import windows as W
+
+    rows = [
+        (1, "a", 10.0, "2024-01-01 01:00:00"),
+        (2, "a", 30.0, "2024-01-01 02:00:00"),
+        (3, "a", 5.0, "2024-01-01 03:00:00"),
+        (4, "a", 20.0, "2024-01-01 04:00:00"),
+        (5, "a", 7.0, "2024-01-02 01:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["bar_date"]): r for r in W.ohlc_bars(df).collect()}
+    d1 = out["2024-01-01"]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (10.0, 30.0, 5.0, 20.0)
+    assert d1["volume"] == 4 and d1["mean_value"] == 16.25
+    assert out["2024-01-02"]["open"] == out["2024-01-02"]["close"] == 7.0
+
+
+def test_ohlc_same_timestamp_tiebreak(spark):
+    """Equal timestamps: event_id breaks the open/close tie
+    deterministically."""
+    from cloud_native_reddit_data_pipeline_spark.operators import windows as W
+
+    rows = [
+        (2, "a", 99.0, "2024-01-01 01:00:00"),
+        (1, "a", 11.0, "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = W.ohlc_bars(df).collect()[0]
+    assert r["open"] == 11.0 and r["close"] == 99.0
+
+
+def test_daily_trend_exact_line(spark):
+    """Points on an exact line y = 2x + 3 (daily totals) recover slope
+    2 and intercept 3 exactly."""
+    from cloud_native_reddit_data_pipeline_spark.operators import windows as W
+
+    rows = []
+    eid = 0
+    for day in range(5):
+        total = 2 * day + 3
+        rows.append((eid, "t", float(total), f"2024-01-{day + 1:02d} 12:00:00"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = W.daily_trend(df).collect()[0]
+    assert r["n_days"] == 5
+    assert r["slope_per_day"] == 2.0
+    assert r["intercept"] == 3.0
+
+
+def test_truncation_recall_full_dims_is_one(spark):
+    """Truncating to the full dimensionality must reproduce the ground
+    truth exactly: recall 1.0 for every query."""
+    from cloud_native_reddit_data_pipeline_spark.operators import similarity as S
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load as L
+
+    emb = L(spark, "/root/testdata/sf0.001", "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    out = S.truncation_recall(emb, [0, 1], dims=dims, k=5).collect()
+    assert len(out) == 2
+    assert all(r["recall_at_k"] == 1.0 for r in out)
