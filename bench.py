@@ -109,6 +109,9 @@ HEADLINE = [
     "ohlc_daily_bars",
     "daily_trend_ols",
     "ann_truncation_recall",
+    "frequent_event_paths",
+    "seasonal_anomaly_days",
+    "clustering_coefficient",
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

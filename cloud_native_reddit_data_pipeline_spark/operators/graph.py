@@ -627,3 +627,72 @@ def sssp_oracle_sql(
     FROM d{rounds}
     """
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient 2T / (d(d-1)) over
+    canonical undirected edges — "how interconnected is each node's
+    neighborhood", the standard community-density diagnostic on top of
+    the degree-oriented triangle count (same no-hub-blowup wedge
+    generation; see `triangle_counts`).
+
+    Returns (node, degree, n_triangles, coefficient) for nodes with
+    degree >= 2; the coefficient is exact-integer-derived, rounded to 6
+    (both engines do one double division on identical BIGINTs)."""
+    edges = edges.select("src", "dst").distinct().persist()
+    try:
+        tri = triangle_counts(edges)
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        out = (
+            deg.filter(F.col("degree") >= 2)
+            .join(tri, "node", "left")
+            .select(
+                "node",
+                F.col("degree").cast("long").alias("degree"),
+                F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                    "n_triangles"
+                ),
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("coefficient"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def clustering_coefficient_oracle_sql(min_orders: int = 3) -> str:
+    """DuckDB twin: wraps the triangle replay and joins degrees from
+    the same canonical co-supply edge set."""
+    tri_sql = triangle_oracle_sql(min_orders)
+    return f"""
+    WITH tri AS ({tri_sql}),
+    os_pairs2 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges2 AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM os_pairs2 a JOIN os_pairs2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_orders}
+    ),
+    sym2 AS (SELECT src, dst FROM edges2 UNION ALL SELECT dst, src FROM edges2),
+    deg2 AS (SELECT src AS node, COUNT(*) AS degree FROM sym2 GROUP BY 1)
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)) + 1e-9, 6) AS coefficient
+    FROM deg2 d LEFT JOIN tri t ON t.node = d.node
+    WHERE d.degree >= 2
+    """

@@ -599,3 +599,101 @@ def daily_trend(
             icpt_num.cast("double") / den.cast("double") / 100.0, 6
         ).alias("intercept"),
     )
+
+
+def frequent_event_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    min_support: int = 2,
+    top_n: int = 30,
+) -> DataFrame:
+    """Frequent sequential patterns of length 3: consecutive event-type
+    trigrams over each user's time-ordered stream, ranked by SUPPORT
+    (distinct users exhibiting the path) — the sequential-pattern-mining
+    companion of `event_transition_matrix` (first-order pairs there,
+    order-3 paths here; the contiguous-window restriction is what keeps
+    the candidate space linear instead of PrefixSpan's lattice).
+
+    Scale shape: one per-user window sort emits every trigram in place
+    (two leads, no join), a distinct bounds each user's contribution to
+    one per pattern, and the support aggregate runs on the tiny
+    |types|^3 key space.  Returns (path, support, n_occurrences)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    tri = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("_t1"),
+            F.lead(type_col, 1).over(w).alias("_t2"),
+            F.lead(type_col, 2).over(w).alias("_t3"),
+        )
+        .filter(F.col("_t3").isNotNull())
+        .select(
+            "_u",
+            F.concat_ws(">", "_t1", "_t2", "_t3").alias("path"),
+        )
+    )
+    occ = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    sup = (
+        tri.distinct()
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        sup.join(occ, "path")
+        .filter(F.col("support") >= min_support)
+        .select("path", "support", "n_occurrences")
+        .orderBy(F.desc("support"), F.desc("n_occurrences"), "path")
+        .limit(top_n)
+    )
+
+
+def seasonal_anomaly_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonal anomaly detection on daily totals: each day's total is
+    z-scored against its DAY-OF-WEEK baseline (mean/stddev over all
+    same-weekday days), flagging days whose rounded z exceeds the
+    threshold — the weekly-seasonality drift monitor for ingest volume.
+
+    All moments come from exact integers (daily totals at cents scale;
+    population variance via (n*Syy - Sy^2)): the only float ops are one
+    sqrt + one division, identically ordered on both engines, and the
+    anomaly flag compares the ROUNDED z-score so the cut is
+    deterministic cross-engine.  Two tiny aggregates (days, then 7
+    weekday rows broadcast back) — nothing scales with raw events."""
+    daily = (
+        events.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        )
+        .groupBy("day")
+        .agg((F.sum("_v") * 100).cast("long").alias("_y"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    base = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    var_num = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    joined = daily.join(F.broadcast(base), "dow")
+    mean = F.col("_sy").cast("double") / F.col("_n")
+    std = F.sqrt(var_num.cast("double")) / F.col("_n")
+    z = F.when(
+        var_num > 0,
+        F.round(F.abs(F.col("_y") - mean) / std + F.lit(1e-9), 4),
+    )
+    return joined.select(
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.round(F.col("_y") / 100.0, 2).alias("daily_total"),
+        F.round(mean / 100.0 + F.lit(1e-9), 4).alias("dow_mean"),
+        z.alias("z_score"),
+        F.coalesce(z > F.lit(z_threshold), F.lit(False)).alias("is_anomaly"),
+    )

@@ -6405,6 +6405,91 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frequent sequential patterns (contiguous trigram paths) ranked by
+# distinct-user support — sequential-pattern mining over event streams.
+@register(
+    "frequent_event_paths",
+    """
+    WITH tri AS (
+      SELECT user_id AS u,
+             event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (SELECT u, path FROM tri WHERE t3 IS NOT NULL),
+    occ AS (SELECT path, COUNT(*) AS n_occurrences FROM paths GROUP BY path),
+    sup AS (
+      SELECT path, COUNT(*) AS support
+      FROM (SELECT DISTINCT u, path FROM paths) GROUP BY path
+    )
+    SELECT s.path, s.support, o.n_occurrences
+    FROM sup s JOIN occ o ON s.path = o.path
+    WHERE s.support >= 2
+    ORDER BY s.support DESC, o.n_occurrences DESC, s.path
+    LIMIT 30
+    """,
+)
+def frequent_event_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.frequent_event_paths(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id", min_support=2, top_n=30,
+    )
+
+
+# Day-of-week seasonal anomaly detection on daily value totals —
+# exact-integer moments, rounded-z deterministic flagging.
+@register(
+    "seasonal_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    dowd AS (SELECT day, y, dayofweek(day) + 1 AS dow FROM daily),
+    base AS (
+      SELECT dow, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM dowd GROUP BY dow
+    )
+    SELECT d.day, CAST(d.dow AS INT) AS dow,
+           ROUND(d.y / 100.0, 2) AS daily_total,
+           ROUND(CAST(b.sy AS DOUBLE) / b.n / 100.0 + 1e-9, 4) AS dow_mean,
+           CASE WHEN b.n * b.syy - b.sy * b.sy > 0 THEN
+             ROUND(ABS(d.y - CAST(b.sy AS DOUBLE) / b.n)
+                   / (SQRT(CAST(b.n * b.syy - b.sy * b.sy AS DOUBLE)) / b.n)
+                   + 1e-9, 4)
+           END AS z_score,
+           COALESCE(CASE WHEN b.n * b.syy - b.sy * b.sy > 0 THEN
+             ROUND(ABS(d.y - CAST(b.sy AS DOUBLE) / b.n)
+                   / (SQRT(CAST(b.n * b.syy - b.sy * b.sy AS DOUBLE)) / b.n)
+                   + 1e-9, 4) > 2.0
+           END, FALSE) AS is_anomaly
+    FROM dowd d JOIN base b ON d.dow = b.dow
+    """,
+)
+def seasonal_anomaly_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.seasonal_anomaly_days(load(spark, sf_dir, "events"))
+
+
+# Per-node local clustering coefficient over the co-supply graph —
+# neighborhood density on top of the degree-oriented triangle count.
+@register(
+    "clustering_coefficient",
+    graph.clustering_coefficient_oracle_sql(min_orders=3),
+)
+def clustering_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.clustering_coefficient(
+        graph.cosupply_edges(load(spark, sf_dir, "lineitem"), min_orders=3)
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -548,3 +548,21 @@ def test_truncation_recall_broadcast_queries(spark):
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_frequent_paths_single_user_sort(spark):
+    """Sequential patterns: trigram generation rides ONE per-user window
+    sort; the support/occurrence joins run on the tiny pattern space."""
+    df = registry.queries()["frequent_event_paths"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seasonal_anomaly_broadcasts_baseline(spark):
+    """Anomaly days: the 7-row weekday baseline joins back by
+    broadcast, never a shuffle of the daily frame."""
+    df = registry.queries()["seasonal_anomaly_days"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

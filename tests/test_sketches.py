@@ -231,3 +231,67 @@ def test_truncation_recall_full_dims_is_one(spark):
     out = S.truncation_recall(emb, [0, 1], dims=dims, k=5).collect()
     assert len(out) == 2
     assert all(r["recall_at_k"] == 1.0 for r in out)
+
+
+def test_frequent_event_paths_support_vs_occurrences(spark):
+    """Support counts distinct users; occurrences count repeats — a
+    user looping A>B>C twice adds 2 occurrences, 1 support."""
+    from cloud_native_reddit_data_pipeline_spark.operators import windows as W
+
+    rows = []
+    eid = 0
+    # user 1 loops A B C A B C -> A>B>C twice (and B>C>A, C>A>B once)
+    for i, t in enumerate(["A", "B", "C", "A", "B", "C"]):
+        rows.append((eid, 1, t, f"2024-01-01 0{i+1}:00:00")); eid += 1
+    # user 2 does A B C once
+    for i, t in enumerate(["A", "B", "C"]):
+        rows.append((eid, 2, t, f"2024-01-01 0{i+1}:00:00")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["path"]: r
+        for r in W.frequent_event_paths(
+            df, "user_id", "ts", "event_type", "event_id",
+            min_support=1, top_n=10,
+        ).collect()
+    }
+    assert out["A>B>C"]["support"] == 2
+    assert out["A>B>C"]["n_occurrences"] == 3
+    assert out["B>C>A"]["support"] == 1
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    """Four calm same-weekday days plus one 10x spike: only the spike
+    is flagged."""
+    from cloud_native_reddit_data_pipeline_spark.operators import windows as W
+
+    rows = []
+    eid = 0
+    # Mondays: Jan 1, 8, 15, 22, 29 in 2024
+    for d, v in [(1, 10.0), (8, 11.0), (15, 9.0), (22, 10.0), (29, 100.0)]:
+        rows.append((eid, 1, "x", v, f"2024-01-{d:02d} 12:00:00")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # with n samples a single outlier's z is capped at sqrt(n-1) = 2.0,
+    # so test the cut at 1.5: spike z ~= 2.0, calm days z ~= 0.5
+    out = {
+        str(r["day"]): r
+        for r in W.seasonal_anomaly_days(df, z_threshold=1.5).collect()
+    }
+    assert out["2024-01-29"]["is_anomaly"] is True
+    assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle 1-2-3 with a tail 3-4: nodes 1,2 fully connected
+    neighborhoods (1.0); node 3 has degree 3 with one closed pair
+    (1/3); node 4 degree 1 is excluded."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in graph.clustering_coefficient(edges).collect()}
+    assert out[1]["coefficient"] == 1.0 and out[2]["coefficient"] == 1.0
+    assert out[3]["degree"] == 3 and abs(out[3]["coefficient"] - 0.333333) < 1e-6
+    assert 4 not in out
