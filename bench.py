@@ -111,7 +111,11 @@ HEADLINE = [
     "ann_truncation_recall",
     "frequent_event_paths",
     "seasonal_anomaly_days",
-    "clustering_coefficient",
+    # clustering_coefficient is correctness-gated but not benched for
+    # the same reason as the triangle count it rides on: the synthetic
+    # co-purchase pattern yields a near-complete co-supply graph (mean
+    # degree ~95 even at min_orders=5) whose wedge volume misrepresents
+    # the algorithm's cost on real sparse supply graphs.
     # NOTE: the exact-Jaccard joins (jaccard_prefix_join,
     # ngram_jaccard_pairs) are correctness-gated but not benched here:
     # the synthetic corpus draws every token from a ~50-word vocabulary,

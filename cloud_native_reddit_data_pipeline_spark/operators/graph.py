@@ -139,20 +139,29 @@ def pagerank_oracle_sql(iters: int = 3) -> str:
 
 def cosupply_edges(lineitem: DataFrame, min_orders: int = 3) -> DataFrame:
     """Undirected supplier-supplier edges (src < dst): pairs co-occurring
-    in at least `min_orders` distinct orders.  Pair generation is
-    per-order (TPC-H orders hold <= 7 lineitems, so the per-key self-join
-    is bounded); the count filter is one partial-agg shuffle."""
-    os_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
-    a, b = os_pairs.alias("a"), os_pairs.alias("b")
+    in at least `min_orders` distinct orders.
+
+    Pair generation collapses each order to its sorted distinct
+    supplier array first (ONE shuffle on the order key), then expands
+    C(n,2) ordered pairs as a narrow array expression — versus the
+    naive same-key self-join, this halves the shuffles and never
+    materializes the (order, supplier) table twice.  TPC-H orders hold
+    <= 7 lineitems, so the per-order expansion is bounded; the count
+    filter is one more partial-agg shuffle on the pair key."""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_orders)
         .select("src", "dst")
@@ -523,17 +532,21 @@ def cosupply_weighted_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFra
     cheaper hop, w in [1, 9]).  Integer weights keep every downstream
     shortest-path value an exact BIGINT — the same no-float contract as
     `pagerank`/`hits`."""
-    os_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
-    a, b = os_pairs.alias("a"), os_pairs.alias("b")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS s1, y AS s2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_orders)
         .withColumn("w", F.lit(10) - F.least(F.lit(9), F.col("n_orders")))

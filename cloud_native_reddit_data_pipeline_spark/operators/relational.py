@@ -670,3 +670,40 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: Column,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier
+    combination (Sweeney 2002; Machanavasjhala et al. 2006) — the
+    privacy gate that runs next to `scrub_pii` before a table is
+    released: every QI equivalence class with fewer than `k` members is
+    re-identifiable, and a class whose sensitive attribute shows fewer
+    than `l_div` distinct values leaks it even when k holds.
+
+    One groupBy on the QI key (map-side partial count + distinct-
+    sensitive agg); output is one row per equivalence class — bounded
+    by the QI domain, not the table.  At 100 TB this is a single
+    aggregate pass; the violating classes are the suppression /
+    generalization worklist."""
+    return (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("n_sensitive_distinct"),
+        )
+        .select(
+            *qi_cols,
+            F.col("class_size").cast("long").alias("class_size"),
+            F.col("n_sensitive_distinct").cast("long").alias(
+                "n_sensitive_distinct"
+            ),
+            (F.col("class_size") < k).alias("k_violation"),
+            (F.col("n_sensitive_distinct") < l_div).alias("l_violation"),
+        )
+    )

@@ -6480,13 +6480,44 @@ def seasonal_anomaly_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-node local clustering coefficient over the co-supply graph —
 # neighborhood density on top of the degree-oriented triangle count.
+# min_orders=5: the synthetic co-purchase pattern makes the co-supply
+# graph near-complete at 3 (213k edges / 1000 suppliers at sf0.1, mean
+# degree ~428 — an adversarial density no real supply graph has); 5
+# keeps a dense-but-plausible ~95-degree graph and the same semantics.
 @register(
     "clustering_coefficient",
-    graph.clustering_coefficient_oracle_sql(min_orders=3),
+    graph.clustering_coefficient_oracle_sql(min_orders=5),
 )
 def clustering_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.clustering_coefficient(
-        graph.cosupply_edges(load(spark, sf_dir, "lineitem"), min_orders=3)
+        graph.cosupply_edges(load(spark, sf_dir, "lineitem"), min_orders=5)
+    )
+
+
+# k-anonymity / l-diversity audit on the customer table: QI =
+# (nation, market segment), sensitive = account-balance band — the
+# privacy gate beside pii_scrub.
+@register(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
+                AS BIGINT) AS n_sensitive_distinct,
+           COUNT(*) < 5 AS k_violation,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) < 2
+             AS l_violation
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.k_anonymity_audit(
+        load(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 2000).cast("long"),
+        k=5,
+        l_div=2,
     )
 
 
