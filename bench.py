@@ -111,6 +111,9 @@ HEADLINE = [
     "ann_truncation_recall",
     "frequent_event_paths",
     "seasonal_anomaly_days",
+    "cusum_changepoint",
+    "benford_digit_audit",
+    "k_anonymity_audit",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

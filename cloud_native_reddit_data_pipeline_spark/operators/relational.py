@@ -707,3 +707,61 @@ def k_anonymity_audit(
             (F.col("n_sensitive_distinct") < l_div).alias("l_violation"),
         )
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), inlined as shared
+# constants so both engines compare against bit-identical expectations
+# (library log10 implementations may differ in the last ulp).
+BENFORD_P = {
+    1: 0.30102999566398114, 2: 0.17609125905568124, 3: 0.12493873660829985,
+    4: 0.09691001300805638, 5: 0.07918124604762478, 6: 0.06694678963061318,
+    7: 0.05799194697768673, 8: 0.05115252244738133, 9: 0.04575749056067514,
+}
+
+
+def benford_digit_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive
+    numeric column — the classic fraud / synthetic-data / unit-mixup
+    detector: natural multi-magnitude amounts follow P(d) =
+    log10(1 + 1/d); a flat or spiked digit histogram flags fabricated
+    or truncated values.  Emits one row per digit with observed count,
+    expected count, and the chi-square contribution (sum them for the
+    test statistic).
+
+    One narrow projection (first char of the integer part) + one
+    9-group aggregate; the expectation constants are shared literals,
+    so the audit is engine-exact.  Note: bounded-range columns (like
+    TPC-H retail prices, ~900-1000) legitimately FAIL Benford — the
+    audit reports the divergence either way; interpretation is the
+    caller's."""
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("_n"))
+    p_expr = F.element_at(
+        F.create_map(
+            *[x for d, p in sorted(BENFORD_P.items()) for x in (F.lit(d), F.lit(p))]
+        ),
+        F.col("digit"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(F.col("_n") * p_expr + F.lit(1e-9), 4).alias("n_expected"),
+            F.round(
+                (F.col("n_obs") - F.col("_n") * p_expr)
+                * (F.col("n_obs") - F.col("_n") * p_expr)
+                / (F.col("_n") * p_expr)
+                + F.lit(1e-9),
+                4,
+            ).alias("chi2_contrib"),
+        )
+    )

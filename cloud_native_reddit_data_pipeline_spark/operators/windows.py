@@ -697,3 +697,68 @@ def seasonal_anomaly_days(
         z.alias("z_score"),
         F.coalesce(z > F.lit(z_threshold), F.lit(False)).alias("is_anomaly"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSUM change-point detection per key over DAILY totals: the day
+    where the cumulative deviation from the series mean peaks (Page
+    1954's offline argmax-|S_d| form) — "when did this stream's level
+    shift", the companion of `seasonal_anomaly_days`' "which days are
+    off".
+
+    Exactness: with daily totals y at cents scale, S_d = sum_{i<=d}
+    (y_i - mean) is scaled by n to stay integral —
+    n*S_d = n*cumsum_d - d_idx*total — so the argmax (and its
+    deterministic earliest-day tie-break) is exact-integer on both
+    engines; only the reported magnitude divides back to value units.
+
+    Scale shape: one (key, day) partial agg collapses the stream, one
+    per-key window cumsum, one per-key argmax — state is days-per-key,
+    never raw events."""
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        )
+        .groupBy("key", "day")
+        .agg((F.sum("_v") * 100).cast("long").alias("_y"))
+    )
+    wk = Window.partitionBy("key")
+    wcum = wk.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    widx = wk.orderBy("day")
+    cum = daily.select(
+        "key",
+        "day",
+        F.sum("_y").over(wcum).alias("_cum"),
+        F.row_number().over(widx).alias("_i"),
+        F.sum("_y").over(wk).alias("_tot"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+    )
+    dev = cum.withColumn(
+        "_ns", F.col("_n") * F.col("_cum") - F.col("_i") * F.col("_tot")
+    )
+    best = Window.partitionBy("key").orderBy(
+        F.abs(F.col("_ns")).desc(), F.col("day").asc()
+    )
+    return (
+        dev.withColumn("_rk", F.row_number().over(best))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "key",
+            F.col("day").alias("changepoint_day"),
+            F.col("_n").cast("long").alias("n_days"),
+            F.round(
+                F.abs(F.col("_ns")).cast("double")
+                / F.col("_n")
+                / 100.0
+                + F.lit(1e-9),
+                4,
+            ).alias("max_cusum_dev"),
+        )
+    )

@@ -6521,6 +6521,76 @@ def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CUSUM change-point per event type on daily totals — exact-integer
+# argmax of the cumulative deviation from the series mean.
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT key, day,
+             SUM(y) OVER (PARTITION BY key ORDER BY day) AS c,
+             row_number() OVER (PARTITION BY key ORDER BY day) AS i,
+             SUM(y) OVER (PARTITION BY key) AS tot,
+             COUNT(*) OVER (PARTITION BY key) AS n
+      FROM daily
+    ),
+    dev AS (
+      SELECT key, day, n, CAST(n * c - i * tot AS BIGINT) AS ns,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY ABS(n * c - i * tot) DESC, day ASC)
+               AS rk
+      FROM cum
+    )
+    SELECT key, day AS changepoint_day, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(ABS(ns) AS DOUBLE) / n / 100.0 + 1e-9, 4)
+             AS max_cusum_dev
+    FROM dev WHERE rk = 1
+    """,
+)
+def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.cusum_changepoint(load(spark, sf_dir, "events"))
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in sorted(relational.BENFORD_P.items())
+)
+
+
+# Benford first-digit audit of order totals — the fraud/synthetic-data
+# detector; expectation constants are shared literals on both engines.
+@register(
+    "benford_digit_audit",
+    f"""
+    WITH counts AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n_obs
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_obs) AS n FROM counts)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(n * p + 1e-9, 4) AS n_expected,
+           ROUND((n_obs - n * p) * (n_obs - n * p) / (n * p) + 1e-9, 4)
+             AS chi2_contrib
+    FROM (SELECT digit, n_obs,
+                 CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS p
+          FROM counts)
+    CROSS JOIN tot
+    """,
+)
+def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.benford_digit_audit(
+        load(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -295,3 +295,41 @@ def test_clustering_coefficient_triangle_plus_tail(spark):
     assert out[1]["coefficient"] == 1.0 and out[2]["coefficient"] == 1.0
     assert out[3]["degree"] == 3 and abs(out[3]["coefficient"] - 0.333333) < 1e-6
     assert 4 not in out
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """A series that jumps from level 10 to level 50 on day 6 peaks its
+    cumulative deviation exactly at the last low day (day 5)."""
+    from cloud_native_reddit_data_pipeline_spark.operators import windows as W
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        v = 10.0 if d <= 5 else 50.0
+        rows.append((eid, 1, "x", v, f"2024-01-{d:02d} 12:00:00")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = W.cusum_changepoint(df).collect()[0]
+    assert str(r["changepoint_day"]) == "2024-01-05"
+    assert r["n_days"] == 10
+    # |S_5| = 5*(10-30) = 100
+    assert r["max_cusum_dev"] == 100.0
+
+
+def test_benford_uniform_magnitudes_pass(spark):
+    """Values spanning several magnitudes from a log-uniform-ish grid
+    produce digit-1 dominance close to 30%; observed counts sum to the
+    input size and chi2 contributions are finite."""
+    from cloud_native_reddit_data_pipeline_spark.operators import relational as R
+
+    # Leading digits of 2^i are a classic Benford sequence (equi-
+    # distribution of i*log10(2) mod 1): digit 1 ~30%, digit 9 ~4.6%.
+    vals = [float(2 ** i) for i in range(1, 63)]  # stays within BIGINT
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    out = {r["digit"]: r for r in R.benford_digit_audit(df, "amount").collect()}
+    assert set(out) == set(range(1, 10))
+    assert sum(r["n_obs"] for r in out.values()) == len(vals)
+    assert out[1]["n_obs"] > 2 * out[9]["n_obs"]
+    # a Benford-conforming stream keeps every cell's chi2 small
+    assert all(0 <= r["chi2_contrib"] < 5 for r in out.values())
