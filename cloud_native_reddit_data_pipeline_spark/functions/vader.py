@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~2,930-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~3,500-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -913,6 +913,159 @@ VADER_LEXICON: dict[str, float] = {
     "witless": -1.6, "woes": -2.1, "worser": -2.3, "wrathful": -2.5,
     "wreak": -1.6, "wretched": -2.3, "wrongdoing": -1.9, "wrongful": -1.9,
     "yuck": -1.8, "yucky": -1.9, "zealot": -1.1,
+    # --- round-5 growth batch 2: A-F stems/inflections ---
+    "absolve": 1.1, "absolved": 1.2, "abundant": 1.5, "acclaim": 2.0,
+    "accolade": 2.1, "accord": 1.1, "ace": 2.0, "aced": 2.1,
+    "achievable": 1.3, "admiration": 2.3, "admirer": 1.9, "admiring": 2.1,
+    "adoring": 2.8, "affable": 1.7, "affluent": 1.7, "allegiance": 1.2,
+    "allure": 1.6, "alluring": 1.8, "ally": 1.3, "altruism": 2.0,
+    "altruistic": 2.0, "amends": 1.1, "amiable": 1.8, "amity": 1.6,
+    "amnesty": 1.1, "amusement": 1.9, "anew": 0.9, "angelic": 2.3,
+    "apologetic": 0.6, "appease": 0.9, "appeased": 1.0, "applauded": 2.0,
+    "applause": 2.0, "appreciative": 2.0, "approachable": 1.5, "ardor": 1.7,
+    "aspire": 1.5, "aspiring": 1.4, "astonish": 1.9, "astonished": 1.9,
+    "atone": 0.9, "attentive": 1.6, "attraction": 1.6, "auspicious": 1.7,
+    "awaken": 0.9, "beaming": 2.1, "beatific": 2.2, "beauteous": 2.4,
+    "benefactor": 1.9, "benefited": 1.7, "benevolence": 2.1, "benign": 1.1,
+    "blissfully": 2.8, "blockbuster": 2.1, "bloom": 1.6, "blooming": 1.7,
+    "blossom": 1.7, "blossoming": 1.8, "bolster": 1.2, "bonanza": 1.9,
+    "boon": 1.6, "bounty": 1.6, "breakthrough": 2.1, "breathtaking": 2.6,
+    "brighten": 1.7, "budding": 1.2, "buddy": 1.4, "bullish": 1.3,
+    "buoyed": 1.3, "bustling": 0.9, "calmly": 1.2, "carefully": 0.9,
+    "celebrating": 2.4, "celebrity": 1.3, "champ": 2.0, "charismatic": 2.0,
+    "charity": 1.8, "charmed": 1.9, "chaste": 0.9, "cheery": 2.0,
+    "cherished": 2.4, "chivalrous": 1.6, "chuckle": 1.4, "chuckled": 1.4,
+    "cleanse": 1.1, "cleansed": 1.1, "coddle": 0.4, "comforted": 1.9,
+    "comforting": 2.0, "commendation": 1.9, "companionship": 1.9,
+    "compassionate": 2.2, "compelling": 1.4, "competitive": 0.6,
+    "complimented": 2.0, "comrade": 1.4, "congratulate": 2.2,
+    "congratulated": 2.2, "conquest": 1.1, "conscientious": 1.4,
+    "consolation": 0.9, "content": 1.4, "contented": 1.6, "cordially": 1.6,
+    "courteously": 1.7, "courtesy": 1.7, "crave": 0.4, "craved": 0.4,
+    "crisp": 0.9, "cuddle": 2.0, "cuddled": 2.0, "curious": 1.2,
+    "daring": 1.2, "darling": 2.4, "dearest": 2.2, "decency": 1.6,
+    "defend": 1.1, "defended": 1.1, "defender": 1.2, "delicate": 0.6,
+    "devote": 1.6, "devotedly": 1.9, "dignify": 1.4, "dream": 1.2,
+    "dreams": 1.3, "dreamy": 1.6, "dynamite": 1.1, "eagerly": 1.6,
+    "earnestly": 1.3, "easygoing": 1.6, "effectively": 1.5,
+    "efficiency": 1.5, "efficiently": 1.6, "effortlessly": 1.6,
+    "elated": 2.6, "elegantly": 2.0, "elevate": 1.4, "elevated": 1.3,
+    "elite": 1.6, "eloquently": 1.9, "eminently": 1.4, "empathetic": 1.7,
+    "empathy": 1.7, "encouragement": 2.0, "encouraging": 2.0,
+    "endearment": 1.9, "endorsement": 1.4, "energize": 1.7, "energized": 1.7,
+    "enjoyment": 2.3, "enjoys": 2.2, "enlightening": 1.9, "enrichment": 1.7,
+    "ensure": 1.1, "ensured": 1.1, "enterprising": 1.4, "entertain": 1.6,
+    "entertained": 1.7, "enthusiast": 1.6, "essential": 1.2,
+    "euphorically": 2.7, "excelled": 2.1, "exceptional": 2.4, "excite": 2.0,
+    "exonerated": 1.5, "expand": 1.1, "expansion": 1.1, "expertly": 1.8,
+    "exuberance": 2.2, "fab": 2.2, "fabulously": 2.6, "fairness": 1.7,
+    "famed": 1.7, "famously": 1.6, "fancy": 1.3, "fantastically": 2.6,
+    "fascination": 1.8, "faultless": 2.1, "favored": 1.7, "favorites": 2.1,
+    "feat": 1.6, "fertile": 1.1, "fervor": 1.4, "festival": 1.6,
+    "fireworks": 1.3, "firstrate": 2.2, "fit": 1.1, "flagship": 1.3,
+    "flair": 1.4, "flourished": 2.0, "fondly": 1.9, "forgave": 1.4,
+    "fortunately": 1.8, "friendliness": 2.0, "funky": 0.9,
+    "abhor": -2.6, "abhorred": -2.7, "abhorrent": -2.9, "abolish": -1.2,
+    "abominable": -2.6, "abomination": -2.7, "abort": -1.4, "aborted": -1.4,
+    "absurd": -1.6, "absurdity": -1.6, "abyss": -1.9, "accursed": -2.3,
+    "acrimonious": -2.0, "acrimony": -2.0, "adamant": -0.3, "adrift": -1.2,
+    "afflict": -1.9, "affliction": -2.1, "affront": -1.7, "aggravate": -1.9,
+    "aggravating": -2.0, "aghast": -1.9, "agonize": -2.2, "ail": -1.4,
+    "ailment": -1.5, "aimless": -1.2, "alas": -1.2, "alienation": -1.7,
+    "aloof": -0.9, "ambivalent": -0.4, "anarchy": -1.7, "anguished": -2.5,
+    "annihilate": -2.4, "annihilated": -2.5, "anomaly": -0.6,
+    "antagonism": -1.9, "anxieties": -1.6, "apocalypse": -2.4,
+    "apocalyptic": -2.3, "appal": -2.2, "apprehension": -1.4,
+    "arrogance": -1.9, "arson": -2.3, "assail": -1.8, "assassin": -2.4,
+    "assassination": -2.6, "astray": -1.2, "audacity": -0.9, "avarice": -1.9,
+    "avenge": -1.6, "aversion": -1.6, "awkwardness": -1.3, "baffle": -1.2,
+    "baffled": -1.3, "baffling": -1.4, "banish": -1.7, "banished": -1.8,
+    "barbarian": -1.9, "barren": -1.5, "bastard": -2.4, "bastards": -2.4,
+    "bearish": -1.1, "beast": -1.4, "bedlam": -1.6, "befuddled": -1.2,
+    "begging": -1.3, "beguile": -0.9, "behead": -2.7, "belated": -0.6,
+    "bemoan": -1.6, "bereft": -1.9, "berserk": -1.9, "beseech": -0.4,
+    "besiege": -1.7, "besieged": -1.8, "bestial": -2.1, "betrayer": -2.6,
+    "bewail": -1.7, "beware": -1.3, "bewitch": -0.6, "bicker": -1.5,
+    "bickering": -1.6, "bigot": -2.3, "bigoted": -2.4, "bigotry": -2.4,
+    "bitch": -2.4, "bitches": -2.4, "blackmailed": -2.4, "blah": -0.9,
+    "bland": -1.1, "blasphemy": -1.9, "blast": -1.1, "blasted": -1.4,
+    "blatant": -1.3, "bleed": -1.6, "bleeding": -1.7, "blemish": -1.3,
+    "bloodbath": -2.7, "bloodshed": -2.6, "bloody": -1.6, "blue": -0.6,
+    "blur": -0.7, "blurred": -0.9, "boastful": -1.2, "boisterous": -0.4,
+    "bomb": -2.2, "bombard": -1.7, "bondage": -1.8, "boredom": -1.7,
+    "bores": -1.3, "botch": -1.7, "botched": -1.8, "bothers": -1.4,
+    "bothersome": -1.6, "brainwash": -1.9, "brat": -1.6, "bravado": -0.4,
+    "brawl": -1.8, "breach": -1.4, "brood": -1.1, "brooding": -1.2,
+    "bruise": -1.4, "bruised": -1.5, "brutalize": -2.6, "bugged": -1.3,
+    "bulldoze": -1.2, "bummed": -1.6, "bungle": -1.6, "bungled": -1.7,
+    "butcher": -1.9, "butchered": -2.1, "cackle": -0.6, "cadaver": -1.9,
+    "calamitous": -2.4, "callous": -1.9, "cancel": -1.1, "cancelled": -1.2,
+    "cantankerous": -1.7, "capitulate": -1.1, "captive": -1.6,
+    "captivity": -1.7, "carnage": -2.7, "censure": -1.7, "chagrin": -1.4,
+    "challenging": -0.4, "chastise": -1.7, "cheater": -2.4, "cheaters": -2.4,
+    "cheerless": -1.8, "chide": -1.4, "choke": -1.8, "choked": -1.9,
+    "chump": -1.6, "clashed": -1.5, "clumsy": -1.3, "collide": -1.2,
+    "collision": -1.4, "collude": -1.7, "collusion": -1.8,
+    "commiserate": -0.6, "commotion": -1.2, "compel": -0.4,
+    "complaining": -1.7, "con": -1.6, "concern": -1.1, "concerned": -1.1,
+    "concerning": -1.1, "condemnation": -2.1, "condescending": -1.8,
+    "condolence": -0.9, "condolences": -0.9, "confine": -1.2,
+    "confined": -1.3, "conflicted": -1.4, "confront": -1.1,
+    "confrontation": -1.4, "confuse": -1.3, "congenital": -0.6,
+    "conned": -1.9, "conspiracy": -1.7, "conspire": -1.6,
+    "consternation": -1.6, "constrain": -1.1, "constrained": -1.2,
+    "contaminating": -2.0, "contamination": -2.0, "contentious": -1.5,
+    "convict": -1.7, "convicted": -1.9, "conviction": -0.4, "corpse": -1.9,
+    "creep": -1.4, "creeps": -1.5, "criminals": -2.2, "cringed": -1.7,
+    "critic": -1.1, "crook": -1.9, "crooked": -1.9, "crush": -1.4,
+    "culpable": -1.4, "cursing": -2.0, "cutthroat": -1.9, "damaging": -2.0,
+    "dazed": -1.1, "deadlock": -1.4, "debase": -1.9, "debt": -1.6,
+    "deceptively": -1.7, "decimate": -2.3, "decimated": -2.4,
+    "defamatory": -2.1, "defenseless": -1.6, "defiance": -1.2,
+    "deficiency": -1.4, "degenerated": -2.0, "degradation": -2.0,
+    "dehumanized": -2.3, "demonic": -2.6, "demonize": -2.1, "denies": -1.4,
+    "depress": -2.4, "deprivation": -1.9, "derail": -1.4, "derailed": -1.5,
+    "desecrated": -2.4, "desert": -1.1, "despairing": -2.6,
+    "desperation": -1.9, "despicable": -2.7, "destroyer": -2.1,
+    "destroying": -2.3, "devastation": -2.8, "devilish": -2.1,
+    "diabolical": -2.4, "dictator": -2.1, "dictatorship": -2.2, "dies": -2.4,
+    "dilemma": -1.2, "diminish": -1.2, "diminished": -1.3, "din": -0.9,
+    "dirt": -1.3, "disability": -1.3, "disabled": -1.2, "disagreeable": -1.6,
+    "disagreement": -1.4, "disapproval": -1.7, "discard": -1.1,
+    "discarded": -1.3, "disconcerting": -1.5, "discord": -1.5,
+    "discouraging": -2.0, "discredited": -1.9, "discriminate": -1.9,
+    "disdainfully": -1.9, "diseased": -2.0, "disgruntled": -1.7,
+    "dishonesty": -2.1, "disillusion": -1.6, "dismayed": -1.9,
+    "dismissal": -1.3, "disorganized": -1.3, "disparaging": -2.0,
+    "dispirited": -1.9, "displace": -1.1, "displaced": -1.2,
+    "displease": -1.8, "dispute": -1.4, "disputed": -1.4, "disregard": -1.4,
+    "disregarded": -1.5, "disrespected": -2.1, "disrespectful": -2.1,
+    "disruptive": -1.6, "dissatisfaction": -1.8, "dissent": -1.1,
+    "distract": -1.2, "distracted": -1.3, "distraction": -1.2,
+    "distressing": -2.2, "distrust": -1.8, "dizzy": -0.9, "dominance": -0.4,
+    "doubted": -1.4, "downer": -1.6, "downside": -1.2, "drag": -1.0,
+    "dragged": -1.1, "drought": -1.7, "drowned": -2.6, "dump": -1.3,
+    "dupe": -1.7, "duped": -1.8, "embarrass": -1.9, "embattled": -1.6,
+    "empty": -1.2, "endless": -0.4, "enemies": -1.9, "enmity": -2.1,
+    "enraging": -2.4, "envied": -1.3, "erupt": -1.1, "eruption": -1.2,
+    "escape": -0.9, "escaped": -0.6, "evade": -1.3, "evasion": -1.4,
+    "evict": -1.7, "evicted": -1.8, "evils": -2.7, "exaggerate": -1.2,
+    "exaggerated": -1.3, "exasperating": -1.9, "excruciatingly": -2.8,
+    "excuse": -0.6, "execute": -1.1, "executed": -1.3, "execution": -1.6,
+    "exhaust": -1.4, "exhaustion": -1.6, "explode": -1.6, "exploded": -1.7,
+    "exploitation": -2.0, "explosion": -1.6, "expose": -0.9, "exposed": -1.1,
+    "extinguish": -1.1, "extremist": -1.9, "faint": -0.9, "faked": -2.0,
+    "fanatical": -1.6, "farcical": -1.6, "fascist": -2.6, "fatally": -2.5,
+    "fate": -0.4, "fearing": -2.2, "fearsome": -1.9, "fedup": -1.9,
+    "felon": -2.2, "ferocity": -1.7, "feverish": -1.2, "fiend": -2.1,
+    "fierce": -1.1, "fiery": -0.6, "flail": -1.1, "flake": -1.1,
+    "flaky": -1.2, "flatten": -0.9, "flee": -1.6, "fleeing": -1.7,
+    "flounder": -1.4, "floundering": -1.5, "flu": -1.4, "flunk": -1.9,
+    "flunked": -2.0, "flustered": -1.4, "fooled": -1.7, "forbid": -1.4,
+    "force": -0.6, "forced": -1.1, "forceful": -0.9, "forebode": -1.6,
+    "foreboding": -1.7, "forfeit": -1.3, "forgot": -0.9, "forgotten": -1.1,
+    "fragile": -1.1, "frantically": -1.5, "fraudulently": -2.4,
+    "frenzied": -1.4, "funeral": -1.6, "futility": -1.6,
 }
 
 _NT_SUFFIX = "n't"
