@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~3,500-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~4,170-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -1066,6 +1066,193 @@ VADER_LEXICON: dict[str, float] = {
     "foreboding": -1.7, "forfeit": -1.3, "forgot": -0.9, "forgotten": -1.1,
     "fragile": -1.1, "frantically": -1.5, "fraudulently": -2.4,
     "frenzied": -1.4, "funeral": -1.6, "futility": -1.6,
+    # --- round-5 growth batch 3: G-L ---
+    "gala": 1.6, "gallant": 1.9, "gallantly": 1.9, "gem": 2.1, "gems": 2.1,
+    "geniuses": 2.6, "gently": 1.7, "genuinely": 1.6, "giddy": 1.1,
+    "giggle": 1.6, "giggled": 1.6, "giggling": 1.7, "gladness": 2.1,
+    "glamorous": 1.9, "glamour": 1.7, "glorified": 1.7, "goddess": 1.9,
+    "godsend": 2.4, "gold": 1.6, "golden": 1.7, "goodwill": 2.1,
+    "gorgeously": 2.6, "graciously": 2.0, "grandest": 2.4, "gratefully": 2.2,
+    "greatness": 2.7, "guarantee": 1.3, "guaranteed": 1.4, "guardian": 1.4,
+    "gush": 1.1, "hallowed": 1.6, "handy": 1.3, "hardier": 1.1,
+    "harmonize": 1.6, "healing": 1.9, "health": 1.6, "heartily": 1.7,
+    "hearty": 1.6, "helpfully": 1.8, "helping": 1.7, "heroine": 2.4,
+    "highlight": 1.4, "hilariously": 2.2, "honoring": 2.2, "hoped": 1.7,
+    "hoping": 1.7, "hugged": 2.1, "humorous": 1.7, "hurrah": 2.4,
+    "idealism": 1.6, "imaginary": 0.4, "immortal": 1.1, "immune": 0.9,
+    "importance": 1.2, "impresses": 1.9, "impressively": 2.2,
+    "improving": 1.9, "indestructible": 1.2, "infatuated": 1.4,
+    "influential": 1.4, "innocently": 1.3, "innovate": 1.6,
+    "inspiration": 2.2, "inspirational": 2.3, "instructive": 1.4,
+    "interests": 1.4, "intricate": 0.9, "invigorated": 1.8, "jackpot": 2.2,
+    "jewel": 1.9, "jewels": 1.9, "joyous": 2.8, "joys": 2.6,
+    "jubilation": 2.6, "justified": 1.3, "justify": 0.6, "kidding": 0.4,
+    "kiss": 1.9, "kissed": 1.9, "kisses": 1.9, "liberating": 1.9,
+    "liberty": 1.9, "lifesaver": 2.4, "lighthearted": 1.9, "likable": 1.9,
+    "likeable": 1.9, "lovers": 2.1, "lucrative": 1.9,
+    "gag": -1.4, "gagged": -1.6, "galling": -1.7, "gamble": -1.1,
+    "gambled": -1.2, "gangster": -1.9, "garbage": -1.9, "ghastliness": -2.2,
+    "ghost": -1.1, "glaring": -1.4, "gossip": -1.2, "grieve": -2.2,
+    "grimace": -1.4, "gripe": -1.4, "griping": -1.5, "grisly": -2.3,
+    "grotesque": -2.2, "grouchy": -1.6, "grudge": -1.7, "grudges": -1.7,
+    "gruff": -1.2, "gutted": -2.1, "hacked": -1.6, "hang": -0.9,
+    "hanged": -2.1, "harassing": -2.3, "harmed": -2.1, "harming": -2.2,
+    "harshly": -1.9, "hater": -2.2, "haters": -2.2, "haunt": -1.7,
+    "haunted": -1.9, "haunting": -1.6, "haunts": -1.7, "hazy": -0.6,
+    "heavyhearted": -2.1, "hellish": -2.6, "hesitate": -0.9, "hid": -0.6,
+    "hideously": -2.4, "hindered": -1.5, "hog": -1.1, "horrified": -2.6,
+    "horrify": -2.6, "horrifying": -2.7, "hostage": -2.1,
+    "humiliating": -2.5, "hysterics": -1.4, "idle": -0.9, "illegally": -2.1,
+    "illogical": -1.4, "immature": -1.6, "immobilized": -1.4,
+    "impatience": -1.4, "impatiently": -1.4, "imperfection": -1.3,
+    "impose": -1.1, "imposed": -1.2, "inaction": -1.1, "inadequacy": -1.6,
+    "incensed": -2.2, "incompatible": -1.2, "incomplete": -1.2,
+    "inconsistency": -1.3, "incorrect": -1.4, "indecisive": -1.2,
+    "indignity": -1.8, "indoctrinate": -1.7, "ineffectual": -1.5,
+    "inefficiency": -1.5, "inexcusable": -2.1, "inexperienced": -1.1,
+    "infect": -1.8, "inferiority": -1.6, "infidelity": -2.1, "inflame": -1.6,
+    "inflamed": -1.7, "inflated": -1.1, "infringement": -1.6,
+    "inhibited": -1.2, "injuries": -1.9, "insanely": -1.1,
+    "insatiable": -0.9, "insignificance": -1.3, "insincerity": -1.6,
+    "insist": -0.4, "insisted": -0.4, "insolence": -1.7, "intense": -0.4,
+    "interrogate": -1.4, "interrupted": -1.4, "intimidating": -1.9,
+    "intolerably": -2.1, "invade": -1.9, "invaded": -2.0, "invasion": -1.9,
+    "irked": -1.4, "irks": -1.4, "ironic": -0.4, "irony": -0.4,
+    "irrelevant": -1.1, "irreversible": -1.1, "irritation": -1.8,
+    "isolate": -1.3, "jeer": -1.6, "jeered": -1.7, "jeopardizing": -1.9,
+    "judgmental": -1.4, "killer": -2.6, "killers": -2.6, "lag": -0.9,
+    "lagged": -1.0, "lagging": -1.1, "lamentable": -1.9, "lawless": -1.9,
+    "leak": -1.1, "leaked": -1.2, "leave": -0.4, "lecherous": -1.9,
+    "leech": -1.6, "leer": -1.3, "lethargically": -1.4, "limitation": -1.1,
+    "litigious": -1.4, "longingly": -0.4, "losers": -2.1, "lowest": -1.4,
+    "lunatic": -1.9, "lure": -1.1, "lured": -1.2,
+    # --- round-5 growth batch 4: M-R ---
+    "magnificently": 2.8, "mantra": 0.6, "marvelously": 2.7, "mastery": 2.1,
+    "maturely": 1.3, "memorable": 1.9, "mend": 1.1, "mended": 1.2,
+    "merited": 1.5, "merrily": 2.1, "miraculous": 2.6, "mirthful": 2.1,
+    "moral": 1.4, "morale": 1.1, "morality": 1.4, "motivational": 1.9,
+    "mysterious": 0.4, "neatly": 1.4, "niceness": 1.9, "nobly": 1.7,
+    "nourished": 1.6, "novel": 1.1, "obey": 0.6, "obliging": 1.3,
+    "openness": 1.4, "optimal": 1.7, "originality": 1.4, "outdo": 1.1,
+    "outstandingly": 2.7, "overachieve": 1.4, "overcame": 1.6,
+    "pampering": 1.5, "pardon": 1.1, "pardoned": 1.2, "patiently": 1.3,
+    "peaceable": 2.0, "peacekeeping": 1.7, "perfected": 2.4,
+    "picturesquely": 1.9, "please": 1.3, "pledge": 1.1, "plentifully": 1.5,
+    "popularity": 1.7, "praising": 2.4, "pray": 1.1, "premier": 1.7,
+    "prestigiously": 1.9, "prevent": 0.6, "prevented": 0.6, "princely": 1.6,
+    "prized": 2.2, "profitable": 1.9, "prominence": 1.4, "promotion": 1.7,
+    "proper": 1.2, "properly": 1.2, "prospect": 1.1, "protection": 1.5,
+    "proudest": 2.4, "prudence": 1.3, "purposeful": 1.4, "quality": 1.4,
+    "rational": 1.3, "readiness": 1.1, "ready": 0.9, "reassuring": 1.7,
+    "recover": 1.3, "recovered": 1.4, "recovery": 1.6, "refreshed": 1.8,
+    "relax": 1.7, "relaxing": 1.9, "reliably": 1.6, "relieve": 1.7,
+    "remedy": 1.4, "renewal": 1.4, "repair": 1.1, "repaired": 1.2,
+    "reprieve": 1.3, "responsible": 1.4, "responsive": 1.4, "restful": 1.7,
+    "revolutionary": 1.1, "rewarded": 2.2, "riches": 1.9, "romance": 2.2,
+    "rosy": 1.6,
+    "madly": -1.4, "maim": -2.4, "maimed": -2.5, "maladjusted": -1.6,
+    "malady": -1.6, "malcontent": -1.6, "malfunction": -1.6,
+    "maltreatment": -2.3, "mania": -1.1, "maniac": -1.9,
+    "manipulation": -1.6, "massacred": -3.1, "meddling": -1.4,
+    "mildly": -0.3, "mindless": -1.6, "misbehave": -1.6, "misbehavior": -1.6,
+    "mischievous": -0.9, "misconduct": -1.9, "miseries": -2.4,
+    "mishandle": -1.6, "misled": -1.8, "mismanagement": -1.7,
+    "misread": -1.1, "miss": -0.9, "missed": -1.1, "missing": -1.2,
+    "misuse": -1.6, "misused": -1.7, "mocking": -1.9, "molested": -3.0,
+    "monsters": -1.9, "monstrosity": -2.3, "moribund": -1.9, "mortal": -0.9,
+    "mortality": -1.3, "mourned": -2.2, "muddled": -1.2, "murdered": -3.1,
+    "murderous": -2.9, "mutilation": -2.8, "nagged": -1.5, "naively": -1.1,
+    "nastiness": -2.2, "needy": -1.2, "negativity": -1.8,
+    "nightmarish": -2.7, "noisy": -1.1, "notoriety": -1.4, "nuisances": -1.5,
+    "obscure": -0.6, "obsessive": -1.3, "obstinately": -1.4, "offence": -1.7,
+    "offender": -1.9, "offense": -1.6, "opposition": -0.9, "oppressor": -2.3,
+    "ouch": -1.4, "outbreak": -1.7, "outburst": -1.4, "outrageous": -2.1,
+    "overlook": -0.9, "overlooked": -1.1, "overthrow": -1.4,
+    "overturn": -0.9, "pained": -2.1, "panicking": -2.1, "paradox": -0.4,
+    "paralysis": -1.9, "penalized": -1.7, "perjury": -2.2,
+    "perpetrated": -1.9, "perplexed": -1.2, "persecuted": -2.4,
+    "perverse": -1.9, "pettiness": -1.4, "phobia": -1.6, "phobic": -1.6,
+    "pillage": -2.1, "poisonous": -2.4, "pollutes": -1.9, "possessed": -1.4,
+    "primitive": -0.9, "prisoner": -1.9, "prosecute": -1.7,
+    "prosecuted": -1.8, "prosecution": -1.7, "protested": -1.5,
+    "protesters": -1.2, "puzzled": -1.1, "quarrels": -1.7,
+    "questionable": -1.4, "quitting": -1.2, "raging": -2.4, "rampage": -2.2,
+    "ransack": -1.9, "rape": -3.3, "raped": -3.4, "rapist": -3.1,
+    "rattled": -1.2, "rebel": -1.1, "rebellion": -1.4, "refusal": -1.4,
+    "refusing": -1.6, "rejection": -2.1, "relentlessly": -1.1,
+    "reluctantly": -1.1, "remorseless": -2.2, "reprehensibly": -2.4,
+    "repressed": -1.6, "repulsion": -2.2, "resign": -1.2, "resigned": -1.3,
+    "restrictive": -1.3, "revolution": -0.4, "ridiculously": -1.7,
+    "rigged": -1.7, "rigid": -1.1, "rioting": -2.2, "risks": -1.1,
+    "robber": -2.1, "rudeness": -2.1, "ruining": -2.3, "rumor": -0.9,
+    "rumors": -0.9, "ruthlessly": -2.2,
+    # --- round-5 growth batch 5: S-Z ---
+    "safety": 1.8, "saint": 1.9, "salvage": 0.9, "sanctuary": 1.4,
+    "satisfies": 1.7, "sensitive": 0.9, "sentimental": 1.1, "shrewdly": 0.9,
+    "sincerity": 1.7, "smartly": 1.7, "smoothly": 1.5, "sober": 0.4,
+    "sociable": 1.6, "solidly": 1.3, "solution": 1.4, "solutions": 1.4,
+    "solve": 1.4, "solved": 1.6, "spark": 1.1, "spectacularly": 2.6,
+    "splendidly": 2.6, "succeeds": 2.0, "successes": 2.3, "sunshine": 1.9,
+    "supporter": 1.4, "supporters": 1.3, "surviving": 1.1, "sweetness": 2.1,
+    "swift": 1.1, "swiftly": 1.1, "sympathetically": 1.4, "tantalizing": 1.7,
+    "tehehe": 1.3, "tempting": 1.1, "tenderly": 1.8, "terrifically": 2.6,
+    "thanked": 1.9, "thankfulness": 2.1, "thoughtfully": 1.9,
+    "tolerance": 1.4, "tolerate": 0.6, "top": 1.6, "tranquilly": 1.8,
+    "tribute": 1.7, "triumphed": 2.6, "truce": 1.3, "truly": 1.4,
+    "unbeatable": 2.1, "unbelievable": 1.1, "understand": 1.1,
+    "understanding": 1.4, "understood": 1.1, "unified": 1.3, "unite": 1.4,
+    "united": 1.6, "unity": 1.7, "unmatched": 1.6, "untarnished": 1.4,
+    "useable": 1.1, "usefulness": 1.4, "vacation": 1.7, "value": 1.4,
+    "versatile": 1.4, "victor": 2.1, "vigilant": 1.1, "vigor": 1.4,
+    "vindicated": 1.4, "virtuously": 1.9, "vision": 1.1, "visionary": 1.9,
+    "vote": 0.6, "vouch": 1.2, "vow": 1.1, "want": 0.4, "warmhearted": 2.2,
+    "welfare": 1.1, "wellness": 1.9, "willingly": 1.3, "willingness": 1.3,
+    "wisely": 1.8, "wishing": 1.4, "wonderfulness": 2.7, "worship": 1.7,
+    "youthful": 1.3, "zealous": 1.1, "zealously": 1.0,
+    "sadden": -2.1, "saddened": -2.2, "sarcastically": -1.2,
+    "savagery": -2.4, "scammed": -2.4, "scandalized": -2.1,
+    "scaremonger": -1.9, "scorned": -1.9, "screaming": -1.8, "seethed": -1.9,
+    "seize": -1.1, "seized": -1.2, "serious": -0.4, "seriously": -0.4,
+    "shamed": -2.2, "shark": -0.9, "shatteringly": -2.1, "shoot": -1.9,
+    "shooting": -2.1, "shortcoming": -1.4, "shortcomings": -1.4,
+    "shot": -1.7, "shouting": -1.4, "shy": -0.9, "sickened": -2.2,
+    "sickness": -1.9, "sinful": -2.1, "sins": -1.9, "skepticism": -1.2,
+    "slam": -1.4, "slammed": -1.6, "slap": -1.6, "slapped": -1.7,
+    "slavery": -2.9, "slump": -1.6, "slumped": -1.7, "sly": -0.9,
+    "smash": -1.3, "smashed": -1.4, "snap": -0.9, "snapped": -1.3,
+    "sobbed": -2.0, "sobbing": -2.1, "soulless": -1.9, "speculative": -0.6,
+    "spiritless": -1.6, "stab": -2.1, "stabbed": -2.3, "stagnation": -1.3,
+    "stampede": -1.4, "starve": -2.2, "starved": -2.3, "stealing": -2.3,
+    "stereotyped": -1.4, "stinking": -2.0, "stole": -2.2, "stops": -0.6,
+    "strangely": -0.9, "strangled": -2.4, "stresses": -1.7, "strike": -1.1,
+    "stun": -0.9, "stunned": -1.1, "stuns": -0.9, "subjugated": -2.0,
+    "suing": -1.4, "sulk": -1.5, "sulking": -1.6, "surrender": -1.4,
+    "surrendered": -1.5, "suspicion": -1.4, "swear": -1.1, "swearing": -1.4,
+    "swindling": -2.2, "tarnishing": -1.7, "tease": -0.9, "teased": -1.1,
+    "terminate": -1.2, "terminated": -1.4, "terribleness": -2.7,
+    "terrorists": -3.1, "terrorize": -3.0, "terrorized": -3.1,
+    "thirsty": -0.9, "thwart": -1.4, "thwarted": -1.5, "tiredness": -1.5,
+    "torn": -1.6, "toughest": -1.1, "tragedies": -2.6, "trap": -1.4,
+    "trashed": -1.9, "traumatize": -2.5, "trembling": -1.6, "tricked": -1.7,
+    "trickery": -1.8, "trivialize": -1.3, "troubling": -1.9, "twisted": -1.4,
+    "tyrannical": -2.5, "ugliness": -2.2, "unappealing": -1.6,
+    "uncaring": -1.9, "uncomfortably": -1.5, "unconvinced": -1.2,
+    "undecided": -0.9, "undermining": -1.6, "undeserved": -1.6,
+    "undesired": -1.5, "uneasiness": -1.4, "unemployment": -1.8,
+    "unequal": -1.3, "unfairness": -2.0, "unfinished": -0.9,
+    "ungracious": -1.7, "unhappiness": -2.2, "unnecessary": -1.1,
+    "unpleasantness": -1.8, "unprotected": -1.4, "unsavory": -1.6,
+    "unsettled": -1.3, "unsophisticated": -1.1, "unsuccessfully": -1.6,
+    "untrue": -1.6, "unworthy": -1.7, "urgency": -1.1, "uselessness": -1.7,
+    "vague": -0.9, "vandalize": -2.0, "vanish": -0.9, "vanished": -1.1,
+    "vanity": -1.1, "vehement": -1.1, "verdict": -0.3, "viciousness": -2.4,
+    "victimize": -2.1, "victimized": -2.2, "vomited": -2.1,
+    "vulnerability": -1.3, "warfare": -2.7, "warn": -1.2, "wars": -2.8,
+    "wasting": -1.9, "weaknesses": -1.8, "weapon": -1.9, "weapons": -1.9,
+    "weird": -0.7, "whimper": -1.4, "widow": -1.6, "widowed": -1.7,
+    "wimpy": -1.4, "witch": -1.5, "withdrawal": -1.3, "woefully": -2.1,
+    "worn": -1.1, "worries": -1.7, "wronged": -1.9, "yearn": -0.4,
+    "yearning": -0.4, "zombie": -1.4,
 }
 
 _NT_SUFFIX = "n't"

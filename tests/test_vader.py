@@ -91,8 +91,12 @@ CASES = [
         # multi-word boosters added raw inside the distance-3 iteration
         ("it was sort of good", 0.3832),  # 1.9 - 0.293
         ("it was just enough good", 0.3832),
-        # special-case idioms replace the valence
-        ("it was the kiss of death", -0.3612),  # "kiss of death" -> -1.5
+        # special-case idioms replace the valence.  Both "kiss" and
+        # "death" are lexicon entries (as in stock), so the idiom fires
+        # at BOTH token positions — kiss via lookahead, death via
+        # lookback — for -1.5 + -1.5 = -3.0: the stock analyzer's own
+        # double-replace quirk, reproduced faithfully.
+        ("it was the kiss of death", -0.6124),
         ("she has a broken heart", -0.5994),  # lookahead "broken heart" -> -2.9
         # stock's quirky distance-3 precedence: "this/so" right before the
         # hit fires 1.25 with no "never" anywhere
