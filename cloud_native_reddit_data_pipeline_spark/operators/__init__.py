@@ -1,3 +1,3 @@
-from . import dedup, relational, similarity, sketches, textstats, topics, windows
+from . import dedup, recommend, relational, similarity, sketches, textstats, topics, windows
 
-__all__ = ["relational", "dedup", "similarity", "sketches", "textstats", "topics", "windows"]
+__all__ = ["relational", "dedup", "similarity", "sketches", "textstats", "topics", "windows", "recommend"]

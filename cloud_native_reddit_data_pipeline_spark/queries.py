@@ -6591,6 +6591,91 @@ def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators import recommend  # noqa: E402
+
+_REC_SEEDS = [1, 2, 4]
+
+
+# User-neighborhood collaborative filtering: top-5 part recommendations
+# per seed customer from the 10 most cosine-similar co-purchasers.
+@register(
+    "copurchase_recommendations",
+    recommend.recommend_oracle_sql(_REC_SEEDS, k_neighbors=10, top_n=5),
+)
+def copurchase_recommendations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recommend.copurchase_recommendations(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        _REC_SEEDS,
+        k_neighbors=10,
+        top_n=5,
+    )
+
+
+# Train/test split hygiene: after an md5 hash split, count exact-content
+# collisions across the split boundary (leaked eval docs).
+@register(
+    "split_leakage_check",
+    """
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS fp,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 < 8 AS is_train
+      FROM documents
+    ),
+    train AS (SELECT doc_id, fp FROM tagged WHERE is_train),
+    test AS (SELECT doc_id, fp FROM tagged WHERE NOT is_train),
+    leaks AS (
+      SELECT t.doc_id AS test_doc, COUNT(*) AS n_train_dups
+      FROM test t JOIN train r ON t.fp = r.fp
+      GROUP BY t.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM train) AS n_train,
+           (SELECT COUNT(*) FROM test) AS n_test,
+           CAST(COALESCE(SUM(n_train_dups), 0) AS BIGINT) AS n_leaked_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_leaked_test_docs
+    FROM leaks
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene audit: md5(doc_id) hash split (80/20, same rule as
+    `hash_split_sample`) followed by an exact-content fingerprint join
+    across the boundary — the leakage check every training pipeline
+    runs before an eval set is trusted.  One fingerprint join keyed on
+    content hash; counts only, never a transfer."""
+    docs = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+            < 8
+        ).alias("is_train"),
+    )
+    train = tagged.filter(F.col("is_train")).select(
+        F.col("doc_id").alias("_tr"), "fp"
+    )
+    test = tagged.filter(~F.col("is_train")).select(
+        F.col("doc_id").alias("_te"), "fp"
+    )
+    leaks = (
+        test.join(train, "fp")
+        .groupBy("_te")
+        .agg(F.count(F.lit(1)).alias("n_train_dups"))
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    n_test = test.agg(F.count(F.lit(1)).alias("n_test"))
+    agg = leaks.agg(
+        F.coalesce(F.sum("n_train_dups"), F.lit(0))
+        .cast("long")
+        .alias("n_leaked_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_leaked_test_docs"),
+    )
+    return n_train.crossJoin(n_test).crossJoin(agg)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -333,3 +333,62 @@ def test_benford_uniform_magnitudes_pass(spark):
     assert out[1]["n_obs"] > 2 * out[9]["n_obs"]
     # a Benford-conforming stream keeps every cell's chi2 small
     assert all(0 <= r["chi2_contrib"] < 5 for r in out.values())
+
+
+def test_copurchase_recommendations_excludes_owned(spark):
+    """Recommendations never include parts the seed already bought, and
+    the most-shared neighbor's exclusive part ranks first."""
+    from cloud_native_reddit_data_pipeline_spark.operators import recommend as R
+
+    # orders: one order per (cust); baskets via lineitem
+    li_rows, o_rows = [], []
+    baskets = {
+        1: [10, 11, 12],        # seed
+        2: [10, 11, 12, 13],    # near-identical neighbor -> recommends 13
+        3: [10, 20],            # weak neighbor -> recommends 20
+        4: [30, 31],            # no overlap -> not a neighbor
+    }
+    ok = 0
+    for cust, parts in baskets.items():
+        ok += 1
+        o_rows.append((ok, cust))
+        for p in parts:
+            li_rows.append((ok, p))
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    orders = spark.createDataFrame(o_rows, "o_orderkey long, o_custkey long")
+    out = R.copurchase_recommendations(li, orders, [1], k_neighbors=5, top_n=5)
+    rows = sorted(out.collect(), key=lambda r: r["rec_rank"])
+    recommended = [r["recommended_partkey"] for r in rows]
+    assert set(recommended).isdisjoint({10, 11, 12})  # owned excluded
+    assert recommended[0] == 13  # strongest neighbor's exclusive item
+    assert 20 in recommended
+    assert 30 not in recommended and 31 not in recommended
+
+
+def test_split_leakage_detects_planted_duplicate(spark):
+    from cloud_native_reddit_data_pipeline_spark import queries as registry
+    import tempfile, os, shutil
+
+    # Build a tiny sf dir with a planted cross-split duplicate: find two
+    # doc_ids landing in different splits, give them identical text.
+    tmp = tempfile.mkdtemp(prefix="leak-")
+    try:
+        import pyspark.sql.functions as FF
+        split = lambda i: int(
+            __import__("hashlib").md5(str(i).encode()).hexdigest()[:8], 16
+        ) % 10 < 8
+        train_id = next(i for i in range(100) if split(i))
+        test_id = next(i for i in range(100) if not split(i))
+        rows = [
+            (train_id, "identical leaked text", "en", "s", 21),
+            (test_id, "identical leaked text", "en", "s", 21),
+            (max(train_id, test_id) + 1, "unique text", "en", "s", 11),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = registry.queries()["split_leakage_check"](spark, tmp).collect()[0]
+        assert out["n_leaked_pairs"] == 1
+        assert out["n_leaked_test_docs"] == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
