@@ -116,6 +116,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "copurchase_recommendations",
     "split_leakage_check",
+    "readability_scores",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -713,3 +713,55 @@ def inverted_index(
         .orderBy(F.desc("doc_freq"), F.col("term"))
         .limit(top_n)
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document, with
+    a deterministic vowel-group syllable heuristic (count maximal
+    [aeiouy]+ runs per word, minimum 1) — the classic text-quality
+    signal a training-data pipeline uses alongside `quality_scores`
+    (length/punct ratios there; linguistic complexity here).  The
+    heuristic is the standard cheap approximation; both engines run
+    the IDENTICAL regex so the score is exact-parity even where the
+    heuristic miscounts English edge cases.
+
+        ease  = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+        grade = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59
+
+    Sentences = maximal [.!?]+ runs (minimum 1).  One narrow projection
+    — array expressions over the token split, no explode, no shuffle;
+    scan -> map at any corpus size."""
+    toks = tokens(text_col)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    syl_per_word = F.transform(
+        toks,
+        lambda w: F.greatest(
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ),
+    )
+    n_syllables = F.aggregate(
+        syl_per_word, F.lit(0), lambda acc, x: acc + x
+    )
+    n_sentences = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))
+        ),
+        F.lit(1),
+    )
+    wps = n_words.cast("double") / n_sentences
+    spw = n_syllables.cast("double") / n_words
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw + F.lit(1e-9),
+            4,
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59) + F.lit(1e-9),
+            4,
+        ).alias("fk_grade"),
+    )

@@ -6676,6 +6676,43 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_train.crossJoin(n_test).crossJoin(agg)
 
 
+# Flesch reading-ease / FK grade with a deterministic vowel-group
+# syllable heuristic — linguistic-complexity quality signal.
+@register(
+    "readability_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_sentences,
+             GREATEST(len(toks), 1) AS n_words,
+             list_sum(list_transform(toks, w ->
+               GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
+               AS n_syllables
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) + 1e-9, 4)
+             AS flesch_ease,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59 + 1e-9, 4) AS fk_grade
+    FROM m
+    """,
+)
+def readability_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.readability_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

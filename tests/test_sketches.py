@@ -392,3 +392,18 @@ def test_split_leakage_detects_planted_duplicate(spark):
         assert out["n_leaked_test_docs"] == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat. It ran!' -> 5 words, 2 sentences, 5 syllables:
+    ease = 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975."""
+    from cloud_native_reddit_data_pipeline_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!")], "doc_id long, text string"
+    )
+    r = T.readability_scores(df, "doc_id", "text").collect()[0]
+    assert r["n_words"] == 5 and r["n_sentences"] == 2
+    assert r["n_syllables"] == 5
+    assert abs(r["flesch_ease"] - 119.6975) < 1e-6
+    assert abs(r["fk_grade"] - (0.39 * 2.5 + 11.8 - 15.59)) < 1e-6
