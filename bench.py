@@ -274,9 +274,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+    # Preserve sections other tools append to the detail file (e.g. the
+    # scale_smoke report) instead of clobbering them on every run.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail = dict(payload)
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            if k not in detail:
+                detail[k] = v
+    except (OSError, ValueError):
+        pass
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
     print(_emit_final_json(payload))
     spark.stop()
 
