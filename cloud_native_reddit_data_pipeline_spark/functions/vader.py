@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~4,170-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~4,250-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -1253,6 +1253,28 @@ VADER_LEXICON: dict[str, float] = {
     "wimpy": -1.4, "witch": -1.5, "withdrawal": -1.3, "woefully": -2.1,
     "worn": -1.1, "worries": -1.7, "wronged": -1.9, "yearn": -0.4,
     "yearning": -0.4, "zombie": -1.4,
+    # --- round-5 growth batch 6: high-frequency stragglers ---
+    "ability": 1.1, "acceptable": 1.1, "acceptance": 1.4, "adequately": 0.9,
+    "admit": 0.4, "admitted": 0.4, "adopt": 0.6, "advice": 0.9,
+    "advise": 0.9, "amazement": 2.3, "apologize": 0.9, "appreciation": 2.0,
+    "authority": 0.4, "aware": 0.9, "awesomeness": 3.0, "beautifull": 2.6,
+    "beauty": 2.6, "believe": 1.1, "believed": 1.1, "benefitted": 1.7,
+    "big": 0.6, "bravery": 2.2, "breathtakingly": 2.7, "build": 0.9,
+    "calming": 1.6, "cares": 1.9, "certain": 1.1, "certainty": 1.1,
+    "challenge": 0.6, "chance": 0.9, "chances": 0.9, "charmingly": 2.1,
+    "clear": 1.1, "cleared": 1.1, "commit": 0.9, "compete": 0.4,
+    "compromise": 0.6, "convince": 0.9, "convinced": 1.1, "cooperate": 1.3,
+    "cooperation": 1.6, "cooperative": 1.4, "credit": 1.3, "cutie": 2.1,
+    "dearly": 1.9, "dedication": 1.7, "defense": 0.6, "definite": 1.0,
+    "definitely": 1.1, "deserving": 1.4, "determination": 1.7,
+    "accidental": -1.1, "agitated": -1.7, "alert": -0.4, "alien": -0.6,
+    "angered": -2.3, "angers": -2.2, "anti": -1.3, "arguments": -1.5,
+    "attacking": -2.2, "awkwardly": -1.2, "backward": -0.9, "badly": -2.1,
+    "ban": -1.6, "barrier": -1.1, "beating": -1.9, "bitterness": -2.0,
+    "blind": -1.1, "block": -1.0, "blocked": -1.2, "caution": -0.9,
+    "cautious": -0.4, "cheap": -0.9, "complicated": -1.2,
+    "dangerously": -2.0, "dark": -1.1, "denying": -1.4,
+    "devastatingly": -2.8, "hard": -0.4,
 }
 
 _NT_SUFFIX = "n't"
