@@ -1275,6 +1275,7 @@ VADER_LEXICON: dict[str, float] = {
     "cautious": -0.4, "cheap": -0.9, "complicated": -1.2,
     "dangerously": -2.0, "dark": -1.1, "denying": -1.4,
     "devastatingly": -2.8, "hard": -0.4,
+    "joke": 1.2, "jokes": 1.2, "joking": 0.9, "mean": -1.9, "young": 0.6,
 }
 
 _NT_SUFFIX = "n't"
