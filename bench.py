@@ -117,6 +117,8 @@ HEADLINE = [
     "copurchase_recommendations",
     "split_leakage_check",
     "readability_scores",
+    "winsorize_values",
+    "ecdf_normalize_lengths",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

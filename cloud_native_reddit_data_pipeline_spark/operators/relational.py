@@ -765,3 +765,90 @@ def benford_digit_audit(df: DataFrame, value_col: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorization report per group: exact lo/hi percentile bounds
+    (linear-interpolated, the SQL percentile_cont semantics both
+    engines share), clip counts, and the mean before/after clipping —
+    the robust-statistics companion of `grouped_outliers` (flagging
+    there; the actual heavy-tail treatment here, as a training
+    pipeline applies it to feature columns before normalization).
+
+    Two aggregates: per-group percentile (one shuffle; sort-based
+    aggregate over each group's values) and one pass computing clip
+    counts + decimal-exact means against the broadcast bounds."""
+    bounds = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+    )
+    joined = df.join(
+        F.broadcast(bounds), df[group_col] == F.col("_g")
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        joined.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("_lo") + F.lit(1e-9), 4).alias("p_lo"),
+            F.round(F.first("_hi") + F.lit(1e-9), 4).alias("p_hi"),
+            F.sum((v < F.col("_lo")).cast("long")).alias("n_clipped_lo"),
+            F.sum((v > F.col("_hi")).cast("long")).alias("n_clipped_hi"),
+            F.round(
+                F.sum(v.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(1e-9),
+                4,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(1e-9),
+                4,
+            ).alias("mean_winsorized"),
+        )
+    )
+
+
+def ecdf_normalize(
+    df: DataFrame, id_col: str, value_col: str, round_to: int = 4
+) -> DataFrame:
+    """Empirical-CDF normalization: map each row's value to
+    P(X <= x) over the whole column — rank-based feature scaling
+    (quantile normalization) that is robust to arbitrary skew.
+
+    Distributed shape (NO global window over the raw rows): collapse
+    to per-VALUE counts first, cumulative-sum over the distinct-value
+    domain (a window over the small distinct set), then broadcast the
+    value->cdf map back onto the rows.  The raw table is touched by
+    one aggregate and one broadcast join; only the distinct domain is
+    ever sorted."""
+    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    return df.join(
+        F.broadcast(cum), df[value_col] == F.col("_v")
+    ).select(
+        F.col(id_col),
+        F.col(value_col),
+        F.round(F.col("_cum") / F.col("_n") + F.lit(1e-9), round_to).alias(
+            "ecdf"
+        ),
+    )

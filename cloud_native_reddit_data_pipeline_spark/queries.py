@@ -6713,6 +6713,64 @@ def readability_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winsorization report per event type — robust heavy-tail treatment
+# with exact percentile_cont bounds and decimal-exact means.
+@register(
+    "winsorize_values",
+    """
+    WITH bounds AS (
+      SELECT event_type AS g,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(b.lo) + 1e-9, 4) AS p_lo,
+           ROUND(MIN(b.hi) + 1e-9, 4) AS p_hi,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) + 1e-9, 4) AS mean_raw,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) + 1e-9, 4) AS mean_winsorized
+    FROM events e JOIN bounds b ON b.g = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.winsorize_stats(
+        load(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+# Empirical-CDF normalization of document lengths — rank-based feature
+# scaling without a global row sort (distinct-domain cumsum broadcast).
+@register(
+    "ecdf_normalize_lengths",
+    """
+    WITH counts AS (
+      SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cumc,
+             SUM(c) OVER () AS n
+      FROM counts
+    )
+    SELECT d.doc_id, d.n_chars,
+           ROUND(CAST(cum.cumc AS DOUBLE) / cum.n + 1e-9, 4) AS ecdf
+    FROM documents d JOIN cum ON cum.v = d.n_chars
+    """,
+)
+def ecdf_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.ecdf_normalize(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -407,3 +407,33 @@ def test_readability_hand_computed(spark):
     assert r["n_syllables"] == 5
     assert abs(r["flesch_ease"] - 119.6975) < 1e-6
     assert abs(r["fk_grade"] - (0.39 * 2.5 + 11.8 - 15.59)) < 1e-6
+
+
+def test_winsorize_clips_tails(spark):
+    """100 values 1..100 per group: p5=5.95, p95=95.05 (percentile_cont
+    interpolation); 5 values clipped each side; means hand-checkable."""
+    from cloud_native_reddit_data_pipeline_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 101)], "event_type string, value double"
+    )
+    r = R.winsorize_stats(df, "event_type", "value").collect()[0]
+    assert r["n_rows"] == 100
+    assert abs(r["p_lo"] - 5.95) < 1e-6 and abs(r["p_hi"] - 95.05) < 1e-6
+    assert r["n_clipped_lo"] == 5 and r["n_clipped_hi"] == 5
+    assert r["mean_raw"] == 50.5
+    # clipped mean: replace 1..5 with 5.95 and 96..100 with 95.05
+    expected = (50.5 * 100 - sum(range(1, 6)) - sum(range(96, 101))
+                + 5 * 5.95 + 5 * 95.05) / 100
+    assert abs(r["mean_winsorized"] - round(expected, 4)) < 1e-6
+
+
+def test_ecdf_normalize_rank_semantics(spark):
+    """ECDF of [10, 20, 20, 30]: 10 -> .25, 20 -> .75, 30 -> 1.0."""
+    from cloud_native_reddit_data_pipeline_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 30)], "doc_id long, n_chars long"
+    )
+    out = {r["doc_id"]: r["ecdf"] for r in R.ecdf_normalize(df, "doc_id", "n_chars").collect()}
+    assert out == {1: 0.25, 2: 0.75, 3: 0.75, 4: 1.0}
