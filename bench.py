@@ -119,6 +119,8 @@ HEADLINE = [
     "readability_scores",
     "winsorize_values",
     "ecdf_normalize_lengths",
+    "bollinger_breakouts",
+    "spend_concentration",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

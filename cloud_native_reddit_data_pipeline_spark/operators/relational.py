@@ -852,3 +852,76 @@ def ecdf_normalize(
             "ecdf"
         ),
     )
+
+
+def concentration_report(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Revenue/volume concentration: exact Gini coefficient and
+    top-decile share over per-key totals — "how unequal is the
+    distribution" (customer spend, source contribution to a training
+    mix).  One row out: n_keys, total, gini, top_decile_share.
+
+    Distributed shape (the `ecdf_normalize` trick, not a global row
+    sort): per-key totals collapse to CENTS-scaled integers, identical
+    totals collapse to (value, count) pairs, and the rank-sum Gini
+
+        G = 2 * sum_i(rank_i * x_i) / (n * sum_x) - (n + 1) / n
+
+    is computed over the DISTINCT-total domain with counts (each
+    distinct value contributes its average rank times its mass —
+    exactly the tied-rank form), so only the distinct domain is ever
+    sorted.  All sums are exact integers; the two divisions happen
+    once at the end.  Top-decile share uses ceil(n/10) largest keys
+    via the same cumulative counts."""
+    totals = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_t")
+    )
+    vals = totals.select((F.col("_t") * 100).cast("long").alias("_v")).groupBy(
+        "_v"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "_v",
+        "_c",
+        F.sum("_c").over(w).alias("_cumc"),
+        F.sum("_c").over(wall).alias("_n"),
+        F.sum(F.col("_v") * F.col("_c")).over(wall).alias("_sum"),
+    )
+    # tied-rank sum for this value block: average rank = cumc - (c-1)/2,
+    # mass = v * c  ->  contribution 2*avg_rank*v*c kept integral as
+    # v*c*(2*cumc - c + 1)
+    contrib = F.col("_v") * F.col("_c") * (
+        F.lit(2) * F.col("_cumc") - F.col("_c") + F.lit(1)
+    )
+    # top decile: keys with rank > n - ceil(n/10); a value block
+    # overlapping the cutoff contributes only its in-decile part
+    k_top = F.ceil(F.col("_n") / F.lit(10.0)).cast("long")
+    cutoff = F.col("_n") - k_top  # ranks strictly above cutoff count
+    in_top = F.greatest(
+        F.lit(0),
+        F.least(F.col("_c"), F.col("_cumc") - cutoff),
+    )
+    agg = cum.agg(
+        F.first("_n").alias("_n"),
+        F.first("_sum").alias("_sum"),
+        F.sum(contrib).alias("_ranksum2"),
+        F.sum(F.col("_v") * in_top).alias("_topsum"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_keys"),
+        F.round(F.col("_sum") / 100.0, 2).alias("total_value"),
+        F.round(
+            F.col("_ranksum2").cast("double")
+            / (F.col("_n").cast("double") * F.col("_sum"))
+            - (F.col("_n") + F.lit(1)).cast("double") / F.col("_n")
+            + F.lit(1e-9),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("_topsum").cast("double") / F.col("_sum") + F.lit(1e-9), 6
+        ).alias("top_decile_share"),
+    )

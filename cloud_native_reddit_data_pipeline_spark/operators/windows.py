@@ -762,3 +762,62 @@ def cusum_changepoint(
             ).alias("max_cusum_dev"),
         )
     )
+
+
+def bollinger_bands(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_days: int = 7,
+    n_sigma: float = 2.0,
+) -> DataFrame:
+    """Rolling mean +/- n-sigma bands over daily totals per key
+    (Bollinger 1980s; the streaming-monitoring rolling-z companion of
+    the calendar-seasonal `seasonal_anomaly_days`): each day is scored
+    against the trailing `window_days` days' mean/stddev, and breakout
+    days (|rounded z| > n_sigma) are flagged.
+
+    Exactness: rolling sum and sum-of-squares accumulate the cents-
+    scaled BIGINT daily totals inside a rowsBetween window — exact
+    integers — so mean/std derive from identical rationals on both
+    engines; the breakout flag compares the ROUNDED z.  Warm-up rows
+    (fewer than `window_days` trailing days) emit NULL z and never
+    flag.
+
+    One (key, day) partial agg + one per-key window sort; state is
+    days-per-key."""
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        )
+        .groupBy("key", "day")
+        .agg((F.sum("_v") * 100).cast("long").alias("_y"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sy = F.sum("_y").over(w)
+    syy = F.sum(F.col("_y") * F.col("_y")).over(w)
+    var_num = n * syy - sy * sy
+    mean = sy.cast("double") / n
+    std = F.sqrt(var_num.cast("double")) / n
+    z = F.when(
+        (n == window_days) & (var_num > 0),
+        F.round((F.col("_y") - mean) / std + F.lit(1e-9), 4),
+    )
+    return daily.select(
+        "key",
+        "day",
+        F.round(F.col("_y") / 100.0, 2).alias("daily_total"),
+        F.when(n == window_days, F.round(mean / 100.0 + F.lit(1e-9), 4)).alias(
+            "rolling_mean"
+        ),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > F.lit(n_sigma), F.lit(False)).alias("is_breakout"),
+    )

@@ -6771,6 +6771,89 @@ def ecdf_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rolling Bollinger bands on daily totals per event type — trailing
+# 7-day mean ± 2σ breakout detection from exact integer window sums.
+@register(
+    "bollinger_breakouts",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT key, day, y,
+             COUNT(*) OVER w AS n,
+             SUM(y) OVER w AS sy,
+             SUM(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (PARTITION BY key ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT key, day,
+           ROUND(y / 100.0, 2) AS daily_total,
+           CASE WHEN n = 7
+                THEN ROUND(CAST(sy AS DOUBLE) / n / 100.0 + 1e-9, 4)
+           END AS rolling_mean,
+           CASE WHEN n = 7 AND n * syy - sy * sy > 0
+                THEN ROUND((y - CAST(sy AS DOUBLE) / n)
+                     / (SQRT(CAST(n * syy - sy * sy AS DOUBLE)) / n)
+                     + 1e-9, 4)
+           END AS z_score,
+           COALESCE(ABS(CASE WHEN n = 7 AND n * syy - sy * sy > 0
+                THEN ROUND((y - CAST(sy AS DOUBLE) / n)
+                     / (SQRT(CAST(n * syy - sy * sy AS DOUBLE)) / n)
+                     + 1e-9, 4)
+           END) > 2.0, FALSE) AS is_breakout
+    FROM rolled
+    """,
+)
+def bollinger_breakouts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.bollinger_bands(load(spark, sf_dir, "events"))
+
+
+# Customer-spend concentration: exact tied-rank Gini + top-decile share
+# over per-customer order totals — the inequality audit for source or
+# customer contribution.
+@register(
+    "spend_concentration",
+    """
+    WITH totals AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS v
+      FROM orders GROUP BY o_custkey
+    ),
+    vals AS (SELECT v, COUNT(*) AS c FROM totals GROUP BY v),
+    cum AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v) AS cumc,
+             SUM(c) OVER () AS n,
+             SUM(v * c) OVER () AS s
+      FROM vals
+    ),
+    agg AS (
+      SELECT MIN(n) AS n, MIN(s) AS s,
+             SUM(v * c * (2 * cumc - c + 1)) AS ranksum2,
+             SUM(v * GREATEST(0, LEAST(c, cumc - (n - CAST(CEIL(n / 10.0) AS BIGINT)))))
+               AS topsum
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           ROUND(s / 100.0, 2) AS total_value,
+           ROUND(CAST(ranksum2 AS DOUBLE) / (CAST(n AS DOUBLE) * s)
+                 - CAST(n + 1 AS DOUBLE) / n + 1e-9, 6) AS gini,
+           ROUND(CAST(topsum AS DOUBLE) / s + 1e-9, 6) AS top_decile_share
+    FROM agg
+    """,
+)
+def spend_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.concentration_report(
+        load(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

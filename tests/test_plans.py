@@ -566,3 +566,56 @@ def test_seasonal_anomaly_broadcasts_baseline(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cusum_no_joins(spark):
+    """CUSUM: one (key, day) aggregate + per-key windows — no join
+    operator, no python eval."""
+    df = registry.queries()["cusum_changepoint"](spark, SF)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_benford_broadcast_total(spark):
+    """Benford: 9-row digit aggregate + one-row broadcast total — no
+    sort-merge machinery anywhere."""
+    df = registry.queries()["benford_digit_audit"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """Winsorize: per-group percentile bounds broadcast back onto the
+    fact — the fact side is never shuffled through a sort-merge join."""
+    df = registry.queries()["winsorize_values"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ecdf_broadcasts_domain_map(spark):
+    """ECDF: the distinct-value cdf map joins back by broadcast; the
+    raw table is never globally sorted."""
+    df = registry.queries()["ecdf_normalize_lengths"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_recommendations_no_cartesian(spark):
+    """CF recommendations: candidates only via shared-item equi-joins;
+    never an all-users cartesian."""
+    df = registry.queries()["copurchase_recommendations"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_k_anonymity_single_aggregate(spark):
+    """k-anonymity: one groupBy over the QI key — no join, no python."""
+    df = registry.queries()["k_anonymity_audit"](spark, SF)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan

@@ -437,3 +437,43 @@ def test_ecdf_normalize_rank_semantics(spark):
     )
     out = {r["doc_id"]: r["ecdf"] for r in R.ecdf_normalize(df, "doc_id", "n_chars").collect()}
     assert out == {1: 0.25, 2: 0.75, 3: 0.75, 4: 1.0}
+
+
+def test_bollinger_flags_breakout_after_warmup(spark):
+    """7 calm days then a spike: the spike z is large and flagged; all
+    warm-up rows emit NULL z and never flag."""
+    from cloud_native_reddit_data_pipeline_spark.operators import windows as W
+
+    rows, eid = [], 0
+    vals = [10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 60.0]
+    for d, v in enumerate(vals, start=1):
+        rows.append((eid, 1, "x", v, f"2024-01-{d:02d} 12:00:00")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["day"]): r for r in W.bollinger_bands(df).collect()}
+    assert out["2024-01-08"]["is_breakout"] is True
+    assert out["2024-01-08"]["z_score"] > 10
+    for d in range(1, 8):
+        r = out[f"2024-01-0{d}"]
+        assert r["z_score"] is None and r["is_breakout"] is False
+
+
+def test_gini_known_distributions(spark):
+    """Equal values -> gini 0; extreme concentration -> gini near 1;
+    top-decile share consistent."""
+    from cloud_native_reddit_data_pipeline_spark.operators import relational as R
+
+    eq = spark.createDataFrame(
+        [(i, 10.0) for i in range(20)], "k long, v double"
+    )
+    r = R.concentration_report(eq, "k", "v").collect()[0]
+    assert r["n_keys"] == 20 and abs(r["gini"]) < 1e-6
+    assert abs(r["top_decile_share"] - 0.1) < 1e-6  # 2 of 20 equal keys
+
+    skew = spark.createDataFrame(
+        [(i, 1.0) for i in range(19)] + [(99, 1000.0)], "k long, v double"
+    )
+    r2 = R.concentration_report(skew, "k", "v").collect()[0]
+    assert r2["gini"] > 0.85
+    assert r2["top_decile_share"] > 0.98
