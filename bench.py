@@ -121,6 +121,7 @@ HEADLINE = [
     "ecdf_normalize_lengths",
     "bollinger_breakouts",
     "spend_concentration",
+    "histogram_quantile_sketch",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -260,3 +260,146 @@ def bloom_oracle_sql(
                  / GREATEST(n_probe - n_true, 1), 6) AS fp_rate
     FROM stats
     """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Mergeable fixed-grid histogram quantile sketch, with its error
+    measured against the exact percentile in the same pass — the
+    deterministic, oracle-checkable counterpart of the opaque KLL/
+    GK sketches behind `approx_percentile` (which can only ever be
+    rows-only-checked).
+
+    Build: bucket = floor((x - min) / width) over an equi-width grid
+    sized from the exact min/max (one lightweight agg), counts per
+    bucket (the mergeable state: two histograms merge by summing
+    buckets).  Query: quantile q reads the first bucket whose
+    cumulative count reaches ceil(q * n) and reports the bucket's
+    upper edge — a one-sided estimate whose error is bounded by the
+    bucket width.  Output per quantile: estimate, exact value
+    (percentile_cont), and |error|.
+
+    Scale: the histogram is one partial-agg shuffle bounded by
+    n_buckets rows regardless of input size; the exact percentile is
+    computed here only to REPORT the sketch's error (drop it in
+    production and the whole operator is sketch-state only)."""
+    bounds = df.agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    with_b = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(value_col) - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / n_buckets)
+            ),
+        ).cast("int").alias("bucket")
+    )
+    hist = with_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", F.sum("c").over(w).alias("cumc")).crossJoin(
+        F.broadcast(bounds)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    targets = bounds.select(qs, F.ceil(F.col("_n") * F.col("q")).alias("_target"))
+    est = (
+        cum.join(F.broadcast(targets), F.col("cumc") >= F.col("_target"))
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("_b"),
+            F.first("_lo").alias("_lo2"),
+            F.first("_hi").alias("_hi2"),
+        )
+        .select(
+            "q",
+            F.round(
+                F.col("_lo2")
+                + (F.col("_b") + 1)
+                * ((F.col("_hi2") - F.col("_lo2")) / n_buckets)
+                + F.lit(1e-9),
+                4,
+            ).alias("estimate"),
+        )
+    )
+    exact = df.agg(
+        *[
+            F.expr(f"percentile({value_col}, {float(q)})").alias(f"_e{i}")
+            for i, q in enumerate(quantiles)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.round(F.col(f"_e{i}") + F.lit(1e-9), 4).alias("exact"),
+                    )
+                    for i, q in enumerate(quantiles)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact")
+    return (
+        est.join(F.broadcast(exact), "q")
+        .select(
+            "q",
+            "estimate",
+            "exact",
+            F.round(F.abs(F.col("estimate") - F.col("exact")) + F.lit(1e-9), 4).alias(
+                "abs_error"
+            ),
+        )
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    table: str, value_expr: str, quantiles: list[float], n_buckets: int = 256
+) -> str:
+    """DuckDB twin of `histogram_quantiles`."""
+    qlist = ", ".join(str(float(q)) for q in quantiles)
+    exact_cols = " UNION ALL ".join(
+        f"SELECT {float(q)} AS q, ROUND(quantile_cont({value_expr}, {float(q)}) + 1e-9, 4) AS exact_v FROM {table}"
+        for q in quantiles
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT MIN({value_expr}) AS lo, MAX({value_expr}) AS hi, COUNT(*) AS n
+      FROM {table}
+    ),
+    b AS (
+      SELECT LEAST({n_buckets - 1},
+                   CAST(FLOOR(({value_expr} - bounds.lo)
+                        / ((bounds.hi - bounds.lo) / {n_buckets})) AS INT))
+               AS bucket
+      FROM {table} CROSS JOIN bounds
+    ),
+    hist AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+    cum AS (
+      SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cumc FROM hist
+    ),
+    targets AS (
+      SELECT CAST(q AS DOUBLE) AS q, CEIL(bounds.n * q) AS target
+      FROM (SELECT unnest([{qlist}]) AS q) CROSS JOIN bounds
+    ),
+    est AS (
+      SELECT t.q,
+             ROUND(bounds.lo + (MIN(cum.bucket) + 1)
+                   * ((bounds.hi - bounds.lo) / {n_buckets}) + 1e-9, 4)
+               AS estimate
+      FROM targets t
+      JOIN cum ON cum.cumc >= t.target
+      CROSS JOIN bounds
+      GROUP BY t.q, bounds.lo, bounds.hi
+    ),
+    exact AS ({exact_cols})
+    SELECT est.q, est.estimate, exact.exact_v AS exact,
+           ROUND(ABS(est.estimate - exact.exact_v) + 1e-9, 4) AS abs_error
+    FROM est JOIN exact ON exact.q = est.q
+    """

@@ -6854,6 +6854,21 @@ def spend_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable fixed-grid histogram quantile sketch with measured error
+# vs the exact percentile — the oracle-checkable counterpart of the
+# rows-only approx_percentile.
+@register(
+    "histogram_quantile_sketch",
+    sketches.histogram_quantiles_oracle_sql(
+        "events", "value", [0.5, 0.95, 0.99], n_buckets=256
+    ),
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.histogram_quantiles(
+        load(spark, sf_dir, "events"), "value", [0.5, 0.95, 0.99], n_buckets=256
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -477,3 +477,19 @@ def test_gini_known_distributions(spark):
     r2 = R.concentration_report(skew, "k", "v").collect()[0]
     assert r2["gini"] > 0.85
     assert r2["top_decile_share"] > 0.98
+
+
+def test_histogram_quantiles_error_bounded_by_bucket_width(spark):
+    """Uniform 0..999: every quantile estimate lands within one bucket
+    width of the exact percentile, and the error column agrees."""
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "value double")
+    out = {
+        r["q"]: r
+        for r in sketches.histogram_quantiles(
+            df, "value", [0.5, 0.95, 0.99], n_buckets=100
+        ).collect()
+    }
+    width = 999.0 / 100
+    for q, r in out.items():
+        assert r["abs_error"] <= width + 1e-6
+        assert abs(abs(r["estimate"] - r["exact"]) - r["abs_error"]) < 1e-6
