@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~4,250-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~4,450-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -1276,6 +1276,73 @@ VADER_LEXICON: dict[str, float] = {
     "dangerously": -2.0, "dark": -1.1, "denying": -1.4,
     "devastatingly": -2.8, "hard": -0.4,
     "joke": 1.2, "jokes": 1.2, "joking": 0.9, "mean": -1.9, "young": 0.6,
+    # --- round-5 growth batch 7: adverbial/nominal derivations ---
+    "accomplishments": 2.1, "admirably": 2.1, "adventurer": 1.4,
+    "agreeing": 1.1, "agreement": 1.4, "alright": 1.1, "ambition": 1.4,
+    "ambitions": 1.4, "amusingly": 1.7, "appreciating": 1.9,
+    "assurance": 1.3, "assuredly": 1.3, "attentively": 1.4, "bargain": 1.4,
+    "beautify": 2.0, "blissfulness": 2.9, "blushing": 0.6, "capably": 1.4,
+    "celebratory": 2.2, "charitably": 1.9, "cheerfulness": 2.1,
+    "commendably": 2.0, "compassionately": 2.1, "congenially": 1.7,
+    "contentedly": 1.6, "courageously": 2.2, "courteousness": 1.8,
+    "creatively": 1.8, "dazzlingly": 2.3, "decently": 1.3,
+    "dedicatedly": 1.6, "delectably": 2.2, "delightfully": 2.7,
+    "desirably": 1.6, "devotedness": 2.0, "dotingly": 1.9,
+    "dynamically": 1.4, "earnestness": 1.5, "effusively": 1.4,
+    "encouragingly": 2.0, "energetically": 1.7, "enjoyably": 2.2,
+    "enthusiastically": 2.2, "excitedly": 2.2, "expertise": 1.7,
+    "exuberantly": 2.2, "faithfully": 1.9, "faithfulness": 1.9,
+    "fearlessly": 1.9, "fervently": 1.4, "festively": 1.9, "fondest": 2.1,
+    "forgivingly": 1.8, "freely": 1.3, "gloriously": 2.6,
+    "gratefulness": 2.3, "gratifyingly": 1.9, "handsomely": 2.0,
+    "harmoniously": 1.9, "heartwarmingly": 2.4, "helpfulness": 1.8,
+    "heroically": 2.4, "honorably": 2.2, "hopefulness": 1.9,
+    "hospitably": 1.8, "humanely": 1.9, "immaculately": 2.2,
+    "impressiveness": 2.2, "ingeniously": 2.2, "inspiringly": 2.3,
+    "intelligently": 2.1, "jovially": 2.0, "joyfulness": 2.4,
+    "jubilantly": 2.4, "kindheartedly": 2.3, "lavishly": 1.4, "loyally": 2.1,
+    "mercifully": 1.9, "optimistically": 2.0, "painlessly": 1.3,
+    "pleasingly": 2.0, "praiseworthy": 2.3, "preciously": 2.1,
+    "pridefully": 1.4, "profitably": 1.9, "prosperously": 2.2,
+    "protectively": 1.2, "radiantly": 2.2, "resiliently": 1.8,
+    "respectfully": 1.9, "rewardingly": 2.3, "satisfyingly": 2.0,
+    "selflessly": 2.1, "sensationally": 2.1, "serenely": 1.9,
+    "skillfully": 1.8, "trustingly": 1.9, "valiantly": 1.9,
+    "vigorously": 1.3, "warmheartedly": 2.2, "zestfully": 1.7,
+    "apathetically": -1.2, "apprehensively": -1.3, "belittling": -1.9,
+    "bereavement": -2.1, "betrayal": -2.6, "betraying": -2.6,
+    "calamitously": -2.4, "combative": -1.7, "complacently": -0.8,
+    "contemptuous": -2.2, "dangerousness": -1.9, "dauntingly": -1.5,
+    "deceiving": -2.1, "defiantly": -1.2, "dejectedly": -2.0,
+    "despondently": -2.2, "destitution": -2.2, "devastates": -2.6,
+    "disastrously": -2.7, "disgracefully": -2.2, "disgustingly": -2.6,
+    "dishonestly": -2.1, "dishonorable": -2.2, "disillusionment": -1.6,
+    "dismally": -2.1, "distressingly": -2.2, "dreadfully": -2.6,
+    "enviously": -1.4, "exasperatingly": -1.9, "exhaustingly": -1.7,
+    "ferociously": -1.7, "foolishness": -1.7, "fraudulence": -2.4,
+    "frighteningly": -2.1, "frustratingly": -2.1, "greedily": -2.1,
+    "grievously": -2.2, "grumpily": -1.6, "hatefully": -2.8,
+    "hopelessness": -2.5, "horrifically": -2.8, "humiliatingly": -2.5,
+    "inadequately": -1.6, "incompetently": -2.0, "inconsiderately": -1.8,
+    "ineptly": -1.8, "infuriatingly": -2.5, "insolently": -1.7,
+    "insultingly": -2.2, "intimidatingly": -1.9, "irritably": -1.7,
+    "joylessly": -2.0, "lamentably": -1.9, "lethally": -2.4,
+    "loathingly": -2.6, "maliciously": -2.3, "menacingly": -2.0,
+    "mercilessly": -2.4, "mischievously": -0.9, "miserableness": -2.6,
+    "mockingly": -1.9, "mournfully": -2.1, "nastily": -2.3,
+    "neglectfully": -1.8, "obnoxiously": -2.1, "offensively": -2.0,
+    "outrageously": -2.1, "perniciously": -2.1, "pessimistically": -1.8,
+    "prejudicially": -1.9, "punitively": -1.6, "regretfully": -1.8,
+    "remorsefully": -1.9, "repulsively": -2.4, "resentfully": -2.0,
+    "ruthlessness": -2.1, "sadistically": -2.7, "scandalously": -2.2,
+    "scornfully": -1.9, "selfishly": -1.9, "shamelessly": -1.6,
+    "shockingly": -1.9, "sickeningly": -2.3, "sorrowfully": -2.3,
+    "spitefully": -2.2, "terrifyingly": -2.7, "thoughtlessly": -1.7,
+    "threateningly": -2.1, "treacherously": -2.3, "tyrannically": -2.5,
+    "unkindly": -1.8, "unpleasantly": -1.8, "unscrupulously": -2.0,
+    "vengefully": -2.2, "vilely": -2.6, "vindictively": -2.0,
+    "wickedly": -2.1, "worthlessness": -2.2, "wrathfully": -2.5,
+    "wretchedly": -2.3,
 }
 
 _NT_SUFFIX = "n't"
