@@ -619,3 +619,30 @@ def test_k_anonymity_single_aggregate(spark):
     plan = plan_of(df)
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan
+
+
+def test_histogram_sketch_bounded_state(spark):
+    """Histogram quantile sketch: bounds/targets/exact legs all ride
+    broadcasts; no sort-merge join anywhere."""
+    df = registry.queries()["histogram_quantile_sketch"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bollinger_single_key_sort(spark):
+    """Bollinger bands: one (key, day) aggregate + one per-key window
+    — no join operator."""
+    df = registry.queries()["bollinger_breakouts"](spark, SF)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan
+
+
+def test_concentration_distinct_domain_only(spark):
+    """Gini/concentration: aggregates + distinct-domain windows — no
+    join of the raw keys, no python eval."""
+    df = registry.queries()["spend_concentration"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
