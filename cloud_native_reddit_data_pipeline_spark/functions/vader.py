@@ -62,7 +62,7 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~4,450-entry subset on the
+The embedded ``VADER_LEXICON`` is a curated ~4,550-entry subset on the
 stock [-4, 4] scale, grown each round from the published ICWSM-2014
 word list's most frequent terms (the full 7.5k-entry MIT file is not
 shippable in this container); ``load_lexicon_file`` parses the
@@ -1343,6 +1343,30 @@ VADER_LEXICON: dict[str, float] = {
     "vengefully": -2.2, "vilely": -2.6, "vindictively": -2.0,
     "wickedly": -2.1, "worthlessness": -2.2, "wrathfully": -2.5,
     "wretchedly": -2.3,
+    # --- round-5 growth batch 8: netspeak/interjections ---
+    "a+": 2.1, "aok": 1.6, "awesom": 2.7, "awsome": 2.9, "bff": 2.1,
+    "bffs": 2.1, "cutesy": 1.4, "fav": 1.9, "fave": 1.9, "faves": 1.9,
+    "favs": 1.9, "gg": 1.4, "glhf": 1.7, "grats": 2.1, "gratz": 2.1,
+    "hahahaha": 2.2, "heh": 0.6, "hehe": 1.4, "hehehe": 1.6, "jk": 0.9,
+    "lmfao": 2.4, "lolol": 2.2, "loool": 2.2, "luving": 2.5, "luvs": 2.5,
+    "obvi": 0.4, "ofc": 0.4, "pwn": 1.1, "pwned": 1.1, "roflmao": 2.4,
+    "tgif": 1.9, "thanx": 1.9, "thnx": 1.9, "tnx": 1.8, "ty": 1.8,
+    "tyvm": 2.1, "whee": 1.9, "whoa": 0.9, "winrar": 1.9, "woah": 0.9,
+    "woo": 2.1, "wooh": 2.0, "woot": 2.2, "yass": 2.1, "yayy": 2.6,
+    "yep": 0.9, "yum": 2.1, "yumyum": 2.2,
+    "asshole": -2.6, "assholes": -2.6, "badmouth": -1.9, "bleh": -1.2,
+    "blergh": -1.4, "bs": -1.6, "bullshit": -2.6, "crappier": -2.2,
+    "crappiest": -2.4, "dang": -1.1, "darn": -1.2, "douche": -2.2,
+    "douchebag": -2.4, "dumbass": -2.4, "epicfail": -2.2, "failwhale": -1.9,
+    "freakin": -0.9, "freaking": -0.9, "fuck": -2.4, "fucked": -2.4,
+    "fucker": -2.7, "fuckers": -2.7, "fucks": -2.4, "heck": -0.9,
+    "hmm": -0.3, "hmph": -1.1, "idk": -0.4, "jackass": -2.3, "meanie": -1.7,
+    "motherfucker": -3.0, "nah": -0.6, "nvm": -0.4, "omfg": -0.4,
+    "oops": -0.9, "oopsie": -0.7, "ouchie": -1.3, "pff": -1.0, "pfft": -1.1,
+    "psh": -0.9, "screwup": -1.9, "screwups": -1.9, "shit": -2.6,
+    "shittier": -2.5, "shitty": -2.4, "sux": -1.9, "suxx": -1.9, "uh": -0.3,
+    "uhh": -0.4, "uhoh": -1.1, "waah": -1.2, "wah": -1.1, "whatever": -0.6,
+    "zzz": -0.6,
 }
 
 _NT_SUFFIX = "n't"
