@@ -51,6 +51,12 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — a later decorator "
+                "would silently shadow the earlier one (every registered name "
+                "must be unique so the oracle gate tests what it claims to)"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -1484,8 +1490,8 @@ def _pii_scrub_oracle() -> str:
     """
 
 
-@register("pii_scrub", _pii_scrub_oracle())
-def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("pii_scrub_v2", _pii_scrub_oracle())
+def pii_scrub_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import pii_counts, scrub_pii
 
     aug = load(spark, sf_dir, "documents").select(

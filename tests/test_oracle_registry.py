@@ -181,3 +181,26 @@ def test_no_registered_query_emits_decimal(spark):
         if hits:
             offenders[name] = hits
     assert offenders == {}
+
+
+def test_registry_names_unique():
+    """register() must raise on duplicate names — a silent dict overwrite
+    once shadowed the round-5 pii scrub (VERDICT r5 #1).  Pin both the
+    guard and that both PII variants are live."""
+    from cloud_native_reddit_data_pipeline_spark import queries as q
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        q.register("pii_scrub")(lambda spark, sf_dir: None)
+    assert "pii_scrub" in q._QUERIES and "pii_scrub_v2" in q._QUERIES
+    assert "pii_scrub" in q._ORACLES and "pii_scrub_v2" in q._ORACLES
+
+
+def test_pii_scrub_v2_matches_oracle(spark, ducks):
+    name = "pii_scrub_v2"
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    srows = [r.asDict() for r in sdf.collect()]
+    rel = ducks.sql(entrymod.oracle_sql()[name])
+    orows = [dict(zip(rel.columns, r)) for r in rel.fetchall()]
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(srows) == len(orows)
+    assert _norm(srows, sdf.columns) == _norm(orows, rel.columns)
