@@ -279,8 +279,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # Preserve sections other tools append to the detail file (e.g. the
-    # scale_smoke report) instead of clobbering them on every run.
+    # Preserve ONLY the known foreign sections other tools maintain in
+    # the detail file (an allowlist — carrying every unknown key forward
+    # let stale sections from old formats persist indefinitely).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -288,9 +289,9 @@ def main() -> None:
     try:
         with open(detail_path) as f:
             prev = json.load(f)
-        for k, v in prev.items():
-            if k not in detail:
-                detail[k] = v
+        for k in ("scale_smoke",):
+            if k in prev and k not in detail:
+                detail[k] = prev[k]
     except (OSError, ValueError):
         pass
     with open(detail_path, "w") as f:

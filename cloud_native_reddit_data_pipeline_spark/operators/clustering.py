@@ -178,14 +178,18 @@ def kmeans_lloyd(
 
 def kmeans_oracle_sql(
     table: str = "embeddings",
-    k: int = 4,
+    k: int | str = 4,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
     """DuckDB replay of `kmeans_lloyd` as unrolled CTEs: long-form
     quantized vectors, per-round exact-decimal assignment + re-quantized
-    centroid means, LEFT JOIN/COALESCE for empty clusters."""
+    centroid means, LEFT JOIN/COALESCE for empty clusters.
+
+    `k` may be a SQL expression string (e.g. a scalar subquery deriving
+    k from the corpus count — DuckDB allows subqueries in LIMIT), so the
+    oracle can replay corpus-sized clustering without baking a count."""
     parts = [
         f"""
     long AS (

@@ -145,6 +145,62 @@ def with_global_row_numbers(
             srt.unpersist()
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order: list[Column | str],
+    sum_col: str,
+    out_col: str,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Inclusive cumulative sum of `sum_col` over a global `order`,
+    WITHOUT a single-partition sort — the prefix-sum sibling of
+    `with_global_row_numbers`: range-repartition on the order, local
+    window cumsum within each partition, then add per-partition prefix
+    offsets.  The offsets come from a window over the PER-PARTITION
+    totals (at most one row per range partition — bounded at any data
+    size), broadcast back, so the whole thing is one lazy plan with no
+    driver collect.  `sum_col` must be integral (exact, order-free
+    addition); `order` must be a total order over the rows.
+
+    This is the 100x form of the "distinct-domain window" used by
+    ECDF/Gini: a continuous value domain makes the distinct set ~n and
+    an unpartitioned cumulative window single-task, while the range
+    shuffle here spreads the sort across the cluster at any domain
+    cardinality.  Same pinning contract as `with_global_row_numbers`:
+    the sampled range shuffle is persisted while materializing so
+    offsets and local sums never see different boundaries."""
+    srt = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if checkpoint:
+        srt = srt.persist()
+    try:
+        ptot = srt.groupBy("_pid").agg(F.sum(sum_col).alias("_pt"))
+        w_off = (
+            Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = ptot.select(
+            "_pid", F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off")
+        )
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            srt.join(F.broadcast(offs), "_pid")
+            .withColumn(out_col, F.sum(sum_col).over(w_local) + F.col("_off"))
+            .drop("_pid", "_off")
+        )
+        return out.localCheckpoint(eager=True) if checkpoint else out
+    finally:
+        if checkpoint:
+            srt.unpersist()
+
+
 def positional_zip_join(a: DataFrame, b: DataFrame, order_a: list[Column], order_b: list[Column]) -> DataFrame:
     """Literal equivalent of the reference's positional pandas index join
     (O29, redditProcessor.py:123): number both sides over an explicit
@@ -826,23 +882,19 @@ def ecdf_normalize(
 
     Distributed shape (NO global window over the raw rows): collapse
     to per-VALUE counts first, cumulative-sum over the distinct-value
-    domain (a window over the small distinct set), then broadcast the
-    value->cdf map back onto the rows.  The raw table is touched by
-    one aggregate and one broadcast join; only the distinct domain is
-    ever sorted."""
+    domain via `with_global_cumsum` (range-partitioned prefix sum — no
+    single-task sort even when the domain is continuous and distinct
+    ~ n), then map the value->cdf back onto the rows.  The raw table
+    is touched by one aggregate and one join; the map-back is hinted
+    broadcast because graded value domains (lengths, scores, cents
+    grids) stay far below the corpus — for a truly continuous column
+    drop the hint and let AQE pick the join side."""
     counts = df.groupBy(F.col(value_col).alias("_v")).agg(
         F.count(F.lit(1)).alias("_c")
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.select(
-        "_v",
-        F.sum("_c").over(w).alias("_cum"),
-        F.sum("_c").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
-    )
+    cum = with_global_cumsum(counts, ["_v"], "_c", "_cum")
+    total = counts.agg(F.sum("_c").alias("_n"))
+    cum = cum.crossJoin(F.broadcast(total))
     return df.join(
         F.broadcast(cum), df[value_col] == F.col("_v")
     ).select(

@@ -371,15 +371,21 @@ def rfm_segments(
     "r-f-m" segment string — the standard customer-value grid.
 
     Scale shape: the event stream collapses to one row per user first
-    (partial-agg shuffle); the three ntile windows rank the PER-USER
-    table, which is orders of magnitude smaller than the stream.  The
-    global ntile ranking is a total order by definition — at extreme
-    user counts swap in approx percentile boundaries.
+    (partial-agg shuffle); each axis is then ranked with
+    `relational.with_global_row_numbers` (range-partitioned sort +
+    per-partition offsets — no single-partition WindowExec at ANY user
+    count) and the ntile is DERIVED from the global row number with
+    SQL ntile's exact fill rule: with N rows and t tiles the first
+    N mod t tiles take ceil(N/t) rows, the rest floor(N/t) — pure
+    integer arithmetic on the rank, bit-identical to the engines'
+    built-in ntile over the same total order.
 
     The monetary sum accumulates in DECIMAL (order-independent exact)
     but is EMITTED as `monetary_e4` — the exact sum × 10^4 as BIGINT —
     because DECIMAL payloads hash engine-specifically (same convention
     as `incremental_agg_merge`)."""
+    from .relational import with_global_row_numbers
+
     per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
         F.max(F.date_trunc("day", F.col(ts_col))).alias("_last_day"),
         F.count(F.lit(1)).alias("frequency"),
@@ -391,13 +397,37 @@ def rfm_segments(
     base = per_user.crossJoin(F.broadcast(ref)).withColumn(
         "recency_days", F.datediff(F.col("_ref_day"), F.col("_last_day"))
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    w_m = Window.orderBy(F.desc("monetary_e4"), F.asc("user_id"))
+    base = base.persist()
+    try:
+        n_users = base.count()
+        q, r = divmod(n_users, n_tiles)
+
+        def _ntile(rn: str):
+            if q == 0:
+                return F.col(rn).cast("int")
+            boundary = r * (q + 1)
+            return (
+                F.when(
+                    F.col(rn) <= boundary,
+                    F.expr(f"({rn} - 1) div {q + 1} + 1"),
+                )
+                .otherwise(F.expr(f"{r} + ({rn} - 1 - {boundary}) div {q} + 1"))
+                .cast("int")
+            )
+
+        axes = {
+            "r": [F.asc("recency_days"), F.asc("user_id")],
+            "f": [F.desc("frequency"), F.asc("user_id")],
+            "m": [F.desc("monetary_e4"), F.asc("user_id")],
+        }
+        out = base
+        for tile, order in axes.items():
+            out = with_global_row_numbers(out, order, col_name=f"_rn_{tile}")
+            out = out.withColumn(tile, _ntile(f"_rn_{tile}")).drop(f"_rn_{tile}")
+    finally:
+        base.unpersist()
     return (
-        base.withColumn("r", F.ntile(n_tiles).over(w_r))
-        .withColumn("f", F.ntile(n_tiles).over(w_f))
-        .withColumn("m", F.ntile(n_tiles).over(w_m))
+        out
         .select(
             "user_id",
             "recency_days",

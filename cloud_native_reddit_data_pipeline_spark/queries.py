@@ -1690,38 +1690,87 @@ def _neardup_bucket_sql(planes: list[list[float]]) -> str:
 _NEARDUP_PLANES_N = 12
 _NEARDUP_BANDS = 3
 _NEARDUP_THRESHOLD = 0.3
+# Hot-bucket star cap.  With 4-bit bands (16 buckets/band) a FIXED cap
+# of 4096 never bound below ~65k rows, so per-bucket occupancy — and
+# the per-bucket self-join — grew with n (the round-5 scale smoke
+# measured 56x wall at 10x data).  256 binds from ~4k rows up; beyond
+# the cap every bucket degrades gracefully to O(m) star pairs and the
+# operator stays ~linear.  The DuckDB oracle replays the IDENTICAL
+# deterministic min-id star pairing, so correctness holds at any scale,
+# capped or not.
+_NEARDUP_CAP = 256
+# A cap small enough to bind on the sf0.001/sf0.01 gate data (500
+# vectors / 16 buckets ~ 31 per bucket), so the star-pairing code path
+# itself carries hard oracle coverage — not just the uncapped path.
+_NEARDUP_CAP_SMALL = 16
 
 
-def _neardup_oracle() -> str:
+def _neardup_oracle(cap: int) -> str:
+    """DuckDB replay of `dedup.embedding_neardup_pairs` INCLUDING the
+    hot-bucket star pairing: buckets over `cap` pair members only with
+    the bucket's min-id representative (exactly the engine's cap path),
+    cold buckets pair all-vs-all."""
     from .functions.vectors import make_planes
 
     planes = make_planes(64, _NEARDUP_PLANES_N)
     rpb = _NEARDUP_PLANES_N // _NEARDUP_BANDS
-    band_cols = ", ".join(
-        f"{_neardup_bucket_sql(planes[b * rpb:(b + 1) * rpb])} AS b{b}"
+    keyed_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {b} AS band, "
+        f"{_neardup_bucket_sql(planes[b * rpb:(b + 1) * rpb])} AS bkey "
+        "FROM embeddings"
         for b in range(_NEARDUP_BANDS)
     )
-    any_band = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_NEARDUP_BANDS))
     return f"""
     WITH keyed AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {band_cols}
-      FROM embeddings
+      {keyed_selects}
+    ), sz AS (
+      SELECT band, bkey, COUNT(*) AS c, MIN(vec_id) AS rep
+      FROM keyed GROUP BY band, bkey
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM keyed a
+      JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.vec_id < b.vec_id
+      JOIN sz s ON s.band = a.band AND s.bkey = a.bkey
+      WHERE s.c <= {cap}
+      UNION ALL
+      SELECT s.rep AS id_a, m.vec_id AS id_b, r.v AS va, m.v AS vb
+      FROM keyed m
+      JOIN sz s ON s.band = m.band AND s.bkey = m.bkey AND s.c > {cap}
+      JOIN keyed r ON r.band = m.band AND r.bkey = m.bkey
+                  AND r.vec_id = s.rep
+      WHERE m.vec_id > s.rep
     )
-    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
-    FROM keyed a JOIN keyed b
-      ON a.vec_id < b.vec_id AND ({any_band})
-    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_NEARDUP_THRESHOLD}
+    SELECT DISTINCT id_a, id_b,
+           ROUND(list_cosine_similarity(va, vb), 4) AS cos
+    FROM pairs
+    WHERE ROUND(list_cosine_similarity(va, vb), 4) >= {_NEARDUP_THRESHOLD}
     """
 
 
-@register("embedding_neardup", _neardup_oracle())
+@register("embedding_neardup", _neardup_oracle(_NEARDUP_CAP))
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         load(spark, sf_dir, "embeddings"),
         threshold=_NEARDUP_THRESHOLD,
         n_planes=_NEARDUP_PLANES_N,
         bands=_NEARDUP_BANDS,
+        max_bucket_size=_NEARDUP_CAP,
+    )
+
+
+@register("embedding_neardup_capped", _neardup_oracle(_NEARDUP_CAP_SMALL))
+def embedding_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator with a cap that BINDS at gate scale: hard oracle
+    coverage for the hot-bucket star pairing (`operators/dedup.py`,
+    `embedding_neardup_pairs` cap path) that keeps the headline query
+    linear at 100-TB bucket occupancies."""
+    return dedup.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_NEARDUP_PLANES_N,
+        bands=_NEARDUP_BANDS,
+        max_bucket_size=_NEARDUP_CAP_SMALL,
     )
 
 
@@ -1746,43 +1795,95 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_THRESHOLD = 0.3
+# Auto-sized clustering + skew cap (round-6): a FIXED k=4 made the
+# within-cluster compare n^2/4 — all-pairs with a constant shaved off.
+# k now grows with the corpus (target ~100 vectors/cluster) and
+# clusters past the cap star-pair against their min-id rep, so the
+# operator stays ~linear end-to-end.  Both knobs are replayed exactly
+# in the DuckDB oracle (dynamic-k via subquery LIMIT; star drops).
+_SEMDEDUP_TARGET = 100
+_SEMDEDUP_K_MAX = 20
+_SEMDEDUP_CAP = 256
+# Cap that BINDS at gate scale (500 vectors / k=5 -> ~100 per cluster):
+# hard oracle coverage for the star-pairing path itself.
+_SEMDEDUP_CAP_SMALL = 25
+_SEMDEDUP_K_SQL = (
+    f"(SELECT greatest(4, least({_SEMDEDUP_K_MAX}, "
+    f"CAST(ceil(COUNT(*) / {_SEMDEDUP_TARGET}.0) AS BIGINT))) "
+    "FROM embeddings)"
+)
 
 
-def _semantic_dedup_oracle() -> str:
-    """Compose the k-means oracle (as a nested-WITH CTE) with the
-    within-cluster cosine EXISTS drop — the SQL replay of
-    dedup.semantic_dedup's keep-smallest-id policy."""
-    km = clustering.kmeans_oracle_sql(k=_KMEANS_K, iters=_KMEANS_ITERS)
+def _semantic_dedup_oracle(cap: int) -> str:
+    """Compose the k-means oracle (corpus-sized k via subquery LIMIT)
+    with the within-cluster cosine drop — the SQL replay of
+    dedup.semantic_dedup's keep-smallest-id policy INCLUDING the
+    oversized-cluster star pairing (members of clusters past `cap`
+    compare only against the cluster's min-id rep)."""
+    km = clustering.kmeans_oracle_sql(k=_SEMDEDUP_K_SQL, iters=_KMEANS_ITERS)
     return f"""
     WITH km AS ({km}),
     v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    drops AS (
-      SELECT DISTINCT b.vec_id
-      FROM km a JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      JOIN v va ON va.vec_id = a.vec_id
-      JOIN v vb ON vb.vec_id = b.vec_id
-      WHERE ROUND(list_cosine_similarity(va.v, vb.v), 4) >= {_SEMDEDUP_THRESHOLD}
-    )
+    m AS (
+      SELECT k.vec_id, k.cluster, v.v FROM km k JOIN v USING (vec_id)
+    ),
+    sz AS (
+      SELECT cluster, COUNT(*) AS c, MIN(vec_id) AS rep FROM m GROUP BY cluster
+    ),
+    drop_pairs AS (
+      SELECT b.vec_id
+      FROM m a
+      JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN sz s ON s.cluster = a.cluster
+      WHERE s.c <= {cap}
+        AND ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_SEMDEDUP_THRESHOLD}
+      UNION ALL
+      SELECT mm.vec_id
+      FROM m mm
+      JOIN sz s ON s.cluster = mm.cluster AND s.c > {cap}
+      JOIN m r ON r.cluster = mm.cluster AND r.vec_id = s.rep
+      WHERE mm.vec_id > s.rep
+        AND ROUND(list_cosine_similarity(r.v, mm.v), 4) >= {_SEMDEDUP_THRESHOLD}
+    ),
+    drops AS (SELECT DISTINCT vec_id FROM drop_pairs)
     SELECT k.vec_id, k.cluster, (d.vec_id IS NULL) AS is_kept
     FROM km k LEFT JOIN drops d ON d.vec_id = k.vec_id
     """
 
 
-@register("semantic_dedup", _semantic_dedup_oracle())
+@register("semantic_dedup", _semantic_dedup_oracle(_SEMDEDUP_CAP))
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
-    clusters bound the pairwise cosine, keep-smallest-id inside each
-    cluster (`operators/dedup.semantic_dedup`).  Clustering reuses the
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): corpus-sized
+    k-means clusters bound the pairwise cosine, keep-smallest-id inside
+    each cluster, star-capped skew tail
+    (`operators/dedup.semantic_dedup`).  Clustering reuses the
     decimal-exact Lloyd's loop so the whole composition — iterative
-    clustering AND the similarity pruning — hash-matches the DuckDB
-    replay end-to-end."""
+    clustering at auto-sized k AND the similarity pruning — hash-
+    matches the DuckDB replay end-to-end."""
     return dedup.semantic_dedup(
         load(spark, sf_dir, "embeddings"),
-        k=_KMEANS_K,
+        k=None,
         iters=_KMEANS_ITERS,
         threshold=_SEMDEDUP_THRESHOLD,
+        target_cluster=_SEMDEDUP_TARGET,
+        max_cluster_size=_SEMDEDUP_CAP,
+    )
+
+
+@register("semantic_dedup_capped", _semantic_dedup_oracle(_SEMDEDUP_CAP_SMALL))
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator with a cluster cap that BINDS at gate scale: hard
+    oracle coverage for the oversized-cluster star pairing that keeps
+    the headline query linear under k-means mass-collapse skew."""
+    return dedup.semantic_dedup(
+        load(spark, sf_dir, "embeddings"),
+        k=None,
+        iters=_KMEANS_ITERS,
+        threshold=_SEMDEDUP_THRESHOLD,
+        target_cluster=_SEMDEDUP_TARGET,
+        max_cluster_size=_SEMDEDUP_CAP_SMALL,
     )
 
 
@@ -6695,8 +6796,11 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT doc_id, n_sentences,
              GREATEST(len(toks), 1) AS n_words,
-             list_sum(list_transform(toks, w ->
-               GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
+             -- COALESCE: DuckDB's list_sum over an EMPTY token list is
+             -- NULL where Spark's F.aggregate seed gives 0 (zero-token
+             -- documents; latent divergence flagged in round-5 advice)
+             COALESCE(list_sum(list_transform(toks, w ->
+               GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))), 0)
                AS n_syllables
       FROM t
     )

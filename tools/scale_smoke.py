@@ -28,13 +28,16 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf_scaled"
+# factor-keyed so a 100x run never silently reuses 10x files
+DST_TMPL = "/tmp/sf_scaled_x{factor}"
 
 DEFAULT_QUERIES = [
     "session_overlap",
     "khop_reachability",
     "association_rules",
     "embedding_neardup",
+    "embedding_neardup_capped",
+    "semantic_dedup",
     "minhash_lsh_pairs",
     "duplicate_spans",
     "pagerank_copurchase",
@@ -43,11 +46,12 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_scaled(spark, factor: int) -> None:
+def build_scaled(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
     from cloud_native_reddit_data_pipeline_spark.sources.tables import load
 
+    DST = DST_TMPL.format(factor=factor)
     os.makedirs(DST, exist_ok=True)
     # small dims + fixed catalog: copy once, unscaled
     for t in ("region", "nation", "supplier", "part"):
@@ -111,6 +115,7 @@ def build_scaled(spark, factor: int) -> None:
             "overwrite"
         ).parquet(out)
         print(f"[scaled] {t}")
+    return DST
 
 
 def main() -> int:
@@ -121,7 +126,7 @@ def main() -> int:
     from cloud_native_reddit_data_pipeline_spark.session import build_session
 
     spark = build_session("scale-smoke")
-    build_scaled(spark, factor)
+    DST = build_scaled(spark, factor)
 
     qs = entrymod.queries()
     report = {"factor": factor, "queries": {}}
@@ -149,6 +154,18 @@ def main() -> int:
         detail = json.load(open(detail_path))
     except Exception:
         detail = {}
+    # A targeted rerun (one or two queries) must MERGE into the standing
+    # report, not clobber the full-set table, as long as the factor is
+    # comparable.
+    prev = detail.get("scale_smoke")
+    if (
+        isinstance(prev, dict)
+        and prev.get("factor") == factor
+        and isinstance(prev.get("queries"), dict)
+    ):
+        merged = dict(prev["queries"])
+        merged.update(report["queries"])
+        report = {**report, "queries": merged}
     detail["scale_smoke"] = report
     json.dump(detail, open(detail_path, "w"), indent=1)
     print(json.dumps(report))
