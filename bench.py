@@ -289,8 +289,8 @@ def main() -> None:
     try:
         with open(detail_path) as f:
             prev = json.load(f)
-        for k in ("scale_smoke",):
-            if k in prev and k not in detail:
+        for k in prev:
+            if k.startswith("scale_smoke") and k not in detail:
                 detail[k] = prev[k]
     except (OSError, ValueError):
         pass

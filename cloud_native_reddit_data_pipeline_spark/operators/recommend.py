@@ -90,8 +90,16 @@ def copurchase_recommendations(
             "left_anti",
         )
     )
+    # cos is pre-rounded to 4 places, so the 1e4-scaled long is exact;
+    # the integer sum is order-insensitive across partitions/retries
+    # (double addition order is not), matching the repo's exact-sum
+    # convention (SCALE.md)
     scored = candidate.groupBy("seed", "part").agg(
-        F.round(F.sum("cos") + F.lit(1e-9), 4).alias("score"),
+        F.round(
+            F.sum(F.round(F.col("cos") * 10000).cast("long")) / F.lit(10000.0)
+            + F.lit(1e-9),
+            4,
+        ).alias("score"),
         F.count(F.lit(1)).alias("n_neighbors"),
     )
     wr = Window.partitionBy("seed").orderBy(
@@ -154,7 +162,8 @@ def recommend_oracle_sql(
     ),
     scored AS (
       SELECT seed, part,
-             ROUND(SUM(cos) + 1e-9, 4) AS score,
+             ROUND(SUM(CAST(ROUND(cos * 10000) AS BIGINT)) / 10000.0
+                   + 1e-9, 4) AS score,
              COUNT(*) AS n_neighbors
       FROM candidate GROUP BY seed, part
     )

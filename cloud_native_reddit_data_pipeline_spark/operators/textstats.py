@@ -659,7 +659,17 @@ def token_label_chi2(
         .groupBy("_t")
         .agg(
             F.first("_nt").alias("doc_freq"),
-            F.round(F.sum("_c") + F.lit(1e-9), 6).alias("chi2"),
+            # per-cell round-to-1e-6 THEN exact integer sum: double
+            # addition order across partitions/retries is not
+            # deterministic, so summing raw double cells could flip a
+            # ROUND boundary between reruns (round-5 advice); the
+            # scaled-integer sum is order-free
+            F.round(
+                F.sum(F.round(F.col("_c") * F.lit(1e6)).cast("long"))
+                / F.lit(1e6)
+                + F.lit(1e-9),
+                6,
+            ).alias("chi2"),
         )
         .select(
             F.col("_t").alias("token"),

@@ -6361,7 +6361,8 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid
     )
     SELECT t AS token, CAST(MIN(nt) AS BIGINT) AS doc_freq,
-           ROUND(SUM(c) + 1e-9, 6) AS chi2
+           ROUND(SUM(CAST(ROUND(c * 1000000) AS BIGINT)) / 1000000.0
+                 + 1e-9, 6) AS chi2
     FROM cells GROUP BY t
     ORDER BY chi2 DESC, token LIMIT 40
     """,

@@ -154,10 +154,12 @@ def main() -> int:
         detail = json.load(open(detail_path))
     except Exception:
         detail = {}
-    # A targeted rerun (one or two queries) must MERGE into the standing
-    # report, not clobber the full-set table, as long as the factor is
-    # comparable.
-    prev = detail.get("scale_smoke")
+    # Factor-keyed report slots ("scale_smoke" stays the 10x table for
+    # continuity with earlier rounds; other factors get their own key),
+    # and a targeted rerun (one or two queries) MERGES into the
+    # standing report instead of clobbering the full-set table.
+    key = "scale_smoke" if factor == 10 else f"scale_smoke_x{factor}"
+    prev = detail.get(key)
     if (
         isinstance(prev, dict)
         and prev.get("factor") == factor
@@ -166,7 +168,7 @@ def main() -> int:
         merged = dict(prev["queries"])
         merged.update(report["queries"])
         report = {**report, "queries": merged}
-    detail["scale_smoke"] = report
+    detail[key] = report
     json.dump(detail, open(detail_path, "w"), indent=1)
     print(json.dumps(report))
     spark.stop()
