@@ -1367,6 +1367,267 @@ VADER_LEXICON: dict[str, float] = {
     "shittier": -2.5, "shitty": -2.4, "sux": -1.9, "suxx": -1.9, "uh": -0.3,
     "uhh": -0.4, "uhoh": -1.1, "waah": -1.2, "wah": -1.1, "whatever": -0.6,
     "zzz": -0.6,
+    # --- round-6 growth: G-Z gap fill from the published ICWSM-2014
+    # word list (underrepresented initials g/h/i/k/l/m/n/o/q/t/u/v/w/x/y/z) ---
+    "gaining": 1.6, "gallantry": 2.4, "galore": 1.6, "gambler": -0.7,
+    "gambling": -0.6, "gambol": 1.5, "gawky": -1.0, "geek": -0.4,
+    "geeky": -0.5, "ghetto": -1.3, "ghosts": -0.8, "giggles": 1.6,
+    "gloating": -0.9, "glummer": -1.8, "gobble": 0.3, "goofy": 0.5,
+    "gossiped": -0.9, "gossiping": -1.0, "grander": 2.1, "grant": 1.2,
+    "granted": 1.0, "granting": 1.1, "grants": 1.1, "gratification": 2.0,
+    "gratifies": 1.9, "gravely": -1.8, "graves": -1.3, "greediness": -2.0,
+    "grieved": -1.9, "grieves": -1.9, "grievous": -2.4, "grind": -0.6,
+    "grinding": -0.7, "grinned": 1.5, "grins": 1.4, "gritty": -0.3,
+    "groan": -1.2, "groaned": -1.3, "groaning": -1.3, "groans": -1.2,
+    "groom": 0.7, "groomed": 0.8, "grossed": -1.8, "grosser": -2.2,
+    "grossest": -2.6, "grossly": -1.9, "grouch": -1.7, "grounded": -0.8,
+    "grudging": -1.3, "grudgingly": -1.2, "grumbled": -1.3, "grumbles": -1.3,
+    "grumbling": -1.4, "grumpier": -1.9, "grumpiest": -2.2, "guardians": 1.2,
+    "guidance": 1.3, "guide": 1.0, "guided": 1.0, "guides": 0.9,
+    "guiding": 1.1, "guile": -1.2, "guillotine": -2.2, "guiltless": 1.0,
+    "gumption": 1.4, "gun": -1.4, "gunned": -2.0, "guns": -1.4, "gutsy": 1.1,
+    "guzzler": -0.8, "habitual": -0.4, "hack": -1.3, "hacker": -1.2,
+    "hackers": -1.2, "hacking": -1.4, "hacks": -1.1, "haggard": -1.5,
+    "hailed": 1.3, "halcyon": 1.8, "hale": 1.2, "hallucinate": -1.3,
+    "hallucination": -1.2, "hampers": -1.3, "handicap": -1.4,
+    "handicapped": -1.5, "handsomer": 2.0, "hapless": -1.5, "harasses": -2.2,
+    "hardships": -1.8, "harried": -1.3, "harrowing": -2.2, "harsher": -2.0,
+    "harshest": -2.3, "harshness": -2.0, "hassles": -1.4, "hasty": -0.9,
+    "hatched": 0.3, "hatefulness": -2.8, "hazards": -1.5, "headache": -1.6,
+    "headaches": -1.6, "healer": 1.7, "heals": 1.8, "healthful": 1.8,
+    "healthier": 1.9, "healthiest": 2.2, "healthily": 1.8, "hearten": 1.8,
+    "heartened": 1.8, "heartening": 1.9, "heckle": -1.5, "heckled": -1.5,
+    "hedonistic": -0.5, "helper": 1.5, "helplessness": -2.0,
+    "herculean": 1.6, "heresy": -1.5, "heretic": -1.4, "hesitance": -1.0,
+    "hesitancy": -1.0, "hesitated": -0.9, "hesitates": -0.9,
+    "hesitating": -1.0, "hesitation": -1.0, "hilarity": 2.1,
+    "hindering": -1.5, "hinders": -1.4, "hobo": -1.2, "hollow": -1.0,
+    "holocaust": -3.4, "homelessness": -2.1, "homicidal": -2.9,
+    "homicide": -3.0, "honour": 2.2, "honourable": 2.3, "honoured": 2.2,
+    "hooligan": -1.8, "hooligans": -1.8, "horrendously": -2.8,
+    "horrifies": -2.6, "hospitality": 1.8, "hostages": -2.2,
+    "hostilities": -2.1, "hugging": 2.0, "humanitarian": 2.0,
+    "humanity": 1.4, "humbled": 1.0, "humbling": 0.9, "humbly": 1.1,
+    "humour": 1.8, "hurricane": -1.9, "hurried": -0.6, "hurriedly": -0.6,
+    "hustle": -0.3, "hype": -0.4, "hyped": 0.6, "hypocrites": -2.1,
+    "hypocritical": -2.1, "idealist": 1.2, "idealistic": 1.1, "idiocy": -2.2,
+    "idiotically": -2.4, "idleness": -1.1, "idolize": 1.7, "idolized": 1.7,
+    "ignorantly": -1.9, "ignoring": -1.4, "illegitimate": -1.8,
+    "illicit": -1.9, "illiterate": -1.7, "illnesses": -1.9, "ills": -1.6,
+    "illuminate": 1.4, "illuminated": 1.3, "illuminating": 1.5,
+    "illusion": -0.9, "illusions": -0.9, "imbalance": -1.1, "imbecile": -2.3,
+    "immaturity": -1.5, "immorality": -2.2, "immorally": -2.2,
+    "immortality": 1.1, "impairment": -1.6, "impasse": -1.2, "impeach": -1.7,
+    "impeached": -1.7, "impeccably": 2.3, "impeded": -1.4, "impedes": -1.4,
+    "impediment": -1.4, "impending": -1.0, "imperfections": -1.2,
+    "impertinent": -1.4, "impetuous": -0.9, "implicate": -1.2,
+    "implicated": -1.3, "implode": -1.5, "imploded": -1.5,
+    "importantly": 1.0, "imposing": -0.9, "imposition": -1.1,
+    "impossibility": -1.4, "impossibly": -1.3, "impoverish": -1.9,
+    "impractical": -1.2, "imprecise": -0.9, "impressing": 1.9,
+    "impression": 0.9, "imprisonment": -2.0, "improperly": -1.4,
+    "improprieties": -1.4, "impudent": -1.5, "impulsive": -0.7,
+    "impunity": -1.1, "inaccessible": -1.2, "inaccuracies": -1.2,
+    "inaccuracy": -1.2, "inactive": -1.0, "inadvisable": -1.2, "inane": -1.4,
+    "inappropriate": -1.6, "inattentive": -1.2, "incapacitated": -1.6,
+    "incendiary": -1.4, "incense": -1.2, "incessant": -1.3, "incident": -0.9,
+    "incidents": -0.9, "incite": -1.3, "incited": -1.3, "incivility": -1.6,
+    "inclement": -1.1, "incomprehensible": -1.3, "inconceivable": -1.1,
+    "inconsolable": -2.1, "incorrectly": -1.3, "incredibly": 2.3,
+    "incredulous": -0.9, "indebted": -0.7, "indecency": -1.6,
+    "indecision": -1.0, "indigent": -1.4, "indolent": -1.2, "indulge": 0.8,
+    "indulged": 0.8, "indulgence": 0.7, "industrious": 1.5,
+    "ineffectively": -1.5, "ineptitude": -1.8, "inequality": -1.5,
+    "inequitable": -1.4, "infamous": -1.8, "infamy": -1.8,
+    "infatuation": 0.7, "infections": -1.8, "infectious": -1.4,
+    "infernal": -1.9, "inferno": -1.7, "infestation": -1.9, "infidel": -1.6,
+    "infiltrate": -1.1, "inflammatory": -1.5, "inflicted": -1.8,
+    "infraction": -1.4, "infringe": -1.4, "infuriates": -2.2,
+    "inhumanity": -2.4, "injures": -1.8, "injuring": -1.8,
+    "injustices": -2.2, "innocuous": 0.4, "innovates": 1.5,
+    "innovations": 1.6, "inoperable": -1.4, "inquisition": -1.2,
+    "insensitivity": -1.7, "insinuate": -0.9, "insipid": -1.3,
+    "insolvency": -1.8, "insolvent": -1.7, "inspirations": 2.0,
+    "insufficiency": -1.2, "insufficiently": -1.2, "insurmountable": -1.4,
+    "insurrection": -1.7, "intellectual": 1.5, "interestingly": 1.5,
+    "interfere": -1.2, "interfering": -1.3, "interrogated": -1.3,
+    "interrogation": -1.2, "interrupting": -1.2, "interruption": -1.1,
+    "intimacy": 1.6, "intimidation": -1.9, "intoxicated": -1.0,
+    "intractable": -1.2, "intransigence": -1.2, "intrigues": 1.0,
+    "inundated": -1.1, "invalidate": -1.3, "invaluable": 2.1,
+    "invasive": -1.4, "involuntarily": -0.8, "involuntary": -0.8,
+    "ire": -1.8, "irk": -1.4, "irksome": -1.5, "irrationality": -1.4,
+    "irrationally": -1.4, "irreconcilable": -1.3, "irredeemable": -1.7,
+    "irrefutable": 0.7, "irregular": -0.9, "irregularity": -0.9,
+    "irrelevance": -1.0, "irreplaceable": 1.0, "irrepressible": 0.9,
+    "irresistibly": 1.6, "irresponsibly": -1.8, "irritability": -1.5,
+    "irritant": -1.5, "keener": 1.4, "keenly": 1.4, "keenness": 1.5,
+    "kidnap": -2.6, "kidnapped": -2.6, "kidnapping": -2.7, "kidnaps": -2.5,
+    "killings": -3.0, "kindred": 1.3, "kingly": 1.6, "kissing": 2.0,
+    "knave": -1.9, "knavish": -1.7, "knife": -1.2, "knifed": -2.1,
+    "knives": -1.1, "knock": -0.8, "knocked": -0.9, "knocking": -0.8,
+    "knowledgeable": 1.9, "lacked": -1.3, "lacking": -1.4, "lags": -0.9,
+    "lamely": -1.5, "lameness": -1.7, "lamenting": -1.6, "landmark": 1.1,
+    "languished": -1.6, "languishing": -1.7, "lapse": -1.1, "lapsed": -1.1,
+    "larceny": -2.0, "lark": 1.1, "lascivious": -1.1, "laughable": -0.5,
+    "laureate": 1.9, "lavished": 1.4, "lawful": 1.5, "lawfully": 1.4,
+    "lawlessness": -2.2, "lazier": -1.6, "laziest": -1.9, "laziness": -1.6,
+    "leaking": -1.2, "leaks": -1.1, "lecher": -1.8, "leeches": -1.7,
+    "leery": -1.1, "leniently": 0.8, "libel": -1.9, "libelous": -1.9,
+    "liberates": 1.7, "limitations": -1.0, "limitless": 1.4, "limp": -1.1,
+    "listless": -1.4, "litigate": -1.3, "litigation": -1.2, "litter": -1.1,
+    "littered": -1.2, "lonelier": -2.0, "loneliest": -2.4, "loom": -1.0,
+    "loomed": -1.1, "looming": -1.2, "looms": -1.0, "loot": -1.5,
+    "looted": -1.7, "looting": -1.8, "lordly": 0.9, "loudmouth": -1.5,
+    "loveliness": 2.5, "lucid": 1.2, "lucidly": 1.1, "ludicrously": -1.6,
+    "lunacy": -1.9, "lurch": -1.0, "lurk": -1.1, "lurking": -1.2,
+    "lurks": -1.1, "lust": 0.6, "lustrous": 1.4, "luxuriously": 2.1,
+    "lynch": -2.9, "lynched": -3.0, "madden": -1.9, "madman": -2.0,
+    "magnanimous": 2.0, "magnetic": 0.9, "majesty": 2.0,
+    "malfunctioning": -1.6, "malnourished": -1.9, "malpractice": -2.0,
+    "maniacal": -1.9, "manic": -1.3, "manipulates": -1.4,
+    "manipulating": -1.5, "manslaughter": -2.8, "martyrdom": -0.9,
+    "marvels": 1.8, "masochistic": -1.4, "masterfully": 2.1,
+    "mastermind": 1.4, "mattered": 0.4, "matters": 0.4, "maturity": 1.4,
+    "maudlin": -1.0, "meager": -1.2, "meanness": -1.9, "measly": -1.4,
+    "meek": -0.8, "melodramatic": -0.8, "mending": 1.2, "mercenary": -1.0,
+    "meritorious": 1.8, "messes": -1.4, "messing": -1.3, "mild": 0.3,
+    "milestone": 1.5, "mindlessly": -1.4, "miraculously": 2.6,
+    "mirage": -0.7, "mire": -1.2, "mired": -1.3, "misadventure": -1.4,
+    "misbehaved": -1.5, "miscalculate": -1.3, "miscalculation": -1.3,
+    "miscarriage": -2.1, "misconception": -1.1, "misconstrued": -1.1,
+    "miscreant": -1.7, "misdeed": -1.7, "misdeeds": -1.7, "miser": -1.5,
+    "misgivings": -1.1, "mishandled": -1.5, "mishaps": -1.4,
+    "misinformed": -1.5, "misinterpret": -1.2, "misinterpreted": -1.2,
+    "misjudge": -1.3, "misjudged": -1.3, "mismanaged": -1.6,
+    "misplace": -1.1, "misplaced": -1.2, "misreading": -1.1,
+    "misrepresentation": -1.5, "misrepresented": -1.5, "misses": -0.9,
+    "mistakenly": -1.3, "mistress": -0.7, "mistrustful": -1.6,
+    "misunderstandings": -1.3, "moaned": -1.1, "mob": -1.3, "mobbed": -1.4,
+    "molestation": -2.9, "momentous": 1.6, "monumental": 1.6, "moot": -0.5,
+    "morally": 1.4, "morals": 1.4, "morons": -2.3, "mortification": -1.9,
+    "mortifying": -1.9, "motherly": 1.6, "mug": -1.4, "mugged": -2.0,
+    "mugging": -2.0, "murderers": -3.2, "murdering": -3.2, "murders": -3.1,
+    "mystified": -0.5, "mystify": -0.4, "nags": -1.4, "narcissism": -1.6,
+    "narcissist": -1.8, "narcissistic": -1.7, "nastier": -2.2,
+    "nastiest": -2.6, "nauseate": -1.9, "nauseated": -1.9, "nauseates": -1.8,
+    "neater": 1.3, "neatest": 1.6, "neglecting": -1.8, "nettle": -1.0,
+    "neurotically": -1.5, "nonviolent": 1.2, "nosey": -1.1, "nosy": -1.1,
+    "notoriously": -1.5, "nourishes": 1.4, "nourishment": 1.5,
+    "numbed": -1.2, "numbing": -1.3, "nutritious": 1.7, "oaf": -1.6,
+    "oafish": -1.6, "obedience": 0.8, "obedient": 0.9, "obese": -1.9,
+    "obesity": -1.8, "objection": -1.2, "objectionable": -1.5,
+    "objections": -1.2, "oblivion": -1.5, "obscenely": -2.2,
+    "obscured": -0.9, "obsessions": -1.1, "obsessively": -1.3,
+    "obstructed": -1.5, "obstructing": -1.5, "obstructs": -1.4,
+    "offences": -1.6, "offending": -1.8, "offenses": -1.5, "okays": 0.8,
+    "ominously": -1.9, "omit": -0.8, "omitted": -0.9, "opportunities": 1.5,
+    "oppose": -1.1, "opposed": -1.1, "opposes": -1.1, "opposing": -1.1,
+    "oppresses": -2.0, "oppressing": -2.0, "optimally": 1.6, "orderly": 1.0,
+    "ostracized": -1.9, "outdated": -1.2, "outlawed": -1.4, "overcomes": 1.3,
+    "overcoming": 1.5, "overload": -1.3, "overloaded": -1.4,
+    "overreacted": -1.3, "overreaction": -1.3, "overthrew": -1.4,
+    "overwhelmingly": -0.7, "overwhelms": -1.0, "overworked": -1.5,
+    "quack": -1.3, "quagmire": -1.4, "qualified": 1.3, "qualify": 1.1,
+    "qualifying": 1.0, "qualms": -1.0, "quarantine": -1.2,
+    "quarantined": -1.3, "quarreling": -1.7, "quarrelsome": -1.7,
+    "queasy": -1.4, "quench": 1.0, "quenched": 1.1, "quicker": 1.0,
+    "quickest": 1.3, "quiet": 0.4, "quieter": 0.4, "quits": -1.0,
+    "quizzical": -0.2, "tact": 1.2, "tampered": -1.4, "tampering": -1.4,
+    "tantalize": 0.9, "tantrums": -1.6, "tardy": -1.1, "tastefully": 1.6,
+    "tattered": -1.3, "taunt": -1.7, "taunted": -1.7, "taunting": -1.8,
+    "taunts": -1.7, "teases": -1.1, "teasing": -1.0, "tediously": -1.5,
+    "tedium": -1.4, "temper": -1.4, "tempered": -0.8, "tempest": -1.3,
+    "tensions": -1.3, "tepid": -0.7, "termination": -1.3, "terrestrial": 0.2,
+    "terrifies": -2.6, "testy": -1.4, "thanking": 1.8, "thanksgiving": 1.8,
+    "thoughtfulness": 2.0, "thrash": -1.6, "thrashed": -1.7, "thrift": 0.8,
+    "thrifty": 0.9, "thriller": 0.9, "thrived": 2.0, "thrives": 1.9,
+    "timidity": -1.1, "timidly": -1.0, "toiled": -1.1, "toiling": -1.2,
+    "tolerable": 0.5, "tolerated": 0.3, "toothless": -1.1, "topple": -1.2,
+    "toppled": -1.2, "tormenting": -2.4, "torments": -2.3, "tornado": -1.7,
+    "torrent": -0.8, "tortuous": -1.3, "torturing": -3.0, "torturous": -2.8,
+    "toxin": -1.8, "toxins": -1.8, "transgression": -1.6,
+    "transparency": 1.2, "transparent": 0.9, "traps": -1.3, "trashy": -1.8,
+    "travesty": -2.1, "treasonous": -2.4, "tremendously": 2.1, "trendy": 1.1,
+    "trick": -0.9, "tricky": -0.8, "truthfulness": 1.9, "tumble": -0.9,
+    "tumbled": -1.0, "tumor": -1.8, "tumultuous": -1.4, "ulterior": -1.1,
+    "ultimatum": -1.2, "unaccountable": -1.2, "unachievable": -1.3,
+    "unafraid": 1.2, "unapproved": -1.1, "unauthorized": -1.3,
+    "unavailable": -1.1, "unavoidable": -1.0, "unaware": -0.9,
+    "unbearably": -2.0, "unbelievably": 0.7, "unbiased": 1.2,
+    "uncertainty": -1.2, "unclean": -1.6, "unclear": -1.0,
+    "uncompromising": -0.8, "unconfirmed": -0.7, "unconscionable": -1.9,
+    "unconscious": -1.3, "unconstitutional": -1.5, "uncontrollable": -1.4,
+    "uncontrolled": -1.2, "unconventional": 0.2, "uncooperative": -1.4,
+    "undefeated": 1.8, "underdog": -0.4, "underestimated": -1.1,
+    "underpaid": -1.5, "underprivileged": -1.5, "undignified": -1.6,
+    "undisciplined": -1.4, "undo": -0.7, "undone": -1.0, "undoubtedly": 1.0,
+    "unearth": 0.3, "unease": -1.3, "uneasily": -1.3, "uneducated": -1.5,
+    "unequivocal": 0.6, "uneven": -0.9, "uneventful": -0.7,
+    "unexpected": -0.3, "unexpectedly": -0.3, "unfaithful": -2.0,
+    "unfamiliar": -0.7, "unforeseen": -0.6, "unforgettable": 1.6,
+    "unforgivable": -2.2, "unfounded": -1.2, "unfunny": -1.3,
+    "unheard": -0.8, "unhelpful": -1.5, "unholy": -1.7, "unhurt": 0.9,
+    "uniform": 0.4, "unimaginable": -0.8, "unimaginative": -1.2,
+    "unimportant": -1.2, "unimpressive": -1.4, "uninformed": -1.1,
+    "uninspiring": -1.3, "unintelligent": -1.6, "unintended": -0.6,
+    "uninterested": -1.2, "uninteresting": -1.3, "uninvited": -1.2,
+    "uniquely": 1.1, "unites": 1.4, "uniting": 1.5, "unjustifiable": -1.9,
+    "unjustified": -1.8, "unknown": -0.5, "unlawfully": -1.9,
+    "unleash": -0.6, "unleashed": -0.6, "unlicensed": -1.1, "unlikely": -0.8,
+    "unlimited": 1.1, "unmanageable": -1.4, "unnatural": -1.3,
+    "unnerve": -1.3, "unnerved": -1.3, "unnerving": -1.4, "unnoticed": -0.8,
+    "unobtainable": -1.2, "unorthodox": -0.3, "unpaid": -1.3,
+    "unprecedented": 0.3, "unpredictable": -0.9, "unprepared": -1.2,
+    "unproductive": -1.4, "unprofitable": -1.5, "unquestionable": 0.8,
+    "unravel": -0.7, "unraveled": -0.8, "unrealistic": -1.1,
+    "unreasonable": -1.5, "unreasonably": -1.5, "unrelenting": -1.0,
+    "unresolved": -1.1, "unresponsive": -1.3, "unrest": -1.5,
+    "unselfish": 1.6, "unsightly": -1.5, "unskilled": -1.2, "unsound": -1.2,
+    "unspeakable": -1.8, "unspoiled": 1.1, "unstoppable": 1.2,
+    "unsuitable": -1.3, "unsuspecting": -0.8, "unsustainable": -1.3,
+    "untenable": -1.3, "unthinkable": -1.3, "untidy": -1.2, "untimely": -1.2,
+    "untouched": 0.2, "untrained": -1.0, "untruthful": -1.8,
+    "unusable": -1.3, "unusual": -0.2, "unusually": -0.1,
+    "unwarranted": -1.4, "unwell": -1.5, "unwholesome": -1.5,
+    "unwieldy": -1.1, "unwilling": -1.2, "unwillingness": -1.2,
+    "unwisely": -1.4, "upheaval": -1.5, "upheld": 1.1, "uphold": 1.2,
+    "urgently": -0.9, "uselessly": -1.8, "usurp": -1.3, "utopia": 2.1,
+    "utopian": 1.9, "vacate": -0.7, "vacations": 1.9, "vaguely": -0.8,
+    "vagueness": -1.0, "vainly": -1.3, "valid": 1.3, "validate": 1.4,
+    "validated": 1.4, "validates": 1.3, "validating": 1.4, "validation": 1.4,
+    "valuables": 1.4, "vandal": -1.9, "vandalized": -2.0, "vandals": -1.9,
+    "vanishes": -0.9, "vanishing": -1.0, "vanquished": 1.0,
+    "vehemently": -1.0, "vendetta": -1.9, "venerate": 1.7, "vent": -0.6,
+    "vented": -0.7, "venting": -0.7, "verdant": 1.2, "vermin": -2.0,
+    "versatility": 1.4, "vexation": -1.6, "vexing": -1.7, "vibrantly": 1.8,
+    "victimizes": -2.0, "victories": 2.3, "vileness": -2.7, "vilified": -2.2,
+    "villainous": -2.4, "vindication": 1.3, "violating": -2.1,
+    "violations": -1.9, "viper": -1.8, "virulent": -2.0, "viruses": -1.7,
+    "vividly": 1.2, "vocal": 0.4, "volatile": -1.3, "volatility": -1.2,
+    "vomiting": -2.3, "voracious": -0.5, "vulgarity": -2.1, "vulture": -1.6,
+    "vultures": -1.6, "wailed": -1.6, "wailing": -1.7, "wails": -1.6,
+    "wallow": -1.3, "wallowing": -1.4, "wan": -1.0, "waned": -0.9,
+    "waning": -0.9, "wanted": 0.3, "wanton": -1.6, "warlike": -2.2,
+    "warmed": 1.3, "warms": 1.3, "warnings": -1.4, "warns": -1.2,
+    "warred": -2.5, "warring": -2.3, "wastefulness": -1.9, "weakening": -1.7,
+    "weakens": -1.6, "weakling": -1.9, "weaklings": -1.9, "wealthier": 2.0,
+    "wealthiest": 2.3, "weaponry": -1.9, "wearied": -1.4, "wearily": -1.3,
+    "weariness": -1.4, "wearisome": -1.6, "weirder": -0.9, "weirdest": -1.1,
+    "weirdly": -0.8, "weirdo": -1.3, "whimpered": -1.5, "whimpering": -1.6,
+    "whiner": -1.7, "wholeheartedly": 2.1, "widows": -1.5, "wild": -0.3,
+    "wilder": -0.5, "willful": -0.6, "wilted": -1.1, "winced": -1.3,
+    "wincing": -1.4, "windfall": 2.1, "winnable": 1.4, "wishful": 0.6,
+    "wit": 1.7, "witchcraft": -1.4, "withdraw": -0.8, "withdrew": -0.8,
+    "withering": -1.4, "withheld": -1.1, "withhold": -1.1,
+    "withholding": -1.2, "womanizer": -1.7, "wonderment": 2.2,
+    "wonders": 1.9, "wooed": 1.2, "worriedly": -1.6, "worrier": -1.6,
+    "worsening": -2.0, "worsens": -1.9, "worshiped": 1.5, "worshipped": 1.5,
+    "wounding": -1.9, "wrangle": -1.1, "wreckage": -1.8, "wrecking": -1.9,
+    "wretch": -2.0, "wrongdoings": -2.0, "wrongfully": -2.0, "wrongs": -1.7,
+    "wrought": -0.9, "wry": 0.3, "xenophobia": -2.4, "xenophobic": -2.4,
+    "yearns": -0.4, "zany": 0.8, "zealots": -1.2, "zesty": 1.5,
+    "zombies": -1.1,
 }
 
 _NT_SUFFIX = "n't"

@@ -251,3 +251,75 @@ def test_observed_quality_piggybacks_on_one_pass(spark):
     m = obs.get
     assert m["n_rows"] == 4 and m["n_null"] == 1
     assert (m["min_v"], m["max_v"]) == (4.0, 10.0)
+
+
+def test_with_global_cumsum_matches_single_partition_window(spark):
+    """Distributed prefix sum == unpartitioned cumulative window, even
+    when the domain is spread across many range partitions."""
+    import random
+
+    from pyspark.sql import Window
+
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        with_global_cumsum,
+    )
+
+    rnd = random.Random(7)
+    rows = [(v, rnd.randint(1, 9)) for v in rnd.sample(range(100000), 500)]
+    df = spark.createDataFrame(rows, "v long, c long").repartition(13)
+    got = {
+        r["v"]: r["cum"]
+        for r in with_global_cumsum(df, ["v"], "c", "cum").collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["v"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("c").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_rfm_ntile_derivation_matches_builtin(spark):
+    """The integer ntile-from-row-number derivation used by
+    rfm_segments must equal F.ntile over the same total order,
+    including the uneven-fill rule (first N mod t tiles get the
+    extra row)."""
+    from pyspark.sql import Window
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        rfm_segments,
+    )
+
+    # 37 users x irregular purchase counts: N=37, t=4 -> 10/9/9/9 fill
+    rows = []
+    for u in range(37):
+        for i in range(1 + (u * 7) % 5):
+            rows.append((u, f"2024-01-{(u + i) % 27 + 1:02d} 00:00:00", 1.0 + u))
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rfm_segments(df, "user_id", "ts", "value").collect()
+    per = {r["user_id"]: r for r in out}
+    base = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["recency_days"],
+                r["frequency"],
+                r["monetary_e4"],
+            )
+            for r in out
+        ],
+        "user_id long, recency_days int, frequency long, monetary_e4 long",
+    )
+    for tile, order in {
+        "r": [F.asc("recency_days"), F.asc("user_id")],
+        "f": [F.desc("frequency"), F.asc("user_id")],
+        "m": [F.desc("monetary_e4"), F.asc("user_id")],
+    }.items():
+        w = Window.orderBy(*order)
+        want = {
+            r["user_id"]: r["t"]
+            for r in base.withColumn("t", F.ntile(4).over(w)).collect()
+        }
+        for u, r in per.items():
+            assert r[tile] == want[u], (tile, u, r[tile], want[u])
