@@ -122,6 +122,10 @@ HEADLINE = [
     "bollinger_breakouts",
     "spend_concentration",
     "histogram_quantile_sketch",
+    "pii_scrub_v2",
+    "unicode_script_profile",
+    "zipf_token_spectrum",
+    "stratified_split",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -162,3 +162,46 @@ def weighted_priority_sample(
     return topk.withColumn("sample_rank", F.row_number().over(w)).select(
         key_col, "weight", F.col("_k").cast("double").alias("es_key"), "sample_rank"
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic stratified train/val/test split with EXACT
+    per-stratum proportions: rows are ranked inside each stratum by
+    md5(id) (a stable pseudo-random order both engines compute
+    identically) and the first ceil(f_train * n) go to train, the next
+    ceil((f_train + f_val) * n) - train to val, the rest to test —
+    so every source keeps the target mix even when strata are tiny or
+    skewed (plain hash-threshold splitting drifts on small strata and
+    under adversarial id distributions).
+
+    Scale shape: one window partitioned BY STRATUM (each stratum sorts
+    in parallel across the cluster; no global order anywhere) plus a
+    broadcast per-stratum count.  The md5 rank is reproducible across
+    engines, runs, and row order — the property a training pipeline
+    needs to re-derive the same split forever."""
+    fractions = fractions or {"train": 0.8, "val": 0.1}
+    # Per-mille integer cuts: rn <= ceil(n * m/1000) is evaluated as the
+    # PURE-INTEGER comparison (rn-1)*1000 < n*m — float ceil(n * 0.9)
+    # can land on either side of an exact multiple depending on the
+    # engine's double rounding (0.8 + 0.1 is not 0.9 in binary).
+    m_train = round(fractions["train"] * 1000)
+    m_val = m_train + round(fractions.get("val", 0.0) * 1000)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    n = Window.partitionBy(stratum_col)
+    rn = F.row_number().over(w).cast("long")
+    cnt = F.count(F.lit(1)).over(n)
+    return df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.when((rn - 1) * 1000 < cnt * m_train, F.lit("train"))
+        .when((rn - 1) * 1000 < cnt * m_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

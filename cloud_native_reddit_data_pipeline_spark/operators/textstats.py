@@ -775,3 +775,94 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             4,
         ).alias("fk_grade"),
     )
+
+
+# Unicode script classes as EXPLICIT code-point ranges: Java regex
+# (Spark) spells script properties \p{IsHan} while RE2 (DuckDB) spells
+# them \p{Han}, and their Unicode tables can differ by version — raw
+# ranges have identical semantics in both engines, so the per-script
+# counts are exactly comparable.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cjk": "\\u4e00-\\u9fff",
+    "cyrillic": "\\u0400-\\u04ff",
+    "arabic": "\\u0600-\\u06ff",
+}
+
+
+def unicode_script_profile(
+    df: DataFrame, id_col: str, text_col: str, round_to: int = 4
+) -> DataFrame:
+    """Per-document writing-script profile: counts and ratios of
+    characters in each major Unicode script block — the
+    language-coverage / mojibake audit a multilingual training corpus
+    runs before mixing sources (a "lang=en" shard with 30% CJK bytes is
+    mislabeled or corrupted).  Pure narrow map (regexp counts per
+    range), scan-bound at 100 TB — no shuffle, no UDF."""
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(f"[{rng}]"), F.lit(0)
+            )
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    n_chars = F.length(text_col).cast("long")
+    known = None
+    for c in counts.values():
+        known = c if known is None else known + c
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        (n_chars - known).alias("n_other"),
+        F.round(
+            counts["latin"] / F.greatest(n_chars, F.lit(1)).cast("double")
+            + F.lit(1e-9),
+            round_to,
+        ).alias("latin_ratio"),
+        (
+            (counts["cjk"] + counts["cyrillic"] + counts["arabic"])
+            > (n_chars / F.lit(10))
+        ).alias("nonlatin_flag"),
+    )
+
+
+def zipf_token_spectrum(df: DataFrame, text_col: str) -> DataFrame:
+    """Token-frequency spectrum in log2 buckets: for each power-of-two
+    band of term frequency, how many distinct terms fall in it and how
+    much corpus mass they carry — the Zipf/head-tail diagnostic run
+    before tokenizer training (a healthy natural corpus shows a smooth
+    power-law decay; a synthetic or templated one shows spikes).
+
+    Exactness: bucket = floor(log2(freq)) computed as
+    length(bin(freq)) - 1 — pure integer/string ops, identical in both
+    engines (FLOOR(LOG2(2^k)) can land on k-1 in floating point).
+    Scale shape: explode -> one (term) partial-agg shuffle -> one
+    bucket-sized aggregate (<= 64 rows); nothing is globally sorted."""
+    from ..functions.text import tokens
+    from ..sources.tables import fan_out
+
+    toks = fan_out(df).select(
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias(
+            "_t"
+        )
+    )
+    freqs = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_f"))
+    bucket = (F.length(F.bin(F.col("_f"))) - 1).cast("int")
+    return (
+        freqs.groupBy(bucket.alias("log2_freq_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("_f").alias("total_occurrences"),
+            F.min("_f").alias("min_freq"),
+            F.max("_f").alias("max_freq"),
+        )
+        .select(
+            "log2_freq_bucket",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("total_occurrences").cast("long").alias("total_occurrences"),
+            F.col("min_freq").cast("long").alias("min_freq"),
+            F.col("max_freq").cast("long").alias("max_freq"),
+        )
+    )

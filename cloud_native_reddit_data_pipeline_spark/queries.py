@@ -6980,6 +6980,107 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unicode-script profile (round 6): the synthetic corpus is pure ASCII,
+# so both engines deterministically INJECT per-doc CJK/Cyrillic/Arabic
+# runs from doc_id (pii_scrub precedent) — proving the per-script
+# counters fire on every row.  Ranges are explicit code points
+# (identical Java-regex/RE2 semantics; \p{script} spellings and
+# Unicode tables differ between engines).
+@register(
+    "unicode_script_profile",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || repeat('中', doc_id % 5)
+                  || repeat('ж', doc_id % 3)
+                  || repeat('م', doc_id % 2) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(t, '[中]')) AS BIGINT) AS n_cjk,
+           CAST(len(regexp_extract_all(t, '[ж]')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(t, '[م]')) AS BIGINT) AS n_arabic,
+           CAST(length(t) - len(regexp_extract_all(t, '[A-Za-z]'))
+                - len(regexp_extract_all(t, '[中]'))
+                - len(regexp_extract_all(t, '[ж]'))
+                - len(regexp_extract_all(t, '[م]')) AS BIGINT) AS n_other,
+           ROUND(len(regexp_extract_all(t, '[A-Za-z]'))
+                 / GREATEST(length(t), 1) + 1e-9, 4) AS latin_ratio,
+           (len(regexp_extract_all(t, '[中]'))
+            + len(regexp_extract_all(t, '[ж]'))
+            + len(regexp_extract_all(t, '[م]')))
+             > length(t) / 10 AS nonlatin_flag
+    FROM aug
+    """,
+)
+def unicode_script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat('中', CAST(doc_id % 5 AS INT))"),
+            F.expr("repeat('ж', CAST(doc_id % 3 AS INT))"),
+            F.expr("repeat('م', CAST(doc_id % 2 AS INT))"),
+        ).alias("t"),
+    )
+    return textstats.unicode_script_profile(docs, "doc_id", "t")
+
+
+# Token-frequency spectrum in exact log2 buckets — the Zipf/head-tail
+# corpus diagnostic; floor(log2(f)) via length(bin(f)) - 1 is pure
+# integer/string arithmetic in both engines.
+@register(
+    "zipf_token_spectrum",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS t
+      FROM documents
+    ),
+    freqs AS (SELECT t, COUNT(*) AS f FROM toks GROUP BY t)
+    SELECT CAST(length(bin(f)) - 1 AS INT) AS log2_freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(f) AS BIGINT) AS total_occurrences,
+           CAST(MIN(f) AS BIGINT) AS min_freq,
+           CAST(MAX(f) AS BIGINT) AS max_freq
+    FROM freqs GROUP BY 1
+    """,
+)
+def zipf_token_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.zipf_token_spectrum(
+        load(spark, sf_dir, "documents"), "text"
+    )
+
+
+# Deterministic stratified split with exact per-source proportions —
+# md5-rank within stratum; the per-mille cuts are pure integer
+# comparisons on both engines (float ceil can split an exact multiple
+# differently).
+@register(
+    "stratified_split",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN (rn - 1) * 1000 < n * 800 THEN 'train'
+                WHEN (rn - 1) * 1000 < n * 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_split(
+        load(spark, sf_dir, "documents"), "source", "doc_id"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -122,3 +122,76 @@ def test_weighted_sample_matches_python_formula(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every stratum hits the per-mille cuts exactly (ceil semantics),
+    including tiny strata, and the split is order-independent."""
+    import math
+
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    rows = [(i, f"s{i % 7}") for i in range(203)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, "source", "doc_id").collect()
+    from collections import Counter
+
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], Counter())[r["split"]] += 1
+    for src, c in per.items():
+        n = sum(c.values())
+        assert c["train"] == math.ceil(n * 0.8), (src, c)
+        assert c["train"] + c["val"] == math.ceil(n * 0.9), (src, c)
+    # shuffled input -> identical assignment (md5 rank is content-based)
+    out2 = stratified_split(
+        df.orderBy(F.desc("doc_id")).repartition(7), "source", "doc_id"
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in out} == {
+        (r["doc_id"], r["split"]) for r in out2
+    }
+
+
+def test_zipf_spectrum_partitions_vocabulary(spark):
+    """Buckets partition the distinct vocab and carry the full corpus
+    mass; bucket bounds respect the power-of-two bands."""
+    from cloud_native_reddit_data_pipeline_spark.functions.text import tokens
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        zipf_token_spectrum,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a b c d e f g"), (3, "a a b")],
+        "doc_id long, text string",
+    )
+    out = zipf_token_spectrum(docs, "text").collect()
+    toks = docs.select(F.explode(tokens("text")).alias("t"))
+    assert sum(r["n_terms"] for r in out) == toks.select("t").distinct().count()
+    assert sum(r["total_occurrences"] for r in out) == toks.count()
+    for r in out:
+        lo, hi = 2 ** r["log2_freq_bucket"], 2 ** (r["log2_freq_bucket"] + 1)
+        assert lo <= r["min_freq"] <= r["max_freq"] < hi
+
+
+def test_unicode_script_profile_counts(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        unicode_script_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello 世界世"), (2, "abc"), (3, "жж")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unicode_script_profile(docs, "doc_id", "text").collect()}
+    assert out[1]["n_cjk"] == 3 and out[1]["n_latin"] == 5
+    assert out[1]["nonlatin_flag"] is True
+    assert out[2]["n_latin"] == 3 and out[2]["latin_ratio"] == 1.0
+    assert out[2]["nonlatin_flag"] is False
+    assert out[3]["n_cyrillic"] == 2 and out[3]["n_latin"] == 0
+    for r in out.values():
+        assert (
+            r["n_latin"] + r["n_cjk"] + r["n_cyrillic"] + r["n_arabic"] + r["n_other"]
+            == r["n_chars"]
+        )
