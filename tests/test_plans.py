@@ -646,3 +646,36 @@ def test_concentration_distinct_domain_only(spark):
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_unicode_script_profile_narrow_map(spark):
+    """Script profile: a pure narrow map — no join, no shuffle-side
+    operator, no python."""
+    df = registry.queries()["unicode_script_profile"](spark, SF)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "Exchange"):
+        assert op not in plan
+
+
+def test_zipf_spectrum_two_aggregates(spark):
+    """Zipf spectrum: explode -> term agg -> bucket agg; no join, no
+    python, no global sort."""
+    df = registry.queries()["zipf_token_spectrum"](spark, SF)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython"):
+        assert op not in plan
+
+
+def test_stratified_split_partitioned_window_only(spark):
+    """Stratified split: ONE window partitioned by stratum — no join
+    and no unpartitioned (single-task) window sort."""
+    df = registry.queries()["stratified_split"](spark, SF)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython"):
+        assert op not in plan
+    # the window's exchange must be hash-partitioned by the stratum,
+    # never a SinglePartition collapse
+    assert "SinglePartition" not in plan
