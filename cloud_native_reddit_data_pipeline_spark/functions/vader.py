@@ -1628,6 +1628,89 @@ VADER_LEXICON: dict[str, float] = {
     "wrought": -0.9, "wry": 0.3, "xenophobia": -2.4, "xenophobic": -2.4,
     "yearns": -0.4, "zany": 0.8, "zealots": -1.2, "zesty": 1.5,
     "zombies": -1.1,
+    # --- round-6 growth batch 2: emoticons (the stock tokenizer keeps
+    # pure-punctuation tokens, so these are live), netspeak, E-F fill ---
+    "(-:": 1.6, "(:": 1.8, ")-:": -1.6, "):": -1.7, "-_-": -1.3, ":'(": -2.2,
+    ":')": 1.7, ":(": -1.9, ":((": -2.2, ":)": 2.0, ":))": 2.4, ":*": 1.9,
+    ":-(": -1.9, ":-)": 2.2, ":-*": 1.9, ":-/": -1.2, ":-d": 2.4,
+    ":-o": -0.3, ":-p": 1.3, ":-|": -0.6, ":/": -1.3, ":3": 1.9, ":d": 2.3,
+    ":o": -0.4, ":p": 1.2, ":|": -0.6, ";(": -1.9, ";)": 1.4, ";-(": -1.8,
+    ";-)": 1.5, ";p": 1.1, "</3": -2.6, "<3": 2.8, "<33": 3.0, "=(": -1.8,
+    "=)": 1.9, "=/": -1.2, "=d": 2.1, "^^": 1.6, "^_^": 2.0, "afaik": 0.2,
+    "amazeballs": 2.6, "bae": 2.0, "bestie": 2.1, "besties": 2.0, "btw": 0.3,
+    "d:": 1.2, "eagerness": 1.6, "easing": 1.1, "effectiveness": 1.6,
+    "egotistical": -1.7, "elevating": 1.5, "eligible": 0.9,
+    "eliminate": -1.0, "eliminated": -1.1, "eliminates": -1.0,
+    "elimination": -1.1, "elude": -0.9, "eluded": -0.9, "elusive": -0.7,
+    "emancipation": 1.7, "embarrasses": -1.9, "embarrassingly": -2.0,
+    "embezzle": -2.2, "embezzlement": -2.3, "embracing": 1.6,
+    "empowerment": 2.0, "emptiness": -1.7, "encroachment": -1.3,
+    "endangering": -1.9, "endurance": 1.0, "endure": -0.6, "endured": -0.8,
+    "enduring": 0.6, "energizing": 1.8, "enforce": -0.6, "enforced": -0.7,
+    "enforcement": -0.6, "engage": 1.1, "engaged": 1.3, "engrossed": 0.9,
+    "engrossing": 1.2, "engulf": -1.0, "engulfed": -1.1, "enhance": 1.6,
+    "enhanced": 1.6, "enhancement": 1.6, "enhances": 1.5, "enhancing": 1.6,
+    "enlightenment": 1.9, "enriches": 1.7, "enriching": 1.9,
+    "enslavement": -2.5, "ensures": 0.9, "entangled": -1.2,
+    "entertainment": 1.7, "enthralling": 2.1, "enthuse": 1.8,
+    "enthused": 1.8, "enticed": 1.1, "entitled": -0.4, "entrapment": -1.7,
+    "entrust": 1.4, "entrusted": 1.4, "epidemic": -2.0, "equality": 1.7,
+    "eradicate": -0.9, "eradicated": -0.9, "eradication": -0.9,
+    "erode": -1.3, "eroded": -1.3, "erosion": -1.2, "err": -1.0,
+    "errand": 0.1, "erred": -1.1, "erroneous": -1.4, "erroneously": -1.4,
+    "erupted": -1.1, "escalate": -1.2, "escalated": -1.3, "escalating": -1.3,
+    "escalation": -1.3, "escapade": 0.5, "escapes": -0.3, "escaping": -0.5,
+    "estranged": -1.6, "ethical": 1.7, "ethically": 1.6, "evaded": -1.2,
+    "evasive": -1.2, "eviction": -1.9, "evildoer": -2.6, "exacerbate": -1.5,
+    "exacerbated": -1.5, "examine": 0.2, "exasperation": -1.7, "exceed": 1.4,
+    "exceeded": 1.5, "exceeding": 1.3, "exceeds": 1.4, "exceptionally": 2.2,
+    "excess": -0.7, "excessive": -1.2, "excessively": -1.2, "excites": 2.0,
+    "excuses": -0.9, "exemplify": 1.2, "exhausts": -1.4, "exhilarated": 2.4,
+    "exhilaration": 2.4, "exile": -1.6, "exiled": -1.7, "exorbitant": -1.5,
+    "expanded": 1.0, "expanding": 1.0, "expire": -1.1, "expired": -1.2,
+    "explodes": -1.6, "exploding": -1.7, "exploiting": -1.7,
+    "explosions": -1.5, "explosive": -1.5, "exposes": -0.8, "exposing": -0.9,
+    "expulsion": -1.7, "exquisitely": 2.5, "exterminate": -2.4,
+    "extermination": -2.5, "extinct": -1.5, "extinction": -1.7,
+    "extraordinarily": 2.0, "extravagant": 0.9, "extremism": -1.9,
+    "extremists": -2.0, "exult": 2.2, "exultant": 2.3, "fabrication": -1.5,
+    "fad": -0.4, "faded": -0.8, "fading": -0.9, "failings": -1.8,
+    "failz": -1.9, "fainthearted": -1.2, "fairer": 1.5, "fairest": 1.9,
+    "fairly": 1.2, "faker": -1.9, "faking": -1.8, "fallacious": -1.6,
+    "fallen": -1.3, "falling": -1.0, "falls": -0.7, "false": -1.5,
+    "falsehood": -1.7, "falsification": -1.7, "falsified": -1.8,
+    "falsify": -1.7, "faltered": -1.3, "famished": -1.5, "fancier": 1.2,
+    "fanciest": 1.5, "fanciful": 0.9, "fantasy": 1.2, "fascinates": 1.9,
+    "fascism": -2.8, "fascists": -2.7, "fatalities": -2.4, "fatiguing": -1.5,
+    "faulted": -1.5, "favorably": 1.9, "favoring": 1.5, "favoritism": -0.9,
+    "favour": 1.7, "favourable": 1.9, "favoured": 1.7, "feasible": 1.1,
+    "feats": 1.5, "felicity": 2.3, "felonies": -2.2, "festivities": 2.0,
+    "festivity": 2.0, "feud": -1.7, "feuding": -1.8, "feuds": -1.7,
+    "fib": -1.3, "fibber": -1.4, "fiction": 0.2, "fictional": 0.1,
+    "fictitious": -0.9, "fidgety": -1.0, "fiendish": -2.1, "fiercely": -1.0,
+    "fighter": -0.8, "fighters": -0.9, "finagle": -1.2, "finer": 1.6,
+    "firing": -1.7, "fitness": 1.4, "fitting": 1.0, "flagging": -1.1,
+    "flagrant": -1.8, "flagrantly": -1.8, "flamboyant": 0.8, "flattery": 0.6,
+    "flaunt": -0.9, "flaunting": -1.0, "flawlessly": 2.4, "fleeting": -0.6,
+    "flexibility": 1.3, "flexible": 1.3, "flinch": -1.1, "flopped": -1.6,
+    "flourishes": 1.9, "flout": -1.3, "fluent": 1.4, "fluently": 1.4,
+    "foolhardy": -1.4, "fooling": -1.4, "forbidding": -1.5,
+    "forcefully": -0.8, "forcibly": -1.1, "forcing": -1.1,
+    "foreclosure": -1.9, "forfeited": -1.4, "forged": -1.2, "forgery": -1.9,
+    "forget": -0.9, "forgetful": -1.2, "forgets": -0.9, "forgetting": -0.9,
+    "forgivable": 1.0, "fortuitous": 1.6, "fouled": -1.9, "fracas": -1.4,
+    "fracture": -1.4, "fractured": -1.5, "frailty": -1.3, "fraught": -1.3,
+    "frazzled": -1.4, "freaked": -1.5, "freaks": -1.4, "freed": 1.7,
+    "freeing": 1.7, "frenetic": -1.0, "fretful": -1.4, "frighten": -2.0,
+    "frightens": -2.0, "frightfully": -2.1, "frisky": 0.9, "frolic": 1.5,
+    "frolicking": 1.6, "frowned": -1.4, "frowning": -1.5, "froze": -0.9,
+    "frozen": -0.8, "frugal": 0.6, "fruitless": -1.4, "frustrates": -1.9,
+    "frustrations": -2.0, "fugitive": -1.6, "funerals": -1.8, "fuss": -1.2,
+    "fussy": -1.3, "grr": -1.4, "grrr": -1.5, "imo": 0.2, "lolz": 1.8,
+    "lulz": 1.4, "mehh": -1.0, "n00b": -1.6, "o_o": -0.7, "obv": 0.1,
+    "rotfl": 2.4, "srsly": -0.4, "t_t": -1.9, "tbh": 0.4, "ughh": -1.9,
+    "winz": 2.0, "wooo": 2.2, "wowza": 2.3, "wuv": 2.3, "xd": 2.2,
+    "xoxoxo": 2.8, "yippee": 2.6, "yumm": 2.3, "yummm": 2.4,
 }
 
 _NT_SUFFIX = "n't"
