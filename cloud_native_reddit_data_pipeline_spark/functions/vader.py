@@ -1711,6 +1711,119 @@ VADER_LEXICON: dict[str, float] = {
     "rotfl": 2.4, "srsly": -0.4, "t_t": -1.9, "tbh": 0.4, "ughh": -1.9,
     "winz": 2.0, "wooo": 2.2, "wowza": 2.3, "wuv": 2.3, "xd": 2.2,
     "xoxoxo": 2.8, "yippee": 2.6, "yumm": 2.3, "yummm": 2.4,
+    # --- round-6 growth batch 3: B-C stems/inflections ---
+    "backfire": -1.5, "backfired": -1.6, "badass": 1.2, "badge": 0.5,
+    "badness": -2.2, "bailout": -1.0, "balk": -1.0, "bamboozle": -1.5,
+    "bamboozled": -1.6, "banal": -1.1, "bane": -1.7, "banning": -1.6,
+    "bans": -1.5, "barbarous": -2.4, "barriers": -1.2, "battered": -1.9,
+    "battling": -1.5, "beauties": 2.4, "begrudge": -1.5, "begs": -1.2,
+    "beleaguered": -1.5, "bellow": -1.0, "belong": 1.0, "belonging": 1.2,
+    "benefiting": 1.6, "berate": -1.9, "berated": -1.9, "beset": -1.3,
+    "besmirch": -1.8, "bestselling": 1.8, "betrays": -2.5, "betterment": 1.7,
+    "bewilder": -1.2, "bewildering": -1.3, "bitched": -2.3, "bitchy": -2.3,
+    "bite": -1.0, "biting": -1.1, "blacklist": -1.8, "blacklisted": -1.9,
+    "blaming": -1.7, "blatantly": -1.4, "blaze": 0.2, "blight": -1.6,
+    "blinded": -1.3, "blindly": -1.3, "blockade": -1.4, "bloodthirsty": -2.7,
+    "blow": -1.1, "blundering": -1.6, "blunt": -0.8, "blurry": -0.9,
+    "boast": -0.7, "boasting": -0.8, "boasts": -0.5, "boldness": 1.4,
+    "bolstered": 1.2, "bombarded": -1.6, "bombing": -2.4, "bombings": -2.4,
+    "bombs": -2.1, "bonuses": 1.9, "boom": 1.0, "booming": 1.3,
+    "boringly": -1.6, "bothering": -1.5, "bottleneck": -1.2, "bounce": 0.6,
+    "boycotted": -1.5, "brag": -0.9, "bragged": -0.9, "bragging": -1.0,
+    "brags": -0.9, "brainless": -1.8, "brainwashed": -1.9, "breached": -1.5,
+    "breakup": -1.8, "bribery": -2.1, "brightened": 1.8, "brightly": 1.6,
+    "brightness": 1.4, "brokenhearted": -2.8, "browbeat": -1.7,
+    "brutish": -2.0, "buddies": 1.6, "bugging": -1.4, "bum": -1.4,
+    "burdensome": -1.7, "burglar": -1.9, "burglary": -2.0, "burn": -1.3,
+    "burning": -1.2, "burnout": -1.8, "burns": -1.3, "burnt": -1.4,
+    "bust": -1.3, "busted": -1.6, "calmed": 1.2, "calmness": 1.5,
+    "calms": 1.2, "canceled": -1.3, "cancellation": -1.3, "candidly": 1.1,
+    "capture": -0.4, "captured": -0.5, "carelessness": -1.8,
+    "cataclysm": -2.2, "cautionary": -0.8, "cautiously": -0.4, "cease": -1.0,
+    "ceased": -1.0, "ceasefire": 1.2, "celebrations": 2.5, "censor": -1.4,
+    "censored": -1.5, "censorship": -1.7, "certainly": 1.0,
+    "challenged": -0.6, "challenges": -0.6, "championed": 2.2,
+    "championship": 2.0, "charities": 1.6, "chastised": -1.8,
+    "cheapen": -1.3, "cheering": 2.3, "cherishes": 2.2, "chided": -1.4,
+    "childish": -1.4, "chill": 0.5, "chilled": 0.4, "chilling": -1.5,
+    "chills": -0.4, "chivalry": 1.8, "choking": -1.8, "chore": -0.9,
+    "chores": -0.9, "chuckles": 1.6, "civil": 1.2, "civilized": 1.4,
+    "clashes": -1.4, "cleanliness": 1.5, "cleansing": 1.2, "clearance": 0.4,
+    "clearly": 0.9, "cohesive": 1.2, "collapsing": -1.9, "combat": -1.5,
+    "compatible": 1.2, "compelled": -0.4, "competence": 1.6,
+    "complement": 1.2, "complemented": 1.2, "complete": 1.0,
+    "completed": 1.1, "completely": 0.6, "complex": -0.6, "complicate": -1.3,
+    "complicates": -1.3, "complications": -1.5, "complicit": -1.5,
+    "compliments": 1.9, "composure": 1.3, "comprehensive": 1.2,
+    "compromised": -1.3, "compulsive": -1.2, "compulsory": -0.7,
+    "comrades": 1.4, "conceal": -1.1, "concealed": -1.2, "conceded": -0.8,
+    "conceit": -1.5, "conceited": -1.7, "concerns": -1.1,
+    "conciliatory": 1.0, "concise": 1.1, "conflicting": -1.3,
+    "confronted": -1.2, "confuses": -1.3, "congested": -1.3,
+    "congestion": -1.3, "consecrate": 1.4, "consistency": 1.2,
+    "consistent": 1.3, "consoling": 1.3, "conspirator": -1.7,
+    "conspired": -1.6, "constraint": -1.1, "constraints": -1.1,
+    "constructive": 1.7, "contradict": -1.2, "contradicted": -1.2,
+    "contradiction": -1.2, "contradictory": -1.2, "controversial": -1.1,
+    "controversy": -1.2, "convenience": 1.4, "conveniently": 1.4,
+    "convincing": 1.0, "cooperated": 1.4, "cornered": -1.3, "cough": -1.1,
+    "coughing": -1.1, "cowardly": -2.0, "crabby": -1.6, "crack": -0.8,
+    "cracked": -1.0, "crashing": -1.8, "crazed": -1.6, "craziness": -1.3,
+    "credibility": 1.4, "credited": 1.2, "crippling": -2.0,
+    "criticizing": -1.6, "critics": -1.1, "critique": -0.6, "crooks": -1.8,
+    "cross": -0.9, "crucial": 1.1, "crude": -1.3, "crumbled": -1.4,
+    "cumbersome": -1.3, "curable": 1.3, "curing": 1.8, "curiosity": 1.4,
+    "cut": -0.7, "cutback": -1.2, "cutbacks": -1.3,
+    # --- round-6 growth batch 4: P-R stems/inflections ---
+    "paralyzing": -2.0, "parasite": -1.9, "parasites": -1.9,
+    "partisan": -0.8, "passive": -0.6, "patriot": 1.5, "patriotic": 1.5,
+    "patriotism": 1.4, "peacemaker": 2.0, "penalties": -1.5, "penitent": 0.3,
+    "perky": 1.5, "perpetrators": -1.9, "perplex": -1.2, "perplexing": -1.3,
+    "persevered": 1.6, "persistence": 1.3, "personable": 1.7,
+    "perversion": -1.9, "pests": -1.5, "phenomenally": 2.5, "pioneer": 1.5,
+    "pioneering": 1.6, "pious": 0.8, "pitfall": -1.4, "pitfalls": -1.4,
+    "plea": -0.8, "pleading": -1.0, "pleasurable": 2.1, "plenty": 1.3,
+    "plot": -0.7, "plotting": -1.1, "plummeted": -1.7, "plundered": -1.9,
+    "plunge": -1.2, "plunged": -1.3, "poetic": 1.4, "politeness": 1.8,
+    "polluting": -1.9, "postpone": -0.9, "postponed": -1.0, "potent": 1.0,
+    "potential": 1.0, "powerfully": 1.7, "prank": -0.6, "prayed": 1.2,
+    "praying": 1.2, "prays": 1.2, "precise": 1.3, "precisely": 1.2,
+    "precision": 1.4, "predator": -1.6, "prejudiced": -2.0,
+    "premature": -1.1, "prematurely": -1.1, "prepared": 1.1, "pretend": -0.8,
+    "pretending": -0.9, "prevention": 0.8, "pricey": -1.2, "prick": -1.9,
+    "principled": 1.6, "prisoners": -1.7, "proactive": 1.5,
+    "procrastination": -1.5, "productivity": 1.6, "progressing": 1.5,
+    "prompt": 1.0, "promptly": 1.0, "propaganda": -1.5, "protecting": 1.5,
+    "protesting": -1.3, "protests": -1.2, "provoking": -1.4, "pummel": -1.6,
+    "punch": -1.5, "punched": -1.7, "punches": -1.5, "punishing": -2.0,
+    "punishments": -2.0, "puny": -1.3, "purely": 1.1, "putrid": -2.3,
+    "puzzling": -1.1, "racists": -2.7, "raged": -2.3, "raid": -1.5,
+    "raided": -1.6, "rainy": -0.7, "rallied": 1.1, "rally": 1.0,
+    "ramshackle": -1.4, "ransom": -1.8, "rants": -1.4, "rat": -1.4,
+    "rationally": 1.2, "rats": -1.4, "rave": 1.8, "raved": 1.8, "raves": 1.7,
+    "reassurance": 1.5, "rebels": -1.2, "rebuild": 1.2, "rebuilding": 1.2,
+    "reclaim": 1.0, "reclaimed": 1.1, "reconciled": 1.4, "recovering": 1.3,
+    "refinement": 1.4, "refresh": 1.5, "refugee": -1.3, "refugees": -1.3,
+    "regard": 1.0, "regarded": 1.1, "regrettably": -1.8, "regretting": -1.7,
+    "rejecting": -1.8, "rejuvenating": 1.9, "relaxation": 1.9,
+    "reliability": 1.5, "relieves": 1.4, "relish": 1.6, "relished": 1.6,
+    "reluctance": -1.1, "remarkably": 2.0, "remiss": -1.2, "repaid": 1.0,
+    "reparation": 0.8, "repay": 1.0, "repelled": -1.3, "repellent": -1.5,
+    "repentant": 0.3, "repercussion": -1.4, "repercussions": -1.5,
+    "repressive": -1.8, "reprimanded": -1.6, "reputable": 1.7,
+    "rescuing": 1.8, "resented": -1.7, "resignation": -1.2, "resist": -0.9,
+    "resistance": -0.9, "resisted": -0.9, "resisting": -1.0,
+    "resolving": 1.2, "respectable": 1.8, "respecting": 1.9,
+    "responsibly": 1.4, "restlessness": -1.3, "restrain": -1.0,
+    "restrained": -1.0, "restraint": -0.6, "restricting": -1.4,
+    "restriction": -1.4, "restrictions": -1.4, "retaliated": -1.7,
+    "retard": -2.2, "retarded": -2.3, "retreat": -1.1, "retreated": -1.1,
+    "retribution": -1.6, "reveled": 1.6, "reverent": 1.6, "revitalized": 1.8,
+    "revival": 1.4, "revoke": -1.3, "revoked": -1.4, "ripoff": -2.1,
+    "risked": -1.1, "rival": -0.8, "rivalry": -0.9, "rivals": -0.8,
+    "robbing": -2.1, "robs": -2.0, "rocky": -0.9, "rogue": -1.4,
+    "romantically": 2.0, "rotting": -1.9, "rough": -1.3, "roughly": -0.7,
+    "rue": -1.4,
 }
 
 _NT_SUFFIX = "n't"
