@@ -1600,7 +1600,11 @@ def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LEX_VALUES = ", ".join(f"('{w}', {v})" for w, v in sorted(LEXICON.items()))
+# double embedded single quotes: the lexicon now carries emoticon
+# entries like :'( which would otherwise break the VALUES literal
+_LEX_VALUES = ", ".join(
+    f"('{w.replace(chr(39), chr(39) * 2)}', {v})" for w, v in sorted(LEXICON.items())
+)
 
 
 # O21 relational path: lexicon sentiment + threshold bucketing.
