@@ -115,7 +115,13 @@ def interpolate_daily(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
     groups = df.select(F.col(group_col).alias("g")).distinct()
-    dense = F.broadcast(spine.crossJoin(groups)).join(daily, ["g", "day"], "left")
+    # hint the NON-preserved side: a left-outer join can only broadcast
+    # its right/build side (hinting the preserved spine was silently
+    # dropped with a HintErrorLogger warning); `daily` is equally
+    # calendar-bounded (one row per observed (group, day))
+    dense = spine.crossJoin(groups).join(
+        F.broadcast(daily), ["g", "day"], "left"
+    )
 
     w_back = (
         Window.partitionBy("g")
