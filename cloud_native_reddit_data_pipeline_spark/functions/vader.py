@@ -1824,6 +1824,79 @@ VADER_LEXICON: dict[str, float] = {
     "robbing": -2.1, "robs": -2.0, "rocky": -0.9, "rogue": -1.4,
     "romantically": 2.0, "rotting": -1.9, "rough": -1.3, "roughly": -0.7,
     "rue": -1.4,
+    # --- round-6 growth batch 5: A/D stems/inflections ---
+    "abduct": -2.0, "abducted": -2.1, "abduction": -2.2, "aberration": -1.1,
+    "abhors": -2.3, "abject": -1.8, "abnormal": -1.2, "abnormality": -1.2,
+    "abolished": -0.4, "abrasive": -1.4, "abrupt": -0.9, "abruptly": -0.9,
+    "abscond": -1.4, "absence": -1.0, "absent": -1.0, "absentminded": -1.1,
+    "absolution": 1.4, "abundantly": 1.6, "academic": 0.8, "accolades": 2.1,
+    "accommodate": 1.2, "accommodating": 1.5, "accomplishes": 1.8,
+    "accountability": 1.2, "accountable": 1.0, "accurate": 1.5,
+    "accurately": 1.4, "accusations": -1.5, "accuser": -1.4,
+    "accusing": -1.6, "achievements": 2.0, "achieving": 1.7, "acquit": 1.0,
+    "acquitted": 1.2, "adept": 1.6, "admonish": -1.5, "admonished": -1.5,
+    "adulation": 1.9, "advancement": 1.5, "advances": 1.2,
+    "advantageous": 1.7, "adversarial": -1.4, "advisable": 1.1,
+    "advocacy": 1.2, "advocate": 1.3, "advocated": 1.2, "affirm": 1.3,
+    "affirmation": 1.5, "affirmative": 1.4, "affluence": 1.8,
+    "aficionado": 1.4, "aggravation": -1.9, "aggressively": -1.6,
+    "aggressor": -1.8, "agile": 1.4, "agility": 1.4, "agitate": -1.4,
+    "agitation": -1.5, "ailments": -1.5, "alarmingly": -1.7,
+    "allegation": -1.3, "allegations": -1.3, "allege": -1.1, "alleged": -1.1,
+    "allegedly": -1.1, "alleviate": 1.3, "alleviated": 1.4, "alliance": 1.1,
+    "allies": 1.2, "allow": 0.9, "allowed": 0.8, "altercation": -1.6,
+    "amazingly": 2.7, "ambiguity": -0.8, "ambiguous": -0.7,
+    "ambivalence": -0.5, "ambush": -1.8, "ambushed": -1.9, "amenable": 1.0,
+    "amend": 0.8, "amiss": -1.1, "amput": -1.8, "anemic": -1.2,
+    "angrier": -2.4, "angriest": -2.7, "annihilation": -2.5, "announce": 0.3,
+    "annoyingly": -1.8, "antagonist": -1.6, "anticipate": 0.9,
+    "anticipated": 1.0, "anticipation": 1.1, "antipathy": -1.8,
+    "antiquated": -1.1, "antisocial": -1.6, "antithesis": -0.9,
+    "apologies": 0.4, "apologized": 0.5, "appall": -2.0, "approving": 1.6,
+    "apt": 1.0, "aptitude": 1.3, "arduous": -1.3, "arguing": -1.5,
+    "argumentative": -1.5, "arrests": -1.5, "arrogantly": -1.8,
+    "articulate": 1.5, "artistic": 1.5, "asinine": -1.9, "aspiration": 1.4,
+    "aspirations": 1.4, "assailant": -1.9, "assassinate": -2.6,
+    "assertive": 1.1, "asset": 1.4, "assets": 1.2, "astonishingly": 2.0,
+    "astonishment": 1.9, "astute": 1.6, "asylum": -0.9, "attacker": -2.1,
+    "attackers": -2.0, "attain": 1.4, "attainable": 1.2, "attained": 1.5,
+    "attracted": 1.5, "attractions": 1.3, "attractively": 1.8,
+    "atypical": -0.5, "austerity": -1.2, "authenticity": 1.5,
+    "authoritarian": -1.6, "autonomy": 1.3, "avalanche": -1.4,
+    "averse": -1.1, "avoidance": -0.9, "avoiding": -0.9, "await": 0.3,
+    "awaited": 0.4, "awareness": 1.0, "awe": 1.8, "awed": 1.8,
+    "awestruck": 2.0, "awfully": -2.2, "awfulness": -2.5,
+    "dealbreaker": -1.8, "decisive": 1.2, "declining": -1.3,
+    "decrepit": -1.7, "default": -0.9, "defiled": -2.0, "defunct": -1.3,
+    "defy": -0.9, "degrading": -1.9, "delaying": -1.2, "delays": -1.2,
+    "deliverance": 1.4, "delude": -1.5, "deluge": -1.0, "delusional": -1.6,
+    "demote": -1.5, "demoted": -1.6, "dent": -0.9, "deport": -1.5,
+    "deportation": -1.6, "deported": -1.6, "depose": -1.2, "desertion": -1.4,
+    "despot": -2.1, "destroys": -2.2, "detention": -1.4,
+    "deterioration": -1.7, "detested": -2.2, "deviant": -1.4, "devout": 1.2,
+    "diligence": 1.5, "dim": -0.8, "dingy": -1.3, "disadvantaged": -1.5,
+    "disallow": -1.2, "disappear": -0.9, "disappeared": -1.0,
+    "disappointingly": -2.1, "disasters": -2.3, "disconnect": -1.0,
+    "disconnected": -1.2, "discontented": -1.6, "discourteous": -1.7,
+    "discreet": 0.8, "discrepancy": -1.1, "discriminatory": -2.0,
+    "disheartening": -1.9, "disinformation": -1.7, "disintegrate": -1.4,
+    "disinterested": -1.1, "dismiss": -1.1, "dismissed": -1.3,
+    "dismissive": -1.4, "disobedience": -1.4, "disobedient": -1.5,
+    "disobey": -1.5, "disorderly": -1.4, "disown": -1.6, "disparity": -1.2,
+    "dispassionate": -0.5, "disposable": -0.7, "disputes": -1.3,
+    "disqualified": -1.5, "disqualify": -1.4, "disrepair": -1.4,
+    "disreputable": -1.7, "disrepute": -1.6, "disservice": -1.5,
+    "dissolution": -1.1, "dissonance": -1.1, "distortion": -1.4,
+    "distracting": -1.3, "divide": -0.8, "divided": -1.0, "divisive": -1.4,
+    "dodge": -0.9, "dodged": -0.8, "dogged": 0.6, "doldrums": -1.3,
+    "dominated": -0.9, "donate": 1.6, "donated": 1.6, "donation": 1.7,
+    "donations": 1.6, "doomsday": -2.3, "double-cross": -2.1,
+    "doubting": -1.3, "downgrade": -1.4, "downgraded": -1.5,
+    "downhill": -1.2, "downtrodden": -1.7, "downturn": -1.5, "drags": -1.0,
+    "drain": -1.2, "drained": -1.4, "draining": -1.4, "drastic": -1.2,
+    "drastically": -1.2, "dropout": -1.4, "drowning": -2.1, "drudgery": -1.5,
+    "dumbfounded": -1.1, "dumping": -1.3, "dungeon": -1.3, "durable": 1.3,
+    "duress": -1.4, "dwindle": -1.2, "dwindling": -1.3, "dysfunction": -1.6,
 }
 
 _NT_SUFFIX = "n't"
