@@ -1897,6 +1897,94 @@ VADER_LEXICON: dict[str, float] = {
     "drastically": -1.2, "dropout": -1.4, "drowning": -2.1, "drudgery": -1.5,
     "dumbfounded": -1.1, "dumping": -1.3, "dungeon": -1.3, "durable": 1.3,
     "duress": -1.4, "dwindle": -1.2, "dwindling": -1.3, "dysfunction": -1.6,
+    # --- round-6 growth batch 6: S stems/inflections ---
+    "saddening": -2.1, "saddens": -2.0, "safeguard": 1.4, "safeguards": 1.3,
+    "saintly": 2.2, "salient": 0.8, "salvaged": 1.0, "sanctimonious": -1.5,
+    "sanction": -1.0, "sanctioned": -0.9, "sanctions": -1.2, "sanity": 1.2,
+    "sardonic": -1.1, "saving": 1.5, "savings": 1.4, "scammer": -2.4,
+    "scandals": -2.0, "scant": -1.0, "scar": -1.5, "scarce": -1.1,
+    "scarcity": -1.3, "scarecrow": -0.6, "scarred": -1.7,
+    "scatterbrained": -1.2, "schadenfreude": -1.0, "scheme": -0.8,
+    "scheming": -1.4, "scholarly": 1.4, "scholarship": 1.5, "scoff": -1.4,
+    "scoffed": -1.4, "scolding": -1.7, "scoundrel": -2.0, "scumbag": -2.6,
+    "seamlessly": 1.7, "securely": 1.5, "security": 1.4, "seduce": -0.6,
+    "seduced": -0.7, "seductive": 0.6, "selflessness": 2.1, "sensation": 1.2,
+    "sensibly": 1.3, "sentence": -0.5, "sentenced": -1.2,
+    "seriousness": -0.3, "severely": -1.9, "severity": -1.6, "shack": -0.9,
+    "shallow": -1.2, "shaming": -1.9, "sharper": 1.0, "sharpest": 1.2,
+    "shattering": -1.9, "shipwreck": -1.8, "shirk": -1.3, "shootings": -2.2,
+    "shortages": -1.4, "shortsighted": -1.4, "shyness": -1.0, "sickly": -1.8,
+    "significance": 1.2, "simplicity": 1.3, "simplified": 1.2,
+    "simplify": 1.2, "sink": -1.2, "sinking": -1.4, "sinner": -1.8,
+    "slack": -1.0, "slain": -2.2, "sleek": 1.6, "sloth": -1.4,
+    "slowed": -1.0, "slowly": -0.6, "slug": -0.9, "slum": -1.5, "slur": -1.7,
+    "slut": -2.4, "smack": -1.2, "smirk": -0.6, "smitten": 1.9,
+    "smuggle": -1.7, "smuggled": -1.7, "smuggling": -1.8, "snarky": -1.2,
+    "snarl": -1.3, "sneer": -1.4, "snub": -1.5, "snubbed": -1.6, "soar": 1.8,
+    "soared": 1.8, "soaring": 1.9, "soldier": 0.6, "solemn": -0.6,
+    "solves": 1.4, "solving": 1.4, "spammers": -1.8, "speculate": -0.3,
+    "speculation": -0.5, "speedy": 1.2, "spendthrift": -1.2, "spoils": -1.0,
+    "spooked": -1.3, "spurn": -1.6, "spurned": -1.7, "squash": -0.9,
+    "stability": 1.4, "stabilize": 1.2, "stalemate": -1.1, "stalk": -1.8,
+    "stalked": -1.9, "stalker": -2.1, "stalking": -2.0, "stall": -1.0,
+    "stalled": -1.1, "standout": 1.9, "standstill": -1.2, "starstruck": 1.4,
+    "stately": 1.4, "steady": 1.1, "steals": -2.1, "stereotypical": -1.2,
+    "stifling": -1.5, "stimulate": 1.3, "stimulated": 1.3, "stingy": -1.5,
+    "stonewall": -1.3, "storm": -1.2, "straightforward": 1.2, "strain": -1.3,
+    "strand": -1.0, "strategic": 1.0, "streamline": 1.2, "streamlined": 1.3,
+    "strengthening": 1.7, "stressing": -1.8, "strictly": -0.8,
+    "strikes": -1.2, "strive": 1.2, "striving": 1.2, "struck": -0.9,
+    "stubbornly": -1.4, "stubbornness": -1.5, "stumble": -1.2,
+    "stumbled": -1.2, "stumbling": -1.3, "stump": -0.7, "stumped": -1.0,
+    "stupidest": -2.6, "subdued": -1.0, "subordinate": -0.7,
+    "substantial": 1.1, "substantive": 1.0, "subtle": 0.5, "succumbed": -1.5,
+    "sucker": -1.8, "suffice": 0.6, "sullen": -1.5, "supple": 1.0,
+    "supremely": 1.9, "surplus": 1.2, "surprising": 1.1, "surprisingly": 1.0,
+    "survival": 1.0, "suspicions": -1.4, "suspiciously": -1.5,
+    "sustain": 1.0, "sustainable": 1.3, "sustained": 1.0, "swell": 1.3,
+    "sympathies": 1.2, "synergy": 1.4,
+    # --- round-6 growth batch 7: J-W + netspeak leftovers ---
+    "2g2bt": 1.9, "4ever": 1.4, "b4": 0.0, "bday": 1.4, "bffl": 2.0,
+    "congratz": 2.5, "gj": 1.9, "gl": 1.6, "gn": 1.1, "hbd": 1.9,
+    "ilysm": 3.1, "imy": 1.2, "jeopardized": -1.8, "jest": 1.0,
+    "jittery": -1.2, "jobless": -1.9, "joyride": 1.0, "junky": -1.7,
+    "justifiable": 1.0, "justly": 1.4, "jw": 0.0, "keepsake": 1.3,
+    "kickback": -1.5, "killjoy": -1.7, "kk": 0.6, "lionhearted": 1.9,
+    "lmbo": 2.0, "loml": 2.9, "ly": 2.6, "lyl": 2.5, "magnify": 0.4,
+    "mesmerize": 1.8, "mesmerized": 1.9, "mesmerizing": 2.0,
+    "meticulous": 1.4, "negatively": -1.8, "nope": -1.1, "notable": 1.2,
+    "notably": 1.0, "noteworthy": 1.4, "np": 1.1, "oddity": -0.8,
+    "oddly": -0.7, "offbeat": 0.3, "onward": 1.0, "opportunist": -0.8,
+    "ornate": 1.2, "orphan": -1.5, "orphaned": -1.7, "orphans": -1.4,
+    "outwit": 0.9, "ovation": 2.2, "overachiever": 1.3, "overcast": -0.9,
+    "overdo": -0.9, "overdone": -1.1, "overkill": -1.2, "overlooks": -0.7,
+    "overpaid": -1.2, "overreach": -1.1, "overruled": -1.0,
+    "overshadow": -1.0, "overshadowed": -1.2, "oversold": -1.0,
+    "overstate": -0.8, "overstated": -0.9, "overtired": -1.4,
+    "overture": 0.4, "overturned": -0.8, "qt": 1.8, "quarantines": -1.2,
+    "quintessential": 1.2, "reliant": -0.3, "remark": 0.2,
+    "resourcefulness": 1.7, "revolutionize": 1.5, "richly": 1.5,
+    "richness": 1.6, "rightful": 1.3, "rightfully": 1.3, "rightly": 1.1,
+    "rigor": 0.8, "ritzy": 1.2, "roar": -0.5, "roaring": 0.3,
+    "romanticize": 0.8, "rousing": 1.3, "ruffle": -0.8, "ruffled": -0.9,
+    "sry": -0.6, "teamwork": 1.8, "tenderhearted": 2.0, "terrorizing": -2.8,
+    "testament": 1.0, "theatrical": 0.4, "thoroughly": 1.2, "timely": 1.2,
+    "tolerating": 0.2, "toll": -1.1, "tops": 1.6, "tougher": -0.6,
+    "toughness": 0.6, "transcend": 1.5, "transcendent": 1.9,
+    "transform": 1.0, "transformation": 1.2, "transformative": 1.5,
+    "traumatizing": -2.4, "treasonable": -2.3, "tremble": -1.3,
+    "trickster": -1.2, "triumphal": 2.2, "truest": 1.9, "trusty": 1.7,
+    "ttyl": 0.8, "turbulence": -1.3, "tussle": -1.1, "tysm": 2.4,
+    "uncomplicated": 1.1, "underachiever": -1.4, "undercut": -1.1,
+    "underhanded": -1.6, "undervalued": -1.2, "undying": 1.2,
+    "unhappier": -2.0, "unharmed": 1.1, "unhealthier": -1.8,
+    "unification": 1.3, "unmistakable": 0.8, "unparalleled": 2.0,
+    "unpretentious": 1.2, "unrivaled": 2.0, "unscathed": 1.0, "unsung": -0.4,
+    "untroubled": 1.3, "unyielding": -0.6, "uplifts": 1.9, "upstanding": 1.6,
+    "user-friendly": 1.9, "utmost": 1.2, "valentine": 1.8, "valentines": 1.7,
+    "vivacity": 1.9, "w00t": 2.3, "wb": 1.0, "whole": 0.8, "win-win": 2.2,
+    "winsome": 1.7, "workable": 1.0, "worldclass": 2.3, "xo": 2.2,
+    "yolo": 1.1, "yw": 1.2,
 }
 
 _NT_SUFFIX = "n't"
