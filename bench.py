@@ -126,6 +126,7 @@ HEADLINE = [
     "unicode_script_profile",
     "zipf_token_spectrum",
     "stratified_split",
+    "touch_attribution",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

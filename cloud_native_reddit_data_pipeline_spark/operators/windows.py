@@ -857,3 +857,65 @@ def bollinger_bands(
         z.alias("z_score"),
         F.coalesce(F.abs(z) > F.lit(n_sigma), F.lit(False)).alias("is_breakout"),
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """First-touch / last-touch marketing attribution: for each
+    conversion event, find the earliest and latest `touch_type` event
+    by the same user inside a strict lookback window (touch before the
+    conversion, at most `lookback_days` earlier) — the classic
+    attribution model pair, computed exactly.
+
+    Determinism: the arg-min/arg-max ride a (epoch_seconds, event_id)
+    STRUCT ordering — lexicographic in both engines — so simultaneous
+    touches tie-break on the id instead of partition order.
+
+    Scale shape: a banded range equi-join (user key + time band, the
+    `range_band_join` pattern — each conversion meets only its own
+    user's touches inside the band, never a cross of the streams) into
+    one partial-agg groupBy on the conversion id.  No window over the
+    raw stream, no global sort."""
+    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
+    touches = df.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("_u"),
+        sec(ts_col).alias("_tsec"),
+        F.col(id_col).alias("_tid"),
+    )
+    convs = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user_id"),
+        sec(ts_col).alias("_csec"),
+        F.col(id_col).alias("conversion_id"),
+    )
+    lb = lookback_days * 86400
+    j = convs.join(
+        touches,
+        (F.col("_u") == F.col("user_id"))
+        & (F.col("_tsec") < F.col("_csec"))
+        & (F.col("_tsec") >= F.col("_csec") - F.lit(lb)),
+        "left",
+    )
+    key = F.struct(F.col("_tsec").alias("s"), F.col("_tid").alias("e"))
+    return (
+        j.groupBy("conversion_id", "user_id")
+        .agg(
+            F.min(key).getField("e").alias("first_touch_id"),
+            F.max(key).getField("e").alias("last_touch_id"),
+            F.count(F.col("_tid")).alias("n_touches"),
+        )
+        .select(
+            "conversion_id",
+            "user_id",
+            "first_touch_id",
+            "last_touch_id",
+            F.col("n_touches").cast("long").alias("n_touches"),
+        )
+    )

@@ -7085,6 +7085,39 @@ def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# First/last-touch attribution: strict-lookback banded range join +
+# struct-ordered arg-min/arg-max (lexicographic in both engines, so
+# simultaneous touches tie deterministically on the event id).
+@register(
+    "touch_attribution",
+    """
+    WITH touches AS (
+      SELECT user_id AS u, CAST(epoch(ts) AS BIGINT) AS tsec,
+             event_id AS tid
+      FROM events WHERE event_type = 'click'
+    ),
+    convs AS (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS csec,
+             event_id AS conversion_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.conversion_id, c.user_id,
+           (min({'s': t.tsec, 'e': t.tid})).e AS first_touch_id,
+           (max({'s': t.tsec, 'e': t.tid})).e AS last_touch_id,
+           CAST(COUNT(t.tid) AS BIGINT) AS n_touches
+    FROM convs c LEFT JOIN touches t
+      ON t.u = c.user_id AND t.tsec < c.csec
+     AND t.tsec >= c.csec - 7 * 86400
+    GROUP BY c.conversion_id, c.user_id
+    """,
+)
+def touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.touch_attribution(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

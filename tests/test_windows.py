@@ -170,3 +170,42 @@ def test_funnel_stages_strict_ordering_and_ties(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 1, 3: 2, 4: 1}
+
+
+def test_touch_attribution_first_last_and_lookback(spark):
+    """First/last touch resolve deterministically (struct tie-break on
+    event id), the lookback bound is strict, and conversions with no
+    touches keep a row with nulls."""
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        touch_attribution,
+    )
+
+    rows = [
+        # user 1: clicks at t=10, 20, 20 (tie), purchase at t=100
+        (1, 1, "2024-01-01 00:00:10", "click"),
+        (2, 1, "2024-01-01 00:00:20", "click"),
+        (3, 1, "2024-01-01 00:00:20", "click"),
+        (4, 1, "2024-01-01 00:01:40", "purchase"),
+        # user 2: click 8 days before purchase -> outside 7d lookback
+        (5, 2, "2024-01-01 00:00:00", "click"),
+        (6, 2, "2024-01-09 00:00:01", "purchase"),
+        # user 3: click exactly AT the purchase second -> excluded (strict <)
+        (7, 3, "2024-01-01 00:00:30", "click"),
+        (8, 3, "2024-01-01 00:00:30", "purchase"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["conversion_id"]: r
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert out[4]["first_touch_id"] == 1
+    assert out[4]["last_touch_id"] == 3  # tie at t=20 -> larger id wins max
+    assert out[4]["n_touches"] == 3
+    assert out[6]["first_touch_id"] is None and out[6]["n_touches"] == 0
+    assert out[8]["first_touch_id"] is None and out[8]["n_touches"] == 0
