@@ -1985,6 +1985,68 @@ VADER_LEXICON: dict[str, float] = {
     "vivacity": 1.9, "w00t": 2.3, "wb": 1.0, "whole": 0.8, "win-win": 2.2,
     "winsome": 1.7, "workable": 1.0, "worldclass": 2.3, "xo": 2.2,
     "yolo": 1.1, "yw": 1.2,
+    # --- round-6 growth batch 8: M-W leftovers ---
+    "maestro": 1.9, "magically": 1.9, "majestically": 2.3, "makeshift": -0.7,
+    "maladies": -1.7, "malaria": -1.9, "malcontents": -1.5, "maligned": -1.9,
+    "maltreated": -2.1, "manageable": 0.9, "managed": 0.7, "mangles": -1.7,
+    "manhandle": -1.7, "maniacs": -1.8, "manifesto": 0.1,
+    "manipulator": -1.8, "mannerly": 1.4, "martyrs": -0.7, "mastered": 1.7,
+    "masters": 1.2, "matchless": 1.9, "medal": 1.8, "meddlesome": -1.4,
+    "mediate": 0.8, "mediation": 0.9, "meltdowns": -1.9, "mentor": 1.6,
+    "mentored": 1.5, "mentors": 1.5, "mercies": 1.4, "meritless": -1.4,
+    "merrier": 2.0, "merriest": 2.4, "messiah": 1.9, "mettle": 1.3,
+    "milestones": 1.4, "mindfulness": 1.4, "mingle": 1.0,
+    "misbehaving": -1.5, "mischance": -1.4, "misclassified": -1.1,
+    "misdirected": -1.1, "misfire": -1.3, "mishandling": -1.5,
+    "misinterpretation": -1.2, "misjudgment": -1.3, "mismatch": -1.0,
+    "misplacement": -1.1, "misrule": -1.5, "missteps": -1.3, "mobbing": -1.6,
+    "mockeries": -1.6, "moderation": 0.8, "modern": 0.9, "mollify": 0.8,
+    "momentum": 0.9, "monopolize": -1.2, "moralistic": -0.4,
+    "motivations": 1.2, "motivator": 1.6, "mourner": -1.8, "muddy": -0.9,
+    "mumble": -0.8, "munificent": 1.9, "muscle": 0.5, "muse": 1.0,
+    "mutually": 0.9, "mystery": 0.2, "mystical": 0.8, "nab": -1.0,
+    "nabbed": -1.2, "nadir": -1.5, "nailed": 1.4, "narrow-minded": -1.7,
+    "nationalist": -0.6, "natural": 1.2, "naturally": 1.1, "neatness": 1.3,
+    "necessity": 0.4, "negate": -1.1, "negated": -1.1, "negation": -0.9,
+    "nemeses": -1.6, "nepotism": -1.7, "nerves": -1.1, "nestle": 1.2,
+    "nett": 0.2, "niceties": 1.4, "niggle": -1.0,
+    "nimbly": 1.1, "nirvana": 2.6, "nobility": 1.8, "noblest": 2.4,
+    "noncompliance": -1.3, "nonstop": 0.2, "normal": 0.7, "novelty": 0.9,
+    "nullify": -1.0, "nurturer": 1.7, "oasis": 1.6, "obeyed": 0.6,
+    "objected": -1.2, "objecting": -1.2, "oblige": 0.7, "obliged": 0.7,
+    "obliterates": -2.2, "obscenities": -2.2, "observant": 1.1,
+    "obsesses": -1.1, "occupied": -0.2, "offline": -0.4, "okayed": 1.0,
+    "omen": -1.0, "omens": -1.0, "omnipotent": 1.0, "openhearted": 2.1,
+    "opportunely": 1.3, "opposites": -0.3, "oppressors": -2.2,
+    "ostentatious": -1.1, "outbursts": -1.3, "outclassed": -1.2,
+    "outperform": 1.4, "outperformed": 1.5, "outraging": -2.1,
+    "outsmart": 1.1, "overcomplicate": -1.2, "tackle": 0.4, "tactic": -0.2,
+    "tainting": -1.5, "talentless": -1.8, "tame": 0.3, "tanked": -1.7,
+    "tantalized": 1.0, "tarnishes": -1.4, "teem": 0.4, "teeming": 0.5,
+    "temperamental": -1.2, "temptation": -0.3, "tenable": 0.7,
+    "terminally": -2.0, "terrorizes": -2.8, "thieving": -2.1, "thorny": -1.1,
+    "tickled": 1.6, "tighten": -0.5, "tire": -1.1, "toast": 0.6,
+    "tormentor": -2.3, "totalitarian": -2.2, "tranquilize": 0.2,
+    "transgressions": -1.6, "treasuring": 2.1, "tremor": -1.2,
+    "trendsetter": 1.4, "trepidations": -1.4, "tricking": -1.4,
+    "triumphing": 2.2, "trivializes": -1.1, "troublemaker": -1.7,
+    "vainglorious": -1.3, "valorous": 2.1, "values": 1.2, "vanquishing": 1.1,
+    "variety": 0.9, "vast": 0.7, "venerated": 1.8, "vents": -0.6,
+    "verified": 1.2, "verify": 0.8, "versatilely": 1.3, "veteran": 0.9,
+    "vetted": 0.9, "vibrate": 0.1, "vice": -1.5, "vices": -1.6,
+    "victimhood": -1.5, "vigilance": 1.0, "vigilante": -1.1,
+    "vigorless": -1.2, "vindicating": 1.2, "violator": -2.0,
+    "violators": -1.9, "virtuoso": 2.1, "visionaries": 1.9, "vista": 1.1,
+    "vitalize": 1.6, "vows": 1.0, "voyage": 1.0, "vulnerabilities": -1.2,
+    "wacky": 0.4, "wager": -0.3, "wallop": -1.3, "wanderlust": 1.3,
+    "warden": -0.6, "wastrel": -1.5, "waver": -0.9, "wavered": -0.9,
+    "weal": 1.3, "wearying": -1.5, "wellmannered": 1.8, "whiny": -1.6,
+    "whirlwind": -0.7, "wickedest": -2.6, "widen": 0.3, "wildcard": -0.3,
+    "wiles": -1.0, "winsomely": 1.6, "wireless": 0.3, "wistfully": -0.4,
+    "witches": -1.4, "witnessed": 0.0, "wobble": -0.8, "womanize": -1.8,
+    "wonky": -1.2, "workaholic": -0.9, "worldly": 0.8, "worn-out": -1.5,
+    "worriers": -1.5, "worshipful": 1.6, "wrenching": -1.9, "wrestle": -0.8,
+    "wretchedness": -2.3, "wrongheaded": -1.6,
 }
 
 _NT_SUFFIX = "n't"
