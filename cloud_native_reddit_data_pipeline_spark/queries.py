@@ -1607,10 +1607,7 @@ _LEX_VALUES = ", ".join(
 )
 
 
-# O21 relational path: lexicon sentiment + threshold bucketing.
-@register(
-    "sentiment_relational",
-    f"""
+_SENTIMENT_REL_SQL = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
     ), lex(word, valence) AS (VALUES {_LEX_VALUES}),
@@ -1627,8 +1624,11 @@ _LEX_VALUES = ", ".join(
                 WHEN ROUND(x / sqrt(x * x + {ALPHA}), 4) < {NEG_THRESHOLD} THEN 'negative'
                 ELSE 'neutral' END AS sentiment
     FROM s
-    """,
-)
+    """
+
+
+# O21 relational path: lexicon sentiment + threshold bucketing.
+@register("sentiment_relational", _SENTIMENT_REL_SQL)
 def sentiment_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_relational(load(spark, sf_dir, "documents"), ["doc_id"], "text")
 
@@ -4969,20 +4969,45 @@ def sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("approx_distinct")
+@register(
+    "approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) — approximate by construction, so no
-    value-hash oracle; structural sanity lives in tests."""
+    """approx_count_distinct (HLL++) with a MEASURED error envelope:
+    the sketch value itself is engine-specific, so the oracle-checked
+    output carries the exact count plus a boolean asserting the sketch
+    landed within 3x its configured rsd (0.05) — the histogram-sketch
+    pattern (error measured against the exact leg in the same output).
+    HLL++ is deterministic for fixed data, so the flag cannot flap
+    between runs; if Spark's sketch ever drifts out of its documented
+    envelope this query goes red."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.05)
+                - F.countDistinct("l_partkey")
+            )
+            <= F.countDistinct("l_partkey") * F.lit(0.15)
+        ).alias("hll_within_3rsd"),
     )
 
 
-@register("sentiment_pandas_udf")
+@register("sentiment_pandas_udf", _SENTIMENT_REL_SQL)
 def sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O21/O40 pandas-UDF surface (executor-singleton analyzer)."""
+    """O21/O40 pandas-UDF surface (executor-singleton analyzer).
+    HARD-oracled (round 6): the Arrow path implements exactly the
+    relational semantics, so it shares `sentiment_relational`'s SQL
+    oracle — the Python leg is value-hash-gated, not just rows-only."""
     from .functions.sentiment import score_pandas_udf
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5123,18 +5148,43 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(bucket < thr).select("event_id", "event_type")
 
 
-@register("approx_percentiles")
+@register(
+    "approx_percentiles",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+           TRUE AS hll_within_3rsd,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (approx_percentile, Greenwald-Khanna):
-    the scale path next to the exact percentile_stats — no global sort,
-    one pass, mergeable partials.  Approximate values differ per engine,
-    so this is a rows-only entry; the exact twin is oracle-checked."""
+    """Sketch-based percentiles (approx_percentile, Greenwald-Khanna)
+    with a MEASURED error envelope: GK values are engine-specific, so
+    the oracle-checked output asserts each approximate quantile lies
+    within 2% (relative) of the exact percentile and the HLL customer
+    count within 3x rsd — deterministic for fixed data (both sketches
+    are deterministic), hard-gated instead of rows-only."""
     o = load(spark, sf_dir, "orders")
+    approx = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    ok = [
+        (
+            F.abs(approx.getItem(i) - exact.getItem(i))
+            <= exact.getItem(i) * F.lit(0.02)
+        ).alias(name)
+        for i, name in enumerate(["p50_ok", "p90_ok", "p99_ok"])
+    ]
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_p50_p90_p99"
-        ),
+        F.countDistinct("o_custkey").alias("n_customers_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.05)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.countDistinct("o_custkey") * F.lit(0.15)
+        ).alias("hll_within_3rsd"),
+        *ok,
     )
 
 
