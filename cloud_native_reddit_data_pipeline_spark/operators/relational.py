@@ -201,6 +201,31 @@ def with_global_cumsum(
             srt.unpersist()
 
 
+def ntile_from_rank(rn_col: Column, n_rows: int, n_tiles: int) -> Column:
+    """SQL ntile derived from a global 1-based row number with pure
+    integer arithmetic: with N rows and t tiles the first N mod t tiles
+    take ceil(N/t) rows, the rest floor(N/t) — bit-identical to the
+    engines' built-in ntile over the same total order, but computable
+    on top of `with_global_row_numbers` so no single-partition
+    WindowExec is ever needed.
+
+    The double divisions truncate exactly for any rn < 2^53 (both
+    operands are exactly representable and the true quotient is either
+    an exactly-representable integer or at least quotient*2^-53 away
+    from one), i.e. correct to ~9e15 rows."""
+    q, r = divmod(n_rows, n_tiles)
+    if q == 0:
+        return rn_col.cast("int")
+    boundary = r * (q + 1)
+    rn = rn_col.cast("long")
+    return (
+        F.when(rn <= boundary, (rn - 1).cast("long") / F.lit(q + 1))
+        .otherwise(F.lit(r) + (rn - 1 - boundary) / F.lit(q))
+        .cast("int")
+        + F.lit(1)
+    ).cast("int")
+
+
 def positional_zip_join(a: DataFrame, b: DataFrame, order_a: list[Column], order_b: list[Column]) -> DataFrame:
     """Literal equivalent of the reference's positional pandas index join
     (O29, redditProcessor.py:123): number both sides over an explicit
@@ -922,26 +947,25 @@ def concentration_report(
 
     is computed over the DISTINCT-total domain with counts (each
     distinct value contributes its average rank times its mass —
-    exactly the tied-rank form), so only the distinct domain is ever
-    sorted.  All sums are exact integers; the two divisions happen
-    once at the end.  Top-decile share uses ceil(n/10) largest keys
-    via the same cumulative counts."""
+    exactly the tied-rank form).  The cumulative count rides
+    `with_global_cumsum` (range-partitioned two-level prefix sum), so
+    even a CONTINUOUS value domain — where distinct ~ n — never hits a
+    single-task sort; the global (n, sum) pair is a one-row aggregate
+    broadcast back.  All sums are exact integers; the two divisions
+    happen once at the end.  Top-decile share uses ceil(n/10) largest
+    keys via the same cumulative counts."""
     totals = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_t")
     )
     vals = totals.select((F.col("_t") * 100).cast("long").alias("_v")).groupBy(
         "_v"
     ).agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    glob = vals.agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_v") * F.col("_c")).alias("_sum"),
     )
-    cum = vals.select(
-        "_v",
-        "_c",
-        F.sum("_c").over(w).alias("_cumc"),
-        F.sum("_c").over(wall).alias("_n"),
-        F.sum(F.col("_v") * F.col("_c")).over(wall).alias("_sum"),
+    cum = with_global_cumsum(vals, ["_v"], "_c", "_cumc").crossJoin(
+        F.broadcast(glob)
     )
     # tied-rank sum for this value block: average rank = cumc - (c-1)/2,
     # mass = v * c  ->  contribution 2*avg_rank*v*c kept integral as

@@ -390,7 +390,7 @@ def rfm_segments(
     but is EMITTED as `monetary_e4` — the exact sum × 10^4 as BIGINT —
     because DECIMAL payloads hash engine-specifically (same convention
     as `incremental_agg_merge`)."""
-    from .relational import with_global_row_numbers
+    from .relational import ntile_from_rank, with_global_row_numbers
 
     per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
         F.max(F.date_trunc("day", F.col(ts_col))).alias("_last_day"),
@@ -406,21 +406,6 @@ def rfm_segments(
     base = base.persist()
     try:
         n_users = base.count()
-        q, r = divmod(n_users, n_tiles)
-
-        def _ntile(rn: str):
-            if q == 0:
-                return F.col(rn).cast("int")
-            boundary = r * (q + 1)
-            return (
-                F.when(
-                    F.col(rn) <= boundary,
-                    F.expr(f"({rn} - 1) div {q + 1} + 1"),
-                )
-                .otherwise(F.expr(f"{r} + ({rn} - 1 - {boundary}) div {q} + 1"))
-                .cast("int")
-            )
-
         axes = {
             "r": [F.asc("recency_days"), F.asc("user_id")],
             "f": [F.desc("frequency"), F.asc("user_id")],
@@ -429,7 +414,9 @@ def rfm_segments(
         out = base
         for tile, order in axes.items():
             out = with_global_row_numbers(out, order, col_name=f"_rn_{tile}")
-            out = out.withColumn(tile, _ntile(f"_rn_{tile}")).drop(f"_rn_{tile}")
+            out = out.withColumn(
+                tile, ntile_from_rank(F.col(f"_rn_{tile}"), n_users, n_tiles)
+            ).drop(f"_rn_{tile}")
     finally:
         base.unpersist()
     return (

@@ -2594,15 +2594,24 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(sum_sql=_dec_sum_sql("o_totalprice")),
 )
 def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bucketing via ntile over a total order (tie-broken on the
-    unique key so bucket membership is deterministic cross-engine).
-    Scale note: a single global-order window is one range-partitioned
-    sort — for percentile CUTS prefer approx_percentile; ntile is for
-    exact equal-frequency bucketing."""
+    """Decile bucketing via exact ntile over a total order (tie-broken
+    on the unique key so bucket membership is deterministic
+    cross-engine).  Scale shape (round 6): a bare `ntile() OVER
+    (ORDER BY ...)` is a SINGLE-PARTITION WindowExec — the rank now
+    rides `with_global_row_numbers` (range-partitioned sort + offsets)
+    and the decile is derived with `ntile_from_rank`'s exact integer
+    fill rule, bit-identical to built-in ntile at any table size."""
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    n_rows = o.count()
+    ranked = relational.with_global_row_numbers(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select(
+            "o_totalprice",
+            relational.ntile_from_rank(F.col("_rn"), n_rows, 10).alias("decile"),
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
