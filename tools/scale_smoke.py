@@ -43,6 +43,14 @@ DEFAULT_QUERIES = [
     "pagerank_copurchase",
     "training_corpus_select_v2",
     "pricing_summary",
+    # round-6 distributed-rank forms (range-partitioned prefix sums /
+    # row numbers replacing single-task windows)
+    "ntile_deciles",
+    "rfm_segments",
+    "spend_concentration",
+    "ecdf_normalize_lengths",
+    "touch_attribution",
+    "stratified_split",
 ]
 
 
