@@ -294,3 +294,117 @@ def bpe_encode_stats(
             ).alias("chars_per_bpe_token"),
         )
     )
+
+
+_ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled greedy round: pair counts -> (cnt DESC, l, r) argmax
+    -> left-to-right non-overlapping rewrite.  The rewrite uses the
+    RUN-PARITY formulation instead of a sequential scan: within each
+    maximal run of consecutive candidate positions (s[i]=l, s[i+1]=r),
+    exactly the odd-indexed ones merge — equivalent to the greedy scan,
+    but expressible with two window functions.  Every CTE is
+    MATERIALIZED: the rewrite references its round's inputs several
+    times, and un-materialized inlining grows exponentially in rounds."""
+    p = k - 1
+    return f"""
+    pairs{k} AS MATERIALIZED (
+      SELECT l, r, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest(list_zip(syms, syms[2:])) AS z
+        FROM v{p} WHERE len(syms) >= 2
+      ), LATERAL (SELECT z[1] AS l, z[2] AS r)
+      WHERE r IS NOT NULL GROUP BY l, r
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT l AS bl, r AS br, cnt FROM pairs{k}
+      ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    u{k} AS MATERIALIZED (
+      SELECT w, freq, i, syms[i] AS s,
+             (syms[i] = b.bl AND syms[i + 1] = b.br) AS cand
+      FROM v{p} CROSS JOIN best{k} b,
+           LATERAL (SELECT unnest(generate_series(1, len(syms))) AS i)
+    ),
+    cand{k} AS MATERIALIZED (
+      SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+      FROM u{k} WHERE cand
+    ),
+    real{k} AS MATERIALIZED (
+      SELECT w, i,
+             (ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) % 2) = 1
+               AS realized
+      FROM cand{k}
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT w, ANY_VALUE(freq) AS freq,
+             list(sym ORDER BY i) FILTER (WHERE sym IS NOT NULL) AS syms
+      FROM (
+        SELECT m.w, m.freq, m.i,
+               CASE WHEN COALESCE(r1.realized, FALSE)
+                      THEN (SELECT bl || br FROM best{k})
+                    WHEN COALESCE(r0.realized, FALSE) THEN NULL
+                    ELSE m.s END AS sym
+        FROM u{k} m
+        LEFT JOIN real{k} r1 ON r1.w = m.w AND r1.i = m.i
+        LEFT JOIN real{k} r0 ON r0.w = m.w AND r0.i = m.i - 1
+      ) GROUP BY w
+    )"""
+
+
+def _bpe_cte_prefix(n_merges: int) -> str:
+    head = f"""
+    WITH words AS MATERIALIZED (
+      SELECT unnest(list_transform({_ORACLE_TOKS}, x -> lower(x))) AS w
+      FROM documents
+    ),
+    v0 AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq,
+             list_append(regexp_split_to_array(w, ''), '{END_OF_WORD}') AS syms
+      FROM words GROUP BY w
+    )"""
+    return head + "," + ",".join(_bpe_round_sql(k) for k in range(1, n_merges + 1))
+
+
+def bpe_merges_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of `learn_bpe_merges` as unrolled one-merge-per-
+    round greedy CTEs (the engine's provably-equivalent batched form
+    collapses to the same sequence).  Same kmeans-oracle tactic: the
+    iterative algorithm is finite and deterministic, so unroll it."""
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS rank, bl AS left, br AS right, "
+        f"bl || br AS merged, CAST(cnt AS BIGINT) AS pair_freq FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_cte_prefix(n_merges) + "\n" + sel
+
+
+def bpe_encode_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of learn-then-encode (`bpe_encode_stats` with the
+    merges learned from the same corpus): the final per-word symbol
+    table IS the learner's v{n}, so the encode stats are one join of
+    per-doc word counts against len(v{n}.syms)."""
+    n = n_merges
+    return (
+        _bpe_cte_prefix(n)
+        + f""",
+    doc_words AS MATERIALIZED (
+      SELECT doc_id, w, COUNT(*) AS n FROM (
+        SELECT doc_id,
+               unnest(list_transform({_ORACLE_TOKS}, x -> lower(x))) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    enc AS MATERIALIZED (
+      SELECT w, len(syms) AS n_bpe, length(w) AS n_chars FROM v{n}
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(SUM(n * n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(n * n_chars) / (1.0 * SUM(n * n_bpe)) + 1e-9, 4)
+             AS chars_per_bpe_token
+    FROM doc_words JOIN enc USING (w)
+    GROUP BY doc_id
+    """
+    )

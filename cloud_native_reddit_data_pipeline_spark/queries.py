@@ -5025,14 +5025,20 @@ def sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_merges")
+from .operators.bpe import bpe_encode_oracle_sql, bpe_merges_oracle_sql  # noqa: E402
+
+
+@register("bpe_merges", bpe_merges_oracle_sql(12))
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (the LLM-tokenizer vocabulary
     build) over the documents corpus: word-frequency model, most-frequent
-    adjacent pair per round, lexicographic tie-break.  Rows-only: the
-    greedy merge loop (argmax + left-to-right non-overlapping rewrite per
-    round) is not SQL-expressible; tests/test_bpe.py pins the exact merge
-    sequence against an independent pure-Python reference."""
+    adjacent pair per round, lexicographic tie-break.  HARD-oracled
+    (round 6): the greedy loop is finite and deterministic, so the
+    oracle unrolls one-merge-per-round CTEs (kmeans-oracle tactic) with
+    the left-to-right non-overlapping rewrite expressed as a run-parity
+    window — the batched engine path is provably equivalent to that
+    sequence (also pinned against the pure-Python reference in
+    tests/test_bpe.py)."""
     from .operators.bpe import learn_bpe_merges
 
     return learn_bpe_merges(
@@ -5040,13 +5046,15 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode")
+@register("bpe_encode", bpe_encode_oracle_sql(12))
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer round-trip: learn 12 BPE merges from the corpus, then
     encode the corpus with them — per-document word/BPE-token counts and
     chars-per-token.  The rewrite runs on the distinct-word table only
-    (vocabulary-sized, like the learner).  Rows-only; the encode path is
-    pinned against an independent Python reference in tests/test_bpe.py."""
+    (vocabulary-sized, like the learner).  HARD-oracled (round 6): the
+    final word->symbols table equals the learner oracle's v12, so the
+    stats replay as one join; also pinned against the independent
+    Python reference in tests/test_bpe.py."""
     from .operators.bpe import bpe_encode_stats, learn_bpe_merges
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
