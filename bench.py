@@ -127,6 +127,8 @@ HEADLINE = [
     "zipf_token_spectrum",
     "stratified_split",
     "touch_attribution",
+    "ntile_deciles",
+    "rfm_segments",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean
