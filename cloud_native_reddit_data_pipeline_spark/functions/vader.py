@@ -2047,6 +2047,84 @@ VADER_LEXICON: dict[str, float] = {
     "wonky": -1.2, "workaholic": -0.9, "worldly": 0.8, "worn-out": -1.5,
     "worriers": -1.5, "worshipful": 1.6, "wrenching": -1.9, "wrestle": -0.8,
     "wretchedness": -2.3, "wrongheaded": -1.6,
+    # --- round-6 growth batch 9: adverbial/nominal intensity variants ---
+    "ebullient": 2.3, "eccentric": -0.3, "economical": 1.2, "edify": 1.5,
+    "edifying": 1.6, "educate": 1.4, "educated": 1.4, "educational": 1.5,
+    "effervescent": 1.9, "efficacious": 1.6, "effusive": 1.2,
+    "egotism": -1.6, "elaborate": 0.6, "electrify": 1.6, "electrifying": 2.0,
+    "eloquence": 1.8, "emaciated": -1.8, "emboldened": 1.4, "emphatic": 0.7,
+    "enchantment": 2.0, "encumber": -1.3, "enervate": -1.3,
+    "enlargement": 0.4, "enlivened": 1.7, "enrapture": 2.4,
+    "enraptured": 2.5, "entertainer": 1.4, "enthuses": 1.7,
+    "entrepreneurial": 1.3, "enviable": 1.5, "envision": 1.0,
+    "equitably": 1.3, "ergonomic": 1.2, "erudite": 1.6, "escapism": -0.4,
+    "ethereal": 1.2, "euphoniously": 1.5, "evenhanded": 1.4, "eventful": 1.0,
+    "evocative": 0.9, "exalting": 1.8, "exasperates": -1.6,
+    "excellency": 2.2, "excitable": 1.0, "excitation": 1.4, "exclude": -1.1,
+    "excluded": -1.3, "exclusion": -1.4, "excommunicate": -1.8,
+    "exculpate": 1.0, "exemplar": 1.8, "exonerates": 1.3, "expansive": 0.9,
+    "expedient": 0.8, "expedite": 1.0, "expedited": 1.1,
+    "exquisiteness": 2.4, "extol": 1.9, "extolled": 1.9, "exultation": 2.3,
+    "facilitate": 1.1, "facilitated": 1.1, "fanfare": 1.4, "fantasize": 0.9,
+    "fascinatingly": 2.1, "fashionable": 1.5, "fatefully": -0.7,
+    "fathomless": -0.3, "fatigues": -1.3, "fearfulness": -1.9,
+    "feasibility": 0.9, "featureless": -0.9, "felicitous": 1.8,
+    "fiendishly": -1.9, "flatteringly": 1.4, "fluctuate": -0.6,
+    "fluctuation": -0.6, "fortuitously": 1.5, "fragrant": 1.5,
+    "fraternal": 1.2, "freshness": 1.4, "friendlier": 1.9,
+    "friendliest": 2.3, "frightfulness": -2.2, "frugality": 0.7,
+    "fumble": -1.2, "fumbled": -1.3, "functional": 1.0, "furor": -1.4,
+    "fussiness": -1.2, "galvanize": 1.3, "galvanized": 1.3, "gameness": 1.0,
+    "genially": 1.7, "gentleness": 1.8, "genuineness": 1.7, "gladden": 2.0,
+    "gladdened": 2.0, "gleefully": 2.5, "glimmer": 0.8, "glistening": 1.3,
+    "glitch": -1.4, "glitches": -1.4, "gloomily": -1.8, "gloominess": -1.9,
+    "gluttonous": -1.4, "goodhearted": 2.3, "grievances": -1.6,
+    "grouchiness": -1.8, "guiltily": -1.6, "gusty": -0.4, "hamstrung": -1.4,
+    "handicaps": -1.4, "haplessly": -1.5, "harmfully": -1.9,
+    "harmlessly": 0.8, "healthfully": 1.7, "heartiness": 1.5,
+    "heedless": -1.3, "hellbent": -1.1, "hesitantly": -0.9,
+    "hinderance": -1.5, "homely": -0.9, "humanitarianism": 2.0,
+    "humorously": 1.8, "hurtfully": -2.2, "hygienic": 1.3, "idealize": 1.2,
+    "ignominious": -1.9, "impartial": 1.2, "impartially": 1.2,
+    "impatiens": 0.0, "impeccability": 2.2, "imperfectly": -1.1,
+    "imperiously": -1.1, "impertinence": -1.4, "impiety": -1.4,
+    "impish": -0.4, "implacable": -1.3, "impotence": -1.6,
+    "improvident": -1.2, "imprudence": -1.3, "impurity": -1.3,
+    "inadvertent": -0.8, "inattentiveness": -1.3, "incapacity": -1.4,
+    "incongruous": -0.9, "indebtedness": -0.8, "indecently": -1.7,
+    "indecisively": -1.1, "indefatigable": 1.4, "indescribable": 0.5,
+    "indifferently": -1.0, "indomitable": 1.6, "industriously": 1.4,
+    "infallibility": 1.2, "infallible": 1.3, "infamously": -1.8,
+    "ingratiating": -0.6, "inhumanely": -2.4, "inimical": -1.4,
+    "iniquitous": -1.8, "injudicious": -1.3, "injuriously": -1.8,
+    "innovatively": 1.7, "inopportune": -1.2, "insatiably": -0.7,
+    "insightfully": 1.9, "instructively": 1.3, "intelligible": 1.0,
+    "intriguingly": 1.4, "invalidated": -1.3, "invective": -1.7,
+    "inventive": 1.6, "invigoratingly": 1.8, "invincibility": 1.4,
+    "invitingly": 1.5, "irascible": -1.6, "irreverence": -0.9,
+    "irritatingly": -1.8, "jadedly": -1.4, "jauntily": 1.2, "jaunty": 1.2,
+    "jealously": -1.6, "jealousy": -1.7, "jeering": -1.7, "joyously": 2.8,
+    "judiciously": 1.4, "kindliness": 2.2, "lachrymose": -1.7,
+    "languid": -0.9, "lasciviously": -1.1, "laudable": 1.9, "laudably": 1.8,
+    "laughingly": 1.8, "lawfulness": 1.4, "leniency": 1.0,
+    "lightheartedly": 1.8, "likeminded": 1.2, "limitlessly": 1.3,
+    "lucidity": 1.2, "luckless": -1.6, "ludicrousness": -1.6,
+    "lugubrious": -1.4, "lukewarm": -0.6, "lustily": 0.6, "luxuriant": 1.6,
+    "magnanimously": 2.0, "maliciousness": -2.3, "manipulatively": -1.7,
+    "melancholic": -1.5, "mellowness": 1.0, "melodious": 1.6,
+    "meritoriously": 1.7, "mesmerizingly": 2.0, "methodical": 1.0,
+    "mirthfully": 2.0, "modestly": 1.0, "momentously": 1.5,
+    "monotonously": -1.2, "monumentally": 1.5, "morbidly": -1.8,
+    "morosely": -1.7, "motivationally": 1.7, "mourningly": -2.0,
+    "murderously": -3.0, "mysteriously": -0.2, "nefariously": -2.3,
+    "negligently": -1.8, "nobleness": 1.9, "noisily": -1.0,
+    "nonchalantly": -0.3, "nonsensically": -1.5, "nostalgically": 0.6,
+    "obediently": 0.8, "objectionably": -1.5, "obligingly": 1.3,
+    "obnoxiousness": -2.2, "obstinacy": -1.4, "odiously": -2.2,
+    "offensiveness": -2.0, "officious": -1.1, "openhandedly": 1.8,
+    "opportunistically": -0.7, "oppressively": -2.1, "opulence": 1.7,
+    "outlandish": -0.8, "outrageousness": -1.9, "overbearingly": -1.6,
+    "overconfident": -0.9,
 }
 
 _NT_SUFFIX = "n't"
