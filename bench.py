@@ -129,6 +129,8 @@ HEADLINE = [
     "touch_attribution",
     "ntile_deciles",
     "rfm_segments",
+    "cross_source_duplication",
+    "linear_attribution",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -906,3 +906,72 @@ def touch_attribution(
             F.col("n_touches").cast("long").alias("n_touches"),
         )
     )
+
+
+def linear_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    value_col: str,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: each conversion's
+    value splits evenly across every touch in its strict lookback
+    window, then rolls up per touch event — the budget-allocation
+    companion of `touch_attribution`'s first/last model.
+
+    Exactness: the per-(conversion, touch) share is rounded ONCE to a
+    1e-6-scaled integer (deterministic per pair), and per-touch rollup
+    is an exact integer sum — no float addition order anywhere
+    (SCALE.md exact-sum convention).
+
+    Scale shape: the same banded range equi-join as `touch_attribution`
+    plus one per-conversion count window (bounded by a conversion's own
+    touches) and one partial-agg groupBy on the touch id."""
+    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
+    touches = df.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("_u"),
+        sec(ts_col).alias("_tsec"),
+        F.col(id_col).alias("touch_id"),
+    )
+    convs = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user_id"),
+        sec(ts_col).alias("_csec"),
+        F.col(id_col).alias("_cid"),
+        F.col(value_col).alias("_v"),
+    )
+    lb = lookback_days * 86400
+    j = convs.join(
+        touches,
+        (F.col("_u") == F.col("user_id"))
+        & (F.col("_tsec") < F.col("_csec"))
+        & (F.col("_tsec") >= F.col("_csec") - F.lit(lb)),
+    )
+    w = Window.partitionBy("_cid")
+    shared = j.select(
+        "touch_id",
+        "user_id",
+        "_cid",
+        F.round(F.col("_v") * F.lit(1e6) / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("_share_e6"),
+    )
+    return (
+        shared.groupBy("touch_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("_share_e6") / F.lit(1e6) + F.lit(1e-9), 4).alias(
+                "attributed_value"
+            ),
+        )
+        .select(
+            "touch_id",
+            "user_id",
+            F.col("n_conversions").cast("long").alias("n_conversions"),
+            "attributed_value",
+        )
+    )

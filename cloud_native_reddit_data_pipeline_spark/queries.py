@@ -7185,6 +7185,84 @@ def touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-source shingle-duplication matrix: per ordered source pair,
+# shared distinct 3-gram shingles + overlap coefficient — the corpus-
+# mix hygiene report (weigh syndicated content once, not twice).
+@register(
+    "cross_source_duplication",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source AS s, md5(shingle) AS h FROM (
+        SELECT source,
+               list_aggregate(toks[i:i+2], 'string_agg', ' ') AS shingle
+        FROM (
+          SELECT source, {_TOKS_SQL} AS toks FROM documents
+        ), LATERAL (
+          SELECT unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS i
+        )
+      )
+    ),
+    sizes AS (SELECT s, COUNT(*) AS n FROM sh GROUP BY s),
+    pairs AS (
+      SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(p.n_shared / LEAST(sa.n, sb.n) + 1e-9, 4) AS overlap_coeff
+    FROM pairs p
+    JOIN sizes sa ON sa.s = p.source_a
+    JOIN sizes sb ON sb.s = p.source_b
+    """,
+)
+def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cross_source_duplication(
+        load(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+# Linear multi-touch attribution: conversion value splits evenly over
+# lookback-window touches; per-pair share rounded once to a 1e-6
+# scaled integer, per-touch rollup an exact integer sum.
+@register(
+    "linear_attribution",
+    """
+    WITH touches AS (
+      SELECT user_id AS u, CAST(epoch(ts) AS BIGINT) AS tsec,
+             event_id AS touch_id
+      FROM events WHERE event_type = 'click'
+    ),
+    convs AS (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS csec,
+             event_id AS cid, value AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT t.touch_id, c.user_id, c.cid,
+             CAST(ROUND(c.v * 1000000.0
+                        / COUNT(*) OVER (PARTITION BY c.cid)) AS BIGINT)
+               AS share_e6
+      FROM convs c JOIN touches t
+        ON t.u = c.user_id AND t.tsec < c.csec
+       AND t.tsec >= c.csec - 7 * 86400
+    )
+    SELECT touch_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(share_e6) / 1000000.0 + 1e-9, 4) AS attributed_value
+    FROM j GROUP BY touch_id, user_id
+    """,
+)
+def linear_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return windows.linear_touch_attribution(
+        load(spark, sf_dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "value",
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -443,3 +443,26 @@ def test_auto_lsh_planes_scales_with_corpus():
     for n in (2_000, 20_000, 2_000_000):
         bits = dedup.auto_lsh_planes(n, bands=3) // 3
         assert n / (2 ** bits) <= 256
+
+
+def test_cross_source_duplication_counts_shared_shingles(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),      # shingles: {one two three, two three four}
+            (2, "b", "one two three five"),      # shares {one two three}
+            (3, "c", "six seven eight nine"),    # shares none
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_duplication(df, "source", "text").collect()
+    }
+    assert out[("a", "b")]["n_shared"] == 1
+    assert out[("a", "b")]["n_a"] == 2 and out[("a", "b")]["n_b"] == 2
+    assert out[("a", "b")]["overlap_coeff"] == 0.5
+    assert ("a", "c") not in out and ("b", "c") not in out

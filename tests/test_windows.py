@@ -209,3 +209,32 @@ def test_touch_attribution_first_last_and_lookback(spark):
     assert out[4]["n_touches"] == 3
     assert out[6]["first_touch_id"] is None and out[6]["n_touches"] == 0
     assert out[8]["first_touch_id"] is None and out[8]["n_touches"] == 0
+
+
+def test_linear_attribution_shares_sum_to_value(spark):
+    """Each conversion's value splits evenly over its window touches;
+    per-touch rollups are exact scaled-integer sums."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        linear_touch_attribution,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:10", "click", 0.0),
+        (2, 1, "2024-01-01 00:00:20", "click", 0.0),
+        (3, 1, "2024-01-01 00:01:00", "purchase", 10.0),
+        (4, 1, "2024-01-01 00:02:00", "purchase", 4.0),  # both clicks in window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["touch_id"]: r
+        for r in linear_touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id", "value"
+        ).collect()
+    }
+    # each click gets 10/2 + 4/2 = 7.0 across the two conversions
+    assert out[1]["attributed_value"] == 7.0 and out[1]["n_conversions"] == 2
+    assert out[2]["attributed_value"] == 7.0
