@@ -2125,6 +2125,67 @@ VADER_LEXICON: dict[str, float] = {
     "opportunistically": -0.7, "oppressively": -2.1, "opulence": 1.7,
     "outlandish": -0.8, "outrageousness": -1.9, "overbearingly": -1.6,
     "overconfident": -0.9,
+    # --- round-6 growth batch 10: P-S adverbial/nominal variants ---
+    "painstaking": 1.0, "painstakingly": 1.0, "palatable": 1.2,
+    "palatial": 1.8, "paltry": -1.3, "paradisiacal": 2.6,
+    "paradoxical": -0.4, "paralyzes": -1.9, "parched": -1.2,
+    "pardonable": 0.8, "partisanship": -1.0, "passionless": -1.2,
+    "paternal": 1.0, "peacefulness": 2.3, "peachy": 1.8, "peerless": 1.9,
+    "penniless": -1.9, "peppy": 1.6, "perfidious": -2.0, "perilously": -2.0,
+    "perkiness": 1.4, "perplexity": -1.1, "persecuting": -2.2,
+    "persistently": 1.0, "persuasive": 1.1, "pestilence": -2.1,
+    "petrify": -2.0, "philanthropic": 2.0, "philanthropist": 1.9,
+    "philanthropy": 2.0, "pitiable": -1.7, "pitifully": -1.9,
+    "pitiless": -2.1, "placid": 1.0, "playfulness": 1.8, "pleasantness": 2.0,
+    "pleasurably": 2.1, "plucky": 1.3, "poignantly": 0.8,
+    "poisonously": -2.2, "polluter": -1.8, "polluters": -1.8,
+    "pompously": -1.5, "ponderous": -0.9, "popularly": 1.3,
+    "positiveness": 2.2, "posthumously": -1.0, "powerlessness": -1.8,
+    "precariously": -1.4, "predicaments": -1.4, "preeminent": 1.8,
+    "preferable": 1.3, "preferably": 1.0, "preference": 0.9,
+    "prejudicial": -1.9, "premeditated": -1.4, "preposterously": -1.6,
+    "pressuring": -1.3, "prettily": 1.7, "problematically": -1.6,
+    "prodigious": 1.5, "profanely": -1.7, "proficiency": 1.6,
+    "proficiently": 1.6, "profitability": 1.7, "profusely": 0.6,
+    "prominently": 1.2, "promisingly": 1.5, "provocatively": -0.6,
+    "prudently": 1.2, "punctually": 1.2, "punishingly": -2.0,
+    "purposefully": 1.3, "pushy": -1.4, "quaintly": 1.0, "queasiness": -1.4,
+    "quenching": 1.0, "quicken": 0.6, "quietly": 0.3, "quirkily": 0.3,
+    "quirky": 0.3, "quitters": -1.6, "rancorous": -1.9, "rapturously": 2.5,
+    "rashly": -1.2, "ravishingly": 2.2, "reasonable": 1.3, "reasonably": 1.2,
+    "reasoned": 1.0, "reassuringly": 1.6, "rebelliously": -1.3,
+    "receptive": 1.2, "recommendable": 1.6, "reconciling": 1.3,
+    "redeeming": 1.2, "refreshingly": 1.8, "rejuvenation": 1.8,
+    "relaxes": 1.5, "relentlessness": -1.1, "relieving": 1.4,
+    "relishing": 1.6, "remarkableness": 2.0, "renewing": 1.3,
+    "renownedly": 1.7, "repellently": -1.5, "repressively": -1.8,
+    "reproachful": -1.5, "repugnance": -2.2, "reputably": 1.6,
+    "resolutely": 1.4, "respectably": 1.7, "resplendently": 2.2,
+    "restfully": 1.5, "restlessly": -1.2, "restrictively": -1.4,
+    "retaliatory": -1.7, "revengeful": -2.0, "reverently": 1.6,
+    "revitalizing": 1.8, "revoltingly": -2.2, "rhapsodic": 2.0,
+    "ridiculing": -1.8, "righteously": 1.4, "rigidity": -1.0,
+    "riotous": -1.5, "robustly": 1.4, "rottenness": -2.1, "sacrifices": -0.7,
+    "sagacious": 1.6, "saintliness": 2.1, "salvaging": 0.9, "sanctify": 1.5,
+    "sanely": 1.1, "satisfactorily": 1.3, "scarcely": -0.8, "scarily": -1.9,
+    "scathingly": -1.9, "scrupulous": 1.3, "seamlessness": 1.6,
+    "seductively": 0.6, "senselessly": -1.6, "shadily": -1.5,
+    "shamefulness": -2.2, "sharply": -0.4, "shiftless": -1.4,
+    "significantly": 1.0, "sinfully": -1.9, "skeptically": -1.2,
+    "slanderously": -2.1, "sloppily": -1.5, "slothful": -1.5,
+    "sluggishly": -1.3, "smilingly": 2.1, "snobbishly": -1.6,
+    "sociably": 1.5, "soothingly": 1.6, "soundly": 1.0, "sparklingly": 1.8,
+    "speedily": 1.2, "splendiferous": 2.3, "spotlessly": 1.8,
+    "sprightly": 1.5, "spryly": 1.2, "stagnantly": -1.3, "staunchly": 1.0,
+    "steadfastly": 1.4, "stealthily": -0.6, "sternly": -1.0,
+    "stimulatingly": 1.5, "stingily": -1.5, "stoically": 0.4,
+    "strenuously": -0.8, "stressfully": -1.8, "strikingly": 1.0,
+    "stunningly": 2.0, "stupendously": 2.4, "sturdily": 1.1,
+    "stylishly": 1.6, "suavely": 1.2, "sublimely": 2.1, "substantively": 1.0,
+    "subversive": -1.2, "successively": 0.4, "succinct": 1.0,
+    "sufferer": -1.9, "sufferers": -1.8, "suffocatingly": -2.1,
+    "suitably": 1.0, "superficially": -1.1, "superlative": 2.0,
+    "suspensefully": 0.3, "swiftness": 1.1,
 }
 
 _NT_SUFFIX = "n't"
