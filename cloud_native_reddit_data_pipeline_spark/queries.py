@@ -5257,13 +5257,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features")
+from .oracles_media import (  # noqa: E402
+    MEDIA_FEATURES_ORACLE,
+    MEDIA_PATCHES_VAD_ORACLE,
+    MEDIA_RESIZE_ORACLE,
+)
+
+
+@register("media_features", MEDIA_FEATURES_ORACLE)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: binary payloads -> mapInPandas.
     All three modality paths are REAL pure-stdlib codecs: PNG images
     (pixel histogram), PCM16 WAV audio (duration/rms/zcr/peak +
     amplitude histogram), Y4M video (duration/frames/mean-luma/motion
-    + pooled luma histogram) — see operators/multimodal.py DECODERS."""
+    + pooled luma histogram) — see operators/multimodal.py DECODERS.
+    HARD-gated (round 7): synthetic_media is a pure function of the
+    row index, so the output is a byte-determined constant — the
+    oracle pins it as a VALUES literal (oracles_media.py)."""
     from .operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 64)
@@ -5278,12 +5288,31 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_interval_join")
+@register(
+    "streaming_interval_join",
+    """
+    WITH ev AS (
+      SELECT event_id, ts, user_id, value, event_type
+      FROM events ORDER BY event_id LIMIT 2000
+    ), c AS (SELECT * FROM ev WHERE event_type = 'click'),
+       p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id,
+           c.event_id AS left_event_id, c.ts AS left_ts,
+           p.event_id AS right_event_id, p.ts AS right_ts,
+           p.value AS right_value
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
 def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked interval join over the events table:
     purchases joined to clicks of the same user within 1 hour.  Each
     side arrives as one file micro-batch, so no row is watermark-late
-    and the result is deterministic (equals the batch interval join)."""
+    and the result is deterministic (equals the batch interval join).
+    HARD-gated (round 7): the oracle IS that batch interval join —
+    the streamed result value-hashes against DuckDB's plain range
+    join over the same 2000 events (no projection is lossy: ids,
+    timestamps, and values all participate in the hash)."""
     import tempfile
     import uuid
 
@@ -5363,12 +5392,15 @@ def ml_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_resize")
+@register("media_resize", MEDIA_RESIZE_ORACLE)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize + frame-extract: REAL aspect-preserving PNG
     resize (decode -> nearest-neighbor resample -> re-encode, pure
     stdlib, in mapInPandas) unioned with REAL Y4M frame extraction
-    (decode-once fan-out to PNG frames inside the Arrow batch)."""
+    (decode-once fan-out to PNG frames inside the Arrow batch).
+    HARD-gated (round 7) against the pinned VALUES oracle — the
+    resampled dimensions AND re-encoded byte lengths must match the
+    captured constants exactly (oracles_media.py)."""
     from .operators.multimodal import extract_frames, resize_images, synthetic_media
 
     media = synthetic_media(spark, 64)
@@ -5389,14 +5421,15 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.unionByName(frame_counts)
 
 
-@register("media_patches_vad")
+@register("media_patches_vad", MEDIA_PATCHES_VAD_ORACLE)
 def media_patches_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal tokenization primitives: ViT-style 8x8 image patching
     (decode-once in-batch fan-out, one row per tile with its real
     pixel bytes) unioned with energy-threshold voice-activity segments
     over the PCM16 audio clips — the patch-sequence and
     silence-trimming steps a vision/audio training pipeline runs
-    before embedding."""
+    before embedding.  HARD-gated (round 7) against the pinned VALUES
+    oracle (oracles_media.py)."""
     from .operators.multimodal import (
         image_patches,
         scene_changes,
@@ -5597,15 +5630,32 @@ def analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_cdc_upsert")
+@register(
+    "streaming_cdc_upsert",
+    """
+    SELECT CAST(i AS BIGINT) AS k,
+           CAST(CASE WHEN i < 10 THEN 3000 + i
+                     WHEN i BETWEEN 30 AND 49 THEN 1000 + i
+                     ELSE i END AS BIGINT) AS seq,
+           'v' || CAST(i AS VARCHAR) ||
+             (CASE WHEN i < 10 THEN 'c'
+                   WHEN i BETWEEN 30 AND 49 THEN 'b'
+                   ELSE '' END) AS v
+    FROM range(150) t(i)
+    WHERE i < 10 OR i >= 30
+    """,
+)
 def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply end-to-end: a changelog stream of upserts and
     delete tombstones through the checkpointed bucketed sink with
     SEQ-AUTHORITATIVE merge (max-seq row wins, tombstones persisted) —
     correct under micro-batch reordering and redelivery, unlike
-    arrival-order CDC.  Returns the live view.  Rows-only: the sink is
-    stateful-on-disk; batch-equivalence vs relational.cdc_apply and the
-    tombstone-resurrection property are pinned in
+    arrival-order CDC.  Returns the live view.  HARD-gated (round 7):
+    the changelog is formula-generated (150 creates, 50 updates, 30
+    deletes, 10 re-creates), so the final live view is the closed-form
+    max-seq merge the oracle regenerates with range() — value-hashed,
+    including tombstone exclusion and re-creation-after-delete.
+    Batch-equivalence vs relational.cdc_apply stays pinned in
     tests/test_streaming_cdc.py."""
     import json as _json
     import tempfile
@@ -5655,12 +5705,27 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
-@register("streaming_upsert")
+@register(
+    "streaming_upsert",
+    """
+    SELECT printf('p%04d', i) AS id,
+           'u' || CAST(i % 7 AS VARCHAR) AS author,
+           (CASE i % 3 WHEN 0 THEN 'sydney' WHEN 1 THEN 'melbourne'
+                 ELSE 'brisbane' END) AS subreddit,
+           CAST(i % 100 - 10 AS INT) AS score,
+           CAST(i % 5 AS INT) AS num_comments
+    FROM range(200) t(i)
+    """,
+)
 def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5/O7/O8/O16/O22/O35-O38 end-to-end: produce JSON batch messages
     onto a file queue (with duplicates + one corrupt message), run the
     Structured Streaming ingest with availableNow, and return the upserted
-    table.  Invariant: no duplicate ids survive (exactly-once upsert)."""
+    table.  HARD-gated (round 7): the queue payload is formula-generated,
+    so the post-upsert table is exactly the 200 unique docs — the oracle
+    regenerates them with range(); the duplicate batch and the corrupt
+    message MUST leave no trace for the hash to match (exactly-once
+    upsert + quarantine, value-checked, not just rows-only)."""
     import json
     import tempfile
 
@@ -5706,13 +5771,27 @@ def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
-@register("stateful_user_totals")
+@register(
+    "stateful_user_totals",
+    """
+    WITH ev AS (
+      SELECT user_id, value FROM (
+        SELECT * FROM events ORDER BY event_id LIMIT 300)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE)
+             AS total_value
+    FROM ev GROUP BY user_id
+    """,
+)
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running totals accumulated across TWO micro-batches of the
-    events table.  The final per-user state must equal the batch
-    aggregate — checked here by returning the final snapshot (max
-    n_events per user), deterministic regardless of batch split."""
+    events table.  HARD-gated (round 7): the state accumulates exact
+    integer micro-units (order-free; see _running_totals_fn), so the
+    final per-user snapshot value-hashes against the oracle's decimal
+    batch aggregate — stream state == batch SUM, by hash."""
     import tempfile
     import uuid
 

@@ -23,21 +23,36 @@ RUNNING_TOTALS_STATE_SCHEMA = "n long, total double"
 def _running_totals_fn(key, pdf_iter, state: GroupState):
     """Accumulate per-user event count + value sum across micro-batches.
     Emits the UPDATED running totals once per batch the key appears in
-    (update output mode)."""
+    (update output mode).
+
+    The sum is ORDER-FREE EXACT: each value is quantized to 1e-6
+    (Decimal half-up — the same rule as Spark's and DuckDB's
+    double->DECIMAL(18,6) cast) and accumulated as integer micro-units,
+    so the total is independent of batch split and pandas summation
+    order, and the final state value-hashes against a decimal SQL
+    aggregate (the trimmed_mean_udaf tactic).  State stores the micro
+    count in the double slot — exact up to 2^53 micro-units."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     import pandas as pd
 
-    n, total = state.get if state.exists else (0, 0.0)
+    six = Decimal("0.000001")
+    n, micros_f = state.get if state.exists else (0, 0.0)
+    micros = int(micros_f)
     batch_rows = 0
     for pdf in pdf_iter:
         batch_rows += len(pdf)
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+        for x in pdf["value"]:
+            if x is not None and not (isinstance(x, float) and math.isnan(x)):
+                micros += int(Decimal(float(x)).quantize(six, ROUND_HALF_UP) * 1_000_000)
+    state.update((n, float(micros)))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 6)],
+            "total_value": [micros / 1e6],
             "batch_rows": [batch_rows],
         }
     )
