@@ -5740,14 +5740,68 @@ def trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("analytics_pipeline")
+def _analytics_oracle_sql() -> str:
+    """DuckDB replay of the EP3 pipeline's RELATIONAL spine: derived
+    post/comment corpora -> keyword filter -> schema-aligned union ->
+    normalize chain -> lexicon sentiment (the exact _SENTIMENT_REL_SQL
+    construction, re-rooted on the derived corpus keyed by source
+    doc_id).  The LDA topic matrix is model-backed, so its contract
+    rides as measured simplex booleans (TRUE literals here)."""
+    norm_post = normalize_sql("concat_ws(' ', title, selftext)")
+    norm_comment = normalize_sql("body")
+    score = f"ROUND(x / sqrt(x * x + {ALPHA}), 4)"
+    return f"""
+    WITH base_posts AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, lang AS subreddit,
+             substring(text, 1, 40) AS title, text AS selftext
+      FROM documents WHERE doc_id % 2 = 0
+    ), base_comments AS (
+      SELECT doc_id, CAST(doc_id - 1 AS VARCHAR) AS id, lang AS subreddit,
+             text AS body
+      FROM documents WHERE doc_id % 2 = 1
+    ), corpus AS (
+      SELECT doc_id, id, subreddit, {norm_post} AS text
+      FROM base_posts
+      WHERE contains(lower(title), 'the') OR contains(lower(selftext), 'the')
+      UNION ALL
+      SELECT doc_id, id, subreddit, {norm_comment} AS text
+      FROM base_comments WHERE contains(lower(body), 'the')
+    ), tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM corpus
+    ), lex(word, valence) AS (VALUES {_LEX_VALUES}),
+    s AS (
+      SELECT c.doc_id, COALESCE(SUM(l.valence), 0.0) AS x
+      FROM corpus c
+      LEFT JOIN tok t ON t.doc_id = c.doc_id
+      LEFT JOIN lex l ON l.word = t.word
+      GROUP BY c.doc_id
+    )
+    SELECT c.id, c.subreddit,
+           CASE WHEN {score} > {POS_THRESHOLD} THEN 'positive'
+                WHEN {score} < {NEG_THRESHOLD} THEN 'negative'
+                ELSE 'neutral' END AS sentiment,
+           {score} AS sentiment_score,
+           'batch-0' AS batch_id,
+           TRUE AS topics_nonneg_ok, TRUE AS topics_simplex_ok
+    FROM corpus c JOIN s ON c.doc_id = s.doc_id
+    """
+
+
+@register("analytics_pipeline", _analytics_oracle_sql())
 def analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FULL EP3 analytics job (redditProcessor.py:56-156)
     end-to-end as one plan: keyword filter -> schema-aligned union ->
     normalize -> sentiment -> TF-IDF/LDA -> widened topics -> batch
     stamp.  Post/comment corpora are derived deterministically from the
-    documents table so the job scales with sf.  Model-backed: rows-only
-    check; structure pinned by tests/test_analytics_plan.py."""
+    documents table so the job scales with sf.
+
+    HARD-gated (round 7): the whole relational spine (filters, union,
+    normalize chain, sentiment score + bucket, batch stamp) is
+    value-hashed against a composed DuckDB replay; the model-backed
+    topic matrix rides as MEASURED per-row simplex booleans (k
+    non-negative loadings summing to 1 within 1e-9) against TRUE
+    literals — the approx_distinct envelope tactic.  Structure stays
+    pinned by tests/test_analytics_plan.py."""
     from .plans.analytics import run_analytics
 
     docs = load(spark, sf_dir, "documents")
@@ -5769,13 +5823,16 @@ def analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("body"),
     )
     analysis, _names = run_analytics(posts, comments, keyword="the", k=5)
+    tcols = [F.col(f"topic_{i}") for i in range(1, 6)]
+    total = tcols[0] + tcols[1] + tcols[2] + tcols[3] + tcols[4]
     return analysis.select(
         "id",
         "subreddit",
         "sentiment",
         F.round("sentiment_score", 4).alias("sentiment_score"),
-        F.round("topic_1", 4).alias("topic_1"),
         "batch_id",
+        (F.least(*tcols) >= F.lit(0.0)).alias("topics_nonneg_ok"),
+        (F.abs(total - F.lit(1.0)) <= F.lit(1e-9)).alias("topics_simplex_ok"),
     )
 
 
@@ -6301,16 +6358,49 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_session_windows")
+@register(
+    "streaming_session_windows",
+    """
+    WITH ev AS (
+      SELECT event_id, ts, user_id FROM events ORDER BY event_id LIMIT 3000
+    ), lagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN datediff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                               ts) >= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS _new
+      FROM ev
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS seq
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, seq
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess WHERE session_end < (SELECT max(ts) FROM ev)
+    """,
+)
 def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization running AS A STREAM (the
     batch gaps-and-islands twin is the oracle-checked `session_windows`):
     two file micro-batches so the second batch's watermark closes and
     emits the first batch's sessions — exercising session-state merge,
-    watermark advance, and append-mode finalization.  Rows-only by
-    nature (append mode emits only watermark-closed sessions; the
-    in-flight tail stays in state), with subset-correctness vs the batch
-    operator pinned in tests/test_streaming_extended.py."""
+    watermark advance, and append-mode finalization.
+
+    HARD-gated (round 7): with a 0-second delay the final watermark is
+    exactly max(ts), and append mode emits precisely the sessions whose
+    end (last event + gap, gap-exclusive merge: a new event at exactly
+    +gap starts a NEW session, hence `>=` in the oracle's island break)
+    passed it — a closed form the oracle replays with gaps-and-islands
+    plus the watermark filter.  The streamed rows value-hash against
+    that replay; the in-flight tail (sessions ending at/after the
+    watermark) must NOT be emitted for the hash to match."""
     import tempfile
     import uuid
 
