@@ -6444,14 +6444,85 @@ def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
-@register("streaming_neardup_dedup")
+def _streaming_neardup_oracle() -> str:
+    """DuckDB replay of the TWO-micro-batch store protocol: batch 1
+    keep-first-by-id within batch, survivors' band keys become the
+    store; batch 2 drops on any store collision or smaller-id
+    batch-mate collision.  Shingle/minhash/band SQL is the exact
+    _MINHASH machinery re-rooted on the derived two-batch corpus."""
+    return f"""
+    WITH d200 AS (
+      SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200
+    ), b1 AS (
+      SELECT doc_id, text FROM d200 ORDER BY doc_id LIMIT 150
+    ), b2 AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' near copy suffix' AS text
+      FROM (SELECT doc_id, text FROM d200 ORDER BY doc_id LIMIT 50)
+      UNION ALL
+      SELECT doc_id, text
+      FROM (SELECT doc_id, text FROM d200 ORDER BY doc_id DESC LIMIT 50)
+    ), corpus AS (
+      SELECT 1 AS batch, doc_id, text FROM b1
+      UNION ALL SELECT 2, doc_id, text FROM b2
+    ), tok AS (
+      SELECT batch, doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w,
+             generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1) AS pos
+      FROM corpus
+    ), led AS (
+      SELECT batch, doc_id, w,
+             lead(w, 1) OVER (PARTITION BY batch, doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY batch, doc_id ORDER BY pos) AS w2
+      FROM tok
+    ), sh AS (
+      SELECT DISTINCT batch, doc_id, concat_ws(' ', w, w1, w2) AS shingle
+      FROM led WHERE w2 IS NOT NULL
+    ), sig AS (
+      SELECT batch, doc_id, {_MINHASH_AGGS_SQL}
+      FROM sh GROUP BY batch, doc_id
+    ), banded AS (
+      SELECT batch, doc_id, band, key FROM (
+        SELECT batch, doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT batch, doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT batch, doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT batch, doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), b1_drop AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded a JOIN banded b
+        ON b.band = a.band AND b.key = a.key AND b.doc_id < a.doc_id
+      WHERE a.batch = 1 AND b.batch = 1
+    ), store AS (
+      SELECT DISTINCT band, key FROM banded
+      WHERE batch = 1 AND doc_id NOT IN (SELECT doc_id FROM b1_drop)
+    ), b2_drop AS (
+      SELECT DISTINCT a.doc_id FROM banded a
+      WHERE a.batch = 2 AND (
+        EXISTS (SELECT 1 FROM store s
+                WHERE s.band = a.band AND s.key = a.key)
+        OR EXISTS (SELECT 1 FROM banded b
+                   WHERE b.batch = 2 AND b.band = a.band
+                     AND b.key = a.key AND b.doc_id < a.doc_id))
+    )
+    SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM b1_drop)
+    UNION ALL
+    SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM b2_drop)
+    """
+
+
+@register("streaming_neardup_dedup", _streaming_neardup_oracle())
 def streaming_neardup_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup AS A STREAM (streaming/neardup.py):
     batch 1 seeds the corpus + band-key store; batch 2 carries 50
     near-copies of batch-1 texts under new ids (must drop) and 50 fresh
-    docs (must survive).  Returns the accepted corpus ids — rows-only
-    (the store-join outcome is order-dependent state; the batch twin
-    `dedup_batch_against_store` is pytest-pinned)."""
+    docs (must survive).  Returns the accepted corpus ids.
+
+    HARD-gated (round 7): the store protocol is deterministic given
+    the batch split, so the oracle replays BOTH micro-batches in SQL —
+    same salted-md5 minhash, same 4x2 banding, same keep-first-by-id
+    and store-collision drops — and the accepted id set value-hashes
+    against it.  The pytest twin (tests/test_streaming_neardup.py)
+    still pins crash-replay idempotency, which SQL cannot express."""
     import os
     import tempfile
 
@@ -6491,14 +6562,89 @@ def streaming_neardup_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
-@register("streaming_span_cut")
+def _streaming_span_cut_oracle() -> str:
+    """DuckDB replay of the TWO-micro-batch gram-store protocol:
+    batch 1 cuts in-batch duplicated 5-gram spans and its ORIGINAL
+    grams seed the store; batch 2 cuts spans duplicated in-batch OR
+    present in the store.  Gram hashing / gap merge SQL is the exact
+    duplicate_spans oracle machinery re-rooted on the derived
+    two-batch corpus; kept tokens = n_tokens minus the disjoint
+    span lengths."""
+    return f"""
+    WITH d200 AS (
+      SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200
+    ), b1 AS (
+      SELECT doc_id, text FROM d200 ORDER BY doc_id LIMIT 150
+    ), b2 AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM (SELECT doc_id, text FROM d200 ORDER BY doc_id LIMIT 50)
+      UNION ALL
+      SELECT doc_id, text
+      FROM (SELECT doc_id, text FROM d200 ORDER BY doc_id DESC LIMIT 50)
+    ), corpus AS (
+      SELECT 1 AS batch, doc_id, text FROM b1
+      UNION ALL SELECT 2, doc_id, text FROM b2
+    ), tokd AS (
+      SELECT batch, doc_id, {_TOKS_SQL} AS t FROM corpus
+    ), g AS (
+      SELECT batch, doc_id, u.pos,
+             ('0x' || substring(md5(u.gram), 1, 15))::BIGINT AS h
+      FROM tokd d,
+      LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 4)) AS pos,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+      ) u
+      WHERE len(t) >= 5
+    ), dup1 AS (
+      SELECT h FROM g WHERE batch = 1 GROUP BY h HAVING COUNT(*) >= 2
+    ), store AS (
+      SELECT DISTINCT h FROM g WHERE batch = 1
+    ), dup2 AS (
+      SELECT h FROM g WHERE batch = 2 GROUP BY h HAVING COUNT(*) >= 2
+      UNION SELECT h FROM store
+    ), hit AS (
+      SELECT batch, doc_id, pos FROM g
+      WHERE (batch = 1 AND h IN (SELECT h FROM dup1))
+         OR (batch = 2 AND h IN (SELECT h FROM dup2))
+    ), flagged AS (
+      SELECT batch, doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS new_span
+      FROM hit WINDOW w AS (PARTITION BY batch, doc_id ORDER BY pos)
+    ), grps AS (
+      SELECT batch, doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY batch, doc_id
+                                 ORDER BY pos) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT batch, doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+      FROM grps GROUP BY batch, doc_id, grp
+    ), cutcnt AS (
+      SELECT batch, doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS cut_tokens
+      FROM spans GROUP BY batch, doc_id
+    )
+    SELECT t.doc_id, len(t.t) AS n_tokens,
+           len(t.t) - COALESCE(c.cut_tokens, 0) AS n_kept_tokens
+    FROM tokd t
+    LEFT JOIN cutcnt c ON c.batch = t.batch AND c.doc_id = t.doc_id
+    """
+
+
+@register("streaming_span_cut", _streaming_span_cut_oracle())
 def streaming_span_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ExactSubstr cut AS A STREAM (streaming/spans.py):
     batch 1 seeds the corpus + gram store; batch 2 re-sends 50 batch-1
     texts under new ids (their full text is a known passage — arrives
     cut to empty) and 50 fresh docs (arrive whole).  Returns per-doc
-    kept-token accounting — rows-only (order-dependent store state;
-    the batch twin equals cut_duplicate_spans, pytest-pinned)."""
+    kept-token accounting.
+
+    HARD-gated (round 7): the gram-store protocol is deterministic
+    given the batch split, so the oracle replays BOTH micro-batches in
+    SQL — same 60-bit gram hashes, same in-batch >= 2 rule, same
+    store-hit rule, same gap merge — and every doc's
+    (n_tokens, n_kept_tokens) value-hashes against it.  Crash-replay
+    idempotency stays pytest-pinned (tests/test_streaming_spans.py)."""
     import os
     import tempfile
 
