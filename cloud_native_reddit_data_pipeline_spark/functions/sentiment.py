@@ -111,9 +111,21 @@ class _LexiconAnalyzer:
     def polarity(self, text: str) -> float:
         import math
         import re
+        from decimal import ROUND_HALF_UP, Decimal
 
         x = sum(self.lexicon.get(w, 0.0) for w in re.split(r"\s+", text) if w)
-        return round(x / math.sqrt(x * x + ALPHA), 4)
+        # HALF_UP quantize of the SHORTEST decimal repr, not Python
+        # round() (banker's): this path is value-hash-gated against the
+        # shared F.round oracle, and Spark's F.round is
+        # BigDecimal.valueOf(double) (= shortest repr, same contract as
+        # Python repr) + HALF_UP — so an exact 1e-4 tie breaks the same
+        # way on both legs (r6 ADVICE); the three paths stay identical
+        # by construction
+        return float(
+            Decimal(repr(x / math.sqrt(x * x + ALPHA))).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP
+            )
+        )
 
 
 _ANALYZER: _LexiconAnalyzer | None = None

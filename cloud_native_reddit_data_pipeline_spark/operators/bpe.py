@@ -350,6 +350,13 @@ def _bpe_round_sql(k: int) -> str:
         LEFT JOIN real{k} r1 ON r1.w = m.w AND r1.i = m.i
         LEFT JOIN real{k} r0 ON r0.w = m.w AND r0.i = m.i - 1
       ) GROUP BY w
+      -- early-stop fallback (r6 ADVICE): a corpus that exhausts
+      -- mergeable pairs before round {k} leaves best{k} empty and the
+      -- CROSS JOIN would empty every later v; pass v{p} through
+      -- unchanged instead, mirroring the engine's early stop
+      UNION ALL
+      SELECT w, freq, syms FROM v{p}
+      WHERE NOT EXISTS (SELECT 1 FROM best{k})
     )"""
 
 

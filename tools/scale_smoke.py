@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -137,6 +138,17 @@ def main() -> int:
     DST = build_scaled(spark, factor)
 
     qs = entrymod.queries()
+    # per-entry provenance stamp (r6 ADVICE): a targeted rerun merges
+    # into a standing report possibly produced by older code, so every
+    # row records the commit + time that produced it
+    try:
+        commit = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    run_stamp = f"{commit}@{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"
     report = {"factor": factor, "queries": {}}
     for name in names:
         fn = qs[name]
@@ -153,7 +165,9 @@ def main() -> int:
             times[f"{label}_rows"] = n
         ratio = round(times["scaled"] / max(times["base"], 0.01), 2)
         flag = "SUPERLINEAR" if ratio > factor * 1.5 else "ok"
-        report["queries"][name] = {**times, "time_ratio": ratio, "flag": flag}
+        report["queries"][name] = {
+            **times, "time_ratio": ratio, "flag": flag, "run": run_stamp,
+        }
         print(f"{name}: base={times['base']}s scaled={times['scaled']}s "
               f"ratio={ratio}x (data x{factor}) [{flag}]")
 
