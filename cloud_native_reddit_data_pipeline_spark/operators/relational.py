@@ -92,24 +92,28 @@ def with_global_row_numbers(
     """Contiguous 1-based global row numbers in `order`, WITHOUT a
     single-partition sort: range-repartition on the order (parallel sort
     shuffle), number rows within each partition, then add per-partition
-    offsets (a tiny driver-side cumulative sum over partition counts,
-    broadcast back) — the DataFrame form of RDD zipWithIndex's two-pass
-    scheme.
+    offsets — the DataFrame form of RDD zipWithIndex's two-pass scheme.
+
+    The offsets come from a window over the PER-PARTITION counts (at
+    most one row per range partition — bounded at any data size),
+    broadcast back, so the whole thing is ONE lazy plan with no driver
+    collect (round 7: the same driverless scheme `with_global_cumsum`
+    uses; previously this did a per-call `.collect()` of partition
+    counts — one extra job per call).
 
     The range-partitioned intermediate is pinned with persist() while
-    the offsets are computed (range boundaries come from sampling, so an
-    unpinned recompute between the count pass and the numbering pass
-    could shift rows across partitions and corrupt the numbering); the
-    caller receives a localCheckpoint()ed result and the pin is
-    released before returning.  `order` must be a TOTAL order for the
-    numbering to be deterministic.
+    materializing (range boundaries come from sampling, so an unpinned
+    recompute between the count pass and the numbering pass could shift
+    rows across partitions and corrupt the numbering); the caller
+    receives a localCheckpoint()ed result and the pin is released
+    before returning.  `order` must be a TOTAL order for the numbering
+    to be deterministic.
 
     ``checkpoint=False`` exposes the LAZY plan for audits and skips the
     persist entirely — the caller owns pinning; executing that plan can
     renumber rows if the sampled range shuffle recomputes between the
     offset pass and the numbering pass.  (Persisting here without a
     release handle would leak the pin for the session lifetime.)"""
-    spark = df.sparkSession
     srt = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
@@ -118,20 +122,15 @@ def with_global_row_numbers(
     if checkpoint:
         srt = srt.persist()
     try:
-        counts = sorted(
-            (r["_pid"], r["cnt"])
-            for r in srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        )
-        offsets, acc = [], 0
-        for pid, cnt in counts:
-            offsets.append((pid, acc))
-            acc += cnt
-        off_df = F.broadcast(
-            spark.createDataFrame(offsets, "_pid int, _off long")
+        pcnt = srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pt"))
+        w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = pcnt.select(
+            "_pid",
+            F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off"),
         )
         w = Window.partitionBy("_pid").orderBy(*order)
         out = (
-            srt.join(off_df, "_pid")
+            srt.join(F.broadcast(offs), "_pid")
             .withColumn(col_name, F.row_number().over(w) + F.col("_off"))
             .drop("_pid", "_off")
         )
@@ -201,7 +200,9 @@ def with_global_cumsum(
             srt.unpersist()
 
 
-def ntile_from_rank(rn_col: Column, n_rows: int, n_tiles: int) -> Column:
+def ntile_from_rank(
+    rn_col: Column, n_rows: int | Column, n_tiles: int
+) -> Column:
     """SQL ntile derived from a global 1-based row number with pure
     integer arithmetic: with N rows and t tiles the first N mod t tiles
     take ceil(N/t) rows, the rest floor(N/t) — bit-identical to the
@@ -209,18 +210,36 @@ def ntile_from_rank(rn_col: Column, n_rows: int, n_tiles: int) -> Column:
     on top of `with_global_row_numbers` so no single-partition
     WindowExec is ever needed.
 
+    ``n_rows`` may be a COLUMN (e.g. a broadcast one-row COUNT joined
+    in), letting the tile assignment ride inside one lazy plan with no
+    separate count action (round 7); the int form keeps the constant-
+    folded fast path.
+
     The double divisions truncate exactly for any rn < 2^53 (both
     operands are exactly representable and the true quotient is either
     an exactly-representable integer or at least quotient*2^-53 away
     from one), i.e. correct to ~9e15 rows."""
-    q, r = divmod(n_rows, n_tiles)
-    if q == 0:
-        return rn_col.cast("int")
-    boundary = r * (q + 1)
     rn = rn_col.cast("long")
+    if isinstance(n_rows, int):
+        q, r = divmod(n_rows, n_tiles)
+        if q == 0:
+            return rn_col.cast("int")
+        boundary = r * (q + 1)
+        return (
+            F.when(rn <= boundary, (rn - 1).cast("long") / F.lit(q + 1))
+            .otherwise(F.lit(r) + (rn - 1 - boundary) / F.lit(q))
+            .cast("int")
+            + F.lit(1)
+        ).cast("int")
+    n = n_rows.cast("long")
+    t = F.lit(n_tiles).cast("long")
+    q = F.floor(n / t).cast("long")
+    r = F.pmod(n, t)
+    boundary = r * (q + 1)
     return (
-        F.when(rn <= boundary, (rn - 1).cast("long") / F.lit(q + 1))
-        .otherwise(F.lit(r) + (rn - 1 - boundary) / F.lit(q))
+        F.when(q == 0, rn - 1)
+        .when(rn <= boundary, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - 1 - boundary) / q))
         .cast("int")
         + F.lit(1)
     ).cast("int")

@@ -405,18 +405,43 @@ def rfm_segments(
     )
     base = base.persist()
     try:
-        n_users = base.count()
+        # one-row count, broadcast into each rank pass: the tile
+        # arithmetic rides inside the single materialization instead of
+        # paying a separate count action (column form of ntile_from_rank)
+        n_users_df = F.broadcast(base.agg(F.count(F.lit(1)).alias("_n_users")))
         axes = {
-            "r": [F.asc("recency_days"), F.asc("user_id")],
-            "f": [F.desc("frequency"), F.asc("user_id")],
-            "m": [F.desc("monetary_e4"), F.asc("user_id")],
+            "r": ("recency_days", [F.asc("recency_days"), F.asc("user_id")]),
+            "f": ("frequency", [F.desc("frequency"), F.asc("user_id")]),
+            "m": ("monetary_e4", [F.desc("monetary_e4"), F.asc("user_id")]),
         }
         out = base
-        for tile, order in axes.items():
-            out = with_global_row_numbers(out, order, col_name=f"_rn_{tile}")
-            out = out.withColumn(
-                tile, ntile_from_rank(F.col(f"_rn_{tile}"), n_users, n_tiles)
-            ).drop(f"_rn_{tile}")
+        # each rank pass runs on a NARROW (key, axis) projection — the
+        # range shuffle moves two columns, not the widening full frame
+        # (round 7: previously the three passes chained on the full
+        # frame with a localCheckpoint each, so pass 3 re-materialized
+        # everything pass 1 and 2 had added).  checkpoint=False is safe
+        # here because the input is PINNED (base.persist above) and
+        # range-shuffle boundary sampling is deterministic per
+        # partition, so the offsets and numbering subplans see the same
+        # boundaries; all three lazy rank plans then fuse into the ONE
+        # materialization the caller runs
+        for tile, (axis_col, order) in axes.items():
+            ranked = with_global_row_numbers(
+                base.select("user_id", axis_col),
+                order,
+                col_name="_rn",
+                checkpoint=False,
+            )
+            tiles = ranked.crossJoin(n_users_df).select(
+                "user_id",
+                ntile_from_rank(
+                    F.col("_rn"), F.col("_n_users"), n_tiles
+                ).alias(tile),
+            )
+            out = out.join(tiles, "user_id")
+        # materialize while base is still pinned (the lazy rank plans
+        # read it), then hand the caller a lineage-free result
+        out = out.localCheckpoint(eager=True)
     finally:
         base.unpersist()
     return (

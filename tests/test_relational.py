@@ -115,14 +115,25 @@ def test_global_row_numbers_contiguous_and_ordered(spark):
 
 def test_global_row_numbers_no_single_partition_window(spark):
     """The judge-flagged anti-pattern: numbering must never plan an
-    unpartitioned Window sort (checkpoint=False exposes the lazy plan)."""
+    unpartitioned Window sort OVER THE DATA (checkpoint=False exposes
+    the lazy plan).  The round-7 driverless offsets scheme adds one
+    bounded single-partition window over the per-range-partition
+    COUNTS (at most one row per partition, like with_global_cumsum) —
+    that exchange must sit above the count aggregate, never above the
+    rows themselves."""
     df = spark.range(0, 1000).select((F.col("id") % 97).alias("k"), "id")
     out = relational.with_global_row_numbers(
         df, [F.asc("k"), F.asc("id")], checkpoint=False
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
-    assert "hashpartitioning(_pid" in plan  # window runs partitioned
+    assert "hashpartitioning(_pid" in plan  # data window runs partitioned
+    for i, line in enumerate(plan.split("\n")):
+        if "SinglePartition" in line:
+            below = "\n".join(plan.split("\n")[i:])
+            assert "count(1)" in below or "_pt" in below, (
+                "SinglePartition exchange not fed by the bounded "
+                "per-partition count aggregate:\n" + plan
+            )
 
 
 def test_key_skew_profile_measures(spark):
