@@ -205,3 +205,130 @@ def stratified_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def dsir_importance_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    logw_cap: float = 5.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by the likelihood ratio of a hashed-unigram model of the
+    TARGET domain vs one of the raw corpus, then importance-resample
+    with a deterministic accept test — the published recipe for
+    filtering a 100-TB crawl toward a small high-quality target domain
+    without training a classifier.
+
+    Determinism/exactness contract (what makes this value-hash
+    gateable): per-BUCKET log-ratios are computed once from integer
+    counts and rounded to 1e-6 (two transcendental evaluations per
+    bucket, error ~1e-16 — negligible against the rounding grid), then
+    every per-document quantity is EXACT integer arithmetic: the doc
+    log-weight is an order-free sum of bucket integers, and the accept
+    test `u32 * 10^6 < w_e6 * 2^32` compares exact int64 products
+    (never a float), with u32 a per-doc md5 draw — the same RNG-free
+    membership invariant as every sampler in this module.  The
+    per-token average (length normalization) plus `logw_cap` bounds
+    exp() so w_e6 stays far inside int64.
+
+    Scale shape: one narrow token map per side; bucket counting is two
+    groupBys onto <= n_buckets rows (map-side partial agg collapses to
+    the bucket count per task); the bucket->ratio table broadcasts
+    (n_buckets rows); the per-doc sum is the corpus's ONE data shuffle
+    (by doc id).  Nothing is quadratic, nothing collects.
+
+    Returns the FULL population (one row per corpus doc) with its
+    weight and accept flag — auditable selection, not a silent filter."""
+    from ..functions.text import tokens
+
+    B = n_buckets
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("_w"),
+        ).select(
+            id_col,
+            F.when(
+                F.col("_w").isNotNull(),
+                F.pmod(
+                    F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long"),
+                    F.lit(B),
+                ),
+            ).alias("bucket"),
+        )
+
+    ct = (
+        bucketize(target)
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    corpus_toks = bucketize(corpus)
+    cc = (
+        corpus_toks.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    counts = ct.join(cc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cc").alias("nc")
+    )
+    lr = F.broadcast(
+        counts.crossJoin(F.broadcast(totals)).select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.col("ct") + 1)
+                    - F.log(F.col("nt") + B)
+                    - F.log(F.col("cc") + 1)
+                    + F.log(F.col("nc") + B)
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lr_e6"),
+        )
+    )
+    per_doc = (
+        corpus_toks.filter(F.col("bucket").isNotNull())
+        .join(lr, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("lr_e6").alias("logw_e6"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    full = corpus.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("logw_e6", F.lit(0)).cast("long").alias("logw_e6"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    logw_avg = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("logw_e6") / F.col("n_tokens")) / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
+    w_e6 = (
+        F.round(F.lit(1000000.0) * F.exp(F.least(logw_avg, F.lit(logw_cap))))
+        .cast("long")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return full.select(
+        id_col,
+        "n_tokens",
+        "logw_e6",
+        w_e6.alias("w_e6"),
+        (u32 * F.lit(1000000) < w_e6 * F.lit(4294967296)).alias("accepted"),
+    )

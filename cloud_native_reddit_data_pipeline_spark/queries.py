@@ -1163,6 +1163,84 @@ _U8_SQL = (
 )
 
 
+# DSIR importance resampling (Xie et al. 2023): hashed-unigram
+# likelihood ratio of the target slice vs the raw corpus, per-doc
+# integer-exact log-weight sum, deterministic integer accept test.
+@register(
+    "dsir_importance_resample",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+    target AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    ttok AS (
+      SELECT ('0x' || substring(md5(w), 1, 8))::BIGINT % 256 AS bucket
+      FROM (SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+            FROM target)
+    ), ctok AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 8))::BIGINT % 256 AS bucket
+      FROM (SELECT doc_id, unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+            FROM corpus)
+    ),
+    tcnt AS (SELECT bucket, COUNT(*) AS ct FROM ttok GROUP BY bucket),
+    ccnt AS (SELECT bucket, COUNT(*) AS cc FROM ctok GROUP BY bucket),
+    counts AS (
+      SELECT COALESCE(t.bucket, c.bucket) AS bucket,
+             COALESCE(t.ct, 0) AS ct, COALESCE(c.cc, 0) AS cc
+      FROM tcnt t FULL OUTER JOIN ccnt c ON t.bucket = c.bucket
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cc) AS BIGINT) AS nc FROM counts),
+    lr AS (
+      SELECT bucket,
+             CAST(ROUND((ln(ct + 1) - ln(nt + 256) - ln(cc + 1) + ln(nc + 256))
+                        * 1000000.0) AS BIGINT) AS lr_e6
+      FROM counts CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT t.doc_id, CAST(SUM(l.lr_e6) AS BIGINT) AS logw_e6,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM ctok t JOIN lr l USING (bucket) GROUP BY t.doc_id
+    ),
+    full_pop AS (
+      SELECT c.doc_id,
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.logw_e6, 0) AS BIGINT) AS logw_e6
+      FROM corpus c LEFT JOIN per_doc p USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, logw_e6,
+             CAST(ROUND(1000000.0 * exp(LEAST(
+               CASE WHEN n_tokens > 0
+                    THEN (logw_e6 / n_tokens) / 1000000.0 ELSE 0.0 END,
+               5.0))) AS BIGINT) AS w_e6,
+             ('0x' || substring(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT AS u32
+      FROM full_pop
+    )
+    SELECT doc_id, n_tokens, logw_e6, w_e6,
+           (u32 * 1000000 < w_e6 * 4294967296) AS accepted
+    FROM scored
+    """,
+)
+def dsir_importance_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection over the documents table: the benchmark
+    slice (doc_id < 20) plays the high-quality target domain, the rest
+    is the raw corpus to filter (the same slicing as
+    benchmark_contamination).  Full population returned with weights
+    and the deterministic accept flag; see
+    operators/sampling.dsir_importance_resample for the exactness and
+    100-TB scale contract."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.dsir_importance_resample(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
+        n_buckets=256,
+    )
+
+
 # Temperature (alpha=0.5) mixture resampling over sources — the
 # multilingual/multi-domain training-mix primitive (up-samples small
 # sources, down-samples dominant ones; membership is a pure function of

@@ -195,3 +195,41 @@ def test_unicode_script_profile_counts(spark):
             r["n_latin"] + r["n_cjk"] + r["n_cyrillic"] + r["n_arabic"] + r["n_other"]
             == r["n_chars"]
         )
+
+
+def test_dsir_importance_resample_discriminates(spark):
+    """Docs written in the target's vocabulary must out-weigh docs from
+    a disjoint vocabulary, and the accept test must be the exact
+    integer comparison (no float in the accept path)."""
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        dsir_importance_resample,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(20)]
+        + [(200 + i, "zeta eta theta iota kappa") for i in range(20)]
+        + [(300, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_importance_resample(
+        corpus, target, "doc_id", "text", n_buckets=64
+    ).collect()}
+    assert len(out) == 41
+    on_target = [out[100 + i] for i in range(20)]
+    off_target = [out[200 + i] for i in range(20)]
+    assert all(r.w_e6 == on_target[0].w_e6 for r in on_target)  # same text
+    assert on_target[0].w_e6 > off_target[0].w_e6  # ratio discriminates
+    assert on_target[0].logw_e6 > off_target[0].logw_e6
+    # empty doc: zero tokens, weight exp(0) = 1.0 exactly, accepted
+    empty = out[300]
+    assert (empty.n_tokens, empty.logw_e6, empty.w_e6) == (0, 0, 1000000)
+    assert empty.accepted
+    # determinism: second run bit-identical
+    again = {r.doc_id: r for r in dsir_importance_resample(
+        corpus, target, "doc_id", "text", n_buckets=64
+    ).collect()}
+    assert all(tuple(out[k]) == tuple(again[k]) for k in out)
