@@ -656,3 +656,109 @@ def truncation_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+def margin_bitext_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): align each side-A embedding to its best
+    side-B partner by the MARGIN score — cosine divided by the average
+    of both endpoints' k-NN cosine neighborhoods — which cancels
+    hubness (a vector that is close to *everything* gets a big
+    denominator), the property raw cosine thresholds lack.  The
+    standard mined-parallel-corpus builder for multilingual training
+    data.
+
+    score(x, y) = cos(x, y) / ((avg_kNN_B(x) + avg_kNN_A(y)) / 2)
+                = 2k * cos(x, y) / (sum_kNN_B(x) + sum_kNN_A(y))
+
+    Exactness contract: each pair cosine is rounded ONCE to a 1e-6
+    integer; the k-NN sums are order-free integer sums of those, and
+    the margin is a single correctly-rounded division of two exact
+    integers — no multi-term double accumulation anywhere, so the
+    score (and the per-x argmax under the (margin, id) order) is
+    engine-identical and value-hash oracle-able.  Pairs whose pooled
+    neighborhood sum is non-positive are dropped on both legs (exact
+    integer comparison; margin is meaningless against a hostile
+    neighborhood).
+
+    Scale shape: the pair generator defaults to A x B brute force
+    (gate scale); pass `candidates` (id_a, id_b) from an LSH/IVF
+    front-end (`lsh_topk` buckets / `ivf_topk` cells) to bound it at
+    100 TB — the margin arithmetic downstream is identical.  k-NN
+    sums are two bounded windows over the candidate frame keyed by
+    each side (top-k survivors only)."""
+    from ..functions.vectors import as_double, cosine
+    from ..sources.tables import fan_out
+
+    a = fan_out(side_a).select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va")
+    )
+    b = fan_out(side_b).select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb")
+    )
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b)
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("cos_e6"),
+    ).persist()
+    try:
+        wa = Window.partitionBy("id_a").orderBy(F.desc("cos_e6"), F.asc("id_b"))
+        wb = Window.partitionBy("id_b").orderBy(F.desc("cos_e6"), F.asc("id_a"))
+        knn_a = (
+            scored.withColumn("_rk", F.row_number().over(wa))
+            .filter(F.col("_rk") <= k)
+            .groupBy("id_a")
+            .agg(F.sum("cos_e6").alias("sum_a_e6"))
+        )
+        knn_b = (
+            scored.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= k)
+            .groupBy("id_b")
+            .agg(F.sum("cos_e6").alias("sum_b_e6"))
+        )
+        margined = (
+            scored.join(knn_a, "id_a")
+            .join(knn_b, "id_b")
+            .filter(F.col("sum_a_e6") + F.col("sum_b_e6") > 0)
+            .select(
+                "id_a",
+                "id_b",
+                "cos_e6",
+                (
+                    F.lit(float(2 * k))
+                    * F.col("cos_e6")
+                    / (F.col("sum_a_e6") + F.col("sum_b_e6"))
+                ).alias("_margin"),
+            )
+        )
+        wbest = Window.partitionBy("id_a").orderBy(
+            F.desc(F.round("_margin", 6)), F.asc("id_b")
+        )
+        out = (
+            margined.withColumn("_rk", F.row_number().over(wbest))
+            .filter((F.col("_rk") == 1) & (F.col("_margin") > F.lit(margin_threshold)))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("cos_e6") / F.lit(1000000.0)).alias("cos"),
+                F.round("_margin", 4).alias("margin"),
+            )
+        )
+        return materialize_and_release(out, scored)
+    except Exception:
+        scored.unpersist()
+        raise

@@ -1163,6 +1163,65 @@ _U8_SQL = (
 )
 
 
+# Margin-based bitext mining (Artetxe & Schwenk 2019): best side-B
+# partner per side-A embedding under the k-NN-normalized margin score
+# — the CCMatrix mined-parallel-corpus builder.  Even/odd vec_ids play
+# the two languages.
+@register(
+    "bitext_margin_mine",
+    """
+    WITH a AS (
+      SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
+      FROM embeddings WHERE vec_id % 2 = 0
+    ), b AS (
+      SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS vb
+      FROM embeddings WHERE vec_id % 2 = 1
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(ROUND(list_cosine_similarity(va, vb) * 1000000.0) AS BIGINT)
+               AS cos_e6
+      FROM a CROSS JOIN b
+    ), knn_a AS (
+      SELECT id_a, CAST(SUM(cos_e6) AS BIGINT) AS sum_a FROM (
+        SELECT id_a, cos_e6,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY cos_e6 DESC, id_b) AS rk
+        FROM scored) WHERE rk <= 4 GROUP BY id_a
+    ), knn_b AS (
+      SELECT id_b, CAST(SUM(cos_e6) AS BIGINT) AS sum_b FROM (
+        SELECT id_b, cos_e6,
+               row_number() OVER (PARTITION BY id_b
+                                  ORDER BY cos_e6 DESC, id_a) AS rk
+        FROM scored) WHERE rk <= 4 GROUP BY id_b
+    ), m AS (
+      SELECT s.id_a, s.id_b, s.cos_e6,
+             8.0 * s.cos_e6 / (ka.sum_a + kb.sum_b) AS margin
+      FROM scored s
+      JOIN knn_a ka USING (id_a) JOIN knn_b kb USING (id_b)
+      WHERE ka.sum_a + kb.sum_b > 0
+    )
+    SELECT id_a, id_b, cos_e6 / 1000000.0 AS cos,
+           ROUND(margin, 4) AS margin
+    FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                    ORDER BY ROUND(margin, 6) DESC, id_b) AS rk FROM m)
+    WHERE rk = 1 AND margin > 1.05
+    """,
+)
+def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining over the embedding corpus split into two 'language'
+    sides (even/odd vec_ids): per-A best partner under the hubness-
+    cancelling margin score, threshold 1.05 (median 1.11 on gate data).
+    See operators/similarity.margin_bitext_mine for the exactness and
+    LSH-candidates scale contract."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.margin_bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        margin_threshold=1.05,
+    )
+
+
 # DSIR importance resampling (Xie et al. 2023): hashed-unigram
 # likelihood ratio of the target slice vs the raw corpus, per-doc
 # integer-exact log-weight sum, deterministic integer accept test.

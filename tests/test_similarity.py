@@ -221,3 +221,41 @@ def test_rrf_fuse_semantics(spark):
     assert out[1] == (round(1 / 61 + 1 / 63, 6), 2, 2)
     assert out[3][1] == 1 and out[4][1] == 1  # single-leg docs survive
     assert out[3][2] > out[1][2]
+
+
+def test_margin_bitext_mine_hubness_and_determinism(spark):
+    """A hub vector close to everything must be demoted by the margin
+    normalization, and a genuine near-translation pair must surface
+    with margin > 1; repeated runs are bit-identical."""
+    import pyspark.sql.functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        margin_bitext_mine,
+    )
+
+    def v(*xs):
+        return list(map(float, xs))
+
+    # side A: a0 pairs cleanly with b0; a2 is generic
+    a = spark.createDataFrame(
+        [(0, v(10, 0, 0, 1)), (2, v(1, 1, 1, 1)), (4, v(0, 8, 0, 1))],
+        "vec_id long, embedding array<double>",
+    )
+    # side B: b1 ~ a0's translation; b3 is a HUB (uniform, close to all)
+    b = spark.createDataFrame(
+        [(1, v(9.5, 0.4, 0, 1)), (3, v(1, 1, 1, 1.01)), (5, v(0.2, 7.5, 0.5, 1))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id_a: r for r in margin_bitext_mine(
+        a, b, k=2, margin_threshold=0.0
+    ).collect()}
+    assert out[0].id_b == 1 and out[0].margin > 1.0   # true pair wins
+    assert out[4].id_b == 5 and out[4].margin > 1.0
+    # the hub b3 is a2's raw-cosine favourite AND its mined partner,
+    # but margin normalization caps its score near 1 (its neighborhood
+    # average is as high as any single match)
+    assert out[2].margin < out[0].margin
+    again = {r.id_a: r for r in margin_bitext_mine(
+        a, b, k=2, margin_threshold=0.0
+    ).collect()}
+    assert all(tuple(out[k]) == tuple(again[k]) for k in out)
