@@ -762,3 +762,52 @@ def margin_bitext_mine(
     except Exception:
         scored.unpersist()
         raise
+
+
+def lsh_band_candidates(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing at least one hyperplane-LSH
+    band between two embedding sides — the bounded pair generator for
+    `margin_bitext_mine(candidates=...)` at scale: the join runs on
+    (band, key), never A x B, so pair volume follows bucket occupancy
+    (cap skewed buckets upstream with the embedding_neardup star-cap
+    policy if a near-constant embedding region makes one bucket hot).
+    The planes are deterministic literals (`make_planes`), so the
+    candidate set is SQL-replayable — the same property the
+    ann_lsh_topk and embedding_neardup oracles rely on."""
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        planes = make_planes(first["d"], n_planes)
+        rpb = n_planes // bands
+        sig = df.select(
+            F.col(id_col).alias(out_id),
+            hyperplane_bits(F.col(vec_col), planes).alias("sig"),
+        )
+        bs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring(F.col("sig"), b * rpb + 1, rpb).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(out_id, F.explode(bs).alias("bk")).select(
+            out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    from ..sources.tables import fan_out
+
+    return (
+        banded(fan_out(side_a), "id_a")
+        .join(banded(fan_out(side_b), "id_b"), ["band", "key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )

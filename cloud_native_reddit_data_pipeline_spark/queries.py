@@ -1915,6 +1915,89 @@ def embedding_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitext_lsh_oracle() -> str:
+    """DuckDB replay of lsh_band_candidates + margin_bitext_mine: the
+    hyperplane literals are shared (make_planes), so the candidate set,
+    integer cosines, k-NN sums, and margin all replay exactly."""
+    from .functions.vectors import make_planes
+
+    planes = make_planes(64, 8)
+    rpb = 2
+
+    def side(par: int, idc: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT vec_id AS {idc}, {b} AS band, "
+            f"{_neardup_bucket_sql(planes[b * rpb:(b + 1) * rpb])} AS key "
+            f"FROM embeddings WHERE vec_id % 2 = {par}"
+            for b in range(4)
+        )
+
+    return f"""
+    WITH ka AS (
+      {side(0, 'id_a')}
+    ), kb AS (
+      {side(1, 'id_b')}
+    ), cand AS (
+      SELECT DISTINCT ka.id_a, kb.id_b FROM ka JOIN kb USING (band, key)
+    ), av AS (
+      SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
+      FROM embeddings WHERE vec_id % 2 = 0
+    ), bv AS (
+      SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS vb
+      FROM embeddings WHERE vec_id % 2 = 1
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(ROUND(list_cosine_similarity(av.va, bv.vb) * 1000000.0)
+                  AS BIGINT) AS cos_e6
+      FROM cand c JOIN av USING (id_a) JOIN bv USING (id_b)
+    ), knn_a AS (
+      SELECT id_a, CAST(SUM(cos_e6) AS BIGINT) AS sum_a FROM (
+        SELECT id_a, cos_e6,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY cos_e6 DESC, id_b) AS rk
+        FROM scored) WHERE rk <= 4 GROUP BY id_a
+    ), knn_b AS (
+      SELECT id_b, CAST(SUM(cos_e6) AS BIGINT) AS sum_b FROM (
+        SELECT id_b, cos_e6,
+               row_number() OVER (PARTITION BY id_b
+                                  ORDER BY cos_e6 DESC, id_a) AS rk
+        FROM scored) WHERE rk <= 4 GROUP BY id_b
+    ), m AS (
+      SELECT s.id_a, s.id_b, s.cos_e6,
+             8.0 * s.cos_e6 / (ka.sum_a + kb.sum_b) AS margin
+      FROM scored s
+      JOIN knn_a ka USING (id_a) JOIN knn_b kb USING (id_b)
+      WHERE ka.sum_a + kb.sum_b > 0
+    )
+    SELECT id_a, id_b, cos_e6 / 1000000.0 AS cos,
+           ROUND(margin, 4) AS margin
+    FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                    ORDER BY ROUND(margin, 6) DESC, id_b) AS rk FROM m)
+    WHERE rk = 1 AND margin > 1.05
+    """
+
+
+@register("bitext_margin_mine_lsh", _bitext_lsh_oracle())
+def bitext_margin_mine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of bitext mining: pair generation bounded by
+    hyperplane-LSH band buckets (`lsh_band_candidates` — the join runs
+    on (band, key), never A x B), margin arithmetic identical to the
+    brute twin.  Neighborhood sums run over the RETRIEVED candidates,
+    exactly as production mining does over its ANN index results; the
+    oracle replays the shared plane literals end-to-end."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_bitext_mine(
+        a,
+        b,
+        k=4,
+        margin_threshold=1.05,
+        candidates=similarity.lsh_band_candidates(a, b),
+    )
+
+
+
 _KMEANS_K = 4
 _KMEANS_ITERS = 2
 
