@@ -131,6 +131,11 @@ HEADLINE = [
     "rfm_segments",
     "cross_source_duplication",
     "linear_attribution",
+    "dsir_importance_resample",
+    # bitext: the LSH-bounded scale form is benched; the brute A x B
+    # twin (bitext_margin_mine) is correctness-gated only, same policy
+    # as the exact-Jaccard joins
+    "bitext_margin_mine_lsh",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

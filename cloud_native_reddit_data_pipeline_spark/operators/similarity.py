@@ -771,16 +771,26 @@ def lsh_band_candidates(
     vec_col: str = "embedding",
     n_planes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing at least one hyperplane-LSH
     band between two embedding sides — the bounded pair generator for
     `margin_bitext_mine(candidates=...)` at scale: the join runs on
-    (band, key), never A x B, so pair volume follows bucket occupancy
-    (cap skewed buckets upstream with the embedding_neardup star-cap
-    policy if a near-constant embedding region makes one bucket hot).
-    The planes are deterministic literals (`make_planes`), so the
-    candidate set is SQL-replayable — the same property the
-    ann_lsh_topk and embedding_neardup oracles rely on."""
+    (band, key), never A x B.  The planes are deterministic literals
+    (`make_planes`), so the candidate set is SQL-replayable — the same
+    property the ann_lsh_topk and embedding_neardup oracles rely on.
+
+    **Hot-bucket star cap** (the embedding_neardup policy; the 10x
+    scale smoke flagged the uncapped join 56x SUPERLINEAR — with
+    r-bit bands a bucket holds O(n/2^r) members and the within-bucket
+    cross join is quadratic): when EITHER side of a (band, key) bucket
+    exceeds `max_bucket_size`, the bucket switches from full A x B to
+    STAR pairing — every A member pairs with the bucket's min-id B
+    member and every B member with the min-id A member — bounding the
+    bucket at O(|A| + |B|) pairs.  Deterministic (min-id reps), so the
+    capped candidate set replays in SQL; the recall trade is the same
+    one embedding_neardup documents, recovered downstream by the
+    margin re-rank over whatever candidates survive."""
 
     def banded(df: DataFrame, out_id: str) -> DataFrame:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -805,9 +815,37 @@ def lsh_band_candidates(
 
     from ..sources.tables import fan_out
 
-    return (
-        banded(fan_out(side_a), "id_a")
-        .join(banded(fan_out(side_b), "id_b"), ["band", "key"])
-        .select("id_a", "id_b")
-        .distinct()
+    ba = banded(fan_out(side_a), "id_a")
+    bb = banded(fan_out(side_b), "id_b")
+    if max_bucket_size is None:
+        return ba.join(bb, ["band", "key"]).select("id_a", "id_b").distinct()
+    sz = (
+        ba.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("ca"), F.min("id_a").alias("rep_a"))
+        .join(
+            bb.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("cb"), F.min("id_b").alias("rep_b")
+            ),
+            ["band", "key"],
+        )
     )
+    cold = (
+        ba.join(bb, ["band", "key"])
+        .join(
+            sz.filter(
+                (F.col("ca") <= max_bucket_size) & (F.col("cb") <= max_bucket_size)
+            ).select("band", "key"),
+            ["band", "key"],
+        )
+        .select("id_a", "id_b")
+    )
+    hot = sz.filter(
+        (F.col("ca") > max_bucket_size) | (F.col("cb") > max_bucket_size)
+    )
+    hot_a = ba.join(
+        hot.select("band", "key", "rep_b"), ["band", "key"]
+    ).select("id_a", F.col("rep_b").alias("id_b"))
+    hot_b = bb.join(
+        hot.select("band", "key", "rep_a"), ["band", "key"]
+    ).select(F.col("rep_a").alias("id_a"), "id_b")
+    return cold.unionByName(hot_a).unionByName(hot_b).distinct()

@@ -1915,14 +1915,19 @@ def embedding_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITEXT_CAP = 64
+
+
 def _bitext_lsh_oracle() -> str:
-    """DuckDB replay of lsh_band_candidates + margin_bitext_mine: the
-    hyperplane literals are shared (make_planes), so the candidate set,
-    integer cosines, k-NN sums, and margin all replay exactly."""
+    """DuckDB replay of lsh_band_candidates + margin_bitext_mine
+    INCLUDING the hot-bucket star cap: the hyperplane literals are
+    shared (make_planes), so the capped candidate set, integer
+    cosines, k-NN sums, and margin all replay exactly."""
     from .functions.vectors import make_planes
 
     planes = make_planes(64, 8)
     rpb = 2
+    cap = _BITEXT_CAP
 
     def side(par: int, idc: str) -> str:
         return "\n      UNION ALL\n      ".join(
@@ -1937,8 +1942,26 @@ def _bitext_lsh_oracle() -> str:
       {side(0, 'id_a')}
     ), kb AS (
       {side(1, 'id_b')}
+    ), sz AS (
+      SELECT a.band, a.key, a.ca, a.rep_a, b.cb, b.rep_b
+      FROM (SELECT band, key, COUNT(*) AS ca, MIN(id_a) AS rep_a
+            FROM ka GROUP BY band, key) a
+      JOIN (SELECT band, key, COUNT(*) AS cb, MIN(id_b) AS rep_b
+            FROM kb GROUP BY band, key) b USING (band, key)
     ), cand AS (
-      SELECT DISTINCT ka.id_a, kb.id_b FROM ka JOIN kb USING (band, key)
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT ka.id_a, kb.id_b
+        FROM ka JOIN kb USING (band, key) JOIN sz USING (band, key)
+        WHERE sz.ca <= {cap} AND sz.cb <= {cap}
+        UNION ALL
+        SELECT ka.id_a, sz.rep_b AS id_b
+        FROM ka JOIN sz USING (band, key)
+        WHERE sz.ca > {cap} OR sz.cb > {cap}
+        UNION ALL
+        SELECT sz.rep_a AS id_a, kb.id_b
+        FROM kb JOIN sz USING (band, key)
+        WHERE sz.ca > {cap} OR sz.cb > {cap}
+      )
     ), av AS (
       SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
       FROM embeddings WHERE vec_id % 2 = 0
@@ -1993,7 +2016,9 @@ def bitext_margin_mine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         k=4,
         margin_threshold=1.05,
-        candidates=similarity.lsh_band_candidates(a, b),
+        candidates=similarity.lsh_band_candidates(
+            a, b, max_bucket_size=_BITEXT_CAP
+        ),
     )
 
 
