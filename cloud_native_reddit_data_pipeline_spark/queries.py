@@ -963,6 +963,56 @@ def cut_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet/C4-style LINE dedup with keep-one-copy semantics: segment into
+# non-overlapping 10-token lines, hash, keep only the first occurrence
+# (min (doc_id, line_no)) of every corpus-repeated line, reassemble.
+# Complementary to cut_duplicate_spans (overlapping k-grams,
+# cut-all-occurrences).  The oracle replays the struct-min keeper and
+# the ordered reassembly exactly.
+@register(
+    "line_dedup_corpus",
+    f"""
+    WITH d AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    lns AS (
+      SELECT doc_id, u.line_no, u.line,
+             ('0x' || substring(md5(u.line), 1, 15))::BIGINT AS h
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS line_no,
+               unnest(list_transform(
+                 generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                 i -> array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' '))) AS line
+      ) u
+      WHERE len(t) > 0
+    ), stats AS (
+      SELECT h, COUNT(*) AS cnt,
+             MIN({{'kid': doc_id, 'kline': line_no}}) AS keeper
+      FROM lns GROUP BY h
+    ), kept AS (
+      SELECT l.doc_id, l.line_no, l.line,
+             (s.cnt < 2 OR (l.doc_id = (s.keeper).kid
+                            AND l.line_no = (s.keeper).kline)) AS keep
+      FROM lns l JOIN stats s USING (h)
+    ), agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_lines,
+             COUNT(*) FILTER (WHERE keep) AS n_kept_lines,
+             COALESCE(array_to_string(
+               list(line ORDER BY line_no) FILTER (WHERE keep), ' '), '') AS ct
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+           COALESCE(a.ct, '') AS cleaned_text
+    FROM documents d0 LEFT JOIN agg a ON d0.doc_id = a.doc_id
+    """.replace("{toks}", _TOKS_SQL),
+)
+def line_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.line_dedup_corpus(
+        load(spark, sf_dir, "documents"), "doc_id", "text", line_len=10
+    )
+
+
 # v3 capstone: the ExactSubstr family composed into corpus selection —
 # cut repeated passages FIRST (keep documents, lose boilerplate), then
 # keep docs still >= 20 tokens with dup_fraction < 0.5 of the original,

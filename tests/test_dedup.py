@@ -466,3 +466,56 @@ def test_cross_source_duplication_counts_shared_shingles(spark):
     assert out[("a", "b")]["n_a"] == 2 and out[("a", "b")]["n_b"] == 2
     assert out[("a", "b")]["overlap_coeff"] == 0.5
     assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_line_dedup_corpus_keep_one_copy(spark):
+    """Keep-one-copy line dedup: the first (doc_id, line_no) occurrence
+    of a repeated line survives; every later copy is dropped; unique
+    lines and empty docs pass through."""
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        line_dedup_corpus,
+    )
+
+    boiler = "b1 b2 b3"  # one 3-token "line" at line_len=3
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} u1 u2 u3"),       # line1=boiler (keeper), line2 unique
+            (2, f"{boiler} v1 v2 v3"),       # line1=boiler (dropped copy)
+            (3, f"w1 w2 w3 {boiler}"),       # line2=boiler (dropped copy)
+            (4, "x1 x2"),                     # single short line, unique
+            (5, ""),                          # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup_corpus(df, "doc_id", "text", line_len=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (out[1].n_lines, out[1].n_kept_lines) == (2, 2)
+    assert out[1].cleaned_text == f"{boiler} u1 u2 u3"
+    assert (out[2].n_lines, out[2].n_kept_lines) == (2, 1)
+    assert out[2].cleaned_text == "v1 v2 v3"
+    assert (out[3].n_lines, out[3].n_kept_lines) == (2, 1)
+    assert out[3].cleaned_text == "w1 w2 w3"
+    assert (out[4].n_lines, out[4].n_kept_lines, out[4].cleaned_text) == (
+        1, 1, "x1 x2",
+    )
+    assert (out[5].n_lines, out[5].n_kept_lines, out[5].cleaned_text) == (
+        0, 0, "",
+    )
+
+
+def test_line_dedup_corpus_within_doc_repeats(spark):
+    """A line repeated WITHIN one document keeps only its first
+    occurrence too (same (id, line_no) keeper rule)."""
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        line_dedup_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "r1 r2 m1 m2 r1 r2")], "doc_id long, text string"
+    )
+    out = line_dedup_corpus(df, "doc_id", "text", line_len=2).collect()[0]
+    assert (out.n_lines, out.n_kept_lines) == (3, 2)
+    assert out.cleaned_text == "r1 r2 m1 m2"
