@@ -866,3 +866,89 @@ def zipf_token_spectrum(df: DataFrame, text_col: str) -> DataFrame:
             F.col("max_freq").cast("long").alias("max_freq"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase_terms: list,
+    prox_window: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Positional phrase + proximity search over a token-position
+    inverted index (the Elasticsearch `match_phrase` / `slop`
+    semantics the reference's search API exposes, re-expressed as
+    equi-joins -- reference query surface:
+    elasticsearch_sydney.py match queries).
+
+    phrase_hits: occurrences of the EXACT consecutive phrase (terms at
+    positions p, p+1, ..., p+n-1).  near_hits: unordered co-occurrence
+    of the first two terms within `prox_window` tokens (classic slop
+    proximity).  Returns the top_n documents by (phrase_hits DESC,
+    near_hits DESC, id) with the first phrase position.
+
+    Scale shape: postings are filtered to the query terms BEFORE any
+    shuffle (a ~|terms|/|vocab| selectivity cut that reaches the scan
+    via the explode-then-filter pipeline), then each phrase step is a
+    hash equi-join on (id, pos + offset) -- never a cross join and
+    never a per-doc window.  The proximity leg is a banded join on the
+    same filtered postings, bounded by the query-term posting lists."""
+    terms = [t.lower() for t in phrase_terms]
+    if len(terms) < 2:
+        raise ValueError("phrase_terms needs at least two terms")
+    from ..sources.tables import fan_out
+
+    postings = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.transform(tokens(text_col), F.lower)).alias(
+                "_p0", "_t"
+            ),
+        )
+        .where(F.col("_t").isin(terms))
+        .select(id_col, (F.col("_p0") + 1).alias("pos"), "_t")
+    )
+    base = postings.where(F.col("_t") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        step = postings.where(F.col("_t") == t).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("_start")
+        )
+        base = base.join(
+            step,
+            (base[id_col] == step[id_col]) & (base["pos"] == step["_start"]),
+        ).select(base[id_col], base["pos"])
+    phrase = base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("phrase_hits"),
+        F.min("pos").alias("first_pos"),
+    )
+    pa = postings.where(F.col("_t") == terms[0]).select(
+        F.col(id_col).alias("_ida"), F.col("pos").alias("_pa")
+    )
+    pb = postings.where(F.col("_t") == terms[1]).select(
+        F.col(id_col).alias("_idb"), F.col("pos").alias("_pb")
+    )
+    near = (
+        pa.join(
+            pb,
+            (F.col("_ida") == F.col("_idb"))
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= prox_window)
+            & (F.col("_pa") != F.col("_pb")),
+        )
+        .groupBy(F.col("_ida").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("near_hits"))
+    )
+    return (
+        phrase.join(near, id_col, "left")
+        .select(
+            id_col,
+            F.col("phrase_hits").cast("long").alias("phrase_hits"),
+            F.coalesce("near_hits", F.lit(0)).cast("long").alias("near_hits"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+        .orderBy(
+            F.desc("phrase_hits"), F.desc("near_hits"), F.col(id_col)
+        )
+        .limit(top_n)
+    )

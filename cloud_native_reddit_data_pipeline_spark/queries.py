@@ -7233,6 +7233,54 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Positional phrase + proximity search (ES match_phrase / slop
+# semantics over a token-position inverted index): exact consecutive
+# "window join" occurrences plus slop-3 co-occurrence, top 20 docs.
+# Deterministic total order (unique doc_id tiebreak) so the LIMIT set
+# is stable on both engines.
+@register(
+    "phrase_search_slop",
+    f"""
+    WITH p AS (
+      SELECT doc_id, u.pos, u.t FROM (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS tk
+        FROM documents) d,
+      LATERAL (SELECT unnest(generate_series(1, len(tk))) AS pos,
+                      unnest(tk) AS t) u
+      WHERE len(tk) > 0
+    ), q AS (SELECT * FROM p WHERE t IN ('window', 'join')),
+    ph AS (
+      SELECT a.doc_id, a.pos
+      FROM q a JOIN q b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.t = 'window' AND b.t = 'join'
+    ), phagg AS (
+      SELECT doc_id, COUNT(*) AS phrase_hits, MIN(pos) AS first_pos
+      FROM ph GROUP BY doc_id
+    ), nr AS (
+      SELECT a.doc_id, COUNT(*) AS near_hits
+      FROM q a JOIN q b ON a.doc_id = b.doc_id
+       AND abs(a.pos - b.pos) <= 3 AND a.pos <> b.pos
+      WHERE a.t = 'window' AND b.t = 'join'
+      GROUP BY a.doc_id
+    )
+    SELECT p0.doc_id, CAST(p0.phrase_hits AS BIGINT) AS phrase_hits,
+           CAST(COALESCE(n.near_hits, 0) AS BIGINT) AS near_hits,
+           CAST(p0.first_pos AS BIGINT) AS first_pos
+    FROM phagg p0 LEFT JOIN nr n USING (doc_id)
+    ORDER BY phrase_hits DESC, near_hits DESC, doc_id LIMIT 20
+    """,
+)
+def phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.phrase_search(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["window", "join"],
+        prox_window=3,
+        top_n=20,
+    )
+
+
 # Daily OHLC bars per event type — timeseries candlestick downsampling
 # (open/close via strict (ts, event_id) order, exact-decimal mean).
 @register(

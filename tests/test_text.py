@@ -206,3 +206,39 @@ def test_pii_scrub_redacts_all_classes(spark):
     # no false positives: plain digits and ISO dates survive
     assert out[4]["s"] == rows[3][1]
     assert all(out[4][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ip"))
+
+
+def test_phrase_search_exact_and_slop(spark):
+    """match_phrase + slop semantics: consecutive hits counted exactly,
+    proximity hits within the window, ranked by hits with doc_id
+    tiebreak."""
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),   # 2 exact "alpha beta"
+            (2, "alpha x beta"),                   # slop-2 only
+            (3, "beta alpha"),                     # reversed: slop only
+            (4, "alpha y y y y beta"),             # outside slop window
+            (5, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = phrase_search(
+        df, "doc_id", "text", ["alpha", "beta"], prox_window=2, top_n=10
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # only docs with >=1 exact phrase hit are returned
+    assert set(by_id) == {1}
+    assert (by_id[1].phrase_hits, by_id[1].first_pos) == (2, 1)
+    # near_hits: |pa-pb|<=2 pairs in doc 1: (1,2),(4,5),(2,4)->|2-4|=2 yes,
+    # (1,5)->4 no, plus (4,2)? pa=alpha pos {1,4}, pb=beta pos {2,5}:
+    # |1-2|=1 ok, |1-5|=4 no, |4-2|=2 ok, |4-5|=1 ok -> 3
+    assert by_id[1].near_hits == 3
+    # three-term phrase
+    out3 = phrase_search(
+        df, "doc_id", "text", ["alpha", "beta", "gamma"], prox_window=1, top_n=10
+    ).collect()
+    assert [(r.doc_id, r.phrase_hits) for r in out3] == [(1, 1)]
