@@ -952,3 +952,95 @@ def phrase_search(
         )
         .limit(top_n)
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText-style composite quality GATE (Rae et al.
+    2021, Appendix A): per-document accept/reject booleans for each
+    rule plus the conjunction -- the single filter a corpus-selection
+    pipeline thresholds on, composing the signals `quality_scores` and
+    `repetition_stats` expose individually.
+
+    Rules (adapted to the whitespace corpus; every ratio compared in
+    EXACT integer arithmetic so both engines agree bit-for-bit):
+      words_ok:    min_words <= n_words <= max_words
+      mean_len_ok: mean word length in [3, 10]  (3n <= sum_len <= 10n)
+      alpha_ok:    >= 80% of words contain an alphabetic char
+                   (5*alpha_cnt >= 4*n)
+      stop_ok:     >= min_stop_hits DISTINCT required stopwords
+      bigram_ok:   most-frequent bigram covers <= 20% of bigrams
+                   (5*top_bg <= n_bigrams; vacuously true below 2 words)
+
+    Scale shape: every rule except bigram_ok is a pure JVM array
+    expression on the scan (no shuffle); the bigram rule shares one
+    explode and two doc-keyed groupBys (count per gram, max per doc)
+    joined back on the doc id -- the `repetition_stats` plan shape."""
+    from ..functions.text import word_shingles
+    from ..sources.tables import fan_out
+
+    df = fan_out(df)
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    alpha_cnt = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        ((n >= min_words) & (n <= max_words)).alias("words_ok"),
+        ((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias("mean_len_ok"),
+        (5 * alpha_cnt >= 4 * n).alias("alpha_ok"),
+        (stop_hits >= min_stop_hits).alias("stop_ok"),
+    )
+    bg = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.lower(F.col(text_col)), 2)).alias("_g"),
+        )
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("_top_bg"),
+            F.sum("_c").alias("_n_bg"),
+        )
+    )
+    return (
+        base.join(bg, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "words_ok",
+            "mean_len_ok",
+            "alpha_ok",
+            "stop_ok",
+            F.coalesce(
+                5 * F.col("_top_bg") <= F.col("_n_bg"), F.lit(True)
+            ).alias("bigram_ok"),
+        )
+        .withColumn(
+            "pass_gate",
+            F.col("words_ok")
+            & F.col("mean_len_ok")
+            & F.col("alpha_ok")
+            & F.col("stop_ok")
+            & F.col("bigram_ok"),
+        )
+    )

@@ -7281,6 +7281,56 @@ def phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher/MassiveText composite quality gate (Rae et al. 2021 App. A):
+# per-rule booleans + conjunction, every ratio compared in EXACT
+# integer arithmetic (3n <= sum_len <= 10n etc.) so both engines agree
+# bit-for-bit with no float division anywhere.
+@register(
+    "gopher_quality_gate",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(tk) AS n,
+             COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS sum_len,
+             len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha_cnt,
+             len(list_intersect(list_distinct(tk),
+                 ['the','be','to','of','and','that','have','with','a'])) AS stop_hits
+      FROM t
+    ), bg AS (
+      SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS g
+          FROM t WHERE len(tk) >= 2)
+        GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), rules AS (
+      SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+             (b.n >= 50 AND b.n <= 100000) AS words_ok,
+             (b.sum_len >= 3 * b.n AND b.sum_len <= 10 * b.n) AS mean_len_ok,
+             (5 * b.alpha_cnt >= 4 * b.n) AS alpha_ok,
+             (b.stop_hits >= 2) AS stop_ok,
+             COALESCE(5 * g.top_bg <= g.n_bg, TRUE) AS bigram_ok
+      FROM base b LEFT JOIN bg g USING (doc_id)
+    )
+    SELECT doc_id, n_words, words_ok, mean_len_ok, alpha_ok, stop_ok,
+           bigram_ok,
+           (words_ok AND mean_len_ok AND alpha_ok AND stop_ok
+            AND bigram_ok) AS pass_gate
+    FROM rules
+    """,
+)
+def gopher_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.gopher_quality_gate(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # Daily OHLC bars per event type — timeseries candlestick downsampling
 # (open/close via strict (ts, event_id) order, exact-decimal mean).
 @register(

@@ -242,3 +242,37 @@ def test_phrase_search_exact_and_slop(spark):
         df, "doc_id", "text", ["alpha", "beta", "gamma"], prox_window=1, top_n=10
     ).collect()
     assert [(r.doc_id, r.phrase_hits) for r in out3] == [(1, 1)]
+
+
+def test_gopher_quality_gate_rules(spark):
+    """Each Gopher rule flips on the document built to violate it."""
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        gopher_quality_gate,
+    )
+
+    good = "the a data " + " ".join(f"word{i}" for i in range(47))  # 50 words
+    short = "the a tiny doc"                                        # < min_words
+    longwords = "the a " + " ".join("x" * 30 for _ in range(48))    # mean len > 10
+    nonalpha = "the a " + " ".join("1234" for _ in range(48))       # alpha < 80%
+    nostop = " ".join(f"w{i}" for i in range(50))                   # no stopwords
+    spam = "the a " + "spam gram " * 24                             # top bigram > 20%
+    df = spark.createDataFrame(
+        [
+            (1, good), (2, short), (3, longwords),
+            (4, nonalpha), (5, nostop), (6, spam),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_gate(df, "doc_id", "text").collect()
+    }
+    assert out[1].pass_gate
+    assert not out[2].words_ok and not out[2].pass_gate
+    assert not out[3].mean_len_ok and not out[3].pass_gate
+    assert not out[4].alpha_ok and not out[4].pass_gate
+    assert not out[5].stop_ok and not out[5].pass_gate
+    assert not out[6].bigram_ok and not out[6].pass_gate
+    # every violator fails ONLY for reasons it was built to fail
+    assert out[3].words_ok and out[3].alpha_ok and out[3].stop_ok
+    assert out[4].words_ok and out[4].mean_len_ok and out[4].stop_ok
