@@ -3164,6 +3164,91 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_match_stats(p, "p_partkey", "p_name", block, max_distance=2)
 
 
+# Entity-resolution CAPSTONE: the full ER pipeline composed end-to-end
+# (blocking -> pairwise Levenshtein verify -> connected-component
+# clustering -> keep-best canonicalization) — one entity row per
+# matched cluster with its canonical record.  The Spark leg runs
+# large-star/small-star components; the oracle replays the same edges
+# through a recursive-CTE transitive closure and the same
+# longest-name/lowest-key keeper policy via a struct-min.
+@register(
+    "entity_resolution",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 2) || '|' || substring(p_name, 1, 1) AS blk
+      FROM part
+    ), pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), closure(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT c.node, e.dst FROM closure c JOIN edges e ON e.src = c.r
+    ), lab AS (
+      SELECT node, MIN(r) AS entity_id FROM closure GROUP BY node
+    ), mem AS (
+      SELECT l.entity_id, pp.p_partkey, pp.p_name,
+             length(pp.p_name) AS nl
+      FROM lab l JOIN part pp ON l.node = pp.p_partkey
+    ), best AS (
+      SELECT entity_id, COUNT(*) AS n_members,
+             MIN({'a': -nl, 'b': p_partkey}) AS kk
+      FROM mem GROUP BY entity_id
+    )
+    SELECT b.entity_id, (b.kk).b AS canonical_key,
+           pp.p_name AS canonical_name,
+           CAST(b.n_members AS BIGINT) AS n_members
+    FROM best b JOIN part pp ON (b.kk).b = pp.p_partkey
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.concat_ws(
+            "|",
+            F.split(F.col("p_name"), " ").getItem(1),
+            F.substring(F.col("p_name"), 1, 1),
+        ).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+        )
+    )
+    comp = dedup.connected_components(pairs)
+    docs = load(spark, sf_dir, "part").select(
+        "p_partkey", F.length("p_name").alias("name_len")
+    )
+    best = dedup.keep_best_per_component(comp, docs, "p_partkey", "name_len")
+    names = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("canonical_key"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return best.join(
+        names, best["keeper_id"] == names["canonical_key"]
+    ).select(
+        F.col("label").alias("entity_id"),
+        "canonical_key",
+        "canonical_name",
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 # Relational grouped outlier detection — the scale twin of the
 # grouped_zscore pandas-UDF demo (SCALE.md: "UDFs are the slow path"):
 # decimal-exact moments per group, |z| > 3 flags, pure column math.

@@ -519,3 +519,50 @@ def test_line_dedup_corpus_within_doc_repeats(spark):
     out = line_dedup_corpus(df, "doc_id", "text", line_len=2).collect()[0]
     assert (out.n_lines, out.n_kept_lines) == (3, 2)
     assert out.cleaned_text == "r1 r2 m1 m2"
+
+
+def test_entity_resolution_pipeline(spark, tmp_path):
+    """Blocking + verify + components + keep-best compose into one
+    entity per transitive match cluster, canonicalized to the longest
+    name (ties to lowest key)."""
+    import pyspark.sql.functions as F
+    from cloud_native_reddit_data_pipeline_spark.operators import dedup
+
+    p = spark.createDataFrame(
+        [
+            (1, "azure steel widget"),
+            (2, "azure steel widgit"),    # lev 1 of #1
+            (3, "azure steel widgets"),   # lev 1 of #1, lev 2 of #2
+            (4, "azure steel bracket"),   # lev > 2 of the widget group
+            (5, "rose iron plate"),
+        ],
+        "p_partkey long, p_name string",
+    ).withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            F.split(F.col("p_name"), " ").getItem(1),
+            F.substring(F.col("p_name"), 1, 1),
+        ),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+        )
+    )
+    comp = dedup.connected_components(pairs)
+    docs = p.select("p_partkey", F.length("p_name").alias("name_len"))
+    best = dedup.keep_best_per_component(comp, docs, "p_partkey", "name_len")
+    rows = {r.label: r for r in best.collect()}
+    # one entity: {1,2,3}; keeper = #3 (longest name, 18 chars)
+    assert set(rows) == {1}
+    assert rows[1].n_members == 3
+    assert rows[1].keeper_id == 3
