@@ -849,3 +849,58 @@ def lsh_band_candidates(
         hot.select("band", "key", "rep_a"), ["band", "key"]
     ).select(F.col("rep_a").alias("id_a"), "id_b")
     return cold.unionByName(hot_a).unionByName(hot_b).distinct()
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive HARD-NEGATIVE mining (the DPR / SimCSE / sentence-
+    transformers recipe): for each query row, the k most-cosine-similar
+    corpus rows whose label DIFFERS from the query's -- the negatives
+    that sit closest to the decision boundary and dominate contrastive
+    training signal.  Exact scoring (the mining batch is the broadcast
+    query set; the corpus side streams), same plan shape as
+    `brute_force_topk` plus the label-mismatch predicate pushed into
+    the scoring filter so excluded rows never rank.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label, cos,
+    rk) with the deterministic (cos DESC, neighbor_id) order."""
+    from ..sources.tables import fan_out
+
+    emb = fan_out(emb)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(label_col) != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos",
+            "rk",
+        )
+    )

@@ -1867,6 +1867,37 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Contrastive hard-negative mining (DPR/SimCSE): per query, the k
+# most-similar corpus rows with a DIFFERENT label — the near-boundary
+# negatives contrastive training wants.  Same exact-scoring plan as
+# ann_cosine_topk plus the label-mismatch predicate.
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+    ), scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.query_label
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negative_topk(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
 def _neardup_bucket_sql(planes: list[list[float]]) -> str:
     bits = []
     for plane in planes:

@@ -259,3 +259,26 @@ def test_margin_bitext_mine_hubness_and_determinism(spark):
         a, b, k=2, margin_threshold=0.0
     ).collect()}
     assert all(tuple(out[k]) == tuple(again[k]) for k in out)
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Hard negatives are ranked by cosine among DIFFERENT-label rows
+    only; the most similar same-label row never appears."""
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # query, label 0
+        (1, [1.0, 0.01], 0),  # near-identical but SAME label -> excluded
+        (2, [0.9, 0.1], 1),   # closest different-label
+        (3, [0.0, 1.0], 1),   # orthogonal different-label
+        (4, [0.5, 0.5], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_topk(df, [0], k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 4]
+    assert all(r.neighbor_label != r.query_label for r in out)
+    assert [r.rk for r in out] == [1, 2]
