@@ -904,3 +904,79 @@ def hard_negative_topk(
             "rk",
         )
     )
+
+
+def _dcg_discount_literals(k: int) -> dict:
+    """1/log2(rank+1) for rank=1..k, pre-rounded to 6 decimals.
+
+    Computed ONCE driver-side and embedded as literals in both the
+    Spark plan and the SQL oracle, so no engine ever calls libm log2
+    (which is not correctly rounded and can differ in the last ulp
+    between JVM and C runtimes)."""
+    import math
+
+    return {i: round(1.0 / math.log2(i + 1), 6) for i in range(1, k + 1)}
+
+
+def retrieval_eval_metrics(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """IR evaluation of an approximate retrieval run against exact
+    ground truth: per query, recall@k, MRR (reciprocal rank of the
+    true nearest neighbor inside the approximate list, 0 if missed)
+    and binary-relevance nDCG@k -- the metric triple every ANN index
+    deployment is judged on.
+
+    Both inputs are (query_id, neighbor_id, rk) top-k frames (the
+    shape `ivf_topk` / `brute_force_topk` emit).  Relevance is
+    membership in the exact top-k; discounts are pre-rounded decimal
+    literals (see _dcg_discount_literals) and the DCG sum is a
+    decimal sum, so both engines agree bit-for-bit.
+
+    Scale shape: a (|Q| x k) x (|Q| x k) equi-join on
+    (query_id, neighbor_id) plus one groupBy(query_id) -- evaluation
+    cost is independent of corpus size once the two searches ran."""
+    disc = _dcg_discount_literals(k)
+    idcg = sum(disc.values())  # ideal DCG: all k slots relevant
+    a = approx.select(
+        "query_id",
+        F.col("neighbor_id").alias("_nb"),
+        F.col("rk").alias("_rka"),
+    )
+    e = exact.select(
+        "query_id",
+        F.col("neighbor_id").alias("_nb"),
+        F.col("rk").alias("_rke"),
+    )
+    j = a.join(e, ["query_id", "_nb"], "left")
+    term = F.when(
+        F.col("_rke").isNotNull(),
+        F.coalesce(
+            *[
+                F.when(F.col("_rka") == i, F.lit(v))
+                for i, v in disc.items()
+            ]
+        ),
+    ).otherwise(F.lit(0.0))
+    mrr_term = F.when(
+        F.col("_rke") == 1,
+        F.round(F.lit(1.0) / F.col("_rka"), 6),
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.when(F.col("_rke").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_overlap"),
+        F.round(
+            F.count(F.when(F.col("_rke").isNotNull(), F.lit(1)))
+            / F.lit(float(k)),
+            4,
+        ).alias("recall_at_k"),
+        F.coalesce(F.max(mrr_term), F.lit(0.0)).alias("mrr"),
+        F.round(
+            F.sum(term.cast("decimal(18,6)")).cast("double") / F.lit(idcg)
+            + F.lit(1e-9),
+            4,
+        ).alias("ndcg_at_k"),
+    )

@@ -5560,6 +5560,89 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_eval_oracle() -> str:
+    """Oracle for ann_ivf_eval: replay the IVF leg and the brute-force
+    leg, join, and compute recall@k / MRR / nDCG@k with the SAME
+    pre-rounded decimal discount literals the Spark plan embeds (no
+    libm log2 in either engine)."""
+    from .operators.similarity import _dcg_discount_literals
+
+    disc = _dcg_discount_literals(_IVF_K)
+    idcg = sum(disc.values())
+    disc_case = " ".join(f"WHEN {i} THEN {v!r}" for i, v in disc.items())
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS ccos
+      FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({ids})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ), approx AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM cand) WHERE rk <= {_IVF_K}
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ), exact AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv,
+                         CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      ) WHERE rk <= {_IVF_K}
+    ), j AS (
+      SELECT a.query_id, a.rk AS rka, e.rk AS rke
+      FROM approx a LEFT JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COUNT(rke) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(rke) / {float(_IVF_K)}, 4) AS recall_at_k,
+           COALESCE(MAX(CASE WHEN rke = 1 THEN ROUND(1.0 / rka, 6) END), 0.0) AS mrr,
+           ROUND(CAST(SUM(CAST(CASE WHEN rke IS NOT NULL
+                        THEN (CASE rka {disc_case} END)
+                        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / {idcg!r} + 1e-9, 4) AS ndcg_at_k
+    FROM j GROUP BY query_id
+    """
+
+
+# IR-metric evaluation of the IVF index against brute-force ground
+# truth: recall@k, MRR, binary-relevance nDCG@k per query — the
+# metric triple an ANN deployment is judged on, with discount factors
+# embedded as shared decimal literals (no libm log2 on either engine).
+@register("ann_ivf_eval", _ann_eval_oracle())
+def ann_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    approx = similarity.ivf_topk(
+        emb,
+        _ANN_QUERY_IDS,
+        k=_IVF_K,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+    )
+    exact = similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_IVF_K)
+    return similarity.retrieval_eval_metrics(approx, exact, k=_IVF_K)
+
+
 @register(
     "topic_labels",
     """

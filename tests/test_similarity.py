@@ -282,3 +282,32 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert [r.neighbor_id for r in out] == [2, 4]
     assert all(r.neighbor_label != r.query_label for r in out)
     assert [r.rk for r in out] == [1, 2]
+
+
+def test_retrieval_eval_metrics_hand_case(spark):
+    """recall/MRR/nDCG on a hand-checkable 2-query case."""
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        _dcg_discount_literals,
+        retrieval_eval_metrics,
+    )
+
+    # q1: approx got the true #1 at rank 2, one miss at rank 3
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3),
+         (2, 20, 1), (2, 98, 2), (2, 97, 3)],
+        "query_id long, neighbor_id long, rk int",
+    )
+    exact = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 12, 3),
+         (2, 21, 1), (2, 22, 2), (2, 23, 3)],
+        "query_id long, neighbor_id long, rk int",
+    )
+    out = {r.query_id: r for r in
+           retrieval_eval_metrics(approx, exact, k=3).collect()}
+    d = _dcg_discount_literals(3)
+    idcg = d[1] + d[2] + d[3]
+    assert (out[1].n_overlap, out[1].recall_at_k) == (2, round(2 / 3, 4))
+    assert out[1].mrr == 0.5                      # true #1 found at rank 2
+    assert out[1].ndcg_at_k == round((d[1] + d[2]) / idcg + 1e-9, 4)
+    # q2: only approx rank-1 is relevant (exact rank... none match)
+    assert (out[2].n_overlap, out[2].mrr, out[2].ndcg_at_k) == (0, 0.0, 0.0)
