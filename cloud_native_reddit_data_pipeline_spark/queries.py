@@ -7530,6 +7530,56 @@ def gopher_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Batch-prep CAPSTONE: Gopher gate -> shard -> greedy token packing ->
+# per-pack stats, the "prepare training batches" pipeline composed as
+# ONE plan with ONE composed oracle (gate CTE reused verbatim).  Packs
+# are 2048-token budgeted within pmod-32 shards (the scale-safe
+# sequence_packing shape); fill_frac is sum/2048, which can never tie
+# at 4 decimals (2048 is dyadic, 5e-5 is not).
+@register(
+    "training_batch_prepare",
+    f"""
+    WITH gate AS ({_ORACLES["gopher_quality_gate"]}),
+    kept AS (
+      SELECT doc_id, doc_id % 32 AS shard, n_words AS n_tok
+      FROM gate WHERE pass_gate
+    ), c AS (
+      SELECT doc_id, shard, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM kept
+    ), p AS (
+      SELECT doc_id, shard, n_tok,
+             shard * {1 << 32} + CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT)
+               AS pack_id
+      FROM c
+    )
+    SELECT shard, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_tok) AS BIGINT) / 2048.0, 4) AS fill_frac
+    FROM p GROUP BY shard, pack_id
+    """,
+)
+def training_batch_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import packing
+
+    gate = textstats.gopher_quality_gate(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    kept = gate.filter(F.col("pass_gate")).select(
+        "doc_id", F.col("n_words").alias("n_tok")
+    )
+    packed = packing.pack_sequences(kept, 2048, n_shards=32)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_tok").cast("long") / F.lit(2048.0), 4
+        ).alias("fill_frac"),
+    )
+
+
 # Daily OHLC bars per event type — timeseries candlestick downsampling
 # (open/close via strict (ts, event_id) order, exact-decimal mean).
 @register(
