@@ -132,6 +132,13 @@ HEADLINE = [
     "cross_source_duplication",
     "linear_attribution",
     "dsir_importance_resample",
+    "line_dedup_corpus",
+    "phrase_search_slop",
+    "gopher_quality_gate",
+    "entity_resolution",
+    "hard_negative_mining",
+    "ann_ivf_eval",
+    "training_batch_prepare",
     # bitext: the LSH-bounded scale form is benched; the brute A x B
     # twin (bitext_margin_mine) is correctness-gated only, same policy
     # as the exact-Jaccard joins

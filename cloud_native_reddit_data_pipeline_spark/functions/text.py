@@ -84,14 +84,27 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """n-word shingles as array<string> — input to MinHash / Jaccard dedup.
 
-    Built with sequence+transform over the token array: stays JVM-side,
-    no explode needed when only the shingle set is wanted.
-    """
+    Built by zip_with-ing the token array against its shifted slices:
+    stays JVM-side, no explode needed when only the shingle set is
+    wanted.  The shape matters: higher-order-function ARGUMENTS are
+    evaluated once per row, but any non-lambda-variable subexpression
+    in a lambda BODY re-evaluates per element — the previous
+    sequence+transform form computed slice(tokens(col)) inside the
+    lambda, re-running the regex tokenizer O(len) times per row
+    (measured ~6x per-row cost on every shingle consumer in the 10x
+    scale smoke).  Here tokens(col) appears only in argument position,
+    so the tokenizer runs a constant ~2n times per row."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    acc = toks
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(
         F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        F.slice(acc, 1, F.size(toks) - (n - 1)),
     ).otherwise(F.array())
 
 

@@ -775,6 +775,103 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dedup-quality AUDIT: candidate precision/recall of the MinHash-LSH
+# band index against exact shingle-Jaccard ground truth (threshold
+# 0.2, same df-capped shingle universe as ngram_jaccard_pairs) — the
+# measurement that justifies an LSH band/row configuration before it
+# filters 100 TB.  One audit row; both legs replayed in the oracle.
+@register(
+    "lsh_candidate_audit",
+    f"""
+    WITH {_SHINGLE_SQL}, sig AS (
+      SELECT doc_id, {_MINHASH_AGGS_SQL}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+    ), shk AS (
+      SELECT sh.* FROM sh JOIN kept USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM shk GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.2
+    ), hit AS (
+      SELECT c.id_a, c.id_b FROM cand c JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN 0.0
+                ELSE ROUND((SELECT COUNT(*) FROM hit)
+                     / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+                     + 1e-9, 4) END AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0.0
+                ELSE ROUND((SELECT COUNT(*) FROM hit)
+                     / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
+                     + 1e-9, 4) END AS recall
+    """,
+)
+def lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MINHASH_K)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_MINHASH_K, bands=4
+    )
+    truth = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    hit = cand.join(truth, ["id_a", "id_b"])
+    n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_c.crossJoin(n_t)
+        .crossJoin(n_h)
+        .select(
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.when(F.col("n_candidates") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hit") / F.col("n_candidates").cast("double")
+                    + F.lit(1e-9),
+                    4,
+                )
+            )
+            .alias("precision"),
+            F.when(F.col("n_truth") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hit") / F.col("n_truth").cast("double")
+                    + F.lit(1e-9),
+                    4,
+                )
+            )
+            .alias("recall"),
+        )
+    )
+
+
 # SimHash 60-bit signatures (shared md5 bit-vote formulation).
 @register(
     "simhash_signatures",

@@ -52,6 +52,15 @@ DEFAULT_QUERIES = [
     "ecdf_normalize_lengths",
     "touch_attribution",
     "stratified_split",
+    # round-7 additions (entity_resolution is omitted: it runs on the
+    # part catalog, which the scaled data keeps FIXED by design, so a
+    # smoke ratio would measure nothing)
+    "line_dedup_corpus",
+    "phrase_search_slop",
+    "gopher_quality_gate",
+    "ann_ivf_eval",
+    "hard_negative_mining",
+    "training_batch_prepare",
 ]
 
 
