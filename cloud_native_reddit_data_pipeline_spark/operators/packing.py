@@ -107,9 +107,16 @@ def chunk_fixed_sequences(
     plan is scan -> map, embarrassingly parallel."""
     from ..functions.text import tokens
 
-    toks = tokens(text_col)
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(float(seq_len))).cast("int")
+    # Stage the token array as a column: the transform lambda below
+    # must reference an ATTRIBUTE, not the tokenizer expression — a
+    # non-lambda-variable subexpression in a lambda body re-evaluates
+    # per element, which would tokenize a 1M-token document once per
+    # chunk (quadratic per row; the word_shingles lesson).
+    staged = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).filter(F.size("_tk") > 0)
+    toks = F.col("_tk")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(seq_len))).cast("int")
     chunk = F.explode(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
@@ -119,16 +126,12 @@ def chunk_fixed_sequences(
             ),
         )
     )
-    return (
-        docs.filter(n > 0)
-        .select(F.col(id_col), chunk.alias("ck"))
-        .select(
-            id_col,
-            F.col("ck.chunk_id").alias("chunk_id"),
-            F.size("ck.t").alias("n_chunk_tokens"),
-            (F.lit(seq_len) - F.size("ck.t")).alias("n_pad"),
-            F.array_join("ck.t", " ").alias("chunk_text"),
-        )
+    return staged.select(F.col(id_col), chunk.alias("ck")).select(
+        id_col,
+        F.col("ck.chunk_id").alias("chunk_id"),
+        F.size("ck.t").alias("n_chunk_tokens"),
+        (F.lit(seq_len) - F.size("ck.t")).alias("n_pad"),
+        F.array_join("ck.t", " ").alias("chunk_text"),
     )
 
 
@@ -150,9 +153,12 @@ def sliding_chunks(
     explode emits finished chunks, no shuffle at any corpus size."""
     from ..functions.text import tokens
 
-    toks = tokens(text_col)
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    # token array staged as an attribute: see chunk_fixed_sequences
+    staged = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).filter(F.size("_tk") > 0)
+    toks = F.col("_tk")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(stride))).cast("int")
     chunk = F.explode(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
@@ -162,14 +168,10 @@ def sliding_chunks(
             ),
         )
     )
-    return (
-        docs.filter(n > 0)
-        .select(F.col(id_col), chunk.alias("ck"))
-        .select(
-            id_col,
-            F.col("ck.chunk_id").alias("chunk_id"),
-            (F.col("ck.chunk_id") * stride).alias("start_token"),
-            F.size("ck.t").alias("n_chunk_tokens"),
-            F.array_join("ck.t", " ").alias("chunk_text"),
-        )
+    return staged.select(F.col(id_col), chunk.alias("ck")).select(
+        id_col,
+        F.col("ck.chunk_id").alias("chunk_id"),
+        (F.col("ck.chunk_id") * stride).alias("start_token"),
+        F.size("ck.t").alias("n_chunk_tokens"),
+        F.array_join("ck.t", " ").alias("chunk_text"),
     )
