@@ -7282,6 +7282,114 @@ def streaming_span_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def _streaming_line_dedup_oracle() -> str:
+    """Two-micro-batch replay of the streaming line-dedup protocol
+    (streaming/lines.py): batch 1 = first 150 docs, batch 2 = 50
+    batch-1 texts re-sent under +1M ids plus the last 50 docs.  The
+    store after batch 1 is the distinct line-hash set; batch-2 lines
+    hitting it drop, the rest follow the within-batch keeper rule."""
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200),
+    b1 AS (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 150),
+    rep AS (SELECT doc_id + 1000000 AS doc_id, text FROM
+            (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 50)),
+    fresh AS (SELECT doc_id, text FROM base ORDER BY doc_id DESC LIMIT 50),
+    allb AS (
+      SELECT 1 AS batch, doc_id, text FROM b1
+      UNION ALL SELECT 2, doc_id, text FROM rep
+      UNION ALL SELECT 2, doc_id, text FROM fresh
+    ), d AS (SELECT batch, doc_id, {_TOKS_SQL} AS t FROM allb),
+    lns AS (
+      SELECT batch, doc_id, u.line_no, u.line,
+             ('0x' || substring(md5(u.line), 1, 15))::BIGINT AS h
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS line_no,
+               unnest(list_transform(
+                 generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                 i -> array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' '))) AS line
+      ) u
+      WHERE len(t) > 0
+    ), store AS (SELECT DISTINCT h FROM lns WHERE batch = 1),
+    stats AS (
+      SELECT batch, h, COUNT(*) AS cnt,
+             MIN({{'kid': doc_id, 'kline': line_no}}) AS keeper
+      FROM lns GROUP BY batch, h
+    ), kept AS (
+      SELECT l.batch, l.doc_id, l.line_no, l.line,
+             (NOT (l.batch = 2 AND l.h IN (SELECT h FROM store)))
+             AND (s.cnt < 2 OR (l.doc_id = (s.keeper).kid
+                                AND l.line_no = (s.keeper).kline)) AS keep
+      FROM lns l JOIN stats s ON s.batch = l.batch AND s.h = l.h
+    ), agg AS (
+      SELECT batch, doc_id, COUNT(*) AS n_lines,
+             COUNT(*) FILTER (WHERE keep) AS n_kept_lines,
+             COALESCE(array_to_string(
+               list(line ORDER BY line_no) FILTER (WHERE keep), ' '), '') AS ct
+      FROM kept GROUP BY batch, doc_id
+    )
+    SELECT a0.doc_id,
+           CAST(COALESCE(g.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(g.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+           COALESCE(g.ct, '') AS cleaned_text
+    FROM allb a0 LEFT JOIN agg g ON g.batch = a0.batch AND g.doc_id = a0.doc_id
+    """
+
+
+@register("streaming_line_dedup", _streaming_line_dedup_oracle())
+def streaming_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CCNet line dedup AS A STREAM (streaming/lines.py):
+    batch 1 seeds the corpus + line-hash store; batch 2 re-sends 50
+    batch-1 texts under new ids (every line already accepted — they
+    arrive emptied) and 50 fresh docs (arrive whole, minus any
+    boilerplate lines batch 1 already owns).  HARD-gated: the
+    line-store protocol is deterministic given the batch split, so the
+    oracle replays BOTH micro-batches in SQL — same 60-bit line
+    hashes, same store-hit drop, same within-batch keeper rule — and
+    every doc's (n_lines, n_kept_lines, cleaned_text) value-hashes
+    against it.  Crash-replay idempotency is pytest-pinned
+    (tests/test_streaming_lines.py)."""
+    import os
+    import tempfile
+
+    from .streaming.lines import start_line_dedup_stream
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        b1 = docs.limit(150)
+        repeats = docs.limit(50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        fresh = docs.orderBy(F.desc("doc_id")).limit(50)
+        b1.coalesce(1).write.json(f"{src}/b0")
+        repeats.unionByName(fresh).coalesce(1).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_line_dedup_stream(
+            stream, f"{tmp}/corpus", f"{tmp}/store", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = (
+            spark.read.parquet(f"{tmp}/corpus")
+            .select("doc_id", "n_lines", "n_kept_lines", "cleaned_text")
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-frequency operators: global n-gram mining and Zipf diagnostics
 # (tokenizer-vocabulary / boilerplate-detection building blocks).
