@@ -7685,6 +7685,76 @@ def phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tokenizer FERTILITY by language (tokens-per-word, the multilingual
+# tokenizer-equity metric XLM-R/mT5 report per language): learn 12 BPE
+# merges on the corpus, encode, aggregate per lang.  The oracle reuses
+# the unrolled BPE CTE chain with a per-language tail.
+def _tokenizer_fertility_oracle() -> str:
+    from .operators.bpe import _bpe_cte_prefix
+
+    return (
+        _bpe_cte_prefix(12)
+        + """,
+    doc_words AS MATERIALIZED (
+      SELECT doc_id, w, COUNT(*) AS n FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                 x -> lower(x))) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    enc AS MATERIALIZED (
+      SELECT w, len(syms) AS n_bpe FROM v12
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(n) AS n_words, SUM(n * n_bpe) AS n_bpe
+      FROM doc_words JOIN enc USING (w) GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(p.n_bpe) / (1.0 * SUM(p.n_words)) + 1e-9, 4) AS fertility
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+    )
+
+
+@register("tokenizer_fertility", _tokenizer_fertility_oracle())
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-encode BPE fertility per language: how many BPE
+    tokens each language pays per word under a shared vocabulary — the
+    per-language tokenization-cost audit every multilingual training
+    mix needs (a high-fertility language is under-served by the
+    vocabulary).  Rides the hard-oracled bpe_merges/bpe_encode
+    machinery (operators/bpe.py); one extra lang join + groupBy."""
+    from .operators.bpe import bpe_encode_stats, learn_bpe_merges
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs, "text", n_merges=12).collect()
+    ]
+    stats = bpe_encode_stats(docs, "doc_id", "text", merges)
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens")
+                / (F.lit(1.0) * F.sum("n_words"))
+                + F.lit(1e-9),
+                4,
+            ).alias("fertility"),
+        )
+    )
+
+
 # Gopher/MassiveText composite quality gate (Rae et al. 2021 App. A):
 # per-rule booleans + conjunction, every ratio compared in EXACT
 # integer arithmetic (3n <= sum_len <= 10n etc.) so both engines agree
