@@ -343,8 +343,10 @@ def bigram_lm_perplexity(
     perplexity = exp(cross_entropy).  Docs with < 2 tokens carry NULLs.
 
     Scale shape: bigram pairs are built JVM-side from the token array
-    (sequence+element_at — no window, no per-token shuffle) after a
-    fan_out (the explode is the compute-heavy stage; no-op at scale);
+    (zip_with against the shifted slice — tokens only in argument
+    position, so the tokenizer runs a constant number of times per ROW,
+    never per element; the word_shingles lesson) after a fan_out (the
+    explode is the compute-heavy stage; no-op at scale);
     instances pre-aggregate per (doc, bigram) so the count join moves
     one row per distinct bigram per doc, not one per token.  The model
     table is ONE subtree — bigram counts with the context total
@@ -357,15 +359,14 @@ def bigram_lm_perplexity(
     """
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     pair_t = "array<struct<prev:string,cur:string>>"
+    zipped = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
     pairs = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("prev"),
-                F.element_at(toks, i + 1).alias("cur"),
-            ),
-        ),
+        F.slice(zipped, 1, F.size(toks) - 1),
     ).otherwise(F.array().cast(pair_t))
     from pyspark.sql import Window
 
