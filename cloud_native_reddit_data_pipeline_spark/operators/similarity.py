@@ -427,15 +427,22 @@ def int8_quantize(
     quantized codes plus the max reconstruction error for QA."""
     from ..functions.vectors import as_double
 
-    v = as_double(F.col(vec_col))
-    max_abs = F.aggregate(
-        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    # max|x| is staged as an attribute: referencing the O(d) aggregate
+    # expression inside the transform/zip_with lambda bodies would
+    # re-fold it once per ELEMENT (O(d^2) per row — the word_shingles
+    # lesson); as an attribute the per-element reference is one read.
+    staged = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn(
+        "_ma",
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
     )
-    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
-    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    ma = F.col("_ma")
+    scale = F.when(ma > 0, F.lit(127.0) / ma).otherwise(F.lit(0.0))
+    q = F.transform(F.col("_v"), lambda x: F.round(x * scale).cast("int"))
     recon_err = F.aggregate(
         F.zip_with(
-            v,
+            F.col("_v"),
             q,
             lambda x, c: F.abs(
                 x - F.when(scale > 0, c.cast("double") / scale).otherwise(F.lit(0.0))
@@ -444,10 +451,10 @@ def int8_quantize(
         F.lit(0.0),
         lambda a, e: F.greatest(a, e),
     )
-    return emb.select(
+    return staged.select(
         F.col(id_col),
         q.alias("q8"),
-        F.round(max_abs + F.lit(1e-9), 6).alias("max_abs"),
+        F.round(ma + F.lit(1e-9), 6).alias("max_abs"),
         F.round(recon_err + F.lit(1e-9), 6).alias("max_recon_err"),
     )
 
