@@ -3293,12 +3293,22 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Entity-resolution CAPSTONE: the full ER pipeline composed end-to-end
-# (blocking -> pairwise Levenshtein verify -> connected-component
-# clustering -> keep-best canonicalization) — one entity row per
-# matched cluster with its canonical record.  The Spark leg runs
-# large-star/small-star components; the oracle replays the same edges
-# through a recursive-CTE transitive closure and the same
-# longest-name/lowest-key keeper policy via a struct-min.
+# (blocking -> distinct-name collapse -> pairwise Levenshtein verify ->
+# connected-component clustering -> keep-best canonicalization) — one
+# entity row per matched cluster with its canonical record.  The pair
+# stage is `dedup.blocked_entity_edges`: the Levenshtein join runs on
+# DISTINCT (name, block) rows (64 names vs 20k entities on the sf0.1
+# part table — the fuzzy_match_stats collapse, r7-verdict task 1),
+# same-name members attach to their group rep through a star, and
+# blocks over ER_MAX_BLOCK_NAMES distinct names switch to star pairing
+# against the block-min name (the hot-block cap every other pair
+# generator here carries).  Closure-equivalent to the naive blocked
+# entity self-join below the cap — the oracle replays the SAME
+# collapsed edge construction through a recursive-CTE transitive
+# closure and the same longest-name/lowest-key keeper via struct-min.
+_ER_MAX_BLOCK_NAMES = 256
+
+
 @register(
     "entity_resolution",
     """
@@ -3306,11 +3316,26 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey, p_name,
              split_part(p_name, ' ', 2) || '|' || substring(p_name, 1, 1) AS blk
       FROM part
+    ), nm AS (
+      SELECT p_name, blk, COUNT(*) AS cnt, MIN(p_partkey) AS rep
+      FROM p GROUP BY 1, 2
+    ), bsz AS (
+      SELECT blk, COUNT(*) AS nn, MIN(p_name) AS min_nm FROM nm GROUP BY 1
+    ), nmb AS (
+      SELECT n.*, z.nn, z.min_nm FROM nm n JOIN bsz z USING (blk)
     ), pairs AS (
-      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-      FROM p a JOIN p b
-        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      SELECT a.rep AS id_a, b.rep AS id_b
+      FROM nmb a JOIN nmb b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE a.nn <= {ER_CAP} AND levenshtein(a.p_name, b.p_name) <= 2
+      UNION ALL
+      SELECT r.rep, m.rep
+      FROM nmb m JOIN nmb r ON r.blk = m.blk AND r.p_name = m.min_nm
+      WHERE m.nn > {ER_CAP} AND m.p_name <> m.min_nm
+        AND levenshtein(r.p_name, m.p_name) <= 2
+      UNION ALL
+      SELECT n.rep, e.p_partkey
+      FROM nm n JOIN p e ON e.p_name = n.p_name AND e.blk = n.blk
+      WHERE n.cnt > 1 AND e.p_partkey <> n.rep
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
@@ -3333,30 +3358,22 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
            pp.p_name AS canonical_name,
            CAST(b.n_members AS BIGINT) AS n_members
     FROM best b JOIN part pp ON (b.kk).b = pp.p_partkey
-    """,
+    """.replace("{ER_CAP}", str(_ER_MAX_BLOCK_NAMES)),
 )
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part").select(
+    p = load(spark, sf_dir, "part")
+    blk = F.concat_ws(
+        "|",
+        F.split(F.col("p_name"), " ").getItem(1),
+        F.substring(F.col("p_name"), 1, 1),
+    )
+    pairs = dedup.blocked_entity_edges(
+        p,
         "p_partkey",
         "p_name",
-        F.concat_ws(
-            "|",
-            F.split(F.col("p_name"), " ").getItem(1),
-            F.substring(F.col("p_name"), 1, 1),
-        ).alias("blk"),
-    )
-    a, b = p.alias("a"), p.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
-        .select(
-            F.col("a.p_partkey").alias("id_a"),
-            F.col("b.p_partkey").alias("id_b"),
-        )
+        blk,
+        max_distance=2,
+        max_block_names=_ER_MAX_BLOCK_NAMES,
     )
     comp = dedup.connected_components(pairs)
     docs = load(spark, sf_dir, "part").select(

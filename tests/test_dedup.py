@@ -566,3 +566,94 @@ def test_entity_resolution_pipeline(spark, tmp_path):
     assert set(rows) == {1}
     assert rows[1].n_members == 3
     assert rows[1].keeper_id == 3
+
+
+def _naive_blocked_components(spark, p):
+    """Transitive closure of the raw blocked all-pairs entity join —
+    the semantics blocked_entity_edges must reproduce below the cap."""
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+        )
+    )
+    return {
+        (r.node, r.label) for r in dedup.connected_components(pairs).collect()
+    }
+
+
+def test_blocked_entity_edges_closure_equivalent_below_cap(spark):
+    """Distinct-name collapse + same-name star reproduce the naive
+    blocked join's components exactly — including duplicate names
+    (star within a name group) and cross-name chains through a rep."""
+    rows = [
+        (1, "azure steel widget"),
+        (2, "azure steel widget"),   # exact dup of #1 (same-name star)
+        (3, "azure steel widgit"),   # lev 1 of widget
+        (4, "azure steel widgets"),  # lev 1 of widget, lev 2 of widgit
+        (5, "azure steel bracket"),  # lev > 2 of the widget group
+        (6, "rose iron plate"),
+        (7, "rose iron plate"),      # dup pair with NO cross-name match
+        (8, "mint alloy cog"),       # singleton: must not appear at all
+    ]
+    p = spark.createDataFrame(rows, "p_partkey long, p_name string").withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            F.split(F.col("p_name"), " ").getItem(1),
+            F.substring(F.col("p_name"), 1, 1),
+        ),
+    )
+    edges = dedup.blocked_entity_edges(
+        p, "p_partkey", "p_name", F.col("blk"), max_distance=2,
+        max_block_names=256,
+    )
+    got = {(r.node, r.label) for r in dedup.connected_components(edges).collect()}
+    assert got == _naive_blocked_components(spark, p)
+    # and the structural claims directly: {1,2,3,4} one entity, {6,7}
+    # another, 5 and 8 absent
+    labels = dict(got)
+    assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+    assert labels[6] == labels[7] == 6
+    assert 5 not in labels and 8 not in labels
+
+
+def test_blocked_entity_edges_hot_block_star_cap(spark):
+    """A block over max_block_names distinct names switches to star
+    pairing against the block-min name: pair count is linear in names,
+    and anything the capped generator links still merges downstream."""
+    # 10 distinct names in one block, all within lev<=2 of each other
+    rows = [(i, f"blue tin x{i}") for i in range(10)]
+    p = spark.createDataFrame(rows, "p_partkey long, p_name string").withColumn(
+        "blk", F.lit("tin|b")
+    )
+    capped = dedup.blocked_entity_edges(
+        p, "p_partkey", "p_name", F.col("blk"), max_distance=2,
+        max_block_names=4,
+    ).collect()
+    # star: block-min name ("blue tin x0") vs each of the other 9
+    assert len(capped) == 9
+    assert {r.id_a for r in capped} == {0}
+    # all-pairs below the cap would be 45
+    full = dedup.blocked_entity_edges(
+        p, "p_partkey", "p_name", F.col("blk"), max_distance=2,
+        max_block_names=64,
+    )
+    assert full.count() == 45
+    # components are identical either way: the star keeps the block
+    # connected through its rep
+    cc_capped = {
+        (r.node, r.label)
+        for r in dedup.connected_components(
+            spark.createDataFrame(capped)
+        ).collect()
+    }
+    cc_full = {(r.node, r.label) for r in dedup.connected_components(full).collect()}
+    assert cc_capped == cc_full
