@@ -67,8 +67,10 @@ stock [-4, 4] scale, grown round over round from the published
 ICWSM-2014 word list (the MIT ``vader_lexicon.txt`` file itself is not
 shippable in this container, so the final inflectional tail carries
 family-interpolated valences rather than the stock turker means —
-documented per batch); ``load_lexicon_file`` parses the standard TSV
-so the real file remains a drop-in replacement at deploy time.
+those entries are tagged programmatically in ``INTERPOLATED_ENTRIES``
+so a dropped-in real TSV can be diffed against exactly that set);
+``load_lexicon_file`` parses the standard TSV so the real file remains
+a drop-in replacement at deploy time.
 """
 
 from __future__ import annotations
@@ -2188,10 +2190,18 @@ VADER_LEXICON: dict[str, float] = {
     "sufferer": -1.9, "sufferers": -1.8, "suffocatingly": -2.1,
     "suitably": 1.0, "superficially": -1.1, "superlative": 2.0,
     "suspensefully": 0.3, "swiftness": 1.1,
-    # --- round-7 growth: final tail — inflectional/derivational family
-    # completion for stems already present (the ICWSM-2014 list rates
-    # inflections as separate entries; valences follow each family's
-    # in-lexicon neighbors on the stock [-4, 4] scale) ---
+}
+
+# --- round-7 growth: final tail — inflectional/derivational family
+# completion for stems already present (the ICWSM-2014 list rates
+# inflections as separate entries).  These valences are FAMILY-
+# INTERPOLATED (each follows its family's in-lexicon neighbors on the
+# stock [-4, 4] scale), NOT published turker means — kept as a separate
+# dict so `INTERPOLATED_ENTRIES` below can tag them programmatically:
+# a future drop-in of the real MIT ``vader_lexicon.txt`` can be diffed
+# against exactly this set, and consumers can quantify the divergence
+# (r7 ADVICE).
+_FAMILY_INTERPOLATED: dict[str, float] = {
     "abandoner": -1.9, "abandoners": -1.9, "abandoning": -1.9,
     "abandonment": -2.4, "abandonments": -2.2, "abductions": -2.2,
     "abhorring": -2.4, "abilities": 1.0, "abominably": -2.7,
@@ -2211,6 +2221,12 @@ VADER_LEXICON: dict[str, float] = {
     "avenging": -1.4, "avert": -0.8, "averted": -0.6, "awaits": 0.3,
     "backer": 1.1, "backers": 1.0, "bankruptcies": -2.3,
 }
+
+# words whose embedded valence is interpolated rather than a published
+# turker mean — diff a dropped-in stock TSV against this set
+INTERPOLATED_ENTRIES: frozenset[str] = frozenset(_FAMILY_INTERPOLATED)
+
+VADER_LEXICON.update(_FAMILY_INTERPOLATED)
 
 _NT_SUFFIX = "n't"
 

@@ -88,6 +88,7 @@ def with_global_row_numbers(
     order: list[Column],
     col_name: str = "_rn",
     checkpoint: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Contiguous 1-based global row numbers in `order`, WITHOUT a
     single-partition sort: range-repartition on the order (parallel sort
@@ -109,18 +110,32 @@ def with_global_row_numbers(
     before returning.  `order` must be a TOTAL order for the numbering
     to be deterministic.
 
-    ``checkpoint=False`` exposes the LAZY plan for audits and skips the
-    persist entirely — the caller owns pinning; executing that plan can
-    renumber rows if the sampled range shuffle recomputes between the
-    offset pass and the numbering pass.  (Persisting here without a
-    release handle would leak the pin for the session lifetime.)"""
+    ``checkpoint=False`` returns the LAZY plan (for audits, or so a
+    caller can fuse several rank passes into one materialization).  The
+    offsets and numbering subplans BOTH read the sampled range shuffle,
+    and two physical instantiations of it can sample different
+    boundaries (RangePartitioner's seed hashes the rdd id) — safe only
+    if the ReuseExchange rule dedups the subtrees, which is an
+    optimizer behavior, not a contract.  So the lazy form requires a
+    `pins` list: the range-shuffled frame is persist()ed and appended
+    to it, and the CALLER unpersists after materializing (persisting
+    here without that release handle would leak the pin for the
+    session lifetime — the reason checkpoint=False without `pins` is
+    refused rather than left silently reuse-dependent)."""
+    if not checkpoint and pins is None:
+        raise ValueError(
+            "with_global_row_numbers(checkpoint=False) needs a `pins` "
+            "list: the lazy plan reads the sampled range shuffle from "
+            "two subplans, so it must be pinned until the caller "
+            "materializes (then unpersist the pinned frames)"
+        )
     srt = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
-    )
-    if checkpoint:
-        srt = srt.persist()
+    ).persist()
+    if not checkpoint:
+        pins.append(srt)
     try:
         pcnt = srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pt"))
         w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -136,8 +151,8 @@ def with_global_row_numbers(
         )
         # materialize before releasing the pin: the result must never
         # re-execute the sampled range shuffle with fresh boundaries
-        # (checkpoint=False exposes the lazy plan for audits — the
-        # caller then owns pinning/materialization)
+        # (checkpoint=False hands back the lazy plan — the pinned srt
+        # is in `pins`, released by the caller after materializing)
         return out.localCheckpoint(eager=True) if checkpoint else out
     finally:
         if checkpoint:
@@ -150,6 +165,7 @@ def with_global_cumsum(
     sum_col: str,
     out_col: str,
     checkpoint: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Inclusive cumulative sum of `sum_col` over a global `order`,
     WITHOUT a single-partition sort — the prefix-sum sibling of
@@ -167,14 +183,23 @@ def with_global_cumsum(
     shuffle here spreads the sort across the cluster at any domain
     cardinality.  Same pinning contract as `with_global_row_numbers`:
     the sampled range shuffle is persisted while materializing so
-    offsets and local sums never see different boundaries."""
+    offsets and local sums never see different boundaries; the lazy
+    form (checkpoint=False) requires a `pins` list the caller
+    unpersists after materializing."""
+    if not checkpoint and pins is None:
+        raise ValueError(
+            "with_global_cumsum(checkpoint=False) needs a `pins` list: "
+            "the lazy plan reads the sampled range shuffle from two "
+            "subplans, so it must be pinned until the caller "
+            "materializes (then unpersist the pinned frames)"
+        )
     srt = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
-    )
-    if checkpoint:
-        srt = srt.persist()
+    ).persist()
+    if not checkpoint:
+        pins.append(srt)
     try:
         ptot = srt.groupBy("_pid").agg(F.sum(sum_col).alias("_pt"))
         w_off = (

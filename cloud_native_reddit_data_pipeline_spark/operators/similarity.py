@@ -22,6 +22,17 @@ from ..caching import materialize_and_release
 from ..functions.vectors import cosine, hyperplane_bits, make_planes
 
 
+def vector_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Dimensionality of `vec_col`, read from one row (None if the
+    frame is EMPTY — callers must handle it; `.first()["d"]` on an
+    empty side raised a bare TypeError, r7 ADVICE).  Plane generation
+    trusts the first row's width by design: a ragged embedding column
+    is an upstream data bug the hyperplane dot product would surface
+    immediately, not a case to probe the whole corpus for."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else row["d"]
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -149,8 +160,13 @@ def lsh_topk(
     from ..sources.tables import fan_out
 
     emb = fan_out(emb)
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = make_planes(first["d"], n_planes)
+    d = vector_dim(emb, vec_col)
+    if d is None:
+        raise ValueError(
+            "lsh_topk: empty corpus — no vectors to derive the "
+            "hyperplane dimensionality from"
+        )
+    planes = make_planes(d, n_planes)
     rows_per_band = n_planes // bands
 
     sig = emb.select(
@@ -799,9 +815,8 @@ def lsh_band_candidates(
     one embedding_neardup documents, recovered downstream by the
     margin re-rank over whatever candidates survive."""
 
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        planes = make_planes(first["d"], n_planes)
+    def banded(df: DataFrame, out_id: str, d: int) -> DataFrame:
+        planes = make_planes(d, n_planes)
         rpb = n_planes // bands
         sig = df.select(
             F.col(id_col).alias(out_id),
@@ -822,8 +837,19 @@ def lsh_band_candidates(
 
     from ..sources.tables import fan_out
 
-    ba = banded(fan_out(side_a), "id_a")
-    bb = banded(fan_out(side_b), "id_b")
+    fa, fb = fan_out(side_a), fan_out(side_b)
+    da, db = vector_dim(fa, vec_col), vector_dim(fb, vec_col)
+    if da is None or db is None:
+        # an empty side has no candidates by definition — return an
+        # empty pair frame with the join output's column types instead
+        # of a TypeError from .first() (r7 ADVICE)
+        return (
+            side_a.select(F.col(id_col).alias("id_a"))
+            .limit(0)
+            .crossJoin(side_b.select(F.col(id_col).alias("id_b")).limit(0))
+        )
+    ba = banded(fa, "id_a", da)
+    bb = banded(fb, "id_b", db)
     if max_bucket_size is None:
         return ba.join(bb, ["band", "key"]).select("id_a", "id_b").distinct()
     sz = (

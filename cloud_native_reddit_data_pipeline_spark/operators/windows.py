@@ -404,6 +404,7 @@ def rfm_segments(
         "recency_days", F.datediff(F.col("_ref_day"), F.col("_last_day"))
     )
     base = base.persist()
+    pins: list = []
     try:
         # one-row count, broadcast into each rank pass: the tile
         # arithmetic rides inside the single materialization instead of
@@ -419,18 +420,22 @@ def rfm_segments(
         # range shuffle moves two columns, not the widening full frame
         # (round 7: previously the three passes chained on the full
         # frame with a localCheckpoint each, so pass 3 re-materialized
-        # everything pass 1 and 2 had added).  checkpoint=False is safe
-        # here because the input is PINNED (base.persist above) and
-        # range-shuffle boundary sampling is deterministic per
-        # partition, so the offsets and numbering subplans see the same
-        # boundaries; all three lazy rank plans then fuse into the ONE
-        # materialization the caller runs
+        # everything pass 1 and 2 had added).  checkpoint=False keeps
+        # the three rank plans lazy so they fuse into the ONE
+        # materialization below; each pass's sampled range shuffle is
+        # pinned via `pins` (two narrow columns per axis) because the
+        # offsets and numbering subplans both read it and consistency
+        # across two physical instantiations is NOT guaranteed — the
+        # RangePartitioner sample seed hashes the rdd id, so safety
+        # must not rest on the ReuseExchange rule deduping the
+        # subtrees (r7 ADVICE)
         for tile, (axis_col, order) in axes.items():
             ranked = with_global_row_numbers(
                 base.select("user_id", axis_col),
                 order,
                 col_name="_rn",
                 checkpoint=False,
+                pins=pins,
             )
             tiles = ranked.crossJoin(n_users_df).select(
                 "user_id",
@@ -439,11 +444,14 @@ def rfm_segments(
                 ).alias(tile),
             )
             out = out.join(tiles, "user_id")
-        # materialize while base is still pinned (the lazy rank plans
-        # read it), then hand the caller a lineage-free result
+        # materialize while base and the range shuffles are still
+        # pinned (the lazy rank plans read them), then hand the caller
+        # a lineage-free result
         out = out.localCheckpoint(eager=True)
     finally:
         base.unpersist()
+        for p in pins:
+            p.unpersist()
     return (
         out
         .select(

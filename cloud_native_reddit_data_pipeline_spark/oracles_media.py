@@ -8,6 +8,17 @@ serve as the DuckDB oracle: a VALUES literal the engine output must
 hash-match exactly.  Any codec or feature-extraction regression goes
 red against these rows (the pinned-digest tactic from
 tests/test_multimodal.py, promoted to the driver's value-hash gate).
+
+Provenance (r8, closing the self-referentiality caveat): sample pins
+are CROSS-VALIDATED by independent decoders in
+tests/test_multimodal.py::test_media_feature_pins_cross_validated_independently
+— a manual RIFF chunk walk (no `wave` module), a zlib+struct PNG
+reader, and a from-spec Y4M parser, none sharing code with
+functions/{png,wav,y4m}.py, decode rows 0/1/2, match the decoded bytes
+against the synthetic GENERATION formula, and recompute the pinned
+feature_sum values (1.0 / 2.3366 / 10.7036) from that independently
+decoded data.  A bug in the repo codecs or feature extraction can no
+longer hide inside the pins.
 """
 
 MEDIA_FEATURES_ORACLE = """

@@ -26,8 +26,14 @@ def _running_totals_fn(key, pdf_iter, state: GroupState):
     (update output mode).
 
     The sum is ORDER-FREE EXACT: each value is quantized to 1e-6
-    (Decimal half-up — the same rule as Spark's and DuckDB's
-    double->DECIMAL(18,6) cast) and accumulated as integer micro-units,
+    (Decimal(float(x)) half-up — rounds the FULL BINARY value, the
+    same rule as DuckDB's double->DECIMAL(18,6) cast, i.e. the oracle
+    this state is hash-gated against; note Spark's own double->decimal
+    cast instead rounds the SHORTEST decimal repr
+    (BigDecimal.valueOf), which disagrees at representational
+    near-ties like 0.0000005 — don't compare this state against a
+    Spark-side decimal aggregate without switching to Decimal(repr(x))
+    as sentiment.py does) and accumulated as integer micro-units,
     so the total is independent of batch split and pandas summation
     order, and the final state value-hashes against a decimal SQL
     aggregate (the trimmed_mean_udaf tactic).  State stores the micro

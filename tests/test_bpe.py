@@ -161,3 +161,47 @@ def test_select_merge_batch_known_symbol_poison():
     # ab+c) double-form the same symbol — the second must conflict
     rows = [P("a", "bc", 10), P("ab", "c", 8), P("p", "q", 5)]
     assert _select_merge_batch(rows, 8) == [P("a", "bc", 10)]
+
+
+def test_bpe_oracle_early_stop_parity_on_degenerate_corpus(spark):
+    """r7-verdict task 3 'Done=' case: a corpus that exhausts mergeable
+    pairs before n_merges must leave BOTH legs equal — the engine
+    early-stops, and the oracle's per-round v{k} falls back to v{k-1}
+    via the NOT-EXISTS pass-through when best{k} is empty (without it,
+    every post-exhaustion CTE would go empty and the merge list and
+    encode stats would silently diverge)."""
+    import duckdb
+    import pandas as pd
+
+    from cloud_native_reddit_data_pipeline_spark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_merges_oracle_sql,
+        bpe_encode_oracle_sql,
+        learn_bpe_merges,
+    )
+
+    # "ab ab" fully merges in 2 rounds; ask for 6
+    df = spark.createDataFrame([(1, "ab ab"), (2, "ab")], "doc_id long, text string")
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [1, 2], "text": ["ab ab", "ab"]})
+    )
+
+    merges_engine = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in learn_bpe_merges(df, "text", n_merges=6).collect()
+    ]
+    merges_oracle = [tuple(r) for r in con.execute(bpe_merges_oracle_sql(6)).fetchall()]
+    assert len(merges_engine) == 2  # (a,b)->ab, (ab,</w>)->ab</w>
+    assert sorted(merges_engine) == sorted(merges_oracle)
+
+    pairs = [(le, r) for _, le, r, _, _ in sorted(merges_engine)]
+    enc_engine = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.chars_per_bpe_token)
+        for r in bpe_encode_stats(df, "doc_id", "text", pairs).collect()
+    }
+    enc_oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(bpe_encode_oracle_sql(6)).fetchall()
+    }
+    assert enc_engine == enc_oracle

@@ -407,3 +407,139 @@ def test_scene_changes_match_python_reference(spark):
                 want.setdefault(mid, []).append((i, i * 1000 * fd // fn))
     assert {k: sorted(v) for k, v in got.items()} == want
     assert any(want.values())
+
+
+def test_media_feature_pins_cross_validated_independently(spark):
+    """r7 ADVICE: the media oracles are VALUES pins captured from one
+    run of the repo's own codecs — self-referential, so a pre-existing
+    codec bug would be enshrined.  This test breaks the loop: decode
+    sample payloads with INDEPENDENT decoders (manual RIFF chunk walk
+    with no `wave` module, zlib+struct PNG read, a from-spec Y4M
+    parser — none share code with functions/{png,wav,y4m}.py), check
+    the decoded data equals the synthetic GENERATION formula, and
+    recompute the pinned feature_sum values from the independently
+    decoded data."""
+    import struct
+    import zlib
+
+    import duckdb
+
+    from cloud_native_reddit_data_pipeline_spark.oracles_media import (
+        MEDIA_FEATURES_ORACLE,
+    )
+
+    pins = {
+        int(r[0]): (r[1], float(r[2]), int(r[3]))
+        for r in duckdb.sql(MEDIA_FEATURES_ORACLE).fetchall()
+    }
+    rows = {
+        r.media_id: r
+        for r in synthetic_media(spark, 6).collect()
+    }
+
+    def png_decode(payload: bytes) -> tuple[int, int, bytes]:
+        assert bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n"
+        pos, w, h, idat = 8, None, None, bytearray()
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = bytes(payload[pos + 4 : pos + 8])
+            if tag == b"IHDR":
+                w, h = struct.unpack(">II", payload[pos + 8 : pos + 16])
+            elif tag == b"IDAT":
+                idat += payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        px = bytearray()
+        for y in range(h):
+            assert raw[y * (w + 1)] == 0  # encoder emits filter-0 rows
+            px += raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        return w, h, bytes(px)
+
+    def wav_decode(payload: bytes) -> tuple[int, list[int]]:
+        assert payload[0:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        pos, rate, data = 12, None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + ln]
+            if tag == b"fmt ":
+                fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                assert (fmt, ch, bits) == (1, 1, 16)
+            elif tag == b"data":
+                data = bytes(body)
+            pos += 8 + ln + (ln & 1)
+        return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+    def y4m_decode(payload: bytes):
+        nl = payload.index(b"\n")
+        toks = payload[:nl].decode("ascii").split()
+        assert toks[0] == "YUV4MPEG2"
+        w = h = fn = fd = None
+        for t in toks[1:]:
+            if t[0] == "W":
+                w = int(t[1:])
+            elif t[0] == "H":
+                h = int(t[1:])
+            elif t[0] == "F":
+                fn, fd = (int(x) for x in t[1:].split(":"))
+        assert "Cmono" in toks  # encoder writes mono: luma only
+        frames, pos = [], nl + 1
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            assert payload[pos : pos + 5] == b"FRAME"
+            frames.append(payload[fnl + 1 : fnl + 1 + w * h])
+            pos = fnl + 1 + w * h
+        return w, h, fn, fd, frames
+
+    # --- image 0: decoded pixels == generation formula; histogram sums
+    w, h, px = png_decode(bytes(rows[0].payload))
+    assert (w, h) == (64, 64)
+    assert px == bytes(((0 * 7 + x * 13) % 251) for x in range(64 * 64))
+    counts = [0] * 16
+    for b in px:
+        counts[b * 16 // 256] += 1
+    feats = [round(c / len(px), 6) for c in counts]
+    assert round(sum(feats), 4) == pins[0][1] == 1.0
+
+    # --- audio 1: decoded samples == formula; dur/rms/zcr/peak + hist
+    rate, samples = wav_decode(bytes(rows[1].payload))
+    n = 160 + (1 % 5) * 80
+    want = [((1 * 7 + j * 13) % 251 - 125) * 200 for j in range(n)]
+    assert rate == 8000 and samples == want
+    import math
+
+    dur = n / rate
+    rms = math.sqrt(sum(s * s for s in samples) / n) / 32768.0
+    zcr = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    ) / (n - 1)
+    peak = max(abs(s) for s in samples) / 32768.0
+    bins = [0] * 12
+    for s in samples:
+        bins[min(abs(s) * 12 // 32768, 11)] += 1
+    feats = [round(x, 6) for x in [dur, rms, zcr, peak] + [b / n for b in bins]]
+    assert round(sum(feats), 4) == pins[1][1] == 2.3366
+
+    # --- video 2: decoded frames == formula; dur/frames/luma/motion + hist
+    w, h, fn, fd, frames = y4m_decode(bytes(rows[2].payload))
+    assert (w, h, fn, fd) == (34, 26, 2, 1)
+    want_frames = [
+        bytes(((2 * 7 + f * 31 + x * 13) % 251) for x in range(w * h))
+        for f in range(6)
+    ]
+    assert frames == want_frames
+    n_px = w * h
+    dur = len(frames) * fd / fn
+    mean_luma = sum(sum(f) for f in frames) / (n_px * len(frames) * 255.0)
+    diff = sum(
+        sum(abs(a - b) for a, b in zip(p, c))
+        for p, c in zip(frames, frames[1:])
+    )
+    motion = diff / (n_px * (len(frames) - 1) * 255.0)
+    bins = [0] * 12
+    for f in frames:
+        for p in f:
+            bins[p * 12 // 256] += 1
+    feats = [round(x, 6) for x in [dur, float(len(frames)), mean_luma, motion]
+             + [b / (n_px * len(frames)) for b in bins]]
+    assert round(sum(feats), 4) == pins[2][1] == 10.7036

@@ -122,18 +122,49 @@ def test_global_row_numbers_no_single_partition_window(spark):
     that exchange must sit above the count aggregate, never above the
     rows themselves."""
     df = spark.range(0, 1000).select((F.col("id") % 97).alias("k"), "id")
+    pins: list = []
     out = relational.with_global_row_numbers(
-        df, [F.asc("k"), F.asc("id")], checkpoint=False
+        df, [F.asc("k"), F.asc("id")], checkpoint=False, pins=pins
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(_pid" in plan  # data window runs partitioned
-    for i, line in enumerate(plan.split("\n")):
-        if "SinglePartition" in line:
-            below = "\n".join(plan.split("\n")[i:])
-            assert "count(1)" in below or "_pt" in below, (
-                "SinglePartition exchange not fed by the bounded "
-                "per-partition count aggregate:\n" + plan
-            )
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(_pid" in plan  # data window runs partitioned
+        for i, line in enumerate(plan.split("\n")):
+            if "SinglePartition" in line:
+                below = "\n".join(plan.split("\n")[i:])
+                assert "count(1)" in below or "_pt" in below, (
+                    "SinglePartition exchange not fed by the bounded "
+                    "per-partition count aggregate:\n" + plan
+                )
+    finally:
+        for p in pins:
+            p.unpersist()
+
+
+def test_global_row_numbers_lazy_mode_requires_pins(spark):
+    """checkpoint=False without a pins list must refuse: the lazy plan
+    reads the sampled range shuffle from both the offsets and the
+    numbering subplans, and consistency between two physical
+    instantiations would otherwise rest on the ReuseExchange optimizer
+    rule (r7 ADVICE)."""
+    import pytest
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="pins"):
+        relational.with_global_row_numbers(df, [F.asc("k")], checkpoint=False)
+    with pytest.raises(ValueError, match="pins"):
+        relational.with_global_cumsum(
+            df, [F.asc("k")], "k", "_cs", checkpoint=False
+        )
+    # the pinned lazy form numbers correctly and the pin is released
+    pins: list = []
+    out = relational.with_global_row_numbers(
+        df, [F.asc("k")], checkpoint=False, pins=pins
+    )
+    assert [r["_rn"] for r in out.orderBy("k").collect()] == list(range(1, 11))
+    assert len(pins) == 1
+    for p in pins:
+        p.unpersist()
 
 
 def test_key_skew_profile_measures(spark):

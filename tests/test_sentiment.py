@@ -36,3 +36,34 @@ def test_threshold_rule(spark):
     df = spark.createDataFrame([(1, "good")], "id int, text string")
     row = score_relational(df, ["id"], "text").first()
     assert row["sentiment_score"] > 0.05 and row["sentiment"] == "positive"
+
+
+def test_pandas_kernel_tie_break_matches_spark_round(spark):
+    """r7-verdict task 2 'Done=' case: the pandas analyzer's rounding
+    kernel (HALF_UP quantize of the SHORTEST decimal repr) must break
+    exact 1e-4 repr-ties the same way as Spark's F.round — which is
+    BigDecimal.valueOf(double), i.e. shortest repr + HALF_UP.  Python's
+    built-in round() (the pre-r6 kernel) rounds the BINARY value
+    half-even and flips at least one of these, so this test fails on a
+    regression to round()."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    # 0.00015's binary value is 1.4999...e-4 (below the tie) while its
+    # shortest repr "0.00015" IS the tie: shortest-repr HALF_UP says
+    # 0.0002, binary-value rounding says 0.0001 — the discriminating
+    # constructed case; the rest pin ordinary and negative ties
+    ties = [0.00015, 5e-05, -5e-05, 0.12345, -0.12345, 0.99995]
+    kernel = [
+        float(Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        for v in ties
+    ]
+    row = spark.range(1).select(
+        *[F.round(F.lit(v), 4).alias(f"c{i}") for i, v in enumerate(ties)]
+    ).collect()[0]
+    spark_vals = [row[f"c{i}"] for i in range(len(ties))]
+    assert kernel == spark_vals
+    assert kernel[0] == 0.0002
+    # the old kernel disagrees on the constructed case
+    assert round(ties[0], 4) == 0.0001 != kernel[0]

@@ -64,15 +64,22 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_scaled(spark, factor: int) -> str:
+def build_scaled(spark, factor: int, scale_part: bool = False) -> str:
     from pyspark.sql import functions as F
 
     from cloud_native_reddit_data_pipeline_spark.sources.tables import load
 
-    DST = DST_TMPL.format(factor=factor)
+    # --scale-part writes to its OWN directory: the standard scaled set
+    # keeps the part catalog fixed by design (facts grow, catalog
+    # doesn't), and the exists-check below would otherwise hand one
+    # mode the other mode's files
+    DST = DST_TMPL.format(factor=factor) + ("_fullcat" if scale_part else "")
     os.makedirs(DST, exist_ok=True)
     # small dims + fixed catalog: copy once, unscaled
-    for t in ("region", "nation", "supplier", "part"):
+    fixed = ("region", "nation", "supplier") if scale_part else (
+        "region", "nation", "supplier", "part"
+    )
+    for t in fixed:
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 
     def shifted_union(df, shift_cols, extra=None):
@@ -93,6 +100,29 @@ def build_scaled(spark, factor: int) -> str:
         return out
 
     jobs = {
+        **(
+            {
+                # entity-resolution axis (r8): copies append a suffix
+                # TOKEN to p_name, so the blocking key (second word +
+                # first char) is unchanged while distinct-name count
+                # per block grows with the factor — exactly the load
+                # the distinct-name collapse must carry; copies of one
+                # base name sit within lev<=2 of each other, so
+                # components chain across copies (the big-component
+                # stress for large/small-star)
+                "part": (
+                    ["p_partkey"],
+                    lambda p, i: p.withColumn(
+                        "p_name",
+                        F.concat(F.col("p_name"), F.lit(f" pv{i}"))
+                        if i
+                        else F.col("p_name"),
+                    ),
+                )
+            }
+            if scale_part
+            else {}
+        ),
         "customer": (["c_custkey"], None),
         "orders": (["o_orderkey", "o_custkey"], None),
         "lineitem": (["l_orderkey"], None),
@@ -126,6 +156,13 @@ def build_scaled(spark, factor: int) -> str:
     }
     for t, (cols, extra) in jobs.items():
         out = f"{DST}/{t}.parquet"
+        if scale_part and t != "part" and not os.path.exists(out):
+            # fullcat differs from the standard scaled set ONLY in
+            # part: reuse the already-built fact tables instead of
+            # re-synthesizing gigabytes
+            std = DST_TMPL.format(factor=factor) + f"/{t}.parquet"
+            if os.path.exists(std):
+                os.symlink(std, out)
         if os.path.exists(out):
             continue
         df = load(spark, SRC, t)
@@ -137,14 +174,16 @@ def build_scaled(spark, factor: int) -> str:
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = [a for a in sys.argv[1:] if a != "--scale-part"]
+    scale_part = "--scale-part" in sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    names = args[1:] or DEFAULT_QUERIES
 
     import __spark_entry__ as entrymod
     from cloud_native_reddit_data_pipeline_spark.session import build_session
 
     spark = build_session("scale-smoke")
-    DST = build_scaled(spark, factor)
+    DST = build_scaled(spark, factor, scale_part=scale_part)
 
     qs = entrymod.queries()
     # per-entry provenance stamp (r6 ADVICE): a targeted rerun merges
@@ -176,6 +215,7 @@ def main() -> int:
         flag = "SUPERLINEAR" if ratio > factor * 1.5 else "ok"
         report["queries"][name] = {
             **times, "time_ratio": ratio, "flag": flag, "run": run_stamp,
+            **({"data": "fullcat"} if scale_part else {}),
         }
         print(f"{name}: base={times['base']}s scaled={times['scaled']}s "
               f"ratio={ratio}x (data x{factor}) [{flag}]")
@@ -197,6 +237,13 @@ def main() -> int:
         and isinstance(prev.get("queries"), dict)
     ):
         merged = dict(prev["queries"])
+        # full run-stamp coverage (r7-verdict task 5): carried-over
+        # rows produced before per-entry stamping get an explicit
+        # unknown-provenance marker, so the merged table can never
+        # present mixed-provenance rows as one run
+        for row in merged.values():
+            if isinstance(row, dict):
+                row.setdefault("run", "pre-stamp(unknown-commit)")
         merged.update(report["queries"])
         report = {**report, "queries": merged}
     detail[key] = report
