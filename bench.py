@@ -143,6 +143,12 @@ HEADLINE = [
     # twin (bitext_margin_mine) is correctness-gated only, same policy
     # as the exact-Jaccard joins
     "bitext_margin_mine_lsh",
+    # round-8 additions
+    "token_budget_select",
+    "dedup_yield_report",
+    "fasttext_hash_score",
+    "personalized_pagerank",
+    "jl_projection_recall",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

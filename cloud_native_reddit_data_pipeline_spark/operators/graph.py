@@ -709,3 +709,117 @@ def clustering_coefficient_oracle_sql(min_orders: int = 3) -> str:
     FROM deg2 d LEFT JOIN tri t ON t.node = d.node
     WHERE d.degree >= 2
     """
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: list[int], iters: int = 3
+) -> DataFrame:
+    """Personalized PageRank (restart vector concentrated on `seeds`)
+    over symmetric `edges` — the related-item / related-document
+    retrieval primitive: stationary-ish mass concentrates in the seed
+    set's graph neighborhood instead of on global hubs.  Same exact
+    BIGINT x10^12 arithmetic contract as `pagerank` (half-up integer
+    division per step, no float anywhere) so the iterative ranks
+    hash-match the unrolled DuckDB oracle; the restart mass (1-d =
+    0.15) is split equally over the seeds by integer division.
+
+    Scale shape inherits `pagerank`: edges hash-partitioned on src and
+    persisted once, one equi-join + one partial-agg shuffle per round;
+    rank state never collects to the driver.  Returns only nodes with
+    nonzero mass — the k-hop neighborhood of the seeds after `iters`
+    rounds, which is the bounded output a retrieval consumer wants."""
+    edges = edges.repartition("src").persist()
+    try:
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        seed_mass = _ONE // len(seeds)
+        restart = (150 * _ONE // 100 // 10) // len(seeds)  # 0.15e12 / |seeds|
+        is_seed = F.col("node").isin([int(s) for s in seeds])
+        ranks = deg.select(
+            "node",
+            "deg",
+            F.when(is_seed, F.lit(seed_mass)).otherwise(F.lit(0)).cast("long").alias("u"),
+        )
+        for _ in range(iters):
+            contribs = ranks.select(
+                "node",
+                F.expr("(2 * u + deg) div (2 * deg)").alias("contrib"),
+            )
+            inflow = (
+                edges.join(contribs, edges["src"] == contribs["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("contrib").alias("inflow"))
+            )
+            ranks = deg.join(inflow, "node", "left").select(
+                "node",
+                "deg",
+                (
+                    F.when(is_seed, F.lit(restart)).otherwise(F.lit(0))
+                    + F.expr("(170 * coalesce(inflow, 0) + 100) div 200")
+                ).cast("long").alias("u"),
+            )
+        out = ranks.filter(F.col("u") > 0).select(
+            "node", F.col("u").alias("ppr_e12")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def personalized_pagerank_oracle_sql(seeds: list[int], iters: int = 3) -> str:
+    """DuckDB replay of `personalized_pagerank` over the co-purchase
+    graph: identical integer arithmetic, unrolled one CTE pair per
+    round, restart mass only on the seed rows."""
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    seed_mass = _ONE // len(seeds)
+    restart = (150 * _ONE // 100 // 10) // len(seeds)
+    parts = [
+        f"""
+    pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode AS src, cnode AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (
+      SELECT node, deg,
+             CAST(CASE WHEN node IN ({seed_list}) THEN {seed_mass}
+                       ELSE 0 END AS BIGINT) AS u
+      FROM deg
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT node, (2 * u + deg) // (2 * deg) AS contrib FROM r{i - 1}
+    ),
+    in{i} AS (
+      SELECT e.dst AS node, SUM(c.contrib) AS inflow
+      FROM edges e JOIN c{i} c ON e.src = c.node
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT d.node, d.deg,
+             CAST(CASE WHEN d.node IN ({seed_list}) THEN {restart}
+                       ELSE 0 END
+                  + (170 * COALESCE(i.inflow, 0) + 100) // 200
+                  AS BIGINT) AS u
+      FROM deg d LEFT JOIN in{i} i ON d.node = i.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS node_key, u AS ppr_e12
+    FROM r{iters} WHERE u > 0
+    """
+    )

@@ -332,3 +332,56 @@ def dsir_importance_resample(
         w_e6.alias("w_e6"),
         (u32 * F.lit(1000000) < w_e6 * F.lit(4294967296)).alias("accepted"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Budget-constrained corpus selection: rank documents globally by
+    lexical diversity (distinct-token ratio, ties to lowest id) and
+    keep the prefix of that ranking whose cumulative token count stays
+    within `budget_tokens` — the greedy "best data first, stop at the
+    token budget" step every fixed-compute training run ends with
+    (choose 1T tokens out of 10T; Chinchilla-style budgets make the
+    cut, not the corpus size).
+
+    Returns the kept rows with (id, n_tokens, diversity, cum_tokens);
+    the boundary document that would cross the budget is excluded
+    (cum_tokens <= budget is the membership rule, so the output is a
+    pure function of the ranking).
+
+    Scale shape: per-doc stats are a narrow map; the global ranking
+    and running total ride `relational.with_global_cumsum` — a
+    range-partitioned prefix sum with per-partition offsets, never a
+    single-partition window, so the cut scales to any corpus size.
+    Diversity is an exact IEEE int/int division (identical in both
+    engines); the order is total via the id tie-break."""
+    from ..functions.text import tokens
+    from .relational import with_global_cumsum
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).withColumn(
+        "diversity",
+        F.when(
+            F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)),
+    )
+    ranked = with_global_cumsum(
+        base,
+        [F.desc("diversity"), F.asc(id_col)],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return ranked.filter(F.col("cum_tokens") <= budget_tokens).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("diversity") + F.lit(1e-9), 6).alias("diversity"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )

@@ -1062,3 +1062,61 @@ def gopher_quality_gate(
             & F.col("bigram_ok"),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """fastText-style hashed linear classifier scorer — the CCNet /
+    quality-gate architecture (Joulin et al. 2017: bag of hashed
+    unigram+bigram features, linear scorer) as one Spark plan: lowercase
+    tokens plus word bigrams hash into `n_buckets` feature buckets, each
+    bucket carries a weight, the document logit is the weighted feature
+    sum, and the label thresholds the logit at 0.
+
+    Weights here are deterministic pseudo-weights — a Knuth
+    multiplicative hash of the bucket id mapped to [-1.000, 1.000] at
+    1e-3 resolution — so both engines reproduce them bit-exactly and
+    the whole scorer is value-hash-verifiable.  A TRAINED model drops
+    in by replacing the weight expression with a broadcast
+    (bucket -> weight) lookup; nothing else in the plan changes.
+
+    Scale shape: explode of unigrams+bigrams is a narrow map (the
+    word_shingles zip_with form — tokenizer runs O(1) per row, not per
+    element); bucketing and the weight are integer column math; the
+    only shuffle is the doc-keyed integer SUM (map-side combined).
+    Exact integer logits (scale 3) — no float accumulation anywhere."""
+    from ..functions.text import word_shingles
+    from ..sources.tables import fan_out
+
+    lowered = F.lower(F.col(text_col))
+    feats = F.concat(tokens(lowered), word_shingles(lowered, 2))
+    ex = fan_out(df).select(F.col(id_col), F.explode(feats).alias("_f"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    w_e3 = F.pmod(bucket * F.lit(2654435761), F.lit(2001)) - F.lit(1000)
+    per = (
+        ex.select(F.col(id_col), w_e3.alias("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nf"),
+            F.sum("_w").alias("_logit"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_nf", F.lit(0)).cast("long").alias("n_features"),
+            F.coalesce("_logit", F.lit(0)).cast("long").alias("logit_e3"),
+            F.when(F.coalesce("_logit", F.lit(0)) > 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )

@@ -8665,6 +8665,327 @@ def linear_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-8 additions: budget selection, dedup yield audit, hashed linear
+# classifier, personalized PageRank, JL projection recall
+# ---------------------------------------------------------------------------
+
+
+_TOKEN_BUDGET = 20000
+
+# Budget-constrained corpus selection: rank by lexical diversity
+# (distinct-token ratio, id tie-break) and keep the ranking prefix
+# whose cumulative tokens fit a fixed budget — the "choose 1T of 10T
+# tokens" cut every fixed-compute run ends with.  Spark leg rides the
+# range-partitioned prefix sum (with_global_cumsum), never a
+# single-partition window.
+@register(
+    "token_budget_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(
+                 regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+               AS n_distinct
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens
+                  ELSE 0.0 END AS diversity
+      FROM t
+    ), c AS (
+      SELECT doc_id, n_tokens, diversity,
+             SUM(n_tokens) OVER (ORDER BY diversity DESC, doc_id)
+               AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(diversity + 1e-9, 6) AS diversity,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.token_budget_select(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _TOKEN_BUDGET
+    )
+
+
+# Dedup yield audit: one-row report of what keep-one-per-cluster
+# MinHash-LSH dedup would do to the corpus — doc and TOKEN yield, the
+# number a data team actually budgets with (corpus size after dedup).
+@register(
+    "dedup_yield_report",
+    f"""
+    WITH RECURSIVE {{_SHINGLE_SQL}}, sig AS (
+      SELECT doc_id, {{_MINHASH_AGGS_SQL}}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), closure(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT c.node, e.dst FROM closure c JOIN edges e ON e.src = c.r
+    ), lab AS (
+      SELECT node, MIN(r) AS label FROM closure GROUP BY node
+    ), toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_total FROM toks
+    ), clus AS (
+      SELECT label, COUNT(*) AS sz FROM lab GROUP BY label
+    ), cagg AS (
+      SELECT COUNT(*) AS n_clusters, SUM(sz) AS n_dup_docs,
+             MAX(sz) AS largest_cluster
+      FROM clus
+    ), dagg AS (
+      SELECT COUNT(*) AS n_dropped,
+             COALESCE(SUM(t.n_tokens), 0) AS tokens_dropped
+      FROM lab l JOIN toks t ON t.doc_id = l.node
+      WHERE l.node <> l.label
+    )
+    SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+           CAST(tot.tokens_total AS BIGINT) AS tokens_total,
+           CAST(COALESCE(cagg.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+           CAST(COALESCE(cagg.n_clusters, 0) AS BIGINT) AS n_clusters,
+           CAST(COALESCE(cagg.largest_cluster, 0) AS BIGINT)
+             AS largest_cluster,
+           CAST(dagg.n_dropped AS BIGINT) AS n_dropped,
+           CAST(dagg.tokens_dropped AS BIGINT) AS tokens_dropped,
+           ROUND((tot.tokens_total - dagg.tokens_dropped) * 1.0
+                 / tot.tokens_total + 1e-9, 6) AS token_yield
+    FROM tot CROSS JOIN cagg CROSS JOIN dagg
+    """.replace("{_SHINGLE_SQL}", _SHINGLE_SQL)
+       .replace("{_MINHASH_AGGS_SQL}", _MINHASH_AGGS_SQL),
+)
+def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What keep-one-per-cluster dedup does to the corpus, in one row:
+    doc counts, cluster shape, and TOKEN yield.  Pure composition of
+    the existing MinHash-LSH pipeline (signatures -> banded candidates
+    -> connected components) with exact integer token accounting —
+    the pre-flight report before committing a multi-day dedup job."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MINHASH_K)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, bands=4)
+    comp = dedup.connected_components(pairs)
+    toks = docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    clus = comp.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    cagg = clus.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_clusters"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_dup_docs"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("largest_cluster"),
+    )
+    dagg = (
+        comp.filter(F.col("node") != F.col("label"))
+        .join(toks, comp["node"] == toks["doc_id"])
+        .agg(
+            F.count(F.lit(1)).alias("n_dropped"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens_dropped"),
+        )
+    )
+    return (
+        tot.crossJoin(cagg)
+        .crossJoin(dagg)
+        .select(
+            F.col("n_docs").cast("long"),
+            F.col("tokens_total").cast("long"),
+            F.col("n_dup_docs").cast("long"),
+            F.col("n_clusters").cast("long"),
+            F.col("largest_cluster").cast("long"),
+            F.col("n_dropped").cast("long"),
+            F.col("tokens_dropped").cast("long"),
+            F.round(
+                (F.col("tokens_total") - F.col("tokens_dropped"))
+                / F.col("tokens_total")
+                + F.lit(1e-9),
+                6,
+            ).alias("token_yield"),
+        )
+    )
+
+
+# fastText-style hashed linear classifier (Joulin et al. 2017 bag of
+# hashed n-grams): deterministic pseudo-weights make the full scorer
+# value-hash-verifiable; a trained model swaps in a broadcast
+# bucket->weight table without touching the plan.
+@register(
+    "fasttext_hash_score",
+    """
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+      FROM lst
+    ), bi AS (
+      SELECT doc_id, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM tok
+    ), feats AS (
+      SELECT doc_id, w AS f FROM tok
+      UNION ALL
+      SELECT doc_id, concat_ws(' ', w, w1) FROM bi WHERE w1 IS NOT NULL
+    ), scored AS (
+      SELECT doc_id,
+             ((('0x' || substring(md5(f), 1, 8))::BIGINT % 4096)
+              * 2654435761) % 2001 - 1000 AS w_e3
+      FROM feats
+    ), per AS (
+      SELECT doc_id, COUNT(*) AS nf, SUM(w_e3) AS logit FROM scored
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.nf, 0) AS BIGINT) AS n_features,
+           CAST(COALESCE(per.logit, 0) AS BIGINT) AS logit_e3,
+           CASE WHEN COALESCE(per.logit, 0) > 0 THEN 'keep' ELSE 'drop' END
+             AS label
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def fasttext_hash_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.hashed_linear_score(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=4096
+    )
+
+
+_PPR_SEEDS = [0, 2]  # the khop seed customers (cnode = custkey * 2)
+
+
+@register(
+    "personalized_pagerank",
+    graph.personalized_pagerank_oracle_sql(_PPR_SEEDS, iters=3),
+)
+def personalized_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed customer set over the
+    co-purchase graph — "related suppliers/customers for THESE
+    customers", the retrieval twin of the global pagerank_copurchase.
+    Exact BIGINT x10^12 arithmetic vs an unrolled DuckDB oracle;
+    output bounded to the seeds' iters-hop neighborhood."""
+    ranks = graph.personalized_pagerank(
+        graph.bipartite_copurchase_edges(
+            load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+        ),
+        _PPR_SEEDS,
+        iters=3,
+    )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        "ppr_e12",
+    )
+
+
+_JL_DIM, _JL_SEED, _JL_K = 16, 7, 5
+
+
+def _jl_recall_oracle() -> str:
+    """Oracle for jl_projection_recall: project through the SAME
+    literal planes (left-associated sums reproduce the engine's
+    sequential fold bitwise), brute-force top-k in both spaces, join,
+    and compute the retrieval_eval_metrics triple with the shared
+    pre-rounded discount literals."""
+    from .functions.vectors import make_planes
+    from .operators.similarity import _dcg_discount_literals
+
+    planes = make_planes(64, _JL_DIM, seed=_JL_SEED)
+    proj_exprs = ", ".join(
+        "(" + " + ".join(f"v[{i + 1}]*{planes[j][i]!r}" for i in range(64)) + ")"
+        for j in range(_JL_DIM)
+    )
+    disc = _dcg_discount_literals(_JL_K)
+    idcg = sum(disc.values())
+    disc_case = " ".join(f"WHEN {i} THEN {v!r}" for i, v in disc.items())
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+      SELECT vec_id, [{proj_exprs}] AS p FROM base
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})
+    ), qp AS (
+      SELECT vec_id AS query_id, p AS qp FROM proj WHERE vec_id IN ({ids})
+    ), exact AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, b.v), 4) DESC,
+                          b.vec_id) AS rk
+        FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id
+      ) WHERE rk <= {_JL_K}
+    ), approx AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT qp.query_id, pr.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qp.query_id
+                 ORDER BY ROUND(list_cosine_similarity(qp.qp, pr.p), 4) DESC,
+                          pr.vec_id) AS rk
+        FROM proj pr CROSS JOIN qp WHERE pr.vec_id <> qp.query_id
+      ) WHERE rk <= {_JL_K}
+    ), j AS (
+      SELECT a.query_id, a.rk AS rka, e.rk AS rke
+      FROM approx a LEFT JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COUNT(rke) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(rke) / {float(_JL_K)}, 4) AS recall_at_k,
+           COALESCE(MAX(CASE WHEN rke = 1 THEN ROUND(1.0 / rka, 6) END), 0.0)
+             AS mrr,
+           ROUND(CAST(SUM(CAST(CASE WHEN rke IS NOT NULL
+                        THEN (CASE rka {disc_case} END)
+                        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / {idcg!r} + 1e-9, 4) AS ndcg_at_k
+    FROM j GROUP BY query_id
+    """
+
+
+@register("jl_projection_recall", _jl_recall_oracle())
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a measured
+    retrieval-quality bill: project 64d embeddings to 16d through
+    deterministic literal planes, then score projected-space top-k
+    against full-space ground truth (recall@k / MRR / nDCG@k) — the
+    audit that justifies running ANN at a quarter of the cosine cost.
+    The projection is a pure narrow map (no shuffle added to any
+    downstream consumer)."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = similarity.jl_project(
+        emb, out_dim=_JL_DIM, seed=_JL_SEED, in_dim=64
+    )
+    approx = similarity.brute_force_topk(
+        proj, _ANN_QUERY_IDS, k=_JL_K, vec_col="proj"
+    )
+    exact = similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_JL_K)
+    return similarity.retrieval_eval_metrics(approx, exact, k=_JL_K)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -153,3 +153,55 @@ def test_hits_star_graph_semantics(spark):
     auth_sum = sum(v for (n, k), v in out.items() if k == "authority")
     hub_sum = sum(v for (n, k), v in out.items() if k == "hub")
     assert abs(auth_sum - 1_000_000) <= 2 and abs(hub_sum - 1_000_000) <= 2
+
+
+def test_personalized_pagerank_mass_stays_in_seed_component(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two disconnected components: {0,1,2} (seeds there) and {10,11}
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (10, 11), (11, 10)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r.node: r.ppr_e12 for r in
+           personalized_pagerank(edges, seeds=[0], iters=3).collect()}
+    # nonzero mass only in the seed's component
+    assert set(out) <= {0, 1, 2}
+    assert 0 in out and 1 in out
+    # the seed keeps its restart mass every round; neighbors get less
+    assert out[0] > out[2]
+
+
+def test_personalized_pagerank_vs_python_reference(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (0, 3), (3, 0)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    seeds, iters = [0, 2], 3
+    out = {r.node: r.ppr_e12 for r in
+           personalized_pagerank(edges, seeds=seeds, iters=iters).collect()}
+
+    # python replay of the exact integer arithmetic
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in pairs:
+        deg[s] += 1
+    one = 1_000_000_000_000
+    seed_mass = one // len(seeds)
+    restart = (150 * one // 100 // 10) // len(seeds)
+    u = {n: (seed_mass if n in seeds else 0) for n in deg}
+    for _ in range(iters):
+        contrib = {n: (2 * u[n] + deg[n]) // (2 * deg[n]) for n in deg}
+        inflow = defaultdict(int)
+        for s, d in pairs:
+            inflow[d] += contrib[s]
+        u = {
+            n: (restart if n in seeds else 0)
+            + (170 * inflow.get(n, 0) + 100) // 200
+            for n in deg
+        }
+    want = {n: v for n, v in u.items() if v > 0}
+    assert out == want

@@ -137,3 +137,25 @@ def test_batched_bpe_property(spark, words):
     df = spark.createDataFrame([(text,)], "text string")
     got = [tuple(r) for r in learn_bpe_merges(df, "text", n_merges=6).collect()]
     assert got == learn_bpe_merges_py([text], n_merges=6)
+
+
+def test_hashed_linear_score_structure(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Alpha beta"), (2, ""), (3, "alpha beta"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           hashed_linear_score(df, "doc_id", "text").collect()}
+    # 2 tokens -> 2 unigrams + 1 bigram
+    assert out[1].n_features == 3
+    # lowercasing: "Alpha beta" == "alpha beta"
+    assert (out[1].logit_e3, out[1].label) == (out[3].logit_e3, out[3].label)
+    # empty doc: zero features, logit 0, label drop
+    assert (out[2].n_features, out[2].logit_e3, out[2].label) == (0, 0, "drop")
+    # single token: no bigram
+    assert out[4].n_features == 1
+    assert out[4].label == ("keep" if out[4].logit_e3 > 0 else "drop")

@@ -233,3 +233,35 @@ def test_dsir_importance_resample_discriminates(spark):
         corpus, target, "doc_id", "text", n_buckets=64
     ).collect()}
     assert all(tuple(out[k]) == tuple(again[k]) for k in out)
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # 4 tokens, diversity 1.0
+            (2, "a a a a a a"),      # 6 tokens, diversity 1/6
+            (3, "x y z"),            # 3 tokens, diversity 1.0
+            (4, "p p q q"),          # 4 tokens, diversity 0.5
+            (5, ""),                 # empty: diversity 0, never selected
+        ],
+        "doc_id long, text string",
+    )
+    # ranking: doc1 (div 1.0, 4 tok), doc3 (div 1.0, 3 tok), doc4
+    # (0.5, 4 tok), doc2 (1/6, 6 tok), doc5 (0, 0 tok)
+    out = {r.doc_id: r for r in
+           token_budget_select(df, "doc_id", "text", budget_tokens=10).collect()}
+    assert set(out) == {1, 3}  # cum 4, 7; doc4 would hit 11 > 10
+    assert out[1].cum_tokens == 4 and out[3].cum_tokens == 7
+    # budget exactly at the boundary INCLUDES the boundary doc
+    out11 = {r.doc_id for r in
+             token_budget_select(df, "doc_id", "text", budget_tokens=11).collect()}
+    assert out11 == {1, 3, 4}
+    # zero-token doc rides along at the very end only if budget allows
+    out_all = {r.doc_id: r for r in
+               token_budget_select(df, "doc_id", "text", budget_tokens=999).collect()}
+    assert set(out_all) == {1, 2, 3, 4, 5}
+    assert out_all[5].n_tokens == 0 and out_all[5].cum_tokens == 17

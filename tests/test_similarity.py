@@ -311,3 +311,24 @@ def test_retrieval_eval_metrics_hand_case(spark):
     assert out[1].ndcg_at_k == round((d[1] + d[2]) / idcg + 1e-9, 4)
     # q2: only approx rank-1 is relevant (exact rank... none match)
     assert (out[2].n_overlap, out[2].mrr, out[2].ndcg_at_k) == (0, 0.0, 0.0)
+
+
+def test_jl_project_matches_numpy(spark):
+    import numpy as np
+
+    from cloud_native_reddit_data_pipeline_spark.functions.vectors import (
+        make_planes,
+    )
+    from cloud_native_reddit_data_pipeline_spark.operators.similarity import (
+        jl_project,
+    )
+
+    vecs = [(i, [float((i * 7 + j) % 11) - 5.0 for j in range(8)]) for i in range(5)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: list(r.proj) for r in
+           jl_project(emb, out_dim=3, seed=7, in_dim=8).collect()}
+    planes = np.array(make_planes(8, 3, seed=7))
+    for i, v in vecs:
+        want = planes @ np.array(v)
+        assert np.allclose(out[i], want, atol=1e-9)
+    assert all(len(p) == 3 for p in out.values())
