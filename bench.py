@@ -149,6 +149,9 @@ HEADLINE = [
     "fasttext_hash_score",
     "personalized_pagerank",
     "jl_projection_recall",
+    "incremental_dedup",
+    "length_grouped_batches",
+    "quality_gate_agreement",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -175,3 +175,54 @@ def sliding_chunks(
         F.size("ck.t").alias("n_chunk_tokens"),
         F.array_join("ck.t", " ").alias("chunk_text"),
     )
+
+
+def length_grouped_batches(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-grouped inference batching (the `group_by_length` trick):
+    order documents by token count descending (id tie-break), cut the
+    ranking into fixed-size batches, and report each batch's padding
+    bill — pad_frac = 1 - sum_tokens / (n_docs * max_tokens), the
+    fraction of a padded (batch x max_len) tensor that is wasted.
+    Sorting by length makes same-batch lengths similar, which is the
+    whole point: random batching pads every sequence to the batch max.
+
+    Scale shape: the global ordering rides
+    `relational.with_global_row_numbers` (range-partitioned sort +
+    per-partition offsets — no single-partition window at any corpus
+    size); batch stats are one groupBy on batch_id with exact integer
+    sums."""
+    from ..functions.text import tokens
+    from .relational import with_global_row_numbers
+
+    base = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    ranked = with_global_row_numbers(
+        base, [F.desc("n_tokens"), F.asc(id_col)], col_name="_rn"
+    )
+    batched = ranked.withColumn(
+        "batch_id", F.expr(f"(_rn - 1) div {int(batch_size)}")
+    )
+    per = batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    pad = F.when(
+        (F.col("max_tokens") > 0) & (F.col("n_docs") > 0),
+        1.0
+        - F.col("sum_tokens")
+        / (F.col("n_docs").cast("double") * F.col("max_tokens")),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        F.round(pad + F.lit(1e-9), 6).alias("pad_frac"),
+    )

@@ -8986,6 +8986,268 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.retrieval_eval_metrics(approx, exact, k=_JL_K)
 
 
+# Incremental snapshot-vs-corpus dedup: odd doc_ids play the "new
+# crawl batch", even ones the standing corpus.  Signature per doc is
+# side-independent, so the oracle computes once over all documents and
+# splits by parity — exactly what the engine's per-side calls produce.
+@register(
+    "incremental_dedup",
+    f"""
+    WITH RECURSIVE {{_SHINGLE_SQL}}, sig AS (
+      SELECT doc_id, {{_MINHASH_AGGS_SQL}}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), norm AS (
+      SELECT doc_id, {normalize_sql("text")} AS nt FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> ''))), ' ')) AS fp
+      FROM norm
+    ), new_docs AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    ), exact AS (
+      SELECT DISTINCT f.doc_id FROM fp f
+      WHERE f.doc_id % 2 = 1
+        AND EXISTS (SELECT 1 FROM fp h
+                    WHERE h.doc_id % 2 = 0 AND h.fp = f.fp)
+    ), near AS (
+      SELECT DISTINCT b.doc_id FROM banded b
+      WHERE b.doc_id % 2 = 1
+        AND EXISTS (SELECT 1 FROM banded h
+                    WHERE h.doc_id % 2 = 0
+                      AND h.band = b.band AND h.key = b.key)
+    )
+    SELECT n.doc_id,
+           (e.doc_id IS NOT NULL) AS exact_dup,
+           (r.doc_id IS NOT NULL) AS near_dup,
+           (e.doc_id IS NULL AND r.doc_id IS NULL) AS kept
+    FROM new_docs n
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    LEFT JOIN near r ON r.doc_id = n.doc_id
+    """.replace("{_SHINGLE_SQL}", _SHINGLE_SQL)
+       .replace("{_MINHASH_AGGS_SQL}", _MINHASH_AGGS_SQL),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    new_df = docs.filter(F.col("doc_id") % 2 == 1)
+    hist_df = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup_flags(
+        new_df, hist_df, "doc_id", "text", num_hashes=_MINHASH_K, bands=4
+    )
+
+
+_LG_BATCH = 32
+
+
+# Length-grouped inference batching with the padding bill per batch.
+@register(
+    "length_grouped_batches",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM t
+    ), b AS (
+      SELECT (rn - 1) // {_LG_BATCH} AS batch_id, n_tokens FROM r
+    ), per AS (
+      SELECT batch_id, COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+             SUM(n_tokens) AS sum_tokens
+      FROM b GROUP BY batch_id
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(max_tokens AS BIGINT) AS max_tokens,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens,
+           ROUND(CASE WHEN max_tokens > 0 AND n_docs > 0
+                      THEN 1.0 - sum_tokens * 1.0 / (n_docs * max_tokens)
+                      ELSE 0.0 END + 1e-9, 6) AS pad_frac
+    FROM per
+    """,
+)
+def length_grouped_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.length_grouped_batches(
+        load(spark, sf_dir, "documents"), "doc_id", "text", batch_size=_LG_BATCH
+    )
+
+
+# Classifier-vs-rule-gate agreement matrix: where the fastText-style
+# hashed scorer and the Gopher integer-rule gate agree/disagree — the
+# calibration cross-check run before trusting either as THE corpus
+# filter.  Composes the two registered oracles verbatim.
+@register(
+    "quality_gate_agreement",
+    f"""
+    WITH gate AS ({{GOPHER}}),
+         ft AS ({{FT}})
+    SELECT g.pass_gate, f.label, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM gate g JOIN ft f ON g.doc_id = f.doc_id
+    GROUP BY 1, 2
+    """.replace("{GOPHER}", _ORACLES["gopher_quality_gate"])
+       .replace("{FT}", _ORACLES["fasttext_hash_score"]),
+)
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    gate = textstats.gopher_quality_gate(docs, "doc_id", "text").select(
+        "doc_id", "pass_gate"
+    )
+    ft = textstats.hashed_linear_score(docs, "doc_id", "text").select(
+        "doc_id", "label"
+    )
+    return (
+        gate.join(ft, "doc_id")
+        .groupBy("pass_gate", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _streaming_incremental_dedup_oracle() -> str:
+    """Two-micro-batch replay of the streaming incremental-dedup
+    protocol (streaming/incremental.py): batch 1 = first 150 docs
+    (empty store; within-batch exact keeps min id), store = KEPT
+    batch-1 docs' distinct fingerprints + band keys; batch 2 = 50
+    batch-1 texts re-sent under +1M ids plus the last 50 docs, flagged
+    against that store plus the same within-batch exact rule."""
+    aggs = _MINHASH_AGGS_SQL
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200),
+    b1 AS (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 150),
+    rep AS (SELECT doc_id + 1000000 AS doc_id, text FROM
+            (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 50)),
+    fresh AS (SELECT doc_id, text FROM base ORDER BY doc_id DESC LIMIT 50),
+    allb AS (
+      SELECT 1 AS batch, doc_id, text FROM b1
+      UNION ALL SELECT 2, doc_id, text FROM rep
+      UNION ALL SELECT 2, doc_id, text FROM fresh
+    ), norm AS (
+      SELECT batch, doc_id, {normalize_sql("text")} AS nt FROM allb
+    ), fp AS (
+      SELECT batch, doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> ''))), ' ')) AS fp
+      FROM norm
+    ), tok AS (
+      SELECT batch, doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+      FROM (SELECT batch, doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS ts
+            FROM allb)
+    ), led AS (
+      SELECT batch, doc_id, w,
+             lead(w, 1) OVER (PARTITION BY batch, doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY batch, doc_id ORDER BY pos) AS w2
+      FROM tok
+    ), sh AS (
+      SELECT DISTINCT batch, doc_id, concat_ws(' ', w, w1, w2) AS shingle
+      FROM led WHERE w2 IS NOT NULL
+    ), sig AS (
+      SELECT batch, doc_id, {aggs}
+      FROM sh GROUP BY batch, doc_id
+    ), banded AS (
+      SELECT batch, doc_id, band, key FROM (
+        SELECT batch, doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT batch, doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT batch, doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT batch, doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), kid AS (
+      SELECT batch, fp, MIN(doc_id) AS kid FROM fp GROUP BY batch, fp
+    ), b1flags AS (
+      SELECT f.doc_id, f.fp,
+             (f.doc_id <> k.kid) AS exact_dup,
+             FALSE AS near_dup,
+             (f.doc_id = k.kid) AS kept
+      FROM fp f JOIN kid k ON k.batch = 1 AND k.fp = f.fp
+      WHERE f.batch = 1
+    ), store_fp AS (
+      SELECT DISTINCT fp FROM b1flags WHERE kept
+    ), store_bk AS (
+      SELECT DISTINCT b.band, b.key
+      FROM banded b JOIN b1flags f ON f.doc_id = b.doc_id AND f.kept
+      WHERE b.batch = 1
+    ), b2flags AS (
+      SELECT f.doc_id,
+             (f.fp IN (SELECT fp FROM store_fp)
+              OR f.doc_id <> k.kid) AS exact_dup,
+             EXISTS (SELECT 1 FROM banded b JOIN store_bk s
+                     ON b.band = s.band AND b.key = s.key
+                     WHERE b.batch = 2 AND b.doc_id = f.doc_id) AS near_dup
+      FROM fp f JOIN kid k ON k.batch = 2 AND k.fp = f.fp
+      WHERE f.batch = 2
+    )
+    SELECT doc_id, exact_dup, near_dup, kept FROM b1flags
+    UNION ALL
+    SELECT doc_id, exact_dup, near_dup,
+           (NOT exact_dup AND NOT near_dup) AS kept
+    FROM b2flags
+    """
+
+
+@register("streaming_incremental_dedup", _streaming_incremental_dedup_oracle())
+def streaming_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-vs-corpus dedup AS A STREAM
+    (streaming/incremental.py): batch 1 seeds the fingerprint + band-key
+    stores with its KEPT docs; batch 2 re-sends 50 batch-1 texts under
+    new ids (flagged exact+near against the store) plus 50 fresh docs.
+    HARD-gated: the store protocol is deterministic given the batch
+    split, so the oracle replays BOTH micro-batches in SQL — same
+    fingerprints, same minhash band keys, same keep-min-id rule — and
+    every doc's (exact_dup, near_dup, kept) value-hashes against it.
+    Crash-replay idempotency is pytest-pinned
+    (tests/test_streaming_incremental.py)."""
+    import os
+    import tempfile
+
+    from .streaming.incremental import start_incremental_dedup_stream
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        b1 = docs.limit(150)
+        repeats = docs.limit(50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        fresh = docs.orderBy(F.desc("doc_id")).limit(50)
+        b1.coalesce(1).write.json(f"{src}/b0")
+        repeats.unionByName(fresh).coalesce(1).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_incremental_dedup_stream(
+            stream, f"{tmp}/flags", f"{tmp}/fps", f"{tmp}/bks", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = (
+            spark.read.parquet(f"{tmp}/flags")
+            .select("doc_id", "exact_dup", "near_dup", "kept")
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -657,3 +657,39 @@ def test_blocked_entity_edges_hot_block_star_cap(spark):
     }
     cc_full = {(r.node, r.label) for r in dedup.connected_components(full).collect()}
     assert cc_capped == cc_full
+
+
+def test_incremental_dedup_flags_semantics(spark):
+    hist = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different historical content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact dup of hist #0 (same fingerprint AND same shingles)
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # near dup of hist #0: one word changed -> shares band buckets
+            (3, "the quick brown fox jumps over the lazy cat today"),
+            # novel
+            (5, "entirely new material mentioning nothing seen before now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup.incremental_dedup_flags(new, hist, "doc_id", "text").collect()}
+    assert out[1].exact_dup and not out[1].kept
+    assert out[3].near_dup and not out[3].exact_dup and not out[3].kept
+    assert not out[5].exact_dup and not out[5].near_dup and out[5].kept
+    # the new batch never pairs with itself: two identical NEW docs with
+    # no historical match both survive
+    twins = spark.createDataFrame(
+        [(7, "twin text unseen in history alpha beta gamma delta epsilon"),
+         (9, "twin text unseen in history alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in
+            dedup.incremental_dedup_flags(twins, hist, "doc_id", "text").collect()}
+    assert out2[7].kept and out2[9].kept

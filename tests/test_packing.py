@@ -96,3 +96,38 @@ def test_sliding_chunks_overlap_and_coverage(spark):
         # coverage: every token index falls inside some chunk
         covered = max(r.start_token + r.n_chunk_tokens for r in chunks)
         assert covered == len(toks)
+
+
+def test_length_grouped_batches_padding_bill(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.packing import (
+        length_grouped_batches,
+    )
+
+    # 6 docs, batch_size 2: ordered lengths 6,5,4,3,2,1
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 1)]],
+        "doc_id long, text string",
+    )
+    out = {r.batch_id: r for r in
+           length_grouped_batches(docs, "doc_id", "text", batch_size=2).collect()}
+    assert set(out) == {0, 1, 2}
+    # batch 0: lengths 6,5 -> pad 1 - 11/12
+    assert out[0].max_tokens == 6 and out[0].sum_tokens == 11
+    assert abs(out[0].pad_frac - (1 - 11 / 12)) < 1e-5
+    # batch 2: lengths 2,1 -> pad 1 - 3/4
+    assert out[2].max_tokens == 2 and abs(out[2].pad_frac - 0.25) < 1e-5
+    # length-grouped batching beats the id-ordered split on total pad:
+    # id order would pair (6,5),(4,3),(2,1) here identically, so use a
+    # shuffled length layout instead
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(["w"] * 6)), (2, " ".join(["w"] * 1)),
+         (3, " ".join(["w"] * 5)), (4, " ".join(["w"] * 2))],
+        "doc_id long, text string",
+    )
+    grouped = {r.batch_id: r for r in
+               length_grouped_batches(docs2, "doc_id", "text", batch_size=2).collect()}
+    # grouped: (6,5) pad 1/12, (2,1) pad 1/4 — vs id-order (6,1):5/12, (5,2):3/10
+    grouped_waste = sum(r.n_docs * r.max_tokens - r.sum_tokens
+                        for r in grouped.values())
+    assert grouped_waste == (12 - 11) + (4 - 3)

@@ -61,6 +61,15 @@ DEFAULT_QUERIES = [
     "ann_ivf_eval",
     "hard_negative_mining",
     "training_batch_prepare",
+    # round-8 additions
+    "token_budget_select",
+    "fasttext_hash_score",
+    "personalized_pagerank",
+    "jl_projection_recall",
+    "dedup_yield_report",
+    "incremental_dedup",
+    "length_grouped_batches",
+    "quality_gate_agreement",
 ]
 
 
