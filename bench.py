@@ -152,6 +152,8 @@ HEADLINE = [
     "incremental_dedup",
     "length_grouped_batches",
     "quality_gate_agreement",
+    "unimax_allocation",
+    "epoch_shuffle",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -385,3 +385,75 @@ def token_budget_select(
         F.round(F.col("diversity") + F.lit(1e-9), 6).alias("diversity"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget_docs: int,
+    epoch_cap: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): split a total
+    document budget across sources (languages / domains) as evenly as
+    possible, capping each source at `epoch_cap` epochs of its own
+    size — the mixture rule that replaced temperature sampling for
+    multilingual pretraining (no source is oversampled past its cap;
+    leftover budget waterfalls to the larger sources).
+
+    Closed-form waterfill: with sources ascending by capacity, source i
+    is CAPPED iff cap_i * (sources remaining at i) <= budget remaining
+    at i — an exact integer comparison; every uncapped source gets the
+    equal share of what the capped prefix left.  Returns one row per
+    source: (group, n_docs, cap_docs, allocated, epochs).
+
+    Scale shape: the corpus collapses to one row per source first
+    (partial-agg shuffle); the waterfill window runs over #sources
+    rows — bounded metadata, not data — so the single-partition window
+    here is the correct plan, not an anti-pattern."""
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    caps = counts.withColumn(
+        "cap_docs", F.col("n_docs") * F.lit(int(epoch_cap))
+    )
+    w = Window.orderBy(F.asc("cap_docs"), F.asc("grp"))
+    wall = Window.partitionBy()
+    marked = (
+        caps.withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum("cap_docs").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "_capped",
+            F.col("cap_docs") * (F.col("_n") - F.col("_i") + 1)
+            <= F.lit(int(budget_docs)) - F.col("_before"),
+        )
+    )
+    tot = marked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), F.col("cap_docs"))), F.lit(0)
+        ).alias("_s"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_capped"), F.lit(1))), F.lit(0)
+        ).alias("_k"),
+    )
+    alloc = F.when(F.col("_capped"), F.col("cap_docs").cast("double")).otherwise(
+        (F.lit(int(budget_docs)) - F.col("_s")) / F.col("_k")
+    )
+    return (
+        marked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("cap_docs").cast("long").alias("cap_docs"),
+            F.round(alloc + F.lit(1e-9), 4).alias("allocated"),
+            F.round(alloc / F.col("n_docs") + F.lit(1e-9), 4).alias("epochs"),
+        )
+    )

@@ -9248,6 +9248,118 @@ def streaming_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+_UNIMAX_BUDGET, _UNIMAX_EPOCHS = 1000, 4
+
+
+# UniMax mixture allocation (Chung et al. 2023): equal-share waterfill
+# over sources with a per-source epoch cap — the successor to
+# temperature sampling (mixture_sample) for multilingual budgets.
+@register(
+    "unimax_allocation",
+    f"""
+    WITH counts AS (
+      SELECT source AS grp, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ), caps AS (
+      SELECT grp, n_docs, n_docs * {_UNIMAX_EPOCHS} AS cap_docs FROM counts
+    ), marked AS (
+      SELECT grp, n_docs, cap_docs,
+             row_number() OVER (ORDER BY cap_docs, grp) AS i,
+             COALESCE(SUM(cap_docs) OVER (ORDER BY cap_docs, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             COUNT(*) OVER () AS n
+      FROM caps
+    ), flagged AS (
+      SELECT *,
+             cap_docs * (n - i + 1) <= {_UNIMAX_BUDGET} - bef AS capped
+      FROM marked
+    ), tot AS (
+      SELECT COALESCE(SUM(CASE WHEN capped THEN cap_docs END), 0) AS s,
+             COALESCE(SUM(CASE WHEN NOT capped THEN 1 END), 0) AS k
+      FROM flagged
+    )
+    SELECT grp AS source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(cap_docs AS BIGINT) AS cap_docs,
+           ROUND(CASE WHEN capped THEN CAST(cap_docs AS DOUBLE)
+                      ELSE ({_UNIMAX_BUDGET} - s) * 1.0 / k END + 1e-9, 4)
+             AS allocated,
+           ROUND((CASE WHEN capped THEN CAST(cap_docs AS DOUBLE)
+                       ELSE ({_UNIMAX_BUDGET} - s) * 1.0 / k END) / n_docs
+                 + 1e-9, 4) AS epochs
+    FROM flagged CROSS JOIN tot
+    """,
+)
+def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.unimax_allocation(
+        load(spark, sf_dir, "documents"),
+        "source",
+        budget_docs=_UNIMAX_BUDGET,
+        epoch_cap=_UNIMAX_EPOCHS,
+    )
+
+
+_EPOCH_SHARDS = 8
+
+
+# Deterministic per-epoch training order: every epoch is a different
+# but REPRODUCIBLE permutation (md5 of id#epoch), with the shard
+# assignment riding the same ranking — the "shuffle each epoch, same
+# shuffle on every re-run / every worker" contract data loaders need.
+@register(
+    "epoch_shuffle",
+    f"""
+    WITH e AS (
+      SELECT doc_id, epoch,
+             md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR))
+               AS draw
+      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)
+    ), r AS (
+      SELECT doc_id, epoch,
+             row_number() OVER (PARTITION BY epoch ORDER BY draw, doc_id)
+               AS pos
+      FROM e
+    )
+    SELECT doc_id, CAST(epoch AS INT) AS epoch,
+           CAST(pos AS BIGINT) AS pos,
+           CAST((pos - 1) % {_EPOCH_SHARDS} AS BIGINT) AS shard
+    FROM r
+    """,
+)
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic shuffle + shard assignment.  Each epoch
+    ranks documents by md5(id#epoch) — a different full permutation per
+    epoch, identical on every run and every engine — and deals them
+    round-robin into shards.  Scale shape: the per-epoch ranking rides
+    `with_global_row_numbers` (range-partitioned sort, no
+    single-partition window); two epochs = two narrow passes unioned."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    outs = []
+    for epoch in (0, 1):
+        draw = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.lit(str(epoch)),
+            )
+        )
+        ranked = relational.with_global_row_numbers(
+            docs.withColumn("draw", draw),
+            [F.asc("draw"), F.asc("doc_id")],
+            col_name="pos",
+        )
+        outs.append(
+            ranked.select(
+                "doc_id",
+                F.lit(epoch).cast("int").alias("epoch"),
+                F.col("pos").cast("long").alias("pos"),
+                F.pmod(F.col("pos") - 1, F.lit(_EPOCH_SHARDS))
+                .cast("long")
+                .alias("shard"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

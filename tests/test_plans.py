@@ -679,3 +679,34 @@ def test_stratified_split_partitioned_window_only(spark):
     # the window's exchange must be hash-partitioned by the stratum,
     # never a SinglePartition collapse
     assert "SinglePartition" not in plan
+
+
+def test_fasttext_score_jvm_only_with_partial_agg(spark):
+    """The hashed classifier must stay JVM-side (no Python in the hot
+    path) and combine the integer logit map-side."""
+    df = registry.queries()["fasttext_hash_score"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_token_budget_select_no_single_partition_data_window(spark):
+    """The budget cut rides the range-partitioned prefix sum: any
+    SinglePartition exchange must sit above the bounded per-partition
+    totals, never above the document rows."""
+    df = registry.queries()["token_budget_select"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    for i, line in enumerate(plan.split("\n")):
+        if "SinglePartition" in line:
+            below = "\n".join(plan.split("\n")[i:])
+            assert "_pt" in below or "partial_sum" in below, plan
+
+
+def test_incremental_dedup_semi_joins_not_self_join(spark):
+    """Both signals are semi joins of the new batch against historical
+    key sets; the plan must contain no cartesian/nested-loop join."""
+    df = registry.queries()["incremental_dedup"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan

@@ -265,3 +265,27 @@ def test_token_budget_select_greedy_prefix(spark):
                token_budget_select(df, "doc_id", "text", budget_tokens=999).collect()}
     assert set(out_all) == {1, 2, 3, 4, 5}
     assert out_all[5].n_tokens == 0 and out_all[5].cum_tokens == 17
+
+
+def test_unimax_allocation_matches_greedy_waterfill(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    # sources sized 10, 40, 100, 400 docs; epoch_cap=1 so caps = sizes;
+    # budget 300 -> greedy waterfill gives 10, 40, 100, 150
+    rows = [(f"s{i}", j) for i, n in enumerate([10, 40, 100, 400])
+            for j in range(n)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    out = {r.source: r for r in
+           unimax_allocation(df, "source", budget_docs=300, epoch_cap=1).collect()}
+    assert out["s0"].allocated == 10.0 and out["s0"].epochs == 1.0
+    assert out["s1"].allocated == 40.0
+    assert out["s2"].allocated == 100.0
+    assert out["s3"].allocated == 150.0
+    assert abs(out["s3"].epochs - 0.375) < 1e-9
+    # epoch cap binds: epoch_cap=2 with a huge budget caps every source
+    out2 = {r.source: r for r in
+            unimax_allocation(df, "source", budget_docs=10**6, epoch_cap=2).collect()}
+    assert all(out2[s].allocated == out2[s].cap_docs for s in out2)
+    assert all(out2[s].epochs == 2.0 for s in out2)

@@ -70,6 +70,8 @@ DEFAULT_QUERIES = [
     "incremental_dedup",
     "length_grouped_batches",
     "quality_gate_agreement",
+    "unimax_allocation",
+    "epoch_shuffle",
 ]
 
 
