@@ -154,6 +154,8 @@ HEADLINE = [
     "quality_gate_agreement",
     "unimax_allocation",
     "epoch_shuffle",
+    "badwords_filter",
+    "curriculum_stages",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

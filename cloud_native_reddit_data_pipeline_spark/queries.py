@@ -9360,6 +9360,182 @@ def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+# C4-style blocklist gate: drop any document containing a blocklisted
+# token (the "List of Dirty, Naughty..." rule in C4's cleaning,
+# Raffel et al. 2020).  The synthetic corpus has no real badwords, so
+# the blocklist is HASH-DEFINED over the corpus vocabulary (md5 prefix
+# < '04' ≈ 1.6% of distinct tokens — the stratified_hash_sample
+# tactic): the gate mechanics (broadcast list, positional first hit,
+# any-hit drop) are fully exercised and SQL-replayable; a real
+# deployment swaps in its curated list as the same broadcast join.
+@register(
+    "badwords_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ts
+            FROM documents)
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS n_blocked_hits, MIN(pos) AS first_hit_pos
+      FROM tok WHERE substring(md5(w), 1, 2) < '04'
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_blocked_hits, 0) AS BIGINT) AS n_blocked_hits,
+           CAST(h.first_hit_pos AS BIGINT) AS first_hit_pos,
+           (h.doc_id IS NOT NULL) AS is_blocked
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist document gate: lowercase-tokenize, flag tokens on the
+    (hash-defined) blocklist, report per doc the hit count and the
+    1-based position of the first hit, and the C4 any-hit drop verdict.
+    Scale shape: the block test is a pure column predicate on the
+    exploded tokens (a real curated list broadcasts instead — same
+    plan); one doc-keyed partial-agg shuffle; the corpus text never
+    moves."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.lower(F.col("text")))).alias("pos0", "w"),
+    )
+    hits = (
+        ex.filter(F.substring(F.md5("w"), 1, 2) < "04")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocked_hits"),
+            (F.min("pos0") + 1).alias("first_hit_pos"),
+        )
+        .withColumn("_hit", F.lit(True))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_blocked_hits", F.lit(0)).cast("long").alias("n_blocked_hits"),
+        F.col("first_hit_pos").cast("long").alias("first_hit_pos"),
+        F.coalesce("_hit", F.lit(False)).alias("is_blocked"),
+    )
+
+
+# Curriculum staging CAPSTONE: order the corpus easy -> hard by a
+# composite of exact integer difficulty ranks (length, mean word
+# length, lexical diversity) and deal it into 4 training stages — the
+# curriculum-learning data prep step.  RFM-shaped: three fused lazy
+# rank passes (pins protocol) + one ntile pass, all on
+# range-partitioned row numbers — no single-partition window over doc
+# rows at any corpus size.
+@register(
+    "curriculum_stages",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, len(ts) AS n_tokens,
+             COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+               AS sum_len,
+             len(list_distinct(ts)) AS n_distinct
+      FROM t
+    ), m AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0 THEN sum_len * 1.0 / n_tokens
+                  ELSE 0.0 END AS mean_wlen,
+             CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens
+                  ELSE 0.0 END AS ttr
+      FROM sig
+    ), rk AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rank_len,
+             row_number() OVER (ORDER BY mean_wlen, doc_id) AS rank_wlen,
+             row_number() OVER (ORDER BY ttr, doc_id) AS rank_ttr
+      FROM m
+    ), comp AS (
+      SELECT doc_id, n_tokens, rank_len, rank_wlen, rank_ttr,
+             rank_len + rank_wlen + rank_ttr AS difficulty
+      FROM rk
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rank_len AS BIGINT) AS rank_len,
+           CAST(rank_wlen AS BIGINT) AS rank_wlen,
+           CAST(rank_ttr AS BIGINT) AS rank_ttr,
+           CAST(difficulty AS BIGINT) AS difficulty,
+           CAST(ntile(4) OVER (ORDER BY difficulty, doc_id) AS INT) AS stage
+    FROM comp
+    """,
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens as _tokens
+    from .operators.relational import ntile_from_rank, with_global_row_numbers
+
+    toks = _tokens("text")
+    sig = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("sum_len"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    m = sig.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0, F.col("sum_len") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)).alias("mean_wlen"),
+        F.when(
+            F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)).alias("ttr"),
+    ).persist()
+    pins: list = []
+    try:
+        axes = {
+            "rank_len": [F.asc("n_tokens"), F.asc("doc_id")],
+            "rank_wlen": [F.asc("mean_wlen"), F.asc("doc_id")],
+            "rank_ttr": [F.asc("ttr"), F.asc("doc_id")],
+        }
+        out = m.select("doc_id", "n_tokens")
+        for name, order in axes.items():
+            ranked = with_global_row_numbers(
+                m, order, col_name=name, checkpoint=False, pins=pins
+            ).select("doc_id", name)
+            out = out.join(ranked, "doc_id")
+        out = out.withColumn(
+            "difficulty",
+            F.col("rank_len") + F.col("rank_wlen") + F.col("rank_ttr"),
+        )
+        n_df = F.broadcast(m.agg(F.count(F.lit(1)).alias("_n")))
+        staged = with_global_row_numbers(
+            out,
+            [F.asc("difficulty"), F.asc("doc_id")],
+            col_name="_srn",
+            checkpoint=False,
+            pins=pins,
+        )
+        final = staged.crossJoin(n_df).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("rank_len").cast("long").alias("rank_len"),
+            F.col("rank_wlen").cast("long").alias("rank_wlen"),
+            F.col("rank_ttr").cast("long").alias("rank_ttr"),
+            F.col("difficulty").cast("long").alias("difficulty"),
+            ntile_from_rank(F.col("_srn"), F.col("_n"), 4).alias("stage"),
+        )
+        final = final.localCheckpoint(eager=True)
+    finally:
+        m.unpersist()
+        for p in pins:
+            p.unpersist()
+    return final
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

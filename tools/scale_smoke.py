@@ -72,6 +72,8 @@ DEFAULT_QUERIES = [
     "quality_gate_agreement",
     "unimax_allocation",
     "epoch_shuffle",
+    "badwords_filter",
+    "curriculum_stages",
 ]
 
 
