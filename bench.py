@@ -156,6 +156,7 @@ HEADLINE = [
     "epoch_shuffle",
     "badwords_filter",
     "curriculum_stages",
+    "kneser_ney_perplexity",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

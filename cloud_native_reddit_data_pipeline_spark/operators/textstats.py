@@ -330,6 +330,30 @@ def zipf_token_stats(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     )
 
 
+def _bigram_type_counts(fdf: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, cur, n) rows: per-document bigram TYPE counts over
+    lowercase tokens — the shared front-end of the add-k and
+    Kneser-Ney LM scorers.  Pairs are built JVM-side (zip_with against
+    the shifted slice; tokens only in argument position — the
+    word_shingles lesson), then pre-aggregated per (doc, bigram) so
+    the model join moves one row per distinct bigram per doc."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    pair_t = "array<struct<prev:string,cur:string>>"
+    zipped = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.slice(zipped, 1, F.size(toks) - 1),
+    ).otherwise(F.array().cast(pair_t))
+    inst = fdf.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    return inst.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+
+
 def bigram_lm_perplexity(
     df: DataFrame, id_col: str, text_col: str, k: float = 0.5
 ) -> DataFrame:
@@ -357,26 +381,13 @@ def bigram_lm_perplexity(
     chain would re-execute (measured 14.9s -> ~3s at sf0.1 inside the
     v2 capstone).  V is a scalar broadcast.
     """
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    pair_t = "array<struct<prev:string,cur:string>>"
-    zipped = F.zip_with(
-        toks,
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-    )
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.slice(zipped, 1, F.size(toks) - 1),
-    ).otherwise(F.array().cast(pair_t))
     from pyspark.sql import Window
 
     from ..sources.tables import fan_out
 
     fdf = fan_out(df)
-    inst = fdf.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
-    )
-    per_doc = inst.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    per_doc = _bigram_type_counts(fdf, id_col, text_col)
     c_model = per_doc.groupBy("prev", "cur").agg(F.sum("n").alias("c")).withColumn(
         "cp", F.sum("c").over(Window.partitionBy("prev"))
     )
@@ -1118,5 +1129,71 @@ def hashed_linear_score(
             F.when(F.coalesce("_logit", F.lit(0)) > 0, F.lit("keep"))
             .otherwise(F.lit("drop"))
             .alias("label"),
+        )
+    )
+
+
+def kneser_ney_perplexity(
+    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram
+    model trained on the corpus itself — the smoothing every serious
+    n-gram quality filter (KenLM/CCNet) actually uses, vs
+    `bigram_lm_perplexity`'s add-k:
+
+        p(cur|prev) = max(c(prev,cur) - d, 0) / c(prev)
+                      + d * N1+(prev,.) / c(prev) * Pcont(cur)
+        Pcont(cur)  = N1+(., cur) / |distinct bigram types|
+
+    The continuation probability is what distinguishes KN: a word seen
+    after MANY contexts backs off strongly, a word frequent in one
+    context only does not.  Probe bigrams always exist in the model
+    (trained on the same corpus), so the formula needs no unseen-event
+    branch here.
+
+    Scale shape: shares `_bigram_type_counts` with the add-k scorer;
+    the model adds two vocabulary-partitioned windows (context total +
+    distinct-successor count per prev; distinct-predecessor count per
+    cur) on the bigram TYPE table, and the type-count total is a
+    broadcast scalar — never a global window over the type table."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import fan_out
+
+    fdf = fan_out(df)
+    per_doc = _bigram_type_counts(fdf, id_col, text_col)
+    c_model = (
+        per_doc.groupBy("prev", "cur")
+        .agg(F.sum("n").alias("c"))
+        .withColumn("cp", F.sum("c").over(Window.partitionBy("prev")))
+        .withColumn("n1p_prev", F.count(F.lit(1)).over(Window.partitionBy("prev")))
+        .withColumn("n1p_cur", F.count(F.lit(1)).over(Window.partitionBy("cur")))
+    )
+    btot = per_doc.select("prev", "cur").distinct().agg(
+        F.count(F.lit(1)).alias("bt")
+    )
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("cp")
+        + d * F.col("n1p_prev") / F.col("cp")
+        * (F.col("n1p_cur") / F.col("bt"))
+    )
+    scored = (
+        per_doc.join(c_model, ["prev", "cur"])
+        .crossJoin(F.broadcast(btot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (F.sum(F.col("n") * -F.log(p)) / F.sum("n")).alias("_ce"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("_ce") + F.lit(1e-9), 4).alias("cross_entropy"),
+            F.round(F.exp("_ce") + F.lit(1e-9), 4).alias("perplexity"),
         )
     )

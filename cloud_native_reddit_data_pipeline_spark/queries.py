@@ -9536,6 +9536,58 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+# Interpolated Kneser-Ney bigram perplexity — the KenLM/CCNet
+# smoothing, vs lm_perplexity's add-k.  Same libm-log contract as the
+# add-k oracle (round 4 after +1e-9).
+@register(
+    "kneser_ney_perplexity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ts
+            FROM documents)
+    ), bg AS (
+      SELECT doc_id, w AS prev,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+      FROM tok
+    ), per_doc AS (
+      SELECT doc_id, prev, cur, COUNT(*) AS n
+      FROM bg WHERE cur IS NOT NULL GROUP BY doc_id, prev, cur
+    ), c_model AS (
+      SELECT prev, cur, SUM(n) AS c FROM per_doc GROUP BY prev, cur
+    ), m AS (
+      SELECT prev, cur, c,
+             SUM(c) OVER (PARTITION BY prev) AS cp,
+             COUNT(*) OVER (PARTITION BY prev) AS n1p_prev,
+             COUNT(*) OVER (PARTITION BY cur) AS n1p_cur
+      FROM c_model
+    ), btot AS (SELECT COUNT(*) AS bt FROM c_model),
+    scored AS (
+      SELECT d.doc_id, SUM(d.n) AS n_bigrams,
+             SUM(d.n * -ln(
+               GREATEST(m.c - 0.75, 0.0) / m.cp
+               + 0.75 * m.n1p_prev / m.cp * (m.n1p_cur / bt)
+             )) / SUM(d.n) AS ce
+      FROM per_doc d
+      JOIN m ON m.prev = d.prev AND m.cur = d.cur
+      CROSS JOIN btot
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(s.ce + 1e-9, 4) AS cross_entropy,
+           ROUND(exp(s.ce) + 1e-9, 4) AS perplexity
+    FROM documents doc LEFT JOIN scored s ON s.doc_id = doc.doc_id
+    """,
+)
+def kneser_ney_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.kneser_ney_perplexity(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -159,3 +159,60 @@ def test_hashed_linear_score_structure(spark):
     # single token: no bigram
     assert out[4].n_features == 1
     assert out[4].label == ("keep" if out[4].logit_e3 > 0 else "drop")
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        kneser_ney_perplexity,
+    )
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "b c d a"),
+        (4, "x"),  # < 2 tokens: NULL entropy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           kneser_ney_perplexity(df, "doc_id", "text").collect()}
+
+    # python reference
+    bigrams = []
+    per_doc: dict[int, Counter] = {}
+    for i, t in rows:
+        ts = t.split()
+        bgs = list(zip(ts, ts[1:]))
+        per_doc[i] = Counter(bgs)
+        bigrams += bgs
+    c = Counter(bigrams)
+    cp = Counter()
+    n1p_prev = Counter()
+    n1p_cur = Counter()
+    for (p_, w), n in c.items():
+        cp[p_] += n
+        n1p_prev[p_] += 1
+        n1p_cur[w] += 1
+    bt = len(c)
+    d = 0.75
+
+    def prob(p_, w):
+        return (max(c[(p_, w)] - d, 0.0) / cp[p_]
+                + d * n1p_prev[p_] / cp[p_] * (n1p_cur[w] / bt))
+
+    for i, _ in rows[:3]:
+        tot = sum(per_doc[i].values())
+        ce = sum(n * -math.log(prob(p_, w))
+                 for (p_, w), n in per_doc[i].items()) / tot
+        assert out[i].n_bigrams == tot
+        assert abs(out[i].cross_entropy - ce) < 1e-3
+        assert abs(out[i].perplexity - math.exp(ce)) < 1e-2
+    assert out[4].n_bigrams == 0 and out[4].cross_entropy is None
+    # KN interpolated probabilities are a proper distribution: sum over
+    # all seen successors of one context plus the backoff mass for
+    # unseen words stays <= 1
+    for p_ in cp:
+        s = sum(prob(p_, w) for (pp, w) in c if pp == p_)
+        assert s <= 1.0 + 1e-9

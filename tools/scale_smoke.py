@@ -74,6 +74,7 @@ DEFAULT_QUERIES = [
     "epoch_shuffle",
     "badwords_filter",
     "curriculum_stages",
+    "kneser_ney_perplexity",
 ]
 
 
