@@ -157,6 +157,9 @@ HEADLINE = [
     "badwords_filter",
     "curriculum_stages",
     "kneser_ney_perplexity",
+    "corpus_manifest",
+    "retrieve_rerank",
+    "negative_sampling",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -457,3 +457,71 @@ def unimax_allocation(
             F.round(alloc / F.col("n_docs") + F.lit(1e-9), 4).alias("epochs"),
         )
     )
+
+
+def negative_sampling(
+    df: DataFrame,
+    text_col: str,
+    n_draws: int = 200,
+    power: float = 0.75,
+) -> DataFrame:
+    """word2vec-style negative sampling: draw noise tokens from the
+    unigram distribution raised to `power` (0.75 — the Mikolov et al.
+    2013 smoothing that up-weights rare words), deterministically.
+
+    Exactness: the smoothed weight pow(c, 0.75) is quantized to
+    DECIMAL(18,6) and scaled to integer micro-units BEFORE anything
+    else (libm pow is not correctly rounded — the mixture_sample
+    lesson), so the cumulative intervals and the interval membership
+    test are exact integer arithmetic; the only float step is
+    u(draw) * total, identical IEEE doubles in both engines, floored
+    to an integer target.
+
+    Scale shape: the vocabulary's cumulative bounds ride
+    `relational.with_global_cumsum` (range-partitioned prefix sum —
+    a 10M-type vocab never sees a single-partition window); the draw
+    table is tiny and BROADCAST against the interval table, so the
+    lookup is a constant-work nested-loop per vocab partition — the
+    range_band_join shape.  Returns (draw_id, token, target_e6)."""
+    from ..functions.text import tokens
+    from .relational import with_global_cumsum
+
+    vocab = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_e6 = (
+        F.pow(F.col("c").cast("double"), F.lit(float(power)))
+        .cast("decimal(18,6)")
+        * F.lit(1000000)
+    ).cast("long")
+    weighted = vocab.select("w", w_e6.alias("w_e6")).filter(F.col("w_e6") > 0)
+    cum = with_global_cumsum(
+        weighted, [F.asc("w")], "w_e6", "cum_hi"
+    ).withColumn("cum_lo", F.col("cum_hi") - F.col("w_e6"))
+    tot = cum.agg(F.max("cum_hi").alias("t_e6"))
+    draws = (
+        df.sparkSession.range(n_draws)
+        .select(F.col("id").alias("draw_id"))
+        .withColumn("u", hash_fraction("draw_id"))
+    )
+    dt = (
+        draws.crossJoin(F.broadcast(tot))
+        .select(
+            "draw_id",
+            F.floor(F.col("u") * F.col("t_e6")).cast("long").alias("target_e6"),
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(dt),
+            (F.col("cum_lo") <= F.col("target_e6"))
+            & (F.col("target_e6") < F.col("cum_hi")),
+        )
+        .select(
+            "draw_id",
+            F.col("w").alias("token"),
+            "target_e6",
+        )
+    )

@@ -9588,6 +9588,205 @@ def kneser_ney_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus shard manifest: per-shard doc/token counts + an
+# order-insensitive 60-bit content digest (xor of per-doc md5-prefix
+# hashes) — the cheap corpus-versioning primitive: two corpus versions
+# diff by comparing 8 manifest rows instead of re-scanning either, and
+# a changed shard pinpoints where.  bit_xor is commutative, so the
+# digest is partition- and order-independent by construction.
+@register(
+    "corpus_manifest",
+    """
+    SELECT doc_id % 8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                         || '|' || text), 1, 15))::BIGINT) AS BIGINT)
+             AS content_digest
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One manifest row per shard — scan-bound, single partial-agg
+    shuffle on 8 keys; the digest hashes (id, text) so both reorders
+    within a doc and id remaps flip it."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.pmod("doc_id", F.lit(8)).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(_tokens("text"))).cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat(cast(doc_id as string),"
+                " '|', text)), 1, 15), 16, 10) as bigint))"
+            ).alias("content_digest"),
+        )
+    )
+
+
+# Two-stage retrieve-then-rerank: BM25 recall stage (cheap lexical
+# top-50) -> exact embedding-cosine precision stage over ONLY those
+# candidates -> top-10.  The canonical RAG serving shape (vs
+# hybrid_search_rrf's rank fusion): the expensive vector math touches
+# 50 rows, not the corpus.
+@register(
+    "retrieve_rerank",
+    f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS _n, AVG(dl) AS _avgdl FROM lens),
+    hits AS (
+      SELECT doc_id, lower(term) AS term FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS term
+        FROM documents
+      ) WHERE lower(term) IN ({', '.join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))})
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    lexscored AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1.0 + (_n - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / _avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    lexrank AS (
+      SELECT doc_id, rank AS bm25_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM lexscored
+      ) WHERE rank <= {_RRF_LEG_N}
+    ),
+    vq AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_RRF_QUERY_VEC}
+    ),
+    reranked AS (
+      SELECT l.doc_id, l.bm25_rank,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), vq.qv), 4)
+               AS cos
+      FROM lexrank l
+      JOIN embeddings e ON e.vec_id = l.doc_id
+      CROSS JOIN vq
+      WHERE l.doc_id <> {_RRF_QUERY_VEC}
+    )
+    SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank, cos,
+           CAST(rerank AS BIGINT) AS rerank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cos DESC, doc_id) AS rerank
+      FROM reranked
+    ) WHERE rerank <= 10
+    """,
+)
+def retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 recall -> exact-cosine rerank over the candidates only.
+    Scale shape: stage 1 is the term-filtered BM25 plan (postings
+    filtered to query terms pre-shuffle, heap top-N); stage 2 joins 50
+    candidate rows to their embeddings (an id equi-join the inverted
+    layout makes a pruned lookup) and broadcasts one query vector —
+    corpus embeddings never scan, the rerank cost is O(candidates)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    lex = textstats.ranked_keyword_search_bm25(
+        docs, "doc_id", "text", _SEARCH_KEYWORDS, k=_RRF_LEG_N
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    cand = (
+        lex.withColumn("bm25_rank", F.row_number().over(w))
+        .filter(F.col("bm25_rank") <= _RRF_LEG_N)
+        .filter(F.col("doc_id") != _RRF_QUERY_VEC)
+        .select("doc_id", "bm25_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    from .functions.vectors import cosine
+
+    reranked = (
+        cand.join(emb, cand["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25_rank",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("cos"),
+        )
+    )
+    w2 = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        reranked.withColumn("rerank", F.row_number().over(w2))
+        .filter(F.col("rerank") <= 10)
+        .select(
+            "doc_id",
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            "cos",
+            F.col("rerank").cast("long").alias("rerank"),
+        )
+    )
+
+
+_NEG_DRAWS = 200
+
+
+# word2vec negative sampling from the unigram^0.75 noise distribution —
+# deterministic inverse-CDF over exact integer cumulative intervals.
+@register(
+    "negative_sampling",
+    f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), weighted AS (
+      SELECT w,
+             CAST(CAST(pow(CAST(c AS DOUBLE), 0.75) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS w_e6
+      FROM vocab
+    ), cum AS (
+      SELECT w, w_e6,
+             SUM(w_e6) OVER (ORDER BY w) AS cum_hi,
+             SUM(w_e6) OVER (ORDER BY w) - w_e6 AS cum_lo
+      FROM weighted WHERE w_e6 > 0
+    ), tot AS (SELECT MAX(cum_hi) AS t_e6 FROM cum),
+    draws AS (
+      SELECT i AS draw_id,
+             CAST(CAST(concat('0x', substring(md5(CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM range(0, {_NEG_DRAWS}) t(i)
+    ), dt AS (
+      SELECT draw_id, CAST(floor(u * t_e6) AS BIGINT) AS target_e6
+      FROM draws CROSS JOIN tot
+    )
+    SELECT d.draw_id, c.w AS token, d.target_e6
+    FROM cum c JOIN dt d
+      ON c.cum_lo <= d.target_e6 AND d.target_e6 < c.cum_hi
+    """,
+)
+def negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.negative_sampling(
+        load(spark, sf_dir, "documents"), "text", n_draws=_NEG_DRAWS
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -289,3 +289,24 @@ def test_unimax_allocation_matches_greedy_waterfill(spark):
             unimax_allocation(df, "source", budget_docs=10**6, epoch_cap=2).collect()}
     assert all(out2[s].allocated == out2[s].cap_docs for s in out2)
     assert all(out2[s].epochs == 2.0 for s in out2)
+
+
+def test_negative_sampling_exact_inverse_cdf(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        negative_sampling,
+    )
+
+    # vocabulary: 'a' x 81, 'b' x 16, 'c' x 1 -> weights 81^.75=27,
+    # 16^.75=8, 1 -> intervals of exactly 27/8/1 millionths' widths
+    text = " ".join(["a"] * 81 + ["b"] * 16 + ["c"])
+    df = spark.createDataFrame([(text,)], "text string")
+    out = negative_sampling(df, "text", n_draws=500).collect()
+    assert len(out) == 500  # every draw hits exactly one interval
+    from collections import Counter
+
+    freq = Counter(r.token for r in out)
+    # expected shares 27/36, 8/36, 1/36 — loose bounds on 500 draws
+    assert freq["a"] > 300 and freq["b"] > 60 and freq.get("c", 0) < 40
+    # deterministic: second run identical
+    again = negative_sampling(df, "text", n_draws=500).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -75,6 +75,9 @@ DEFAULT_QUERIES = [
     "badwords_filter",
     "curriculum_stages",
     "kneser_ney_perplexity",
+    "corpus_manifest",
+    "retrieve_rerank",
+    "negative_sampling",
 ]
 
 
