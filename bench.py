@@ -160,6 +160,7 @@ HEADLINE = [
     "corpus_manifest",
     "retrieve_rerank",
     "negative_sampling",
+    "snapshot_drift_psi",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

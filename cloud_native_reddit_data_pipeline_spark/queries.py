@@ -9787,6 +9787,77 @@ def negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Population-stability-index drift report between two corpus snapshots
+# (even vs odd doc_ids as the A/B halves): per length-bucket shares
+# with add-one smoothing and the PSI contribution (pa-pb)*ln(pa/pb) —
+# the standard "did the data distribution move" monitor a training
+# pipeline runs between crawl snapshots.  Integer bucket/count
+# arithmetic; the only float steps are the share divisions and ln,
+# identical IEEE in both engines under the round-4 + 1e-9 contract.
+@register(
+    "snapshot_drift_psi",
+    """
+    WITH t AS (
+      SELECT doc_id % 2 AS snap,
+             LEAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) // 20, 9) AS bucket
+      FROM documents
+    ), counts AS (
+      SELECT bucket,
+             COUNT(*) FILTER (WHERE snap = 0) AS n_a,
+             COUNT(*) FILTER (WHERE snap = 1) AS n_b
+      FROM t GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(n_a) + COUNT(*) AS ta, SUM(n_b) + COUNT(*) AS tb,
+             COUNT(*) AS k
+      FROM counts
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND((n_a + 1) * 1.0 / ta + 1e-9, 6) AS p_a,
+           ROUND((n_b + 1) * 1.0 / tb + 1e-9, 6) AS p_b,
+           ROUND(((n_a + 1) * 1.0 / ta - (n_b + 1) * 1.0 / tb)
+                 * ln(((n_a + 1) * 1.0 / ta) / ((n_b + 1) * 1.0 / tb))
+                 + 1e-9, 6) AS psi_contrib
+    FROM counts CROSS JOIN tot
+    """,
+)
+def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between snapshot halves over length buckets.  Scale
+    shape: one narrow bucket map + a 10-key partial-agg shuffle; the
+    totals are a broadcast one-row aggregate (pivot-free conditional
+    counts).  PSI > 0.2 is the conventional 'distribution moved' alarm
+    — the per-bucket contributions localize WHICH length band drifted."""
+    from .functions.text import tokens as _tokens
+
+    t = load(spark, sf_dir, "documents").select(
+        F.pmod("doc_id", F.lit(2)).alias("snap"),
+        F.least(
+            F.floor(F.size(_tokens("text")) / 20).cast("long"), F.lit(9)
+        ).alias("bucket"),
+    )
+    counts = t.groupBy("bucket").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("snap") == 1, 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        (F.sum("n_a") + F.count(F.lit(1))).alias("ta"),
+        (F.sum("n_b") + F.count(F.lit(1))).alias("tb"),
+    )
+    pa = (F.col("n_a") + 1) / F.col("ta")
+    pb = (F.col("n_b") + 1) / F.col("tb")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(pa + F.lit(1e-9), 6).alias("p_a"),
+        F.round(pb + F.lit(1e-9), 6).alias("p_b"),
+        F.round((pa - pb) * F.log(pa / pb) + F.lit(1e-9), 6).alias(
+            "psi_contrib"
+        ),
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -78,6 +78,7 @@ DEFAULT_QUERIES = [
     "corpus_manifest",
     "retrieve_rerank",
     "negative_sampling",
+    "snapshot_drift_psi",
 ]
 
 
