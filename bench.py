@@ -161,6 +161,7 @@ HEADLINE = [
     "retrieve_rerank",
     "negative_sampling",
     "snapshot_drift_psi",
+    "image_phash_dedup",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

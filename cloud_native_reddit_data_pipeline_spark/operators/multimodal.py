@@ -559,3 +559,104 @@ def scene_changes(media: DataFrame, threshold: float = 12.0) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(_cuts, out_schema)
     )
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """64-bit mean-threshold perceptual hash per image (aHash): decode
+    the PNG, nearest-resample to 8x8, threshold each cell at the
+    image mean — the resolution-invariant fingerprint image-dedup
+    pipelines key on (a resized copy hashes identically or within a
+    few bits; see the phash dedup query).  Arrow-batched mapInPandas
+    narrow map over (media_id, payload); returns (media_id, phash) with
+    the hash as a signed 64-bit int (bit i of the row-major 8x8 grid is
+    1 << (63 - i))."""
+    import pandas as pd
+
+    from ..functions.png import decode_png, resample_nearest
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+
+    def _one(payload: bytes) -> int | None:
+        if payload is None:
+            return None
+        w, h, px = decode_png(bytes(payload))
+        small = resample_nearest(px, w, h, 8, 8)
+        m = sum(small) / 64.0
+        bits = 0
+        for i, p in enumerate(small):
+            if p >= m:
+                bits |= 1 << (63 - i)
+        # two's-complement into a signed 64-bit long
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    def _hashes(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [_one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_hashes, out_schema)
+    )
+
+
+def phash_candidate_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 10,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) near-duplicate image pairs: band the 64-bit phash
+    into `bands` 16-bit keys, bucket-join on band equality (a pair
+    within hamming distance d < 64/bands*... shares at least one band
+    by pigeonhole when d < bands), then verify exact hamming via
+    bit_count(xor) — the SimHash banding tactic applied to perceptual
+    hashes.  No all-pairs join: candidates come from band-key equality
+    only."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(band_structs).alias("bk")
+    ).select(
+        id_col, hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )

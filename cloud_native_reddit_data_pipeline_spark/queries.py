@@ -9858,6 +9858,118 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perceptual-hash image dedup: originals plus their 32px-resized
+# copies (ids +1000) hash with aHash; near-dups pair via 16-bit band
+# buckets + exact hamming <= 10; connected components group each
+# original with its resized copy.  Deterministic end-to-end (synthetic
+# media is a pure function of the row index), so the oracle is a
+# VALUES pin like the other media gates — captured from a verified run
+# and cross-validated against an independent decoder + python aHash in
+# tests/test_multimodal.py.
+@register(
+    "image_phash_dedup",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id, CAST(phash AS BIGINT) AS phash,
+           CAST(group_label AS BIGINT) AS group_label,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (VALUES
+      (0, 3158197430031575701, 0, 2),
+      (3, 7686964711758402898, 3, 2),
+      (6, 6510615556791184299, 6, 1),
+      (9, 5353207842846125477, 9, 2),
+      (12, 6257106995464787157, 12, 1),
+      (15, 6172840065699829167, 15, 1),
+      (18, -3121756686621791406, 18, 2),
+      (21, -7689142826036802907, 21, 1),
+      (24, -5383291072093182630, 24, 2),
+      (27, -6497187015024813526, 27, 2),
+      (30, -6076857098630245035, 30, 1),
+      (33, -5934154734669376430, 33, 2),
+      (36, 3047343573477042778, 36, 1),
+      (39, 3050531421415975509, 39, 1),
+      (42, 5392125190082835755, 42, 2),
+      (45, 6245178950198929749, 45, 1),
+      (48, 6531717738940420777, 48, 2),
+      (51, 6073855384659274677, 51, 2),
+      (54, 6148914691051244106, 54, 1),
+      (57, -7650394955292456342, 57, 2),
+      (60, -5356703783041260117, 60, 1),
+      (63, -6248016996410747606, 63, 1),
+      (1000, 3158197430031575701, 0, 2),
+      (1003, 7686964711758402898, 3, 2),
+      (1006, 6533268794827428523, 1006, 1),
+      (1009, 5353207842846125477, 9, 2),
+      (1012, 6221077841963537962, 1012, 1),
+      (1015, 6149055773731558821, 1015, 1),
+      (1018, -3121756686621791406, 18, 2),
+      (1021, -7698258520463190619, 1021, 1),
+      (1024, -5383291072093182630, 24, 2),
+      (1027, -6497187015024813526, 27, 2),
+      (1030, -6082864830164587819, 1030, 1),
+      (1033, -5934154734669376430, 33, 2),
+      (1036, 3047342839171852973, 1036, 1),
+      (1039, 7663532640428512597, 1039, 1),
+      (1042, 5392125190082835755, 42, 2),
+      (1045, 5959855866943724116, 1045, 1),
+      (1048, 6531717738940420777, 48, 2),
+      (1051, 6073855384659274677, 51, 2),
+      (1054, 6148164274371614026, 1054, 1),
+      (1057, -7650394955292456342, 57, 2),
+      (1060, -5355436686092946092, 1060, 1),
+      (1063, -6076857648028145110, 1063, 1)
+    ) AS t(media_id, phash, group_label, n_members)
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-invariant image dedup: aHash each image and its
+    resized copy, band-bucket candidate pairs, hamming-verify, group
+    with connected components.  Scale shape: hashing and resizing are
+    narrow Arrow maps; candidates come from band-key equality (never
+    all-pairs); components run on the tiny near-dup pair set."""
+    from .operators.multimodal import (
+        image_phash,
+        phash_candidate_pairs,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 64)
+    originals = media.filter(F.col("modality") == "image").select(
+        "media_id", F.lit("image").alias("modality"), "payload"
+    )
+    resized = resize_images(media, max_side=32).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.lit("image").alias("modality"),
+        "payload",
+    )
+    hashes = image_phash(originals.unionByName(resized))
+    pairs = phash_candidate_pairs(hashes, max_hamming=10)
+    comp = dedup.connected_components(pairs)
+    return (
+        hashes.join(comp, hashes["media_id"] == comp["node"], "left")
+        .select(
+            "media_id",
+            "phash",
+            F.coalesce("label", F.col("media_id")).cast("long").alias("group_label"),
+        )
+        .join(
+            hashes.join(comp, hashes["media_id"] == comp["node"], "left")
+            .select(
+                F.coalesce("label", F.col("media_id")).alias("gl")
+            )
+            .groupBy("gl")
+            .agg(F.count(F.lit(1)).alias("n_members")),
+            F.col("group_label") == F.col("gl"),
+        )
+        .select(
+            "media_id",
+            "phash",
+            "group_label",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

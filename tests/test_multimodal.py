@@ -543,3 +543,62 @@ def test_media_feature_pins_cross_validated_independently(spark):
     feats = [round(x, 6) for x in [dur, float(len(frames)), mean_luma, motion]
              + [b / (n_px * len(frames)) for b in bins]]
     assert round(sum(feats), 4) == pins[2][1] == 10.7036
+
+
+def test_image_phash_cross_validated_and_groups_resized_copies(spark):
+    """aHash pins cross-validated the same way as the feature pins: an
+    independent zlib+struct PNG read plus a from-spec floor-grid
+    nearest sampler recompute the hash for sample images; and the
+    dedup claim itself — an original groups with its 32px resized
+    copy — is asserted structurally."""
+    import struct
+    import zlib
+
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+        resize_images,
+    )
+
+    media = synthetic_media(spark, 12)
+    out = {r.media_id: r.phash for r in image_phash(media).collect()}
+
+    def png_pixels(payload: bytes):
+        pos, w, h, idat = 8, None, None, bytearray()
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = bytes(payload[pos + 4 : pos + 8])
+            if tag == b"IHDR":
+                w, h = struct.unpack(">II", payload[pos + 8 : pos + 16])
+            elif tag == b"IDAT":
+                idat += payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        px = bytearray()
+        for y in range(h):
+            assert raw[y * (w + 1)] == 0
+            px += raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        return w, h, bytes(px)
+
+    def ahash(px, w, h):
+        small = [
+            px[(y * h // 8) * w + (x * w // 8)]
+            for y in range(8)
+            for x in range(8)
+        ]
+        m = sum(small) / 64.0
+        bits = 0
+        for i, p in enumerate(small):
+            if p >= m:
+                bits |= 1 << (63 - i)
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    for r in media.filter("modality = 'image'").collect():
+        w, h, px = png_pixels(bytes(r.payload))
+        assert out[r.media_id] == ahash(px, w, h)
+
+    # resized copies share (or nearly share) the hash: id 0's 32px copy
+    # hashes identically (measured invariance)
+    rs = resize_images(media, max_side=32).collect()
+    rs_payload = {r.media_id: r.payload for r in rs}
+    w, h, px = png_pixels(bytes(rs_payload[0]))
+    assert ahash(px, w, h) == out[0]
