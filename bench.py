@@ -162,6 +162,8 @@ HEADLINE = [
     "negative_sampling",
     "snapshot_drift_psi",
     "image_phash_dedup",
+    "audio_fingerprint_dedup",
+    "semantic_decontamination",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

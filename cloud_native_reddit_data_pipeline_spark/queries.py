@@ -9970,6 +9970,174 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDECON_EVAL_N, _SEMDECON_THRESHOLD = 25, 0.3
+
+
+# Semantic (embedding-level) eval-set decontamination: the n-gram
+# `benchmark_contamination` catches verbatim leakage; this catches
+# PARAPHRASED leakage — a training vector too cosine-close to any
+# eval vector.  Same broadcast shape: the eval set is tiny by
+# definition, the corpus scans once and never shuffles.
+@register(
+    "semantic_decontamination",
+    f"""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings WHERE vec_id < {_SEMDECON_EVAL_N}
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {_SEMDECON_EVAL_N}
+    ), scored AS (
+      SELECT c.vec_id, e.eval_id,
+             ROUND(list_cosine_similarity(c.v, e.ev), 4) AS cos
+      FROM corpus c CROSS JOIN ev e
+    ), best AS (
+      SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_eval_cos
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, eval_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT vec_id, max_eval_cos, CAST(nearest_eval_id AS BIGINT)
+             AS nearest_eval_id,
+           (max_eval_cos >= {_SEMDECON_THRESHOLD}) AS contaminated
+    FROM best
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max cosine of every training vector against the broadcast eval
+    set, with the argmax eval id and the drop verdict — the
+    paraphrase-robust complement of n-gram decontamination.  O(corpus x
+    |eval|) exact cosines, which is the RIGHT plan while the eval set
+    is small; an LSH prefilter (lsh_band_candidates) is the documented
+    swap-in when it is not."""
+    from pyspark.sql import Window
+
+    from .functions.vectors import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < _SEMDECON_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _SEMDECON_EVAL_N)
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.round(cosine(F.col("embedding"), F.col("ev")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("eval_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "vec_id",
+            F.col("cos").alias("max_eval_cos"),
+            F.col("eval_id").cast("long").alias("nearest_eval_id"),
+            (F.col("cos") >= F.lit(_SEMDECON_THRESHOLD)).alias("contaminated"),
+        )
+    )
+
+
+# Audio fingerprint dedup across sample rates — the phash story for
+# audio: energy-delta fingerprints, banded hamming candidates, exact
+# verify, components.  Same VALUES-pin + independent-cross-validation
+# gate as the other media queries.
+@register(
+    "audio_fingerprint_dedup",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id, CAST(afp AS BIGINT) AS afp,
+           CAST(group_label AS BIGINT) AS group_label,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (VALUES
+      (1, 7140711444654427763, 1, 2),
+      (4, 6239372957436177226, 4, 1),
+      (7, 5519611703332123443, 7, 2),
+      (10, 7188804674706182031, 10, 2),
+      (13, 1317785419383991734, 13, 2),
+      (16, 892588913385159118, 16, 2),
+      (19, 3254250172847396532, 19, 2),
+      (22, 3689334740992969932, 22, 2),
+      (25, 1026326193516591160, 25, 1),
+      (28, 7823396552410174029, 28, 2),
+      (31, 3570338130074060345, 31, 2),
+      (34, 6544458911140620651, 34, 2),
+      (37, 5534023277088446771, 37, 2),
+      (40, 8133749295926199235, 40, 1),
+      (43, 6587801198086810770, 43, 2),
+      (46, 5634439036998457575, 46, 1),
+      (49, 2714876080633303766, 49, 2),
+      (52, 1851880166828435046, 52, 2),
+      (55, 1085102588260400700, 55, 2),
+      (58, 2655835780814396268, 58, 2),
+      (61, 4165321193259066136, 61, 2),
+      (1001, 7140711444654427763, 1, 2),
+      (1004, 6238811104846891850, 1004, 1),
+      (1007, 5519611703332123443, 7, 2),
+      (1010, 4882966063538997135, 10, 2),
+      (1013, 3623487691109322166, 13, 2),
+      (1016, 892584532519039438, 16, 2),
+      (1019, 3254215057194784436, 19, 2),
+      (1022, 3689334740993101004, 22, 2),
+      (1025, 2179210177293334648, 1025, 1),
+      (1028, 7904460795947029069, 28, 2),
+      (1031, 8326139336579401273, 31, 2),
+      (1034, 6544458911140620651, 34, 2),
+      (1037, 5534023208368970003, 37, 2),
+      (1040, 8205806881374061511, 1040, 1),
+      (1043, 1976396654367698066, 43, 2),
+      (1046, 5653016316473718983, 1046, 1),
+      (1049, 2714871682586792662, 49, 2),
+      (1052, 1815851369809471078, 52, 2),
+      (1055, 1085120180446436924, 55, 2),
+      (1058, 2637822481815493484, 58, 2),
+      (1061, 4165321193259066136, 61, 2)
+    ) AS t(media_id, afp, group_label, n_members)
+    """,
+)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originals plus their 16 kHz resampled copies (ids +1000)
+    fingerprint, band-pair (hamming <= 8), and group — each original
+    should land in one cluster with its resampled copy.  Scale shape
+    identical to image_phash_dedup: narrow Arrow maps, band-bucket
+    candidates, components on the tiny pair set."""
+    from .operators.multimodal import (
+        audio_fingerprint,
+        phash_candidate_pairs,
+        resample_audio,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 64)
+    originals = media.filter(F.col("modality") == "audio").select(
+        "media_id", F.lit("audio").alias("modality"), "payload"
+    )
+    resampled = resample_audio(media, target_rate=16000).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.lit("audio").alias("modality"),
+        "payload",
+    )
+    fps = audio_fingerprint(originals.unionByName(resampled))
+    pairs = phash_candidate_pairs(
+        fps, id_col="media_id", hash_col="afp", max_hamming=8
+    )
+    comp = dedup.connected_components(pairs)
+    labeled = fps.join(comp, fps["media_id"] == comp["node"], "left").select(
+        "media_id",
+        "afp",
+        F.coalesce("label", F.col("media_id")).cast("long").alias("group_label"),
+    )
+    sizes = labeled.groupBy(F.col("group_label").alias("gl")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labeled.join(sizes, F.col("group_label") == F.col("gl")).select(
+        "media_id",
+        "afp",
+        "group_label",
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

