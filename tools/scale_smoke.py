@@ -79,6 +79,11 @@ DEFAULT_QUERIES = [
     "retrieve_rerank",
     "negative_sampling",
     "snapshot_drift_psi",
+    # media dedup queries (image_phash_dedup, audio_fingerprint_dedup)
+    # are omitted: they run on the fixed 64-row synthetic media table,
+    # so a smoke ratio would measure nothing (entity_resolution-style
+    # note; their scale story is the banded-hamming pair generator)
+    "semantic_decontamination",
 ]
 
 
