@@ -164,6 +164,8 @@ HEADLINE = [
     "image_phash_dedup",
     "audio_fingerprint_dedup",
     "semantic_decontamination",
+    "ann_hamming_topk",
+    "ann_hamming_rerank",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -10138,6 +10138,98 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Binary-hash ANN: sign-bit sketches + Hamming scan, then cosine rerank.
+# The ITQ / Hamming-embedding two-stage pattern: 64 floats (512 B) pack
+# to 8 B, the recall stage is integer XOR+POPCNT, and the float fold
+# runs only on the shortlist.  Both stages deterministic and
+# value-hash-verifiable (integer distances, id tie-breaks).
+# ---------------------------------------------------------------------------
+
+_SIGN_PACK_SQL = """
+    u AS (
+      SELECT vec_id, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN i <= 32 AND e >= 0
+                           THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS w_lo,
+             CAST(SUM(CASE WHEN i > 32 AND e >= 0
+                           THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS w_hi
+      FROM u GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "ann_hamming_topk",
+    f"""
+    WITH {_SIGN_PACK_SQL},
+    q AS (
+      SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi FROM p
+      WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+    ), scored AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             CAST(bit_count(xor(p.w_lo, q.q_lo))
+                  + bit_count(xor(p.w_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hamming_topk(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
+    "ann_hamming_rerank",
+    f"""
+    WITH {_SIGN_PACK_SQL},
+    q AS (
+      SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi FROM p
+      WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+    ), scored AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             CAST(bit_count(xor(p.w_lo, q.q_lo))
+                  + bit_count(xor(p.w_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id
+    ), short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrk
+        FROM scored
+      ) WHERE hrk <= 20
+    ), qv AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+    ), rescored AS (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             ROUND(list_cosine_similarity(
+               qv.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN qv ON qv.query_id = s.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, hamming, cos, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hamming_rerank_topk(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, shortlist=20
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -332,3 +332,51 @@ def test_jl_project_matches_numpy(spark):
         want = planes @ np.array(v)
         assert np.allclose(out[i], want, atol=1e-9)
     assert all(len(p) == 3 for p in out.values())
+
+
+def _emb64(spark):
+    # 64-dim corpus for the sign-bit sketch family: 0 and 10 share all
+    # signs; 2 flips exactly the first 3 dims; 3 flips dims 33..64.
+    base = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    flip3 = [-x if i < 3 else x for i, x in enumerate(base)]
+    fliphi = [-x if i >= 32 else x for i, x in enumerate(base)]
+    rows = [
+        (0, base),
+        (10, [x * 0.5 for x in base]),  # same signs, scaled
+        (2, flip3),
+        (3, fliphi),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sign_bit_pack_words(spark):
+    out = {r["vec_id"]: (r["w_lo"], r["w_hi"]) for r in
+           similarity.sign_bit_pack(_emb64(spark)).collect()}
+    # base signs: + at even 0-based dims -> bits 0,2,4,... set = 0x55555555
+    assert out[0] == (0x55555555, 0x55555555)
+    assert out[10] == out[0]  # scaling never changes a sign
+    # flip3 flips 0-based dims 0..2: bits 0 and 2 clear, bit 1 set
+    assert out[2][0] == (0x55555555 ^ 0b111) and out[2][1] == 0x55555555
+    # fliphi flips the whole high word
+    assert out[3] == (0x55555555, 0x55555555 ^ 0xFFFFFFFF)
+
+
+def test_hamming_topk_orders_by_bit_distance(spark):
+    rows = sorted(
+        similarity.hamming_topk(_emb64(spark), [0], k=3).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert [r["neighbor_id"] for r in rows] == [10, 2, 3]
+    assert [r["hamming"] for r in rows] == [0, 3, 32]
+
+
+def test_hamming_rerank_rescores_with_cosine(spark):
+    rows = sorted(
+        similarity.hamming_rerank_topk(_emb64(spark), [0], k=3, shortlist=3).collect(),
+        key=lambda r: r["rk"],
+    )
+    # the scaled twin wins on cosine (1.0), and every shortlist row
+    # carries both its hamming and its exact rescored cosine
+    assert rows[0]["neighbor_id"] == 10 and rows[0]["cos"] == 1.0
+    assert all(r["hamming"] is not None for r in rows)
+    assert [r["rk"] for r in rows] == [1, 2, 3]

@@ -84,6 +84,8 @@ DEFAULT_QUERIES = [
     # so a smoke ratio would measure nothing (entity_resolution-style
     # note; their scale story is the banded-hamming pair generator)
     "semantic_decontamination",
+    "ann_hamming_topk",
+    "ann_hamming_rerank",
 ]
 
 
