@@ -166,6 +166,8 @@ HEADLINE = [
     "semantic_decontamination",
     "ann_hamming_topk",
     "ann_hamming_rerank",
+    "classifier_calibration",
+    "perplexity_buckets",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -1197,3 +1197,107 @@ def kneser_ney_perplexity(
             F.round(F.exp("_ce") + F.lit(1e-9), 4).alias("perplexity"),
         )
     )
+
+
+def classifier_calibration(
+    df: DataFrame, id_col: str, text_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram table (the ECE input) for the hashed linear
+    classifier, scored against the Gopher integer-rule gate as the
+    reference labels — the calibration audit a pipeline runs before
+    trusting a learned quality filter's scores as probabilities
+    (Guo et al. 2017's binned confidence-vs-accuracy table).
+
+    Confidence is a HARD sigmoid of the logit — clip(x/6 + 1/2, 0, 1),
+    the published piecewise-linear sigmoid surrogate — kept in exact
+    integer arithmetic: with logits at scale 1e3, conf*3e6 =
+    clamp(1_500_000 + logit_e3*500, 0, 3_000_000).  Every output is a
+    floor-divided ppm integer of non-negative operands (Spark `div`
+    truncation == DuckDB `//` floor on non-negatives), so the whole
+    table is hash-stable with no float anywhere.
+
+    Bins are logit deciles over a total order (logit, id), built on the
+    distributed rank (`with_global_row_numbers` + `ntile_from_rank`) —
+    no single-partition window at any corpus size.  Per bin:
+    n_docs, n_pos (gate passes), conf_ppm (mean hard-sigmoid
+    confidence), acc_ppm (observed pass rate), gap_ppm (|acc - conf|,
+    the bin's ECE contribution before the n_b/N weighting)."""
+    from .relational import ntile_from_rank, with_global_row_numbers
+
+    scored = hashed_linear_score(df, id_col, text_col).select(id_col, "logit_e3")
+    gate = gopher_quality_gate(df, id_col, text_col).select(id_col, "pass_gate")
+    conf3 = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(3_000_000).cast("long"),
+            (F.lit(1_500_000) + F.col("logit_e3") * 500).cast("long"),
+        ),
+    )
+    j = scored.join(gate, id_col).select(
+        F.col(id_col), F.col("logit_e3"), F.col("pass_gate"), conf3.alias("_c3")
+    )
+    ranked = with_global_row_numbers(
+        j, [F.asc("logit_e3"), F.asc(id_col)], col_name="_rn"
+    )
+    n_df = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+    binned = ranked.crossJoin(n_df).select(
+        ntile_from_rank(F.col("_rn"), F.col("_n"), n_bins).alias("bin"),
+        "pass_gate",
+        "_c3",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("pass_gate"), 1).otherwise(0)).alias("n_pos"),
+        F.sum("_c3").alias("_sum_c3"),
+    )
+    return per.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("_sum_c3 div (3 * n_docs)").cast("long").alias("conf_ppm"),
+        F.expr("(1000000 * n_pos) div n_docs").cast("long").alias("acc_ppm"),
+        F.expr(
+            "abs(_sum_c3 div (3 * n_docs) - (1000000 * n_pos) div n_docs)"
+        ).cast("long").alias("gap_ppm"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its Kneser-Ney LM perplexity and split the corpus into
+    head / middle / tail terciles — head feeds training, tail gets
+    dropped or down-weighted.  The canonical LM-quality partitioning
+    step between scoring and selection.
+
+    Rank is over the ROUNDED perplexity (4 decimals — the value both
+    engines already agree on bit-for-bit in `kneser_ney_perplexity`)
+    with id tie-breaks and NULLS LAST (unscorable empty docs land in
+    the tail), so bucket assignment is a deterministic total order.
+    Buckets come from the distributed rank + integer ntile — no
+    single-partition sort at any corpus size; the LM scoring itself
+    rides the shared vocabulary-partitioned KN plan."""
+    from .relational import ntile_from_rank, with_global_row_numbers
+
+    names = {1: "head", 2: "middle", 3: "tail"}
+    ppl = kneser_ney_perplexity(df, id_col, text_col)
+    ranked = with_global_row_numbers(
+        ppl,
+        [F.asc_nulls_last("perplexity"), F.asc(id_col)],
+        col_name="ppl_rank",
+    )
+    n_df = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+    tile = ntile_from_rank(F.col("ppl_rank"), F.col("_n"), n_buckets)
+    bucket = F.lit(None).cast("string")
+    for idx in range(n_buckets, 0, -1):
+        bucket = F.when(tile == idx, F.lit(names.get(idx, str(idx)))).otherwise(
+            bucket
+        )
+    return ranked.crossJoin(n_df).select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "perplexity",
+        F.col("ppl_rank").cast("long").alias("ppl_rank"),
+        bucket.alias("bucket"),
+    )

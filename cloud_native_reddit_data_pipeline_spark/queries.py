@@ -10230,6 +10230,74 @@ def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reliability-diagram / ECE table: hard-sigmoid confidence of the
+# hashed classifier vs the Gopher gate's labels, logit-decile bins,
+# all floor-divided ppm integers (Spark `div` == DuckDB `//` on the
+# non-negative operands used).  Composes the two registered oracles.
+@register(
+    "classifier_calibration",
+    """
+    WITH gate AS ({GOPHER}),
+         ft AS ({FT}),
+    j AS (
+      SELECT f.doc_id, f.logit_e3, g.pass_gate,
+             GREATEST(0::BIGINT, LEAST(3000000::BIGINT,
+                      1500000 + f.logit_e3 * 500)) AS c3
+      FROM ft f JOIN gate g ON g.doc_id = f.doc_id
+    ), r AS (
+      SELECT *, ntile(10) OVER (ORDER BY logit_e3, doc_id) AS bin FROM j
+    ), per AS (
+      SELECT bin, COUNT(*) AS n_docs,
+             SUM(CASE WHEN pass_gate THEN 1 ELSE 0 END) AS n_pos,
+             SUM(c3) AS sum_c3
+      FROM r GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(sum_c3 // (3 * n_docs) AS BIGINT) AS conf_ppm,
+           CAST((1000000 * n_pos) // n_docs AS BIGINT) AS acc_ppm,
+           CAST(abs(sum_c3 // (3 * n_docs)
+                    - (1000000 * n_pos) // n_docs) AS BIGINT) AS gap_ppm
+    FROM per
+    """.replace("{GOPHER}", _ORACLES["gopher_quality_gate"])
+       .replace("{FT}", _ORACLES["fasttext_hash_score"]),
+)
+def classifier_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.classifier_calibration(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n_bins=10
+    )
+
+
+# CCNet perplexity bucketing: head/middle/tail terciles of the
+# Kneser-Ney perplexity ranking.  Composes the registered KN oracle;
+# ntile(3) over the identical (rounded ppl, doc_id) total order
+# mirrors the engine's distributed integer ntile exactly.
+@register(
+    "perplexity_buckets",
+    """
+    WITH kn AS ({KN}),
+    r AS (
+      SELECT doc_id, n_bigrams, perplexity,
+             row_number() OVER (
+               ORDER BY perplexity ASC NULLS LAST, doc_id) AS ppl_rank,
+             ntile(3) OVER (
+               ORDER BY perplexity ASC NULLS LAST, doc_id) AS tile
+      FROM kn
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, perplexity,
+           CAST(ppl_rank AS BIGINT) AS ppl_rank,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+    FROM r
+    """.replace("{KN}", _ORACLES["kneser_ney_perplexity"]),
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.perplexity_buckets(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=3
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -276,3 +276,65 @@ def test_gopher_quality_gate_rules(spark):
     # every violator fails ONLY for reasons it was built to fail
     assert out[3].words_ok and out[3].alpha_ok and out[3].stop_ok
     assert out[4].words_ok and out[4].mean_len_ok and out[4].stop_ok
+
+
+def test_classifier_calibration_bins_are_exact_integers(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        classifier_calibration,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    rows = {r.bin: r for r in
+            classifier_calibration(docs, "doc_id", "text", n_bins=4).collect()}
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    # first n % t tiles take ceil(n/t), rest floor (SQL ntile contract)
+    sizes = sorted((r.n_docs for r in rows.values()), reverse=True)
+    assert sizes[0] - sizes[-1] <= 1
+    for r in rows.values():
+        assert 0 <= r.conf_ppm <= 1_000_000
+        assert 0 <= r.acc_ppm <= 1_000_000
+        assert r.gap_ppm == abs(r.acc_ppm - r.conf_ppm)
+        assert 0 <= r.n_pos <= r.n_docs
+    # bins are ordered by logit, so hard-sigmoid confidence must be
+    # monotone non-decreasing across bins
+    confs = [rows[b].conf_ppm for b in sorted(rows)]
+    assert confs == sorted(confs)
+
+
+def test_perplexity_buckets_tercile_order(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat sat again"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "repeat repeat repeat repeat repeat repeat repeat"),
+            (5, "mixed bag of words mixed bag of words mixed bag"),
+            (6, ""),  # unscorable: must land in the tail, rank last
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           perplexity_buckets(df, "doc_id", "text").collect()}
+    assert len(out) == 6
+    # ranks are a permutation of 1..6 and the empty doc is last
+    assert sorted(r.ppl_rank for r in out.values()) == list(range(1, 7))
+    assert out[6].ppl_rank == 6 and out[6].bucket == "tail"
+    assert out[6].perplexity is None
+    # bucket follows rank terciles: ranks 1-2 head, 3-4 middle, 5-6 tail
+    by_rank = {r.ppl_rank: r.bucket for r in out.values()}
+    assert by_rank[1] == "head" and by_rank[2] == "head"
+    assert by_rank[3] == "middle" and by_rank[4] == "middle"
+    assert by_rank[5] == "tail" and by_rank[6] == "tail"
+    # lower perplexity == earlier rank among scored docs
+    scored = sorted(
+        (r for r in out.values() if r.perplexity is not None),
+        key=lambda r: r.ppl_rank,
+    )
+    ppls = [r.perplexity for r in scored]
+    assert ppls == sorted(ppls)

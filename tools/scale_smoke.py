@@ -86,6 +86,8 @@ DEFAULT_QUERIES = [
     "semantic_decontamination",
     "ann_hamming_topk",
     "ann_hamming_rerank",
+    "classifier_calibration",
+    "perplexity_buckets",
 ]
 
 
