@@ -168,6 +168,8 @@ HEADLINE = [
     "ann_hamming_rerank",
     "classifier_calibration",
     "perplexity_buckets",
+    "preference_pairs",
+    "dedup_aware_split",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -525,3 +525,67 @@ def negative_sampling(
             "target_e6",
         )
     )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    group_cols: list[str],
+    min_margin: int = 0,
+) -> DataFrame:
+    """RLHF/DPO preference-pair construction from scored candidates:
+    within each group (the "same prompt" key), pair the i-th best
+    candidate with the i-th worst and keep pairs whose score margin
+    clears `min_margin` — the chosen/rejected extraction step between
+    reward scoring and preference-tuning data (Ouyang et al. 2022;
+    Rafailov et al. 2023 take exactly such max-margin pairs).
+
+    Pairing rides ONE total order per group: the bottom rank is the
+    exact REVERSE of the top rank (score desc, id asc vs score asc,
+    id desc), so top-i and bottom-i are positions i and n+1-i of the
+    same permutation — provably distinct rows whenever 2*i <= n, with
+    no same-doc pair even under full score ties.
+
+    Scale shape: two ranks + a count over the SAME group partitioning
+    (one shuffle, window sorts reuse the exchange) and an equi-join on
+    (group, rank) — no cross join, no global window; group skew is the
+    only hazard and each group contributes at most n/2 output rows."""
+    wt = Window.partitionBy(*group_cols).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wb = Window.partitionBy(*group_cols).orderBy(
+        F.asc(score_col), F.desc(id_col)
+    )
+    wn = Window.partitionBy(*group_cols)
+    top = scored.select(
+        *group_cols,
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+        F.row_number().over(wt).alias("pair_idx"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    bot = scored.select(
+        *group_cols,
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+        F.row_number().over(wb).alias("pair_idx"),
+    )
+    return (
+        top.join(bot, [*group_cols, "pair_idx"])
+        .filter((2 * F.col("pair_idx") <= F.col("_n")))
+        .filter(
+            F.col("chosen_score") - F.col("rejected_score") >= min_margin
+        )
+        .select(
+            *group_cols,
+            F.col("pair_idx").cast("long").alias("pair_idx"),
+            "chosen_id",
+            "rejected_id",
+            F.col("chosen_score").cast("long").alias("chosen_score_e3"),
+            F.col("rejected_score").cast("long").alias("rejected_score_e3"),
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("long")
+            .alias("margin_e3"),
+        )
+    )

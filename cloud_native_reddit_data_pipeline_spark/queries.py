@@ -10298,6 +10298,76 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RLHF/DPO preference pairs: within each (source, lang) "prompt"
+# group, pair i-th best with i-th worst hashed-classifier score and
+# keep margins >= 100 (0.1 in logit units).  Bottom rank is the exact
+# reverse of the top rank, so pairs are distinct rows by construction.
+@register(
+    "preference_pairs",
+    """
+    WITH ft AS ({FT}),
+    s AS (
+      SELECT d.source, d.lang, d.doc_id, f.logit_e3
+      FROM documents d JOIN ft f USING (doc_id)
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY logit_e3 DESC, doc_id ASC) AS rt,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY logit_e3 ASC, doc_id DESC) AS rb,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n
+      FROM s
+    )
+    SELECT a.source, a.lang, CAST(a.rt AS BIGINT) AS pair_idx,
+           a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           CAST(a.logit_e3 AS BIGINT) AS chosen_score_e3,
+           CAST(b.logit_e3 AS BIGINT) AS rejected_score_e3,
+           CAST(a.logit_e3 - b.logit_e3 AS BIGINT) AS margin_e3
+    FROM r a JOIN r b
+      ON a.source = b.source AND a.lang = b.lang AND b.rb = a.rt
+    WHERE 2 * a.rt <= a.n AND a.logit_e3 - b.logit_e3 >= 100
+    """.replace("{FT}", _ORACLES["fasttext_hash_score"]),
+)
+def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = textstats.hashed_linear_score(docs, "doc_id", "text").select(
+        "doc_id", "logit_e3"
+    )
+    cands = docs.select("doc_id", "source", "lang").join(scored, "doc_id")
+    return sampling.preference_pairs(
+        cands, "doc_id", "logit_e3", ["source", "lang"], min_margin=100
+    )
+
+
+# Dedup-aware split: whole near-dup components assigned to train/test
+# (the leakage fix for per-document splits).  Composes the registered
+# connected-components oracle; singletons label themselves.
+@register(
+    "dedup_aware_split",
+    """
+    WITH cc AS ({CC}),
+    a AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.label, d.doc_id) AS BIGINT) AS component
+      FROM documents d LEFT JOIN cc c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 2) < '1a'
+                THEN 'test' ELSE 'train' END AS split
+    FROM a
+    """.replace("{CC}", _ORACLES["dedup_components"]),
+)
+def dedup_aware_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_MINHASH_K
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_MINHASH_K, bands=4
+    )
+    return dedup.component_aware_split(docs, pairs, "doc_id")
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

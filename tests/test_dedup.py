@@ -693,3 +693,34 @@ def test_incremental_dedup_flags_semantics(spark):
     out2 = {r.doc_id: r for r in
             dedup.incremental_dedup_flags(twins, hist, "doc_id", "text").collect()}
     assert out2[7].kept and out2[9].kept
+
+
+def test_component_aware_split_never_straddles_pairs(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        component_aware_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = component_aware_split(docs, pairs, "doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 10
+    # paired docs share a component AND a split
+    assert rows[1].component == rows[2].component == rows[3].component
+    assert rows[1].split == rows[2].split == rows[3].split
+    assert rows[5].component == rows[6].component
+    assert rows[5].split == rows[6].split
+    # singletons label themselves
+    for d in (4, 7, 8, 9, 10):
+        assert rows[d].component == d
+    # both splits exist over a spread of singleton hashes... not
+    # guaranteed for 10 ids, so assert the invariant instead: split is
+    # a pure function of component
+    by_comp = {}
+    for r in rows.values():
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())

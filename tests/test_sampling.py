@@ -310,3 +310,29 @@ def test_negative_sampling_exact_inverse_cdf(spark):
     # deterministic: second run identical
     again = negative_sampling(df, "text", n_draws=500).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_preference_pairs_max_margin_and_tie_safety(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        preference_pairs,
+    )
+
+    rows = [
+        # group A: scores 10, 7, 5, 2 -> pairs (10,2), (7,5)
+        (1, "A", 10), (2, "A", 7), (3, "A", 5), (4, "A", 2),
+        # group B: all-tied scores -> margins 0, dropped at min_margin=1
+        (5, "B", 3), (6, "B", 3), (7, "B", 3),
+        # group C: single doc -> no pair
+        (8, "C", 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    out = preference_pairs(df, "doc_id", "score", ["grp"], min_margin=1)
+    got = {(r.grp, r.pair_idx): r for r in out.collect()}
+    assert set(got) == {("A", 1), ("A", 2)}
+    assert (got[("A", 1)].chosen_id, got[("A", 1)].rejected_id) == (1, 4)
+    assert (got[("A", 2)].chosen_id, got[("A", 2)].rejected_id) == (2, 3)
+    assert got[("A", 1)].margin_e3 == 8 and got[("A", 2)].margin_e3 == 2
+    # with min_margin=0 the tied group emits pairs but NEVER a self-pair
+    out0 = preference_pairs(df, "doc_id", "score", ["grp"], min_margin=0)
+    for r in out0.collect():
+        assert r.chosen_id != r.rejected_id

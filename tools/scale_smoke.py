@@ -88,6 +88,8 @@ DEFAULT_QUERIES = [
     "ann_hamming_rerank",
     "classifier_calibration",
     "perplexity_buckets",
+    "preference_pairs",
+    "dedup_aware_split",
 ]
 
 
