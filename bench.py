@@ -170,6 +170,8 @@ HEADLINE = [
     "perplexity_buckets",
     "preference_pairs",
     "dedup_aware_split",
+    "self_bleu_diversity",
+    "domain_hardness_weights",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

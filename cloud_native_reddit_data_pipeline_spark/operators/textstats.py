@@ -1301,3 +1301,150 @@ def perplexity_buckets(
         F.col("ppl_rank").cast("long").alias("ppl_rank"),
         bucket.alias("bucket"),
     )
+
+
+def self_bleu_diversity(
+    df: DataFrame, id_col: str, text_col: str, sample_size: int = 50
+) -> DataFrame:
+    """Corpus diversity audit via micro-averaged self-BLEU-2 (Zhu et
+    al. 2018's Texygen metric): how much each document's bigrams are
+    covered by the REST of the corpus — high values flag templated /
+    mode-collapsed text (synthetic-data QA runs this before mixing
+    generated corpora into training data).
+
+    Pairwise by nature, so it runs on a DETERMINISTIC hash-ordered
+    sample (`sample_size` smallest md5(id) — stable across runs,
+    engines, and partitionings; the sample size is the compute knob and
+    the ONLY thing that grows the pairwise stage, never the corpus).
+    Per sampled doc: clipped bigram matches summed over all other
+    sampled docs, micro-averaged as a ppm ratio-of-sums (floor-divided
+    non-negative integers -> hash-stable, no float anywhere).
+
+    Scale shape: distributed TakeOrdered for the sample (no global
+    sort materialization), one bigram explode over `sample_size` docs,
+    and a gram-keyed self-join bounded by the sample, not the corpus."""
+    from ..functions.text import word_shingles
+
+    lowered = F.lower(F.col(text_col))
+    sample = (
+        df.select(F.col(id_col), lowered.alias("_t"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+    )
+    grams = (
+        sample.select(
+            F.col(id_col), F.explode(word_shingles(F.col("_t"), 2)).alias("_g")
+        )
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    nb = grams.groupBy(id_col).agg(F.sum("_c").alias("n_bigrams"))
+    s_cnt = F.broadcast(sample.agg(F.count(F.lit(1)).alias("_s")))
+    a = grams.select(
+        F.col(id_col).alias("_ida"), F.col("_g"), F.col("_c").alias("_ca")
+    )
+    b = grams.select(
+        F.col(id_col).alias("_idb"), F.col("_g"), F.col("_c").alias("_cb")
+    )
+    clipped = (
+        a.join(b, "_g")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .groupBy(F.col("_ida").alias(id_col))
+        .agg(F.sum(F.least("_ca", "_cb")).alias("sum_clipped"))
+    )
+    return (
+        sample.select(id_col)
+        .join(nb, id_col, "left")
+        .join(clipped, id_col, "left")
+        .crossJoin(s_cnt)
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_clipped", F.lit(0)).cast("long").alias("sum_clipped"),
+            F.when(
+                (F.coalesce("n_bigrams", F.lit(0)) > 0) & (F.col("_s") > 1),
+                F.expr(
+                    "(1000000 * coalesce(sum_clipped, 0)) "
+                    "div ((_s - 1) * n_bigrams)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("selfbleu_ppm"),
+        )
+    )
+
+
+def domain_hardness_weights(
+    df: DataFrame, id_col: str, text_col: str, domain_col: str
+) -> DataFrame:
+    """Hardness-proportional domain reweighting — the DoReMi signal
+    (Xie et al. 2023: upweight domains with EXCESS loss over a
+    reference) with a single linear multiplicative-weights step instead
+    of the proxy-model loop: domains whose mean Kneser-Ney
+    cross-entropy exceeds the corpus mean get weight proportional to
+    that excess; domains at or below it share a uniform floor.
+
+    All arithmetic integer-exact: per-doc cross-entropy is the KN
+    query's 4-decimal-rounded double scaled to e4 (never a cross-
+    partition float SUM of unrounded values — both engines agree on
+    the rounded per-doc number first, then sum exact integers), means
+    are floor divisions of non-negative operands, and the final weights
+    are ppm integers.
+
+    Scale shape: rides the shared KN plan, then one domain-keyed
+    integer aggregate (20ish rows) + two broadcast scalars — nothing
+    downstream of the LM scoring touches per-document data again."""
+    kn = kneser_ney_perplexity(df, id_col, text_col)
+    scored = (
+        df.select(F.col(id_col), F.col(domain_col))
+        .join(kn, id_col)
+        .select(
+            domain_col,
+            F.col("n_bigrams"),
+            F.when(
+                F.col("cross_entropy").isNotNull(),
+                F.round(F.col("cross_entropy") * 10000).cast("long"),
+            ).alias("_ce_e4"),
+        )
+    )
+    per = scored.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("_ce_e4").alias("n_scored"),
+        F.coalesce(F.sum("_ce_e4"), F.lit(0)).alias("_sum_ce"),
+    )
+    overall = F.broadcast(
+        scored.agg(
+            F.coalesce(F.sum("_ce_e4"), F.lit(0)).alias("_tot_ce"),
+            F.count("_ce_e4").alias("_tot_n"),
+        )
+    )
+    w = per.crossJoin(overall).select(
+        domain_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.when(
+            F.col("n_scored") > 0, F.expr("_sum_ce div n_scored")
+        )
+        .otherwise(F.expr("CASE WHEN _tot_n > 0 THEN _tot_ce div _tot_n ELSE 0 END"))
+        .cast("long")
+        .alias("mean_ce_e4"),
+        F.expr("CASE WHEN _tot_n > 0 THEN _tot_ce div _tot_n ELSE 0 END")
+        .cast("long")
+        .alias("_overall_e4"),
+    )
+    w = w.withColumn(
+        "excess_e4",
+        F.greatest(F.col("mean_ce_e4") - F.col("_overall_e4"), F.lit(0)).cast(
+            "long"
+        ),
+    ).withColumn("_raw", F.greatest(F.col("excess_e4"), F.lit(1)))
+    tot_raw = F.broadcast(w.agg(F.sum("_raw").alias("_tot_raw")))
+    return w.crossJoin(tot_raw).select(
+        domain_col,
+        "n_docs",
+        "n_scored",
+        "mean_ce_e4",
+        "excess_e4",
+        F.expr("(1000000 * _raw) div _tot_raw").cast("long").alias("weight_ppm"),
+    )

@@ -10368,6 +10368,98 @@ def dedup_aware_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.component_aware_split(docs, pairs, "doc_id")
 
 
+# Micro-averaged self-BLEU-2 over a deterministic hash-ordered sample:
+# the synthetic-data diversity audit.  All-integer ppm output.
+@register(
+    "self_bleu_diversity",
+    """
+    WITH s AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+    ), lst AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS ts
+      FROM s
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+      FROM lst
+    ), bi AS (
+      SELECT doc_id, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM tok
+    ), g AS (
+      SELECT doc_id, concat_ws(' ', w, w1) AS g, COUNT(*) AS c
+      FROM bi WHERE w1 IS NOT NULL GROUP BY 1, 2
+    ), nb AS (
+      SELECT doc_id, SUM(c) AS n_bigrams FROM g GROUP BY doc_id
+    ), sc AS (SELECT COUNT(*) AS s FROM s),
+    cl AS (
+      SELECT a.doc_id, SUM(LEAST(a.c, b.c)) AS sum_clipped
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(nb.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(cl.sum_clipped, 0) AS BIGINT) AS sum_clipped,
+           CAST(CASE WHEN COALESCE(nb.n_bigrams, 0) > 0 AND sc.s > 1
+                     THEN (1000000 * COALESCE(cl.sum_clipped, 0))
+                          // ((sc.s - 1) * nb.n_bigrams)
+                     ELSE 0 END AS BIGINT) AS selfbleu_ppm
+    FROM s LEFT JOIN nb USING (doc_id) LEFT JOIN cl USING (doc_id)
+    CROSS JOIN sc
+    """,
+)
+def self_bleu_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.self_bleu_diversity(
+        load(spark, sf_dir, "documents"), "doc_id", "text", sample_size=50
+    )
+
+
+# Hardness-proportional domain reweighting (the DoReMi excess-loss
+# signal, one linear step): composes the KN oracle; integer-exact.
+@register(
+    "domain_hardness_weights",
+    """
+    WITH kn AS ({KN}),
+    sc AS (
+      SELECT d.source,
+             CASE WHEN kn.cross_entropy IS NOT NULL
+                  THEN CAST(ROUND(kn.cross_entropy * 10000) AS BIGINT)
+             END AS ce_e4
+      FROM documents d JOIN kn ON kn.doc_id = d.doc_id
+    ), per AS (
+      SELECT source, COUNT(*) AS n_docs, COUNT(ce_e4) AS n_scored,
+             COALESCE(SUM(ce_e4), 0) AS sum_ce
+      FROM sc GROUP BY source
+    ), tot AS (
+      SELECT COALESCE(SUM(ce_e4), 0) AS tot_ce, COUNT(ce_e4) AS tot_n
+      FROM sc
+    ), w AS (
+      SELECT source, n_docs, n_scored,
+             CASE WHEN n_scored > 0 THEN sum_ce // n_scored
+                  WHEN tot_n > 0 THEN tot_ce // tot_n ELSE 0 END AS mean_ce_e4,
+             CASE WHEN tot_n > 0 THEN tot_ce // tot_n ELSE 0 END AS overall_e4
+      FROM per CROSS JOIN tot
+    ), e AS (
+      SELECT source, n_docs, n_scored, mean_ce_e4,
+             GREATEST(mean_ce_e4 - overall_e4, 0) AS excess_e4,
+             GREATEST(GREATEST(mean_ce_e4 - overall_e4, 0), 1) AS raw
+      FROM w
+    ), tr AS (SELECT SUM(raw) AS tot_raw FROM e)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_scored AS BIGINT) AS n_scored,
+           CAST(mean_ce_e4 AS BIGINT) AS mean_ce_e4,
+           CAST(excess_e4 AS BIGINT) AS excess_e4,
+           CAST((1000000 * raw) // tot_raw AS BIGINT) AS weight_ppm
+    FROM e CROSS JOIN tr
+    """.replace("{KN}", _ORACLES["kneser_ney_perplexity"]),
+)
+def domain_hardness_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.domain_hardness_weights(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -338,3 +338,54 @@ def test_perplexity_buckets_tercile_order(spark):
     )
     ppls = [r.perplexity for r in scored]
     assert ppls == sorted(ppls)
+
+
+def test_self_bleu_flags_templated_corpus(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        self_bleu_diversity,
+    )
+
+    # 4 identical templated docs + 2 unique-vocabulary docs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),
+        (6, "uno dos tres cuatro cinco seis siete ocho"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           self_bleu_diversity(df, "doc_id", "text", sample_size=6).collect()}
+    assert len(out) == 6
+    # each templated doc's 8 bigrams are fully covered by 3 of the 5
+    # other docs: sum_clipped = 24, ppm = 1e6*24 // (5*8) = 600000
+    for d in (1, 2, 3, 4):
+        assert out[d].n_bigrams == 8 and out[d].sum_clipped == 24
+        assert out[d].selfbleu_ppm == 600000
+    # unique docs share no bigram with anything
+    for d in (5, 6):
+        assert out[d].sum_clipped == 0 and out[d].selfbleu_ppm == 0
+
+
+def test_domain_hardness_weights_upweights_hard_domain(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        domain_hardness_weights,
+    )
+
+    # easy: pure repetition (low KN surprise); hard: varied bigrams
+    easy = "spam spam spam spam spam spam spam spam spam spam"
+    rows = [(i, easy, "easy") for i in range(1, 5)] + [
+        (5, "one two three four five six seven eight nine ten", "hard"),
+        (6, "red green blue cyan magenta yellow black white grey pink", "hard"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           domain_hardness_weights(df, "doc_id", "text", "source").collect()}
+    assert set(out) == {"easy", "hard"}
+    assert out["easy"].n_docs == 4 and out["hard"].n_docs == 2
+    assert out["hard"].mean_ce_e4 > out["easy"].mean_ce_e4
+    assert out["hard"].excess_e4 > 0 and out["easy"].excess_e4 == 0
+    assert out["hard"].weight_ppm > out["easy"].weight_ppm
+    total = sum(r.weight_ppm for r in out.values())
+    assert 0 < total <= 1_000_000

@@ -90,6 +90,8 @@ DEFAULT_QUERIES = [
     "perplexity_buckets",
     "preference_pairs",
     "dedup_aware_split",
+    "self_bleu_diversity",
+    "domain_hardness_weights",
 ]
 
 
