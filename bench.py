@@ -172,6 +172,8 @@ HEADLINE = [
     "dedup_aware_split",
     "self_bleu_diversity",
     "domain_hardness_weights",
+    "pii_scrub_recall",
+    "event_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

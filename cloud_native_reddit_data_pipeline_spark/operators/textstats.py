@@ -1448,3 +1448,97 @@ def domain_hardness_weights(
         "excess_e4",
         F.expr("(1000000 * _raw) div _tot_raw").cast("long").alias("weight_ppm"),
     )
+
+
+# Deterministic planted-PII expressions (shared by engine and oracle —
+# every digit derives from the doc id, so both engines synthesize the
+# exact same strings with no RNG)
+PII_PLANT_SQL = {
+    "email": "concat('user', CAST({id} AS STRING), '@example.com')",
+    "ssn": (
+        "concat(lpad(CAST({id} % 1000 AS STRING), 3, '0'), '-', "
+        "lpad(CAST({id} % 100 AS STRING), 2, '0'), '-', "
+        "lpad(CAST({id} % 10000 AS STRING), 4, '0'))"
+    ),
+    "phone": (
+        "concat(lpad(CAST({id} % 1000 AS STRING), 3, '0'), '-', "
+        "lpad(CAST(({id} * 7) % 1000 AS STRING), 3, '0'), '-', "
+        "lpad(CAST(({id} * 13) % 10000 AS STRING), 4, '0'))"
+    ),
+    "ip": (
+        "concat(CAST({id} % 256 AS STRING), '.', "
+        "CAST(({id} * 3) % 256 AS STRING), '.', "
+        "CAST(({id} * 5) % 256 AS STRING), '.', "
+        "CAST(({id} * 7) % 256 AS STRING))"
+    ),
+}
+
+
+def pii_scrub_recall(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Planted-PII recall audit for the scrubber: inject one
+    deterministic synthetic item of every PII class into each document
+    (all digits derived from the doc id — no RNG, both engines plant
+    byte-identical strings), run the production `scrub_pii` chain, and
+    measure per class how many pattern matches existed before, how
+    many SURVIVED the scrub, and how many placeholder tokens landed.
+
+    This is the eval harness privacy reviews actually ask for — "show
+    me measured recall, not the regex" — and it exercises the real
+    scrub chain, not a copy (a pattern-order regression or an
+    over-narrow character class shows up as survivors > 0).
+
+    Scale shape: one narrow per-row map (plant + scrub + 12
+    regexp_counts, all codegen'd in the scan stage), ONE single-row
+    aggregate, then a 4-row explode — per-class totals with exact
+    integer arithmetic (recall_ppm floor-divided)."""
+    from ..functions.text import PII_PATTERNS, scrub_pii
+    from ..sources.tables import fan_out
+
+    idc = f"CAST({id_col} AS BIGINT)"
+    plant = F.expr(
+        "concat(" + f"{text_col}, ' contact ', "
+        + PII_PLANT_SQL["email"].format(id=idc) + ", ' id ', "
+        + PII_PLANT_SQL["ssn"].format(id=idc) + ", ' tel ', "
+        + PII_PLANT_SQL["phone"].format(id=idc) + ", ' at ', "
+        + PII_PLANT_SQL["ip"].format(id=idc) + ")"
+    )
+    planted = fan_out(df).select(
+        F.col(id_col), plant.alias("_pt")
+    ).withColumn("_sc", scrub_pii(F.col("_pt")))
+    aggs = []
+    for name, pat, repl in PII_PATTERNS:
+        aggs += [
+            F.sum(F.regexp_count(F.col("_pt"), F.lit(pat))).alias(f"_b_{name}"),
+            F.sum(F.regexp_count(F.col("_sc"), F.lit(pat))).alias(f"_a_{name}"),
+            # placeholder tokens are regex-safe literals ('<', '>' are
+            # not metachars in Java regex or RE2)
+            F.sum(F.regexp_count(F.col("_sc"), F.lit(repl))).alias(
+                f"_p_{name}"
+            ),
+        ]
+    one = planted.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pii_class"),
+                F.col("_n").cast("long").alias("n_docs"),
+                F.col(f"_b_{name}").cast("long").alias("n_before"),
+                F.col(f"_a_{name}").cast("long").alias("n_survived"),
+                F.col(f"_p_{name}").cast("long").alias("n_placeholders"),
+            )
+            for name, _, _ in PII_PATTERNS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .withColumn(
+            "recall_ppm",
+            F.when(
+                F.col("n_before") > 0,
+                F.expr("(1000000 * (n_before - n_survived)) div n_before"),
+            )
+            .otherwise(F.lit(1_000_000))
+            .cast("long"),
+        )
+    )

@@ -1008,3 +1008,41 @@ def linear_touch_attribution(
             "attributed_value",
         )
     )
+
+
+def event_sequence_examples(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    context: int = 3,
+) -> DataFrame:
+    """Next-event-prediction training examples from the event log: per
+    user, each event becomes a (context -> target) example where the
+    context is the '>' -joined previous `context` event types in time
+    order — the sequence-example construction step for behavioral /
+    session LMs (the "sequential recommendation" data format).
+
+    Ordering is the total order (ts, event_id), so examples are
+    deterministic under timestamp ties.  Only full-context examples
+    are emitted (the first `context` events per user are warm-up).
+
+    Scale shape: ONE user-partitioned window with `context` lags — no
+    self-join, no explode, no global sort; per-user skew is the only
+    hazard, identical to sessionization."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    lags = [
+        F.lag(type_col, i).over(w) for i in range(context, 0, -1)
+    ]
+    return (
+        events.select(
+            F.col(user_col),
+            F.col(id_col),
+            F.concat_ws(">", *lags).alias("context"),
+            lags[0].alias("_oldest"),
+            F.col(type_col).alias("target"),
+        )
+        .filter(F.col("_oldest").isNotNull())
+        .drop("_oldest")
+    )

@@ -10460,6 +10460,85 @@ def domain_hardness_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_recall_oracle() -> str:
+    """Replays the planted-PII audit: same id-derived plants (STRING ->
+    VARCHAR is the only dialect delta), same scrub chain, per-class
+    UNION ALL aggregates, floor-divided recall."""
+    from .functions.text import PII_PATTERNS
+    from .operators.textstats import PII_PLANT_SQL
+
+    idc = "CAST(doc_id AS BIGINT)"
+    plant = {
+        k: v.format(id=idc).replace("AS STRING", "AS VARCHAR")
+        for k, v in PII_PLANT_SQL.items()
+    }
+    pt = (
+        "concat(text, ' contact ', {email}, ' id ', {ssn}, ' tel ', "
+        "{phone}, ' at ', {ip})".format(**plant)
+    )
+    sc = "pt"
+    for _, pat, repl in PII_PATTERNS:
+        sc = f"regexp_replace({sc}, '{pat}', '{repl}', 'g')"
+    rows = []
+    for name, pat, repl in PII_PATTERNS:
+        rows.append(
+            f"""
+      SELECT '{name}' AS pii_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(pt, '{pat}'))) AS BIGINT) AS n_before,
+             CAST(SUM(len(regexp_extract_all(sc, '{pat}'))) AS BIGINT) AS n_survived,
+             CAST(SUM(len(regexp_extract_all(sc, '{repl}'))) AS BIGINT) AS n_placeholders
+      FROM s"""
+        )
+    union = "\n      UNION ALL\n".join(rows)
+    return f"""
+    WITH s1 AS (SELECT {pt} AS pt FROM documents),
+    s AS (SELECT pt, {sc} AS sc FROM s1),
+    per AS ({union})
+    SELECT pii_class, n_docs, n_before, n_survived, n_placeholders,
+           CAST(CASE WHEN n_before > 0
+                THEN (1000000 * (n_before - n_survived)) // n_before
+                ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM per
+    """
+
+
+@register("pii_scrub_recall", _pii_recall_oracle())
+def pii_scrub_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII scrub RECALL table (pii_scrub_v2's per-doc
+    audit rolled up to the per-class eval a privacy review reads):
+    plants one id-derived item of every class per doc, runs the real
+    scrub chain, reports matches before/after + placeholders +
+    floor-divided recall_ppm."""
+    return textstats.pii_scrub_recall(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# Next-event-prediction examples from the event log (sequential-
+# recommendation data format): per user, '>'-joined previous 3 event
+# types -> current type, total-ordered by (ts, event_id).
+@register(
+    "event_sequence_examples",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 3) OVER w AS c1,
+             lag(event_type, 2) OVER w AS c2,
+             lag(event_type, 1) OVER w AS c3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, concat_ws('>', c1, c2, c3) AS context,
+           event_type AS target
+    FROM r WHERE c1 IS NOT NULL
+    """,
+)
+def event_sequence_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.event_sequence_examples(
+        load(spark, sf_dir, "events"), context=3
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -389,3 +389,22 @@ def test_domain_hardness_weights_upweights_hard_domain(spark):
     assert out["hard"].weight_ppm > out["easy"].weight_ppm
     total = sum(r.weight_ppm for r in out.values())
     assert 0 < total <= 1_000_000
+
+
+def test_pii_scrub_recall_full_on_planted(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        pii_scrub_recall,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "plain words only here") for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    out = {r.pii_class: r for r in pii_scrub_recall(df, "doc_id", "text").collect()}
+    assert set(out) == {"email", "ssn", "phone", "ip"}
+    for r in out.values():
+        assert r.n_docs == 20
+        assert r.n_before >= 20          # every doc got one planted item
+        assert r.n_survived == 0         # the production chain catches all
+        assert r.n_placeholders >= 20
+        assert r.recall_ppm == 1_000_000

@@ -238,3 +238,27 @@ def test_linear_attribution_shares_sum_to_value(spark):
     # each click gets 10/2 + 4/2 = 7.0 across the two conversions
     assert out[1]["attributed_value"] == 7.0 and out[1]["n_conversions"] == 2
     assert out[2]["attributed_value"] == 7.0
+
+
+def test_event_sequence_examples_context_and_warmup(spark):
+    import datetime as dt
+
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        event_sequence_examples,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, f"e{i}", 0.0, "{}")
+        for i in range(1, 6)
+    ] + [(10, t0, 2, "solo", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r.event_id: r for r in event_sequence_examples(df).collect()}
+    # user 1 has 5 events -> first 3 are warm-up, 2 examples; user 2 none
+    assert set(out) == {4, 5}
+    assert out[4].context == "e1>e2>e3" and out[4].target == "e4"
+    assert out[5].context == "e2>e3>e4" and out[5].target == "e5"

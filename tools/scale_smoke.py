@@ -92,6 +92,8 @@ DEFAULT_QUERIES = [
     "dedup_aware_split",
     "self_bleu_diversity",
     "domain_hardness_weights",
+    "pii_scrub_recall",
+    "event_sequence_examples",
 ]
 
 
