@@ -174,6 +174,8 @@ HEADLINE = [
     "domain_hardness_weights",
     "pii_scrub_recall",
     "event_sequence_examples",
+    "rag_context_pack",
+    "quality_threshold_yield",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -6,7 +6,7 @@ with exact SQL oracles (no UDFs, no model state).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -1541,4 +1541,107 @@ def pii_scrub_recall(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .otherwise(F.lit(1_000_000))
             .cast("long"),
         )
+    )
+
+
+def rag_context_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    k: int = 20,
+    token_budget: int = 256,
+) -> DataFrame:
+    """RAG context assembly: BM25 top-k retrieval, then greedy packing
+    of the ranked hits into a fixed token budget in rank order — the
+    step between retrieval and prompt construction (every RAG serving
+    stack runs exactly this loop; here it is one declarative plan).
+
+    A doc is included iff the running token total THROUGH it fits the
+    budget — the greedy PREFIX rule (stop at the first overflow),
+    matching the plain context-window cutoff serving stacks use;
+    deterministic because the order is the hash-gated rounded BM25
+    score with id tie-breaks.  (The skip-and-continue bin-packing
+    variant is `sequence_packing`'s territory, not retrieval's.)
+
+    Scale shape: everything heavy is the BM25 scan (keyword filter
+    before any shuffle, broadcast df/avgdl); the pack stage is a
+    running sum over k<=20 rows — bounded, never corpus-sized."""
+    hits = ranked_keyword_search_bm25(
+        df, id_col, text_col, keywords, k=k
+    ).select(id_col, "score")
+    lens = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    ranked = (
+        hits.join(lens, id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        (F.col("cum_tokens") <= token_budget).alias("included"),
+    )
+
+
+def quality_threshold_yield(
+    df: DataFrame, id_col: str, text_col: str, n_tiles: int = 10
+) -> DataFrame:
+    """Classifier-threshold yield curve: rank the corpus by the hashed
+    linear classifier's logit, split into score deciles, and report
+    per-decile and cumulative-from-the-top doc/token yields — the
+    table a data lead reads to pick the quality threshold that fits
+    the token budget (the FineWeb-Edu "sweep the classifier threshold,
+    watch the yield" exercise).
+
+    All integers: token counts are exact array sizes, deciles come
+    from the distributed rank + integer ntile, cumulative sums run
+    over n_tiles<=10 rows.  Decile 1 = highest scores."""
+    from .relational import ntile_from_rank, with_global_row_numbers
+
+    scored = hashed_linear_score(df, id_col, text_col).select(
+        id_col, "logit_e3"
+    )
+    lens = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("_nt")
+    )
+    j = scored.join(lens, id_col)
+    ranked = with_global_row_numbers(
+        j, [F.desc("logit_e3"), F.asc(id_col)], col_name="_rn"
+    )
+    n_df = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+    per = (
+        ranked.crossJoin(n_df)
+        .select(
+            ntile_from_rank(F.col("_rn"), F.col("_n"), n_tiles).alias(
+                "decile"
+            ),
+            "logit_e3",
+            "_nt",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.min("logit_e3").alias("min_logit_e3"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("min_logit_e3").cast("long").alias("min_logit_e3"),
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
     )

@@ -10539,6 +10539,86 @@ def event_sequence_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RAG context assembly: BM25 top-20 greedily packed into a 256-token
+# budget in rank order (prefix rule).  Composes the BM25 oracle.
+@register(
+    "rag_context_pack",
+    """
+    WITH bm AS ({BM25}),
+    lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT bm.doc_id, bm.score, lens.n_tokens,
+             row_number() OVER (ORDER BY score DESC, bm.doc_id) AS rank,
+             SUM(lens.n_tokens) OVER (
+               ORDER BY score DESC, bm.doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM bm JOIN lens USING (doc_id)
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, score,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 256 AS included
+    FROM r
+    """.replace("{BM25}", _ORACLES["ranked_search_bm25"]),
+)
+def rag_context_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.rag_context_pack(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _SEARCH_KEYWORDS,
+        k=20,
+        token_budget=256,
+    )
+
+
+# Classifier-threshold yield curve: per score decile, doc/token yield
+# + cumulative from the top — pick the threshold that fits the budget.
+@register(
+    "quality_threshold_yield",
+    """
+    WITH ft AS ({FT}),
+    lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS nt
+      FROM documents
+    ),
+    j AS (
+      SELECT f.doc_id, f.logit_e3, lens.nt
+      FROM ft f JOIN lens USING (doc_id)
+    ),
+    r AS (
+      SELECT *, ntile(10) OVER (ORDER BY logit_e3 DESC, doc_id) AS decile
+      FROM j
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+             MIN(logit_e3) AS min_logit
+      FROM r GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(min_logit AS BIGINT) AS min_logit_e3,
+           CAST(SUM(n_docs) OVER (
+             ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+           CAST(SUM(n_tokens) OVER (
+             ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM per
+    """.replace("{FT}", _ORACLES["fasttext_hash_score"]),
+)
+def quality_threshold_yield_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_threshold_yield(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n_tiles=10
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

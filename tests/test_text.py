@@ -408,3 +408,58 @@ def test_pii_scrub_recall_full_on_planted(spark):
         assert r.n_survived == 0         # the production chain catches all
         assert r.n_placeholders >= 20
         assert r.recall_ppm == 1_000_000
+
+
+def test_rag_context_pack_prefix_budget(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        rag_context_pack,
+    )
+
+    rows = [
+        (1, "spark " * 30),         # 30 tokens, 1 hit per token
+        (2, "spark spark " + "x " * 8),   # 10 tokens, high tf
+        (3, "spark " + "y " * 99),  # 100 tokens, low density
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           rag_context_pack(df, "doc_id", "text", ["spark"],
+                            k=10, token_budget=45).collect()}
+    assert 4 not in out                      # no hit, not retrieved
+    ranks = {r.rank: r.doc_id for r in out.values()}
+    assert set(ranks) == {1, 2, 3}
+    # cum_tokens is monotone in rank and included is the prefix rule
+    by_rank = [out[ranks[i]] for i in sorted(ranks)]
+    cums = [r.cum_tokens for r in by_rank]
+    assert cums == sorted(cums)
+    for r in by_rank:
+        assert r.included == (r.cum_tokens <= 45)
+    # the 100-token doc can never fit a 45-token budget
+    assert not out[3].included
+
+
+def test_quality_threshold_yield_cumulative(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        quality_threshold_yield,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = sorted(
+        quality_threshold_yield(docs, "doc_id", "text", n_tiles=5).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in out] == [1, 2, 3, 4, 5]
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert out[-1].cum_docs == docs.count()
+    # cumulative columns really accumulate
+    run_d = run_t = 0
+    for r in out:
+        run_d += r.n_docs
+        run_t += r.n_tokens
+        assert (r.cum_docs, r.cum_tokens) == (run_d, run_t)
+    # decile 1 holds the best scores: min logit non-increasing
+    mins = [r.min_logit_e3 for r in out]
+    assert mins == sorted(mins, reverse=True)

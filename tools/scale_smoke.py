@@ -94,6 +94,8 @@ DEFAULT_QUERIES = [
     "domain_hardness_weights",
     "pii_scrub_recall",
     "event_sequence_examples",
+    "rag_context_pack",
+    "quality_threshold_yield",
 ]
 
 
