@@ -176,6 +176,10 @@ HEADLINE = [
     "event_sequence_examples",
     "rag_context_pack",
     "quality_threshold_yield",
+    "encoding_repair_audit",
+    "ann_cell_balance",
+    "dedup_cluster_histogram",
+    "corpus_manifest_diff",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -174,3 +174,35 @@ def pii_counts(col: Column | str) -> list[Column]:
         F.regexp_count(src, F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
+
+
+# The high-frequency UTF-8-read-as-Latin-1 double-encoding artifacts
+# (the ftfy core table, restricted to sequences with no regex
+# metachars and no control bytes so both engines can count and replace
+# them as plain literals).  ORDER MATTERS ONLY across prefix overlaps;
+# all entries here are mutually prefix-free.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€™", "’"),  # a-circ euro tm   -> right single quote
+    ("â€œ", "“"),  # a-circ euro oe   -> left double quote
+    ("â€“", "–"),  # a-circ euro ndash-> en dash
+    ("â€”", "—"),  # a-circ euro mdash-> em dash
+    ("Ã©", "é"),  # A-tilde copyright -> e acute
+    ("Ã¨", "è"),  # -> e grave
+    ("Ã¯", "ï"),  # -> i diaeresis
+    ("Ã¼", "ü"),  # -> u diaeresis
+    ("Ã¶", "ö"),  # -> o diaeresis
+    ("Ã¤", "ä"),  # -> a diaeresis
+    ("Ã±", "ñ"),  # -> n tilde
+    ("Ã§", "ç"),  # -> c cedilla
+]
+
+
+def repair_encoding(col: Column | str) -> Column:
+    """Undo the most common UTF-8-as-Latin-1 mojibake (the ftfy-lite
+    repair pass corpus ingestion runs before any tokenization): chained
+    literal replacements, a narrow codegen'd per-row map — no shuffle,
+    no Python, scan-bound at any corpus size."""
+    out = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_MAP:
+        out = F.regexp_replace(out, F.lit(bad), F.lit(good))
+    return out

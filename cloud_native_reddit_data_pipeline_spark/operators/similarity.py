@@ -1172,3 +1172,50 @@ def hamming_rerank_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "hamming", "cos", "rk")
     )
+
+
+def ivf_cell_stats(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index-health audit: per-cell population, corpus share (ppm)
+    and load relative to the balanced mean (percent) — the table an
+    ANN operator reads before trusting the probe-cost model (one hot
+    cell means every query probing it scans a disproportionate slice;
+    the fix is re-seeding or splitting that cell).
+
+    Uses the SAME deterministic assignment rule as `ivf_topk`
+    (broadcast seed centroids, cosines rounded to 6 with centroid-id
+    tie-breaks) so the audit describes exactly the index the queries
+    run against.  All outputs integer (floor-divided shares)."""
+    from ..sources.tables import fan_out
+
+    emb = fan_out(emb)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("centroid_id").alias("cell"))
+    )
+    per = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = F.broadcast(per.agg(F.sum("n_vecs").alias("_tot")))
+    return per.crossJoin(tot).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.expr("(1000000 * n_vecs) div _tot").cast("long").alias("share_ppm"),
+        F.expr(f"(100 * n_vecs * {n_centroids}) div _tot")
+        .cast("long")
+        .alias("load_pct_of_mean"),
+    )

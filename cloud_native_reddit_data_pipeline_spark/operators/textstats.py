@@ -1645,3 +1645,68 @@ def quality_threshold_yield(
         F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
     )
+
+
+# Deterministic mojibake plant (id-less: one fixed phrase per doc
+# exercising every MOJIBAKE_MAP entry) — shared with the SQL oracle.
+MOJIBAKE_PLANT = (
+    " cafÃ© crÃ¨me naÃ¯ve Ã¼ber schÃ¶n Ã¤hnlich seÃ±or franÃ§ais "
+    "â€œquotedâ€™ â€“ dash â€” line"
+)
+
+
+def encoding_repair_audit(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Mojibake repair audit (the ftfy-lite ingestion pass, measured):
+    plant one fixed phrase containing every double-encoding artifact
+    into each document, run the production `repair_encoding` chain,
+    and report per artifact class how many occurrences existed before,
+    how many SURVIVED, and how many repaired glyphs landed — recall as
+    a floor-divided ppm integer, same audit shape as
+    `pii_scrub_recall`.
+
+    Scale shape: one narrow per-row map (plant + repair + literal
+    counts, all codegen'd), ONE single-row aggregate, then a 12-row
+    explode."""
+    from ..functions.text import MOJIBAKE_MAP, repair_encoding
+    from ..sources.tables import fan_out
+
+    planted = fan_out(df).select(
+        F.col(id_col),
+        F.concat(F.col(text_col), F.lit(MOJIBAKE_PLANT)).alias("_pt"),
+    ).withColumn("_rc", repair_encoding(F.col("_pt")))
+    aggs = []
+    for i, (bad, good) in enumerate(MOJIBAKE_MAP):
+        aggs += [
+            F.sum(F.regexp_count(F.col("_pt"), F.lit(bad))).alias(f"_b_{i}"),
+            F.sum(F.regexp_count(F.col("_rc"), F.lit(bad))).alias(f"_a_{i}"),
+            F.sum(F.regexp_count(F.col("_rc"), F.lit(good))).alias(f"_g_{i}"),
+        ]
+    one = planted.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(bad).alias("artifact"),
+                F.lit(good).alias("repaired_to"),
+                F.col("_n").cast("long").alias("n_docs"),
+                F.col(f"_b_{i}").cast("long").alias("n_before"),
+                F.col(f"_a_{i}").cast("long").alias("n_survived"),
+                F.col(f"_g_{i}").cast("long").alias("n_glyphs_after"),
+            )
+            for i, (bad, good) in enumerate(MOJIBAKE_MAP)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .withColumn(
+            "recall_ppm",
+            F.when(
+                F.col("n_before") > 0,
+                F.expr("(1000000 * (n_before - n_survived)) div n_before"),
+            )
+            .otherwise(F.lit(1_000_000))
+            .cast("long"),
+        )
+    )

@@ -10619,6 +10619,205 @@ def quality_threshold_yield_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encoding_repair_oracle() -> str:
+    """Replays the mojibake audit: same fixed plant, same repair chain
+    (DuckDB literal replace == Spark literal regexp_replace), per-class
+    UNION ALL aggregates."""
+    from .functions.text import MOJIBAKE_MAP
+    from .operators.textstats import MOJIBAKE_PLANT
+
+    rc = "pt"
+    for bad, good in MOJIBAKE_MAP:
+        rc = f"replace({rc}, '{bad}', '{good}')"
+    rows = []
+    for bad, good in MOJIBAKE_MAP:
+        rows.append(
+            f"""
+      SELECT '{bad}' AS artifact, '{good}' AS repaired_to,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(pt, '{bad}'))) AS BIGINT) AS n_before,
+             CAST(SUM(len(regexp_extract_all(rc, '{bad}'))) AS BIGINT) AS n_survived,
+             CAST(SUM(len(regexp_extract_all(rc, '{good}'))) AS BIGINT) AS n_glyphs_after
+      FROM s"""
+        )
+    union = "\n      UNION ALL\n".join(rows)
+    return f"""
+    WITH s1 AS (SELECT concat(text, '{MOJIBAKE_PLANT}') AS pt FROM documents),
+    s AS (SELECT pt, {rc} AS rc FROM s1),
+    per AS ({union})
+    SELECT artifact, repaired_to, n_docs, n_before, n_survived,
+           n_glyphs_after,
+           CAST(CASE WHEN n_before > 0
+                THEN (1000000 * (n_before - n_survived)) // n_before
+                ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM per
+    """
+
+
+@register("encoding_repair_audit", _encoding_repair_oracle())
+def encoding_repair_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite mojibake repair, measured: planted double-encoding
+    artifacts through the production repair chain, per-class recall."""
+    return textstats.encoding_repair_audit(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# IVF index-health audit: per-cell population/share/load vs the
+# balanced mean, on the exact assignment rule ann_ivf_topk queries.
+@register(
+    "ann_cell_balance",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS ccos
+      FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored) WHERE rk = 1
+    ), per AS (
+      SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell
+    ), tot AS (SELECT SUM(n_vecs) AS t FROM per)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST((1000000 * n_vecs) // t AS BIGINT) AS share_ppm,
+           CAST((100 * n_vecs * {_IVF_CENTROIDS}) // t AS BIGINT)
+             AS load_pct_of_mean
+    FROM per CROSS JOIN tot
+    """,
+)
+def ann_cell_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_cell_stats(
+        load(spark, sf_dir, "embeddings"), n_centroids=_IVF_CENTROIDS
+    )
+
+
+# Dedup cluster-size histogram (+ singleton row) over the MinHash-LSH
+# component graph — the distribution behind dedup_yield_report.
+@register(
+    "dedup_cluster_histogram",
+    """
+    WITH cc AS ({CC}),
+    sizes AS (SELECT label, COUNT(*) AS sz FROM cc GROUP BY label),
+    hist AS (
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+      FROM sizes GROUP BY sz
+    ),
+    np AS (SELECT COUNT(*) AS np FROM cc),
+    nt AS (SELECT COUNT(*) AS nt FROM documents),
+    alls AS (
+      SELECT cluster_size, n_clusters FROM hist
+      UNION ALL
+      SELECT 1, nt - np FROM nt CROSS JOIN np WHERE nt - np > 0
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM alls
+    """.replace("{CC}", _ORACLES["dedup_components"]),
+)
+def dedup_cluster_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_MINHASH_K
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_MINHASH_K, bands=4
+    )
+    return dedup.component_size_histogram(docs, pairs, "doc_id")
+
+
+def _shard_manifest_agg(docs: DataFrame) -> DataFrame:
+    """(shard, n_docs, content_digest) — the corpus_manifest digest
+    columns, reused by the version diff below."""
+    return docs.groupBy(F.pmod("doc_id", F.lit(8)).alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat(cast(doc_id as string),"
+            " '|', text)), 1, 15), 16, 10) as bigint))"
+        ).alias("content_digest"),
+    )
+
+
+_MANIFEST_DIGEST_SQL = (
+    "CAST(bit_xor(('0x' || substring(md5(CAST(doc_id AS VARCHAR)"
+    " || '|' || text), 1, 15))::BIGINT) AS BIGINT)"
+)
+
+
+# Corpus version diff via shard manifests: two deterministic synthetic
+# versions (deletions: doc_id % 11 == 0 removed; edits: doc_id % 13
+# == 0 get a revision marker) compared by 8 digest rows instead of a
+# row-level diff — the corpus_manifest use case, closed end-to-end.
+@register(
+    "corpus_manifest_diff",
+    f"""
+    WITH old AS (
+      SELECT shard, COUNT(*) AS n_docs, {_MANIFEST_DIGEST_SQL} AS dg
+      FROM (SELECT doc_id % 8 AS shard, doc_id, text FROM documents
+            WHERE doc_id % 11 <> 0)
+      GROUP BY shard
+    ), new AS (
+      SELECT shard, COUNT(*) AS n_docs, {_MANIFEST_DIGEST_SQL} AS dg
+      FROM (SELECT doc_id % 8 AS shard, doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+                        ELSE text END AS text
+            FROM documents)
+      GROUP BY shard
+    )
+    SELECT CAST(COALESCE(o.shard, n.shard) AS BIGINT) AS shard,
+           CAST(COALESCE(o.n_docs, 0) AS BIGINT) AS n_docs_old,
+           CAST(COALESCE(n.n_docs, 0) AS BIGINT) AS n_docs_new,
+           o.dg AS digest_old, n.dg AS digest_new,
+           (o.dg IS DISTINCT FROM n.dg
+            OR COALESCE(o.n_docs, 0) <> COALESCE(n.n_docs, 0)) AS changed
+    FROM old o FULL OUTER JOIN new n ON o.shard = n.shard
+    """,
+)
+def corpus_manifest_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    old = _shard_manifest_agg(docs.filter(F.pmod("doc_id", F.lit(11)) != 0))
+    new = _shard_manifest_agg(
+        docs.withColumn(
+            "text",
+            F.when(
+                F.pmod("doc_id", F.lit(13)) == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    o = old.select(
+        F.col("shard").alias("o_shard"),
+        F.col("n_docs").alias("n_docs_old"),
+        F.col("content_digest").alias("digest_old"),
+    )
+    n = new.select(
+        F.col("shard").alias("n_shard"),
+        F.col("n_docs").alias("n_docs_new"),
+        F.col("content_digest").alias("digest_new"),
+    )
+    return o.join(n, o["o_shard"] == n["n_shard"], "full_outer").select(
+        F.coalesce("o_shard", "n_shard").cast("long").alias("shard"),
+        F.coalesce("n_docs_old", F.lit(0)).cast("long").alias("n_docs_old"),
+        F.coalesce("n_docs_new", F.lit(0)).cast("long").alias("n_docs_new"),
+        "digest_old",
+        "digest_new",
+        (
+            ~F.col("digest_old").eqNullSafe(F.col("digest_new"))
+            | (
+                F.coalesce("n_docs_old", F.lit(0))
+                != F.coalesce("n_docs_new", F.lit(0))
+            )
+        ).alias("changed"),
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -724,3 +724,21 @@ def test_component_aware_split_never_straddles_pairs(spark):
     for r in rows.values():
         by_comp.setdefault(r.component, set()).add(r.split)
     assert all(len(s) == 1 for s in by_comp.values())
+
+
+def test_component_size_histogram_counts_singletons(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        component_size_histogram,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.cluster_size: r for r in
+           component_size_histogram(docs, pairs, "doc_id").collect()}
+    # one 3-cluster {1,2,3}, one 2-cluster {5,6}, five singletons
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[1].n_clusters == 5 and out[1].n_docs == 5
+    assert sum(r.n_docs for r in out.values()) == 10

@@ -380,3 +380,16 @@ def test_hamming_rerank_rescores_with_cosine(spark):
     assert rows[0]["neighbor_id"] == 10 and rows[0]["cos"] == 1.0
     assert all(r["hamming"] is not None for r in rows)
     assert [r["rk"] for r in rows] == [1, 2, 3]
+
+
+def test_ivf_cell_stats_partitions_the_corpus(spark):
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = similarity.ivf_cell_stats(emb, n_centroids=8).collect()
+    n = emb.count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert all(0 <= r.cell < 8 for r in rows)
+    for r in rows:
+        assert r.share_ppm == (1_000_000 * r.n_vecs) // n
+        assert r.load_pct_of_mean == (100 * r.n_vecs * 8) // n

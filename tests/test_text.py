@@ -463,3 +463,30 @@ def test_quality_threshold_yield_cumulative(spark):
     # decile 1 holds the best scores: min logit non-increasing
     mins = [r.min_logit_e3 for r in out]
     assert mins == sorted(mins, reverse=True)
+
+
+def test_encoding_repair_roundtrip_and_audit(spark):
+    from cloud_native_reddit_data_pipeline_spark.functions.text import (
+        MOJIBAKE_MAP,
+        repair_encoding,
+    )
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        encoding_repair_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "clean words"), (2, "already-broken cafÃ© twice cafÃ©")],
+        "doc_id long, text string",
+    )
+    fixed = df.select(repair_encoding("text").alias("t")).collect()
+    assert fixed[1].t == "already-broken café twice café"
+    out = {r.artifact: r for r in
+           encoding_repair_audit(df, "doc_id", "text").collect()}
+    assert len(out) == len(MOJIBAKE_MAP)
+    for r in out.values():
+        assert r.n_docs == 2
+        assert r.n_before >= 2       # every doc got the planted phrase
+        assert r.n_survived == 0
+        assert r.recall_ppm == 1_000_000
+    # doc 2's pre-existing artifacts are counted too
+    assert out["Ã©"].n_before == 4

@@ -96,6 +96,10 @@ DEFAULT_QUERIES = [
     "event_sequence_examples",
     "rag_context_pack",
     "quality_threshold_yield",
+    "encoding_repair_audit",
+    "ann_cell_balance",
+    "dedup_cluster_histogram",
+    "corpus_manifest_diff",
 ]
 
 
