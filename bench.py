@@ -180,6 +180,8 @@ HEADLINE = [
     "ann_cell_balance",
     "dedup_cluster_histogram",
     "corpus_manifest_diff",
+    "corpus_datacard",
+    "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic
     # co-purchase pattern yields a near-complete co-supply graph (mean

@@ -10818,6 +10818,201 @@ def corpus_manifest_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus datacard ("datasheets for datasets" summary row): size, lang
+# mix, quality-gate pass rate, exact-dup rate, PII density — the
+# one-row artifact a dataset release ships, composed from audits that
+# are each oracle-checked standalone.  All integer/ppm arithmetic.
+@register(
+    "corpus_datacard",
+    """
+    WITH gate AS ({GOPHER}),
+    base AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> ''))) AS n_tokens,
+             COUNT(DISTINCT md5(text)) AS n_distinct,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT lang) AS n_langs,
+             SUM(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+               AS n_emails
+      FROM documents
+    ),
+    top AS (
+      SELECT lang AS top_lang, COUNT(*) AS top_n FROM documents
+      GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+    ),
+    g AS (
+      SELECT SUM(CASE WHEN pass_gate THEN 1 ELSE 0 END) AS n_pass
+      FROM gate
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           top_lang,
+           CAST((1000000 * top_n) // n_docs AS BIGINT) AS top_lang_share_ppm,
+           CAST((1000000 * n_pass) // n_docs AS BIGINT) AS gate_pass_ppm,
+           CAST((1000000 * (n_docs - n_distinct)) // n_docs AS BIGINT)
+             AS exact_dup_ppm,
+           CAST((1000000 * n_emails) // n_docs AS BIGINT)
+             AS emails_per_mdoc
+    FROM base CROSS JOIN top CROSS JOIN g
+    """.replace("{GOPHER}", _ORACLES["gopher_quality_gate"]),
+)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datacard.  Scale shape: one corpus scan for the
+    base aggregates (count-distincts are hash partial-aggs), the
+    shared Gopher gate plan for the pass rate, a 5-row lang top-1 —
+    every piece a broadcast-sized single row crossJoined at the end."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    base = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tokens("text"))).alias("n_tokens"),
+            F.count_distinct(F.md5("text")).alias("n_distinct"),
+            F.count_distinct("source").alias("n_sources"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(
+                F.regexp_count(
+                    F.col("text"),
+                    F.lit(
+                        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+                    ),
+                )
+            ).alias("n_emails"),
+        )
+    )
+    top = F.broadcast(
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_n"))
+        .orderBy(F.desc("top_n"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_n")
+    )
+    gate = F.broadcast(
+        textstats.gopher_quality_gate(docs, "doc_id", "text").agg(
+            F.sum(F.when(F.col("pass_gate"), 1).otherwise(0)).alias("n_pass")
+        )
+    )
+    return (
+        base.crossJoin(top)
+        .crossJoin(gate)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("n_tokens div n_docs").cast("long").alias("mean_doc_tokens"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            "top_lang",
+            F.expr("(1000000 * top_n) div n_docs")
+            .cast("long")
+            .alias("top_lang_share_ppm"),
+            F.expr("(1000000 * n_pass) div n_docs")
+            .cast("long")
+            .alias("gate_pass_ppm"),
+            F.expr("(1000000 * (n_docs - n_distinct)) div n_docs")
+            .cast("long")
+            .alias("exact_dup_ppm"),
+            F.expr("(1000000 * n_emails) div n_docs")
+            .cast("long")
+            .alias("emails_per_mdoc"),
+        )
+    )
+
+
+# Streaming twin of event_sequence_examples: per-user bounded TAIL
+# store (the applyInPandasWithState shape via the parquet-store
+# protocol), two time-ordered micro-batches.  Because batches arrive
+# in (ts, event_id) order, the streamed examples must equal the batch
+# operator over the same 2000-event log — which is exactly what the
+# oracle computes, so the tail protocol is value-hash-gated.
+@register(
+    "streaming_sequence_examples",
+    """
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type FROM events
+      ORDER BY ts, event_id LIMIT 2000
+    ), r AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 3) OVER w AS c1,
+             lag(event_type, 2) OVER w AS c2,
+             lag(event_type, 1) OVER w AS c3
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, concat_ws('>', c1, c2, c3) AS context,
+           event_type AS target
+    FROM r WHERE c1 IS NOT NULL
+    """,
+)
+def streaming_sequence_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-example generation AS A STREAM (streaming/sequences.py):
+    batch 1 = the first 1000 events in (ts, event_id) order, batch 2 =
+    the next 1000.  Users straddling the boundary exercise the tail
+    store — their first batch-2 examples draw context from batch-1
+    events that only survive in the per-user tail.  HARD-gated against
+    the batch-semantics oracle (time-ordered batches make streaming ==
+    batch exactly); crash-replay idempotency and tail compaction are
+    pytest-pinned (tests/test_streaming_sequences.py)."""
+    import os
+    import tempfile
+
+    from .streaming.sequences import start_sequence_examples_stream
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .limit(2000)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy(F.asc("ts_us"), F.asc("event_id"))
+    ranked = ev.withColumn("_rn", F.row_number().over(w))
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        ranked.filter(F.col("_rn") <= 1000).drop("_rn").coalesce(
+            1
+        ).write.json(f"{src}/b0")
+        ranked.filter(F.col("_rn") > 1000).drop("_rn").coalesce(
+            1
+        ).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+            .select(
+                "event_id",
+                F.timestamp_micros("ts_us").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+        )
+        q = start_sequence_examples_stream(
+            stream, f"{tmp}/corpus", f"{tmp}/store", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(f"{tmp}/corpus").select(
+            "user_id", "event_id", "context", "target"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

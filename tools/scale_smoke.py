@@ -100,6 +100,11 @@ DEFAULT_QUERIES = [
     "ann_cell_balance",
     "dedup_cluster_histogram",
     "corpus_manifest_diff",
+    "corpus_datacard",
+    # streaming_sequence_examples is omitted: it runs on a fixed
+    # 2000-event two-batch replay (the correctness twin), so a smoke
+    # ratio would measure nothing; its scale story is the bounded
+    # per-user tail store (state O(users), never O(events))
 ]
 
 
