@@ -181,6 +181,7 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "corpus_manifest_diff",
     "corpus_datacard",
+    "hll_distinct_custkeys",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic

@@ -403,3 +403,80 @@ def histogram_quantiles_oracle_sql(
            ROUND(ABS(est.estimate - exact.exact_v) + 1e-9, 4) AS abs_error
     FROM est JOIN exact ON exact.q = est.q
     """
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007) with fully
+    value-hash-checkable internals, completing the sketch family
+    (KMV / bloom / CMS / quantile histogram): a 60-bit md5-slice hash
+    splits into a bucket (low 6 bits, m=64 registers) and a 54-bit
+    suffix whose leading-zero rank feeds the register max.
+
+    Everything up to the final estimate is EXACT integer arithmetic —
+    registers are MAX aggregates, and the harmonic denominator is the
+    scaled integer S = sum_j 2^(55 - M_j) (M_j <= 55, 64 terms <= 2^55
+    each: no overflow, no float accumulation, ORDER-FREE).  The
+    estimate alpha*m^2*2^55/S is one double expression both engines
+    evaluate identically (parse-identical literals, exact powers, one
+    division).  Empty buckets carry M_j = 0, exactly as the paper's
+    registers initialize.
+
+    Scale shape: one narrow hash map + a 64-key partial-agg MAX (the
+    mergeable-sketch pattern: per-partition registers combine by MAX),
+    then a single 64-row reduce.  The true count (for the shipped
+    error column) is the only full distinct — drop it in production
+    and the sketch costs one scan at any corpus size."""
+    if m != 64:
+        raise ValueError(
+            "hll_distinct is pinned to m=64 (p=6): the alpha*m^2 "
+            "literal (0.709*4096) and the 6-bit bucket split are baked "
+            "into the engine AND oracle expressions"
+        )
+    spark = df.sparkSession
+    hashed = df.select(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h")
+    ).select(
+        F.pmod("_h", F.lit(m)).alias("bucket"),
+        F.expr(f"_h div {m}").alias("_w"),
+    )
+    ranks = hashed.select(
+        "bucket",
+        F.when(F.col("_w") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin("_w")))
+        .alias("_rank"),
+    )
+    regs = (
+        spark.range(m)
+        .select(F.col("id").alias("bucket"))
+        .join(ranks.groupBy("bucket").agg(F.max("_rank").alias("_mj")), "bucket", "left")
+        .select("bucket", F.coalesce("_mj", F.lit(0)).alias("_mj"))
+    )
+    summary = regs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("_mj") == 0, 1).otherwise(0)).alias("n_zero_buckets"),
+        F.sum(F.expr("shiftleft(1L, 55 - _mj)")).alias("s_55"),
+    )
+    truth = F.broadcast(
+        df.agg(F.count_distinct(F.col(key_col)).alias("true_distinct"))
+    )
+    return summary.crossJoin(truth).select(
+        F.col("m").cast("long").alias("m"),
+        F.col("n_zero_buckets").cast("long").alias("n_zero_buckets"),
+        F.col("s_55").cast("long").alias("s_55"),
+        F.round(
+            F.expr("0.709 * 4096.0 * pow(2.0, 55) / s_55"), 2
+        ).alias("hll_estimate"),
+        F.col("true_distinct").cast("long").alias("true_distinct"),
+        F.expr(
+            "(1000000 * abs(CAST(ROUND(0.709 * 4096.0 * pow(2.0, 55) / s_55, 0)"
+            " AS BIGINT) - true_distinct)) div true_distinct"
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -11013,6 +11013,49 @@ def streaming_sequence_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+# From-scratch HyperLogLog (m=64) over order custkeys — the sketch
+# family's cardinality workhorse, with value-hash-checkable registers
+# and an integer-exact harmonic denominator.
+@register(
+    "hll_distinct_custkeys",
+    """
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders
+    ), hb AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+    r AS (
+      SELECT bucket,
+             CASE WHEN w = 0 THEN 55
+                  ELSE 55 - length(bin(w)) END AS rank
+      FROM hb
+    ),
+    regs AS (
+      SELECT gs.bucket, COALESCE(MAX(r.rank), 0) AS mj
+      FROM (SELECT unnest(generate_series(0, 63)) AS bucket) gs
+      LEFT JOIN r ON r.bucket = gs.bucket
+      GROUP BY gs.bucket
+    ),
+    s AS (
+      SELECT COUNT(*) AS m,
+             SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS nz,
+             SUM(1::BIGINT << (55 - mj)) AS s55
+      FROM regs
+    ),
+    t AS (SELECT COUNT(DISTINCT o_custkey) AS td FROM orders)
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(nz AS BIGINT) AS n_zero_buckets,
+           CAST(s55 AS BIGINT) AS s_55,
+           ROUND(0.709 * 4096.0 * pow(2.0, 55) / s55, 2) AS hll_estimate,
+           CAST(td AS BIGINT) AS true_distinct,
+           CAST((1000000 * abs(CAST(ROUND(0.709 * 4096.0 * pow(2.0, 55)
+                / s55, 0) AS BIGINT) - td)) // td AS BIGINT) AS err_ppm
+    FROM s CROSS JOIN t
+    """,
+)
+def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.hll_distinct(load(spark, sf_dir, "orders"), "o_custkey")
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -493,3 +493,30 @@ def test_histogram_quantiles_error_bounded_by_bucket_width(spark):
     for q, r in out.items():
         assert r["abs_error"] <= width + 1e-6
         assert abs(abs(r["estimate"] - r["exact"]) - r["abs_error"]) < 1e-6
+
+
+def test_hll_distinct_estimates_within_sketch_error(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") % 2000).alias("k"))
+    row = hll_distinct(df, "k").collect()[0]
+    assert row.m == 64 and row.true_distinct == 2000
+    # standard error ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(row.hll_estimate - 2000) / 2000 < 0.4
+    assert row.err_ppm == abs(round(row.hll_estimate) - 2000) * 1_000_000 // 2000
+    # registers bound the denominator: s_55 <= 64 * 2^55
+    assert 0 < row.s_55 <= 64 * (1 << 55)
+
+
+def test_hll_distinct_rejects_other_m(spark):
+    import pytest
+
+    from cloud_native_reddit_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    with pytest.raises(ValueError):
+        hll_distinct(spark.range(5), "id", m=128)
