@@ -182,6 +182,7 @@ HEADLINE = [
     "corpus_manifest_diff",
     "corpus_datacard",
     "hll_distinct_custkeys",
+    "vocab_coverage",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic

@@ -1710,3 +1710,56 @@ def encoding_repair_audit(
             .cast("long"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 5
+) -> DataFrame:
+    """Frequency-filtered vocabulary coverage: build the corpus
+    vocabulary (tokens with count >= `min_count` — the word2vec /
+    classical-tokenizer min_count rule) and report each document's
+    out-of-vocabulary token count and rate — the audit run before
+    freezing a vocabulary (a high-OOV tail is either noise to drop or
+    evidence the vocab is too small).
+
+    Scale shape: one token explode feeds BOTH the vocabulary aggregate
+    (token-keyed, map-side combined) and the per-doc count; membership
+    is a left join on the token key (a real vocab is ~10^5 rows —
+    broadcastable; Catalyst picks broadcast automatically under the
+    threshold).  OOV rate is a floor-divided ppm integer."""
+    from ..sources.tables import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_w")
+    )
+    vocab = (
+        toks.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select(F.col("_w").alias("_vw"))
+        .withColumn("_in", F.lit(True))
+    )
+    per = (
+        toks.join(vocab, toks["_w"] == F.col("_vw"), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in").isNull(), F.lit(1))).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.expr("(1000000 * n_oov) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )

@@ -11056,6 +11056,39 @@ def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_distinct(load(spark, sf_dir, "orders"), "o_custkey")
 
 
+# Frequency-filtered vocabulary coverage / per-doc OOV rate (the
+# min_count rule) — the audit before freezing a tokenizer vocabulary.
+@register(
+    "vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= 5
+    ), per AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE v.w IS NULL) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON v.w = t.w
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(CASE WHEN COALESCE(per.n_tokens, 0) > 0
+                THEN (1000000 * per.n_oov) // per.n_tokens
+                ELSE 0 END AS BIGINT) AS oov_ppm
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.vocab_coverage(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_count=5
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

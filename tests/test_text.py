@@ -490,3 +490,19 @@ def test_encoding_repair_roundtrip_and_audit(spark):
         assert r.recall_ppm == 1_000_000
     # doc 2's pre-existing artifacts are counted too
     assert out["Ã©"].n_before == 4
+
+
+def test_vocab_coverage_min_count_rule(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    # "common" appears 6x (in vocab at min_count=5); each "rareN" once
+    rows = [(i, "common rare%d" % i) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           vocab_coverage(df, "doc_id", "text", min_count=5).collect()}
+    for i in range(1, 7):
+        assert out[i].n_tokens == 2
+        assert out[i].n_oov == 1           # the rare token
+        assert out[i].oov_ppm == 500_000

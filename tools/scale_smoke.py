@@ -102,6 +102,7 @@ DEFAULT_QUERIES = [
     "corpus_manifest_diff",
     "corpus_datacard",
     "hll_distinct_custkeys",
+    "vocab_coverage",
     # streaming_sequence_examples is omitted: it runs on a fixed
     # 2000-event two-batch replay (the correctness twin), so a smoke
     # ratio would measure nothing; its scale story is the bounded
