@@ -183,6 +183,8 @@ HEADLINE = [
     "corpus_datacard",
     "hll_distinct_custkeys",
     "vocab_coverage",
+    "embargo_time_split",
+    "video_frame_dedup",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for
     # the same reason as the triangle count it rides on: the synthetic

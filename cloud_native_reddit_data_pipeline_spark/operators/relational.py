@@ -1045,3 +1045,30 @@ def concentration_report(
             F.col("_topsum").cast("double") / F.col("_sum") + F.lit(1e-9), 6
         ).alias("top_decile_share"),
     )
+
+
+def time_embargo_split(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    test_start: str,
+) -> DataFrame:
+    """Purged/embargoed temporal split (the time-series leakage rule,
+    a la de Prado's purged K-fold): train strictly BEFORE `train_end`,
+    test at/after `test_start`, and the rows in between assigned to an
+    `embargo` bucket that is DROPPED from both sides — the gap absorbs
+    label/feature windows that straddle the boundary, so a model
+    cannot see information that leaks across it.  The time-series
+    complement of `hash_split` (iid) and `component_aware_split`
+    (near-dup graphs).
+
+    Pure narrow map — the split is one comparison per row and pushes
+    down to the scan (partition pruning on a date-partitioned lake
+    layout makes each side a partition subset, no shuffle at all)."""
+    ts = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(ts < F.lit(train_end).cast("timestamp"), F.lit("train"))
+        .when(ts >= F.lit(test_start).cast("timestamp"), F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )

@@ -11089,6 +11089,174 @@ def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Purged/embargoed temporal split over the event log: train before
+# Jan 22, a 2-day embargo gap, test from Jan 24 — per-split summary
+# with a user-overlap leakage column (train-and-test users are the
+# population the embargo gap protects).
+@register(
+    "embargo_time_split",
+    """
+    WITH a AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                  WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM events
+    ),
+    ov AS (
+      SELECT COUNT(*) AS n_overlap_users FROM (
+        SELECT user_id FROM a WHERE split = 'train'
+        INTERSECT
+        SELECT user_id FROM a WHERE split = 'test'
+      )
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+           CAST(ov.n_overlap_users AS BIGINT) AS n_overlap_users
+    FROM a CROSS JOIN ov
+    GROUP BY split, ov.n_overlap_users
+    """,
+)
+def embargo_time_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = relational.time_embargo_split(
+        load(spark, sf_dir, "events"),
+        "ts",
+        "2024-01-22 00:00:00",
+        "2024-01-24 00:00:00",
+    )
+    ov = F.broadcast(
+        ev.filter(F.col("split") == "train")
+        .select("user_id")
+        .intersect(ev.filter(F.col("split") == "test").select("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap_users"))
+    )
+    return (
+        ev.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .crossJoin(ov)
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "min_ts",
+            "max_ts",
+            F.col("n_overlap_users").cast("long").alias("n_overlap_users"),
+        )
+    )
+
+
+# Video keyframe near-dup detection: Y4M -> sampled frames -> aHash ->
+# banded-hamming pairs -> components, reported as multi-frame groups
+# with their cross-video reach — the video-dedup story (static scenes
+# collapse within a video; shared/looped footage links videos).
+# Oracle: VALUES pin captured from a verified run and re-verified for
+# run-to-run stability; the underlying aHash is cross-validated by the
+# independent decoders behind image_phash_dedup
+# (tests/test_multimodal.py), so the pin inherits that provenance.
+@register(
+    "video_frame_dedup",
+    """
+    SELECT CAST(group_label AS BIGINT) AS group_label,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_videos AS BIGINT) AS n_videos
+    FROM (VALUES
+      (2000, 13, 3),
+      (2002, 13, 3),
+      (5000, 15, 3),
+      (5001, 15, 3),
+      (5002, 13, 3),
+      (5003, 13, 3),
+      (8000, 9, 2),
+      (8001, 10, 3),
+      (8002, 9, 2),
+      (8003, 8, 2),
+      (11000, 4, 2),
+      (11001, 9, 2),
+      (11002, 11, 2),
+      (11003, 8, 2),
+      (14000, 5, 2),
+      (14001, 4, 1),
+      (14002, 5, 2),
+      (14003, 3, 1),
+      (17000, 5, 1),
+      (17001, 5, 1),
+      (17002, 4, 1),
+      (17003, 4, 1),
+      (20000, 10, 2),
+      (20001, 5, 1),
+      (20002, 8, 2),
+      (20003, 9, 2),
+      (23000, 11, 2),
+      (23001, 10, 2),
+      (23002, 8, 2),
+      (23003, 8, 2),
+      (26001, 12, 2),
+      (26003, 12, 2),
+      (29000, 2, 1),
+      (29001, 2, 1),
+      (35000, 2, 1),
+      (35001, 2, 1),
+      (38000, 3, 1),
+      (38002, 2, 1),
+      (38007, 2, 2),
+      (41000, 3, 1),
+      (41001, 2, 1),
+      (41002, 3, 1),
+      (41003, 2, 1),
+      (44002, 4, 1),
+      (47008, 2, 1),
+      (47011, 2, 1),
+      (59000, 2, 1),
+      (59002, 2, 1),
+      (59003, 6, 1)) AS t(group_label, n_frames, n_videos)
+    """,
+)
+def video_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame ids are media_id*1000 + second (videos sample 1 fps), so
+    `frame_id div 1000` recovers the source video; groups below 2
+    members are singletons and omitted (they carry no dedup signal)."""
+    from .operators.multimodal import (
+        extract_frames,
+        image_phash,
+        phash_candidate_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 64)
+    frames = extract_frames(media, every_ms=1000)
+    fr = frames.select(
+        (F.col("media_id") * 1000
+         + (F.col("frame_ts_ms") / 1000).cast("long")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        "payload",
+    )
+    fps = image_phash(fr)
+    pairs = phash_candidate_pairs(
+        fps, id_col="media_id", hash_col="phash", max_hamming=4
+    )
+    comp = dedup.connected_components(pairs)
+    labeled = fps.join(comp, fps["media_id"] == comp["node"], "left").select(
+        F.col("media_id").alias("frame_id"),
+        F.coalesce("label", F.col("media_id")).cast("long").alias("group_label"),
+    )
+    return (
+        labeled.groupBy("group_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.count_distinct(F.expr("frame_id div 1000"))
+            .cast("long")
+            .alias("n_videos"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

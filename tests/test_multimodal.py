@@ -647,3 +647,48 @@ def test_audio_fingerprint_cross_validated_and_groups_resampled(spark):
 
     for r in media.filter("modality = 'audio'").collect():
         assert out[r.media_id] == fp(wav_samples(bytes(r.payload)))
+
+
+def test_video_frame_dedup_groups_static_scenes(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators import dedup
+    from cloud_native_reddit_data_pipeline_spark.operators.multimodal import (
+        extract_frames,
+        image_phash,
+        phash_candidate_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 64)
+    frames = extract_frames(media, every_ms=1000)
+    fr = frames.select(
+        (F.col("media_id") * 1000
+         + (F.col("frame_ts_ms") / 1000).cast("long")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        "payload",
+    )
+    fps = image_phash(fr)
+    pairs = phash_candidate_pairs(
+        fps, id_col="media_id", hash_col="phash", max_hamming=4
+    ).collect()
+    # every candidate pair is actually within hamming 4 (verify stage
+    # is exact, not just banded)
+    hashes = {r["media_id"]: r["phash"] for r in fps.collect()}
+    for p in pairs:
+        x = hashes[p["id_a"]] ^ hashes[p["id_b"]]
+        assert bin(x & ((1 << 64) - 1)).count("1") <= 4
+    # identical-hash frames always share a component
+    comp = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+        ).collect()
+    }
+    by_hash = {}
+    for fid, h in hashes.items():
+        by_hash.setdefault(h, []).append(fid)
+    for fids in by_hash.values():
+        if len(fids) > 1:
+            labels = {comp.get(f, f) for f in fids}
+            assert len(labels) == 1

@@ -365,3 +365,22 @@ def test_rfm_ntile_derivation_matches_builtin(spark):
         }
         for u, r in per.items():
             assert r[tile] == want[u], (tile, u, r[tile], want[u])
+
+
+def test_time_embargo_split_gap_is_exclusive(spark):
+    import datetime as dt
+
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        time_embargo_split,
+    )
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, t(21, 23)), (2, t(22)), (3, t(23, 12)), (4, t(24)), (5, t(25))],
+        "event_id long, ts timestamp",
+    )
+    out = {r.event_id: r.split for r in time_embargo_split(
+        df, "ts", "2024-01-22 00:00:00", "2024-01-24 00:00:00"
+    ).collect()}
+    assert out == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "test", 5: "test"}

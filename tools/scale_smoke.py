@@ -103,6 +103,9 @@ DEFAULT_QUERIES = [
     "corpus_datacard",
     "hll_distinct_custkeys",
     "vocab_coverage",
+    "embargo_time_split",
+    # video_frame_dedup omitted: fixed 21-video synthetic set (media
+    # smoke-omission note above applies)
     # streaming_sequence_examples is omitted: it runs on a fixed
     # 2000-event two-batch replay (the correctness twin), so a smoke
     # ratio would measure nothing; its scale story is the bounded
