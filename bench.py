@@ -184,6 +184,8 @@ HEADLINE = [
     "hll_distinct_custkeys",
     "vocab_coverage",
     "embargo_time_split",
+    "winnowing_fingerprint_stats",
+    "winnowing_overlap_pairs",
     "video_frame_dedup",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for

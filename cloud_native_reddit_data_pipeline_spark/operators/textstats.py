@@ -1763,3 +1763,99 @@ def vocab_coverage(
             .alias("oov_ppm"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """TRUE winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): hash every word k-gram, slide a window
+    of `w` consecutive hashes, and select each window's minimum with
+    RIGHTMOST tie-breaking; the distinct selected (pos, hash) set is
+    the document's fingerprint sketch.  Guarantees every length-w gap
+    contains a selected gram (the coverage property rolling-hash
+    whole-doc fingerprints lack) at expected density 2/(w+1).
+
+    The rightmost-min argmin is one window MIN over struct(h, -pos)
+    with frame [CURRENT, w-1 FOLLOWING] (lexicographic struct min =
+    smallest hash, then largest pos) — both engines aggregate structs
+    identically, so selection is exactly SQL-replayable.  Only FULL
+    windows select (docs shorter than w+k-1 words yield no
+    fingerprints — documented, they carry no overlap signal at this
+    granularity).
+
+    Returns (id, fpos, fhash) — one row per selected fingerprint."""
+    from ..functions.text import word_shingles
+    from ..sources.tables import fan_out
+
+    grams = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.lower(F.col(text_col)), k)).alias(
+            "pos", "_g"
+        ),
+    )
+    hashed = grams.select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    wspec = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    wn = Window.partitionBy(id_col)
+    sel = hashed.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+        F.min(F.struct(F.col("_h"), (-F.col("pos")).alias("_np"))).over(
+            wspec
+        ).alias("_m"),
+    ).filter(F.col("pos") <= F.col("_n") - w)
+    return sel.select(
+        F.col(id_col),
+        (-F.col("_m._np")).cast("long").alias("fpos"),
+        F.col("_m._h").alias("fhash"),
+    ).distinct()
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 10,
+    min_shared: int = 3,
+) -> DataFrame:
+    """MOSS-style overlap detection on winnowing fingerprints: docs
+    sharing >= `min_shared` selected fingerprint hashes, with the
+    standard document-frequency cap (`max_df`) excluding boilerplate
+    hashes before the pair join — the same quadratic-tail guard as
+    `jaccard_prefix_pairs`' df-cap: a hash shared by B docs generates
+    B^2 pairs, so ubiquitous grams are evidence of BOILERPLATE, not
+    plagiarism, and are dropped from pairing (never from the per-doc
+    sketch)."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w).select(
+        id_col, "fhash"
+    ).distinct()
+    dfreq = fps.groupBy("fhash").agg(F.count(F.lit(1)).alias("_df"))
+    rare = fps.join(
+        dfreq.filter(F.col("_df") <= max_df).select("fhash"), "fhash"
+    )
+    a = rare.select(F.col("fhash"), F.col(id_col).alias("id_a"))
+    b = rare.select(F.col("fhash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -11257,6 +11257,123 @@ def video_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared winnowing CTE chain (MOSS, k=3, w=4): positional trigram
+# hashes -> full-window rightmost-min selection -> distinct
+# fingerprints.  Mirrors textstats.winnowing_fingerprints exactly
+# (0-based positions, struct-min tie rule).
+_WINNOW_SQL = """
+    tok AS (
+      SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ts
+            FROM documents)
+    ), tri AS (
+      SELECT doc_id, i - 1 AS pos,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)) AS g,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, pos,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT AS h
+      FROM tri WHERE w2 IS NOT NULL
+    ), sel AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             MIN({'h': h, 'np': -pos}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM hashed
+    ), fp AS (
+      SELECT DISTINCT doc_id, -(m).np AS fpos, (m).h AS fhash
+      FROM sel WHERE pos <= n - 4
+    )
+"""
+
+
+@register(
+    "winnowing_fingerprint_stats",
+    f"""
+    WITH {_WINNOW_SQL},
+    nk AS (
+      SELECT doc_id, COUNT(*) AS n_kgrams FROM hashed GROUP BY doc_id
+    ), nf AS (
+      SELECT doc_id, COUNT(*) AS n_fps FROM fp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(nk.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+           CAST(COALESCE(nf.n_fps, 0) AS BIGINT) AS n_fingerprints,
+           CAST(CASE WHEN COALESCE(nk.n_kgrams, 0) > 0
+                THEN (1000000 * COALESCE(nf.n_fps, 0)) // nk.n_kgrams
+                ELSE 0 END AS BIGINT) AS density_ppm
+    FROM documents d
+    LEFT JOIN nk ON nk.doc_id = d.doc_id
+    LEFT JOIN nf ON nf.doc_id = d.doc_id
+    """,
+)
+def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing sketch size + selection density (expected
+    2/(w+1) = 0.4 at w=4 — the coverage-vs-size trade the paper
+    proves; the measured density is the sketch-health metric)."""
+    from .functions.text import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    fps = textstats.winnowing_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    nk = docs.select(
+        "doc_id",
+        F.size(word_shingles(F.lower(F.col("text")), 3)).alias("n_kgrams"),
+    )
+    nf = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    return (
+        nk.join(nf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.col("n_kgrams"), F.lit(0))
+            .cast("long")
+            .alias("n_kgrams"),
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fingerprints"),
+            F.when(
+                F.col("n_kgrams") > 0,
+                F.expr("(1000000 * coalesce(n_fps, 0)) div n_kgrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("density_ppm"),
+        )
+    )
+
+
+@register(
+    "winnowing_overlap_pairs",
+    f"""
+    WITH {_WINNOW_SQL},
+    dfreq AS (
+      SELECT fhash, COUNT(DISTINCT doc_id) AS dfc FROM fp GROUP BY fhash
+    ), rare AS (
+      SELECT DISTINCT f.doc_id, f.fhash
+      FROM fp f JOIN dfreq USING (fhash) WHERE dfreq.dfc <= 10
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM rare a JOIN rare b
+      ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.winnowing_overlap_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        w=4,
+        max_df=10,
+        min_shared=3,
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

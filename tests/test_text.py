@@ -506,3 +506,43 @@ def test_vocab_coverage_min_count_rule(spark):
         assert out[i].n_tokens == 2
         assert out[i].n_oov == 1           # the rare token
         assert out[i].oov_ppm == 500_000
+
+
+def test_winnowing_coverage_and_density(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    # 20 distinct words -> 18 trigrams -> 15 full windows at w=4
+    text = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fps = sorted(r.fpos for r in
+                 winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).collect())
+    # coverage guarantee: every window of 4 consecutive kgram positions
+    # [s, s+3] (s <= n_kgrams - 4) contains a selected position
+    for s in range(0, 18 - 4 + 1):
+        assert any(s <= p <= s + 3 for p in fps), f"window {s} uncovered"
+    # density: |fps| between n/w and 2n/(w+1) ballpark — never all grams
+    assert 4 <= len(fps) <= 12
+    # short doc: fewer than w+k-1 = 6 words -> no full window -> empty
+    short = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
+    assert winnowing_fingerprints(short, "doc_id", "text").count() == 0
+
+
+def test_winnowing_overlap_detects_shared_passage(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        winnowing_overlap_pairs,
+    )
+
+    passage = " ".join(f"plag{i}" for i in range(15))
+    rows = [
+        (1, "intro words here " + passage),
+        (2, passage + " totally different ending words now"),
+        (3, "unrelated content " + " ".join(f"x{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in
+             winnowing_overlap_pairs(df, "doc_id", "text",
+                                     min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)

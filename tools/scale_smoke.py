@@ -104,6 +104,8 @@ DEFAULT_QUERIES = [
     "hll_distinct_custkeys",
     "vocab_coverage",
     "embargo_time_split",
+    "winnowing_fingerprint_stats",
+    "winnowing_overlap_pairs",
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
     # smoke-omission note above applies)
     # streaming_sequence_examples is omitted: it runs on a fixed
