@@ -186,6 +186,7 @@ HEADLINE = [
     "embargo_time_split",
     "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs",
+    "vocab_drift_topk",
     "video_frame_dedup",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for

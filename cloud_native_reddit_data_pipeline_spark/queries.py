@@ -11374,6 +11374,98 @@ def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-level drift top-movers between the same two synthetic corpus
+# versions corpus_manifest_diff compares (deletions % 11, edits % 13):
+# the vocabulary-share delta table a data lead reads AFTER the shard
+# digest flags "something changed" — manifest tells you WHERE, this
+# tells you WHAT.  Integer ppm shares; top 20 by |delta| with token
+# tie-breaks.
+@register(
+    "vocab_drift_topk",
+    """
+    WITH old_t AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents WHERE doc_id % 11 <> 0
+    ), new_t AS (
+      SELECT unnest(list_filter(regexp_split_to_array(
+               lower(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+                          ELSE text END), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ), oc AS (SELECT w, COUNT(*) AS c FROM old_t GROUP BY w),
+    nc AS (SELECT w, COUNT(*) AS c FROM new_t GROUP BY w),
+    ot AS (SELECT SUM(c) AS t FROM oc),
+    nt AS (SELECT SUM(c) AS t FROM nc),
+    j AS (
+      SELECT COALESCE(oc.w, nc.w) AS token,
+             COALESCE(oc.c, 0) AS cnt_old, COALESCE(nc.c, 0) AS cnt_new
+      FROM oc FULL OUTER JOIN nc ON oc.w = nc.w
+    ), shares AS (
+      SELECT token, CAST(cnt_old AS BIGINT) AS cnt_old,
+             CAST(cnt_new AS BIGINT) AS cnt_new,
+             CAST((1000000 * cnt_old) // ot.t AS BIGINT) AS share_old_ppm,
+             CAST((1000000 * cnt_new) // nt.t AS BIGINT) AS share_new_ppm
+      FROM j CROSS JOIN ot CROSS JOIN nt
+    )
+    SELECT token, cnt_old, cnt_new, share_old_ppm, share_new_ppm,
+           CAST(abs(share_new_ppm - share_old_ppm) AS BIGINT) AS delta_ppm
+    FROM shares
+    ORDER BY abs(share_new_ppm - share_old_ppm) DESC, token
+    LIMIT 20
+    """,
+)
+def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One token explode per version, two word-keyed partial aggs, two
+    broadcast totals, a full-outer vocab join (vocab-sized, tiny next
+    to the corpus), TakeOrdered top-20 — never a corpus-sized sort."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    old_t = docs.filter(F.pmod("doc_id", F.lit(11)) != 0).select(
+        F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    new_t = docs.select(
+        F.explode(
+            _tokens(
+                F.lower(
+                    F.when(
+                        F.pmod("doc_id", F.lit(13)) == 0,
+                        F.concat(F.col("text"), F.lit(" rev2")),
+                    ).otherwise(F.col("text"))
+                )
+            )
+        ).alias("w")
+    )
+    oc = old_t.groupBy("w").agg(F.count(F.lit(1)).alias("c_old"))
+    nc = new_t.groupBy("w").agg(F.count(F.lit(1)).alias("c_new"))
+    ot = F.broadcast(oc.agg(F.sum("c_old").alias("t_old")))
+    nt = F.broadcast(nc.agg(F.sum("c_new").alias("t_new")))
+    j = (
+        oc.withColumnRenamed("w", "w_o")
+        .join(nc, F.col("w_o") == nc["w"], "full_outer")
+        .select(
+            F.coalesce("w_o", "w").alias("token"),
+            F.coalesce("c_old", F.lit(0)).alias("cnt_old"),
+            F.coalesce("c_new", F.lit(0)).alias("cnt_new"),
+        )
+    )
+    shares = j.crossJoin(ot).crossJoin(nt).select(
+        "token",
+        F.col("cnt_old").cast("long").alias("cnt_old"),
+        F.col("cnt_new").cast("long").alias("cnt_new"),
+        F.expr("(1000000 * cnt_old) div t_old").cast("long").alias("share_old_ppm"),
+        F.expr("(1000000 * cnt_new) div t_new").cast("long").alias("share_new_ppm"),
+    )
+    return (
+        shares.withColumn(
+            "delta_ppm",
+            F.abs(F.col("share_new_ppm") - F.col("share_old_ppm")).cast("long"),
+        )
+        .orderBy(F.desc("delta_ppm"), F.asc("token"))
+        .limit(20)
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

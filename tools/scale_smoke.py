@@ -106,6 +106,7 @@ DEFAULT_QUERIES = [
     "embargo_time_split",
     "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs",
+    "vocab_drift_topk",
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
     # smoke-omission note above applies)
     # streaming_sequence_examples is omitted: it runs on a fixed
