@@ -187,6 +187,7 @@ HEADLINE = [
     "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs",
     "vocab_drift_topk",
+    "filter_attribution",
     "video_frame_dedup",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for

@@ -11466,6 +11466,165 @@ def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Filter-attribution waterfall: for each curation gate (Gopher rules,
+# blocklist, exact-dup, too-short), how many docs it fails and how
+# many it fails UNIQUELY (no other gate would have caught them) — the
+# table that justifies each gate's existence in the pipeline (a gate
+# with zero unique kills is redundant; one with huge unique kills
+# deserves review).  Composes gates that are each oracle-checked
+# standalone.
+@register(
+    "filter_attribution",
+    """
+    WITH gate AS ({GOPHER}),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    bw AS (
+      SELECT DISTINCT doc_id FROM tok WHERE substring(md5(w), 1, 2) < '04'
+    ),
+    keep AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1
+    ),
+    nw AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             NOT g.pass_gate AS f_gopher,
+             (b.doc_id IS NOT NULL) AS f_badwords,
+             (d.doc_id <> k.keeper) AS f_dup,
+             (nw.n < 30) AS f_short
+      FROM documents d
+      JOIN gate g ON g.doc_id = d.doc_id
+      LEFT JOIN bw b ON b.doc_id = d.doc_id
+      JOIN keep k ON k.h = md5(d.text)
+      JOIN nw ON nw.doc_id = d.doc_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(CASE WHEN NOT f_gopher AND NOT f_badwords
+                       AND NOT f_dup AND NOT f_short
+                 THEN 1 ELSE 0 END) AS n_clean
+      FROM flags
+    ),
+    per AS (
+      SELECT 'gopher' AS gate,
+             SUM(CASE WHEN f_gopher THEN 1 ELSE 0 END) AS n_fail,
+             SUM(CASE WHEN f_gopher AND NOT f_badwords AND NOT f_dup
+                       AND NOT f_short THEN 1 ELSE 0 END) AS n_unique_fail
+      FROM flags
+      UNION ALL
+      SELECT 'badwords',
+             SUM(CASE WHEN f_badwords THEN 1 ELSE 0 END),
+             SUM(CASE WHEN f_badwords AND NOT f_gopher AND NOT f_dup
+                       AND NOT f_short THEN 1 ELSE 0 END)
+      FROM flags
+      UNION ALL
+      SELECT 'exact_dup',
+             SUM(CASE WHEN f_dup THEN 1 ELSE 0 END),
+             SUM(CASE WHEN f_dup AND NOT f_gopher AND NOT f_badwords
+                       AND NOT f_short THEN 1 ELSE 0 END)
+      FROM flags
+      UNION ALL
+      SELECT 'too_short',
+             SUM(CASE WHEN f_short THEN 1 ELSE 0 END),
+             SUM(CASE WHEN f_short AND NOT f_gopher AND NOT f_badwords
+                       AND NOT f_dup THEN 1 ELSE 0 END)
+      FROM flags
+    )
+    SELECT gate, CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_unique_fail AS BIGINT) AS n_unique_fail,
+           CAST(tot.n_docs AS BIGINT) AS n_docs,
+           CAST(tot.n_clean AS BIGINT) AS n_clean
+    FROM per CROSS JOIN tot
+    """.replace("{GOPHER}", _ORACLES["gopher_quality_gate"]),
+)
+def filter_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One flags frame (each gate a boolean column), ONE aggregate for
+    all per-gate counts, a 4-row explode — the gates reuse the shared
+    scan shapes of their standalone queries."""
+    from .functions.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    gate = textstats.gopher_quality_gate(docs, "doc_id", "text").select(
+        "doc_id", "pass_gate"
+    )
+    bw = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .filter(F.substring(F.md5("w"), 1, 2) < "04")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_bw", F.lit(True))
+    )
+    keep = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("_keeper")
+    )
+    flags = (
+        docs.select("doc_id", F.md5("text").alias("_h"),
+                    F.size(_tokens("text")).alias("_n"))
+        .join(gate, "doc_id")
+        .join(bw, "doc_id", "left")
+        .join(keep, "_h")
+        .select(
+            "doc_id",
+            (~F.col("pass_gate")).alias("f_gopher"),
+            F.coalesce("_bw", F.lit(False)).alias("f_badwords"),
+            (F.col("doc_id") != F.col("_keeper")).alias("f_dup"),
+            (F.col("_n") < 30).alias("f_short"),
+        )
+    )
+    gates = ["gopher", "badwords", "exact_dup", "too_short"]
+    cols = ["f_gopher", "f_badwords", "f_dup", "f_short"]
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                ~F.col(cols[0]) & ~F.col(cols[1]) & ~F.col(cols[2])
+                & ~F.col(cols[3]),
+                1,
+            ).otherwise(0)
+        ).alias("n_clean"),
+    ]
+    for g, c in zip(gates, cols):
+        others = [o for o in cols if o != c]
+        aggs.append(
+            F.sum(F.when(F.col(c), 1).otherwise(0)).alias(f"_nf_{g}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c)
+                    & ~F.col(others[0]) & ~F.col(others[1]) & ~F.col(others[2]),
+                    1,
+                ).otherwise(0)
+            ).alias(f"_nu_{g}")
+        )
+    one = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("gate"),
+                F.col(f"_nf_{g}").cast("long").alias("n_fail"),
+                F.col(f"_nu_{g}").cast("long").alias("n_unique_fail"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_clean").cast("long").alias("n_clean"),
+            )
+            for g in gates
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -107,6 +107,7 @@ DEFAULT_QUERIES = [
     "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs",
     "vocab_drift_topk",
+    "filter_attribution",
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
     # smoke-omission note above applies)
     # streaming_sequence_examples is omitted: it runs on a fixed
