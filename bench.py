@@ -188,6 +188,7 @@ HEADLINE = [
     "winnowing_overlap_pairs",
     "vocab_drift_topk",
     "filter_attribution",
+    "kcore_copurchase",
     "video_frame_dedup",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for

@@ -823,3 +823,88 @@ def personalized_pagerank_oracle_sql(seeds: list[int], iters: int = 3) -> str:
     FROM r{iters} WHERE u > 0
     """
     )
+
+
+def kcore_membership(
+    edges: DataFrame, k: int, rounds: int = 8
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the Batagelj-Zaversnik
+    iterated form): repeatedly drop nodes whose degree among SURVIVORS
+    is below k; after `rounds` rounds, return the surviving nodes with
+    their within-core degree.  With enough rounds this is the exact
+    k-core (peeling is monotone — the removed set only grows); the
+    fixed unroll keeps the oracle expressible, and the convergence
+    test pins that `rounds` suffices on the bench graph (one more
+    round is a fixpoint no-op there).
+
+    Scale shape: the same pay-once contract as pagerank — edges are
+    src-partitioned and persisted once; each round is one semi-join
+    prune (both endpoints alive) + one src-keyed partial-agg count,
+    with localCheckpoint per round to keep lineage flat.  No all-pairs
+    anything; cost is O(rounds * |E|)."""
+    edges = edges.repartition("src").persist()
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    try:
+        for _ in range(rounds):
+            a_src = alive.select(F.col("node").alias("src"))
+            a_dst = alive.select(F.col("node").alias("dst"))
+            deg = (
+                edges.join(a_src, "src")
+                .join(a_dst, "dst")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            alive = (
+                deg.filter(F.col("deg") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+        # final within-core degree over the surviving induced subgraph
+        a_src = alive.select(F.col("node").alias("src"))
+        a_dst = alive.select(F.col("node").alias("dst"))
+        out = (
+            edges.join(a_src, "src")
+            .join(a_dst, "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+            .select(F.col("src").cast("long").alias("node"), "core_deg")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+
+
+def kcore_oracle_sql(k: int, rounds: int = 8) -> str:
+    """DuckDB replay of `kcore_membership` as unrolled CTEs over the
+    same co-purchase edge construction."""
+    parts = [
+        """
+    pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL SELECT snode, cnode FROM pairs
+    ),
+    alive0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    deg{r} AS (
+      SELECT e.src, COUNT(*) AS deg FROM edges e
+      JOIN alive{r - 1} a ON a.node = e.src
+      JOIN alive{r - 1} b ON b.node = e.dst
+      GROUP BY e.src
+    ),
+    alive{r} AS (SELECT src AS node FROM deg{r} WHERE deg >= {k})""")
+    parts.append(f"""
+    final AS (
+      SELECT e.src AS node, COUNT(*) AS core_deg FROM edges e
+      JOIN alive{rounds} a ON a.node = e.src
+      JOIN alive{rounds} b ON b.node = e.dst
+      GROUP BY e.src
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(core_deg AS BIGINT) AS core_deg
+    FROM final""")
+    return "WITH " + ",".join(parts)

@@ -11625,6 +11625,25 @@ def filter_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
+# k-core of the co-purchase graph (k=30, 4 peel rounds): "the stable
+# trading core" — nodes surviving iterated low-degree removal, the
+# community-robustness filter link analysis runs before trusting
+# degree-based signals.  The bipartite graph converges after ONE round
+# at every tested sf (suppliers sit far above k, so removals don't
+# cascade — measured, see test) — 4 rounds is a 3-round convergence
+# margin, not the generic-graph bound; deeper cascades (the path-graph
+# test) just need a larger `rounds`.
+@register(
+    "kcore_copurchase",
+    graph.kcore_oracle_sql(k=30, rounds=4),
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.bipartite_copurchase_edges(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+    return graph.kcore_membership(edges, k=30, rounds=4)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

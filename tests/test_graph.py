@@ -205,3 +205,42 @@ def test_personalized_pagerank_vs_python_reference(spark):
         }
     want = {n: v for n, v in u.items() if v > 0}
     assert out == want
+
+
+def test_kcore_peels_and_converges(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+        bipartite_copurchase_edges,
+        kcore_membership,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    edges = bipartite_copurchase_edges(
+        load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    )
+    core4 = {(r.node, r.core_deg) for r in
+             kcore_membership(edges, k=30, rounds=4).collect()}
+    # every survivor satisfies the core invariant
+    assert all(d >= 30 for _, d in core4)
+    # 4 rounds converged on the bench graph: a 5th round is a no-op
+    # (measured: this bipartite graph converges after ONE round)
+    core5 = {(r.node, r.core_deg) for r in
+             kcore_membership(edges, k=30, rounds=5).collect()}
+    assert core4 == core5
+
+
+def test_kcore_cascading_removal(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.graph import (
+        kcore_membership,
+    )
+
+    # path graph 1-2-3-4: 2-core is empty (peeling cascades from the
+    # endpoints); triangle 5-6-7 survives as its own 2-core
+    und = [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {r.node: r.core_deg for r in
+           kcore_membership(edges, k=2, rounds=5).collect()}
+    assert set(out) == {5, 6, 7}
+    assert all(v == 2 for v in out.values())

@@ -108,6 +108,7 @@ DEFAULT_QUERIES = [
     "winnowing_overlap_pairs",
     "vocab_drift_topk",
     "filter_attribution",
+    "kcore_copurchase",
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
     # smoke-omission note above applies)
     # streaming_sequence_examples is omitted: it runs on a fixed
