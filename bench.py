@@ -189,6 +189,7 @@ HEADLINE = [
     "vocab_drift_topk",
     "filter_attribution",
     "kcore_copurchase",
+    "simhash_dedup_pairs",
     "video_frame_dedup",
     "streaming_sequence_examples",
     # clustering_coefficient is correctness-gated but not benched for

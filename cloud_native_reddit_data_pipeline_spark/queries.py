@@ -11644,6 +11644,34 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_membership(edges, k=30, rounds=4)
 
 
+# SimHash near-dup PAIRS (Manku et al. 2007): 15-bit band buckets over
+# the 60-bit signature, exact bit_count(xor) verify at hamming <= 3 —
+# the pair generator the simhash_signatures query always implied,
+# fully SQL-replayable (unlike the phash twin, no Python decode).
+@register(
+    "simhash_dedup_pairs",
+    """
+    WITH sig AS ({SIG}),
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * 15)) & 32767 AS key
+      FROM sig CROSS JOIN (
+        SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """.replace("{SIG}", _ORACLES["simhash_signatures"]),
+)
+def simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.simhash(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return dedup.simhash_candidate_pairs(
+        sigs, "doc_id", max_hamming=3, bands=4
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

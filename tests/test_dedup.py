@@ -742,3 +742,23 @@ def test_component_size_histogram_counts_singletons(spark):
     assert out[2].n_clusters == 1 and out[2].n_docs == 2
     assert out[1].n_clusters == 5 and out[1].n_docs == 5
     assert sum(r.n_docs for r in out.values()) == 10
+
+
+def test_simhash_candidate_pairs_banding_guarantee(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    base = (1 << 55) | (1 << 33) | (1 << 7) | 1
+    rows = [
+        (1, base),
+        (2, base ^ 0b110),          # hamming 2 -> must be found
+        (3, base ^ (1 << 16) ^ (1 << 31) ^ (1 << 46)),  # hamming 3, spread
+        (4, base ^ ((1 << 20) - 1)),  # hamming far above 3
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_candidate_pairs(sigs, "doc_id").collect()}
+    assert out[(1, 2)] == 2
+    assert out[(1, 3)] == 3      # pigeonhole: 3 flips, 4 bands
+    assert all(4 not in p for p in out)

@@ -109,6 +109,7 @@ DEFAULT_QUERIES = [
     "vocab_drift_topk",
     "filter_attribution",
     "kcore_copurchase",
+    "simhash_dedup_pairs",
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
     # smoke-omission note above applies)
     # streaming_sequence_examples is omitted: it runs on a fixed
