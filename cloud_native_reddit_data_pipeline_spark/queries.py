@@ -11672,6 +11672,81 @@ def simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming PSI drift monitor (streaming/drift.py): batch 1 (the
+# first corpus half, by doc_id) freezes the reference histogram;
+# batch 2 (the second half) is scored against it.  The oracle replays
+# both halves with the batch query's exact smoothing/rounding
+# contract, hash-gating the streamed values at ANY sf.
+@register(
+    "streaming_drift_psi",
+    """
+    WITH lim AS (SELECT GREATEST(COUNT(*) // 2, 1) AS half FROM documents),
+    t AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             LEAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) // 20, 9) AS bucket
+      FROM documents
+    ), ref AS (
+      SELECT bucket, COUNT(*) AS n_ref FROM t CROSS JOIN lim
+      WHERE rn <= half GROUP BY bucket
+    ), cur AS (
+      SELECT bucket, COUNT(*) AS n_cur FROM t CROSS JOIN lim
+      WHERE rn > half GROUP BY bucket
+    ), j AS (
+      SELECT COALESCE(ref.bucket, cur.bucket) AS bucket,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM ref FULL OUTER JOIN cur ON ref.bucket = cur.bucket
+    ), tot AS (
+      SELECT SUM(n_ref) + COUNT(*) AS ta, SUM(n_cur) + COUNT(*) AS tb
+      FROM j
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((n_ref + 1) * 1.0 / ta + 1e-9, 6) AS p_ref,
+           ROUND((n_cur + 1) * 1.0 / tb + 1e-9, 6) AS p_cur,
+           ROUND(((n_ref + 1) * 1.0 / ta - (n_cur + 1) * 1.0 / tb)
+                 * ln(((n_ref + 1) * 1.0 / ta) / ((n_cur + 1) * 1.0 / tb))
+                 + 1e-9, 6) AS psi_contrib
+    FROM j CROSS JOIN tot
+    """,
+)
+def streaming_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .streaming.drift import start_drift_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    half = max(n // 2, 1)  # adaptive: exact corpus halves at any sf
+    first = docs.orderBy("doc_id").limit(half)
+    last = docs.orderBy(F.desc("doc_id")).limit(n - half)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        first.coalesce(1).write.json(f"{src}/b0")
+        last.coalesce(1).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_drift_stream(
+            stream, f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(f"{tmp}/out").select(
+            "bucket", "n_ref", "n_cur", "p_ref", "p_cur", "psi_contrib"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
