@@ -190,6 +190,7 @@ HEADLINE = [
     "filter_attribution",
     "kcore_copurchase",
     "simhash_dedup_pairs",
+    "label_balance_sample",
     "streaming_drift_psi",
     "video_frame_dedup",
     "streaming_sequence_examples",

@@ -11747,6 +11747,48 @@ def streaming_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+# Deterministic class balancing: downsample every label to the
+# smallest class's size by md5-rank within label — the class-balanced
+# subset a probe/classifier train job draws from skewed labels, with
+# no RNG (same membership on every run/engine/partitioning).
+@register(
+    "label_balance_sample",
+    """
+    WITH sized AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ), target AS (SELECT MIN(n) AS t FROM sized),
+    r AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(rk AS BIGINT) AS rk
+    FROM r CROSS JOIN target WHERE rk <= t
+    """,
+)
+def label_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label window rank (label-partitioned — no global sort) over
+    the md5 order; the min class size is a broadcast scalar.  At scale
+    the rank shuffle moves (id, label) only."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    target = F.broadcast(
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("t"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.withColumn("rk", F.row_number().over(w))
+        .crossJoin(target)
+        .filter(F.col("rk") <= F.col("t"))
+        .select("vec_id", "label", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -110,6 +110,7 @@ DEFAULT_QUERIES = [
     "filter_attribution",
     "kcore_copurchase",
     "simhash_dedup_pairs",
+    "label_balance_sample",
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
