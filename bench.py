@@ -191,6 +191,7 @@ HEADLINE = [
     "kcore_copurchase",
     "simhash_dedup_pairs",
     "label_balance_sample",
+    "source_quality_ci",
     "streaming_drift_psi",
     "video_frame_dedup",
     "streaming_sequence_examples",

@@ -11789,6 +11789,76 @@ def label_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source quality league table with 95% Wilson confidence bounds
+# on the Gopher pass rate — "is source X actually worse, or just
+# small?"  Wilson (not normal-approx) so tiny sources get honest wide
+# intervals.  The only float ops are one sqrt (correctly rounded by
+# IEEE in both engines) and parse-identical literals, under the
+# round-6 + 1e-9 contract.
+@register(
+    "source_quality_ci",
+    """
+    WITH gate AS ({GOPHER}),
+    per AS (
+      SELECT d.source, COUNT(*) AS n,
+             SUM(CASE WHEN g.pass_gate THEN 1 ELSE 0 END) AS k
+      FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_pass,
+           CAST((1000000 * k) // n AS BIGINT) AS rate_ppm,
+           ROUND((k + 1.92072941034706 - 1.959963984540054
+                  * sqrt((k * 1.0 * (n - k)) / n + 0.9603647051735294))
+                 / (n + 3.841458820694124) + 1e-9, 6) AS wilson_lo,
+           ROUND((k + 1.92072941034706 + 1.959963984540054
+                  * sqrt((k * 1.0 * (n - k)) / n + 0.9603647051735294))
+                 / (n + 3.841458820694124) + 1e-9, 6) AS wilson_hi
+    FROM per
+    """.replace("{GOPHER}", _ORACLES["gopher_quality_gate"]),
+)
+def source_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate plan + one source-keyed integer aggregate; the Wilson
+    algebra (z=1.959963984540054, z^2/2 and z^2/4 pre-expanded as
+    shared literals) runs on the ~20 aggregated rows."""
+    docs = load(spark, sf_dir, "documents")
+    gate = textstats.gopher_quality_gate(docs, "doc_id", "text").select(
+        "doc_id", "pass_gate"
+    )
+    per = (
+        docs.select("doc_id", "source")
+        .join(gate, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pass_gate"), 1).otherwise(0)).alias("k"),
+        )
+    )
+    lo = (
+        F.col("k") + F.lit(1.92072941034706)
+        - F.lit(1.959963984540054)
+        * F.sqrt(
+            (F.col("k") * F.lit(1.0) * (F.col("n") - F.col("k"))) / F.col("n")
+            + F.lit(0.9603647051735294)
+        )
+    ) / (F.col("n") + F.lit(3.841458820694124))
+    hi = (
+        F.col("k") + F.lit(1.92072941034706)
+        + F.lit(1.959963984540054)
+        * F.sqrt(
+            (F.col("k") * F.lit(1.0) * (F.col("n") - F.col("k"))) / F.col("n")
+            + F.lit(0.9603647051735294)
+        )
+    ) / (F.col("n") + F.lit(3.841458820694124))
+    return per.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_pass"),
+        F.expr("(1000000 * k) div n").cast("long").alias("rate_ppm"),
+        F.round(lo + F.lit(1e-9), 6).alias("wilson_lo"),
+        F.round(hi + F.lit(1e-9), 6).alias("wilson_hi"),
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

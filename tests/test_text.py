@@ -546,3 +546,28 @@ def test_winnowing_overlap_detects_shared_passage(spark):
                                      min_shared=2).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_source_quality_ci_wilson_bounds(spark):
+    import math
+
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["source_quality_ci"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    z = 1.959963984540054
+    for r in rows:
+        n, k = r.n, r.n_pass
+        assert 0 <= k <= n
+        # interval brackets the point rate and stays in [0, 1]
+        assert -1e-9 <= r.wilson_lo <= k / n + 1e-9
+        assert k / n - 1e-9 <= r.wilson_hi <= 1 + 1e-9
+        # matches the reference Wilson formula to rounding
+        denom = 1 + z * z / n
+        center = (k / n + z * z / (2 * n)) / denom
+        half = (z / denom) * math.sqrt(
+            (k / n) * (1 - k / n) / n + z * z / (4 * n * n)
+        )
+        assert abs(r.wilson_lo - (center - half)) < 1e-5
+        assert abs(r.wilson_hi - (center + half)) < 1e-5
