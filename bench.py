@@ -192,6 +192,7 @@ HEADLINE = [
     "simhash_dedup_pairs",
     "label_balance_sample",
     "source_quality_ci",
+    "json_quality_gate",
     "streaming_drift_psi",
     "video_frame_dedup",
     "streaming_sequence_examples",

@@ -11859,6 +11859,83 @@ def source_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JSON payload quality gate with an error taxonomy: plant the three
+# classic corruption modes deterministically (truncation % 7, missing
+# key % 11, wrong type % 13 — first match wins), then classify every
+# payload as ok / unparseable / missing_key / wrong_type — the
+# schema-on-read quarantine triage (O22's reject path, upgraded from
+# a boolean to a taxonomy).  Planted corruption means the gate's
+# recall is measured, not assumed — the pii_scrub_recall pattern.
+@register(
+    "json_quality_gate",
+    """
+    WITH planted AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0
+                    THEN left(props, GREATEST(len(props) - 2, 1))
+                  WHEN event_id % 11 = 0 THEN '{}'
+                  WHEN event_id % 13 = 0 THEN '{"k": "x"}'
+                  ELSE props END AS p
+      FROM events
+    ), verdicts AS (
+      SELECT event_type,
+             CASE WHEN NOT json_valid(p) THEN 'unparseable'
+                  WHEN json_extract_string(p, '$.k') IS NULL
+                    THEN 'missing_key'
+                  WHEN TRY_CAST(json_extract_string(p, '$.k') AS INTEGER)
+                       IS NULL THEN 'wrong_type'
+                  ELSE 'ok' END AS verdict
+      FROM planted
+    ), tot AS (SELECT COUNT(*) AS n FROM verdicts)
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((1000000 * COUNT(*)) // tot.n AS BIGINT) AS share_ppm
+    FROM verdicts CROSS JOIN tot
+    GROUP BY verdict, tot.n
+    """,
+)
+def json_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow map (plant + classify, all codegen'd) + a 4-key
+    partial-agg.  Spark's malformed-JSON test is try_parse_json IS
+    NULL (PERMISSIVE from_json nulls FIELDS, not the struct, on
+    truncation); DuckDB's is json_valid — they agree on every planted
+    mode (and the planted modes are the gate's measured contract)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    planted = ev.select(
+        "event_type",
+        F.when(
+            F.pmod("event_id", F.lit(7)) == 0,
+            F.expr("left(props, greatest(length(props) - 2, 1))"),
+        )
+        .when(F.pmod("event_id", F.lit(11)) == 0, F.lit("{}"))
+        .when(F.pmod("event_id", F.lit(13)) == 0, F.lit('{"k": "x"}'))
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    verdict = (
+        F.when(F.expr("try_parse_json(p)").isNull(), F.lit("unparseable"))
+        .when(F.get_json_object("p", "$.k").isNull(), F.lit("missing_key"))
+        .when(
+            F.expr("try_cast(get_json_object(p, '$.k') as int)").isNull(),
+            F.lit("wrong_type"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    v = planted.select(verdict.alias("verdict"))
+    tot = F.broadcast(v.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        v.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(tot)
+        .select(
+            "verdict",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("(1000000 * n_events) div n")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

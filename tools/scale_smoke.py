@@ -112,6 +112,7 @@ DEFAULT_QUERIES = [
     "simhash_dedup_pairs",
     "label_balance_sample",
     "source_quality_ci",
+    "json_quality_gate",
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
