@@ -193,6 +193,7 @@ HEADLINE = [
     "label_balance_sample",
     "source_quality_ci",
     "json_quality_gate",
+    "epoch_shard_manifest",
     "streaming_drift_psi",
     "video_frame_dedup",
     "streaming_sequence_examples",

@@ -11936,6 +11936,43 @@ def json_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Epoch-shard manifest: the data-order RECEIPT for a training run —
+# per (epoch, shard): doc count, pos range, and an order-sensitive
+# xor digest over md5(doc#epoch#pos), so two runs (or two workers)
+# can prove they consumed identical data in identical order by
+# comparing 16 rows.  Composes the epoch_shuffle oracle.
+@register(
+    "epoch_shard_manifest",
+    """
+    WITH es AS ({ES})
+    SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           CAST(bit_xor(('0x' || substring(md5(
+             CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)
+             || '#' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+             AS order_digest
+    FROM es GROUP BY epoch, shard
+    """.replace("{ES}", _ORACLES["epoch_shuffle"]),
+)
+def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the epoch_shuffle plan (range-partitioned per-epoch rank),
+    one 16-key partial-agg on top."""
+    es = epoch_shuffle_q(spark, sf_dir)
+    digest = F.expr(
+        "bit_xor(cast(conv(substring(md5(concat("
+        "cast(doc_id as string), '#', cast(epoch as string), '#',"
+        " cast(pos as string))), 1, 15), 16, 10) as bigint))"
+    )
+    return es.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("pos").cast("long").alias("min_pos"),
+        F.max("pos").cast("long").alias("max_pos"),
+        digest.alias("order_digest"),
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

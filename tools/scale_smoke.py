@@ -113,6 +113,7 @@ DEFAULT_QUERIES = [
     "label_balance_sample",
     "source_quality_ci",
     "json_quality_gate",
+    "epoch_shard_manifest",
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
