@@ -204,3 +204,31 @@ def test_pii_scrub_v2_matches_oracle(spark, ducks):
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert len(srows) == len(orows)
     assert _norm(srows, sdf.columns) == _norm(orows, rel.columns)
+
+
+def test_json_quality_gate_taxonomy_complete(spark):
+    rows = {r.verdict: r for r in entrymod.queries()["json_quality_gate"](
+        spark, SF_DIR
+    ).collect()}
+    # every planted corruption mode is detected, plus the clean class
+    assert set(rows) == {"ok", "unparseable", "missing_key", "wrong_type"}
+    total = sum(r.n_events for r in rows.values())
+    assert sum(r.share_ppm for r in rows.values()) <= 1_000_000
+    assert rows["ok"].n_events > total // 2  # most payloads are clean
+
+
+def test_epoch_shard_manifest_is_a_complete_receipt(spark):
+    rows = entrymod.queries()["epoch_shard_manifest"](spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for epoch, shards in by_epoch.items():
+        n = sum(r.n_docs for r in shards)
+        # every doc dealt exactly once per epoch; pos range covers 1..n
+        assert min(r.min_pos for r in shards) == 1
+        assert max(r.max_pos for r in shards) == n
+        # digests differ across epochs (different permutations)
+    d0 = {r.shard: r.order_digest for r in by_epoch[0]}
+    d1 = {r.shard: r.order_digest for r in by_epoch[1]}
+    assert any(d0[s] != d1.get(s) for s in d0)
