@@ -194,6 +194,7 @@ HEADLINE = [
     "source_quality_ci",
     "json_quality_gate",
     "epoch_shard_manifest",
+    "mmr_diversity_rerank",
     "streaming_drift_psi",
     "video_frame_dedup",
     "streaming_sequence_examples",

@@ -11973,6 +11973,73 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled greedy MMR replay over the BM25 top-20: per step, a
+    max-sim-to-selected aggregate, score = 0.75*rel - 0.25*maxsim
+    (dyadic literals), argmax with id tie-break."""
+    parts = [
+        "WITH bm AS (" + _ORACLES["ranked_search_bm25"] + """),
+    cand AS (
+      SELECT bm.doc_id, bm.score AS rel,
+             CAST(e.embedding AS DOUBLE[]) AS v
+      FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id
+    ),
+    pw AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+      FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+    ),
+    sc1 AS (
+      SELECT doc_id, rel, 0.75 * rel - 0.25 * 0.0 AS score FROM cand
+    ),
+    sel1 AS (
+      SELECT doc_id, rel, score, 1 AS mmr_rank FROM sc1
+      ORDER BY score DESC, doc_id LIMIT 1
+    ),
+    selu1 AS (SELECT doc_id, rel, score, mmr_rank FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    sc{i} AS (
+      SELECT c.doc_id, c.rel,
+             0.75 * c.rel - 0.25 * COALESCE(m.ms, 0.0) AS score
+      FROM cand c
+      LEFT JOIN (
+        SELECT pw.ia AS doc_id, MAX(pw.cos) AS ms
+        FROM pw JOIN selu{i - 1} s ON pw.ib = s.doc_id
+        GROUP BY pw.ia
+      ) m USING (doc_id)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM selu{i - 1})
+    ),
+    sel{i} AS (
+      SELECT doc_id, rel, score, {i} AS mmr_rank FROM sc{i}
+      ORDER BY score DESC, doc_id LIMIT 1
+    ),
+    selu{i} AS (
+      SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i}
+    )""")
+    parts.append(f"""
+    SELECT doc_id, rel, ROUND(score + 1e-9, 6) AS mmr_score,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank
+    FROM selu{k}""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+# MMR diversity re-ranking of the BM25 top-20 (Carbonell & Goldstein
+# 1998): the relevance-vs-redundancy pass between retrieval and a RAG
+# prompt.  The whole greedy trajectory is value-hash-gated.
+@register("mmr_diversity_rerank", _mmr_oracle(k=5))
+def mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cands = textstats.ranked_keyword_search_bm25(
+        docs, "doc_id", "text", _SEARCH_KEYWORDS, k=20
+    ).select("doc_id", F.col("score").alias("rel"))
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return similarity.mmr_rerank(cands, emb, k=5, lam=0.75)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

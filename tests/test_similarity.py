@@ -393,3 +393,29 @@ def test_ivf_cell_stats_partitions_the_corpus(spark):
     for r in rows:
         assert r.share_ppm == (1_000_000 * r.n_vecs) // n
         assert r.load_pct_of_mean == (100 * r.n_vecs * 8) // n
+
+
+def test_mmr_rerank_promotes_diverse_candidate(spark):
+    # A top; B a near-duplicate of A with mid relevance; C orthogonal
+    # with lower relevance.  Pure relevance: A,B,C.  MMR: B's duplicate
+    # penalty (cos=1) drops it below C.
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(1, 1.0), (2, 0.6), (3, 0.5)], "doc_id long, rel double"
+    )
+    out = sorted(
+        similarity.mmr_rerank(cands, emb, k=3, lam=0.75).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.doc_id for r in out] == [1, 3, 2]
+    # step scores: A = .75*1.0; C = .75*.5 - .25*0; B = .75*.6 - .25*1
+    assert abs(out[0].mmr_score - 0.75) < 1e-6
+    assert abs(out[1].mmr_score - 0.375) < 1e-6
+    assert abs(out[2].mmr_score - 0.2) < 1e-6

@@ -114,6 +114,7 @@ DEFAULT_QUERIES = [
     "source_quality_ci",
     "json_quality_gate",
     "epoch_shard_manifest",
+    "mmr_diversity_rerank",
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
