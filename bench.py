@@ -195,6 +195,7 @@ HEADLINE = [
     "json_quality_gate",
     "epoch_shard_manifest",
     "mmr_diversity_rerank",
+    "daily_hll_users",
     "streaming_drift_psi",
     "video_frame_dedup",
     "streaming_sequence_examples",

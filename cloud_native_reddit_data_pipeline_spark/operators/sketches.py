@@ -480,3 +480,67 @@ def hll_distinct(
         .cast("long")
         .alias("err_ppm"),
     )
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    m: int = 64,
+) -> DataFrame:
+    """Grouped HyperLogLog: one row of registers->estimate per group —
+    the partitioned form of `hll_distinct` (same 60-bit hash, same
+    integer registers and scaled harmonic denominator), demonstrating
+    the sketch's mergeability axis: per-group registers are a MAX
+    aggregate, so per-partition partial registers combine exactly and
+    a per-day table rolls up to per-week by another MAX.
+
+    Empty buckets per group are supplied by a group x bucket frame
+    (groups are the query's grouping cardinality — e.g. days — times
+    64 rows; tiny).  The true count column ships for the error audit,
+    one exact distinct per group."""
+    if m != 64:
+        raise ValueError("hll_distinct_by is pinned to m=64 like hll_distinct")
+    spark = df.sparkSession
+    hashed = df.select(
+        *group_cols,
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    ).select(
+        *group_cols,
+        F.pmod("_h", F.lit(m)).alias("bucket"),
+        F.expr(f"_h div {m}").alias("_w"),
+    )
+    ranks = hashed.select(
+        *group_cols,
+        "bucket",
+        F.when(F.col("_w") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin("_w")))
+        .alias("_rank"),
+    )
+    groups = df.select(*group_cols).distinct()
+    frame = groups.crossJoin(
+        spark.range(m).select(F.col("id").alias("bucket"))
+    )
+    regs = frame.join(
+        ranks.groupBy(*group_cols, "bucket").agg(F.max("_rank").alias("_mj")),
+        [*group_cols, "bucket"],
+        "left",
+    ).select(*group_cols, "bucket", F.coalesce("_mj", F.lit(0)).alias("_mj"))
+    summary = regs.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_mj") == 0, 1).otherwise(0)).alias("n_zero_buckets"),
+        F.sum(F.expr("shiftleft(1L, 55 - _mj)")).alias("s_55"),
+    )
+    truth = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(key_col)).alias("true_distinct")
+    )
+    return summary.join(truth, group_cols).select(
+        *group_cols,
+        F.col("n_zero_buckets").cast("long").alias("n_zero_buckets"),
+        F.col("s_55").cast("long").alias("s_55"),
+        F.round(
+            F.expr("0.709 * 4096.0 * pow(2.0, 55) / s_55"), 2
+        ).alias("hll_estimate"),
+        F.col("true_distinct").cast("long").alias("true_distinct"),
+    )

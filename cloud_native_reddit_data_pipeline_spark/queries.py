@@ -12040,6 +12040,58 @@ def mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(cands, emb, k=5, lam=0.75)
 
 
+# Per-day HLL distinct users over the event log — the grouped form of
+# the sketch (registers are MAX aggregates, so per-day rows roll up to
+# per-week by another MAX; the dashboard cardinality query at scale).
+@register(
+    "daily_hll_users",
+    """
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), hb AS (SELECT day, h % 64 AS bucket, h // 64 AS w FROM h),
+    r AS (
+      SELECT day, bucket,
+             CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank
+      FROM hb
+    ),
+    frame AS (
+      SELECT d.day, gs.bucket
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) gs
+    ),
+    regs AS (
+      SELECT f.day, f.bucket, COALESCE(MAX(r.rank), 0) AS mj
+      FROM frame f
+      LEFT JOIN r ON r.day = f.day AND r.bucket = f.bucket
+      GROUP BY f.day, f.bucket
+    ),
+    s AS (
+      SELECT day,
+             SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS nz,
+             SUM(1::BIGINT << (55 - mj)) AS s55
+      FROM regs GROUP BY day
+    ),
+    t AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS td
+      FROM events GROUP BY 1
+    )
+    SELECT s.day, CAST(nz AS BIGINT) AS n_zero_buckets,
+           CAST(s55 AS BIGINT) AS s_55,
+           ROUND(0.709 * 4096.0 * pow(2.0, 55) / s55, 2) AS hll_estimate,
+           CAST(td AS BIGINT) AS true_distinct
+    FROM s JOIN t ON t.day = s.day
+    """,
+)
+def daily_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    return sketches.hll_distinct_by(ev, "user_id", ["day"])
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

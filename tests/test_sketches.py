@@ -520,3 +520,25 @@ def test_hll_distinct_rejects_other_m(spark):
 
     with pytest.raises(ValueError):
         hll_distinct(spark.range(5), "id", m=128)
+
+
+def test_hll_distinct_by_groups_and_rolls_up(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_by,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 1000).alias("k")
+    )
+    rows = {r.g: r for r in hll_distinct_by(df, "k", ["g"]).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.true_distinct == 500
+        assert abs(r.hll_estimate - 500) / 500 < 0.4  # 3 sigma at m=64
+    # mergeability: the two groups' registers MAX-combine to the global
+    # sketch — check via the global s_55 from hll_distinct
+    glob = hll_distinct(df, "k").collect()[0]
+    assert glob.true_distinct == 1000
+    # a merged register can only increase, so s_55 can only shrink
+    assert glob.s_55 <= min(r.s_55 for r in rows.values())

@@ -115,6 +115,7 @@ DEFAULT_QUERIES = [
     "json_quality_gate",
     "epoch_shard_manifest",
     "mmr_diversity_rerank",
+    "daily_hll_users",
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
