@@ -196,6 +196,7 @@ HEADLINE = [
     "epoch_shard_manifest",
     "mmr_diversity_rerank",
     "daily_hll_users",
+    "streaming_corpus_manifest",
     "streaming_drift_psi",
     "video_frame_dedup",
     "streaming_sequence_examples",

@@ -12092,6 +12092,43 @@ def daily_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_distinct_by(ev, "user_id", ["day"])
 
 
+# Streaming incremental corpus manifest (streaming/manifest.py): two
+# micro-batch halves write per-shard deltas; the merged manifest must
+# equal the batch corpus_manifest over the whole corpus EXACTLY
+# (every column a commutative monoid: SUM/MIN/MAX/bit_xor) — so the
+# gate is the EXISTING batch oracle verbatim.
+@register("streaming_corpus_manifest", _ORACLES["corpus_manifest"])
+def streaming_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .streaming.manifest import read_manifest, start_manifest_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    half = max(n // 2, 1)
+    first = docs.orderBy("doc_id").limit(half)
+    last = docs.orderBy(F.desc("doc_id")).limit(n - half)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        first.coalesce(1).write.json(f"{src}/b0")
+        last.coalesce(1).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_manifest_stream(stream, f"{tmp}/store", f"{tmp}/ckpt")
+        q.awaitTermination(180)
+        out = read_manifest(spark, f"{tmp}/store")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -69,3 +69,32 @@ def test_psi_is_symmetric_in_contribution_signs(spark):
     # every contribution is non-negative ((pa-pb)*ln(pa/pb) >= 0)
     assert all(r.psi_contrib >= 0 for r in rows.values())
     assert rows[0].n_ref == 2 and rows[0].n_cur == 1
+
+
+def test_streaming_manifest_merges_to_batch_manifest(spark, tmp_path):
+    from cloud_native_reddit_data_pipeline_spark.streaming.manifest import (
+        process_manifest_batch,
+        read_manifest,
+        shard_manifest_delta,
+    )
+
+    store = str(tmp_path / "m")
+    rows = [(i, f"text number {i} with words") for i in range(1, 41)]
+    full = spark.createDataFrame(rows, SCHEMA)
+    b1 = spark.createDataFrame(rows[:25], SCHEMA)
+    b2 = spark.createDataFrame(rows[25:], SCHEMA)
+    process_manifest_batch(spark, b1, 0, store)
+    process_manifest_batch(spark, b2, 1, store)
+    merged = {r.shard: r for r in read_manifest(spark, store).collect()}
+    batch = {r.shard: r for r in shard_manifest_delta(full).collect()}
+    assert set(merged) == set(batch)
+    for s in batch:
+        for c in ("n_docs", "n_tokens", "min_doc_id", "max_doc_id",
+                  "content_digest"):
+            assert getattr(merged[s], c) == getattr(batch[s], c), (s, c)
+    # crash replay: rewriting batch 1's delta changes nothing
+    process_manifest_batch(spark, b2, 1, store)
+    again = {r.shard: r for r in read_manifest(spark, store).collect()}
+    assert {s: r.content_digest for s, r in again.items()} == {
+        s: r.content_digest for s, r in merged.items()
+    }

@@ -116,6 +116,7 @@ DEFAULT_QUERIES = [
     "epoch_shard_manifest",
     "mmr_diversity_rerank",
     "daily_hll_users",
+    # streaming_corpus_manifest omitted: fixed two-half replay twin
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
     # video_frame_dedup omitted: fixed 21-video synthetic set (media
