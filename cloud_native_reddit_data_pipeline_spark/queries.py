@@ -6004,6 +6004,118 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_outer",
+    """
+    WITH ev AS (
+      SELECT event_id, ts, user_id, value, event_type
+      FROM events ORDER BY event_id LIMIT 2000
+    ), c AS (SELECT * FROM ev WHERE event_type = 'click'),
+       p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id,
+           c.event_id AS left_event_id, c.ts AS left_ts,
+           p.event_id AS right_event_id, p.ts AS right_ts,
+           p.value AS right_value
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_join_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream interval join: every click,
+    with its within-1h purchase when one exists, else null right-side
+    columns — the unmatched-left ("click that never converted") story
+    the inner form cannot express.
+
+    Two-micro-batch replay protocol (maxFilesPerTrigger=1, mtimes
+    staggered so file order is deterministic): batch 1 carries the real
+    events; batch 2 carries one far-future sentinel row PER SIDE (the
+    global watermark is the min across inputs, so both sides must
+    advance).  Unmatched-left nulls are emitted only by the trailing
+    no-data micro-batch, after the watermark (sentinel_ts - 2h) passes
+    every left row's window end — Spark's state-expiry-emits-null
+    machinery, exercised end-to-end.  Because the watermark ends up
+    past ALL real windows, the streamed result equals the batch left
+    join, which is exactly what the DuckDB oracle computes (nulls
+    participate in the driver's value hash).  Sentinels use key -1/-2
+    (absent from data, mutually non-joining) and are filtered out; the
+    sentinel left row itself stays in state forever (its own window
+    never closes) so it cannot leak into the output."""
+    import os
+    import tempfile
+    import time as _time
+    import uuid
+
+    from .streaming.ingest import streaming_interval_join_outer
+
+    evs = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(2000)
+        .select("event_id", "ts", "user_id", "value", "event_type")
+        .cache()
+    )
+    max_ts = evs.agg(F.max("ts")).first()[0]  # scalar; sizes the sentinel
+    with tempfile.TemporaryDirectory() as tmp:
+        cdir, pdir = f"{tmp}/clicks", f"{tmp}/purchases"
+        sel = ["event_id", "ts", "user_id", "value"]
+        clicks = evs.filter(F.col("event_type") == "click").select(*sel)
+        evs.filter(F.col("event_type") == "purchase").select(*sel).coalesce(
+            1
+        ).write.parquet(pdir)
+        clicks.coalesce(1).write.parquet(cdir)
+        # sentinel micro-batch: +10h > window(1h) + watermark(2h), so the
+        # final watermark passes every real left window's end
+        sentinel = (
+            spark.range(1)
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+        data_parts = {
+            (d, n) for d in (cdir, pdir) for n in os.listdir(d) if n.startswith("part-")
+        }
+        sentinel.coalesce(1).write.mode("append").parquet(cdir)
+        sentinel.withColumn("user_id", F.lit(-2).cast("long")).coalesce(
+            1
+        ).write.mode("append").parquet(pdir)
+        # FileStreamSource orders by mtime; pin data strictly before
+        # sentinel so no real row arrives below the advanced watermark
+        now = _time.time()
+        for d in (cdir, pdir):
+            for name in os.listdir(d):
+                if name.startswith("part-"):
+                    t = now - 60 if (d, name) in data_parts else now
+                    os.utime(f"{d}/{name}", (t, t))
+        schema = clicks.schema
+        cs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdir)
+        )
+        ps = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(pdir)
+        )
+        qname = f"sjoin_outer_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_interval_join_outer(cs, ps, within="1 hour")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.table(qname).filter(F.col("user_id") >= 0)
+        res = spark.createDataFrame(out.collect(), out.schema)
+    evs.unpersist()
+    return res
+
+
+@register(
     "ml_lsh_simjoin",
     """
     WITH u AS (

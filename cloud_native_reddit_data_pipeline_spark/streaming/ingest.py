@@ -120,6 +120,7 @@ def streaming_interval_join(
     key: str = "user_id",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: a right-side event
     matches a left-side event of the same key when it lands within
@@ -128,7 +129,16 @@ def streaming_interval_join(
     Both the equality key AND the time-range predicate are required at
     scale: the range bound + watermark lets Spark expire join state
     (without it, both sides buffer forever).  State is partitioned by
-    the key — the only shuffle either stream pays per micro-batch."""
+    the key — the only shuffle either stream pays per micro-batch.
+
+    ``how="leftOuter"`` adds the unmatched-left story (clicks that
+    never converted): a left row whose join window [ts, ts + within]
+    closes under the watermark with no match is emitted once, with
+    null right-side columns.  The null row CANNOT be emitted eagerly —
+    a match may still arrive until the watermark passes the window end
+    — so outer results trail the watermark by up to
+    ``within + watermark``; that delayed state-expiry emit is exactly
+    the machinery the inner form never touches."""
     lw = left_stream.withWatermark("ts", watermark).alias("l")
     rw = right_stream.withWatermark("ts", watermark).alias("r")
     cond = (
@@ -136,13 +146,28 @@ def streaming_interval_join(
         & (F.col("r.ts") >= F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.event_id").alias("left_event_id"),
         F.col("l.ts").alias("left_ts"),
         F.col("r.event_id").alias("right_event_id"),
         F.col("r.ts").alias("right_ts"),
         F.col("r.value").alias("right_value"),
+    )
+
+
+def streaming_interval_join_outer(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer form of :func:`streaming_interval_join` — see its
+    docstring for the unmatched-left / watermark-expiry semantics."""
+    return streaming_interval_join(
+        left_stream, right_stream, key=key, within=within, watermark=watermark,
+        how="leftOuter",
     )
 
 
