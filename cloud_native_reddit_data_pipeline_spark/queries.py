@@ -9978,13 +9978,11 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VALUES pin like the other media gates — captured from a verified run
 # and cross-validated against an independent decoder + python aHash in
 # tests/test_multimodal.py.
-@register(
-    "image_phash_dedup",
-    """
-    SELECT CAST(media_id AS BIGINT) AS media_id, CAST(phash AS BIGINT) AS phash,
-           CAST(group_label AS BIGINT) AS group_label,
-           CAST(n_members AS BIGINT) AS n_members
-    FROM (VALUES
+# Pinned pHash dedup groups (44 originals+resized): captured from a
+# verified run, cross-validated by independent decoders in
+# tests/test_multimodal.py; shared by image_phash_dedup and the
+# cross-modal manifest capstone.
+_PHASH_GROUPS_VALUES = """(VALUES
       (0, 3158197430031575701, 0, 2),
       (3, 7686964711758402898, 3, 2),
       (6, 6510615556791184299, 6, 1),
@@ -10029,7 +10027,16 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
       (1057, -7650394955292456342, 57, 2),
       (1060, -5355436686092946092, 1060, 1),
       (1063, -6076857648028145110, 1063, 1)
-    ) AS t(media_id, phash, group_label, n_members)
+    ) AS t(media_id, phash, group_label, n_members)"""
+
+
+@register(
+    "image_phash_dedup",
+    f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, CAST(phash AS BIGINT) AS phash,
+           CAST(group_label AS BIGINT) AS group_label,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM {_PHASH_GROUPS_VALUES}
     """,
 )
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12239,6 +12246,185 @@ def streaming_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(180)
         out = read_manifest(spark, f"{tmp}/store")
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+# Cross-modal dedup manifest (round-9 capstone): one per-document row
+# composing the three independent near-dup signals — text (MinHash-LSH
+# components), embedding (banded hyperplane LSH pairs, star-capped),
+# and attached media (pHash groups over the synthetic media table +
+# its resized copies).  The interesting rows are documents whose TEXT
+# survives dedup (component representative or unique) but whose
+# attached image is a near-copy of another asset — the cross-modal
+# leak a text-only pipeline cannot see.
+#
+# Attachment is a deterministic doc_id -> media_id map (even docs get
+# original image 3*k, odd docs its resized twin 1000+3*k), so the
+# oracle replays it as plain SQL; the media leg's group table is the
+# pinned _PHASH_GROUPS_VALUES (cross-validated by independent decoders
+# in tests/test_multimodal.py).
+_XMODAL_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLE_SQL}, sig AS (
+      SELECT doc_id, {_MINHASH_AGGS_SQL}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig
+      )
+    ), tpairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), tedges AS (
+      SELECT id_a AS src, id_b AS dst FROM tpairs
+      UNION ALL SELECT id_b, id_a FROM tpairs
+    ), tclosure(node, r) AS (
+      SELECT DISTINCT src, src FROM tedges
+      UNION
+      SELECT c.node, e.dst FROM tclosure c JOIN tedges e ON e.src = c.r
+    ), tcomp AS (
+      SELECT node, MIN(r) AS label FROM tclosure GROUP BY node
+    ), epairs AS (
+      {{EMB_PAIRS}}
+    ), edup AS (
+      SELECT DISTINCT id AS doc_id FROM (
+        SELECT id_a AS id FROM epairs UNION ALL SELECT id_b FROM epairs
+      )
+    ), phash_groups AS (
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             CAST(group_label AS BIGINT) AS media_label,
+             CAST(n_members AS BIGINT) AS media_n_members
+      FROM {_PHASH_GROUPS_VALUES}
+    ), att AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 2 = 0 THEN 3 * ((d.doc_id // 2) % 22)
+                  ELSE 1000 + 3 * (((d.doc_id - 1) // 2) % 22) END AS media_id,
+             COALESCE(tc.label, d.doc_id) AS text_label
+      FROM documents d LEFT JOIN tcomp tc ON tc.node = d.doc_id
+    )
+    SELECT a.doc_id AS doc_id,
+           a.text_label AS text_label,
+           (a.doc_id = MIN(a.doc_id) OVER (PARTITION BY a.text_label))
+             AS text_survivor,
+           (ed.doc_id IS NOT NULL) AS emb_dup,
+           a.media_id AS media_id,
+           pg.media_label AS media_label,
+           pg.media_n_members AS media_n_members,
+           (pg.media_n_members >= 2) AS media_near_copy,
+           ((a.doc_id = MIN(a.doc_id) OVER (PARTITION BY a.text_label))
+             AND pg.media_n_members >= 2) AS flag_text_unique_media_dup
+    FROM att a
+    JOIN phash_groups pg ON pg.media_id = a.media_id
+    LEFT JOIN edup ed ON ed.doc_id = a.doc_id
+    """.replace("{EMB_PAIRS}", _neardup_oracle(_NEARDUP_CAP))
+
+
+@register("multimodal_dedup_manifest", _XMODAL_ORACLE)
+def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup manifest: per document, its text near-dup
+    component + survivor bit (MinHash-LSH, `dedup.connected_components`),
+    its embedding near-dup bit (`dedup.embedding_neardup_pairs`, banded
+    hyperplane LSH with the hot-bucket star cap), and its attached
+    image's pHash dedup group (`multimodal.image_phash` +
+    `phash_candidate_pairs` + components over originals and resized
+    copies).  The output flags documents whose text SURVIVES dedup but
+    whose attached media is a near-copy of another asset — a pure
+    composition of three independently oracle-backed operators.
+
+    Scale shape: all three pair generators are banded (no all-pairs);
+    the media-group table is catalog-sized (assets, not documents) and
+    broadcast into the attachment join; text/embedding legs shuffle on
+    doc/vec keys only.  At 100 TB the doc->media attachment is a real
+    FK; here it is a deterministic map so the oracle can replay it."""
+    from .operators.multimodal import (
+        image_phash,
+        phash_candidate_pairs,
+        resize_images,
+        synthetic_media,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # text leg
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MINHASH_K)
+    tpairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, bands=4)
+    tcomp = dedup.connected_components(tpairs)
+    # embedding leg (vec_id == doc_id by testdata convention)
+    epairs = dedup.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_NEARDUP_PLANES_N,
+        bands=_NEARDUP_BANDS,
+        max_bucket_size=_NEARDUP_CAP,
+    )
+    edup = (
+        epairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(epairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("emb_hit", F.lit(True))
+    )
+    # media leg: same pipeline as image_phash_dedup (originals + resized)
+    media = synthetic_media(spark, 64)
+    originals = media.filter(F.col("modality") == "image").select(
+        "media_id", F.lit("image").alias("modality"), "payload"
+    )
+    resized = resize_images(media, max_side=32).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.lit("image").alias("modality"),
+        "payload",
+    )
+    hashes = image_phash(originals.unionByName(resized))
+    mpairs = phash_candidate_pairs(hashes, max_hamming=10)
+    mcomp = dedup.connected_components(mpairs)
+    media_groups = (
+        hashes.join(mcomp, hashes["media_id"] == mcomp["node"], "left")
+        .select(
+            "media_id",
+            F.coalesce("label", F.col("media_id")).cast("long").alias("media_label"),
+        )
+    )
+    media_groups = media_groups.join(
+        media_groups.groupBy("media_label").agg(
+            F.count(F.lit(1)).cast("long").alias("media_n_members")
+        ),
+        "media_label",
+    )
+    # attach + compose
+    att = (
+        docs.select("doc_id")
+        .withColumn(
+            "media_id",
+            F.when(
+                F.col("doc_id") % 2 == 0, 3 * (F.expr("doc_id DIV 2") % 22)
+            ).otherwise(1000 + 3 * (F.expr("(doc_id - 1) DIV 2") % 22)),
+        )
+        .join(tcomp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "media_id",
+            F.coalesce("label", F.col("doc_id")).alias("text_label"),
+        )
+    )
+    w_grp = Window.partitionBy("text_label")
+    return (
+        att.join(F.broadcast(media_groups), "media_id")
+        .join(edup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_label",
+            (F.col("doc_id") == F.min("doc_id").over(w_grp)).alias("text_survivor"),
+            F.coalesce("emb_hit", F.lit(False)).alias("emb_dup"),
+            "media_id",
+            "media_label",
+            "media_n_members",
+            (F.col("media_n_members") >= 2).alias("media_near_copy"),
+            (
+                (F.col("doc_id") == F.min("doc_id").over(w_grp))
+                & (F.col("media_n_members") >= 2)
+            ).alias("flag_text_unique_media_dup"),
+        )
+    )
 
 
 __all__ = ["queries", "oracle_sql", "register"]

@@ -692,3 +692,55 @@ def test_video_frame_dedup_groups_static_scenes(spark):
         if len(fids) > 1:
             labels = {comp.get(f, f) for f in fids}
             assert len(labels) == 1
+
+
+def test_multimodal_dedup_manifest_composition(spark):
+    """Capstone invariants: the cross-modal manifest must agree with
+    its three component operators run standalone."""
+    from cloud_native_reddit_data_pipeline_spark.queries import (
+        _QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _QUERIES["multimodal_dedup_manifest"](spark, sf)
+    rows = out.collect()
+    assert len(rows) == 500  # one row per document
+    by_doc = {r["doc_id"]: r for r in rows}
+
+    # flag is exactly text_survivor AND media_near_copy
+    for r in rows:
+        assert r["flag_text_unique_media_dup"] == (
+            r["text_survivor"] and r["media_near_copy"]
+        )
+        assert r["media_near_copy"] == (r["media_n_members"] >= 2)
+        # attachment map: even docs -> original (0..63, %3==0),
+        # odd docs -> resized twin (1000..1063)
+        if r["doc_id"] % 2 == 0:
+            assert r["media_id"] == 3 * ((r["doc_id"] // 2) % 22)
+        else:
+            assert r["media_id"] == 1000 + 3 * (((r["doc_id"] - 1) // 2) % 22)
+
+    # each text component has exactly one survivor
+    from collections import defaultdict
+
+    surv = defaultdict(int)
+    for r in rows:
+        surv[r["text_label"]] += int(r["text_survivor"])
+    assert all(v == 1 for v in surv.values())
+
+    # media leg agrees with the standalone image_phash_dedup groups
+    phash = {
+        r["media_id"]: (r["group_label"], r["n_members"])
+        for r in _QUERIES["image_phash_dedup"](spark, sf).collect()
+    }
+    for r in rows:
+        assert (r["media_label"], r["media_n_members"]) == phash[r["media_id"]]
+
+    # the flag fires somewhere (text-unique docs attached to near-copy
+    # media exist by construction: resized twins share a group)
+    assert any(r["flag_text_unique_media_dup"] for r in rows)
+    # emb leg agrees with standalone pair generator
+    epairs = _QUERIES["embedding_neardup"](spark, sf).collect()
+    edocs = {r["id_a"] for r in epairs} | {r["id_b"] for r in epairs}
+    for r in rows:
+        assert r["emb_dup"] == (r["doc_id"] in edocs)
