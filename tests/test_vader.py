@@ -203,3 +203,66 @@ def test_round4_lexicon_growth_semantics():
     assert s("very terrific") > s("terrific")  # boosters on new words
     assert s("TERRIFIC news today") > s("terrific news today")  # caps emphasis
     assert s("hopeless!!!") < s("hopeless!") < s("hopeless")
+
+
+def test_interpolated_tail_blast_radius_bound():
+    """Quantified divergence bound for the family-interpolated lexicon
+    tail (functions/vader.py INTERPOLATED_ENTRIES): assuming the stock
+    turker mean differs from our interpolated valence by at most
+    +/- 1.0 on the [-4, 4] scale (the stock lexicon's own inter-rater
+    stddev envelope), the worst-case compound-score delta any single
+    interpolated word can contribute — measured through the REAL
+    scorer on the worst single-token sentence, with and without the
+    maximum '!!!!' punctuation amplifier — is bounded and PINNED here,
+    so a future drop-in of the real MIT TSV has a predicted blast
+    radius (see PARITY.md 'VADER interpolated tail').
+    """
+    from cloud_native_reddit_data_pipeline_spark.functions.vader import (
+        INTERPOLATED_ENTRIES,
+        VADER_LEXICON,
+        score_vader_py,
+    )
+
+    ERR = 1.0
+    max_delta = 0.0
+    worst_word = None
+    n_label_flippable = 0
+    for w in sorted(INTERPOLATED_ENTRIES):
+        v = VADER_LEXICON[w]
+        word_worst = 0.0
+        flips = False
+        for text in (w, w + "!!!!"):
+            base = score_vader_py(text)
+            for v_true in (max(v - ERR, -4.0), min(v + ERR, 4.0)):
+                patched = dict(VADER_LEXICON)
+                patched[w] = v_true
+                alt = score_vader_py(text, lexicon=patched)
+                word_worst = max(word_worst, abs(base - alt))
+                # label flip: crossing the +/-0.05 thresholds
+                lab = lambda c: "pos" if c > 0.05 else ("neg" if c < -0.05 else "neu")
+                if lab(base) != lab(alt):
+                    flips = True
+        if word_worst > max_delta:
+            max_delta, worst_word = word_worst, w
+        n_label_flippable += int(flips)
+
+    # PINNED bound: worst-case single-word compound delta under a
+    # +/-1.0 valence error.  The normalization x/sqrt(x^2+15) is
+    # steepest at 0 (slope 1/sqrt(15) ~ 0.258), so low-|valence|
+    # entries dominate.  The worst case is a low-|v| entry ('apologise',
+    # v=0.4) whose error FLIPS the sign of the sum: the '!!!!'
+    # amplifier (sign-matched, +/-1.168) then pushes the two scores
+    # apart instead of shifting both the same way — 0.4+1.168 vs
+    # -0.6-1.168 through the normalizer gives the 0.79 spread.
+    assert max_delta <= 0.80, (worst_word, max_delta)
+    # every interpolated entry has |v| <= 2.7 < 4 - no clipping
+    # asymmetry; and a +/-1.0 error can flip the pos/neg label for
+    # any entry with |v| within ERR + threshold band of 0 - count it
+    assert 0 < n_label_flippable <= len(INTERPOLATED_ENTRIES)
+    # pin the measured values so drift is visible (update PARITY.md
+    # if these move)
+    assert round(max_delta, 4) == 0.7906, (worst_word, max_delta)
+    assert worst_word == "apologise"
+    # only the low-|valence| slice can flip its label under +/-1.0
+    # (norm(|v|-1.0) must cross the 0.05 threshold): 15 of 55 entries
+    assert n_label_flippable == 15, n_label_flippable
