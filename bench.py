@@ -218,6 +218,35 @@ HEADLINE = [
 ]
 
 
+# FROZEN round-over-round comparison set (round-8 verdict task 5): the
+# full headline grows every round as queries are added, so its single
+# number no longer tracks regressions.  This is exactly the 41-query
+# r7∩r8 shared set the round-8 judge compared (the queries expensive
+# enough to survive the 2000-byte JSON-line truncation in BOTH rounds
+# — i.e. the cost-dominant, shape-diverse core: shuffle joins, window
+# ranks, the ANN family, MinHash/SimHash/semantic dedup, graph
+# iterations, BPE, corpus-selection capstones, and the end-to-end
+# streaming row).  DO NOT grow this list as queries are added; the sum
+# over it is emitted as "core_value" next to the full-headline "value".
+CORE_HEADLINE = [
+    "ann_ivf_eval", "ann_ivf_topk", "ann_lsh_topk", "association_rules",
+    "benchmark_contamination", "bitext_margin_mine_lsh",
+    "bloom_semi_join_orders", "bpe_merges", "cms_heavy_hitters",
+    "copurchase_recommendations", "cross_source_duplication",
+    "doc_frequency", "duplicate_spans", "embedding_neardup",
+    "entity_resolution", "inverted_index_terms", "ivf_pq_topk",
+    "khop_reachability", "kmeans_embeddings", "minhash_lsh_pairs",
+    "ntile_deciles", "pagerank_copurchase", "phrase_search_slop",
+    "pq_ann_topk", "ranked_search_bm25", "regional_supplier_volume",
+    "rfm_segments", "salted_join_agg", "semantic_dedup",
+    "session_overlap", "shipping_priority_top10", "simhash_signatures",
+    "spend_concentration", "sssp_cosupply", "streaming_ingest_upsert",
+    "tfidf_per_doc", "topk_per_group", "training_batch_prepare",
+    "training_corpus_select", "training_corpus_select_v2",
+    "training_corpus_select_v3",
+]
+
+
 def bench_streaming_ingest_upsert(spark) -> tuple[float, int]:
     """End-to-end streaming path: JSON queue batches -> explicit-schema
     parse -> stateful dedup -> bucketed idempotent upsert, drained with
@@ -350,13 +379,19 @@ def main() -> None:
     # "value" is the sum of best-of-2 per-query times (the comparable
     # headline), not raw loop wall-clock (which includes the warm-up runs).
     total = round(sum(timings.values()), 2)
+    core = round(sum(timings[n] for n in CORE_HEADLINE if n in timings), 2)
     print(f"# total loop wall: {round(time.perf_counter() - t_all, 1)}s, "
-          f"headline (sum of best-of-2): {total}s", file=sys.stderr)
+          f"headline (sum of best-of-2): {total}s, "
+          f"core ({len(CORE_HEADLINE)} frozen): {core}s", file=sys.stderr)
 
     payload = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        # frozen 41-query r7∩r8 subset — the round-over-round
+        # comparable number (see CORE_HEADLINE comment / BASELINE.md)
+        "core_value": core,
+        "core_n": len(CORE_HEADLINE),
         "queries": timings,
         "sf": sf,
     }

@@ -116,6 +116,11 @@ DEFAULT_QUERIES = [
     "epoch_shard_manifest",
     "mmr_diversity_rerank",
     "daily_hll_users",
+    # round-9: cross-modal capstone — document + embedding legs scale;
+    # the media-group leg is the fixed 44-asset catalog by design (the
+    # image_phash_dedup omission note), so the ratio measures the
+    # text/embedding composition
+    "multimodal_dedup_manifest",
     # streaming_corpus_manifest omitted: fixed two-half replay twin
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
