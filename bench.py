@@ -197,6 +197,11 @@ HEADLINE = [
     "mmr_diversity_rerank",
     "daily_hll_users",
     "video_frame_dedup",
+    # round-9 additions (streaming_interval_join_outer follows the
+    # replay-twin exclusion below, same as streaming_interval_join)
+    "multimodal_dedup_manifest",
+    "unigram_lm_vocab",
+    "unigram_lm_encode",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

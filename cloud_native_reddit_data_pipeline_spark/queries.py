@@ -12427,6 +12427,32 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators import unigram as _unigram  # noqa: E402
+
+
+@register("unigram_lm_vocab", _unigram.unigram_vocab_oracle_sql())
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) vocabulary learning: seed from
+    top substrings, two hard-EM rounds (Viterbi E-step, count M-step),
+    integer micro-nat scores so every DP comparison is exact in both
+    engines.  Oracle: unrolled DP-relaxation + recursive-backtrack
+    replay of the identical rounds (operators/unigram.py)."""
+    return _unigram.learn_unigram_vocab(
+        load(spark, sf_dir, "documents"), "text", em_rounds=2
+    )
+
+
+@register("unigram_lm_encode", _unigram.unigram_encode_oracle_sql())
+def unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-encode with the unigram-LM vocab: per-document
+    (n_words, n_pieces, chars_per_piece) — the fertility surface the
+    tokenizer family comparison reads (see bpe_encode for the BPE
+    twin)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = _unigram.learn_unigram_vocab(docs, "text", em_rounds=2)
+    return _unigram.unigram_encode_stats(docs, "doc_id", "text", vocab)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -1,0 +1,106 @@
+"""Unigram-LM tokenizer: exact agreement with an independent pure-
+Python reference (seeding, EM rounds, micro-nat scores, Viterbi
+tie-breaks), segmentation validity, determinism under repartitioning,
+and the fertility comparison against BPE."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_native_reddit_data_pipeline_spark.operators.unigram import (
+    learn_unigram_py,
+    learn_unigram_vocab,
+    scores_from_counts,
+    seed_pieces,
+    unigram_encode_stats,
+    word_freq_table,
+    _viterbi_pieces,
+)
+from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _vocab_dict(df):
+    return {r["piece"]: (r["cnt"], r["score"]) for r in df.collect()}
+
+
+def test_unigram_matches_python_reference_on_documents(spark):
+    docs = load(spark, SF_SMOKE, "documents").select("text")
+    texts = [r.text for r in docs.collect()]
+    got = _vocab_dict(learn_unigram_vocab(docs, "text", em_rounds=2))
+    want = learn_unigram_py(texts, em_rounds=2)
+    assert got == want
+
+
+def test_unigram_segmentations_concatenate_back(spark):
+    """Every Viterbi segmentation must rebuild its word exactly, and
+    every piece must be in the current piece table."""
+    docs = load(spark, SF_SMOKE, "documents").select("text")
+    words = word_freq_table(docs, "text")
+    pieces = scores_from_counts(seed_pieces(words))
+    seg = _viterbi_pieces(words, pieces, max_piece_len=4)
+    bad = seg.filter(F.concat_ws("", F.col("ps")) != F.col("w")).count()
+    assert bad == 0
+    valid = {r["piece"] for r in pieces.collect()}
+    for r in seg.collect():
+        assert all(p in valid for p in r["ps"])
+
+
+def test_unigram_deterministic_under_repartition(spark):
+    docs = load(spark, SF_SMOKE, "documents").select("text")
+    a = _vocab_dict(learn_unigram_vocab(docs, "text", em_rounds=1))
+    b = _vocab_dict(learn_unigram_vocab(docs.repartition(13), "text", em_rounds=1))
+    assert a == b
+
+
+def test_unigram_single_word_corpus(spark):
+    """Degenerate corpus: the single word segments as one piece (it is
+    its own most frequent substring at len <= 4 when short enough),
+    and chars survive via smoothing."""
+    df = spark.createDataFrame([("abab abab",)], "text string")
+    vocab = _vocab_dict(learn_unigram_vocab(df, "text", em_rounds=2))
+    want = learn_unigram_py(["abab abab"], em_rounds=2)
+    assert vocab == want
+    # the full word (len 4) must dominate: Viterbi picks it, chars
+    # remain only through smoothing
+    assert "abab" in vocab
+    assert vocab["abab"][0] >= 2
+    assert vocab["a"][0] == 1 and vocab["b"][0] == 1  # smoothing floor
+
+
+def test_unigram_vs_bpe_fertility(spark):
+    """Tokenizer-family comparison (round-8 verdict task 6): both
+    tokenizers must compress below the character baseline, and the
+    unigram encode with a 200-piece budget must land in the same
+    fertility regime as 12-merge BPE on this corpus (neither
+    degenerates to characters)."""
+    from cloud_native_reddit_data_pipeline_spark.operators.bpe import (
+        bpe_encode_stats,
+        learn_bpe_merges,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    uni = unigram_encode_stats(
+        docs, "doc_id", "text", learn_unigram_vocab(docs, "text")
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, "text", n_merges=12).collect()
+    ]
+    bpe = bpe_encode_stats(docs, "doc_id", "text", merges)
+    u = uni.agg(
+        (F.sum("n_pieces") / F.sum("n_words")).alias("fert"),
+        F.avg("chars_per_piece").alias("cpp"),
+    ).first()
+    b = bpe.agg(
+        (F.sum("n_bpe_tokens") / F.sum("n_words")).alias("fert"),
+        F.avg("chars_per_bpe_token").alias("cpp"),
+    ).first()
+    # both beat the character baseline: > 1 char per token on average
+    assert u["cpp"] > 1.5 and b["cpp"] > 1.0
+    # fertility (tokens per word) is >= 1 by construction for both
+    assert u["fert"] >= 1.0 and b["fert"] >= 1.0
+    # with a 200-piece budget the unigram model should be at least as
+    # compressive as early-stage (12-merge) BPE on this corpus
+    assert u["cpp"] >= b["cpp"]
