@@ -202,6 +202,8 @@ HEADLINE = [
     "multimodal_dedup_manifest",
     "unigram_lm_vocab",
     "unigram_lm_encode",
+    "wordpiece_merges",
+    "wordpiece_encode",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

@@ -299,7 +299,7 @@ def bpe_encode_stats(
 _ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 
-def _bpe_round_sql(k: int) -> str:
+def _bpe_round_sql(k: int, best_sql: str | None = None) -> str:
     """One unrolled greedy round: pair counts -> (cnt DESC, l, r) argmax
     -> left-to-right non-overlapping rewrite.  The rewrite uses the
     RUN-PARITY formulation instead of a sequential scan: within each
@@ -307,8 +307,17 @@ def _bpe_round_sql(k: int) -> str:
     exactly the odd-indexed ones merge — equivalent to the greedy scan,
     but expressible with two window functions.  Every CTE is
     MATERIALIZED: the rewrite references its round's inputs several
-    times, and un-materialized inlining grows exponentially in rounds."""
+    times, and un-materialized inlining grows exponentially in rounds.
+
+    ``best_sql`` overrides the best{k} CTE body (it must produce
+    columns bl, br and may add more) — the WordPiece oracle reuses the
+    whole rewrite machinery with a likelihood-score argmax instead of
+    the frequency argmax (operators/wordpiece.py)."""
     p = k - 1
+    if best_sql is None:
+        best_sql = f"""
+      SELECT l AS bl, r AS br, cnt FROM pairs{k}
+      ORDER BY cnt DESC, l, r LIMIT 1"""
     return f"""
     pairs{k} AS MATERIALIZED (
       SELECT l, r, SUM(freq) AS cnt FROM (
@@ -317,9 +326,7 @@ def _bpe_round_sql(k: int) -> str:
       ), LATERAL (SELECT z[1] AS l, z[2] AS r)
       WHERE r IS NOT NULL GROUP BY l, r
     ),
-    best{k} AS MATERIALIZED (
-      SELECT l AS bl, r AS br, cnt FROM pairs{k}
-      ORDER BY cnt DESC, l, r LIMIT 1
+    best{k} AS MATERIALIZED ({best_sql}
     ),
     u{k} AS MATERIALIZED (
       SELECT w, freq, i, syms[i] AS s,

@@ -12453,6 +12453,33 @@ def unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _unigram.unigram_encode_stats(docs, "doc_id", "text", vocab)
 
 
+from .operators import wordpiece as _wordpiece  # noqa: E402
+
+
+@register("wordpiece_merges", _wordpiece.wordpiece_merges_oracle_sql(12))
+def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge learning (BERT tokenizer): BPE's pair-merge
+    machinery with the LM likelihood-gain objective
+    cnt(l,r)/(cnt(l)*cnt(r)), argmaxed in integer micro-nats so both
+    engines compare exactly.  Oracle: BPE's unrolled rewrite rounds
+    with the likelihood argmax swapped in (operators/wordpiece.py)."""
+    return _wordpiece.learn_wordpiece_merges(
+        load(spark, sf_dir, "documents"), "text", n_merges=12
+    )
+
+
+@register("wordpiece_encode", _wordpiece.wordpiece_encode_oracle_sql(12))
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-encode with the WordPiece vocab: greedy longest-
+    match-first over the distinct-word table (per-word max-jump walk,
+    no UDF), per-doc (n_words, n_wp_tokens, chars_per_wp_token) —
+    completing the three-tokenizer fertility surface (BPE / unigram /
+    WordPiece)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = _wordpiece.wordpiece_vocab(docs, "text", n_merges=12)
+    return _wordpiece.wordpiece_encode_stats(docs, "doc_id", "text", vocab)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
