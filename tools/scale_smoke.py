@@ -121,6 +121,14 @@ DEFAULT_QUERIES = [
     # image_phash_dedup omission note), so the ratio measures the
     # text/embedding composition
     "multimodal_dedup_manifest",
+    # round-9 tokenizer family: the corpus collapses to the word-freq
+    # table, so the ratio measures the collapse scan + per-round
+    # vocabulary-table aggregates (the scaled corpus adds ~100 marker
+    # words, so the model side grows slightly too)
+    "unigram_lm_vocab",
+    "unigram_lm_encode",
+    "wordpiece_merges",
+    "wordpiece_encode",
     # streaming_corpus_manifest omitted: fixed two-half replay twin
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
