@@ -204,6 +204,7 @@ HEADLINE = [
     "unigram_lm_encode",
     "wordpiece_merges",
     "wordpiece_encode",
+    "tokenizer_fertility_compare",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

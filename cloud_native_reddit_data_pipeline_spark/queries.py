@@ -12480,6 +12480,100 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wordpiece.wordpiece_encode_stats(docs, "doc_id", "text", vocab)
 
 
+def _tokenizer_compare_oracle() -> str:
+    """Composed oracle: corpus-level fertility for all three learned
+    tokenizers, each leg the FULL learn-then-encode replay (the three
+    per-doc oracles as derived tables), against one shared corpus
+    char volume."""
+    from .operators.bpe import bpe_encode_oracle_sql
+    from .operators.unigram import unigram_encode_oracle_sql
+    from .operators.wordpiece import wordpiece_encode_oracle_sql
+
+    legs = {
+        "bpe": (bpe_encode_oracle_sql(12), "n_bpe_tokens"),
+        "unigram": (unigram_encode_oracle_sql(), "n_pieces"),
+        "wordpiece": (wordpiece_encode_oracle_sql(12), "n_wp_tokens"),
+    }
+    leg_sql = "\n    UNION ALL\n    ".join(
+        f"SELECT '{name}' AS tokenizer, "
+        f"CAST(SUM({col}) AS BIGINT) AS n_tokens FROM ({sql})"
+        for name, (sql, col) in legs.items()
+    )
+    return f"""
+    WITH chars AS (
+      SELECT CAST(SUM(n * length(w)) AS BIGINT) AS total FROM (
+        SELECT doc_id, w, COUNT(*) AS n FROM (
+          SELECT doc_id,
+                 unnest(list_transform(list_filter(
+                   regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                   x -> lower(x))) AS w
+          FROM documents
+        ) GROUP BY doc_id, w
+      )
+    ), legs AS (
+    {leg_sql}
+    )
+    SELECT tokenizer, n_tokens,
+           ROUND(chars.total / (1.0 * n_tokens) + 1e-9, 4)
+             AS chars_per_token
+    FROM legs, chars
+    """
+
+
+@register("tokenizer_fertility_compare", _tokenizer_compare_oracle())
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-family capstone: one corpus-level fertility row per
+    learned tokenizer (BPE 12 merges / unigram-LM 2 EM rounds /
+    WordPiece 12 merges) — n_tokens and chars-per-token over the same
+    corpus char volume.  Pure composition of the three oracle-backed
+    learn-then-encode queries; the comparison a tokenizer-selection
+    pipeline reads before committing a vocabulary."""
+    from .operators.bpe import bpe_encode_stats, learn_bpe_merges
+    from .operators.unigram import learn_unigram_vocab, unigram_encode_stats
+    from .operators.wordpiece import wordpiece_encode_stats, wordpiece_vocab
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs, "text", n_merges=12).collect()
+    ]
+    frames = {
+        "bpe": (bpe_encode_stats(docs, "doc_id", "text", merges), "n_bpe_tokens"),
+        "unigram": (
+            unigram_encode_stats(
+                docs, "doc_id", "text", learn_unigram_vocab(docs, "text")
+            ),
+            "n_pieces",
+        ),
+        "wordpiece": (
+            wordpiece_encode_stats(
+                docs, "doc_id", "text", wordpiece_vocab(docs, "text", n_merges=12)
+            ),
+            "n_wp_tokens",
+        ),
+    }
+    from .functions.text import tokens as _tokens
+
+    toks = F.transform(_tokens("text"), lambda t: F.lower(t))
+    chars = (
+        docs.select(F.explode(toks).alias("w"))
+        .agg(F.sum(F.length("w")).alias("total"))
+    )
+    legs = None
+    for name, (df, col) in frames.items():
+        leg = df.agg(F.sum(col).cast("long").alias("n_tokens")).select(
+            F.lit(name).alias("tokenizer"), "n_tokens"
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.crossJoin(F.broadcast(chars)).select(
+        "tokenizer",
+        "n_tokens",
+        F.round(F.col("total") / F.col("n_tokens") + F.lit(1e-9), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
