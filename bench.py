@@ -205,6 +205,7 @@ HEADLINE = [
     "wordpiece_merges",
     "wordpiece_encode",
     "tokenizer_fertility_compare",
+    "span_corruption_examples",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

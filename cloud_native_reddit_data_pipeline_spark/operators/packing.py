@@ -226,3 +226,108 @@ def length_grouped_batches(
         F.col("sum_tokens").cast("long").alias("sum_tokens"),
         F.round(pad + F.lit(1e-9), 6).alias("pad_frac"),
     )
+
+
+def span_corruption_examples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 8,
+    span_len: int = 3,
+    rate_pct: int = 40,
+) -> DataFrame:
+    """T5-style span-corruption training examples: mask deterministic
+    token spans, emit (input with <extra_id_k> sentinels, target of
+    sentinel+masked-tokens runs) per document.
+
+    Span placement is a BLOCK GRID, not a sequential scan: the token
+    stream partitions into `block`-token blocks; a block is selected
+    when md5(doc_id#block)'s first hex word mod 100 < rate_pct, and the
+    span of `span_len` tokens starts at the second hex word mod
+    (block - span_len + 1).  Blocks are independent, so the whole
+    example builds in ONE per-row fold (scan -> narrow map, no shuffle
+    at any corpus size — the chunk_fixed_sequences plan); expected mask
+    fraction is rate_pct% * span_len/block (~15% at the defaults), the
+    T5 regime.  Sequential-scan corruption (span starts drawn until
+    budget, as in the original paper) chains every draw on the previous
+    one — inexpressible without a per-row loop AND irreproducible
+    across engines; the grid variant is deterministic, engine-exact,
+    and keeps the same (rate, mean-span) knobs.
+
+    Long documents should be chunked first (chunk_fixed_sequences);
+    the fold is linear in the token count per row."""
+    from ..functions.text import tokens
+
+    staged = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).filter(F.size("_tk") > 0)
+    tk = F.col("_tk")
+    n = F.size(tk)
+    n_blocks = F.ceil(n / F.lit(float(block))).cast("int")
+    did = F.col(id_col).cast("string")
+
+    def fold(acc, b):
+        digest = F.md5(F.concat(did, F.lit("#"), b.cast("string")))
+        h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+        off = F.pmod(h2, F.lit(block - span_len + 1)).cast("int")
+        btoks = F.slice(tk, b * block + 1, block)
+        sel = (F.pmod(h1, F.lit(100)) < F.lit(rate_pct)) & (off < F.size(btoks))
+        sentinel = F.concat(
+            F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
+        )
+        masked = F.slice(btoks, off + 1, span_len)
+        inp_sel = F.concat(
+            acc["inp"],
+            F.slice(btoks, 1, off),
+            F.array(sentinel),
+            # post-span remainder; slice(start > size) errors under
+            # ANSI, so guard with a when on the remaining width
+            F.when(
+                off + span_len < F.size(btoks),
+                F.slice(btoks, off + span_len + 1, block),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        tgt_sel = F.concat(acc["tgt"], F.array(sentinel), masked)
+        return F.when(
+            sel,
+            F.struct(
+                inp_sel.alias("inp"),
+                tgt_sel.alias("tgt"),
+                (acc["k"] + 1).cast("int").alias("k"),
+                (acc["m"] + F.size(masked)).cast("int").alias("m"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["inp"], btoks).alias("inp"),
+                acc["tgt"].alias("tgt"),
+                acc["k"].alias("k"),
+                acc["m"].alias("m"),
+            )
+        )
+
+    built = F.aggregate(
+        F.sequence(F.lit(0), n_blocks - 1),
+        F.struct(
+            F.array().cast("array<string>").alias("inp"),
+            F.array().cast("array<string>").alias("tgt"),
+            F.lit(0).cast("int").alias("k"),
+            F.lit(0).cast("int").alias("m"),
+        ),
+        fold,
+    )
+    return staged.select(
+        id_col,
+        n.alias("n_tokens"),
+        built.alias("_b"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("_b.k").cast("long").alias("n_spans"),
+        F.col("_b.m").cast("long").alias("n_masked"),
+        F.floor(F.col("_b.m").cast("long") * 1_000_000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("mask_ppm"),
+        F.array_join("_b.inp", " ").alias("input_text"),
+        F.array_join("_b.tgt", " ").alias("target_text"),
+    )

@@ -12574,6 +12574,85 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_B, _SPAN_L, _SPAN_RATE = 8, 3, 40
+
+
+@register(
+    "span_corruption_examples",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ), blocks AS (
+      SELECT doc_id, n, b,
+             toks[b * {_SPAN_B} + 1 : least((b + 1) * {_SPAN_B}, n)] AS btoks,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
+               || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 100 < {_SPAN_RATE}
+               AS sel0,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
+               || CAST(b AS VARCHAR)), 9, 8))::BIGINT
+               % {_SPAN_B - _SPAN_L + 1} AS INT) AS off
+      FROM sized,
+           LATERAL (SELECT unnest(generate_series(0,
+             CAST(ceil(n / {_SPAN_B}.0) AS INT) - 1)) AS b)
+    ), numbered AS (
+      SELECT *, sel0 AND off < len(btoks) AS sel,
+             CASE WHEN sel0 AND off < len(btoks)
+                  THEN ROW_NUMBER() OVER (
+                    PARTITION BY doc_id, sel0 AND off < len(btoks)
+                    ORDER BY b) - 1 END AS k
+      FROM blocks
+    ), pieces AS (
+      SELECT doc_id, n, b, sel,
+             CASE WHEN sel THEN
+               list_concat(list_concat(
+                 btoks[1:off],
+                 ['<extra_id_' || CAST(k AS VARCHAR) || '>']),
+                 CASE WHEN off + {_SPAN_L} < len(btoks)
+                      THEN btoks[off + {_SPAN_L} + 1:]
+                      ELSE []::VARCHAR[] END)
+             ELSE btoks END AS inp_piece,
+             CASE WHEN sel THEN
+               list_concat(['<extra_id_' || CAST(k AS VARCHAR) || '>'],
+                 btoks[off + 1 : least(off + {_SPAN_L}, len(btoks))])
+             ELSE []::VARCHAR[] END AS tgt_piece,
+             CASE WHEN sel THEN least({_SPAN_L}, len(btoks) - off)
+                  ELSE 0 END AS m
+      FROM numbered
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           CAST(floor(SUM(m) * 1000000 / ANY_VALUE(n)) AS BIGINT)
+             AS mask_ppm,
+           COALESCE(array_to_string(flatten(list(inp_piece ORDER BY b)),
+             ' '), '') AS input_text,
+           -- array_to_string([]) is NULL in DuckDB; Spark array_join
+           -- gives '' (an unmasked doc has an empty target)
+           COALESCE(array_to_string(flatten(list(tgt_piece ORDER BY b)),
+             ' '), '') AS target_text
+    FROM pieces GROUP BY doc_id
+    """,
+)
+def span_corruption_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption over the documents table: deterministic
+    block-grid span selection (md5 hex words), sentinel-numbered input/
+    target pair per document — built in one per-row fold, scan->map
+    with zero shuffle (operators/packing.py).  Oracle: the relational
+    twin (per-block rows + ordered list aggregation)."""
+    return packing.span_corruption_examples(
+        load(spark, sf_dir, "documents"),
+        block=_SPAN_B,
+        span_len=_SPAN_L,
+        rate_pct=_SPAN_RATE,
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -131,3 +131,55 @@ def test_length_grouped_batches_padding_bill(spark):
     grouped_waste = sum(r.n_docs * r.max_tokens - r.sum_tokens
                         for r in grouped.values())
     assert grouped_waste == (12 - 11) + (4 - 3)
+
+
+def test_span_corruption_roundtrip_and_grid(spark):
+    """Span corruption invariants: splicing each target span back over
+    its sentinel reconstructs the original token stream exactly;
+    sentinels number 0..k-1 in order; mask fraction stays in the
+    block-grid envelope (<= span_len/block of tokens, n_spans
+    consistent with n_masked)."""
+    import re
+
+    from cloud_native_reddit_data_pipeline_spark.operators.packing import (
+        span_corruption_examples,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = span_corruption_examples(docs).collect()
+    assert len(out) == 500
+    originals = {
+        r["doc_id"]: [t for t in r["text"].split() if t]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    any_masked = False
+    for r in out:
+        inp = r["input_text"].split() if r["input_text"] else []
+        tgt = r["target_text"].split() if r["target_text"] else []
+        # parse target into {sentinel: [tokens...]}
+        spans, cur = {}, None
+        for t in tgt:
+            if re.fullmatch(r"<extra_id_\d+>", t):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        # sentinels number 0..k-1 in order
+        assert list(spans) == [f"<extra_id_{i}>" for i in range(len(spans))]
+        assert r["n_spans"] == len(spans)
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        # round-trip: substitute each sentinel with its span
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(spans[t] if t in spans else [t])
+        assert rebuilt == originals[r["doc_id"]], r["doc_id"]
+        # grid envelope: at most span_len per block of 8
+        assert r["n_masked"] <= (r["n_tokens"] // 8 + 1) * 3
+        if r["n_spans"] > 0:
+            any_masked = True
+            # short docs can mask up to a whole block's span (a
+            # 3-token doc may mask all 3); the ~15% expectation is a
+            # corpus-level property, not per-doc
+            assert 0 < r["mask_ppm"] <= 1_000_000
+    assert any_masked

@@ -129,6 +129,8 @@ DEFAULT_QUERIES = [
     "unigram_lm_encode",
     "wordpiece_merges",
     "wordpiece_encode",
+    # scan->map, no shuffle: the ratio IS the scan
+    "span_corruption_examples",
     # streaming_corpus_manifest omitted: fixed two-half replay twin
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
