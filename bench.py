@@ -206,6 +206,7 @@ HEADLINE = [
     "wordpiece_encode",
     "tokenizer_fertility_compare",
     "span_corruption_examples",
+    "unigram_lm_vocab_pruned",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

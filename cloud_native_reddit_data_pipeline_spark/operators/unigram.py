@@ -534,3 +534,142 @@ def unigram_encode_oracle_sql(
     GROUP BY doc_id
     """
     )
+
+
+def learn_unigram_vocab_pruned(
+    df: DataFrame,
+    text_col: str,
+    em_rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 200,
+    target_multi: int = 24,
+) -> DataFrame:
+    """SentencePiece's prune phase on top of :func:`learn_unigram_vocab`:
+    after the EM rounds, keep only the ``target_multi`` highest-count
+    multi-char pieces (ties lexicographic) plus every single character,
+    re-normalize, and run ONE more EM round so the surviving pieces
+    re-absorb the pruned pieces' usage.  (Stock SentencePiece ranks by
+    likelihood loss from the full lattice; count ranking is the
+    deterministic hard-EM analogue — under Viterbi counts a piece's
+    removal loss is monotone in its usage at equal length, and the
+    ranking is engine-exact with no extra DP.)  Same cost envelope as
+    one extra EM round."""
+    words = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    pieces = scores_from_counts(seed_pieces(words, max_piece_len, seed_size))
+    for _ in range(em_rounds):
+        seg = _viterbi_pieces(words, pieces, max_piece_len)
+        pieces = scores_from_counts(_m_step(seg, pieces)).localCheckpoint(eager=True)
+    multi = (
+        pieces.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(target_multi)
+        .select("piece", "cnt")
+    )
+    chars = pieces.filter(F.length("piece") == 1).select("piece", "cnt")
+    pruned = scores_from_counts(multi.unionByName(chars))
+    seg = _viterbi_pieces(words, pruned, max_piece_len)
+    return scores_from_counts(_m_step(seg, pruned))
+
+
+def learn_unigram_pruned_py(
+    texts: list[str],
+    em_rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 200,
+    target_multi: int = 24,
+) -> dict[str, tuple[int, int]]:
+    """Pure-Python reference for the pruned learner (tests)."""
+    import math
+
+    scored = learn_unigram_py(texts, em_rounds, max_piece_len, seed_size)
+    multi = sorted(
+        ((p, c) for p, (c, _) in scored.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:target_multi]
+    cnts = dict(multi)
+    for p, (c, _) in scored.items():
+        if len(p) == 1:
+            cnts[p] = c
+    total = sum(cnts.values())
+    scored = {p: (c, round(math.log(c / total) * MICRO)) for p, c in cnts.items()}
+
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            vocab[w] += 1
+
+    def viterbi(w: str) -> list[str]:
+        dp: list[tuple[int, int, str]] = [(0, -1, "")]
+        for j in range(1, len(w) + 1):
+            best = None
+            for i in range(max(0, j - max_piece_len), j):
+                p = w[i:j]
+                if p in scored:
+                    key = (dp[i][0] + scored[p][1], -i)
+                    if best is None or key > best[0]:
+                        best = (key, i, p)
+            assert best is not None
+            dp.append((best[0][0], best[1], best[2]))
+        ps, j = [], len(w)
+        while j > 0:
+            ps.append(dp[j][2])
+            j = dp[j][1]
+        return list(reversed(ps))
+
+    used: Counter = Counter()
+    for w, f in vocab.items():
+        for p in viterbi(w):
+            used[p] += f
+    cnts = {}
+    for p in scored:
+        c = used.get(p, 0) + (1 if len(p) == 1 else 0)
+        if c > 0:
+            cnts[p] = c
+    total = sum(cnts.values())
+    return {p: (c, round(math.log(c / total) * MICRO)) for p, c in cnts.items()}
+
+
+def unigram_pruned_oracle_sql(
+    em_rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 200,
+    target_multi: int = 24,
+) -> str:
+    """DuckDB replay of `learn_unigram_vocab_pruned`: the EM prefix,
+    a prune CTE (top multi-char by count + all chars), and one more
+    Viterbi + M-step round over the pruned table."""
+    n = em_rounds
+    kf = n + 1
+    return (
+        _unigram_cte_prefix(n, max_piece_len, seed_size)
+        + f""",
+    pr AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM p{n} WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {target_multi}
+      )
+      UNION ALL
+      SELECT piece, cnt FROM p{n} WHERE length(piece) = 1
+    ),
+    pp AS MATERIALIZED ({_score_sql("pr")}),"""
+        + _viterbi_round_sql(kf, "pp", max_piece_len)
+        + f""",
+    used{kf} AS MATERIALIZED (
+      SELECT t.piece, SUM(w.freq) AS used
+      FROM bt{kf} t JOIN words w ON w.w = t.w
+      WHERE t.piece IS NOT NULL GROUP BY t.piece
+    ),
+    cnts{kf} AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT p.piece,
+               COALESCE(u.used, 0)
+                 + CASE WHEN length(p.piece) = 1 THEN 1 ELSE 0 END AS cnt
+        FROM pp p LEFT JOIN used{kf} u ON u.piece = p.piece
+      ) WHERE cnt > 0
+    ),
+    pfin AS MATERIALIZED ({_score_sql(f"cnts{kf}")})
+    SELECT piece, CAST(cnt AS BIGINT) AS cnt, score FROM pfin
+    """
+    )

@@ -12574,6 +12574,17 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("unigram_lm_vocab_pruned", _unigram.unigram_pruned_oracle_sql())
+def unigram_lm_vocab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece prune phase: EM, keep the top-24 multi-char pieces
+    (plus every character), re-normalize, one more EM round — the
+    prune-to-target-vocab loop production tokenizer training runs
+    (operators/unigram.py, learn_unigram_vocab_pruned)."""
+    return _unigram.learn_unigram_vocab_pruned(
+        load(spark, sf_dir, "documents"), "text"
+    )
+
+
 _SPAN_B, _SPAN_L, _SPAN_RATE = 8, 3, 40
 
 

@@ -104,3 +104,28 @@ def test_unigram_vs_bpe_fertility(spark):
     # with a 200-piece budget the unigram model should be at least as
     # compressive as early-stage (12-merge) BPE on this corpus
     assert u["cpp"] >= b["cpp"]
+
+
+def test_unigram_pruned_matches_python_reference(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.unigram import (
+        learn_unigram_pruned_py,
+        learn_unigram_vocab_pruned,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("text")
+    texts = [r.text for r in docs.collect()]
+    got = _vocab_dict(learn_unigram_vocab_pruned(docs, "text"))
+    want = learn_unigram_pruned_py(texts)
+    assert got == want
+    # prune contract: at most target_multi multi-char pieces survive,
+    # every character survives
+    multi = [p for p in got if len(p) > 1]
+    assert len(multi) <= 24
+    full = _vocab_dict(learn_unigram_vocab(docs, "text"))
+    chars_before = {p for p in full if len(p) == 1}
+    assert chars_before <= set(got)
+    # pruned-away usage is re-absorbed: total piece usage is conserved
+    # across the prune (same corpus, full coverage both times)
+    assert sum(c for c, _ in got.values()) >= sum(
+        c for p, (c, _) in full.items() if len(p) == 1
+    )

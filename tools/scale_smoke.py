@@ -126,6 +126,7 @@ DEFAULT_QUERIES = [
     # vocabulary-table aggregates (the scaled corpus adds ~100 marker
     # words, so the model side grows slightly too)
     "unigram_lm_vocab",
+    "unigram_lm_vocab_pruned",
     "unigram_lm_encode",
     "wordpiece_merges",
     "wordpiece_encode",
