@@ -183,3 +183,33 @@ def test_outer_join_checkpoint_redelivery_no_duplicates(spark, tmp_path):
     # cumulative parquet sink must not grow
     second = _run_outer(spark, cdir, pdir, ckpt, out)
     assert second.count() == n_first
+
+
+def test_outer_join_drops_late_arrivals_below_watermark(spark, tmp_path):
+    """Once the sentinel batch advances the watermark past an event's
+    timestamp, a later-arriving row with that old timestamp is LATE:
+    Spark filters it from the join on both sides — it produces neither
+    a match nor an unmatched-null row."""
+    import time
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    base = time.time() - 120
+    _write_batch(_rows(spark, _CLICKS), cdir, base)
+    _write_batch(_rows(spark, _PURCHASES), pdir, base)
+    _write_batch(_rows(spark, [(900, "2024-01-02 10:00:00", 900, 0.0)]), cdir, base + 60)
+    _write_batch(_rows(spark, [(901, "2024-01-02 10:00:00", 901, 0.0)]), pdir, base + 60)
+    first = _run_outer(spark, cdir, pdir, ckpt, out)
+    n_first = first.count()
+
+    # batch 3: a click + matching purchase far below the advanced
+    # watermark (2024-01-02 08:00) -> both dropped as late
+    _write_batch(
+        _rows(spark, [(50, "2024-01-01 10:05:00", 7, 0.0)]), cdir, base + 90
+    )
+    _write_batch(
+        _rows(spark, [(150, "2024-01-01 10:10:00", 7, 1.23)]), pdir, base + 90
+    )
+    second = _run_outer(spark, cdir, pdir, ckpt, out)
+    assert second.filter("left_event_id = 50 OR right_event_id = 150").count() == 0
+    assert second.count() == n_first
