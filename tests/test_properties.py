@@ -216,3 +216,74 @@ def test_kneser_ney_matches_python_reference(spark):
     for p_ in cp:
         s = sum(prob(p_, w) for (pp, w) in c if pp == p_)
         assert s <= 1.0 + 1e-9
+
+
+# --- tokenizer-family properties (round 9): Spark must agree with the
+# independent Python references on ARBITRARY small corpora, not just
+# the documents fixture — seeding, EM rounds, quantized scores, ties.
+
+_TOK_WORDS = st.text(alphabet=list("abcde"), min_size=1, max_size=7)
+_TOK_TEXTS = st.lists(
+    st.lists(_TOK_WORDS, min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_TOK_TEXTS)
+def test_unigram_agrees_with_reference_on_random_corpora(spark, texts):
+    from cloud_native_reddit_data_pipeline_spark.operators.unigram import (
+        learn_unigram_py,
+        learn_unigram_vocab,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["piece"]: (r["cnt"], r["score"])
+        for r in learn_unigram_vocab(df, "text", em_rounds=1, seed_size=30).collect()
+    }
+    want = learn_unigram_py(texts, em_rounds=1, seed_size=30)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_TOK_TEXTS)
+def test_wordpiece_agrees_with_reference_on_random_corpora(spark, texts):
+    from cloud_native_reddit_data_pipeline_spark.operators.wordpiece import (
+        learn_wordpiece_merges,
+        learn_wordpiece_py,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        tuple(r) for r in learn_wordpiece_merges(df, "text", n_merges=4).collect()
+    ]
+    want = learn_wordpiece_py(texts, n_merges=4)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_TOK_TEXTS)
+def test_span_corruption_roundtrip_on_random_corpora(spark, texts):
+    """Round-trip invariant on arbitrary corpora: substituting each
+    target span back over its sentinel reconstructs the tokens."""
+    import re
+
+    from cloud_native_reddit_data_pipeline_spark.operators.packing import (
+        span_corruption_examples,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for r in span_corruption_examples(df).collect():
+        spans, cur = {}, None
+        for t in (r["target_text"].split() if r["target_text"] else []):
+            if re.fullmatch(r"<extra_id_\d+>", t):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in (r["input_text"].split() if r["input_text"] else []):
+            rebuilt.extend(spans[t] if t in spans else [t])
+        assert rebuilt == [w for w in texts[r["doc_id"]].split() if w]
