@@ -207,6 +207,7 @@ HEADLINE = [
     "tokenizer_fertility_compare",
     "span_corruption_examples",
     "unigram_lm_vocab_pruned",
+    "image_text_contrastive_pairs",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

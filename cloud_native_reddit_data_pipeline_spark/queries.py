@@ -12585,6 +12585,128 @@ def unigram_lm_vocab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "image_text_contrastive_pairs",
+    f"""
+    WITH phash_groups AS (
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             CAST(group_label AS BIGINT) AS grp
+      FROM {_PHASH_GROUPS_VALUES}
+    ), ranked AS (
+      SELECT media_id, grp,
+             ROW_NUMBER() OVER (ORDER BY media_id) - 1 AS rnk
+      FROM phash_groups
+    ), att AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 2 = 0 THEN 3 * ((d.doc_id // 2) % 22)
+                  ELSE 1000 + 3 * (((d.doc_id - 1) // 2) % 22) END AS media_id,
+             ('0x' || substring(md5('neg#' || CAST(d.doc_id AS VARCHAR)),
+               1, 8))::BIGINT % 44 AS h
+      FROM documents d
+    ), attg AS (
+      SELECT a.doc_id, a.media_id, a.h, r.grp
+      FROM att a JOIN ranked r ON r.media_id = a.media_id
+    ), pos AS (
+      SELECT doc_id, media_id, 'pos' AS pair_type FROM attg
+    ), hard AS (
+      SELECT a.doc_id, r.media_id, 'hard_neg' AS pair_type
+      FROM attg a JOIN ranked r
+        ON r.grp = a.grp AND r.media_id <> a.media_id
+    ), easy AS (
+      SELECT doc_id, media_id, 'easy_neg' AS pair_type FROM (
+        SELECT a.doc_id, r.media_id,
+               ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                                  ORDER BY (r.rnk - a.h + 44) % 44) AS pick
+        FROM attg a JOIN ranked r ON r.grp <> a.grp
+      ) WHERE pick = 1
+    )
+    SELECT doc_id, media_id, pair_type FROM pos
+    UNION ALL SELECT * FROM hard
+    UNION ALL SELECT * FROM easy
+    """,
+)
+def image_text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style contrastive training pairs over the doc->media
+    attachment: the attached image as the positive, every OTHER member
+    of its pHash near-dup group as a HARD negative (the confusable
+    near-copy a contrastive loss must separate), and one deterministic
+    md5-rotated easy negative from a different group.  The asset table
+    is catalog-sized and broadcasts; per-doc work is two broadcast
+    joins — scan-shaped at any corpus size.  Composed from the same
+    green legs as multimodal_dedup_manifest (pHash groups via the
+    image_phash pipeline, attachment via the deterministic map the
+    oracle replays)."""
+    from .operators.multimodal import (
+        image_phash,
+        phash_candidate_pairs,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 64)
+    originals = media.filter(F.col("modality") == "image").select(
+        "media_id", F.lit("image").alias("modality"), "payload"
+    )
+    resized = resize_images(media, max_side=32).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.lit("image").alias("modality"),
+        "payload",
+    )
+    hashes = image_phash(originals.unionByName(resized))
+    comp = dedup.connected_components(phash_candidate_pairs(hashes, max_hamming=10))
+    ranked = (
+        hashes.join(comp, hashes["media_id"] == comp["node"], "left")
+        .select(
+            "media_id",
+            F.coalesce("label", F.col("media_id")).cast("long").alias("grp"),
+        )
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy("media_id")) - 1
+        )
+    )
+    att = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, 3 * (F.expr("doc_id DIV 2") % 22)
+        )
+        .otherwise(1000 + 3 * (F.expr("(doc_id - 1) DIV 2") % 22))
+        .alias("media_id"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("neg#"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(44),
+        ).alias("h"),
+    )
+    attg = att.join(F.broadcast(ranked), "media_id").select(
+        "doc_id", "media_id", "h", "grp"
+    )
+    r = F.broadcast(ranked.select(
+        F.col("media_id").alias("m2"), F.col("grp").alias("g2"), "rnk"
+    ))
+    pos = attg.select("doc_id", "media_id", F.lit("pos").alias("pair_type"))
+    hard = (
+        attg.join(r, (F.col("g2") == F.col("grp")) & (F.col("m2") != F.col("media_id")))
+        .select("doc_id", F.col("m2").alias("media_id"), F.lit("hard_neg").alias("pair_type"))
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(
+        F.pmod(F.col("rnk") - F.col("h") + 44, F.lit(44))
+    )
+    easy = (
+        attg.join(r, F.col("g2") != F.col("grp"))
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select("doc_id", F.col("m2").alias("media_id"), F.lit("easy_neg").alias("pair_type"))
+    )
+    return pos.unionByName(hard).unionByName(easy)
+
+
 _SPAN_B, _SPAN_L, _SPAN_RATE = 8, 3, 40
 
 

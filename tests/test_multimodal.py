@@ -744,3 +744,34 @@ def test_multimodal_dedup_manifest_composition(spark):
     edocs = {r["id_a"] for r in epairs} | {r["id_b"] for r in epairs}
     for r in rows:
         assert r["emb_dup"] == (r["doc_id"] in edocs)
+
+
+def test_contrastive_pairs_invariants(spark):
+    """CLIP-pair invariants: exactly one positive and one easy negative
+    per doc; hard negatives exist iff the attached image's pHash group
+    has another member, share that group, and never equal the
+    positive; easy negatives never share the attached group."""
+    from cloud_native_reddit_data_pipeline_spark.queries import _QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = _QUERIES["image_text_contrastive_pairs"](spark, sf).collect()
+    groups = {
+        r["media_id"]: r["group_label"]
+        for r in _QUERIES["image_phash_dedup"](spark, sf).collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pair_type"], r["media_id"]))
+    assert len(by_doc) == 500
+    n_hard = 0
+    for doc, pairs in by_doc.items():
+        kinds = [k for k, _ in pairs]
+        assert kinds.count("pos") == 1 and kinds.count("easy_neg") == 1
+        pos = next(m for k, m in pairs if k == "pos")
+        for k, m in pairs:
+            if k == "hard_neg":
+                n_hard += 1
+                assert m != pos and groups[m] == groups[pos]
+            elif k == "easy_neg":
+                assert groups[m] != groups[pos]
+    assert n_hard > 0  # near-copy groups exist by construction

@@ -132,6 +132,8 @@ DEFAULT_QUERIES = [
     "wordpiece_encode",
     # scan->map, no shuffle: the ratio IS the scan
     "span_corruption_examples",
+    # doc-side scales, asset catalog fixed (media omission note)
+    "image_text_contrastive_pairs",
     # streaming_corpus_manifest omitted: fixed two-half replay twin
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
