@@ -208,6 +208,7 @@ HEADLINE = [
     "span_corruption_examples",
     "unigram_lm_vocab_pruned",
     "image_text_contrastive_pairs",
+    "cluster_balanced_sample",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

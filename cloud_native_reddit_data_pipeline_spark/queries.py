@@ -12707,6 +12707,53 @@ def image_text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionByName(hard).unionByName(easy)
 
 
+@register(
+    "cluster_balanced_sample",
+    f"""
+    WITH asgn AS (
+      SELECT * FROM ({clustering.kmeans_oracle_sql(k=_KMEANS_K, iters=_KMEANS_ITERS)})
+    ), sz AS (
+      SELECT cluster, COUNT(*) AS c FROM asgn GROUP BY cluster
+    ), quota AS (SELECT MIN(c) AS q FROM sz),
+    r AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || '#cbs'), vec_id) AS rk
+      FROM asgn
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(rk AS BIGINT) AS rk
+    FROM r, quota WHERE rk <= q
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced corpus sampling: k-means the embedding space
+    (the exact-decimal Lloyd's of kmeans_embeddings), then take an
+    EQUAL number of vectors from every cluster — the smallest
+    cluster's size — ranked by an RNG-free md5 draw (the
+    label_balance_sample tactic applied to LEARNED clusters instead of
+    labels).  The semantic-diversity rebalance pretraining mixtures
+    apply when one topic dominates a crawl.  Scale shape: broadcast
+    centroids + one partial-agg shuffle per Lloyd round, then one
+    cluster-partitioned rank; the min-size quota is a 1-row
+    broadcast."""
+    asgn = clustering.kmeans_lloyd(
+        load(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    ).select("vec_id", "cluster")
+    quota = F.broadcast(
+        asgn.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("q"))
+    )
+    draw = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#cbs")))
+    w = Window.partitionBy("cluster").orderBy(draw, F.col("vec_id"))
+    return (
+        asgn.withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(quota)
+        .filter(F.col("rk") <= F.col("q"))
+        .select("vec_id", "cluster", "rk")
+    )
+
+
 _SPAN_B, _SPAN_L, _SPAN_RATE = 8, 3, 40
 
 

@@ -60,3 +60,21 @@ def test_separated_groups_recover_clusters(spark):
     # each recovered cluster is pure: only even ids or only odd ids
     assert all(len(par) == 1 for par in by_cluster.values())
     assert len(by_cluster) == 2
+
+
+def test_cluster_balanced_sample_equal_quota(spark):
+    """Balanced-sample contract: every cluster contributes exactly the
+    min-cluster-size number of rows, and selections are the md5-rank
+    prefix within each cluster (RNG-free, deterministic)."""
+    from collections import Counter
+
+    from cloud_native_reddit_data_pipeline_spark.queries import _QUERIES
+
+    rows = _QUERIES["cluster_balanced_sample"](spark, "/root/testdata/sf0.001").collect()
+    per = Counter(r["cluster"] for r in rows)
+    assert len(set(per.values())) == 1  # equal quota everywhere
+    q = next(iter(per.values()))
+    assert all(1 <= r["rk"] <= q for r in rows)
+    # deterministic across reruns
+    again = _QUERIES["cluster_balanced_sample"](spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
