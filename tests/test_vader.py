@@ -266,3 +266,27 @@ def test_interpolated_tail_blast_radius_bound():
     # only the low-|valence| slice can flip its label under +/-1.0
     # (norm(|v|-1.0) must cross the 0.05 threshold): 15 of 55 entries
     assert n_label_flippable == 15, n_label_flippable
+
+
+def test_interpolated_tail_absent_from_gate_corpus():
+    """Corpus-level blast radius on the correctness-gate data is
+    exactly ZERO: the synthetic documents vocabulary contains no
+    interpolated-tail token, so every sentiment oracle result is
+    invariant to the tail — a stock-TSV drop-in cannot move any gate
+    hash."""
+    import duckdb
+
+    from cloud_native_reddit_data_pipeline_spark.functions.vader import (
+        INTERPOLATED_ENTRIES,
+    )
+
+    con = duckdb.connect()
+    ws = {
+        r[0]
+        for r in con.sql(
+            "SELECT DISTINCT unnest(list_filter(regexp_split_to_array("
+            "lower(text), '\\s+'), x -> x <> '')) "
+            "FROM '/root/testdata/sf0.01/documents.parquet'"
+        ).fetchall()
+    }
+    assert not (ws & set(INTERPOLATED_ENTRIES))
