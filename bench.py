@@ -209,6 +209,7 @@ HEADLINE = [
     "unigram_lm_vocab_pruned",
     "image_text_contrastive_pairs",
     "cluster_balanced_sample",
+    "kmv_set_overlap",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

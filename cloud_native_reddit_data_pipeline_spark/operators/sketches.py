@@ -544,3 +544,69 @@ def hll_distinct_by(
         ).alias("hll_estimate"),
         F.col("true_distinct").cast("long").alias("true_distinct"),
     )
+
+
+def kmv_set_overlap(
+    a: DataFrame, b: DataFrame, key_col_a: str, key_col_b: str, k: int = 64
+) -> DataFrame:
+    """KMV sketch ALGEBRA: union-size, intersection-size and Jaccard
+    estimates for two key sets from one merged k-minimum-values sketch
+    (Beyer et al. 2007) — the set-operation layer on top of
+    `kmv_distinct`.  K(A∪B) = the k smallest distinct hashes of the
+    merged stream; |A∪B| ≈ (k-1)·M/h_(k); J ≈ |{h ∈ K(A∪B): h ∈ A ∧
+    h ∈ B}| / k; |A∩B| ≈ J·|A∪B|.  Exact counts ride along so the
+    output row itself exhibits the sketch error.
+
+    Everything is md5-deterministic (no RNG), so the DuckDB oracle
+    replays the estimates bit-for-bit: the only doubles are one
+    division each, identically ordered.  Scale: per-set distinct
+    shuffles, then a k-row TakeOrdered — the sketches merge by
+    union+re-min across partitions exactly like kmv_distinct."""
+    ha = a.select(_h52(F.col(key_col_a)).alias("h")).distinct()
+    hb = b.select(_h52(F.col(key_col_b)).alias("h")).distinct()
+    merged = (
+        ha.withColumn("in_a", F.lit(1))
+        .join(hb.withColumn("in_b", F.lit(1)), "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    topk = merged.orderBy("h").limit(k)
+    agg = topk.agg(
+        F.count(F.lit(1)).alias("kk"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("c"),
+    )
+    exact = merged.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+    )
+    m = float(_HEX13)
+    return (
+        agg.crossJoin(exact)
+        .select(
+            F.lit(k).alias("k"),
+            F.col("n_union").cast("long").alias("n_union_exact"),
+            F.when(
+                F.col("n_union") >= k,
+                F.round(F.lit(float(k - 1)) * F.lit(m) / F.col("hk"), 4),
+            )
+            .otherwise(F.col("n_union").cast("double"))
+            .alias("union_est"),
+            F.col("n_inter").cast("long").alias("n_inter_exact"),
+            F.round(F.col("c").cast("double") / F.col("kk"), 6).alias("jaccard_est"),
+            F.when(
+                F.col("n_union") >= k,
+                F.round(
+                    F.col("c")
+                    * (F.lit(float(k - 1)) * F.lit(m) / F.col("hk"))
+                    / F.col("kk"),
+                    4,
+                ),
+            )
+            .otherwise(F.col("n_inter").cast("double"))
+            .alias("inter_est"),
+        )
+    )

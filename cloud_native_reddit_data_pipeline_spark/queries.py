@@ -12754,6 +12754,65 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_OVERLAP_K = 64
+
+
+@register(
+    "kmv_set_overlap",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+        1, 13))::BIGINT AS h
+      FROM orders
+    ), hb AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),
+        1, 13))::BIGINT AS h
+      FROM customer
+    ), merged AS (
+      SELECT COALESCE(ha.h, hb.h) AS h,
+             CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM ha FULL OUTER JOIN hb ON ha.h = hb.h
+    ), topk AS (
+      SELECT * FROM merged ORDER BY h LIMIT {_KMV_OVERLAP_K}
+    ), agg AS (
+      SELECT COUNT(*) AS kk, MAX(h) AS hk, SUM(in_a * in_b) AS c FROM topk
+    ), exact AS (
+      SELECT COUNT(*) AS n_union, SUM(in_a * in_b) AS n_inter FROM merged
+    )
+    SELECT CAST({_KMV_OVERLAP_K} AS INT) AS k,
+           CAST(n_union AS BIGINT) AS n_union_exact,
+           CASE WHEN n_union >= {_KMV_OVERLAP_K}
+                THEN ROUND(CAST({_KMV_OVERLAP_K - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 4)
+                ELSE CAST(n_union AS DOUBLE) END AS union_est,
+           CAST(n_inter AS BIGINT) AS n_inter_exact,
+           ROUND(CAST(c AS DOUBLE) / kk, 6) AS jaccard_est,
+           CASE WHEN n_union >= {_KMV_OVERLAP_K}
+                THEN ROUND(c * (CAST({_KMV_OVERLAP_K - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                  / hk) / kk, 4)
+                ELSE CAST(n_inter AS DOUBLE) END AS inter_est
+    FROM agg, exact
+    """,
+)
+def kmv_set_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union/intersection/Jaccard estimates
+    between the customers-who-ordered set and the full customer
+    catalog, from one merged k-minimum-values sketch, with exact
+    counts alongside (the row exhibits its own sketch error).  Md5-
+    deterministic, so the estimates themselves are oracle-checked —
+    the same contract as kmv_distinct/HLL (operators/sketches.py,
+    kmv_set_overlap)."""
+    from .operators import sketches
+
+    return sketches.kmv_set_overlap(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+        k=_KMV_OVERLAP_K,
+    )
+
+
 _SPAN_B, _SPAN_L, _SPAN_RATE = 8, 3, 40
 
 

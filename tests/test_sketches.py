@@ -542,3 +542,29 @@ def test_hll_distinct_by_groups_and_rolls_up(spark):
     assert glob.true_distinct == 1000
     # a merged register can only increase, so s_55 can only shrink
     assert glob.s_55 <= min(r.s_55 for r in rows.values())
+
+
+def test_kmv_set_overlap_accuracy_and_capacity(spark):
+    """Sketch-algebra contract: estimates land within the KMV error
+    envelope of the exact values on the gate data, and below capacity
+    (n_union < k) the sketch is EXACT."""
+    from cloud_native_reddit_data_pipeline_spark.operators.sketches import (
+        kmv_set_overlap,
+    )
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    customer = load(spark, "/root/testdata/sf0.001", "customer")
+    r = kmv_set_overlap(orders, customer, "o_custkey", "c_custkey", k=64).first()
+    # ~1/sqrt(k-1) relative error envelope, generous 3x margin
+    assert abs(r["union_est"] - r["n_union_exact"]) / r["n_union_exact"] < 0.4
+    assert r["n_inter_exact"] <= r["n_union_exact"]
+    if r["n_union_exact"] >= 64:
+        true_j = r["n_inter_exact"] / r["n_union_exact"]
+        assert abs(r["jaccard_est"] - true_j) < 0.4
+    # below capacity: exact passthrough
+    small_a = orders.limit(20)
+    small = kmv_set_overlap(small_a, small_a, "o_custkey", "o_custkey", k=64).first()
+    assert small["union_est"] == float(small["n_union_exact"])
+    assert small["jaccard_est"] == 1.0
+    assert small["inter_est"] == float(small["n_inter_exact"])

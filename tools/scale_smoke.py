@@ -135,6 +135,7 @@ DEFAULT_QUERIES = [
     # doc-side scales, asset catalog fixed (media omission note)
     "image_text_contrastive_pairs",
     "cluster_balanced_sample",
+    "kmv_set_overlap",
     # streaming_corpus_manifest omitted: fixed two-half replay twin
     # streaming_drift_psi omitted: fixed two-half replay twin (the
     # streaming_sequence_examples note applies)
