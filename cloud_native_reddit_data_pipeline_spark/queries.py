@@ -39,6 +39,7 @@ from .operators import (
     sampling,
     similarity,
     textstats,
+    trees,
     windows,
 )
 from .sources.tables import load
@@ -12889,6 +12890,174 @@ def span_corruption_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         block=_SPAN_B,
         span_len=_SPAN_L,
         rate_pct=_SPAN_RATE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Comment-tree / hierarchy family (operators/trees.py).  The reference
+# ingests Reddit comment FORESTS and flattens them with a parent-id FK
+# (SURVEY §2 O2); these queries add the recursive-CTE class Spark SQL
+# cannot express natively — root-to-node paths, thread conversations,
+# subtree rollups — as bounded-depth frontier descents.  The forest is
+# derived deterministically from documents: _TREE_ROOTS roots, every
+# node n >= _TREE_ROOTS has parent (n - _TREE_ROOTS) // 2 (a binary
+# forest, depth ~log2(N) — the shape of a real comment section).
+# ---------------------------------------------------------------------------
+_TREE_ROOTS = 8
+_TREE_DEPTH = 16
+
+_TREE_NODES_SQL = f"""
+  SELECT doc_id AS id,
+         CASE WHEN doc_id >= {_TREE_ROOTS}
+              THEN (doc_id - {_TREE_ROOTS}) // 2 END AS parent_id
+  FROM documents
+"""
+
+_TREE_PATHS_SQL = f"""
+  nodes AS ({_TREE_NODES_SQL}),
+  p AS (
+    SELECT id AS node_id, id AS root_id, 0 AS depth,
+           CAST(id AS VARCHAR) AS path
+    FROM nodes WHERE parent_id IS NULL
+    UNION ALL
+    SELECT n.id, p.root_id, p.depth + 1,
+           p.path || '/' || CAST(n.id AS VARCHAR)
+    FROM nodes n JOIN p ON n.parent_id = p.node_id
+    WHERE p.depth < {_TREE_DEPTH}
+  )
+"""
+
+
+def _tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") >= _TREE_ROOTS,
+            F.expr(f"CAST((doc_id - {_TREE_ROOTS}) DIV 2 AS BIGINT)"),
+        ).alias("parent_id"),
+    )
+
+
+@register(
+    "comment_tree_paths",
+    f"""
+    WITH RECURSIVE {_TREE_PATHS_SQL}
+    SELECT node_id, root_id, depth, path FROM p
+    """,
+)
+def comment_tree_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-to-node path materialization over the document comment
+    forest — the WITH RECURSIVE query class done as a fixed-round
+    frontier descent (operators/trees.py:tree_paths), one parent-keyed
+    equi-join per level with lineage truncation.  Reference parity:
+    thread reconstruction over the harvested comment tree (SURVEY §2
+    O2)."""
+    return trees.tree_paths(_tree_nodes(spark, sf_dir), max_depth=_TREE_DEPTH)
+
+
+@register(
+    "thread_conversations",
+    f"""
+    WITH RECURSIVE {_TREE_PATHS_SQL},
+    leaves AS (
+      SELECT * FROM p
+      WHERE node_id NOT IN (
+        SELECT parent_id FROM nodes WHERE parent_id IS NOT NULL)
+    ), turns AS (
+      SELECT l.node_id AS leaf_id, l.root_id, u.i,
+             CASE WHEN (u.i - 1) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             CAST(u.node_str AS BIGINT) AS turn_doc
+      FROM leaves l,
+      LATERAL (
+        SELECT unnest(generate_series(1, len(string_split(l.path, '/'))))
+                 AS i,
+               unnest(string_split(l.path, '/')) AS node_str
+      ) u
+    )
+    SELECT t.leaf_id, t.root_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           string_agg(t.role, ',' ORDER BY t.i) AS roles,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+    FROM turns t JOIN documents d ON d.doc_id = t.turn_doc
+    GROUP BY t.leaf_id, t.root_id
+    """,
+)
+def thread_conversations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn conversation examples from the comment forest: each
+    root-to-leaf path becomes one chat-training candidate with
+    depth-alternating roles (root = user prompt), whitespace-token and
+    char budgets summed along the path.  Leaf detection is one distinct
+    + left-anti over the parent column; turn explosion is a Catalyst
+    posexplode of the already-materialized path — no second descent."""
+    nodes = _tree_nodes(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    paths = trees.tree_paths(nodes, max_depth=_TREE_DEPTH)
+    leaves = trees.mark_leaves(paths, nodes).filter("is_leaf")
+    turns = leaves.select(
+        F.col("node_id").alias("leaf_id"),
+        "root_id",
+        F.posexplode(F.split("path", "/")).alias("i0", "node_str"),
+    ).select(
+        "leaf_id",
+        "root_id",
+        (F.col("i0") + 1).alias("i"),
+        F.when(F.col("i0") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("node_str").cast("long").alias("turn_doc"),
+    )
+    toks = textstats.tokens("text")
+    per_doc = docs.select(
+        F.col("doc_id").alias("turn_doc"),
+        F.size(toks).alias("_tok"),
+        F.length("text").alias("_chars"),
+    )
+    return (
+        turns.join(per_doc, "turn_doc")
+        .groupBy("leaf_id", "root_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "role"))),
+                    lambda s: s.role,
+                ),
+                ",",
+            ).alias("roles"),
+            F.sum("_tok").alias("total_tokens"),
+            F.sum("_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "thread_engagement_rollup",
+    f"""
+    WITH RECURSIVE {_TREE_PATHS_SQL},
+    cover AS (
+      SELECT CAST(u.anc AS BIGINT) AS node_id, p.node_id AS member
+      FROM p, LATERAL (SELECT unnest(string_split(p.path, '/')) AS anc) u
+    )
+    SELECT c.node_id,
+           CAST(COUNT(*) AS BIGINT) AS subtree_nodes,
+           CAST(SUM(d.n_chars) AS BIGINT) AS subtree_n_chars
+    FROM cover c JOIN documents d ON d.doc_id = c.member
+    GROUP BY c.node_id
+    """,
+)
+def thread_engagement_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node SUBTREE rollup (thread engagement: how many comments
+    and how much text hang under each node, itself included) via path
+    explode — each node's path names all its ancestors, so one
+    Catalyst-native explode + one ancestor-keyed groupBy replaces the
+    iterative upward pass (operators/trees.py:subtree_rollup)."""
+    nodes = _tree_nodes(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    paths = trees.tree_paths(nodes, max_depth=_TREE_DEPTH)
+    return trees.subtree_rollup(
+        paths, docs.select(F.col("doc_id"), "n_chars"), "n_chars", id_col="doc_id"
     )
 
 
