@@ -1072,3 +1072,68 @@ def time_embargo_split(
         .when(ts >= F.lit(test_start).cast("timestamp"), F.lit("test"))
         .otherwise(F.lit("embargo")),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_a: Column,
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the rows where
+    `is_a` holds (sample A) and the rest (sample B) — the
+    distribution-free companion of the binned PSI monitor
+    (streaming/drift.py): no bucketing choices, sensitive to any shape
+    change, the standard gate for "did this feature move between
+    snapshots".  One row out: n_a, n_b, ks_stat, ks_crit (asymptotic
+    critical value at the supplied alpha coefficient; 1.358 = 5%),
+    drifted.
+
+    Exact-integer distributed shape: KS = sup_x |F_a(x) - F_b(x)|
+    evaluated at pooled sample points.  Per distinct value compute
+    (cnt_a, cnt_b), then the single integer column
+
+        d = cnt_a * n_b - cnt_b * n_a
+
+    has running sum  cum(d) = n_a * n_b * (F_a - F_b)  — so ONE
+    range-partitioned prefix sum (`with_global_cumsum`, no
+    single-task global window even for a continuous value domain)
+    followed by max(|cum|) / (n_a * n_b) yields the statistic with
+    integer-exact arithmetic until a single final division.  cum is
+    bounded by n_a * n_b, safely inside int64 up to ~3e9-row samples;
+    beyond that, scale counts to per-million before the products."""
+    tagged = df.select(
+        F.col(value_col).alias("_v"), is_a.cast("int").alias("_a")
+    )
+    counts = tagged.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    totals = counts.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    d = counts.crossJoin(F.broadcast(totals)).select(
+        "_v",
+        "_na",
+        "_nb",
+        (F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")).alias("_d"),
+    )
+    cum = with_global_cumsum(d, ["_v"], "_d", "_cum")
+    na, nb = F.first("_na"), F.first("_nb")
+    prod = na.cast("double") * nb.cast("double")
+    return cum.agg(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("_cum"))).cast("double") / prod + F.lit(1e-12), 6
+        ).alias("ks_stat"),
+        F.round(
+            F.lit(alpha_coeff) * F.sqrt((na + nb).cast("double") / prod)
+            + F.lit(1e-12),
+            6,
+        ).alias("ks_crit"),
+        (
+            F.max(F.abs(F.col("_cum"))).cast("double") / prod
+            > F.lit(alpha_coeff) * F.sqrt((na + nb).cast("double") / prod)
+        ).alias("drifted"),
+    )

@@ -1859,3 +1859,68 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def keyness_loglr(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 3,
+) -> DataFrame:
+    """Per-group KEYNESS: the top-k terms most characteristic of each
+    group vs the rest of the corpus by Dunning's log-likelihood ratio
+    (G2) — the corpus-linguistics standard for "what words make this
+    source/domain distinctive", sharper than raw TF-IDF because it
+    scores against an explicit rest-of-corpus expectation rather than
+    rarity alone.  Complements `unigram_divergence` (one drift number
+    per group) with the per-TERM attribution of that drift.
+
+        a = count(term, group)     n1 = tokens(group)
+        b = count(term, rest)      n2 = tokens(rest)
+        E1 = n1*(a+b)/(n1+n2)      E2 = n2*(a+b)/(n1+n2)
+        G2 = 2*(a*ln(a/E1) + b*ln(b/E2))      (0*ln(0) := 0)
+
+    Only over-represented terms (a/n1 > b/n2) are ranked; ranking uses
+    the ROUNDED G2 with a term tie-break so ordering is deterministic
+    across engines.  Scale shape: one explode -> (group, term) partial
+    agg (vocabulary-sized); term totals reuse those partials via a
+    second groupBy on term; group totals are a tiny aggregate joined
+    broadcast; the top-k window partitions by group over candidate
+    terms only (already collapsed to vocabulary granularity)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    words = df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("term"))
+    gw = words.groupBy("_g", "term").agg(F.count(F.lit(1)).alias("_a"))
+    gt = gw.groupBy("_g").agg(F.sum("_a").alias("_n1"))
+    tw = gw.groupBy("term").agg(F.sum("_a").alias("_t"))
+    tot = gt.agg(F.sum("_n1").alias("_n"))
+    a = F.col("_a").cast("double")
+    b = (F.col("_t") - F.col("_a")).cast("double")
+    n1 = F.col("_n1").cast("double")
+    n2 = (F.col("_n") - F.col("_n1")).cast("double")
+    t = F.col("_t").cast("double")
+    e1 = n1 * t / F.col("_n").cast("double")
+    e2 = n2 * t / F.col("_n").cast("double")
+    g2 = F.lit(2.0) * (
+        F.when(a > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b / e2)).otherwise(F.lit(0.0))
+    )
+    scored = (
+        gw.join(tw, "term")
+        .join(F.broadcast(gt), "_g")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("_a") >= min_count) & (a / n1 > b / n2))
+        .select(
+            F.col("_g"),
+            "term",
+            F.col("_a").alias("focus_count"),
+            (F.col("_t") - F.col("_a")).alias("rest_count"),
+            F.round(g2 + F.lit(1e-9), 4).alias("g2"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("g2"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumnRenamed("_g", group_col)
+    )

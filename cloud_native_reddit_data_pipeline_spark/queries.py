@@ -13061,6 +13061,107 @@ def thread_engagement_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ks_price_drift",
+    """
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS a
+      FROM orders
+    ), c AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(SUM(1 - a) AS BIGINT) AS cb
+      FROM t GROUP BY v
+    ), n AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb FROM c
+    ), d AS (
+      SELECT v, ca * (SELECT nb FROM n) - cb * (SELECT na FROM n) AS d
+      FROM c
+    ), cum AS (
+      SELECT SUM(d) OVER (ORDER BY v) AS cum FROM d
+    ), m AS (
+      SELECT CAST(MAX(ABS(cum)) AS BIGINT) AS mx FROM cum
+    )
+    SELECT n.na AS n_a, n.nb AS n_b,
+           ROUND(CAST(m.mx AS DOUBLE)
+                 / (CAST(n.na AS DOUBLE) * n.nb) + 1e-12, 6) AS ks_stat,
+           ROUND(1.358 * sqrt(CAST(n.na + n.nb AS DOUBLE)
+                 / (CAST(n.na AS DOUBLE) * n.nb)) + 1e-12, 6) AS ks_crit,
+           CAST(m.mx AS DOUBLE) / (CAST(n.na AS DOUBLE) * n.nb)
+             > 1.358 * sqrt(CAST(n.na + n.nb AS DOUBLE)
+                            / (CAST(n.na AS DOUBLE) * n.nb)) AS drifted
+    FROM n, m
+    """,
+)
+def ks_price_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate between early
+    (pre-1998) and late order prices — the distribution-free companion
+    of the binned PSI monitor.  Exact-integer distributed shape
+    (operators/relational.py:ks_two_sample): per-value counts, ONE
+    range-partitioned prefix sum of ca*nb - cb*na (= na*nb*(F_a-F_b)),
+    max|cum| / (na*nb) at the end — no bucketing, no single-task
+    global window."""
+    o = load(spark, sf_dir, "orders")
+    return relational.ks_two_sample(
+        o, "o_totalprice", F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+
+
+@register(
+    "source_keyness_terms",
+    f"""
+    WITH tok AS (
+      SELECT source AS g,
+             unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS term
+      FROM documents
+    ), gw AS (
+      SELECT g, term, COUNT(*) AS a FROM tok GROUP BY g, term
+    ), gt AS (
+      SELECT g, CAST(SUM(a) AS BIGINT) AS n1 FROM gw GROUP BY g
+    ), tw AS (
+      SELECT term, CAST(SUM(a) AS BIGINT) AS t FROM gw GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS n FROM gt
+    ), scored AS (
+      SELECT gw.g, gw.term, gw.a AS focus_count,
+             tw.t - gw.a AS rest_count,
+             ROUND(2.0 * (
+               CASE WHEN gw.a > 0 THEN gw.a * ln(CAST(gw.a AS DOUBLE)
+                 / (CAST(gt.n1 AS DOUBLE) * tw.t / CAST(tot.n AS DOUBLE)))
+                 ELSE 0.0 END
+             + CASE WHEN tw.t - gw.a > 0 THEN (tw.t - gw.a)
+                 * ln(CAST(tw.t - gw.a AS DOUBLE)
+                 / (CAST(tot.n - gt.n1 AS DOUBLE) * tw.t
+                    / CAST(tot.n AS DOUBLE)))
+                 ELSE 0.0 END
+             ) + 1e-9, 4) AS g2
+      FROM gw JOIN tw USING (term) JOIN gt USING (g), tot
+      WHERE gw.a >= 3
+        AND CAST(gw.a AS DOUBLE) / gt.n1
+            > CAST(tw.t - gw.a AS DOUBLE) / (tot.n - gt.n1)
+    )
+    SELECT g AS source, term, focus_count, rest_count, g2, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY g ORDER BY g2 DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def source_keyness_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive terms per document source by Dunning
+    log-likelihood keyness (operators/textstats.py:keyness_loglr) —
+    the per-term attribution of the per-group drift number
+    unigram_divergence reports.  Vocabulary-granularity aggregates
+    only; ranking over rounded G2 with a term tie-break keeps the
+    window deterministic across engines."""
+    return textstats.keyness_loglr(
+        load(spark, sf_dir, "documents"), "source", "text", k=10, min_count=3
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

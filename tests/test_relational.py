@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 
 from cloud_native_reddit_data_pipeline_spark.operators import relational
@@ -384,3 +386,33 @@ def test_time_embargo_split_gap_is_exclusive(spark):
     ).collect()}
     assert out == {1: "train", 2: "embargo", 3: "embargo",
                    4: "test", 5: "test"}
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import ks_two_sample
+
+    # A = {1,2,3}, B = {2,3,4,4}; pooled ECDF gap is maximal at v=3:
+    # |1 - 2/4| = 0.5
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+         (2.0, "b"), (3.0, "b"), (4.0, "b"), (4.0, "b")],
+        "v double, g string",
+    )
+    row = ks_two_sample(df, "v", F.col("g") == "a").collect()[0]
+    assert (row.n_a, row.n_b) == (3, 4)
+    assert row.ks_stat == 0.5
+    # crit = 1.358 * sqrt(7/12)
+    assert abs(row.ks_crit - 1.358 * math.sqrt(7 / 12)) < 1e-6
+    assert not row.drifted  # 0.5 < 1.037
+
+
+def test_ks_identical_samples_zero(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import ks_two_sample
+
+    rows = [(float(i % 10), "a") for i in range(50)] + [
+        (float(i % 10), "b") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    row = ks_two_sample(df, "v", F.col("g") == "a").collect()[0]
+    assert row.ks_stat == 0.0
+    assert not row.drifted

@@ -571,3 +571,33 @@ def test_source_quality_ci_wilson_bounds(spark):
         )
         assert abs(r.wilson_lo - (center - half)) < 1e-5
         assert abs(r.wilson_hi - (center + half)) < 1e-5
+
+
+def test_keyness_loglr_hand_computed(spark):
+    import math
+
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import keyness_loglr
+
+    # 'zebra' appears 4x in group x (n1=8 tokens) and 0x in group y
+    # (n2=8): a=4, b=0, t=4, N=16 -> E1=2, G2 = 2*4*ln(2)
+    docs = spark.createDataFrame(
+        [
+            ("x", "zebra zebra common common"),
+            ("x", "zebra zebra common common"),
+            ("y", "common common other other"),
+            ("y", "common common other other"),
+        ],
+        "source string, text string",
+    )
+    rows = {
+        (r.source, r.term): r
+        for r in keyness_loglr(docs, "source", "text", k=5, min_count=3).collect()
+    }
+    z = rows[("x", "zebra")]
+    assert (z.focus_count, z.rest_count) == (4, 0)
+    assert abs(z.g2 - round(2 * 4 * math.log(2) + 1e-9, 4)) < 1e-9
+    assert z.rank == 1
+    # 'common' is evenly spread -> not over-represented anywhere
+    assert ("x", "common") not in rows and ("y", "common") not in rows
+    # 'other' is distinctive of y
+    assert rows[("y", "other")].focus_count == 4
