@@ -1137,3 +1137,45 @@ def ks_two_sample(
             > F.lit(alpha_coeff) * F.sqrt((na + nb).cast("double") / prod)
         ).alias("drifted"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    is_a: Column,
+    is_success: Column,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test between arm A (`is_a`) and arm B (the
+    rest): the A/B experimentation gate for conversion-style metrics,
+    the binomial sibling of `ks_two_sample` (which handles continuous
+    metrics).  One row out: per-arm trials/successes/rates, the pooled
+    z statistic, and significance at `z_crit` (1.96 = two-sided 5%).
+
+        z = (p_a - p_b) / sqrt(p*(1-p) * (1/n_a + 1/n_b)),  p pooled
+
+    One aggregate over the tagged rows (map-side combine to four
+    integers), float math only in the final one-row projection —
+    nothing here gets harder at any data size."""
+    agg = df.agg(
+        F.sum(is_a.cast("long")).alias("_na"),
+        F.sum((~is_a).cast("long")).alias("_nb"),
+        F.sum((is_a & is_success).cast("long")).alias("_ca"),
+        F.sum(((~is_a) & is_success).cast("long")).alias("_cb"),
+    )
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    ca, cb = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (pa - pb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_ca").alias("conv_a"),
+        F.col("_cb").alias("conv_b"),
+        F.round(pa + F.lit(1e-9), 6).alias("rate_a"),
+        F.round(pb + F.lit(1e-9), 6).alias("rate_b"),
+        F.round(z + F.lit(1e-9), 4).alias("z_stat"),
+        (F.abs(z) > F.lit(z_crit)).alias("significant"),
+    )

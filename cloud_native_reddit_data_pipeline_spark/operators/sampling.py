@@ -589,3 +589,108 @@ def preference_pairs(
             .alias("margin_e3"),
         )
     )
+
+
+# Cumulative Poisson(1) CDF, P(X <= k) for k = 0..9; draws above the
+# table are clamped to 10 (P ~ 1 - 1e-8 — unreachable with a 32-bit
+# uniform at realistic replicate counts).
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508076003,
+    0.9999988747974512,
+    0.9999998885745217,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    b_reps: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    scale: int = 2,
+) -> DataFrame:
+    """Bootstrap confidence interval for the MEAN of `value_col` by the
+    Poisson bootstrap — the only bootstrap that works on data too large
+    to index: instead of resampling n rows with replacement (which
+    needs global coordination), each row independently receives a
+    Poisson(1) weight per replicate, which converges to multinomial
+    resampling as n grows (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012).
+
+    Deterministic and engine-portable: the per-(row, replicate) weight
+    is the Poisson(1) inverse CDF applied to a 32-bit md5 fraction of
+    "boot|key|b" — no RNG state, identical in SQL.  Replicate sums use
+    per-row DECIMAL casts (exact, order-free); the only floats are the
+    B replicate means and the final interpolated percentiles (Spark
+    `percentile` == DuckDB quantile_cont).
+
+    Scale shape: the B-fold explode never leaves its stage — rows fan
+    out to n*B and immediately partial-aggregate to B groups map-side,
+    so the shuffle carries ~B rows per task regardless of n.  One row
+    out: n_rows, b_reps, mean, ci_lo, ci_hi."""
+    w_expr = F.lit(len(_POISSON1_CDF))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot|"),
+                        F.col("_k"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w_expr = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w_expr)
+    t = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(value_col).cast(f"decimal(18,{scale})").alias("_x"),
+    ).select(
+        "_k",
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b"),
+    )
+    reps = (
+        t.withColumn("_w", w_expr.cast("decimal(10,0)"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("_w") * F.col("_x")).cast("double")
+                / F.sum(F.col("_w")).cast("double")
+            ).alias("_m")
+        )
+    )
+    ci = reps.agg(
+        F.round(F.expr(f"percentile(_m, {lo})") + F.lit(1e-9), 4).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_m, {hi})") + F.lit(1e-9), 4).alias("ci_hi"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col(value_col).cast(f"decimal(18,{scale})")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("mean"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows", F.lit(b_reps).alias("b_reps"), "mean", "ci_lo", "ci_hi"
+    )

@@ -13162,6 +13162,116 @@ def source_keyness_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508076003,
+    0.9999988747974512,
+    0.9999998885745217,
+]
+_P1_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {p!r} THEN {k}" for k, p in enumerate(_P1_CDF))
+    + f" ELSE {len(_P1_CDF)} END"
+)
+
+
+@register(
+    "poisson_bootstrap_ci",
+    f"""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders
+    ), draws AS (
+      SELECT x,
+             CAST(('0x' || substring(md5('boot|' || k || '|'
+               || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+               / 4294967296.0 AS u,
+             b
+      FROM base, (SELECT unnest(generate_series(0, 99)) AS b)
+    ), reps AS (
+      SELECT b,
+             CAST(SUM(CAST({_P1_CASE} AS DECIMAL(10,0)) * x) AS DOUBLE)
+               / CAST(SUM(CAST({_P1_CASE} AS DECIMAL(10,0))) AS DOUBLE)
+               AS m
+      FROM draws GROUP BY b
+    ), ci AS (
+      SELECT ROUND(quantile_cont(m, 0.025) + 1e-9, 4) AS ci_lo,
+             ROUND(quantile_cont(m, 0.975) + 1e-9, 4) AS ci_hi
+      FROM reps
+    ), pt AS (
+      SELECT COUNT(*) AS n_rows,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) + 1e-9, 4) AS mean
+      FROM orders
+    )
+    SELECT pt.n_rows, 100 AS b_reps, pt.mean, ci.ci_lo, ci.ci_hi
+    FROM pt, ci
+    """,
+)
+def poisson_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order price
+    (operators/sampling.py:poisson_bootstrap_ci) — the
+    streaming-friendly bootstrap (Chamandy et al. 2012): per-(row,
+    replicate) Poisson(1) weights from deterministic md5 fractions,
+    B=100 replicate means via decimal-exact weighted sums that
+    partial-aggregate map-side (the n x B explode never shuffles more
+    than B rows per task)."""
+    return sampling.poisson_bootstrap_ci(
+        load(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", b_reps=100
+    )
+
+
+@register(
+    "ab_conversion_ztest",
+    """
+    WITH agg AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN user_id % 2 = 0
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN user_id % 2 = 1
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events
+    )
+    SELECT na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
+           ROUND(CAST(ca AS DOUBLE) / na + 1e-9, 6) AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / nb + 1e-9, 6) AS rate_b,
+           ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca AS DOUBLE) + cb) / (CAST(na AS DOUBLE) + nb)
+                    * (1.0 - (CAST(ca AS DOUBLE) + cb)
+                             / (CAST(na AS DOUBLE) + nb))
+                    * (1.0 / na + 1.0 / nb)) + 1e-9, 4) AS z_stat,
+           ABS((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca AS DOUBLE) + cb) / (CAST(na AS DOUBLE) + nb)
+                    * (1.0 - (CAST(ca AS DOUBLE) + cb)
+                             / (CAST(na AS DOUBLE) + nb))
+                    * (1.0 / na + 1.0 / nb))) > 1.96 AS significant
+    FROM agg
+    """,
+)
+def ab_conversion_ztest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B gate over events: users hash into two arms (user_id parity),
+    success = a purchase event; pooled two-proportion z-test
+    (operators/relational.py:two_proportion_ztest).  One map-side
+    aggregate to four integers; the z arithmetic happens once on one
+    row."""
+    e = load(spark, sf_dir, "events")
+    return relational.two_proportion_ztest(
+        e, F.col("user_id") % 2 == 0, F.col("event_type") == "purchase"
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -416,3 +416,20 @@ def test_ks_identical_samples_zero(spark):
     row = ks_two_sample(df, "v", F.col("g") == "a").collect()[0]
     assert row.ks_stat == 0.0
     assert not row.drifted
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        two_proportion_ztest,
+    )
+
+    # arm a: 100 trials, 60 successes; arm b: 100 trials, 40 successes
+    rows = [("a", 1)] * 60 + [("a", 0)] * 40 + [("b", 1)] * 40 + [("b", 0)] * 60
+    df = spark.createDataFrame(rows, "g string, s int")
+    row = two_proportion_ztest(
+        df, F.col("g") == "a", F.col("s") == 1
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.conv_a, row.conv_b) == (100, 100, 60, 40)
+    # z = 0.2 / sqrt(0.5*0.5*0.02) = 2.8284
+    assert abs(row.z_stat - 2.8284) < 1e-9
+    assert row.significant

@@ -336,3 +336,44 @@ def test_preference_pairs_max_margin_and_tie_safety(spark):
     out0 = preference_pairs(df, "doc_id", "score", ["grp"], min_margin=0)
     for r in out0.collect():
         assert r.chosen_id != r.rejected_id
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(100 + (i * 37) % 50)) for i in range(400)], "k long, v double"
+    )
+    row = poisson_bootstrap_ci(df, "k", "v", b_reps=60).collect()[0]
+    assert row.n_rows == 400 and row.b_reps == 60
+    assert row.ci_lo < row.mean < row.ci_hi
+    # v spans [100, 150): a 95% CI for the mean of 400 draws is tight
+    assert row.ci_hi - row.ci_lo < 10
+    # deterministic: second run bit-identical
+    row2 = poisson_bootstrap_ci(df, "k", "v", b_reps=60).collect()[0]
+    assert row == row2
+
+
+def test_poisson_weights_mean_near_one(spark):
+    # Internal invariant: the average Poisson(1) weight over many
+    # (row, replicate) draws must be ~1 (resample size ~ n).
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        _POISSON1_CDF,
+    )
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    df = spark.range(20000).select(F.concat(F.lit("t|"), F.col("id")).alias("s"))
+    m = df.select(F.avg(w).alias("m")).collect()[0].m
+    assert 0.97 < m < 1.03
