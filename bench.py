@@ -210,6 +210,15 @@ HEADLINE = [
     "image_text_contrastive_pairs",
     "cluster_balanced_sample",
     "kmv_set_overlap",
+    # round-9 continuation additions (streaming_thread_paths follows
+    # the replay-twin exclusion below)
+    "comment_tree_paths",
+    "thread_conversations",
+    "thread_engagement_rollup",
+    "ks_price_drift",
+    "source_keyness_terms",
+    "poisson_bootstrap_ci",
+    "ab_conversion_ztest",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

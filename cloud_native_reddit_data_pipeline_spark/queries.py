@@ -13272,6 +13272,55 @@ def ab_conversion_ztest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_thread_paths",
+    f"""
+    WITH RECURSIVE {_TREE_PATHS_SQL}
+    SELECT node_id, root_id, depth, path, TRUE AS attached FROM p
+    """,
+)
+def streaming_thread_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental thread-path maintenance AS A STREAM
+    (streaming/threads.py): batch 0 carries the forest's first 100
+    comments (all 8 roots + early levels), batch 1 the remaining 400 —
+    every batch-1 node attaches either to a STORED batch-0 path (one
+    parent-keyed join) or to a chain that arrived inside batch 1
+    (bounded in-batch descent).  HARD-gated: the split never orphans a
+    node (parents always arrive no later than children in heap order),
+    so the two-batch protocol must converge to exactly the batch
+    `tree_paths` answer — the oracle is the same WITH RECURSIVE the
+    batch query uses.  Orphan/late-parent semantics are pytest-pinned
+    (tests/test_streaming_threads.py)."""
+    import os
+    import tempfile
+
+    from .streaming.threads import start_thread_paths_stream
+
+    nodes = _tree_nodes(spark, sf_dir).orderBy("id")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        nodes.filter(F.col("id") < 100).coalesce(1).write.json(f"{src}/b0")
+        nodes.filter(F.col("id") >= 100).coalesce(1).write.json(f"{src}/b1")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("id LONG, parent_id LONG")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_thread_paths_stream(
+            stream, f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(f"{tmp}/out").select(
+            "node_id", "root_id", "depth", "path", "attached"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
