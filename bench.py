@@ -219,6 +219,8 @@ HEADLINE = [
     "source_keyness_terms",
     "poisson_bootstrap_ci",
     "ab_conversion_ztest",
+    "cuped_variance_reduction",
+    "ab_srm_check",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

@@ -1179,3 +1179,99 @@ def two_proportion_ztest(
         F.round(z + F.lit(1e-9), 4).alias("z_stat"),
         (F.abs(z) > F.lit(z_crit)).alias("significant"),
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    is_pre: Column,
+    scale: int = 2,
+) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013): how much experiment variance a pre-period covariate
+    removes.  Per unit, x = pre-period metric sum and y = in-period
+    metric sum (units missing a period contribute 0 — the standard
+    all-units form); then
+
+        theta = cov(x, y) / var(x)
+        corr2 = cov(x, y)^2 / (var(x) * var(y))   (= variance removed)
+
+    and the adjusted metric is y - theta * (x - mean(x)).
+
+    Exactness discipline: the five moment sums (Sx, Sy, Sxy, Sxx, Syy)
+    are DECIMAL — per-unit sums are decimal(18,scale) and cross
+    products widen to decimal(38,2*scale), so every aggregate is exact
+    and order-free; the only float math is the final one-row
+    theta/corr arithmetic on the (n*Sxy - Sx*Sy) moment forms.  Scale
+    shape: one per-unit groupBy, one 5-sum aggregate to a single row —
+    two shuffles total, both keyed/partial-aggregated."""
+    per_unit = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(is_pre, F.col(value_col)).cast(f"decimal(18,{scale})")
+            ),
+            F.lit(0).cast(f"decimal(18,{scale})"),
+        ).alias("_x"),
+        F.coalesce(
+            F.sum(
+                F.when(~is_pre, F.col(value_col)).cast(f"decimal(18,{scale})")
+            ),
+            F.lit(0).cast(f"decimal(18,{scale})"),
+        ).alias("_y"),
+    )
+    mom = per_unit.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n^2 * cov
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    return mom.select(
+        F.col("_n").alias("n_units"),
+        F.round(cov_n / varx_n + F.lit(1e-9), 6).alias("theta"),
+        F.round(cov_n * cov_n / (varx_n * vary_n) + F.lit(1e-9), 6).alias(
+            "corr2"
+        ),
+        F.round(
+            F.lit(100.0) * (cov_n * cov_n / (varx_n * vary_n)) + F.lit(1e-9),
+            2,
+        ).alias("var_reduction_pct"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    is_a: Column,
+    chi_crit: float = 3.841,
+) -> DataFrame:
+    """Sample-ratio-mismatch gate for a 50/50 split: chi-square
+    goodness-of-fit with 1 df over DISTINCT unit assignment counts,
+    which for two arms collapses to chi2 = (n_a - n_b)^2 / n.  SRM is
+    the first thing to check before reading any experiment metric — a
+    mismatched split means the assignment itself is broken and every
+    downstream stat is suspect.  chi_crit 3.841 = 5%.  Exact integers
+    until one final division."""
+    arms = df.select(F.col(unit_col).alias("_u"), is_a.alias("_a")).distinct()
+    agg = arms.agg(
+        F.sum(F.col("_a").cast("long")).alias("_na"),
+        F.sum((~F.col("_a")).cast("long")).alias("_nb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    d = (na - nb).cast("double")
+    chi = d * d / (na + nb).cast("double")
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(chi + F.lit(1e-9), 4).alias("chi2"),
+        (chi > F.lit(chi_crit)).alias("srm"),
+    )

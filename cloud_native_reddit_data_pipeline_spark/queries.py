@@ -13321,6 +13321,93 @@ def streaming_thread_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register(
+    "cuped_variance_reduction",
+    """
+    WITH per_unit AS (
+      SELECT o_custkey,
+             COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+               CAST(0 AS DECIMAL(18,2))) AS x,
+             COALESCE(SUM(CASE WHEN NOT (o_orderdate < TIMESTAMP '1998-01-01')
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+               CAST(0 AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY o_custkey
+    ), mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM per_unit
+    )
+    SELECT CAST(n AS BIGINT) AS n_units,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 + 1e-9, 6) AS theta,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 + 1e-9, 6) AS corr2,
+           ROUND(100.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 + 1e-9, 2) AS var_reduction_pct
+    FROM mom
+    """,
+)
+def cuped_variance_reduction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) over orders: pre-1998 customer spend as
+    the covariate for in-period spend — theta and the variance fraction
+    the adjustment removes (operators/relational.py:cuped_adjustment).
+    The five moment sums are decimal-exact and order-free; floats only
+    in the final one-row arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    return relational.cuped_adjustment(
+        o,
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+    )
+
+
+@register(
+    "ab_srm_check",
+    """
+    WITH arms AS (
+      SELECT DISTINCT user_id, user_id % 2 = 0 AS a FROM events
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM arms
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(CAST(na - nb AS DOUBLE) * CAST(na - nb AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE) + 1e-9, 4) AS chi2,
+           CAST(na - nb AS DOUBLE) * CAST(na - nb AS DOUBLE)
+             / CAST(na + nb AS DOUBLE) > 3.841 AS srm
+    FROM agg
+    """,
+)
+def ab_srm_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate for the user-parity experiment split
+    (operators/relational.py:srm_check): chi-square over DISTINCT unit
+    assignments — the sanity check that must pass before
+    ab_conversion_ztest's metric read means anything."""
+    e = load(spark, sf_dir, "events")
+    return relational.srm_check(e, "user_id", F.col("user_id") % 2 == 0)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

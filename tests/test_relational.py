@@ -433,3 +433,54 @@ def test_two_proportion_ztest_hand_computed(spark):
     # z = 0.2 / sqrt(0.5*0.5*0.02) = 2.8284
     assert abs(row.z_stat - 2.8284) < 1e-9
     assert row.significant
+
+
+def test_cuped_perfect_correlation(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        cuped_adjustment,
+    )
+
+    # y = 2x exactly -> theta = 2, corr2 = 1 (all variance removed)
+    rows = []
+    for u in range(20):
+        x = float(10 + u)
+        rows.append((u, x, True))
+        rows.append((u, 2 * x, False))
+    df = spark.createDataFrame(rows, "u long, v double, pre boolean")
+    row = cuped_adjustment(df, "u", "v", F.col("pre")).collect()[0]
+    assert row.n_units == 20
+    assert abs(row.theta - 2.0) < 1e-6
+    assert abs(row.corr2 - 1.0) < 1e-6
+    assert abs(row.var_reduction_pct - 100.0) < 1e-6
+
+
+def test_cuped_independent_covariate_near_zero(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        cuped_adjustment,
+    )
+
+    # x alternates independently of y -> corr2 ~ 0
+    rows = []
+    for u in range(40):
+        rows.append((u, float(u % 2), True))
+        rows.append((u, float((u // 2) % 5), False))
+    df = spark.createDataFrame(rows, "u long, v double, pre boolean")
+    row = cuped_adjustment(df, "u", "v", F.col("pre")).collect()[0]
+    assert row.corr2 < 0.05
+
+
+def test_srm_check_balanced_and_broken(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        srm_check,
+    )
+
+    bal = spark.createDataFrame([(i,) for i in range(100)], "u long")
+    row = srm_check(bal, "u", F.col("u") % 2 == 0).collect()[0]
+    assert (row.n_a, row.n_b, row.chi2, row.srm) == (50, 50, 0.0, False)
+    # 80/20 split of 100 units: chi2 = 60^2/100 = 36 -> SRM
+    broken = srm_check(bal, "u", F.col("u") < 80).collect()[0]
+    assert broken.srm and abs(broken.chi2 - 36.0) < 1e-9
+    # duplicate event rows must not inflate unit counts
+    dup = bal.unionByName(bal)
+    row2 = srm_check(dup, "u", F.col("u") % 2 == 0).collect()[0]
+    assert (row2.n_a, row2.n_b) == (50, 50)
