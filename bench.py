@@ -221,6 +221,7 @@ HEADLINE = [
     "ab_conversion_ztest",
     "cuped_variance_reduction",
     "ab_srm_check",
+    "pmi_collocations",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

@@ -1924,3 +1924,83 @@ def keyness_loglr(
         .filter(F.col("rank") <= k)
         .withColumnRenamed("_g", group_col)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    lowercase token pairs — the classic lexical-association miner
+    (Church & Hanks 1990): phrases whose parts co-occur far above
+    chance ("new york", "machine learning"), the statistical front-end
+    of phrase-vocabulary induction (word2vec-style phrase joining) and
+    a sharper signal than raw bigram frequency (`top_ngrams`), which
+    ranks "of the" first.
+
+        pmi = ln( (c_xy / B) / ((c_x / N) * (c_y / N)) )
+
+    with B total bigrams, N total tokens; `min_count` suppresses the
+    hapax pairs whose PMI is maximal by accident.
+
+    Scale shape: bigrams are built JVM-side (the zip_with shape of
+    `_bigram_type_counts`) and collapse to vocabulary-pair counts with
+    map-side partial aggregation; unigram counts join on word keys;
+    the global totals are 1-row broadcast cross joins; the top-k cut
+    is TakeOrderedAndProject on the rounded PMI with a pair tie-break,
+    then a rank window over exactly k rows."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    pair_t = "array<struct<w1:string,w2:string>>"
+    zipped = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = F.when(
+        F.size(toks) >= 2, F.slice(zipped, 1, F.size(toks) - 1)
+    ).otherwise(F.array().cast(pair_t))
+    bg = (
+        df.select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = uni.agg(
+        F.sum("n_w").alias("_n"),
+    )
+    btot = bg.agg(F.sum("n_pair").alias("_b"))
+    cand = (
+        bg.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("_b").cast("double"))
+        / (
+            (F.col("n_w1").cast("double") / F.col("_n").cast("double"))
+            * (F.col("n_w2").cast("double") / F.col("_n").cast("double"))
+        )
+    )
+    top = (
+        cand.select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(pmi + F.lit(1e-9), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w))

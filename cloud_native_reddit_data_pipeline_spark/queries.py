@@ -13408,6 +13408,53 @@ def ab_srm_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.srm_check(e, "user_id", F.col("user_id") % 2 == 0)
 
 
+@register(
+    "pmi_collocations",
+    f"""
+    WITH tk AS (
+      SELECT list_transform({_TOKS_SQL}, x -> lower(x)) AS t FROM documents
+    ), bg AS (
+      SELECT u.w1, u.w2, COUNT(*) AS n_pair
+      FROM tk, LATERAL (
+        SELECT unnest(t[1:len(t) - 1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+      ) u
+      WHERE len(t) >= 2
+      GROUP BY u.w1, u.w2
+    ), uni AS (
+      SELECT u.w, COUNT(*) AS n_w
+      FROM tk, LATERAL (SELECT unnest(t) AS w) u
+      GROUP BY u.w
+    ), tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM uni),
+    btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b FROM bg),
+    cand AS (
+      SELECT bg.w1, bg.w2, bg.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+             ROUND(ln((CAST(bg.n_pair AS DOUBLE) / CAST(btot.b AS DOUBLE))
+               / ((CAST(u1.n_w AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                  * (CAST(u2.n_w AS DOUBLE) / CAST(tot.n AS DOUBLE))))
+               + 1e-9, 4) AS pmi
+      FROM bg
+      JOIN uni u1 ON u1.w = bg.w1
+      JOIN uni u2 ON u2.w = bg.w2, tot, btot
+      WHERE bg.n_pair >= 5
+    )
+    SELECT w1, w2, n_pair, n_w1, n_w2, pmi, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM cand
+    ) WHERE rank <= 20
+    """,
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations over the documents corpus
+    (operators/textstats.py:pmi_collocations) — lexical association
+    mining at vocabulary-pair granularity; totals ride 1-row broadcast
+    cross joins and the top-k cut is a TakeOrdered on the rounded PMI
+    with a pair tie-break."""
+    return textstats.pmi_collocations(
+        load(spark, sf_dir, "documents"), "text", min_count=5, k=20
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -601,3 +601,28 @@ def test_keyness_loglr_hand_computed(spark):
     assert ("x", "common") not in rows and ("y", "common") not in rows
     # 'other' is distinctive of y
     assert rows[("y", "other")].focus_count == 4
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    import math
+
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    # "xq yq" always co-occurs (5 times); filler words are frequent and
+    # independent, so the planted pair must rank first.
+    docs = spark.createDataFrame(
+        [(i, "xq yq " + "the cat sat on the mat " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, "text", min_count=5, k=5).collect()
+    top = rows[0]
+    assert (top.w1, top.w2, top.rank) == ("xq", "yq", 1)
+    assert top.n_pair == 5 and top.n_w1 == 5 and top.n_w2 == 5
+    # hand-check: B = 5*19 bigrams, N = 5*20 tokens
+    b, n = 5 * 19, 5 * 20
+    expect = round(math.log((5 / b) / ((5 / n) * (5 / n))) + 1e-9, 4)
+    assert abs(top.pmi - expect) < 1e-9
+    # every returned pair met min_count
+    assert all(r.n_pair >= 5 for r in rows)
