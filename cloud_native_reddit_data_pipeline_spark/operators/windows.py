@@ -1046,3 +1046,125 @@ def event_sequence_examples(
         .filter(F.col("_oldest").isNotNull())
         .drop("_oldest")
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    conversion_type: str,
+    channels: list[str],
+) -> DataFrame:
+    """Game-theoretic channel attribution: the Shapley value of each
+    marketing channel for conversion — the data-driven successor to
+    the positional rules (`touch_attribution` last-touch,
+    `linear_touch_attribution` equal-split), which credit whatever
+    happened to be adjacent rather than what changed the outcome.
+
+    Journey model: per user, the SET of channels seen strictly before
+    the first conversion event (non-converters contribute their whole
+    channel set); the coalition value v(S) is the conversion rate of
+    journeys whose channel set is CONTAINED in S (the zeta-transform /
+    "exposed only to S" form).  Then
+
+        phi_i = sum_{S not containing i} w(|S|) * (v(S u {i}) - v(S)),
+        w(s) = s! * (k - s - 1)! / k!
+
+    Exactness discipline: journeys collapse to <= 2^k mask rows
+    (integer counts); v() values are single integer divisions; each
+    weighted marginal is e9-quantized to an integer before the final
+    sum, so the per-channel total is order-free (the repo's share_e6
+    tactic from linear attribution).  Everything after the one
+    journey-collapsing groupBy runs on <= 2^k-row frames — the
+    subset-sum join, the marginal self-join, and the k-row output are
+    all broadcast-sized at ANY event volume.  k above ~16 channels
+    needs the sampled-permutation estimator instead; this is the exact
+    form for the small channel vocabularies real funnels have."""
+    k = len(channels)
+    bit_expr = None
+    for i, ch in enumerate(channels):
+        branch = F.when(F.col(type_col) == ch, F.lit(1 << i))
+        bit_expr = branch if bit_expr is None else bit_expr.when(
+            F.col(type_col) == ch, F.lit(1 << i)
+        )
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_cts"))
+    )
+    users = events.select(F.col(user_col).alias("_u")).distinct()
+    ch_events = (
+        events.filter(F.col(type_col).isin(channels))
+        .select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"), bit_expr.alias("_b"))
+        .join(conv, "_u", "left")
+        .filter(F.col("_cts").isNull() | (F.col("_ts") < F.col("_cts")))
+        .groupBy("_u")
+        .agg(F.expr("bit_or(_b)").alias("_mask"))
+    )
+    jm = (
+        users.join(ch_events, "_u", "left")
+        .join(conv.select("_u").withColumn("_conv", F.lit(1)), "_u", "left")
+        .select(
+            F.coalesce(F.col("_mask"), F.lit(0)).cast("long").alias("_mask"),
+            F.coalesce(F.col("_conv"), F.lit(0)).alias("_conv"),
+        )
+    )
+    mc = jm.groupBy("_mask").agg(
+        F.count(F.lit(1)).alias("_nj"), F.sum("_conv").cast("long").alias("_nc")
+    )
+    spark = events.sparkSession
+    smasks = spark.range(1 << k).select(F.col("id").alias("_s"))
+    ss = (
+        smasks.join(
+            F.broadcast(mc),
+            (F.col("_mask").bitwiseAND(F.col("_s")) == F.col("_mask")),
+            "left",
+        )
+        .groupBy("_s")
+        .agg(
+            F.coalesce(F.sum("_nj"), F.lit(0)).cast("long").alias("_n"),
+            F.coalesce(F.sum("_nc"), F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    v = ss.select(
+        "_s",
+        F.when(
+            F.col("_n") > 0, F.col("_c").cast("double") / F.col("_n").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_v"),
+    ).localCheckpoint(eager=True)
+    names = spark.createDataFrame(
+        [(i, ch) for i, ch in enumerate(channels)], "i int, channel string"
+    )
+    # w(s) literals for the k at hand, as exact-literal doubles both
+    # engines parse identically
+    import math
+
+    w_expr = None
+    for s in range(k):
+        wval = math.factorial(s) * math.factorial(k - s - 1) / math.factorial(k)
+        branch = F.when(F.expr("bit_count(_s0)") == s, F.lit(wval))
+        w_expr = branch if w_expr is None else w_expr.when(
+            F.expr("bit_count(_s0)") == s, F.lit(wval)
+        )
+    v0 = v.select(F.col("_s").alias("_s0"), F.col("_v").alias("_v0"))
+    v1 = v.select(F.col("_s").alias("_s1"), F.col("_v").alias("_v1"))
+    marg = (
+        names.crossJoin(F.broadcast(v0))
+        .filter(F.col("_s0").bitwiseAND(F.expr("shiftleft(1, i)")) == 0)
+        .withColumn("_s1", F.col("_s0") + F.expr("shiftleft(1, i)"))
+        .join(F.broadcast(v1), "_s1")
+        .select(
+            "channel",
+            F.round(
+                (F.col("_v1") - F.col("_v0")) * w_expr * F.lit(1e9) + F.lit(1e-9)
+            )
+            .cast("long")
+            .alias("_m_e9"),
+        )
+    )
+    return marg.groupBy("channel").agg(
+        F.round(F.sum("_m_e9") / F.lit(1e9) + F.lit(1e-9), 6).alias("shapley")
+    )

@@ -13455,6 +13455,79 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shapley_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, MIN(ts) AS cts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), users AS (
+      SELECT DISTINCT user_id AS u FROM events
+    ), che AS (
+      SELECT e.user_id AS u,
+             CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS b
+      FROM events e LEFT JOIN conv c ON c.u = e.user_id
+      WHERE e.event_type IN ('click', 'error', 'signup', 'view')
+        AND (c.cts IS NULL OR e.ts < c.cts)
+    ), bm AS (
+      SELECT u, CAST(bit_or(b) AS BIGINT) AS mask FROM che GROUP BY u
+    ), jm AS (
+      SELECT COALESCE(bm.mask, 0) AS mask,
+             CASE WHEN c.cts IS NULL THEN 0 ELSE 1 END AS conv
+      FROM users LEFT JOIN bm ON bm.u = users.u
+      LEFT JOIN conv c ON c.u = users.u
+    ), mc AS (
+      SELECT mask, COUNT(*) AS nj, CAST(SUM(conv) AS BIGINT) AS nc
+      FROM jm GROUP BY mask
+    ), ss AS (
+      SELECT g.s,
+             CAST(COALESCE(SUM(mc.nj), 0) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(mc.nc), 0) AS BIGINT) AS c
+      FROM (SELECT unnest(generate_series(0, 15)) AS s) g
+      LEFT JOIN mc ON (mc.mask & g.s) = mc.mask
+      GROUP BY g.s
+    ), v AS (
+      SELECT s, CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                     ELSE 0.0 END AS v
+      FROM ss
+    ), marg AS (
+      SELECT ch.name AS channel,
+             CAST(ROUND((v1.v - v0.v)
+               * (CASE WHEN bit_count(v0.s) = 0 THEN 0.25
+                       WHEN bit_count(v0.s) = 1 THEN 1.0/12.0
+                       WHEN bit_count(v0.s) = 2 THEN 1.0/12.0
+                       ELSE 0.25 END)
+               * 1000000000.0 + 1e-9) AS BIGINT) AS m_e9
+      FROM (VALUES (0, 'click'), (1, 'error'), (2, 'signup'),
+                   (3, 'view')) ch(i, name)
+      JOIN v v0 ON (v0.s & (1 << ch.i)) = 0
+      JOIN v v1 ON v1.s = v0.s + (1 << ch.i)
+    )
+    SELECT channel,
+           ROUND(SUM(m_e9) / 1000000000.0 + 1e-9, 6) AS shapley
+    FROM marg GROUP BY channel
+    """,
+)
+def shapley_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley channel attribution over events
+    (operators/windows.py:shapley_attribution): per-user channel SETS
+    before first purchase collapse to <= 2^k mask counts, coalition
+    values come from a subset-sum join over 16 masks, and marginals
+    are e9-quantized integers so the per-channel sum is order-free.
+    The heavy lifting (one journey groupBy) is the only event-scale
+    stage; everything after is broadcast-sized."""
+    _utc(spark)
+    return windows.shapley_attribution(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        "purchase",
+        ["click", "error", "signup", "view"],
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pyspark.sql.functions as F
+
 from cloud_native_reddit_data_pipeline_spark.operators import windows
 
 
@@ -262,3 +264,72 @@ def test_event_sequence_examples_context_and_warmup(spark):
     assert set(out) == {4, 5}
     assert out[4].context == "e1>e2>e3" and out[4].target == "e4"
     assert out[5].context == "e2>e3>e4" and out[5].target == "e5"
+
+
+def test_shapley_attribution_single_driver_channel(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        shapley_attribution,
+    )
+
+    # 10 users: the 5 who saw 'a' convert, the 5 who saw only 'b' don't.
+    # All conversion signal sits on 'a'; 'b' must get ~0.
+    rows = []
+    t0 = "2024-01-01 00:00:0"
+    for u in range(5):
+        rows += [(u, "a", f"{t0}1"), (u, "b", f"{t0}2"), (u, "buy", f"{t0}3")]
+    for u in range(5, 10):
+        rows += [(u, "b", f"{t0}1")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.channel: r.shapley
+        for r in shapley_attribution(
+            df, "user_id", "event_type", "ts", "buy", ["a", "b"]
+        ).collect()
+    }
+    # efficiency: shapley sums to v(full) - v(empty) = 0.5 - 0.0
+    assert abs(sum(got.values()) - 0.5) < 1e-6
+    # hand-check: v({}) = 0 (no zero-mask journeys... masks are {a,b}
+    # and {b}), v({a}) = 0 (no subset journeys), v({b}) = 0/5,
+    # v({a,b}) = 5/10.  phi_a = 0.5*(v(ab)-v(b)) + 0.5*(v(a)-v({}))
+    # = 0.25; phi_b = 0.5*(v(ab)-v(a)) + 0.5*(v(b)-v({})) = 0.25.
+    # (With set-containment semantics both channels share credit for
+    # the joint coalition; 'b' alone still shows zero lift: v(b)=0.)
+    assert abs(got["a"] - 0.25) < 1e-6 and abs(got["b"] - 0.25) < 1e-6
+
+
+def test_shapley_efficiency_on_mixed_journeys(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        shapley_attribution,
+    )
+
+    rows = []
+    t0 = "2024-01-01 00:00:0"
+    # mask {a}: 4 journeys, 2 convert; mask {b}: 4 journeys, 1 converts;
+    # mask {a,b}: 2 journeys, 2 convert
+    u = 0
+    for conv in (True, True, False, False):
+        rows += [(u, "a", f"{t0}1")] + ([(u, "buy", f"{t0}5")] if conv else [])
+        u += 1
+    for conv in (True, False, False, False):
+        rows += [(u, "b", f"{t0}1")] + ([(u, "buy", f"{t0}5")] if conv else [])
+        u += 1
+    for conv in (True, True):
+        rows += [(u, "a", f"{t0}1"), (u, "b", f"{t0}2")] + (
+            [(u, "buy", f"{t0}5")] if conv else []
+        )
+        u += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.channel: r.shapley
+        for r in shapley_attribution(
+            df, "user_id", "event_type", "ts", "buy", ["a", "b"]
+        ).collect()
+    }
+    # v(full) = 5/10, v(empty) = 0 -> efficiency
+    assert abs(sum(got.values()) - 0.5) < 1e-6
+    # 'a' converts at 2/4 alone vs 'b' 1/4 alone -> phi_a > phi_b
+    assert got["a"] > got["b"]
