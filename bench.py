@@ -223,6 +223,7 @@ HEADLINE = [
     "ab_srm_check",
     "pmi_collocations",
     "shapley_attribution",
+    "markov_attribution",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

@@ -1168,3 +1168,154 @@ def shapley_attribution(
     return marg.groupBy("channel").agg(
         F.round(F.sum("_m_e9") / F.lit(1e9) + F.lit(1e-9), 6).alias("shapley")
     )
+
+
+_MARKOV_E = 10**12
+_MARKOV_SQUARINGS = 11  # T^(2^11) = T^2048; transient mass 0.99^2048 ~ 1e-9
+
+
+def _markov_absorption_e12(
+    counts: dict[tuple[int, int], int], k: int
+) -> dict[int, int]:
+    """Exact-integer absorbing-chain solve shared by the operator and
+    (by construction) the SQL oracle: states 0=start, 1..k=channels,
+    k+1=conv, k+2=null.  For the full chain (variant 0) and each
+    removed-channel variant r (transitions INTO r redirected to null),
+    build the row-floored e12 transition matrix and square it
+    `_MARKOV_SQUARINGS` times — every entry is (sum of products) // E,
+    so the arithmetic is order-free integer math a HUGEINT SQL replay
+    reproduces bit-for-bit.  Returns {variant: P(start->conv) * E}."""
+    E = _MARKOV_E
+    conv_s, null_s = k + 1, k + 2
+    out: dict[int, int] = {}
+    for var in range(k + 1):  # 0 = full, r = channel state removed
+        cnt: dict[tuple[int, int], int] = {}
+        for (s, d), c in counts.items():
+            dd = null_s if (var > 0 and d == var) else d
+            cnt[(s, dd)] = cnt.get((s, dd), 0) + c
+        row_tot: dict[int, int] = {}
+        for (s, _d), c in cnt.items():
+            row_tot[s] = row_tot.get(s, 0) + c
+        t = {(s, d): c * E // row_tot[s] for (s, d), c in cnt.items()}
+        t[(conv_s, conv_s)] = E
+        t[(null_s, null_s)] = E
+        for _ in range(_MARKOV_SQUARINGS):
+            nxt: dict[tuple[int, int], int] = {}
+            by_src: dict[int, list[tuple[int, int]]] = {}
+            for (s, d), p in t.items():
+                by_src.setdefault(s, []).append((d, p))
+            for (s, m), p1 in t.items():
+                for d, p2 in by_src.get(m, []):
+                    nxt[(s, d)] = nxt.get((s, d), 0) + p1 * p2
+            t = {sd: p // E for sd, p in nxt.items() if p // E > 0}
+            t[(conv_s, conv_s)] = E
+            t[(null_s, null_s)] = E
+        out[var] = t.get((0, conv_s), 0)
+    return out
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    conversion_type: str,
+    channels: list[str],
+) -> DataFrame:
+    """Markov-chain (removal-effect) channel attribution — the
+    sequence-aware member of the attribution trio (positional:
+    `touch_attribution`/`linear_touch_attribution`; set-based:
+    `shapley_attribution`): fit a first-order chain over per-user
+    channel sequences ending in conversion or null, then credit each
+    channel by how much the start->conversion absorption probability
+    drops when that channel is removed (its inbound transitions
+    redirected to null) — Anderl et al. 2016's standard model.
+
+    Exactness discipline: transition probabilities are row-floored
+    e12 integers and absorption comes from 11 integer matrix
+    squarings (T^2048), so the whole solve is order-free integer
+    arithmetic; removal effects and shares divide e12 integers (all
+    below 2^53, doubles are exact).  Scale shape: the ONLY event-scale
+    stages are the journey window (lead over (user, ts, id)) and the
+    (src,dst) count groupBy; the chain itself is <= (k+3)^2 rows,
+    collected driver-side like the BPE merge table, solved in exact
+    Python ints, and returned as a k-row frame."""
+    k = len(channels)
+    st_expr = None
+    for i, ch in enumerate(channels):
+        branch = F.when(F.col(type_col) == ch, F.lit(i + 1))
+        st_expr = branch if st_expr is None else st_expr.when(
+            F.col(type_col) == ch, F.lit(i + 1)
+        )
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_cts"))
+    )
+    che = (
+        events.filter(F.col(type_col).isin(channels))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            st_expr.alias("_st"),
+        )
+        .join(conv, "_u", "left")
+        .filter(F.col("_cts").isNull() | (F.col("_ts") < F.col("_cts")))
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    seq = che.select(
+        "_u",
+        "_st",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("_st").over(w).alias("_nxt"),
+    )
+    users = events.select(F.col(user_col).alias("_u")).distinct()
+    ustat = users.join(conv, "_u", "left").select(
+        "_u",
+        F.when(F.col("_cts").isNull(), F.lit(k + 2))
+        .otherwise(F.lit(k + 1))
+        .alias("_endst"),
+    )
+    tr = (
+        seq.filter(F.col("_rn") == 1)
+        .select(F.lit(0).alias("src"), F.col("_st").alias("dst"))
+        .unionByName(
+            seq.filter(F.col("_nxt").isNotNull()).select(
+                F.col("_st").alias("src"), F.col("_nxt").alias("dst")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("_nxt").isNull())
+            .join(ustat, "_u")
+            .select(F.col("_st").alias("src"), F.col("_endst").alias("dst"))
+        )
+        .unionByName(
+            ustat.join(
+                che.select("_u").distinct(), "_u", "left_anti"
+            ).select(F.lit(0).alias("src"), F.col("_endst").alias("dst"))
+        )
+    )
+    counts = {
+        (r["src"], r["dst"]): r["c"]
+        for r in tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    p = _markov_absorption_e12(counts, k)
+    pf = p[0]
+    re_num = {r: pf - p[r] for r in range(1, k + 1)}
+    tot = sum(re_num.values())
+    rows = []
+    for i, ch in enumerate(channels):
+        num = re_num[i + 1]
+        rows.append(
+            (
+                ch,
+                round(pf / _MARKOV_E + 1e-9, 6),
+                round(num / pf + 1e-9, 6) if pf > 0 else 0.0,
+                round(num / tot + 1e-9, 6) if tot > 0 else 0.0,
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        rows, "channel string, p_conv double, removal_effect double, share double"
+    )

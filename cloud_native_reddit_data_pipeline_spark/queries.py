@@ -13528,6 +13528,127 @@ def shapley_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markov_oracle_sql() -> str:
+    """DuckDB replay of the exact-integer Markov attribution: identical
+    journey windowing, identical row-floored e12 transition matrix per
+    removal variant, and the same 11 HUGEINT matrix squarings
+    (operators/windows.py:_markov_absorption_e12) — every entry is
+    (sum of products) // 1e12, order-free integer math on both sides."""
+    e = 10**12
+    sq = "\n".join(
+        f"""    , t{m} AS MATERIALIZED (
+      SELECT a.variant, a.src, b.dst,
+             CAST(SUM(a.p * b.p) // {e} AS HUGEINT) AS p
+      FROM t{m - 1} a JOIN t{m - 1} b
+        ON b.variant = a.variant AND b.src = a.dst
+      GROUP BY a.variant, a.src, b.dst
+    )"""
+        for m in range(1, 12)
+    )
+    return f"""
+    WITH conv AS (
+      SELECT user_id AS u, MIN(ts) AS cts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), che AS (
+      SELECT e.user_id AS u, e.ts, e.event_id,
+             CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END AS st
+      FROM events e LEFT JOIN conv c ON c.u = e.user_id
+      WHERE e.event_type IN ('click', 'error', 'signup', 'view')
+        AND (c.cts IS NULL OR e.ts < c.cts)
+    ), seq AS (
+      SELECT u, st,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, event_id) AS rn,
+             LEAD(st) OVER (PARTITION BY u ORDER BY ts, event_id) AS nxt
+      FROM che
+    ), users AS (
+      SELECT DISTINCT user_id AS u FROM events
+    ), ustat AS (
+      SELECT users.u, CASE WHEN c.cts IS NULL THEN 6 ELSE 5 END AS endst
+      FROM users LEFT JOIN conv c ON c.u = users.u
+    ), tr AS (
+      SELECT 0 AS src, st AS dst FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT st, nxt FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT s.st, us.endst FROM seq s JOIN ustat us ON us.u = s.u
+      WHERE s.nxt IS NULL
+      UNION ALL
+      SELECT 0, us.endst FROM ustat us
+      WHERE us.u NOT IN (SELECT DISTINCT u FROM che)
+    ), cnt AS MATERIALIZED (
+      SELECT src, dst, COUNT(*) AS c FROM tr GROUP BY src, dst
+    ), vars AS (
+      SELECT unnest(generate_series(0, 4)) AS variant
+    ), vcnt AS (
+      SELECT v.variant, c.src,
+             CASE WHEN v.variant > 0 AND c.dst = v.variant THEN 6
+                  ELSE c.dst END AS dst,
+             CAST(SUM(c.c) AS BIGINT) AS c
+      FROM cnt c, vars v
+      GROUP BY v.variant, c.src,
+               CASE WHEN v.variant > 0 AND c.dst = v.variant THEN 6
+                    ELSE c.dst END
+    ), rt AS (
+      SELECT variant, src, CAST(SUM(c) AS BIGINT) AS tot
+      FROM vcnt GROUP BY variant, src
+    ), t0 AS MATERIALIZED (
+      SELECT v.variant, v.src, v.dst,
+             CAST(CAST(v.c AS HUGEINT) * {e} // rt.tot AS HUGEINT) AS p
+      FROM vcnt v JOIN rt ON rt.variant = v.variant AND rt.src = v.src
+      UNION ALL
+      SELECT variant, 5, 5, CAST({e} AS HUGEINT) FROM vars
+      UNION ALL
+      SELECT variant, 6, 6, CAST({e} AS HUGEINT) FROM vars
+    )
+{sq}
+    , pf AS (
+      SELECT CAST(p AS HUGEINT) AS p FROM t11
+      WHERE variant = 0 AND src = 0 AND dst = 5
+    ), res AS (
+      SELECT ch.name AS channel,
+             COALESCE((SELECT p FROM t11
+                       WHERE variant = ch.i AND src = 0 AND dst = 5),
+                      0) AS pr
+      FROM (VALUES (1, 'click'), (2, 'error'), (3, 'signup'),
+                   (4, 'view')) ch(i, name)
+    ), tot AS (
+      SELECT SUM((SELECT p FROM pf) - pr) AS t FROM res
+    )
+    SELECT channel,
+           ROUND(CAST((SELECT p FROM pf) AS DOUBLE) / {e}.0 + 1e-9, 6)
+             AS p_conv,
+           ROUND(CAST((SELECT p FROM pf) - pr AS DOUBLE)
+                 / CAST((SELECT p FROM pf) AS DOUBLE) + 1e-9, 6)
+             AS removal_effect,
+           ROUND(CAST((SELECT p FROM pf) - pr AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE) + 1e-9, 6) AS share
+    FROM res
+    """
+
+
+@register("markov_attribution", _markov_oracle_sql())
+def markov_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over events
+    (operators/windows.py:markov_removal_attribution): first-order
+    chain on per-user channel sequences, conversion credit = drop in
+    start->conv absorption when a channel's inbound edges redirect to
+    null.  The event-scale stages are one lead window and one
+    (src,dst) count; the <= 36-row chain is a driver-side exact-int
+    solve (BPE-merge-table precedent), replayed bit-for-bit by the
+    oracle's HUGEINT squaring CTEs."""
+    _utc(spark)
+    return windows.markov_removal_attribution(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "purchase",
+        ["click", "error", "signup", "view"],
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

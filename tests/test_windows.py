@@ -333,3 +333,46 @@ def test_shapley_efficiency_on_mixed_journeys(spark):
     assert abs(sum(got.values()) - 0.5) < 1e-6
     # 'a' converts at 2/4 alone vs 'b' 1/4 alone -> phi_a > phi_b
     assert got["a"] > got["b"]
+
+
+def test_markov_attribution_single_driver_channel(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        markov_removal_attribution,
+    )
+
+    # Converters always pass through 'a'; 'b' appears only in
+    # non-converting journeys -> removing 'a' kills all conversion
+    # (removal_effect 1, share 1), removing 'b' changes nothing.
+    rows = []
+    t0 = "2024-01-01 00:00:0"
+    for u in range(4):
+        rows += [(u, 1, "a", f"{t0}1"), (u, 2, "buy", f"{t0}2")]
+    for u in range(4, 8):
+        rows += [(u, 1, "b", f"{t0}1")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.channel: r
+        for r in markov_removal_attribution(
+            df, "user_id", "event_type", "ts", "event_id", "buy", ["a", "b"]
+        ).collect()
+    }
+    assert abs(got["a"].p_conv - 0.5) < 1e-6
+    assert abs(got["a"].removal_effect - 1.0) < 1e-6
+    assert abs(got["a"].share - 1.0) < 1e-6
+    assert abs(got["b"].removal_effect) < 1e-6
+
+
+def test_markov_absorption_hand_chain(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        _MARKOV_E,
+        _markov_absorption_e12,
+    )
+
+    # start -> a (always); a -> conv 1/2, a -> null 1/2
+    counts = {(0, 1): 2, (1, 2): 1, (1, 3): 1}
+    p = _markov_absorption_e12(counts, k=1)
+    assert abs(p[0] / _MARKOV_E - 0.5) < 1e-9
+    # removing 'a' redirects start's mass to null: P -> 0
+    assert p[1] == 0
