@@ -224,6 +224,8 @@ HEADLINE = [
     "pmi_collocations",
     "shapley_attribution",
     "markov_attribution",
+    "sft_thread_examples",
+    "target_encode_loo",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

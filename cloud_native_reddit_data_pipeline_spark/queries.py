@@ -13649,6 +13649,145 @@ def markov_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sft_thread_examples",
+    f"""
+    WITH RECURSIVE {_TREE_PATHS_SQL},
+    leaves AS (
+      SELECT * FROM p
+      WHERE node_id NOT IN (
+        SELECT parent_id FROM nodes WHERE parent_id IS NOT NULL)
+    ), capped AS (
+      SELECT * FROM (
+        SELECT node_id, root_id, depth, path,
+               ROW_NUMBER() OVER (
+                 PARTITION BY root_id
+                 ORDER BY md5(CAST(node_id AS VARCHAR)), node_id
+               ) AS pick
+        FROM leaves
+      ) WHERE pick <= 2
+    ), turns AS (
+      SELECT l.node_id AS leaf_id, l.root_id, u.i,
+             CAST(u.node_str AS BIGINT) AS turn_doc
+      FROM capped l,
+      LATERAL (
+        SELECT unnest(generate_series(1, len(string_split(l.path, '/'))))
+                 AS i,
+               unnest(string_split(l.path, '/')) AS node_str
+      ) u
+    )
+    SELECT t.leaf_id, t.root_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN (t.i - 1) % 2 = 1
+                    THEN len({_TOKS_SQL}) ELSE 0 END) AS BIGINT)
+             AS loss_tokens,
+           ROUND(CAST(SUM(CASE WHEN (t.i - 1) % 2 = 1
+                         THEN len({_TOKS_SQL}) ELSE 0 END) AS DOUBLE)
+                 / SUM(len({_TOKS_SQL})) + 1e-9, 4) AS loss_fraction
+    FROM turns t JOIN documents d ON d.doc_id = t.turn_doc
+    GROUP BY t.leaf_id, t.root_id
+    """,
+)
+def sft_thread_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-ready thread examples: root-to-leaf conversations capped at
+    2 per thread (md5-rank pick — correlated siblings share most of
+    their turns, so uncapped threads flood the batch with near-copies)
+    and accounted for training: total tokens vs LOSS tokens (assistant
+    turns only — odd depths under the root-is-user convention) and the
+    loss fraction an SFT trainer would see.  Composition of
+    trees.tree_paths + mark_leaves + a per-root rank window over leaf
+    rows (bounded by thread width) + the token budget join."""
+    nodes = _tree_nodes(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    paths = trees.tree_paths(nodes, max_depth=_TREE_DEPTH)
+    leaves = trees.mark_leaves(paths, nodes).filter("is_leaf")
+    w = Window.partitionBy("root_id").orderBy(
+        F.md5(F.col("node_id").cast("string")), F.col("node_id")
+    )
+    capped = (
+        leaves.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 2)
+    )
+    turns = capped.select(
+        F.col("node_id").alias("leaf_id"),
+        "root_id",
+        F.posexplode(F.split("path", "/")).alias("i0", "node_str"),
+    ).select(
+        "leaf_id",
+        "root_id",
+        F.col("i0").alias("_i0"),
+        F.col("node_str").cast("long").alias("turn_doc"),
+    )
+    toks = textstats.tokens("text")
+    per_doc = docs.select(
+        F.col("doc_id").alias("turn_doc"), F.size(toks).alias("_tok")
+    )
+    loss_tok = F.when(F.col("_i0") % 2 == 1, F.col("_tok")).otherwise(F.lit(0))
+    return (
+        turns.join(per_doc, "turn_doc")
+        .groupBy("leaf_id", "root_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("_tok").alias("total_tokens"),
+            F.sum(loss_tok).alias("loss_tokens"),
+            F.round(
+                F.sum(loss_tok).cast("double") / F.sum("_tok") + F.lit(1e-9), 4
+            ).alias("loss_fraction"),
+        )
+    )
+
+
+@register(
+    "target_encode_loo",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority AS cat,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY o_orderpriority
+    ), g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn, SUM(s) AS gs FROM agg
+    )
+    SELECT o.o_orderkey, o.o_orderpriority AS cat,
+           ROUND((CAST(a.s AS DOUBLE) - o.o_totalprice
+                  + 20.0 * (CAST(g.gs AS DOUBLE) / g.gn))
+                 / (CAST(a.n AS DOUBLE) - 1.0 + 20.0) + 1e-9, 4)
+             AS target_enc
+    FROM orders o JOIN agg a ON a.cat = o.o_orderpriority, g
+    """,
+)
+def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing (m=20) —
+    the standard high-cardinality categorical feature for tabular
+    models, LOO so a row never sees its own label (the leakage the
+    naive mean encoding commits).  enc_i = (S_cat - y_i + m*prior) /
+    (n_cat - 1 + m) with decimal-exact per-category sums; the
+    category table broadcasts back onto the rows (one narrow map-side
+    join, no second shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s"),
+    )
+    g = agg.agg(
+        F.sum("_n").cast("long").alias("_gn"), F.sum("_s").alias("_gs")
+    )
+    prior = F.col("_gs").cast("double") / F.col("_gn")
+    enc = (
+        F.col("_s").cast("double") - F.col("o_totalprice") + F.lit(20.0) * prior
+    ) / (F.col("_n").cast("double") - F.lit(1.0) + F.lit(20.0))
+    return (
+        o.join(F.broadcast(agg), o["o_orderpriority"] == F.col("cat"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            F.col("cat"),
+            F.round(enc + F.lit(1e-9), 4).alias("target_enc"),
+        )
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

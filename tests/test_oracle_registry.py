@@ -232,3 +232,35 @@ def test_epoch_shard_manifest_is_a_complete_receipt(spark):
     d0 = {r.shard: r.order_digest for r in by_epoch[0]}
     d1 = {r.shard: r.order_digest for r in by_epoch[1]}
     assert any(d0[s] != d1.get(s) for s in d0)
+
+
+def test_sft_thread_examples_invariants(spark):
+    rows = entrymod.queries()["sft_thread_examples"](spark, SF_DIR).collect()
+    assert rows
+    per_root = {}
+    for r in rows:
+        per_root.setdefault(r.root_id, 0)
+        per_root[r.root_id] += 1
+        assert 0.0 <= r.loss_fraction <= 1.0
+        assert 0 <= r.loss_tokens <= r.total_tokens
+        assert r.n_turns >= 1
+    # the per-thread cap: never more than 2 examples per root
+    assert max(per_root.values()) <= 2
+    # every one of the 8 forest roots contributes
+    assert len(per_root) == 8
+
+
+def test_target_encode_loo_is_leakage_free(spark):
+    import duckdb
+
+    rows = entrymod.queries()["target_encode_loo"](spark, SF_DIR).collect()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n
+    # LOO: two rows of the same category with different prices must get
+    # DIFFERENT encodings (each excludes its own label)
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(r.cat, set()).add(r.target_enc)
+    assert any(len(v) > 1 for v in by_cat.values())
