@@ -13788,6 +13788,52 @@ def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_reservoir_sample",
+    """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 64
+    """,
+)
+def streaming_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k=64 reservoir over the document stream
+    (streaming/reservoir.py): three micro-batches fold into k-row
+    snapshots via the keep-k-smallest-md5 monoid.  HARD-gated by the
+    monoid law itself: the stream's final reservoir must be BIT-EQUAL
+    to the batch top-k over all documents (the oracle), independent of
+    the batch split.  Replay idempotency and split-invariance are
+    pytest-pinned (tests/test_streaming_reservoir.py)."""
+    import os
+    import tempfile
+
+    from .streaming.reservoir import final_reservoir, start_reservoir_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.json(f"{src}/b0")
+        docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.json(f"{src}/b1")
+        docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.json(f"{src}/b2")
+        now = 1_700_000_000
+        for i, sub in enumerate(["b0", "b1", "b2"]):
+            for fn in os.listdir(f"{src}/{sub}"):
+                os.utime(f"{src}/{sub}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_reservoir_stream(
+            stream, f"{tmp}/store", f"{tmp}/ckpt", "doc_id", k=64
+        )
+        q.awaitTermination(180)
+        out = final_reservoir(spark, f"{tmp}/store").select("doc_id", "priority")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
