@@ -226,6 +226,7 @@ HEADLINE = [
     "markov_attribution",
     "sft_thread_examples",
     "target_encode_loo",
+    "hilbert_layout",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

@@ -115,3 +115,72 @@ def training_shard_assignment(
         .withColumn("pos", F.row_number().over(w))
         .select(key_col, "shard", "pos")
     )
+
+
+def _hilbert_quadrant(rx: Column, ry: Column) -> Column:
+    """(3*rx) XOR ry as a portable CASE (DuckDB's ^ is exponent, so the
+    oracle can't spell bitwise xor the same way Spark does):
+    (0,0)->0, (0,1)->1, (1,1)->2, (1,0)->3 — the Hilbert quadrant
+    visit order."""
+    return (
+        F.when((rx == 0) & (ry == 0), F.lit(0))
+        .when(rx == 0, F.lit(1))
+        .when(ry == 0, F.lit(3))
+        .otherwise(F.lit(2))
+    )
+
+
+def hilbert_index(x: Column, y: Column, bits: int) -> Column:
+    """Hilbert curve index of a (x, y) cell in a 2^bits x 2^bits grid —
+    the standard xy2d bit descent (rotate/reflect per level), unrolled
+    to `bits` pure-integer column expressions.  Z-order's diagonal
+    jumps make adjacent codes occasionally far apart in space; the
+    Hilbert walk moves ONE cell per step, so equal-size code ranges
+    are tighter rectangles — measurably fewer buckets per predicate
+    rectangle at the same bucket count (tests/test_layout.py pins the
+    comparison)."""
+    d = F.lit(0).cast("long")
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d = d + F.lit(s).cast("long") * F.lit(s) * _hilbert_quadrant(rx, ry)
+        # rotate/reflect the lower bits, then swap axes (ry == 0 arm)
+        nx = F.when(ry == 1, x).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+        )
+        ny = F.when(ry == 1, y).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+        )
+        x, y = nx, ny
+    return d
+
+
+def hilbert_assignment(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 5,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Hilbert-curve sibling of `zorder_assignment`: same fixed-range
+    quantization and broadcast bounds, Hilbert index instead of Morton
+    code.  Same cost shape — one tiny bounds aggregate, then a narrow
+    zero-shuffle projection."""
+    bounds = df.agg(
+        F.min(col_x).cast("long").alias("_xlo"),
+        F.max(col_x).cast("long").alias("_xhi"),
+        F.min(col_y).cast("long").alias("_ylo"),
+        F.max(col_y).cast("long").alias("_yhi"),
+    )
+    qx = quantize(F.col(col_x).cast("long"), F.col("_xlo"), F.col("_xhi"), bits)
+    qy = quantize(F.col(col_y).cast("long"), F.col("_ylo"), F.col("_yhi"), bits)
+    h = hilbert_index(qx, qy, bits)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("hvalue", h)
+        .withColumn(
+            "hbucket", F.shiftright(F.col("hvalue"), 2 * bits - bucket_bits)
+        )
+        .drop("_xlo", "_xhi", "_ylo", "_yhi")
+    )

@@ -13834,6 +13834,76 @@ def streaming_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def _hilbert_oracle_sql(bits: int = 5, bucket_bits: int = 6) -> str:
+    """Generated DuckDB replay of the Hilbert xy2d descent
+    (operators/layout.py:hilbert_index): one CTE per level carrying the
+    rotated/reflected (x, y) and the accumulated d — identical integer
+    CASE logic, no bitwise xor (portable quadrant CASE on both sides)."""
+    mx = (1 << bits) - 1
+    levels = []
+    prev = "hq"
+    for i, lvl in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << lvl
+        quad = (
+            f"CASE WHEN (x & {s}) = 0 AND (y & {s}) = 0 THEN 0 "
+            f"WHEN (x & {s}) = 0 THEN 1 "
+            f"WHEN (y & {s}) = 0 THEN 3 ELSE 2 END"
+        )
+        xn = (
+            f"CASE WHEN (y & {s}) > 0 THEN x ELSE "
+            f"CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END END"
+        )
+        yn = (
+            f"CASE WHEN (y & {s}) > 0 THEN y ELSE "
+            f"CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END END"
+        )
+        levels.append(
+            f"""    , h{i} AS (
+      SELECT o_orderkey, {xn} AS x, {yn} AS y,
+             d + {s * s} * ({quad}) AS d
+      FROM {prev}
+    )"""
+        )
+        prev = f"h{i}"
+    lvl_sql = "\n".join(levels)
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+             MIN(o_orderkey) AS ylo, MAX(o_orderkey) AS yhi
+      FROM orders
+    ), hq AS (
+      SELECT o_orderkey,
+             CAST(floor(((o_custkey - xlo) * {mx} * 1.0)
+                        / greatest(xhi - xlo, 1)) AS BIGINT) AS x,
+             CAST(floor(((o_orderkey - ylo) * {mx} * 1.0)
+                        / greatest(yhi - ylo, 1)) AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM orders CROSS JOIN bounds
+    )
+{lvl_sql}
+    SELECT o_orderkey, CAST(d AS BIGINT) AS hvalue,
+           CAST(d >> {2 * bits - bucket_bits} AS BIGINT) AS hbucket
+    FROM {prev}
+    """
+
+
+@register("hilbert_layout", _hilbert_oracle_sql())
+def hilbert_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout assignment over (o_custkey, o_orderkey) —
+    the locality-tighter sibling of zorder_layout (the Hilbert walk
+    moves one cell per step, so equal-size code ranges are tighter
+    rectangles and a predicate rectangle touches fewer buckets;
+    tests/test_layout.py pins the comparison).  Same cost shape: one
+    tiny bounds aggregate broadcast back, then a narrow zero-shuffle
+    projection of pure-integer column expressions."""
+    from .operators.layout import hilbert_assignment
+
+    return hilbert_assignment(
+        load(spark, sf_dir, "orders"), "o_custkey", "o_orderkey",
+        bits=5, bucket_bits=6,
+    ).select("o_orderkey", "hvalue", "hbucket")
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

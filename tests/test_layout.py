@@ -91,3 +91,66 @@ def test_training_shard_assignment_balanced_and_deterministic(spark):
     again = {(r["doc_id"]): (r["shard"], r["pos"])
              for r in training_shard_assignment(df, "doc_id", n_shards=8).collect()}
     assert {(r["doc_id"]): (r["shard"], r["pos"]) for r in rows} == again
+
+
+def _xy2d(order, x, y):
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_reference_and_walks_unit_steps(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.layout import (
+        hilbert_assignment,
+    )
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = hilbert_assignment(df, "x", "y", bits=3, bucket_bits=2)
+    codes = {(r.x, r.y): r.hvalue for r in out.collect()}
+    for (x, y), h in codes.items():
+        assert h == _xy2d(8, x, y), (x, y)
+    # the defining property: consecutive indices are ADJACENT cells
+    # (Manhattan distance exactly 1) — Z-order cannot claim this
+    inv = {h: xy for xy, h in codes.items()}
+    for h in range(63):
+        (x1, y1), (x2, y2) = inv[h], inv[h + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, h
+
+
+def test_hilbert_rectangle_prunes_at_least_as_well_as_zorder(spark):
+    """Same grid, same bucket count: over a sweep of query rectangles
+    the Hilbert layout must touch no more buckets in aggregate than
+    Z-order (tighter range locality is the reason to pay for the
+    rotation logic)."""
+    from cloud_native_reddit_data_pipeline_spark.operators.layout import (
+        hilbert_assignment,
+        zorder_assignment,
+    )
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long").persist()
+    try:
+        hz = hilbert_assignment(df, "x", "y", bits=5, bucket_bits=4).collect()
+        zz = zorder_assignment(df, "x", "y", bits=5, bucket_bits=4).collect()
+    finally:
+        df.unpersist()
+    hb = {(r.x, r.y): r.hbucket for r in hz}
+    zb = {(r.x, r.y): r.zbucket for r in zz}
+    rects = [(x0, y0, x0 + 7, y0 + 7) for x0 in (0, 5, 12, 20) for y0 in (0, 9, 17, 24)]
+    h_tot = z_tot = 0
+    for x0, y0, x1, y1 in rects:
+        cells = [(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)]
+        h_tot += len({hb[c] for c in cells})
+        z_tot += len({zb[c] for c in cells})
+    assert h_tot <= z_tot
