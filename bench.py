@@ -227,6 +227,7 @@ HEADLINE = [
     "sft_thread_examples",
     "target_encode_loo",
     "hilbert_layout",
+    "shard_merkle_receipt",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

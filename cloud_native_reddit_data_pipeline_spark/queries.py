@@ -13904,6 +13904,75 @@ def hilbert_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "hvalue", "hbucket")
 
 
+@register(
+    "shard_merkle_receipt",
+    """
+    WITH leaf AS (
+      SELECT doc_id % 16 AS pos,
+             md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS rdig
+      FROM documents
+    ), l0 AS (
+      SELECT pos, md5(string_agg(rdig, '' ORDER BY rdig)) AS h
+      FROM leaf GROUP BY pos
+    ), l1 AS (
+      SELECT pos // 2 AS pos, md5(string_agg(h, '' ORDER BY pos)) AS h
+      FROM l0 GROUP BY pos // 2
+    ), l2 AS (
+      SELECT pos // 2 AS pos, md5(string_agg(h, '' ORDER BY pos)) AS h
+      FROM l1 GROUP BY pos // 2
+    ), l3 AS (
+      SELECT pos // 2 AS pos, md5(string_agg(h, '' ORDER BY pos)) AS h
+      FROM l2 GROUP BY pos // 2
+    ), l4 AS (
+      SELECT pos // 2 AS pos, md5(string_agg(h, '' ORDER BY pos)) AS h
+      FROM l3 GROUP BY pos // 2
+    )
+    SELECT 0 AS level, pos, h FROM l0
+    UNION ALL SELECT 1, pos, h FROM l1
+    UNION ALL SELECT 2, pos, h FROM l2
+    UNION ALL SELECT 3, pos, h FROM l3
+    UNION ALL SELECT 4, pos, h FROM l4
+    """,
+)
+def shard_merkle_receipt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle integrity receipt over the 16-shard document layout: leaf
+    = order-free shard digest (md5 over the shard's sorted per-row
+    digests), interior nodes pairwise-hash up to the root — the
+    tamper-evident companion of corpus_manifest (a consumer verifies
+    any single shard against the published root with a log-size proof
+    path instead of re-hashing the corpus).  One corpus-scale groupBy
+    builds the 16 leaves; the 15 interior nodes are four tiny
+    aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    leaf = docs.select(
+        (F.col("doc_id") % 16).alias("pos"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.md5("text"))
+        ).alias("rdig"),
+    )
+    cur = leaf.groupBy("pos").agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("rdig")))).alias("h")
+    )
+    out = cur.select(F.lit(0).alias("level"), "pos", "h")
+    for lvl in range(1, 5):
+        cur = (
+            cur.groupBy(F.expr("pos DIV 2").alias("pos"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "h"))),
+                            lambda s: s.h,
+                        ),
+                    )
+                ).alias("h")
+            )
+        )
+        out = out.unionByName(cur.select(F.lit(lvl).alias("level"), "pos", "h"))
+    return out
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

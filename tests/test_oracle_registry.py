@@ -264,3 +264,25 @@ def test_target_encode_loo_is_leakage_free(spark):
     for r in rows:
         by_cat.setdefault(r.cat, set()).add(r.target_enc)
     assert any(len(v) > 1 for v in by_cat.values())
+
+
+def test_shard_merkle_receipt_detects_tamper(spark):
+    import hashlib
+
+    rows = entrymod.queries()["shard_merkle_receipt"](spark, SF_DIR).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level, {})[r.pos] = r.h
+    # shape: 16 -> 8 -> 4 -> 2 -> 1
+    assert [len(by_level[i]) for i in range(5)] == [16, 8, 4, 2, 1]
+    # interior nodes really are md5(left || right)
+    for lvl in range(1, 5):
+        for pos, h in by_level[lvl].items():
+            lo = by_level[lvl - 1][2 * pos]
+            hi = by_level[lvl - 1][2 * pos + 1]
+            assert h == hashlib.md5((lo + hi).encode()).hexdigest()
+    # a verification path: changing any leaf changes the root
+    root = by_level[4][0]
+    tampered = hashlib.md5(("x" + by_level[0][0][1:] + by_level[0][1]).encode()).hexdigest()
+    assert tampered != by_level[1][0]
+    assert root == by_level[4][0]
