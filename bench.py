@@ -228,6 +228,9 @@ HEADLINE = [
     "target_encode_loo",
     "hilbert_layout",
     "shard_merkle_receipt",
+    "kaplan_meier_conversion",
+    "langid_confusion",
+    "funnel_latency",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

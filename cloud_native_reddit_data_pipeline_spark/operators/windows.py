@@ -1319,3 +1319,89 @@ def markov_removal_attribution(
     return events.sparkSession.createDataFrame(
         rows, "channel string, p_conv double, removal_effect double, share double"
     )
+
+
+def kaplan_meier_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_type_col: str,
+    target_type: str,
+) -> DataFrame:
+    """Kaplan-Meier time-to-event curve with right-censoring — here
+    time from a user's first activity to their first `target_type`
+    event; users who never reach it are CENSORED at the observation
+    end (the statistically honest conversion-latency curve: the naive
+    "days to purchase among purchasers" histogram silently drops the
+    users still on their way).  Output one row per duration with >= 1
+    target event: (duration_days, at_risk, converted, survival).
+
+        S(t) = prod_{u <= t} (1 - d_u / n_u)
+
+    computed as exp of the ORDERED cumulative sum of ln(1 - d/n) — a
+    window running sum accumulates sequentially in frame order on both
+    engines, so the float result is deterministic (unlike an unordered
+    aggregate sum).  Scale shape: one per-user groupBy (event scale),
+    then everything lives on distinct DURATION values — bounded by the
+    observation window in days, so the single-partition window over
+    them is a no-op at any user count (the zipf_token_stats k-row
+    pattern)."""
+    span = events.agg(F.max(ts_col).alias("_obs_end"))
+    per_user = (
+        events.groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.min(ts_col).alias("_first"),
+            F.min(
+                F.when(F.col(event_type_col) == target_type, F.col(ts_col))
+            ).alias("_hit"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.floor(
+                (
+                    F.coalesce(
+                        F.unix_timestamp("_hit"), F.unix_timestamp("_obs_end")
+                    )
+                    - F.unix_timestamp("_first")
+                )
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("dur"),
+            F.col("_hit").isNotNull().cast("int").alias("_ev"),
+        )
+    )
+    per_dur = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("_n_all"), F.sum("_ev").alias("converted")
+    )
+    w_ord = Window.orderBy("dur")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_dur.agg(F.sum("_n_all").alias("_n"))
+    curve = per_dur.crossJoin(F.broadcast(tot)).withColumn(
+        "at_risk", F.col("_n") - F.coalesce(F.sum("_n_all").over(w_prev), F.lit(0))
+    ).withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(
+                    # greatest(., 1e-300): the curve legitimately hits 0
+                    # when the last at-risk group all converts; ln(0)
+                    # errors in DuckDB and nulls in Spark, while
+                    # exp(-690.77) rounds to 0.0 identically on both
+                    F.log(
+                        F.greatest(
+                            F.lit(1.0)
+                            - F.col("converted").cast("double")
+                            / F.col("at_risk").cast("double"),
+                            F.lit(1e-300),
+                        )
+                    )
+                ).over(w_ord)
+            )
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    return curve.filter(F.col("converted") > 0).select(
+        F.col("dur").alias("duration_days"), "at_risk", "converted", "survival"
+    )

@@ -13973,6 +13973,173 @@ def shard_merkle_receipt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "kaplan_meier_conversion",
+    """
+    WITH span AS (
+      SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS obs_end FROM events
+    ), per_user AS (
+      SELECT (COALESCE(
+                MIN(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(epoch(ts)) AS BIGINT) END),
+                (SELECT obs_end FROM span))
+              - CAST(floor(MIN(epoch(ts))) AS BIGINT)) // 86400 AS dur,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_dur AS (
+      SELECT dur, COUNT(*) AS n_all, CAST(SUM(ev) AS BIGINT) AS converted
+      FROM per_user GROUP BY dur
+    ), tot AS (SELECT CAST(SUM(n_all) AS BIGINT) AS n FROM per_dur),
+    curve AS (
+      SELECT dur, converted,
+             (SELECT n FROM tot)
+               - COALESCE(SUM(n_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM per_dur
+    ), surv AS (
+      SELECT dur, converted, CAST(at_risk AS BIGINT) AS at_risk,
+             ROUND(exp(SUM(ln(greatest(1.0 - CAST(converted AS DOUBLE)
+                               / CAST(at_risk AS DOUBLE), 1e-300)))
+                       OVER (ORDER BY dur)) + 1e-9, 6) AS survival
+      FROM curve
+    )
+    SELECT dur AS duration_days, at_risk, converted, survival
+    FROM surv WHERE converted > 0
+    """,
+)
+def kaplan_meier_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve with right-censoring
+    (operators/windows.py:kaplan_meier_retention): per-user first
+    activity and first purchase (event scale), never-purchasers
+    censored at the observation end; the estimator then lives on
+    distinct DURATION values bounded by the observation window in
+    days — the ordered window's cumulative ln-sum accumulates
+    sequentially, so the float survival values are
+    engine-deterministic."""
+    _utc(spark)
+    return windows.kaplan_meier_retention(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type", "purchase"
+    )
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+           {_LANG_SCORES_SQL}
+      FROM documents
+    ), b AS (
+      SELECT *, greatest(score_de, score_en, score_fr) AS best FROM s
+    ), pred AS (
+      SELECT lang AS declared,
+             CASE {_LANG_CASE_SQL} ELSE 'und' END AS predicted
+      FROM b
+    ), conf AS (
+      SELECT declared, predicted, COUNT(*) AS n
+      FROM pred GROUP BY declared, predicted
+    )
+    SELECT declared, predicted, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY declared) + 1e-9, 4) AS frac
+    FROM conf
+    """,
+)
+def langid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    corpus's declared lang column — the eval the `langid` operator
+    itself never reports (which declared languages leak into which
+    predictions, and how much lands in 'und').  One groupBy to
+    (declared, predicted) cells; the per-declared fraction is a window
+    over the cell table (bounded by the language-pair vocabulary, not
+    the corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("declared"),
+        textstats.pred_lang_col("text").alias("predicted"),
+    )
+    conf = pred.groupBy("declared", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("declared")
+    return conf.select(
+        "declared",
+        "predicted",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w) + F.lit(1e-9), 4
+        ).alias("frac"),
+    )
+
+
+@register(
+    "funnel_latency",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fc,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT fp - fc AS secs FROM per_user
+      WHERE fc IS NOT NULL AND fp IS NOT NULL AND fp > fc
+    ), ranked AS (
+      SELECT secs, ROW_NUMBER() OVER (ORDER BY secs) AS rn FROM lat
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat)
+    SELECT n.n AS n_converted,
+           ROUND(CAST((SELECT secs FROM ranked
+                  WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)) AS DOUBLE)
+                 / 60.0 + 1e-9, 2) AS p50_min,
+           ROUND(CAST((SELECT secs FROM ranked
+                  WHERE rn = CAST(ceil(0.9 * n.n) AS BIGINT)) AS DOUBLE)
+                 / 60.0 + 1e-9, 2) AS p90_min,
+           ROUND(CAST((SELECT secs FROM ranked
+                  WHERE rn = CAST(ceil(0.95 * n.n) AS BIGINT)) AS DOUBLE)
+                 / 60.0 + 1e-9, 2) AS p95_min
+    FROM n
+    """,
+)
+def funnel_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency percentiles — the time dimension
+    funnel_conversion's counts don't report.  NEAREST-RANK percentiles
+    (value at rank ceil(q*n)) rather than interpolated: selection of an
+    exact integer-second value is engine-deterministic where the two
+    engines' linear-interpolation formulas differ in the last ulp and
+    can straddle a rounding boundary.  Ranks come from
+    with_global_row_numbers (range-partitioned two-pass numbering), so
+    there is no single-task sort even with one latency row per user."""
+    _utc(spark)
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.unix_timestamp("ts"))
+        ).alias("fc"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        ).alias("fp"),
+    )
+    lat = per_user.filter(
+        F.col("fc").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") > F.col("fc"))
+    ).select((F.col("fp") - F.col("fc")).alias("secs"))
+    ranked = relational.with_global_row_numbers(lat, [F.col("secs")], "rn")
+    n = lat.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    picks = ranked.crossJoin(F.broadcast(n))
+    out = None
+    for name, q in (("p50_min", 0.5), ("p90_min", 0.9), ("p95_min", 0.95)):
+        sel = picks.filter(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long")
+        ).select(
+            F.round(F.col("secs") / F.lit(60.0) + F.lit(1e-9), 2).alias(name)
+        )
+        out = sel if out is None else out.crossJoin(F.broadcast(sel))
+    return n.select(F.col("n").alias("n_converted")).crossJoin(F.broadcast(out))
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -286,3 +286,21 @@ def test_shard_merkle_receipt_detects_tamper(spark):
     tampered = hashlib.md5(("x" + by_level[0][0][1:] + by_level[0][1]).encode()).hexdigest()
     assert tampered != by_level[1][0]
     assert root == by_level[4][0]
+
+
+def test_langid_confusion_fracs_sum_to_one(spark):
+    rows = entrymod.queries()["langid_confusion"](spark, SF_DIR).collect()
+    per_decl = {}
+    for r in rows:
+        per_decl.setdefault(r.declared, [0, 0.0])
+        per_decl[r.declared][0] += r.n
+        per_decl[r.declared][1] += r.frac
+    assert sum(v[0] for v in per_decl.values()) == 500
+    for decl, (_n, fsum) in per_decl.items():
+        assert abs(fsum - 1.0) < 5e-4, decl
+
+
+def test_funnel_latency_percentiles_ordered(spark):
+    row = entrymod.queries()["funnel_latency"](spark, SF_DIR).collect()[0]
+    assert row.n_converted > 0
+    assert 0 < row.p50_min <= row.p90_min <= row.p95_min

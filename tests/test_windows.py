@@ -376,3 +376,32 @@ def test_markov_absorption_hand_chain(spark):
     assert abs(p[0] / _MARKOV_E - 0.5) < 1e-9
     # removing 'a' redirects start's mass to null: P -> 0
     assert p[1] == 0
+
+
+def test_kaplan_meier_hand_computed_with_censoring(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        kaplan_meier_retention,
+    )
+
+    # All four users start 01-01.  u1 buys day 1; u3, u4 buy day 3
+    # (which is also the observation end); u2 never buys -> censored
+    # with duration 3.  KM: t=1: S=(1-1/4)=0.75;
+    # t=3: at_risk = 3 (u1 gone), d=2 -> S = 0.75*(1-2/3) = 0.25.
+    rows = [
+        (1, "start", "2024-01-01 00:00:00"), (1, "buy", "2024-01-02 00:00:01"),
+        (2, "start", "2024-01-01 00:00:00"),
+        (3, "start", "2024-01-01 00:00:00"), (3, "buy", "2024-01-04 00:00:00"),
+        (4, "start", "2024-01-01 00:00:00"), (4, "buy", "2024-01-04 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.duration_days: (r.at_risk, r.converted, r.survival)
+        for r in kaplan_meier_retention(
+            df, "user_id", "ts", "event_type", "buy"
+        ).collect()
+    }
+    assert got == {1: (4, 1, 0.75), 3: (3, 2, 0.25)}
+    # censored user contributes to at_risk but never emits a row
+    assert 2 not in got
