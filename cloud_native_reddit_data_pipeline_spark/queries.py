@@ -8674,12 +8674,12 @@ def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touch_attribution",
     """
     WITH touches AS (
-      SELECT user_id AS u, CAST(epoch(ts) AS BIGINT) AS tsec,
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
              event_id AS tid
       FROM events WHERE event_type = 'click'
     ),
     convs AS (
-      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS csec,
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS csec,
              event_id AS conversion_id
       FROM events WHERE event_type = 'purchase'
     )
@@ -8746,12 +8746,12 @@ def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linear_attribution",
     """
     WITH touches AS (
-      SELECT user_id AS u, CAST(epoch(ts) AS BIGINT) AS tsec,
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
              event_id AS touch_id
       FROM events WHERE event_type = 'click'
     ),
     convs AS (
-      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS csec,
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS csec,
              event_id AS cid, value AS v
       FROM events WHERE event_type = 'purchase'
     ),
