@@ -14140,6 +14140,54 @@ def funnel_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(F.col("n").alias("n_converted")).crossJoin(F.broadcast(out))
 
 
+@register(
+    "streaming_topk_terms",
+    f"""
+    WITH tok AS (
+      SELECT unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS term
+      FROM documents
+    ), c AS (
+      SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    )
+    SELECT term, CAST(n AS BIGINT) AS n FROM c
+    ORDER BY n DESC, term ASC LIMIT 25
+    """,
+)
+def streaming_topk_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 terms over the document stream
+    (streaming/topk.py): three micro-batches write term-count DELTAS;
+    integer counts under addition are a monoid, so the merged top-k is
+    BIT-EQUAL to the batch answer at any split — the oracle asserts
+    exactly that.  Replay idempotency and split-invariance pinned in
+    tests/test_streaming_topk.py."""
+    import os
+    import tempfile
+
+    from .streaming.topk import start_topk_terms_stream, topk_terms
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.json(
+                f"{src}/b{i}"
+            )
+        now = 1_700_000_000
+        for i in range(3):
+            for fn in os.listdir(f"{src}/b{i}"):
+                os.utime(f"{src}/b{i}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_topk_terms_stream(stream, f"{tmp}/store", f"{tmp}/ckpt")
+        q.awaitTermination(180)
+        out = topk_terms(spark, f"{tmp}/store", k=25)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
