@@ -231,6 +231,8 @@ HEADLINE = [
     "kaplan_meier_conversion",
     "langid_confusion",
     "funnel_latency",
+    "ks_drift_by_segment",
+    "event_arm_chi2",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

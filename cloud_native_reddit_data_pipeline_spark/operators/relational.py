@@ -1275,3 +1275,120 @@ def srm_check(
         F.round(chi + F.lit(1e-9), 4).alias("chi2"),
         (chi > F.lit(chi_crit)).alias("srm"),
     )
+
+
+def ks_two_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    is_a: Column,
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """Per-GROUP two-sample KS — the drift sheet: `ks_two_sample` run
+    for every segment at once (is the price distribution drifting in
+    segment X but not Y?).  Same exact-integer trick per group:
+    cum(ca*nb_g - cb*na_g) over the group's value domain equals
+    na_g*nb_g*(F_a - F_b); here the cumsum window is PARTITIONED by
+    group, so it parallelizes across segments natively and no global
+    prefix-sum machinery is needed.  One row per group: n_a, n_b,
+    ks_stat, ks_crit, drifted."""
+    tagged = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+        is_a.cast("int").alias("_a"),
+    )
+    counts = tagged.groupBy("_g", "_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    totals = counts.groupBy("_g").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    d = counts.join(F.broadcast(totals), "_g").select(
+        "_g",
+        "_v",
+        "_na",
+        "_nb",
+        (F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")).alias("_d"),
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = d.withColumn("_cum", F.sum("_d").over(w))
+    na, nb = F.first("_na"), F.first("_nb")
+    prod = na.cast("double") * nb.cast("double")
+    crit = F.lit(alpha_coeff) * F.sqrt((na + nb).cast("double") / prod)
+    stat = F.max(F.abs(F.col("_cum"))).cast("double") / prod
+    return (
+        cum.groupBy("_g")
+        .agg(
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            F.round(stat + F.lit(1e-12), 6).alias("ks_stat"),
+            F.round(crit + F.lit(1e-12), 6).alias("ks_crit"),
+            (stat > crit).alias("drifted"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: Column,
+    col_col: Column,
+    chi_crit: float,
+) -> DataFrame:
+    """Chi-square test of independence over an r x c contingency table
+    plus Cramér's V effect size — the categorical sibling of
+    `ks_two_sample` (numeric) and `two_proportion_ztest` (2x2): is the
+    event mix independent of the experiment arm / segment?
+
+        chi2 = sum_cells (o - e)^2 / e,   e = row_tot * col_tot / n
+        V = sqrt(chi2 / (n * (min(r, c) - 1)))
+
+    The per-cell term is computed once per contingency CELL (bounded
+    by the category vocabulary, not the rows), and the cell sum is
+    e6-quantized to integers so the total is order-free.  `chi_crit`
+    must be the critical value for (r-1)(c-1) df at the caller's
+    alpha.  One row out: n, dof, chi2, cramers_v, dependent."""
+    cells = df.groupBy(row_col.alias("_r"), col_col.alias("_c")).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    rt = cells.groupBy("_r").agg(F.sum("_o").alias("_rt"))
+    ct = cells.groupBy("_c").agg(F.sum("_o").alias("_ct"))
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_r").alias("_nr"),
+        F.countDistinct("_c").alias("_nc"),
+    )
+    e = F.col("_rt").cast("double") * F.col("_ct").cast("double") / F.col("_n").cast(
+        "double"
+    )
+    term = (F.col("_o").cast("double") - e) * (F.col("_o").cast("double") - e) / e
+    terms = (
+        cells.join(F.broadcast(rt), "_r")
+        .join(F.broadcast(ct), "_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_n",
+            "_nr",
+            "_nc",
+            F.round(term * F.lit(1e6) + F.lit(1e-9)).cast("long").alias("_t_e6"),
+        )
+    )
+    chi = F.sum("_t_e6").cast("double") / F.lit(1e6)
+    n = F.first("_n")
+    nr, nc = F.first("_nr"), F.first("_nc")
+    dof = (nr - 1) * (nc - 1)
+    v = F.sqrt(
+        chi / (n.cast("double") * (F.least(nr, nc) - 1).cast("double"))
+    )
+    return terms.agg(
+        n.alias("n"),
+        dof.cast("long").alias("dof"),
+        F.round(chi + F.lit(1e-9), 4).alias("chi2"),
+        F.round(v + F.lit(1e-9), 6).alias("cramers_v"),
+        (chi > F.lit(chi_crit)).alias("dependent"),
+    )

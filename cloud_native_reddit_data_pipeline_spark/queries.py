@@ -14188,6 +14188,111 @@ def streaming_topk_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register(
+    "ks_drift_by_segment",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS a
+      FROM orders
+    ), c AS (
+      SELECT g, v, CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(SUM(1 - a) AS BIGINT) AS cb
+      FROM t GROUP BY g, v
+    ), n AS (
+      SELECT g, CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb
+      FROM c GROUP BY g
+    ), d AS (
+      SELECT c.g, c.v, n.na, n.nb, c.ca * n.nb - c.cb * n.na AS d
+      FROM c JOIN n USING (g)
+    ), cum AS (
+      SELECT g, na, nb,
+             SUM(d) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT g AS o_orderpriority,
+           ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+           ROUND(CAST(MAX(ABS(cum)) AS DOUBLE)
+                 / (CAST(ANY_VALUE(na) AS DOUBLE) * ANY_VALUE(nb))
+                 + 1e-12, 6) AS ks_stat,
+           ROUND(1.358 * sqrt(CAST(ANY_VALUE(na) + ANY_VALUE(nb) AS DOUBLE)
+                 / (CAST(ANY_VALUE(na) AS DOUBLE) * ANY_VALUE(nb)))
+                 + 1e-12, 6) AS ks_crit,
+           CAST(MAX(ABS(cum)) AS DOUBLE)
+             / (CAST(ANY_VALUE(na) AS DOUBLE) * ANY_VALUE(nb))
+             > 1.358 * sqrt(CAST(ANY_VALUE(na) + ANY_VALUE(nb) AS DOUBLE)
+                 / (CAST(ANY_VALUE(na) AS DOUBLE) * ANY_VALUE(nb))) AS drifted
+    FROM cum GROUP BY g
+    """,
+)
+def ks_drift_by_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority-segment KS drift sheet
+    (operators/relational.py:ks_two_sample_grouped): the partitioned
+    form of ks_price_drift — the cumsum window partitions by segment,
+    so it parallelizes across segments with no global prefix-sum
+    machinery."""
+    o = load(spark, sf_dir, "orders")
+    return relational.ks_two_sample_grouped(
+        o,
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+    )
+
+
+@register(
+    "event_arm_chi2",
+    """
+    WITH cells AS (
+      SELECT user_id % 2 = 0 AS r, event_type AS c, COUNT(*) AS o
+      FROM events GROUP BY user_id % 2 = 0, event_type
+    ), rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+      FROM cells
+    ), terms AS (
+      SELECT tot.n, tot.nr, tot.nc,
+             CAST(ROUND((CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                  * (CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                  / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE)) * 1000000.0 + 1e-9) AS BIGINT)
+               AS t_e6
+      FROM cells JOIN rt USING (r) JOIN ct USING (c), tot
+    )
+    SELECT ANY_VALUE(n) AS n,
+           CAST((ANY_VALUE(nr) - 1) * (ANY_VALUE(nc) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(t_e6) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS chi2,
+           ROUND(sqrt((CAST(SUM(t_e6) AS DOUBLE) / 1000000.0)
+                 / (CAST(ANY_VALUE(n) AS DOUBLE)
+                    * (least(ANY_VALUE(nr), ANY_VALUE(nc)) - 1)))
+                 + 1e-9, 6) AS cramers_v,
+           CAST(SUM(t_e6) AS DOUBLE) / 1000000.0 > 9.488 AS dependent
+    FROM terms
+    """,
+)
+def event_arm_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event mix vs experiment arm
+    (operators/relational.py:chi2_independence) with Cramér's V —
+    2x5 table so 4 df (crit 9.488 at 5%).  Per-cell terms are
+    e6-quantized integers so the cell sum is order-free; everything
+    after the one contingency groupBy lives on vocabulary-sized
+    frames."""
+    e = load(spark, sf_dir, "events")
+    return relational.chi2_independence(
+        e, F.col("user_id") % 2 == 0, F.col("event_type"), chi_crit=9.488
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -484,3 +484,46 @@ def test_srm_check_balanced_and_broken(spark):
     dup = bal.unionByName(bal)
     row2 = srm_check(dup, "u", F.col("u") % 2 == 0).collect()[0]
     assert (row2.n_a, row2.n_b) == (50, 50)
+
+
+def test_ks_grouped_matches_ungrouped_per_segment(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        ks_two_sample,
+        ks_two_sample_grouped,
+    )
+
+    rows = []
+    for g in ("x", "y"):
+        for i in range(30):
+            rows.append((g, float(i % 7 + (3 if g == "y" and i % 2 else 0)), i % 2 == 0))
+    df = spark.createDataFrame(rows, "g string, v double, a boolean")
+    grouped = {
+        r.g: (r.n_a, r.n_b, r.ks_stat)
+        for r in ks_two_sample_grouped(df, "g", "v", F.col("a")).collect()
+    }
+    for g in ("x", "y"):
+        single = ks_two_sample(
+            df.filter(F.col("g") == g), "v", F.col("a")
+        ).collect()[0]
+        assert grouped[g] == (single.n_a, single.n_b, single.ks_stat), g
+
+
+def test_chi2_independence_hand_computed(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        chi2_independence,
+    )
+
+    # 2x2: rows (arm), cols (click/buy): [[30, 10], [10, 30]]
+    rows = (
+        [("a", "click")] * 30 + [("a", "buy")] * 10
+        + [("b", "click")] * 10 + [("b", "buy")] * 30
+    )
+    df = spark.createDataFrame(rows, "arm string, ev string")
+    got = chi2_independence(
+        df, F.col("arm"), F.col("ev"), chi_crit=3.841
+    ).collect()[0]
+    # e = 20 everywhere; chi2 = 4 * 100/20 = 20; V = sqrt(20/80) = 0.5
+    assert (got.n, got.dof) == (80, 1)
+    assert abs(got.chi2 - 20.0) < 1e-6
+    assert abs(got.cramers_v - 0.5) < 1e-6
+    assert got.dependent
