@@ -694,3 +694,124 @@ def poisson_bootstrap_ci(
     return point.crossJoin(F.broadcast(ci)).select(
         "n_rows", F.lit(b_reps).alias("b_reps"), "mean", "ci_lo", "ci_hi"
     )
+
+
+def poisson_bootstrap_lift(
+    df: DataFrame,
+    key_col: str,
+    is_a: "F.Column",
+    is_success: "F.Column",
+    b_reps: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Poisson-bootstrap CI for the LIFT (rate_a - rate_b) between two
+    arms — the uncertainty statement the point z-test
+    (relational.two_proportion_ztest) doesn't give, and the bootstrap
+    form that needs no normality at the tails.  Same machinery as
+    `poisson_bootstrap_ci`: deterministic md5 Poisson(1) weights per
+    (row, replicate); per (replicate, arm) the weighted successes and
+    trials are exact integers, so each replicate's rate difference is
+    two integer divisions.  The CI uses NEAREST-RANK percentiles over
+    the B replicate diffs (rank ceil(q*B), tie-broken by replicate id)
+    — exact selection, immune to the cross-engine interpolation-ulp
+    problem.  One row out: n_a, n_b, rate_a, rate_b, lift, ci_lo,
+    ci_hi, significant (CI excludes 0).
+
+    Scale shape: the n x B explode partial-aggregates map-side to
+    2B rows per task; everything after lives on the B-row replicate
+    frame."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lift|"),
+                        F.col("_k"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w_expr = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w_expr = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w_expr)
+    t = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        is_a.cast("int").alias("_a"),
+        is_success.cast("int").alias("_s"),
+    ).select(
+        "_k",
+        "_a",
+        "_s",
+        F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b"),
+    )
+    reps = (
+        t.withColumn("_w", w_expr.cast("long"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_a") * F.col("_s")).alias("_ca"),
+            F.sum(F.col("_w") * F.col("_a")).alias("_na"),
+            F.sum(F.col("_w") * (1 - F.col("_a")) * F.col("_s")).alias("_cb"),
+            F.sum(F.col("_w") * (1 - F.col("_a"))).alias("_nb"),
+        )
+        .select(
+            "b",
+            (
+                F.col("_ca").cast("double") / F.col("_na").cast("double")
+                - F.col("_cb").cast("double") / F.col("_nb").cast("double")
+            ).alias("_diff"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_ord = Window.orderBy("_diff", "b")
+    ranked = reps.withColumn("_rn", F.row_number().over(w_ord))
+    # rank = ceil(q * B), computed in exact Python (q, B are params)
+    import math
+
+    r_lo, r_hi = math.ceil(lo * b_reps), math.ceil(hi * b_reps)
+    ci_lo = ranked.filter(F.col("_rn") == r_lo).select(
+        F.round(F.col("_diff") + F.lit(1e-9), 6).alias("ci_lo")
+    )
+    ci_hi = ranked.filter(F.col("_rn") == r_hi).select(
+        F.round(F.col("_diff") + F.lit(1e-9), 6).alias("ci_hi")
+    )
+    point = df.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum((~is_a).cast("long")).alias("n_b"),
+        F.sum((is_a & is_success).cast("long")).alias("_sa"),
+        F.sum(((~is_a) & is_success).cast("long")).alias("_sb"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("_sa").cast("double") / F.col("n_a") + F.lit(1e-9), 6).alias(
+            "rate_a"
+        ),
+        F.round(F.col("_sb").cast("double") / F.col("n_b") + F.lit(1e-9), 6).alias(
+            "rate_b"
+        ),
+        F.round(
+            F.col("_sa").cast("double") / F.col("n_a")
+            - F.col("_sb").cast("double") / F.col("n_b")
+            + F.lit(1e-9),
+            6,
+        ).alias("lift"),
+    )
+    return (
+        point.crossJoin(F.broadcast(ci_lo))
+        .crossJoin(F.broadcast(ci_hi))
+        .withColumn(
+            "significant",
+            (F.col("ci_lo") > 0) | (F.col("ci_hi") < 0),
+        )
+    )

@@ -14293,6 +14293,68 @@ def event_arm_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "poisson_bootstrap_lift",
+    f"""
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS k,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM events
+    ), draws AS (
+      SELECT a, s, b,
+             CAST(('0x' || substring(md5('lift|' || k || '|'
+               || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+               / 4294967296.0 AS u
+      FROM base, (SELECT unnest(generate_series(0, 99)) AS b)
+    ), reps AS (
+      SELECT b,
+             CAST(SUM(({_P1_CASE}) * a * s) AS BIGINT) AS ca,
+             CAST(SUM(({_P1_CASE}) * a) AS BIGINT) AS na,
+             CAST(SUM(({_P1_CASE}) * (1 - a) * s) AS BIGINT) AS cb,
+             CAST(SUM(({_P1_CASE}) * (1 - a)) AS BIGINT) AS nb
+      FROM draws GROUP BY b
+    ), diffs AS (
+      SELECT b, CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb AS diff
+      FROM reps
+    ), ranked AS (
+      SELECT diff, ROW_NUMBER() OVER (ORDER BY diff, b) AS rn FROM diffs
+    ), pt AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - a) AS BIGINT) AS n_b,
+             CAST(SUM(a * s) AS BIGINT) AS sa,
+             CAST(SUM((1 - a) * s) AS BIGINT) AS sb
+      FROM base
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(sa AS DOUBLE) / n_a + 1e-9, 6) AS rate_a,
+           ROUND(CAST(sb AS DOUBLE) / n_b + 1e-9, 6) AS rate_b,
+           ROUND(CAST(sa AS DOUBLE) / n_a
+                 - CAST(sb AS DOUBLE) / n_b + 1e-9, 6) AS lift,
+           (SELECT ROUND(diff + 1e-9, 6) FROM ranked WHERE rn = 3) AS ci_lo,
+           (SELECT ROUND(diff + 1e-9, 6) FROM ranked WHERE rn = 98) AS ci_hi,
+           (SELECT ROUND(diff + 1e-9, 6) FROM ranked WHERE rn = 3) > 0
+             OR (SELECT ROUND(diff + 1e-9, 6) FROM ranked WHERE rn = 98) < 0
+             AS significant
+    FROM pt
+    """,
+)
+def poisson_bootstrap_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CI for the purchase-rate LIFT between user-parity arms
+    (operators/sampling.py:poisson_bootstrap_lift) — the uncertainty
+    band ab_conversion_ztest's point statistic doesn't give.  Exact
+    integer replicate sums, nearest-rank CI over the B replicate
+    diffs."""
+    e = load(spark, sf_dir, "events")
+    return sampling.poisson_bootstrap_lift(
+        e,
+        "event_id",
+        F.col("user_id") % 2 == 0,
+        F.col("event_type") == "purchase",
+        b_reps=100,
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -377,3 +377,45 @@ def test_poisson_weights_mean_near_one(spark):
     df = spark.range(20000).select(F.concat(F.lit("t|"), F.col("id")).alias("s"))
     m = df.select(F.avg(w).alias("m")).collect()[0].m
     assert 0.97 < m < 1.03
+
+
+def test_poisson_bootstrap_lift_detects_real_gap(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_lift,
+    )
+
+    # arm a converts at 60%, arm b at 20% over 400 rows each: the CI
+    # must exclude 0 and bracket the true lift of 0.4
+    rows = [(i, "a", 1 if i % 5 < 3 else 0) for i in range(400)] + [
+        (400 + i, "b", 1 if i % 5 < 1 else 0) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, arm string, s int")
+    row = poisson_bootstrap_lift(
+        df, "k", F.col("arm") == "a", F.col("s") == 1, b_reps=80
+    ).collect()[0]
+    assert (row.n_a, row.n_b) == (400, 400)
+    assert abs(row.lift - 0.4) < 1e-9
+    assert row.ci_lo < 0.4 < row.ci_hi
+    assert row.ci_hi - row.ci_lo < 0.2
+    assert row.significant
+
+
+def test_poisson_bootstrap_lift_null_effect_not_significant(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_lift,
+    )
+
+    # identical 30% rates in both arms: CI must cover 0
+    rows = [(i, "a" if i % 2 == 0 else "b", 1 if (i // 2) % 10 < 3 else 0)
+            for i in range(800)]
+    df = spark.createDataFrame(rows, "k long, arm string, s int")
+    row = poisson_bootstrap_lift(
+        df, "k", F.col("arm") == "a", F.col("s") == 1, b_reps=80
+    ).collect()[0]
+    assert row.lift == 0.0
+    assert row.ci_lo <= 0 <= row.ci_hi
+    assert not row.significant
