@@ -234,6 +234,7 @@ HEADLINE = [
     "ks_drift_by_segment",
     "event_arm_chi2",
     "poisson_bootstrap_lift",
+    "funnel_stage_report",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

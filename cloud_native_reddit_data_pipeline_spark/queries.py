@@ -14355,6 +14355,138 @@ def poisson_bootstrap_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_stage_report",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    r1 AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM e WHERE event_type = 'view'
+    ),
+    s1 AS (SELECT user_id, ts AS t1, event_id AS e1 FROM r1 WHERE rn = 1),
+    r2 AS (
+      SELECT c.user_id, c.ts, c.event_id,
+             row_number() OVER (PARTITION BY c.user_id ORDER BY c.ts, c.event_id) AS rn
+      FROM e c JOIN s1 ON s1.user_id = c.user_id
+      WHERE c.event_type = 'click'
+        AND (c.ts > s1.t1 OR (c.ts = s1.t1 AND c.event_id > s1.e1))
+    ),
+    s2 AS (SELECT user_id, ts AS t2, event_id AS e2 FROM r2 WHERE rn = 1),
+    r3 AS (
+      SELECT c.user_id, c.ts, c.event_id,
+             row_number() OVER (PARTITION BY c.user_id ORDER BY c.ts, c.event_id) AS rn
+      FROM e c JOIN s2 ON s2.user_id = c.user_id
+      WHERE c.event_type = 'purchase'
+        AND (c.ts > s2.t2 OR (c.ts = s2.t2 AND c.event_id > s2.e2))
+    ),
+    s3 AS (SELECT user_id, ts AS t3 FROM r3 WHERE rn = 1),
+    l2 AS (
+      SELECT CAST(floor(epoch(s2.t2)) AS BIGINT)
+             - CAST(floor(epoch(s1.t1)) AS BIGINT) AS secs
+      FROM s2 JOIN s1 USING (user_id)
+    ),
+    l3 AS (
+      SELECT CAST(floor(epoch(s3.t3)) AS BIGINT)
+             - CAST(floor(epoch(s2.t2)) AS BIGINT) AS secs
+      FROM s3 JOIN s2 USING (user_id)
+    ),
+    rk2 AS (SELECT secs, ROW_NUMBER() OVER (ORDER BY secs) AS rn FROM l2),
+    rk3 AS (SELECT secs, ROW_NUMBER() OVER (ORDER BY secs) AS rn FROM l3),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
+    n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+    n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s3)
+    SELECT 1 AS stage, 'view' AS step, (SELECT n FROM n1) AS n_reached,
+           CAST(NULL AS DOUBLE) AS conv_from_prev,
+           CAST(NULL AS DOUBLE) AS p50_latency_min
+    UNION ALL
+    SELECT 2, 'click', (SELECT n FROM n2),
+           ROUND(CAST((SELECT n FROM n2) AS DOUBLE)
+                 / (SELECT n FROM n1) + 1e-9, 4),
+           ROUND(CAST((SELECT secs FROM rk2
+                  WHERE rn = CAST(ceil(0.5 * (SELECT n FROM n2)) AS BIGINT))
+                 AS DOUBLE) / 60.0 + 1e-9, 2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT n FROM n3),
+           ROUND(CAST((SELECT n FROM n3) AS DOUBLE)
+                 / (SELECT n FROM n2) + 1e-9, 4),
+           ROUND(CAST((SELECT secs FROM rk3
+                  WHERE rn = CAST(ceil(0.5 * (SELECT n FROM n3)) AS BIGINT))
+                 AS DOUBLE) / 60.0 + 1e-9, 2)
+    """,
+)
+def funnel_stage_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel report — the product-analytics deliverable the
+    pieces compose into: users reaching each strict-ordered stage,
+    conversion from the previous stage, and the NEAREST-RANK median
+    latency between stages (ranks via the range-partitioned two-pass
+    numbering; no single-task sort, no cross-engine interpolation).
+    Composition of windows.funnel_stages + with_global_row_numbers."""
+    _utc(spark)
+    fs = windows.funnel_stages(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        _FUNNEL_STEPS,
+        tiebreak="event_id",
+    ).persist()
+    try:
+        out = None
+        prev_n = None
+        for i, step in enumerate(_FUNNEL_STEPS, start=1):
+            reached = fs.filter(F.col(f"ts_step{i}").isNotNull())
+            n_i = reached.agg(F.count(F.lit(1)).cast("long").alias("n"))
+            if i == 1:
+                row = n_i.select(
+                    F.lit(i).alias("stage"),
+                    F.lit(step).alias("step"),
+                    F.col("n").alias("n_reached"),
+                    F.lit(None).cast("double").alias("conv_from_prev"),
+                    F.lit(None).cast("double").alias("p50_latency_min"),
+                )
+            else:
+                lat = reached.select(
+                    (
+                        F.unix_timestamp(f"ts_step{i}")
+                        - F.unix_timestamp(f"ts_step{i - 1}")
+                    ).alias("secs")
+                )
+                ranked = relational.with_global_row_numbers(
+                    lat, [F.col("secs")], "rn"
+                )
+                med = ranked.crossJoin(F.broadcast(n_i)).filter(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+                ).select(
+                    F.round(
+                        F.col("secs").cast("double") / F.lit(60.0) + F.lit(1e-9), 2
+                    ).alias("p50_latency_min")
+                )
+                row = (
+                    n_i.crossJoin(F.broadcast(prev_n.withColumnRenamed("n", "_pn")))
+                    .crossJoin(F.broadcast(med))
+                    .select(
+                        F.lit(i).alias("stage"),
+                        F.lit(step).alias("step"),
+                        F.col("n").alias("n_reached"),
+                        F.round(
+                            F.col("n").cast("double") / F.col("_pn") + F.lit(1e-9),
+                            4,
+                        ).alias("conv_from_prev"),
+                        "p50_latency_min",
+                    )
+                )
+            row = row.localCheckpoint(eager=True)
+            out = row if out is None else out.unionByName(row)
+            prev_n = n_i
+        return out
+    finally:
+        fs.unpersist()
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
