@@ -14487,6 +14487,73 @@ def funnel_stage_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs.unpersist()
 
 
+@register(
+    "streaming_lateness_audit",
+    """
+    WITH e AS (SELECT event_id % 3 AS b, ts FROM events),
+    m AS (SELECT b, MAX(ts) AS mx FROM e GROUP BY b),
+    marks AS (
+      SELECT d.b, MAX(m.mx) AS mark
+      FROM (SELECT DISTINCT b FROM e) d LEFT JOIN m ON m.b < d.b
+      GROUP BY d.b
+    )
+    SELECT e.b AS batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN marks.mark IS NOT NULL AND e.ts < marks.mark
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           MAX(CASE WHEN marks.mark IS NOT NULL AND e.ts < marks.mark
+               THEN CAST(floor(epoch(marks.mark)) AS BIGINT)
+                    - CAST(floor(epoch(e.ts)) AS BIGINT) END) AS max_late_sec
+    FROM e JOIN marks ON marks.b = e.b
+    GROUP BY e.b
+    """,
+)
+def streaming_lateness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival audit AS A STREAM (streaming/lateness.py): three
+    event micro-batches measured against the running event-time
+    high-water mark — the observability rows a deployment uses to
+    CHOOSE its watermark delay.  HARD-gated: the protocol is
+    deterministic given the batch split, so the oracle replays the
+    per-batch marks in SQL (mark = max ts over earlier batches) and
+    every audit row value-hashes against it."""
+    import os
+    import tempfile
+
+    from .streaming.lateness import start_lateness_audit_stream
+
+    _utc(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        for i in range(3):
+            (
+                ev.filter(F.col("event_id") % 3 == i)
+                .select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"))
+                .coalesce(1)
+                .write.json(f"{src}/b{i}")
+            )
+        now = 1_700_000_000
+        for i in range(3):
+            for fn in os.listdir(f"{src}/b{i}"):
+                os.utime(f"{src}/b{i}/{fn}", (now + i, now + i))
+        stream = (
+            spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{src}/b*")
+        )
+        q = start_lateness_audit_stream(
+            stream, f"{tmp}/out", f"{tmp}/marks", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(f"{tmp}/out").select(
+            F.col("batch").cast("long").alias("batch"),
+            "n_rows",
+            "n_late",
+            "max_late_sec",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 
