@@ -1405,3 +1405,81 @@ def kaplan_meier_retention(
     return curve.filter(F.col("converted") > 0).select(
         F.col("dur").alias("duration_days"), "at_risk", "converted", "survival"
     )
+
+
+def kaplan_meier_by_group(
+    events: DataFrame,
+    group_expr: Column,
+    user_col: str,
+    ts_col: str,
+    event_type_col: str,
+    target_type: str,
+) -> DataFrame:
+    """Per-GROUP Kaplan-Meier time-to-event curves — the survival A/B
+    readout: one right-censored conversion-latency curve per
+    experiment arm (or cohort/segment), directly comparable because
+    censoring is handled identically in every group.  Same estimator
+    as `kaplan_meier_retention` with every window PARTITIONED by the
+    group, so arms parallelize natively and the per-group duration
+    domain stays bounded by the observation window in days."""
+    span = events.agg(F.max(ts_col).alias("_obs_end"))
+    per_user = (
+        events.groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.first(group_expr).alias("_g"),
+            F.min(ts_col).alias("_first"),
+            F.min(
+                F.when(F.col(event_type_col) == target_type, F.col(ts_col))
+            ).alias("_hit"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "_g",
+            F.floor(
+                (
+                    F.coalesce(
+                        F.unix_timestamp("_hit"), F.unix_timestamp("_obs_end")
+                    )
+                    - F.unix_timestamp("_first")
+                )
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("dur"),
+            F.col("_hit").isNotNull().cast("int").alias("_ev"),
+        )
+    )
+    per_dur = per_user.groupBy("_g", "dur").agg(
+        F.count(F.lit(1)).alias("_n_all"), F.sum("_ev").alias("converted")
+    )
+    w_ord = Window.partitionBy("_g").orderBy("dur")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_dur.groupBy("_g").agg(F.sum("_n_all").alias("_n"))
+    curve = per_dur.join(F.broadcast(tot), "_g").withColumn(
+        "at_risk", F.col("_n") - F.coalesce(F.sum("_n_all").over(w_prev), F.lit(0))
+    ).withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1.0)
+                            - F.col("converted").cast("double")
+                            / F.col("at_risk").cast("double"),
+                            F.lit(1e-300),
+                        )
+                    )
+                ).over(w_ord)
+            )
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    return curve.filter(F.col("converted") > 0).select(
+        F.col("_g").alias("grp"),
+        F.col("dur").alias("duration_days"),
+        "at_risk",
+        "converted",
+        "survival",
+    )

@@ -14554,6 +14554,64 @@ def streaming_lateness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register(
+    "km_conversion_by_arm",
+    """
+    WITH span AS (
+      SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS obs_end FROM events
+    ), per_user AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             (COALESCE(
+                MIN(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(epoch(ts)) AS BIGINT) END),
+                (SELECT obs_end FROM span))
+              - CAST(floor(MIN(epoch(ts))) AS BIGINT)) // 86400 AS dur,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_dur AS (
+      SELECT grp, dur, COUNT(*) AS n_all, CAST(SUM(ev) AS BIGINT) AS converted
+      FROM per_user GROUP BY grp, dur
+    ), tot AS (
+      SELECT grp, CAST(SUM(n_all) AS BIGINT) AS n FROM per_dur GROUP BY grp
+    ), curve AS (
+      SELECT p.grp, p.dur, p.converted,
+             t.n - COALESCE(SUM(p.n_all) OVER (PARTITION BY p.grp
+               ORDER BY p.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM per_dur p JOIN tot t ON t.grp = p.grp
+    ), surv AS (
+      SELECT grp, dur, converted, CAST(at_risk AS BIGINT) AS at_risk,
+             ROUND(exp(SUM(ln(greatest(1.0 - CAST(converted AS DOUBLE)
+                               / CAST(at_risk AS DOUBLE), 1e-300)))
+                       OVER (PARTITION BY grp ORDER BY dur)) + 1e-9, 6)
+               AS survival
+      FROM curve
+    )
+    SELECT grp, dur AS duration_days, at_risk, converted, survival
+    FROM surv WHERE converted > 0
+    """,
+)
+def km_conversion_by_arm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival A/B: one right-censored time-to-first-purchase KM
+    curve per user-parity arm
+    (operators/windows.py:kaplan_meier_by_group) — every window
+    partitions by arm, so arms parallelize natively and each arm's
+    estimator matches the single-arm form exactly (unit-pinned)."""
+    _utc(spark)
+    return windows.kaplan_meier_by_group(
+        load(spark, sf_dir, "events"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")),
+        "user_id",
+        "ts",
+        "event_type",
+        "purchase",
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -405,3 +405,38 @@ def test_kaplan_meier_hand_computed_with_censoring(spark):
     assert got == {1: (4, 1, 0.75), 3: (3, 2, 0.25)}
     # censored user contributes to at_risk but never emits a row
     assert 2 not in got
+
+
+def test_km_by_group_matches_single_arm_form(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.windows import (
+        kaplan_meier_by_group,
+        kaplan_meier_retention,
+    )
+
+    rows = [
+        (1, "start", "2024-01-01 00:00:00"), (1, "buy", "2024-01-02 00:00:01"),
+        (2, "start", "2024-01-01 00:00:00"),
+        (3, "start", "2024-01-01 00:00:00"), (3, "buy", "2024-01-04 00:00:00"),
+        (4, "start", "2024-01-01 00:00:00"), (4, "buy", "2024-01-04 00:00:00"),
+        (11, "start", "2024-01-01 00:00:00"), (11, "buy", "2024-01-03 00:00:00"),
+        (12, "start", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    grp = F.when(F.col("user_id") < 10, F.lit("x")).otherwise(F.lit("y"))
+    by_group = {
+        (r.grp, r.duration_days): (r.at_risk, r.converted, r.survival)
+        for r in kaplan_meier_by_group(
+            df, grp, "user_id", "ts", "event_type", "buy"
+        ).collect()
+    }
+    for g, pred in (("x", F.col("user_id") < 10), ("y", F.col("user_id") >= 10)):
+        single = {
+            r.duration_days: (r.at_risk, r.converted, r.survival)
+            for r in kaplan_meier_retention(
+                df.filter(pred), "user_id", "ts", "event_type", "buy"
+            ).collect()
+        }
+        got = {d: v for (gg, d), v in by_group.items() if gg == g}
+        assert got == single, g
