@@ -236,6 +236,7 @@ HEADLINE = [
     "poisson_bootstrap_lift",
     "funnel_stage_report",
     "km_conversion_by_arm",
+    "degree_powerlaw",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

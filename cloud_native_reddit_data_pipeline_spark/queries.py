@@ -14612,6 +14612,115 @@ def km_conversion_by_arm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "degree_powerlaw",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT cnode AS src FROM pairs
+      UNION ALL SELECT snode FROM pairs
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src
+    ), hist AS (
+      SELECT degree, COUNT(*) AS n FROM deg GROUP BY degree
+    ), pts AS (
+      SELECT CAST(ROUND(ln(CAST(degree AS DOUBLE)) * 1000000.0 + 1e-9)
+               AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000.0 + 1e-9)
+               AS BIGINT) AS y
+      FROM hist
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts
+    ), st AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(SUM(degree) AS BIGINT) FROM deg) AS n_halfedges,
+             (SELECT CAST(MAX(degree) AS BIGINT) FROM deg) AS max_degree
+    )
+    SELECT st.n_nodes, st.n_halfedges, st.max_degree,
+           ROUND(CASE WHEN CAST(k AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx = 0 THEN 0.0
+                 ELSE (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 END + 1e-9, 4) AS loglog_slope,
+           ROUND(CASE WHEN (CAST(k AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(k AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy) = 0 THEN 0.0
+                 ELSE (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      * (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / ((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(k AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+                 END + 1e-9, 4) AS r2
+    FROM mom, st
+    """,
+)
+def degree_powerlaw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law diagnostic over the co-purchase
+    graph: degree histogram + OLS of ln(count) on ln(degree) — the
+    heavy-tail check that tells you whether skew mitigation (salting,
+    hub capping) is needed before joining on this key space.  The
+    ln points are e6-quantized so the moment sums are exact integers
+    (order-free); slope is scale-invariant under the quantization.
+    Everything past the one degree groupBy lives on histogram rows
+    (bounded by max degree)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = graph.bipartite_copurchase_edges(li, o)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n"))
+    pts = hist.select(
+        F.round(F.log(F.col("degree").cast("double")) * F.lit(1e6) + F.lit(1e-9))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * F.lit(1e6) + F.lit(1e-9))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    st = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("degree").cast("long").alias("n_halfedges"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = k * sxy - sx * F.col("sy")
+    varx = k * sxx - sx * F.col("sx")
+    vary = k * syy - sy * F.col("sy")
+    return st.crossJoin(F.broadcast(mom)).select(
+        "n_nodes",
+        "n_halfedges",
+        "max_degree",
+        F.round(
+            F.when(varx == 0, F.lit(0.0)).otherwise(cov / varx) + F.lit(1e-9), 4
+        ).alias("loglog_slope"),
+        F.round(
+            F.when(varx * vary == 0, F.lit(0.0)).otherwise(cov * cov / (varx * vary))
+            + F.lit(1e-9),
+            4,
+        ).alias("r2"),
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

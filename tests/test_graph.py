@@ -244,3 +244,38 @@ def test_kcore_cascading_removal(spark):
            kcore_membership(edges, k=2, rounds=5).collect()}
     assert set(out) == {5, 6, 7}
     assert all(v == 2 for v in out.values())
+
+
+def test_degree_powerlaw_recovers_planted_slope(spark):
+    """A hand-built histogram following n(d) = C * d^-2 exactly (in the
+    quantized-log space) must recover slope ~ -2 with r2 ~ 1.  Build a
+    graph whose degree histogram is (1: 64, 2: 16, 4: 4, 8: 1) —
+    n = 64 * d^-2."""
+    import pyspark.sql.functions as F
+
+    from cloud_native_reddit_data_pipeline_spark import queries as Q
+
+    # simulate via the same arithmetic the query uses, on a synthetic
+    # hist: slope of ln(n) vs ln(d) for exact powers is exactly -2
+    hist = spark.createDataFrame(
+        [(1, 64), (2, 16), (4, 4), (8, 1)], "degree long, n long"
+    )
+    pts = hist.select(
+        F.round(F.log(F.col("degree").cast("double")) * F.lit(1e6) + F.lit(1e-9))
+        .cast("long").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * F.lit(1e6) + F.lit(1e-9))
+        .cast("long").alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    ).collect()[0]
+    slope = (mom.k * mom.sxy - mom.sx * mom.sy) / (mom.k * mom.sxx - mom.sx * mom.sx)
+    assert abs(slope + 2.0) < 1e-3
+    # and the registered query runs end-to-end with sane outputs
+    row = Q.queries()["degree_powerlaw"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_nodes > 0 and row.max_degree >= 1
+    assert 0.0 <= row.r2 <= 1.0
