@@ -14303,9 +14303,11 @@ def event_arm_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), draws AS (
       SELECT a, s, b,
+             -- one md5 = four 32-bit draws: hash per (row, b // 4),
+             -- slice by b % 4 (4x fewer md5 on the n x B hot path)
              CAST(('0x' || substring(md5('lift|' || k || '|'
-               || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
-               / 4294967296.0 AS u
+               || CAST(b // 4 AS VARCHAR)), 1 + 8 * (b % 4), 8))::BIGINT
+               AS DOUBLE) / 4294967296.0 AS u
       FROM base, (SELECT unnest(generate_series(0, 99)) AS b)
     ), reps AS (
       SELECT b,
