@@ -237,6 +237,7 @@ HEADLINE = [
     "funnel_stage_report",
     "km_conversion_by_arm",
     "degree_powerlaw",
+    "source_length_ci",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

@@ -816,3 +816,103 @@ def poisson_bootstrap_lift(
             (F.col("ci_lo") > 0) | (F.col("ci_hi") < 0),
         )
     )
+
+
+def poisson_bootstrap_ci_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    b_reps: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-GROUP Poisson-bootstrap mean CIs — one uncertainty band per
+    source/domain/segment in a single pass (the grouped form of
+    `poisson_bootstrap_ci`): the per-source quality dashboards a
+    curation pipeline publishes need error bars, not just means.
+
+    Same deterministic md5 Poisson(1) weights; replicate sums are
+    decimal-exact per (group, replicate); the CI picks NEAREST-RANK
+    replicate means (rank = ceil(q*B) within each group, tie-broken by
+    replicate id) — exact selection, no cross-engine interpolation.
+    Scale shape: the n x B explode partial-aggregates map-side to
+    (groups x B) rows; every window partitions by group over exactly B
+    rows."""
+    import math
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot|"),
+                        F.col("_k"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w_expr = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w_expr = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w_expr)
+    t = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(value_col).cast(f"decimal(18,{scale})").alias("_x"),
+    ).select(
+        "_g",
+        "_k",
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b"),
+    )
+    reps = (
+        t.withColumn("_w", w_expr.cast("decimal(10,0)"))
+        .groupBy("_g", "b")
+        .agg(
+            (
+                F.sum(F.col("_w") * F.col("_x")).cast("double")
+                / F.sum(F.col("_w")).cast("double")
+            ).alias("_m")
+        )
+    )
+    w_ord = Window.partitionBy("_g").orderBy("_m", "b")
+    ranked = reps.withColumn("_rn", F.row_number().over(w_ord))
+    r_lo, r_hi = math.ceil(lo * b_reps), math.ceil(hi * b_reps)
+    ci_lo = ranked.filter(F.col("_rn") == r_lo).select(
+        "_g", F.round(F.col("_m") + F.lit(1e-9), 4).alias("ci_lo")
+    )
+    ci_hi = ranked.filter(F.col("_rn") == r_hi).select(
+        "_g", F.round(F.col("_m") + F.lit(1e-9), 4).alias("ci_hi")
+    )
+    point = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col(value_col).cast(f"decimal(18,{scale})")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("mean"),
+    )
+    return (
+        point.join(ci_lo, "_g")
+        .join(ci_hi, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_rows",
+            F.lit(b_reps).alias("b_reps"),
+            "mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

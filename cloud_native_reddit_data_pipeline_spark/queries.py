@@ -14723,6 +14723,56 @@ def degree_powerlaw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_length_ci",
+    f"""
+    WITH base AS (
+      SELECT source AS g, CAST(doc_id AS VARCHAR) AS k,
+             CAST(n_chars AS DECIMAL(18,2)) AS x
+      FROM documents
+    ), draws AS (
+      SELECT g, x,
+             CAST(('0x' || substring(md5('boot|' || k || '|'
+               || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+               / 4294967296.0 AS u,
+             b
+      FROM base, (SELECT unnest(generate_series(0, 99)) AS b)
+    ), reps AS (
+      SELECT g, b,
+             CAST(SUM(CAST({_P1_CASE} AS DECIMAL(10,0)) * x) AS DOUBLE)
+               / CAST(SUM(CAST({_P1_CASE} AS DECIMAL(10,0))) AS DOUBLE) AS m
+      FROM draws GROUP BY g, b
+    ), ranked AS (
+      SELECT g, b, m,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, b) AS rn
+      FROM reps
+    ), pt AS (
+      SELECT source AS g, COUNT(*) AS n_rows,
+             ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) + 1e-9, 4) AS mean
+      FROM documents GROUP BY source
+    )
+    SELECT pt.g AS source, pt.n_rows, 100 AS b_reps, pt.mean,
+           lo.ci_lo, hi.ci_hi
+    FROM pt
+    JOIN (SELECT g, ROUND(m + 1e-9, 4) AS ci_lo FROM ranked WHERE rn = 3) lo
+      ON lo.g = pt.g
+    JOIN (SELECT g, ROUND(m + 1e-9, 4) AS ci_hi FROM ranked WHERE rn = 98) hi
+      ON hi.g = pt.g
+    """,
+)
+def source_length_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean document length with Poisson-bootstrap 95% CIs
+    (operators/sampling.py:poisson_bootstrap_ci_grouped) — the grouped
+    uncertainty band a per-source quality dashboard needs.  Exact
+    decimal replicate sums; nearest-rank CI within each source's B
+    replicate means."""
+    return sampling.poisson_bootstrap_ci_grouped(
+        load(spark, sf_dir, "documents"), "source", "doc_id", "n_chars",
+        b_reps=100,
+    )
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -419,3 +419,28 @@ def test_poisson_bootstrap_lift_null_effect_not_significant(spark):
     assert row.lift == 0.0
     assert row.ci_lo <= 0 <= row.ci_hi
     assert not row.significant
+
+
+def test_grouped_bootstrap_ci_brackets_per_group_mean(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_ci_grouped,
+    )
+
+    rows = [(i, "lo", float(10 + i % 5)) for i in range(300)] + [
+        (1000 + i, "hi", float(100 + i % 5)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    got = {
+        r.g: r
+        for r in poisson_bootstrap_ci_grouped(
+            df, "g", "k", "v", b_reps=60
+        ).collect()
+    }
+    for g, center in (("lo", 12.0), ("hi", 102.0)):
+        r = got[g]
+        assert r.n_rows == 300 and r.b_reps == 60
+        assert r.ci_lo < r.mean < r.ci_hi
+        assert abs(r.mean - center) < 0.01
+        assert r.ci_hi - r.ci_lo < 2.0
+    # the two groups' CIs must not overlap (they are 90 apart)
+    assert got["lo"].ci_hi < got["hi"].ci_lo
