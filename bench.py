@@ -238,6 +238,11 @@ HEADLINE = [
     "km_conversion_by_arm",
     "degree_powerlaw",
     "source_length_ci",
+    # round-10 additions: the persistent ANN index (build-once /
+    # probe-many split of the fused IVF/PQ forms)
+    "ann_index_build",
+    "ann_index_probe",
+    "ann_index_probe_pq",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's
@@ -285,6 +290,20 @@ CORE_HEADLINE = [
     "tfidf_per_doc", "topk_per_group", "training_batch_prepare",
     "training_corpus_select", "training_corpus_select_v2",
     "training_corpus_select_v3",
+]
+
+
+# SECOND frozen core (round-9 verdict task 8): ten representative
+# round-8/9 additions — the tokenizer family, the bootstrap/causal
+# family, the multimodal capstone, layout, and the comment-tree family —
+# so the NEW families are round-over-round comparable the same way
+# CORE_HEADLINE tracks the r7 core.  DO NOT grow this list; its sum is
+# emitted as "core2_value".
+CORE_HEADLINE_V2 = [
+    "comment_tree_paths", "hilbert_layout", "image_text_contrastive_pairs",
+    "multimodal_dedup_manifest", "poisson_bootstrap_lift",
+    "tokenizer_fertility_compare", "unigram_lm_encode", "unigram_lm_vocab",
+    "wordpiece_encode", "wordpiece_merges",
 ]
 
 
@@ -421,9 +440,12 @@ def main() -> None:
     # headline), not raw loop wall-clock (which includes the warm-up runs).
     total = round(sum(timings.values()), 2)
     core = round(sum(timings[n] for n in CORE_HEADLINE if n in timings), 2)
+    core2 = round(sum(timings[n] for n in CORE_HEADLINE_V2 if n in timings), 2)
     print(f"# total loop wall: {round(time.perf_counter() - t_all, 1)}s, "
           f"headline (sum of best-of-2): {total}s, "
-          f"core ({len(CORE_HEADLINE)} frozen): {core}s", file=sys.stderr)
+          f"core ({len(CORE_HEADLINE)} frozen): {core}s, "
+          f"core2 ({len(CORE_HEADLINE_V2)} frozen r8/9): {core2}s",
+          file=sys.stderr)
 
     payload = {
         "metric": "headline_query_wall_seconds",
@@ -433,6 +455,10 @@ def main() -> None:
         # comparable number (see CORE_HEADLINE comment / BASELINE.md)
         "core_value": core,
         "core_n": len(CORE_HEADLINE),
+        # frozen 10-query round-8/9-additions subset (tokenizers,
+        # bootstrap, capstones) — see CORE_HEADLINE_V2 comment
+        "core2_value": core2,
+        "core2_n": len(CORE_HEADLINE_V2),
         "queries": timings,
         "sf": sf,
     }

@@ -1,0 +1,264 @@
+"""Persistent ANN index: build once, probe many (round-10 hardening of
+the fused `similarity.ivf_topk` / `similarity.pq_adc_topk` forms).
+
+Production ANN never re-derives its index per query — centroids, the
+inverted file, and the PQ codebook are built ONCE and persisted; a probe
+loads metadata and touches only the probed cells.  This module splits
+the fused operators into exactly that shape:
+
+- `ann_index_build`  — derive IVF centroids + cell assignments + PQ
+  codebook/codes from the corpus and persist all four artifacts as
+  parquet under ``{index_dir}/{version}/``; returns a per-cell manifest.
+- `ann_index_probe`  — IVF probe straight off the persisted artifacts:
+  centroid scoring on the (tiny) centroid table, **static partition
+  pruning** of the cell-partitioned inverted file down to the probed
+  cells, exact cosine re-rank.  Byte-identical to the fused
+  `similarity.ivf_topk` (pinned by tests/test_ann_index.py).
+- `ann_index_probe_pq` — ADC probe off the persisted codes + codebook,
+  no re-encode.  Byte-identical to `similarity.pq_adc_topk`.
+
+Layout under ``{index_dir}/{version}/``::
+
+    centroids/   (centroid_id BIGINT, cv ARRAY<FLOAT>)         ~KB
+    cells/       (vec_id BIGINT, embedding ARRAY<FLOAT>)
+                 partitioned by cell INT (the inverted file)
+    codes/       (vec_id BIGINT, code0..code{m-1} INT)          4B/vec
+    codebook/    (sub INT, code INT, vals ARRAY<DECIMAL(9,6)>)  ~KB
+
+Scale shape: the build is the fused form's first half (one broadcast
+centroid scoring pass + one partitionBy write — the shuffle is the
+partitioned write itself, exactly the shuffle an inverted layout is FOR).
+A probe reads the centroid table (KBs), prunes the inverted file to
+``n_probe x |queries|`` cell directories on DISK (PartitionFilters, not a
+post-scan filter), and re-ranks only those rows — corpus scan cost is
+1/n_centroids per probed cell regardless of corpus size.  The probed
+cell list is k-row routing metadata collected driver-side (the
+query-router pattern; same precedent as the BPE merge-table collect).
+
+Float discipline: embeddings persist as the original ARRAY<FLOAT> (bit
+round-trip through parquet), so probe-side cosines see the exact same
+doubles as the fused form; the codebook persists at DECIMAL(9,6) (exact
+round-trip), so ADC distances are the same e12 integers.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from decimal import localcontext as _localctx
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from .clustering import _quantize as _pq_quantize
+from .similarity import _pq_encode_df, _pq_seed_codebook
+
+
+def _base(index_dir: str, version: str) -> str:
+    return f"{index_dir}/{version}"
+
+
+def ann_index_build(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build and persist the ANN index; returns the per-cell manifest
+    ``(cell, n_vectors, min_vec_id, max_vec_id)`` read back from the
+    persisted inverted file (so the gate proves what is ON DISK, not
+    what was computed in flight)."""
+    from ..sources.tables import fan_out
+
+    spark = emb.sparkSession
+    base = _base(index_dir, version)
+    emb = fan_out(emb)
+
+    # -- IVF half: centroids + cell assignment (same derivation, same
+    #    rounding, same tie-break as similarity.ivf_topk) --------------
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    cents = spark.read.parquet(f"{base}/centroids")
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col, vec_col, F.col("centroid_id").cast("int").alias("cell")
+        )
+    )
+    # the partitionBy write IS the inverted layout: one directory per
+    # cell, so probes prune on disk
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{base}/cells")
+
+    # -- PQ half: seed codebook + codes ------------------------------
+    quant = _pq_quantize(emb, id_col, vec_col)
+    codebook = _pq_seed_codebook(quant, id_col, m, k_codes)
+    dsub = len(codebook[0][0])
+    cb_rows = [
+        (s, c, codebook[s][c])
+        for s in range(m)
+        for c in range(k_codes)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, vals array<decimal(9,6)>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebook")
+    _pq_encode_df(quant, codebook, dsub).write.mode("overwrite").parquet(
+        f"{base}/codes"
+    )
+
+    return (
+        spark.read.parquet(f"{base}/cells")
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(id_col).alias("min_vec_id"),
+            F.max(id_col).alias("max_vec_id"),
+        )
+    )
+
+
+def ann_index_probe(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe off the persisted index — NO rebuild: centroids and the
+    inverted file are read as-is; only ``n_probe`` cell directories per
+    query are scanned (static partition pruning via the collected probe
+    cell list).  Result is byte-identical to ``similarity.ivf_topk`` on
+    the same corpus/params."""
+    base = _base(index_dir, version)
+    cents = spark.read.parquet(f"{base}/centroids")
+    cells = spark.read.parquet(f"{base}/cells")
+
+    qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probes = (
+        qdf.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("ccos"),
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").cast("int").alias("cell"))
+    )
+    # k-row routing metadata (|queries| x n_probe pairs): collected so the
+    # inverted-file read prunes partitions STATICALLY (PartitionFilters
+    # in the scan, not a post-hoc filter) — the query-router pattern
+    probe_rows = probes.collect()
+    probe_cells = sorted({r["cell"] for r in probe_rows})
+    probes_df = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["cell"]) for r in probe_rows],
+        probes.schema,
+    )
+    cand = (
+        cells.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+        .join(F.broadcast(probes_df), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
+def ann_index_probe_pq(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    topk: int = 5,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC probe off the persisted PQ codes + codebook — no re-encode.
+    The per-query distance table is exact decimal arithmetic over the
+    round-tripped DECIMAL(9,6) codebook, so distances are the same e12
+    BIGINTs as the fused ``similarity.pq_adc_topk``."""
+    base = _base(index_dir, version)
+    cells = spark.read.parquet(f"{base}/cells")
+    codes = spark.read.parquet(f"{base}/codes")
+
+    cb_rows = spark.read.parquet(f"{base}/codebook").collect()
+    m = 1 + max(r["sub"] for r in cb_rows)
+    k_codes = 1 + max(r["code"] for r in cb_rows)
+    codebook: list[list[list[Decimal]]] = [
+        [None] * k_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in cb_rows:
+        codebook[r["sub"]][r["code"]] = list(r["vals"])
+    dsub = len(codebook[0][0])
+
+    qquant = _pq_quantize(
+        cells.filter(F.col(id_col).isin(query_ids)), id_col, vec_col
+    )
+    qrows = {r[id_col]: list(r["xd"]) for r in qquant.collect()}
+    table_rows = []
+    with _localctx() as ctx:
+        ctx.prec = 50
+        for qid, xd in qrows.items():
+            for s in range(m):
+                qsub = xd[s * dsub : (s + 1) * dsub]
+                for code in range(k_codes):
+                    d = sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(qsub, codebook[s][code])
+                    )
+                    table_rows.append(
+                        (qid, s, code, int(d.scaleb(12).to_integral_exact()))
+                    )
+    dtable = spark.createDataFrame(
+        table_rows, "query_id long, sub int, code int, d_e12 long"
+    )
+
+    encoded = codes.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"code{s}") for s in range(m)])).alias(
+            "sub", "code"
+        ),
+    )
+    adc = (
+        encoded.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d_e12").alias("adc_e12"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_e12", "neighbor_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "adc_e12", "rk")
+    )

@@ -92,6 +92,23 @@ def ingest_posts_stream_bounded(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (the generic form of
+    ingest_posts_stream_bounded): a redelivery is dropped only while the
+    first occurrence's state lives, i.e. until the event-time watermark
+    passes first_ts + delay; after eviction the same key is emitted
+    again.  This is the state-bounded trade the unbounded
+    dropDuplicates (the reference's Redis seen-id set, SURVEY O38)
+    refuses to make — state is O(keys-within-delay), not O(all keys
+    ever seen)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_session_counts(
     events_stream: DataFrame,
     gap: str = "30 minutes",
