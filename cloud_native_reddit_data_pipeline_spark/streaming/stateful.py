@@ -157,9 +157,11 @@ def user_event_profiles(events_stream: DataFrame) -> DataFrame:
     ``transformWithStateInPandas`` — requires the RocksDB state store
     provider (spark.sql.streaming.stateStore.providerClass) AND a
     working ``google.protobuf`` (the TWS state protocol is protobuf-
-    framed; this build container ships a broken protobuf, so the test
-    for this operator skips there — `applyInPandasWithState` above is
-    the fully-exercised stateful path).  Raises ImportError eagerly
+    framed; this build container ships no usable protobuf, so the test
+    for this operator asserts the eager ImportError and then drives the
+    same scenario through `user_event_profiles_compat` — no skip;
+    `applyInPandasWithState` is the fully-exercised stateful path).
+    Raises ImportError eagerly
     when protobuf is unusable rather than crashing the stream's driver
     worker mid-query."""
     try:

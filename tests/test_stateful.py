@@ -65,23 +65,33 @@ def test_state_accumulates_across_microbatches(spark, tmp_path):
 def test_transform_with_state_profiles(spark, tmp_path):
     """transformWithStateInPandas (typed MapState on RocksDB): the
     per-user event-type histogram must accumulate across micro-batches
-    and the final emission must equal the batch groupBy.  SKIPS where
-    google.protobuf is broken (this container) — the operator raises
-    ImportError eagerly there, verified below."""
+    and the final emission must equal the batch groupBy.
+
+    Where google.protobuf is broken (this container), the native TWS
+    operator must raise ImportError EAGERLY (asserted — that diagnostic
+    is the operator's contract here), and the SAME end-to-end
+    assertions then run through the semantics-equivalent
+    applyInPandasWithState twin (`user_event_profiles_compat`, pinned
+    equal to the native processor by test_tws_twin_equivalence) — the
+    scenario is exercised for real either way, so this test never
+    skips."""
     import pytest
 
     from cloud_native_reddit_data_pipeline_spark.streaming.stateful import (
         user_event_profiles,
+        user_event_profiles_compat,
     )
 
     try:
         from google.protobuf import descriptor  # noqa: F401
+
+        profiles_op = user_event_profiles
     except ImportError:
         with pytest.raises(ImportError, match="protobuf"):
             user_event_profiles(
                 spark.readStream.format("rate").load()
             )
-        pytest.skip("google.protobuf unusable here; eager ImportError verified")
+        profiles_op = user_event_profiles_compat
 
     rows = [
         (0, 1, "view"), (1, 1, "click"), (2, 2, "view"),
@@ -104,7 +114,7 @@ def test_transform_with_state_profiles(spark, tmp_path):
             .parquet(f"{src}/b*")
         )
         q = (
-            user_event_profiles(stream)
+            profiles_op(stream)
             .writeStream.format("memory")
             .queryName("tws_test")
             .outputMode("update")

@@ -145,6 +145,9 @@ DEFAULT_QUERIES = [
     # 2000-event two-batch replay (the correctness twin), so a smoke
     # ratio would measure nothing; its scale story is the bounded
     # per-user tail store (state O(users), never O(events))
+    # round-10: the EP0->EP3 composition (scaled by post count, own
+    # synthetic harvest — see the special case in main())
+    "composed_pipeline_e2e",
 ]
 
 
@@ -283,6 +286,41 @@ def main() -> int:
     run_stamp = f"{commit}@{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"
     report = {"factor": factor, "queries": {}}
     for name in names:
+        if name == "composed_pipeline_e2e":
+            # EP0->EP1/EP2->EP3 composition (round-9 verdict task 3):
+            # scaled by POST COUNT (base 1000 x factor), not by the
+            # parquet tables — the composition synthesizes its own
+            # harvest.  Single-run timing (the streaming legs carry a
+            # large fixed trigger cost; best-of-2 would double a
+            # minutes-long 100x leg for no plan information).  The
+            # duplicate-free store assertion runs INSIDE
+            # run_composed_pipeline — a failed contract raises here.
+            import shutil as _sh
+            import tempfile as _tf
+
+            from cloud_native_reddit_data_pipeline_spark.plans.composed import (
+                run_composed_pipeline,
+            )
+
+            base_n = 1000
+            times = {}
+            for label, n in (("base", base_n), ("scaled", base_n * factor)):
+                spark.catalog.clearCache()
+                tmpd = _tf.mkdtemp(prefix="composed-smoke-")
+                t0 = time.time()
+                out = run_composed_pipeline(spark, tmpd, n)
+                times[label] = round(time.time() - t0, 2)
+                times[f"{label}_rows"] = out["analysis_rows"]
+                _sh.rmtree(tmpd, ignore_errors=True)
+            ratio = round(times["scaled"] / max(times["base"], 0.01), 2)
+            flag = "SUPERLINEAR" if ratio > factor * 1.5 else "ok"
+            report["queries"][name] = {
+                **times, "time_ratio": ratio, "flag": flag, "run": run_stamp,
+                "store_verified": "duplicate-free",
+            }
+            print(f"{name}: base={times['base']}s scaled={times['scaled']}s "
+                  f"ratio={ratio}x (posts x{factor}) [{flag}]")
+            continue
         fn = qs[name]
         times = {}
         for label, d in (("base", SRC), ("scaled", DST)):
