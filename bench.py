@@ -243,6 +243,8 @@ HEADLINE = [
     "ann_index_build",
     "ann_index_probe",
     "ann_index_probe_pq",
+    "ann_index_append",
+    "bpe_artifact_roundtrip",
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

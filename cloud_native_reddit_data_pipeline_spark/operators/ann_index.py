@@ -131,6 +131,60 @@ def ann_index_build(
     )
 
 
+def ann_index_append(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    index_dir: str,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance — the third production verb after
+    build/probe: assign NEW vectors to the EXISTING centroids (an IVF
+    index never moves centroids on ingest; drift is handled by a
+    periodic rebuild under a new version key), append them to the
+    cell-partitioned inverted file, and PQ-encode them against the
+    PERSISTED codebook.  Because cell assignment and codes use the
+    frozen artifacts, build(A) + append(B) leaves the exact same store
+    as build(A ∪ B) whenever the seed rows live in A — pinned
+    byte-identical by tests/test_ann_index.py.  Returns the per-cell
+    appended-count manifest.
+
+    Scale shape: one broadcast centroid scoring pass over ONLY the new
+    rows + one partitioned append (no touch of existing cell files);
+    the PQ encode is the same narrow broadcast-codebook map."""
+    base = _base(index_dir, version)
+    cents = spark.read.parquet(f"{base}/centroids")
+
+    scored = new_vecs.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").cast("int").alias("cell"))
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{base}/cells")
+
+    cb_rows = spark.read.parquet(f"{base}/codebook").collect()
+    m = 1 + max(r["sub"] for r in cb_rows)
+    k_codes = 1 + max(r["code"] for r in cb_rows)
+    codebook = [[None] * k_codes for _ in range(m)]
+    for r in cb_rows:
+        codebook[r["sub"]][r["code"]] = list(r["vals"])
+    dsub = len(codebook[0][0])
+    quant = _pq_quantize(new_vecs, id_col, vec_col)
+    _pq_encode_df(quant, codebook, dsub).write.mode("append").parquet(
+        f"{base}/codes"
+    )
+
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_appended"))
+
+
 def ann_index_probe(
     spark: SparkSession,
     index_dir: str,

@@ -15019,6 +15019,88 @@ def streaming_dedup_bounded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+_ANNIDX_APPEND_QUERY_IDS = [6, 7, 8]
+
+
+@register(
+    "ann_index_append",
+    "WITH "
+    + _annidx_assign_sql()
+    + f""",
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({', '.join(map(str, _ANNIDX_APPEND_QUERY_IDS))})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (operators/ann_index.ann_index_append):
+    build over the first half of the corpus, APPEND the second half
+    against the frozen centroids/codebook, then probe.  Because the
+    seed rows live in the first half, build+append leaves the same
+    store as a one-shot build over everything — so the oracle is the
+    plain full-corpus IVF rule, and a drifted assignment, lost append,
+    or re-derived centroid flips the hash."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("long")).first()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            emb.filter(F.col("vec_id") <= half),
+            f"{tmp}/annidx",
+            n_centroids=_IVF_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        ann_index.ann_index_append(
+            spark, emb.filter(F.col("vec_id") > half), f"{tmp}/annidx"
+        ).collect()
+        out = ann_index.ann_index_probe(
+            spark,
+            f"{tmp}/annidx",
+            _ANNIDX_APPEND_QUERY_IDS,
+            k=_IVF_K,
+            n_probe=_IVF_PROBE,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register("bpe_artifact_roundtrip", bpe_encode_oracle_sql(12))
+def bpe_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer artifact round-trip (operators/artifacts.py): learn
+    the BPE merge table, PERSIST it as versioned parquet, reload it in
+    rank order, and encode the corpus with the LOADED artifact.  The
+    oracle is the same unrolled-CTE encode SQL as `bpe_encode` — a
+    reordered, truncated, or type-drifted artifact flips the hash, so
+    the round-trip (not just the learner) is what's gated."""
+    import tempfile
+
+    from .operators.artifacts import load_merges, save_merge_table
+    from .operators.bpe import bpe_encode_stats, learn_bpe_merges
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        save_merge_table(
+            learn_bpe_merges(docs, "text", n_merges=12), f"{tmp}/bpe"
+        )
+        merges = load_merges(spark, f"{tmp}/bpe")
+        out = bpe_encode_stats(docs, "doc_id", "text", merges)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register(
     "lda_determinism",
     """

@@ -149,3 +149,46 @@ def test_version_keys_isolate(spark, tmp_path):
     assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, fused.collect()))
     p2 = ann_index.ann_index_probe(spark, idx, [4], version="v2")
     assert all(r["neighbor_id"] % 2 == 0 for r in p2.collect())
+
+
+def test_append_equals_one_shot_build(spark, tmp_path):
+    """build(first half) + append(second half) must leave a store whose
+    probe is BYTE-identical to a one-shot build over everything (the
+    seed rows live in the first half, so centroids/codebook agree) —
+    both the IVF probe and the PQ ADC probe."""
+    emb = load(spark, SF, "embeddings")
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    idx_inc, idx_full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ann_index.ann_index_build(emb.filter(F.col("vec_id") <= half), idx_inc)
+    ann_index.ann_index_append(spark, emb.filter(F.col("vec_id") > half), idx_inc)
+    ann_index.ann_index_build(emb, idx_full)
+    for probe in (
+        lambda i: ann_index.ann_index_probe(spark, i, QIDS),
+        lambda i: ann_index.ann_index_probe_pq(spark, i, QIDS),
+    ):
+        a = sorted(map(tuple, probe(idx_inc).collect()))
+        b = sorted(map(tuple, probe(idx_full).collect()))
+        assert a == b
+
+
+def test_append_only_touches_new_files(spark, tmp_path):
+    """Incremental ingest must not rewrite existing cell files: every
+    pre-append file survives byte-for-byte (same path, size, mtime)."""
+    import os
+
+    emb = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb.filter(F.col("vec_id") <= 250), idx)
+    before = {}
+    for root, _, files in os.walk(f"{idx}/v1/cells"):
+        for f in files:
+            if "_SUCCESS" in f:  # job marker — rewritten by design
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            before[p] = (st.st_size, st.st_mtime)
+    assert before  # data files exist to compare
+    ann_index.ann_index_append(spark, emb.filter(F.col("vec_id") > 250), idx)
+    for p, (size, mtime) in before.items():
+        st = os.stat(p)
+        assert (st.st_size, st.st_mtime) == (size, mtime), f"rewrote {p}"
