@@ -245,6 +245,12 @@ HEADLINE = [
     "ann_index_probe_pq",
     "ann_index_append",
     "bpe_artifact_roundtrip",
+    "fellegi_sunter_scores",
+    "golden_record_merge",
+    "l_diversity_t_closeness",
+    # streaming_ann_probe follows the streaming replay-twin exclusion
+    # (fixed 12-query two-batch fixture; the serving path's cost story
+    # is the probe itself, benched as ann_index_probe)
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

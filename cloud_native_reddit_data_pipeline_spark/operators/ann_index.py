@@ -201,12 +201,39 @@ def ann_index_probe(
     cell list).  Result is byte-identical to ``similarity.ivf_topk`` on
     the same corpus/params."""
     base = _base(index_dir, version)
-    cents = spark.read.parquet(f"{base}/centroids")
     cells = spark.read.parquet(f"{base}/cells")
-
     qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    return ann_index_probe_vectors(
+        spark, index_dir, qdf, k=k, n_probe=n_probe, version=version,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ann_index_probe_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe with CALLER-SUPPLIED query vectors — ``queries`` is
+    (query_id, qv) — the serving-path form: query vectors arrive from
+    outside (a request stream, a batch of fresh embeddings) and never
+    need to live in the index.  `ann_index_probe` is the corpus-member
+    convenience wrapper.  A query whose id matches a corpus vector is
+    self-excluded, so member probes stay byte-identical to the fused
+    form."""
+    base = _base(index_dir, version)
+    cents = spark.read.parquet(f"{base}/centroids")
+    cells = spark.read.parquet(f"{base}/cells")
+
+    qdf = queries.select(F.col(queries.columns[0]).alias("query_id"),
+                         F.col(queries.columns[1]).alias("qv"))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )

@@ -834,6 +834,93 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: Column,
+    l_div: int = 2,
+    t_e6: int = 400_000,
+) -> DataFrame:
+    """Entropy l-diversity + t-closeness audit — the two stronger
+    release gates above `k_anonymity_audit`'s distinct-count check
+    (Machanavasjhala et al. 2006; Li et al. 2007):
+
+    - **entropy l-diversity**: a class passes when
+      -Σ p_s ln p_s >= ln(l).  Computed order-free exact:
+      entropy_e6 = ln_e6(n) - (Σ n_s * ln_e6(n_s)) div n, where
+      ln_e6(x) = round(ln(x)*1e6) is quantized PER TERM (the
+      shapley/chi2 integer-sum discipline — an unordered float sum of
+      ln terms would be engine-unstable) and the final division is
+      integer `div` on both engines.
+    - **t-closeness**: the total-variation distance between the
+      class's sensitive distribution and the GLOBAL one, as an exact
+      rational: TVD = Σ_s |N*n_s - n*g_s| / (2*n*N) over the global
+      sensitive domain (absent-in-class values contribute n*g_s), then
+      one rounded e6 integer.  A class passes when tvd_e6 <= `t_e6`.
+
+    Scale shape: one (QI, sensitive) aggregate + one sensitive-domain
+    aggregate (both vocabulary-sized), a broadcast of the global
+    distribution onto the class x domain grid (|classes| x |domain| —
+    bounded by the attribute domains, never by the table), and one
+    final class rollup with map-side combine."""
+    _ln_e6 = lambda c: F.round(F.log(c.cast("double")) * 1_000_000, 0).cast("long")  # noqa: E731
+
+    cs = df.groupBy(*[F.col(c) for c in qi_cols], sensitive_col.alias("_s")).agg(
+        F.count(F.lit(1)).alias("_ns")
+    )
+    glob = cs.groupBy("_s").agg(F.sum("_ns").alias("_gs"))
+    n_total = df.count()
+    classes = cs.groupBy(*qi_cols).agg(F.sum("_ns").alias("_n"))
+
+    grid = classes.crossJoin(F.broadcast(glob)).join(
+        cs, [*qi_cols, "_s"], "left"
+    ).select(
+        *qi_cols,
+        "_n",
+        "_gs",
+        F.coalesce(F.col("_ns"), F.lit(0)).alias("_ns"),
+    )
+    per_class = grid.groupBy(*qi_cols).agg(
+        F.first("_n").alias("_n"),
+        F.sum(
+            F.when(F.col("_ns") > 0, F.col("_ns") * _ln_e6(F.col("_ns"))).otherwise(
+                F.lit(0)
+            )
+        ).alias("_sum_nlnn"),
+        F.sum(
+            F.abs(F.lit(n_total) * F.col("_ns") - F.col("_n") * F.col("_gs"))
+        ).alias("_tvd_num"),
+    )
+    import math
+
+    ln_l_e6 = int(round(math.log(l_div) * 1_000_000))
+    return per_class.select(
+        *qi_cols,
+        F.col("_n").cast("long").alias("class_size"),
+        (_ln_e6(F.col("_n")) - F.expr("_sum_nlnn div _n")).alias("entropy_e6"),
+        (
+            (_ln_e6(F.col("_n")) - F.expr("_sum_nlnn div _n")) >= ln_l_e6
+        ).alias("entropy_l_ok"),
+        F.round(
+            F.col("_tvd_num").cast("double")
+            * 1_000_000
+            / (2.0 * F.col("_n") * n_total),
+            0,
+        )
+        .cast("long")
+        .alias("tvd_e6"),
+        (
+            F.round(
+                F.col("_tvd_num").cast("double")
+                * 1_000_000
+                / (2.0 * F.col("_n") * n_total),
+                0,
+            ).cast("long")
+            <= t_e6
+        ).alias("t_close_ok"),
+    )
+
+
 # Benford first-digit probabilities log10(1 + 1/d), inlined as shared
 # constants so both engines compare against bit-identical expectations
 # (library log10 implementations may differ in the last ulp).

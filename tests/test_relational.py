@@ -527,3 +527,29 @@ def test_chi2_independence_hand_computed(spark):
     assert abs(got.chi2 - 20.0) < 1e-6
     assert abs(got.cramers_v - 0.5) < 1e-6
     assert got.dependent
+
+
+def test_l_diversity_t_closeness_hand_case(spark):
+    """class A: s=[1,1,2,2] -> entropy exactly ln 2 (693147 e6-nats,
+    passes l=2); class B: s=[1,1,1,1] -> entropy 0 (fails).  Global
+    dist = {1: 6/8, 2: 2/8}; both classes sit at TVD = 0.25."""
+    from cloud_native_reddit_data_pipeline_spark.operators.relational import (
+        l_diversity_t_closeness_audit,
+    )
+
+    rows = [("A", 1), ("A", 1), ("A", 2), ("A", 2),
+            ("B", 1), ("B", 1), ("B", 1), ("B", 1)]
+    df = spark.createDataFrame(rows, "g string, s long")
+    out = {
+        r["g"]: r
+        for r in l_diversity_t_closeness_audit(
+            df, ["g"], F.col("s"), l_div=2, t_e6=400_000
+        ).collect()
+    }
+    assert out["A"]["class_size"] == 4 and out["B"]["class_size"] == 4
+    assert out["A"]["entropy_e6"] == 693147  # ln 2 * 1e6
+    assert out["A"]["entropy_l_ok"] is True
+    assert out["B"]["entropy_e6"] == 0
+    assert out["B"]["entropy_l_ok"] is False
+    assert out["A"]["tvd_e6"] == 250000 and out["B"]["tvd_e6"] == 250000
+    assert out["A"]["t_close_ok"] is True and out["B"]["t_close_ok"] is True
