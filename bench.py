@@ -248,9 +248,16 @@ HEADLINE = [
     "fellegi_sunter_scores",
     "golden_record_merge",
     "l_diversity_t_closeness",
-    # streaming_ann_probe follows the streaming replay-twin exclusion
-    # (fixed 12-query two-batch fixture; the serving path's cost story
-    # is the probe itself, benched as ann_index_probe)
+    "reddit_hot_rank",
+    "ann_index_compact",
+    "min_cost_supplier",
+    "important_supply_share",
+    "latency_bucket_priority",
+    "excess_supply_semi_chain",
+    "late_supplier_blame",
+    # streaming_ann_probe and streaming_ann_index_maintenance follow
+    # the streaming replay-twin exclusion (fixed two-batch fixtures;
+    # the cost stories are ann_index_probe / ann_index_append, benched)
     # streaming replay twins (streaming_sequence_examples,
     # streaming_drift_psi, streaming_corpus_manifest) follow the
     # existing policy: correctness-gated but NOT benched — the family's

@@ -185,6 +185,56 @@ def ann_index_append(
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_appended"))
 
 
+def ann_index_compact(
+    spark: SparkSession,
+    index_dir: str,
+    version: str = "v1",
+    files_per_cell: int = 1,
+) -> DataFrame:
+    """Compact the inverted file — the fourth index verb: after many
+    appends each cell directory accumulates small files (one per
+    append), and probe latency becomes file-open bound.  Rewrites every
+    cell partition down to ``files_per_cell`` files with IDENTICAL
+    contents (probe results are pinned byte-identical by test), then
+    swaps the directory atomically (write aside + rename — the store
+    is never half-compacted in place).  Codes get the same treatment.
+    Returns the per-cell (cell, n_vectors) manifest read back from the
+    compacted store.
+
+    Scale shape: one read + one partitioned write of the index (NOT
+    the corpus — the index is the corpus's vectors, but compaction
+    runs offline at a cadence, amortized like the build)."""
+    import os
+    import shutil
+
+    base = _base(index_dir, version)
+    cells = spark.read.parquet(f"{base}/cells")
+    tmp_cells = f"{base}/cells_compacting"
+    (
+        cells.repartition(files_per_cell, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp_cells)
+    )
+    old = f"{base}/cells_old"
+    os.rename(f"{base}/cells", old)
+    os.rename(tmp_cells, f"{base}/cells")
+    shutil.rmtree(old)
+
+    codes = spark.read.parquet(f"{base}/codes")
+    tmp_codes = f"{base}/codes_compacting"
+    codes.coalesce(files_per_cell).write.mode("overwrite").parquet(tmp_codes)
+    os.rename(f"{base}/codes", f"{base}/codes_old")
+    os.rename(tmp_codes, f"{base}/codes")
+    shutil.rmtree(f"{base}/codes_old")
+
+    return (
+        spark.read.parquet(f"{base}/cells")
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 def ann_index_probe(
     spark: SparkSession,
     index_dir: str,

@@ -15311,6 +15311,60 @@ def l_diversity_t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "reddit_hot_rank",
+    """
+    WITH v AS (
+      SELECT event_id,
+             CAST(ROUND(value) AS BIGINT) - 50 AS votes,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), h AS (
+      SELECT event_id, votes,
+             ROUND(log10(GREATEST(ABS(votes), 1))
+                   + (CASE WHEN votes > 0 THEN 1
+                           WHEN votes < 0 THEN -1 ELSE 0 END)
+                     * (CAST(es - 1134028003 AS DOUBLE) / 45000.0)
+                   + 1e-9, 4) AS hot
+      FROM v
+    )
+    SELECT event_id, votes, hot FROM h
+    ORDER BY hot DESC, event_id LIMIT 100
+    """,
+)
+def reddit_hot_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reddit's public 'hot' ranking (log-scaled votes + linear age
+    credit, epoch anchor 1134028003, half-life divisor 45000) over the
+    events table with a synthetic vote score (round(value) - 50, so
+    both vote signs occur) — the ranking function the reference's
+    harvested posts would feed.  Epoch seconds use the truncating
+    floor(epoch()) form on the oracle side (the unix_timestamp
+    rounding trap); the log/age sum rounds to 4 decimals with the
+    +1e-9 guard.  Top-100 plans as TakeOrderedAndProject — a heap,
+    never a global sort."""
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    votes = (F.round(F.col("value"), 0).cast("long") - 50).alias("votes")
+    es = F.unix_timestamp("ts")
+    sign = F.when(F.col("votes") > 0, 1).when(F.col("votes") < 0, -1).otherwise(0)
+    return (
+        ev.select("event_id", votes, es.alias("es"))
+        .select(
+            "event_id",
+            "votes",
+            F.round(
+                F.log10(F.greatest(F.abs(F.col("votes")), F.lit(1)))
+                + sign
+                * ((F.col("es") - F.lit(1134028003)).cast("double") / 45000.0)
+                + F.lit(1e-9),
+                4,
+            ).alias("hot"),
+        )
+        .orderBy(F.desc("hot"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
 _ANNIDX_STREAM_QUERY_IDS = list(range(10, 22))
 
 
@@ -15390,6 +15444,410 @@ def streaming_ann_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(180)
         out = spark.read.parquet(out_dir)
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+def _annidx_probe_oracle(query_ids: list[int]) -> str:
+    return (
+        "WITH "
+        + _annidx_assign_sql()
+        + f""",
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({', '.join(map(str, query_ids))})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """
+    )
+
+
+@register("ann_index_compact", _annidx_probe_oracle([12, 13, 14]))
+def ann_index_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index compaction (ann_index.ann_index_compact — the fourth
+    verb): build, append twice (so cell directories hold multiple
+    small files), COMPACT to one file per cell via an atomic
+    write-aside swap, then probe.  The oracle is the plain full-corpus
+    IVF rule — any row lost, duplicated, or drifted by the rewrite
+    flips the hash."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("long")).first()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb.filter(F.col("vec_id") <= half), idx,
+            n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
+        ).collect()
+        third = emb.filter(
+            (F.col("vec_id") > half) & (F.col("vec_id") % 2 == 0)
+        )
+        rest = emb.filter((F.col("vec_id") > half) & (F.col("vec_id") % 2 == 1))
+        ann_index.ann_index_append(spark, third, idx).collect()
+        ann_index.ann_index_append(spark, rest, idx).collect()
+        ann_index.ann_index_compact(spark, idx).collect()
+        out = ann_index.ann_index_probe(
+            spark, idx, [12, 13, 14], k=_IVF_K, n_probe=_IVF_PROBE
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register("streaming_ann_index_maintenance", _annidx_probe_oracle([15, 16, 17]))
+def streaming_ann_index_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance: a stream of NEW vectors appended to
+    the persisted index per micro-batch (foreachBatch →
+    ann_index_append against the frozen centroids/codebook), then one
+    probe.  Because the seed rows live in the initial build, the
+    maintained index equals a one-shot build over everything, so the
+    oracle is the plain full-corpus IVF rule — a lost batch or a
+    drifted append flips the hash."""
+    import tempfile
+    import uuid
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("long")).first()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb.filter(F.col("vec_id") <= half), idx,
+            n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
+        ).collect()
+        vsrc = f"{tmp}/new_vectors"
+        newv = emb.filter(F.col("vec_id") > half).select("vec_id", "embedding")
+        mid = emb.agg((F.max("vec_id") * 3 / 4).cast("long")).first()[0]
+        newv.filter(F.col("vec_id") <= mid).coalesce(1).write.parquet(vsrc)
+        newv.filter(F.col("vec_id") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(vsrc)
+
+        def append_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            ann_index.ann_index_append(spark, batch_df, idx).collect()
+
+        stream = (
+            spark.readStream.schema(newv.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vsrc)
+        )
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = ann_index.ann_index_probe(
+            spark, idx, [15, 16, 17], k=_IVF_K, n_probe=_IVF_PROBE
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Remaining classic TPC-H shapes (Q2/Q11/Q12/Q20/Q21), adapted to this
+# schema: partsupp does not exist, so supplier-part economics derive
+# from lineitem (unit cost = min extendedprice/quantity per pair), and
+# Q12/Q21's date logic rides l_shipdate vs o_orderdate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(ROUND(CAST(l_extendedprice AS DOUBLE)
+                       / CAST(l_quantity AS DOUBLE) + 1e-9, 4)) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), cand AS (
+      SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name, ps.unit_cost
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size <= 15 AND r.r_name = 'ASIA'
+    )
+    SELECT p_partkey, s_suppkey, s_name, n_name, unit_cost
+    FROM cand c
+    WHERE unit_cost = (SELECT MIN(unit_cost) FROM cand x
+                       WHERE x.p_partkey = c.p_partkey)
+    ORDER BY unit_cost, p_partkey, s_suppkey LIMIT 100
+    """,
+)
+def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery) over the DERIVED
+    supplier-part cost table (no partsupp here: unit cost = min
+    extendedprice/quantity per pair from lineitem).  The correlated
+    min decorrelates to a per-part aggregate joined back — the min
+    side is part-cardinality, broadcast onto the candidates; the
+    region/nation dims broadcast; top-100 is a heap."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(
+        F.min(
+            F.round(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+                + F.lit(1e-9),
+                4,
+            )
+        ).alias("unit_cost")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cand = (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost")
+    )
+    mins = cand.groupBy("p_partkey").agg(F.min("unit_cost").alias("_mc"))
+    return (
+        cand.join(F.broadcast(mins), "p_partkey")
+        .filter(F.col("unit_cost") == F.col("_mc"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost")
+        .orderBy("unit_cost", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "important_supply_share",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    ), tot AS (SELECT SUM(val) AS t FROM ps)
+    SELECT l_partkey AS p_partkey, ROUND(val, 2) AS part_value
+    FROM ps WHERE val > 0.001 * (SELECT t FROM tot)
+    ORDER BY part_value DESC, p_partkey LIMIT 100
+    """,
+)
+def important_supply_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one nation's suppliers,
+    kept when above a FRACTION of the nation total (scalar subquery →
+    one-row broadcast; the HAVING threshold compares against it
+    without re-shuffling the aggregate).  Decimal sums both sides."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("val")
+        )
+    )
+    tot = ps.agg(F.sum("val").alias("t"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > 0.001 * F.col("t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("val"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "latency_bucket_priority",
+    """
+    SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) < 30 THEN 'FAST'
+                WHEN datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) < 90 THEN 'MEDIUM'
+                ELSE 'SLOW' END AS latency_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def latency_bucket_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional priority counts per category): the
+    shipmode column doesn't exist here, so the category is the DERIVED
+    ship-latency bucket (days between order and ship date).  One
+    fact-fact join + one 3-row aggregate; the priority CASE folds
+    map-side."""
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(lat < 30, "FAST").when(lat < 90, "MEDIUM").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(bucket.alias("latency_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "excess_supply_semi_chain",
+    """
+    WITH fp AS (
+      SELECT p_partkey FROM part WHERE p_type LIKE 'STANDARD%'
+    ), sq AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem JOIN fp ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, SUM(qty) AS tot FROM sq GROUP BY 1
+    ), keep AS (
+      SELECT DISTINCT l_suppkey FROM sq JOIN pt USING (l_partkey)
+      WHERE qty > 0.2 * tot
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM keep)
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_supply_semi_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested-aggregate semi-join chain): suppliers
+    who shipped more than 20% of a filtered part's total quantity —
+    the partsupp availability test re-derived from lineitem.  The
+    per-(supplier, part) aggregate joins its part-total (broadcast,
+    part-cardinality) and the survivor set SEMI-joins supplier — the
+    supplier table is never widened by the fact side."""
+    li = load(spark, sf_dir, "lineitem")
+    fp = load(spark, sf_dir, "part").filter(
+        F.col("p_type").like("STANDARD%")
+    ).select("p_partkey")
+    sq = (
+        li.join(F.broadcast(fp), li["l_partkey"] == fp["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    keep = (
+        sq.join(F.broadcast(pt), "l_partkey")
+        .filter(F.col("qty") > 0.2 * F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(keep, s["s_suppkey"] == keep["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "late_supplier_blame",
+    """
+    WITH ll AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS sup_late
+      FROM ll GROUP BY 1, 2
+    ), blame AS (
+      SELECT p.l_orderkey, p.l_suppkey
+      FROM per p
+      WHERE p.sup_late
+        AND EXISTS (SELECT 1 FROM per q
+                    WHERE q.l_orderkey = p.l_orderkey
+                      AND q.l_suppkey <> p.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM per q
+                        WHERE q.l_orderkey = p.l_orderkey
+                          AND q.l_suppkey <> p.l_suppkey AND q.sup_late)
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM blame b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def late_supplier_blame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS correlated on the same
+    table): the SOLE late supplier on finished multi-supplier orders
+    (late = shipped > 60 days after order date — the commit/receipt
+    columns don't exist here).  Collapsed to per-(order, supplier)
+    lateness first, then both correlated predicates fold into ONE
+    per-order aggregate (n suppliers, n late suppliers) joined back —
+    no repeated self-joins of the fact."""
+    _utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate").cast("date") > F.date_add(
+        F.col("o_orderdate").cast("date"), 60
+    )
+    per = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("sup_late"))
+    )
+    order_stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum(F.col("sup_late").cast("int")).alias("n_late"),
+    )
+    blame = (
+        per.join(order_stats, "l_orderkey")
+        .filter(F.col("sup_late") & (F.col("n_sup") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        blame.join(F.broadcast(s), blame["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
 
 
 @register("bpe_artifact_roundtrip", bpe_encode_oracle_sql(12))

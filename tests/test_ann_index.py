@@ -217,3 +217,48 @@ def test_probe_vectors_external_query(spark, built):
     coss = [r["cos"] for r in sorted(rows, key=lambda r: r["rk"])]
     assert all(-1.0 <= c <= 1.0 for c in coss)
     assert coss == sorted(coss, reverse=True)
+
+
+def test_compact_preserves_probes_and_reduces_files(spark, tmp_path):
+    """After two appends the cell dirs hold multiple files; compaction
+    must cut the file count while leaving BOTH probe paths (IVF and
+    PQ ADC) byte-identical."""
+    import os
+
+    emb = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb.filter(F.col("vec_id") <= 250), idx)
+    ann_index.ann_index_append(
+        spark, emb.filter((F.col("vec_id") > 250) & (F.col("vec_id") % 2 == 0)), idx
+    )
+    ann_index.ann_index_append(
+        spark, emb.filter((F.col("vec_id") > 250) & (F.col("vec_id") % 2 == 1)), idx
+    )
+
+    def n_files():
+        return sum(
+            1
+            for root, _, files in os.walk(f"{idx}/v1/cells")
+            for f in files
+            if f.startswith("part-")
+        )
+
+    before_files = n_files()
+    ivf_before = sorted(map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect()))
+    pq_before = sorted(
+        map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect())
+    )
+    manifest = ann_index.ann_index_compact(spark, idx).collect()
+    after_files = n_files()
+    assert after_files < before_files
+    assert sum(r["n_vectors"] for r in manifest) == 500
+    ivf_after = sorted(map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect()))
+    pq_after = sorted(
+        map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect())
+    )
+    assert ivf_after == ivf_before
+    assert pq_after == pq_before
+    # no leftover staging/old directories from the swap
+    names = set(os.listdir(f"{idx}/v1"))
+    assert "cells_old" not in names and "cells_compacting" not in names
+    assert "codes_old" not in names and "codes_compacting" not in names

@@ -710,3 +710,44 @@ def test_incremental_dedup_semi_joins_not_self_join(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_hot_rank_heap_topk_no_python(spark):
+    """Reddit hot ranking: top-100 must plan as TakeOrderedAndProject
+    (heap), with the vote/log/age arithmetic fully JVM-side."""
+    df = registry.queries()["reddit_hot_rank"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_min_cost_supplier_decorrelated_broadcast_min(spark):
+    """Q2 shape: the correlated MIN decorrelates to a per-part aggregate
+    broadcast back — no cartesian, no sort-merge of the candidates."""
+    df = registry.queries()["min_cost_supplier"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_excess_supply_semi_join_chain(spark):
+    """Q20 shape: supplier survives via LeftSemi — never widened by the
+    fact side; part totals broadcast."""
+    df = registry.queries()["excess_supply_semi_chain"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_late_supplier_blame_single_order_aggregate(spark):
+    """Q21 shape: both correlated EXISTS predicates fold into ONE
+    per-order aggregate — the plan may not contain a second join of the
+    per-(order, supplier) frame against itself beyond that rollup."""
+    df = registry.queries()["late_supplier_blame"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # per-supplier collapse + per-order rollup + blame join + name join:
+    # hash aggregates, no nested-loop correlation
+    assert "BroadcastNestedLoopJoin" not in plan
