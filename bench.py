@@ -255,6 +255,9 @@ HEADLINE = [
     "latency_bucket_priority",
     "excess_supply_semi_chain",
     "late_supplier_blame",
+    "ann_index_version_diff",
+    "rank_functions_suite",
+    "embedding_isotropy_audit",
     # streaming_ann_probe and streaming_ann_index_maintenance follow
     # the streaming replay-twin exclusion (fixed two-batch fixtures;
     # the cost stories are ann_index_probe / ann_index_append, benched)

@@ -15088,7 +15088,7 @@ def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fellegi–Sunter priors (production: EM or labeled pairs; pinned
 # literals here so weights are deterministic and SQL-replayable).
 _FS_M = {"p_name": 0.95, "p_brand": 0.9, "p_type": 0.85, "p_size": 0.8}
-_FS_MAX_BLOCK_SIGS = 256
+_FS_MAX_BLOCK_SIGS = 512
 _FS_U_FUZZY = 0.002
 
 
@@ -15640,9 +15640,12 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_3'
       GROUP BY 1
-    ), tot AS (SELECT SUM(val) AS t FROM ps)
+    ), tot AS (
+      SELECT CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS t,
+             COUNT(*) AS c
+      FROM ps)
     SELECT l_partkey AS p_partkey, ROUND(val, 2) AS part_value
-    FROM ps WHERE val > 0.001 * (SELECT t FROM tot)
+    FROM ps WHERE val > 2.0 * (SELECT t FROM tot) / (SELECT c FROM tot)
     ORDER BY part_value DESC, p_partkey LIMIT 100
     """,
 )
@@ -15668,10 +15671,13 @@ def important_supply_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("val")
         )
     )
-    tot = ps.agg(F.sum("val").alias("t"))
+    tot = ps.agg(
+        F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("t"),
+        F.count(F.lit(1)).alias("c"),
+    )
     return (
         ps.crossJoin(F.broadcast(tot))
-        .filter(F.col("val") > 0.001 * F.col("t"))
+        .filter(F.col("val") > 2.0 * F.col("t") / F.col("c"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("val"), 2).alias("part_value"),
@@ -15734,10 +15740,13 @@ def latency_bucket_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN fp ON l_partkey = p_partkey
       GROUP BY 1, 2
     ), pt AS (
-      SELECT l_partkey, SUM(qty) AS tot FROM sq GROUP BY 1
+      SELECT l_partkey,
+             CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS tot,
+             COUNT(*) AS nsup
+      FROM sq GROUP BY 1
     ), keep AS (
       SELECT DISTINCT l_suppkey FROM sq JOIN pt USING (l_partkey)
-      WHERE qty > 0.2 * tot
+      WHERE nsup >= 2 AND qty > 2.0 * tot / nsup
     )
     SELECT s.s_suppkey, s.s_name, n.n_name
     FROM supplier s
@@ -15766,10 +15775,13 @@ def excess_supply_semi_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty")
         )
     )
-    pt = sq.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    pt = sq.groupBy("l_partkey").agg(
+        F.sum(F.col("qty").cast("decimal(18,2)")).cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("nsup"),
+    )
     keep = (
         sq.join(F.broadcast(pt), "l_partkey")
-        .filter(F.col("qty") > 0.2 * F.col("tot"))
+        .filter((F.col("nsup") >= 2) & (F.col("qty") > 2.0 * F.col("tot") / F.col("nsup")))
         .select("l_suppkey")
         .distinct()
     )
@@ -15847,6 +15859,194 @@ def late_supplier_blame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
+    )
+
+
+@register(
+    "ann_index_version_diff",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), a16 AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT e.vec_id, c.vec_id AS centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(e.ev, c.ev), 6) DESC, c.vec_id) AS rk
+        FROM v e CROSS JOIN (SELECT * FROM v WHERE vec_id < {_IVF_CENTROIDS}) c
+      ) WHERE rk = 1
+    ), a8 AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT e.vec_id, c.vec_id AS centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(e.ev, c.ev), 6) DESC, c.vec_id) AS rk
+        FROM v e CROSS JOIN (SELECT * FROM v WHERE vec_id < 8) c
+      ) WHERE rk = 1
+    )
+    SELECT CAST(a16.cell AS INT) AS cell_v1, CAST(a8.cell AS INT) AS cell_v2,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM a16 JOIN a8 USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def ann_index_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-ops tool: the cell-TRANSITION matrix between two persisted
+    index versions (v1: 16 centroids, v2: 8 — a re-layout) read back
+    from the two inverted files — the blast-radius report before
+    swapping serving traffic to a rebuilt index.  Oracle replays both
+    assignments; a drifted store on either side flips the hash."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
+            version="v1",
+        ).collect()
+        ann_index.ann_index_build(
+            emb, idx, n_centroids=8, m=_PQ_M, k_codes=_PQ_K, version="v2",
+        ).collect()
+        c1 = spark.read.parquet(f"{idx}/v1/cells").select(
+            "vec_id", F.col("cell").cast("int").alias("cell_v1")
+        )
+        c2 = spark.read.parquet(f"{idx}/v2/cells").select(
+            "vec_id", F.col("cell").cast("int").alias("cell_v2")
+        )
+        out = (
+            c1.join(c2, "vec_id")
+            .groupBy("cell_v1", "cell_v2")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "rank_functions_suite",
+    """
+    WITH b AS (
+      SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey < 200
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w + 1e-9, 6) AS prnk,
+           ROUND(cume_dist() OVER w + 1e-9, 6) AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM b
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def rank_functions_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function completeness: rank, dense_rank, percent_rank,
+    cume_dist, and ntile over ONE shared window spec (one exchange +
+    one sort for all five).  percent_rank/cume_dist are exact rationals
+    rounded at 6 with the +1e-9 guard."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "embedding_isotropy_audit",
+    """
+    WITH nrm AS (
+      SELECT vec_id,
+             ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6)
+               AS nn
+      FROM embeddings
+    ), u AS (
+      SELECT e.vec_id, d.i AS dim,
+             CAST(ROUND(CAST(d.x AS DOUBLE) / n.nn, 8) AS DECIMAL(18,8)) AS uq
+      FROM embeddings e
+      JOIN nrm n USING (vec_id),
+      LATERAL (SELECT UNNEST(CAST(e.embedding AS DOUBLE[])) AS x,
+                      generate_subscripts(e.embedding, 1) AS i) d
+    ), s AS (
+      SELECT dim, SUM(uq) AS sd FROM u GROUP BY dim
+    ), parts AS (
+      SELECT (SELECT CAST(SUM(CAST(sd * sd AS DECIMAL(38,16))) AS DOUBLE)
+              FROM s) AS ssq,
+             (SELECT CAST(SUM(CAST(uq * uq AS DECIMAL(38,16))) AS DOUBLE)
+              FROM u) AS usq,
+             (SELECT COUNT(*) FROM nrm) AS n,
+             (SELECT CAST(SUM(CAST(nn AS DECIMAL(18,6))) AS DOUBLE)
+              FROM nrm) AS norm_sum
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           ROUND(norm_sum / n + 1e-9, 4) AS mean_norm,
+           ROUND((ssq - usq) / (CAST(n AS DOUBLE) * (n - 1)) + 1e-9, 6)
+             AS avg_pairwise_cos
+    FROM parts
+    """,
+)
+def embedding_isotropy_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit: mean vector norm + the MEAN
+    PAIRWISE COSINE across all n(n-1) ordered pairs — computed O(n)
+    via the sum-vector identity avg_cos = (||Σu||² - Σ||u||²)/(n(n-1))
+    instead of any pairwise join (an anisotropic/collapsed embedding
+    space shows avg_cos >> 0 — the representation-collapse smell test
+    before ANN indexes are built on it).  Unit vectors quantize to
+    DECIMAL(18,8) per component, so both quadratic forms are exact
+    decimal sums — no float-order contract anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    from .functions.vectors import as_double, norm as vnorm
+
+    nrm = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        F.round(vnorm(as_double(F.col("embedding"))), 6).alias("nn"),
+    )
+    u = nrm.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim0", "x"),
+        F.col("nn"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x") / F.col("nn"), 8).cast("decimal(18,8)").alias("uq"),
+    )
+    s = u.groupBy("dim").agg(F.sum("uq").alias("sd"))
+    ssq = s.agg(
+        F.sum((F.col("sd") * F.col("sd")).cast("decimal(38,16)"))
+        .cast("double")
+        .alias("ssq")
+    )
+    usq = u.agg(
+        F.sum((F.col("uq") * F.col("uq")).cast("decimal(38,16)"))
+        .cast("double")
+        .alias("usq")
+    )
+    base = nrm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("nn").cast("decimal(18,6)")).cast("double").alias("norm_sum"),
+    )
+    return (
+        base.crossJoin(F.broadcast(ssq))
+        .crossJoin(F.broadcast(usq))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(F.col("norm_sum") / F.col("n") + F.lit(1e-9), 4).alias(
+                "mean_norm"
+            ),
+            F.round(
+                (F.col("ssq") - F.col("usq"))
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+                + F.lit(1e-9),
+                6,
+            ).alias("avg_pairwise_cos"),
+        )
     )
 
 

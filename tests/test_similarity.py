@@ -419,3 +419,35 @@ def test_mmr_rerank_promotes_diverse_candidate(spark):
     assert abs(out[0].mmr_score - 0.75) < 1e-6
     assert abs(out[1].mmr_score - 0.375) < 1e-6
     assert abs(out[2].mmr_score - 0.2) < 1e-6
+
+
+def test_embedding_isotropy_identity_hand_cases(spark):
+    """The O(n) sum-vector identity must reproduce the brute-force mean
+    pairwise cosine: identical vectors -> 1.0; an orthogonal pair ->
+    0.0; a mixed set -> the hand-computed mean."""
+    from cloud_native_reddit_data_pipeline_spark.queries import (
+        embedding_isotropy_audit_q,
+    )
+    import tempfile, os
+
+    def run(vecs):
+        with tempfile.TemporaryDirectory() as tmp:
+            df = spark.createDataFrame(
+                [(i, v, 0) for i, v in enumerate(vecs)],
+                "vec_id long, embedding array<float>, label int",
+            )
+            df.coalesce(1).write.parquet(f"{tmp}/embeddings.parquet")
+            return embedding_isotropy_audit_q(spark, tmp).collect()[0]
+
+    r = run([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]])
+    assert r["n_vectors"] == 3
+    assert abs(r["mean_norm"] - 1.0) < 1e-3
+    assert abs(r["avg_pairwise_cos"] - 1.0) < 1e-4
+
+    r = run([[1.0, 0.0], [0.0, 1.0]])
+    assert abs(r["avg_pairwise_cos"] - 0.0) < 1e-4
+
+    # mixed: u1=(1,0), u2=(0,1), u3=(1,0) -> pairs cos: (u1,u2)=0,
+    # (u1,u3)=1, (u2,u3)=0 -> mean over 3 unordered pairs = 1/3
+    r = run([[2.0, 0.0], [0.0, 5.0], [3.0, 0.0]])
+    assert abs(r["avg_pairwise_cos"] - (1.0 / 3.0)) < 1e-4
