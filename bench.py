@@ -258,6 +258,11 @@ HEADLINE = [
     "ann_index_version_diff",
     "rank_functions_suite",
     "embedding_isotropy_audit",
+    # wordpiece_artifact_roundtrip / unigram_artifact_roundtrip are
+    # correctness-gated only: their cost is the already-benched
+    # learn+encode (wordpiece_encode / unigram_lm_encode) plus a tiny
+    # artifact save/load — bpe_artifact_roundtrip represents the
+    # artifact path in the headline.
     # streaming_ann_probe and streaming_ann_index_maintenance follow
     # the streaming replay-twin exclusion (fixed two-batch fixtures;
     # the cost stories are ann_index_probe / ann_index_append, benched)

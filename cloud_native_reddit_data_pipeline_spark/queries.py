@@ -16050,6 +16050,58 @@ def embedding_isotropy_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("wordpiece_artifact_roundtrip", _wordpiece.wordpiece_encode_oracle_sql(12))
+def wordpiece_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece artifact round-trip: learn the merge table, PERSIST it
+    (operators/artifacts.py), reload in rank order, rebuild the encode
+    vocabulary (base symbols ∪ loaded merges), encode.  Same oracle as
+    wordpiece_encode — a drifted artifact flips the hash."""
+    import tempfile
+
+    from .operators.artifacts import load_merges, save_merge_table
+    from .operators.bpe import word_symbol_table
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        save_merge_table(
+            _wordpiece.learn_wordpiece_merges(docs, "text", n_merges=12),
+            f"{tmp}/wp",
+        )
+        merged = spark.createDataFrame(
+            [(left + right,) for left, right in load_merges(spark, f"{tmp}/wp")],
+            "sym string",
+        )
+        base = (
+            word_symbol_table(docs, "text")
+            .select(F.explode("syms").alias("sym"))
+            .distinct()
+        )
+        vocab = base.unionByName(merged).distinct()
+        out = _wordpiece.wordpiece_encode_stats(docs, "doc_id", "text", vocab)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register("unigram_artifact_roundtrip", _unigram.unigram_encode_oracle_sql())
+def unigram_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM artifact round-trip: learn the piece/score table,
+    persist (integer micro-nat scores round-trip exactly), reload, and
+    encode with the LOADED table.  Same oracle as unigram_lm_encode."""
+    import tempfile
+
+    from .operators.artifacts import load_pieces, save_piece_table
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        save_piece_table(
+            _unigram.learn_unigram_vocab(docs, "text", em_rounds=2),
+            f"{tmp}/ug",
+        )
+        out = _unigram.unigram_encode_stats(
+            docs, "doc_id", "text", load_pieces(spark, f"{tmp}/ug")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register("bpe_artifact_roundtrip", bpe_encode_oracle_sql(12))
 def bpe_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer artifact round-trip (operators/artifacts.py): learn
