@@ -258,6 +258,7 @@ HEADLINE = [
     "ann_index_version_diff",
     "rank_functions_suite",
     "embedding_isotropy_audit",
+    "ann_nprobe_recall_curve",
     # wordpiece_artifact_roundtrip / unigram_artifact_roundtrip are
     # correctness-gated only: their cost is the already-benched
     # learn+encode (wordpiece_encode / unigram_lm_encode) plus a tiny

@@ -16050,6 +16050,101 @@ def embedding_isotropy_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nprobe_curve_oracle() -> str:
+    """Replay the IVF probe at every n_probe in 1..4 plus brute-force
+    ground truth; per n_probe, the mean recall@k over the query set."""
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+    legs = []
+    for np_ in range(1, _IVF_PROBE + 1):
+        legs.append(f"""
+    probes{np_} AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({ids})) WHERE rk <= {np_}
+    ), approx{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY c.cos DESC, c.neighbor_id) AS rk
+        FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+          FROM assigned a JOIN probes{np_} p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id) c
+      ) WHERE rk <= {_IVF_K}
+    ), rec{np_} AS (
+      SELECT {np_} AS n_probe,
+             CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits
+      FROM approx{np_} a
+      LEFT JOIN exact e ON e.query_id = a.query_id
+                       AND e.neighbor_id = a.neighbor_id
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT n_probe, n_hits FROM rec{np_}"
+        for np_ in range(1, _IVF_PROBE + 1)
+    )
+    return (
+        "WITH "
+        + _annidx_assign_sql()
+        + f""",
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv,
+                         CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      ) WHERE rk <= {_IVF_K}
+    ),{','.join(legs)}
+    SELECT CAST(n_probe AS INT) AS n_probe,
+           ROUND(CAST(n_hits AS DOUBLE)
+                 / ({len(_ANN_QUERY_IDS)} * {_IVF_K}) + 1e-9, 4) AS avg_recall
+    FROM ({unions})
+    """
+    )
+
+
+@register("ann_nprobe_recall_curve", _nprobe_curve_oracle())
+def ann_nprobe_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning curve: recall@k of the IVF probe as n_probe sweeps
+    1..4, against brute-force ground truth — the operating-point table
+    an ANN deployment picks its latency/recall trade from.  The
+    corpus-side work (assignment, brute scan) is shared across legs;
+    each extra n_probe only widens the candidate join."""
+    from .operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    legs = []
+    for np_ in range(1, _IVF_PROBE + 1):
+        approx = similarity.ivf_topk(
+            emb, _ANN_QUERY_IDS, k=_IVF_K,
+            n_centroids=_IVF_CENTROIDS, n_probe=np_,
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        legs.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / (len(_ANN_QUERY_IDS) * _IVF_K)
+                    + F.lit(1e-9),
+                    4,
+                ).alias("avg_recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 @register("wordpiece_artifact_roundtrip", _wordpiece.wordpiece_encode_oracle_sql(12))
 def wordpiece_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece artifact round-trip: learn the merge table, PERSIST it
