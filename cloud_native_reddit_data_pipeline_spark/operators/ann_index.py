@@ -185,6 +185,53 @@ def ann_index_append(
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_appended"))
 
 
+def ann_index_delete(
+    spark: SparkSession,
+    index_dir: str,
+    delete_ids: list[int],
+    version: str = "v1",
+) -> DataFrame:
+    """Tombstone deletion — the fifth index verb: deletes never rewrite
+    the inverted file in place (that would be a full compaction per
+    delete batch); ids append to a ``tombstones`` table and every probe
+    anti-joins it (the broadcast is tombstone-sized).  Space is
+    reclaimed by the NEXT `ann_index_compact`, which drops tombstoned
+    rows and truncates the tombstone table — the LSM delete story.
+    Returns the one-row (n_tombstones_added, n_tombstones_total)
+    receipt."""
+    base = _base(index_dir, version)
+    tdir = f"{base}/tombstones"
+    spark.createDataFrame(
+        [(int(i),) for i in delete_ids], "vec_id long"
+    ).coalesce(1).write.mode("append").parquet(tdir)
+    total = spark.read.parquet(tdir).distinct().count()
+    return spark.createDataFrame(
+        [(len(delete_ids), total)],
+        "n_tombstones_added long, n_tombstones_total long",
+    )
+
+
+def _load_tombstones(spark: SparkSession, base: str):
+    import os
+
+    tdir = f"{base}/tombstones"
+    if not os.path.isdir(tdir):
+        return None
+    t = spark.read.parquet(tdir).distinct()
+    return t
+
+
+def _anti_tombstones(df: DataFrame, spark: SparkSession, base: str, id_col: str) -> DataFrame:
+    t = _load_tombstones(spark, base)
+    if t is None:
+        return df
+    return df.join(
+        F.broadcast(t.withColumnRenamed("vec_id", "_dead")),
+        df[id_col] == F.col("_dead"),
+        "left_anti",
+    )
+
+
 def ann_index_compact(
     spark: SparkSession,
     index_dir: str,
@@ -208,7 +255,11 @@ def ann_index_compact(
     import shutil
 
     base = _base(index_dir, version)
-    cells = spark.read.parquet(f"{base}/cells")
+    # compaction reclaims tombstoned rows: the rewrite drops them and
+    # the tombstone table is truncated afterwards (LSM delete story)
+    cells = _anti_tombstones(
+        spark.read.parquet(f"{base}/cells"), spark, base, "vec_id"
+    )
     tmp_cells = f"{base}/cells_compacting"
     (
         cells.repartition(files_per_cell, "cell")
@@ -221,12 +272,16 @@ def ann_index_compact(
     os.rename(tmp_cells, f"{base}/cells")
     shutil.rmtree(old)
 
-    codes = spark.read.parquet(f"{base}/codes")
+    codes = _anti_tombstones(
+        spark.read.parquet(f"{base}/codes"), spark, base, "vec_id"
+    )
     tmp_codes = f"{base}/codes_compacting"
     codes.coalesce(files_per_cell).write.mode("overwrite").parquet(tmp_codes)
     os.rename(f"{base}/codes", f"{base}/codes_old")
     os.rename(tmp_codes, f"{base}/codes")
     shutil.rmtree(f"{base}/codes_old")
+    if os.path.isdir(f"{base}/tombstones"):
+        shutil.rmtree(f"{base}/tombstones")
 
     return (
         spark.read.parquet(f"{base}/cells")
@@ -308,8 +363,12 @@ def ann_index_probe_vectors(
         [(r["query_id"], r["qv"], r["cell"]) for r in probe_rows],
         probes.schema,
     )
+    pruned = _anti_tombstones(
+        cells.filter(F.col("cell").isin([int(c) for c in probe_cells])),
+        spark, base, id_col,
+    )
     cand = (
-        cells.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+        pruned
         .join(F.broadcast(probes_df), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
@@ -341,7 +400,9 @@ def ann_index_probe_pq(
     BIGINTs as the fused ``similarity.pq_adc_topk``."""
     base = _base(index_dir, version)
     cells = spark.read.parquet(f"{base}/cells")
-    codes = spark.read.parquet(f"{base}/codes")
+    codes = _anti_tombstones(
+        spark.read.parquet(f"{base}/codes"), spark, base, id_col
+    )
 
     cb_rows = spark.read.parquet(f"{base}/codebook").collect()
     m = 1 + max(r["sub"] for r in cb_rows)

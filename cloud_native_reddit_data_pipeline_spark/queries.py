@@ -16050,6 +16050,63 @@ def embedding_isotropy_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_index_delete",
+    f"""
+    WITH live AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id NOT BETWEEN 100 AND 149
+    ), cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM live WHERE vec_id < {_IVF_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS ccos
+      FROM live e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN (18, 19, 20)) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion — the fifth index verb
+    (ann_index.ann_index_delete): build the full index, tombstone ids
+    100-149 (no rewrite — probes anti-join the broadcast tombstone
+    table; the next compact reclaims).  The oracle is the IVF rule
+    over the LIVE corpus, so a leaked deleted neighbor or an
+    over-deleted live one flips the hash."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K
+        ).collect()
+        ann_index.ann_index_delete(spark, idx, list(range(100, 150))).collect()
+        out = ann_index.ann_index_probe(
+            spark, idx, [18, 19, 20], k=_IVF_K, n_probe=_IVF_PROBE
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def _nprobe_curve_oracle() -> str:
     """Replay the IVF probe at every n_probe in 1..4 plus brute-force
     ground truth; per n_probe, the mean recall@k over the query set."""

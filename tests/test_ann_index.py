@@ -262,3 +262,36 @@ def test_compact_preserves_probes_and_reduces_files(spark, tmp_path):
     names = set(os.listdir(f"{idx}/v1"))
     assert "cells_old" not in names and "cells_compacting" not in names
     assert "codes_old" not in names and "codes_compacting" not in names
+
+
+def test_delete_tombstones_then_compact_reclaims(spark, tmp_path):
+    """CRUD completion: tombstoned ids vanish from BOTH probe paths
+    immediately (no rewrite); compaction reclaims them physically,
+    truncates the tombstone table, and leaves probes unchanged; the
+    tombstone probe equals the fused form over the live corpus."""
+    import os
+
+    emb = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb, idx)
+    dead = list(range(100, 150))
+    receipt = ann_index.ann_index_delete(spark, idx, dead).collect()[0]
+    assert (receipt["n_tombstones_added"], receipt["n_tombstones_total"]) == (50, 50)
+
+    live = emb.filter(~F.col("vec_id").isin(dead))
+    fused = similarity.ivf_topk(live, QIDS, k=5, n_centroids=16, n_probe=4)
+    t_ivf = sorted(map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect()))
+    assert t_ivf == sorted(map(tuple, fused.collect()))
+    t_pq = sorted(map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect()))
+    assert not any(r[1] in dead for r in t_ivf)
+    assert not any(r[1] in dead for r in t_pq)
+
+    manifest = ann_index.ann_index_compact(spark, idx).collect()
+    assert sum(r["n_vectors"] for r in manifest) == 500 - 50  # reclaimed
+    assert not os.path.isdir(f"{idx}/v1/tombstones")  # truncated
+    assert t_ivf == sorted(
+        map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect())
+    )
+    assert t_pq == sorted(
+        map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect())
+    )
