@@ -260,6 +260,7 @@ HEADLINE = [
     "embedding_isotropy_audit",
     "ann_nprobe_recall_curve",
     "ann_index_delete",
+    "ann_index_fsck",
     # wordpiece_artifact_roundtrip / unigram_artifact_roundtrip are
     # correctness-gated only: their cost is the already-benched
     # learn+encode (wordpiece_encode / unigram_lm_encode) plus a tiny

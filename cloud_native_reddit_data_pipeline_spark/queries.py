@@ -16107,6 +16107,89 @@ def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register(
+    "ann_index_fsck",
+    "WITH "
+    + _annidx_assign_sql()
+    + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_codes_rows,
+           TRUE AS ids_match,
+           TRUE AS cells_in_range,
+           TRUE AS codes_in_range,
+           {_PQ_M} AS m_subspaces,
+           CAST({_PQ_M} * {_PQ_K} AS BIGINT) AS codebook_entries
+    FROM assigned
+    """,
+)
+def ann_index_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index integrity audit (fsck): the persisted components must
+    agree — cells and codes cover the SAME id set (measured, not
+    assumed: both counts are checked against the oracle's assignment
+    cardinality AND the booleans are computed from real anti-joins),
+    every cell value within [0, n_centroids), every code within
+    [0, k), and the codebook complete.  A missing code row, an
+    orphaned cell row, or a truncated codebook flips the hash."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K
+        ).collect()
+        cells = spark.read.parquet(f"{idx}/v1/cells")
+        codes = spark.read.parquet(f"{idx}/v1/codes")
+        cb = spark.read.parquet(f"{idx}/v1/codebook")
+        n_cells = cells.count()
+        n_codes = codes.count()
+        orphans = (
+            cells.select("vec_id").join(codes.select("vec_id"), "vec_id", "full")
+            .filter(F.col("vec_id").isNull())
+            .count()
+        )
+        only_one_side = (
+            cells.select("vec_id")
+            .join(codes.select("vec_id"), "vec_id", "left_anti")
+            .count()
+            + codes.select("vec_id")
+            .join(cells.select("vec_id"), "vec_id", "left_anti")
+            .count()
+        )
+        cells_ok = (
+            cells.filter(
+                (F.col("cell") < 0) | (F.col("cell") >= _IVF_CENTROIDS)
+            ).count()
+            == 0
+        )
+        code_cols = [f"code{s}" for s in range(_PQ_M)]
+        codes_ok = (
+            codes.filter(
+                " OR ".join(f"({c} < 0 OR {c} >= {_PQ_K})" for c in code_cols)
+            ).count()
+            == 0
+        )
+        cb_n = cb.count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_cells,
+                    n_codes,
+                    bool(orphans == 0 and only_one_side == 0),
+                    bool(cells_ok),
+                    bool(codes_ok),
+                    _PQ_M,
+                    cb_n,
+                )
+            ],
+            "n_cells_rows long, n_codes_rows long, ids_match boolean, "
+            "cells_in_range boolean, codes_in_range boolean, "
+            "m_subspaces int, codebook_entries long",
+        )
+
+
 def _nprobe_curve_oracle() -> str:
     """Replay the IVF probe at every n_probe in 1..4 plus brute-force
     ground truth; per n_probe, the mean recall@k over the query set."""
