@@ -261,6 +261,9 @@ HEADLINE = [
     "ann_nprobe_recall_curve",
     "ann_index_delete",
     "ann_index_fsck",
+    # ann_index_lifecycle (build->append->delete->compact->probe in one
+    # run) is correctness-gated only: each verb is individually benched
+    # above, and the capstone's wall is their sum plus tempdir churn.
     # wordpiece_artifact_roundtrip / unigram_artifact_roundtrip are
     # correctness-gated only: their cost is the already-benched
     # learn+encode (wordpiece_encode / unigram_lm_encode) plus a tiny

@@ -16190,6 +16190,71 @@ def ann_index_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+@register(
+    "ann_index_lifecycle",
+    f"""
+    WITH live AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id NOT BETWEEN 200 AND 249
+    ), cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM live WHERE vec_id < {_IVF_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS ccos
+      FROM live e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN (21, 22, 23)) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_index_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index lifecycle CAPSTONE — all five verbs composed in one
+    run: build(first half) → append(second half, frozen
+    centroids/codebook) → delete(ids 200-249, tombstones) →
+    compact(reclaim + truncate) → probe.  The oracle is the one-shot
+    IVF rule over the LIVE corpus, so any verb corrupting the store
+    anywhere in the chain flips the hash (the pairwise equivalences
+    are pinned individually in tests/test_ann_index.py; this gates the
+    COMPOSITION)."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("long")).first()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb.filter(F.col("vec_id") <= half), idx,
+            n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
+        ).collect()
+        ann_index.ann_index_append(
+            spark, emb.filter(F.col("vec_id") > half), idx
+        ).collect()
+        ann_index.ann_index_delete(spark, idx, list(range(200, 250))).collect()
+        ann_index.ann_index_compact(spark, idx).collect()
+        out = ann_index.ann_index_probe(
+            spark, idx, [21, 22, 23], k=_IVF_K, n_probe=_IVF_PROBE
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def _nprobe_curve_oracle() -> str:
     """Replay the IVF probe at every n_probe in 1..4 plus brute-force
     ground truth; per n_probe, the mean recall@k over the query set."""
