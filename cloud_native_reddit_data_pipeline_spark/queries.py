@@ -15321,10 +15321,10 @@ def l_diversity_t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), h AS (
       SELECT event_id, votes,
-             ROUND(log10(GREATEST(ABS(votes), 1))
-                   + (CASE WHEN votes > 0 THEN 1
-                           WHEN votes < 0 THEN -1 ELSE 0 END)
-                     * (CAST(es - 1134028003 AS DOUBLE) / 45000.0)
+             ROUND((CASE WHEN votes > 0 THEN 1
+                         WHEN votes < 0 THEN -1 ELSE 0 END)
+                     * log10(GREATEST(ABS(votes), 1))
+                   + CAST(es - 1134028003 AS DOUBLE) / 45000.0
                    + 1e-9, 4) AS hot
       FROM v
     )
@@ -15333,15 +15333,15 @@ def l_diversity_t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def reddit_hot_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reddit's public 'hot' ranking (log-scaled votes + linear age
-    credit, epoch anchor 1134028003, half-life divisor 45000) over the
-    events table with a synthetic vote score (round(value) - 50, so
-    both vote signs occur) — the ranking function the reference's
-    harvested posts would feed.  Epoch seconds use the truncating
-    floor(epoch()) form on the oracle side (the unix_timestamp
-    rounding trap); the log/age sum rounds to 4 decimals with the
-    +1e-9 guard.  Top-100 plans as TakeOrderedAndProject — a heap,
-    never a global sort."""
+    """Reddit's public 'hot' ranking — ``sign(s) * log10(max(|s|, 1))
+    + age/45000`` (the sign scales the LOG term, never the age term;
+    epoch anchor 1134028003, divisor 45000) over the events table with
+    a synthetic vote score (round(value) - 50, so both vote signs
+    occur) — the ranking function the reference's harvested posts
+    would feed.  Epoch seconds use the truncating floor(epoch()) form
+    on the oracle side (the unix_timestamp rounding trap); the log/age
+    sum rounds to 4 decimals with the +1e-9 guard.  Top-100 plans as
+    TakeOrderedAndProject — a heap, never a global sort."""
     _utc(spark)
     ev = load(spark, sf_dir, "events")
     votes = (F.round(F.col("value"), 0).cast("long") - 50).alias("votes")
@@ -15353,9 +15353,8 @@ def reddit_hot_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "votes",
             F.round(
-                F.log10(F.greatest(F.abs(F.col("votes")), F.lit(1)))
-                + sign
-                * ((F.col("es") - F.lit(1134028003)).cast("double") / 45000.0)
+                sign * F.log10(F.greatest(F.abs(F.col("votes")), F.lit(1)))
+                + (F.col("es") - F.lit(1134028003)).cast("double") / 45000.0
                 + F.lit(1e-9),
                 4,
             ).alias("hot"),
