@@ -14,26 +14,55 @@ the fused operators into exactly that shape:
   pruning** of the cell-partitioned inverted file down to the probed
   cells, exact cosine re-rank.  Byte-identical to the fused
   `similarity.ivf_topk` (pinned by tests/test_ann_index.py).
+- `ann_index_probe_dpp` — the same probe with the probe-cell set kept
+  as a DataFrame end-to-end: the inverted-file scan is pruned by
+  Spark's **dynamic partition pruning** (a DynamicPruningExpression on
+  the ``cell`` partition column, fed by the broadcast probe side)
+  instead of a driver-collected cell list.  Byte-identical to
+  `ann_index_probe`; the serving path with zero driver-side routing.
 - `ann_index_probe_pq` — ADC probe off the persisted codes + codebook,
-  no re-encode.  Byte-identical to `similarity.pq_adc_topk`.
+  no re-encode.  Byte-identical to `similarity.pq_adc_topk`.  The
+  per-query distance table is computed AS A SPARK EXPRESSION over the
+  broadcast codebook (exact decimal(30,12) arithmetic — the same e12
+  integers as the old driver-side Decimal loop it replaced), so driver
+  work is O(1), not O(|queries|).
 
 Layout under ``{index_dir}/{version}/``::
 
-    centroids/   (centroid_id BIGINT, cv ARRAY<FLOAT>)         ~KB
-    cells/       (vec_id BIGINT, embedding ARRAY<FLOAT>)
-                 partitioned by cell INT (the inverted file)
-    codes/       (vec_id BIGINT, code0..code{m-1} INT)          4B/vec
-    codebook/    (sub INT, code INT, vals ARRAY<DECIMAL(9,6)>)  ~KB
+    centroids/     (centroid_id BIGINT, cv ARRAY<FLOAT>)         ~KB
+    cells/         (vec_id BIGINT, embedding ARRAY<FLOAT>)
+                   partitioned by cell INT (the inverted file)
+    codes/         (vec_id BIGINT, code0..code{m-1} INT)          4B/vec
+    codebook/      (sub INT, code INT, vals ARRAY<DECIMAL(9,6)>)  ~KB
+    tombstones/    (vec_id BIGINT)  — append-only delete log
+    _commits/      (seq BIGINT, gen INT, tomb_gen INT) — generation
+                   manifest (see below); absent until the first
+                   compaction / tombstone rewrite
+
+**Object-store-safe commits.**  Compaction never renames or deletes on
+the read path: it writes a brand-new generation directory
+(``cells_g{N}`` / ``codes_g{N}``), then commits by appending ONE row to
+the ``_commits`` manifest — readers resolve max-seq and look only at
+that generation's directories (a fresh generation has no tombstone dir,
+which IS the tombstone truncation).  A crash before the manifest append
+leaves readers on the old, fully-consistent generation; a crash after
+it leaves them on the new one (the new dirs are complete before the
+commit row exists).  Old generation directories are garbage-collected
+best-effort through the Hadoop FileSystem API — correctness never
+depends on the GC.  This is the manifest-pointer pattern (Iceberg/Delta
+commit protocol, miniaturized): it works identically on local disk,
+HDFS and S3-style stores where rename is copy+delete.  Single writer
+per index version assumed (one maintenance job owns an index), as in
+any LSM store.
 
 Scale shape: the build is the fused form's first half (one broadcast
 centroid scoring pass + one partitionBy write — the shuffle is the
 partitioned write itself, exactly the shuffle an inverted layout is FOR).
 A probe reads the centroid table (KBs), prunes the inverted file to
-``n_probe x |queries|`` cell directories on DISK (PartitionFilters, not a
+``n_probe x |queries|`` cell directories on DISK (PartitionFilters for
+the static form, DynamicPruningExpression for the DPP form — never a
 post-scan filter), and re-ranks only those rows — corpus scan cost is
-1/n_centroids per probed cell regardless of corpus size.  The probed
-cell list is k-row routing metadata collected driver-side (the
-query-router pattern; same precedent as the BPE merge-table collect).
+1/n_centroids per probed cell regardless of corpus size.
 
 Float discipline: embeddings persist as the original ARRAY<FLOAT> (bit
 round-trip through parquet), so probe-side cosines see the exact same
@@ -42,9 +71,6 @@ round-trip), so ADC distances are the same e12 integers.
 """
 
 from __future__ import annotations
-
-from decimal import Decimal
-from decimal import localcontext as _localctx
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -58,6 +84,97 @@ def _base(index_dir: str, version: str) -> str:
     return f"{index_dir}/{version}"
 
 
+# ---------------------------------------------------------------------------
+# Generation manifest: FS-agnostic existence + commit + resolve
+# ---------------------------------------------------------------------------
+def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read parquet at `path`, or None if it does not exist — resolved by
+    ATTEMPTING the read (AnalysisException), never by a local-filesystem
+    stat, so tombstone/manifest visibility is identical on file://,
+    hdfs:// and s3a:// index dirs."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force plan resolution (the read itself is lazy)
+        return df
+    except AnalysisException:
+        return None
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FileSystem API
+    (works on any supported scheme).  GC only — correctness never
+    depends on it."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+    except Exception:
+        pass
+
+
+def _state(spark: SparkSession, base: str) -> tuple[int, int, int]:
+    """(gen, tomb_gen, seq) of the current committed generation —
+    max-seq row of the ``_commits`` manifest, or (0, 0, -1) for a
+    freshly-built index (no manifest yet)."""
+    commits = _try_read(spark, f"{base}/_commits")
+    if commits is None:
+        return 0, 0, -1
+    row = commits.orderBy(F.desc("seq")).limit(1).collect()[0]
+    return int(row["gen"]), int(row["tomb_gen"]), int(row["seq"])
+
+
+def _append_commit(
+    spark: SparkSession, base: str, seq: int, gen: int, tomb_gen: int
+) -> None:
+    """THE commit point: one single-row parquet append to ``_commits``.
+    Everything before this call is invisible to readers; everything
+    after is durable.  Kept as a module-level seam so the crash-mid-
+    compact test can fail it deliberately."""
+    spark.createDataFrame(
+        [(seq, gen, tomb_gen)], "seq long, gen int, tomb_gen int"
+    ).coalesce(1).write.mode("append").parquet(f"{base}/_commits")
+
+
+def _cells_dir(base: str, gen: int) -> str:
+    return f"{base}/cells" if gen == 0 else f"{base}/cells_g{gen}"
+
+
+def _codes_dir(base: str, gen: int) -> str:
+    return f"{base}/codes" if gen == 0 else f"{base}/codes_g{gen}"
+
+
+def _tomb_dir(base: str, tomb_gen: int) -> str:
+    return (
+        f"{base}/tombstones"
+        if tomb_gen == 0
+        else f"{base}/tombstones_t{tomb_gen}"
+    )
+
+
+def resolve_dirs(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> dict[str, str]:
+    """Public resolver: the CURRENT committed directory for each index
+    component (audits / fsck read through this, never hard-coded
+    paths, so they see exactly what probes see)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    return {
+        "centroids": f"{base}/centroids",
+        "cells": _cells_dir(base, gen),
+        "codes": _codes_dir(base, gen),
+        "codebook": f"{base}/codebook",
+        "tombstones": _tomb_dir(base, tomb_gen),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
 def ann_index_build(
     emb: DataFrame,
     index_dir: str,
@@ -131,6 +248,9 @@ def ann_index_build(
     )
 
 
+# ---------------------------------------------------------------------------
+# Append
+# ---------------------------------------------------------------------------
 def ann_index_append(
     spark: SparkSession,
     new_vecs: DataFrame,
@@ -138,6 +258,7 @@ def ann_index_append(
     version: str = "v1",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assert_unique: bool = True,
 ) -> DataFrame:
     """Incremental index maintenance — the third production verb after
     build/probe: assign NEW vectors to the EXISTING centroids (an IVF
@@ -150,11 +271,56 @@ def ann_index_append(
     byte-identical by tests/test_ann_index.py.  Returns the per-cell
     appended-count manifest.
 
+    Id discipline: with ``assert_unique`` (the default) the append
+    FAILS FAST if any incoming id already lives in the index — a
+    duplicate id would otherwise yield duplicate probe candidates and
+    doubled ADC distance sums (a one-column pruned scan of the
+    inverted file's id column; callers with an external uniqueness
+    guarantee can skip it at very large scale).  An incoming id that is
+    currently TOMBSTONED is a re-insert: its tombstone is cleared by
+    rewriting the (tombstone-sized) delete log into a new tombstone
+    generation committed through the manifest, so the row is visible
+    immediately, not only after the next compact.
+
     Scale shape: one broadcast centroid scoring pass over ONLY the new
     rows + one partitioned append (no touch of existing cell files);
     the PQ encode is the same narrow broadcast-codebook map."""
     base = _base(index_dir, version)
+    gen, tomb_gen, seq = _state(spark, base)
+    cells_dir, codes_dir = _cells_dir(base, gen), _codes_dir(base, gen)
     cents = spark.read.parquet(f"{base}/centroids")
+
+    if assert_unique:
+        dup = (
+            spark.read.parquet(cells_dir)
+            .select(id_col)
+            .join(F.broadcast(new_vecs.select(id_col).distinct()), id_col, "semi")
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"ann_index_append: {dup} incoming id(s) already present in "
+                f"the index — duplicate ids double probe candidates; pass "
+                f"assert_unique=False only with an external uniqueness "
+                f"guarantee"
+            )
+
+    # re-insert of a tombstoned id: clear its tombstone via a new
+    # tombstone generation (write-new + manifest flip; never in-place)
+    tombs = _try_read(spark, _tomb_dir(base, tomb_gen))
+    if tombs is not None:
+        cleared = tombs.join(
+            F.broadcast(new_vecs.select(F.col(id_col).alias("vec_id")).distinct()),
+            "vec_id",
+            "left_anti",
+        )
+        n_before = tombs.distinct().count()
+        n_after = cleared.distinct().count()
+        if n_after < n_before:
+            cleared.distinct().coalesce(1).write.mode("overwrite").parquet(
+                _tomb_dir(base, tomb_gen + 1)
+            )
+            _append_commit(spark, base, seq + 1, gen, tomb_gen + 1)
 
     scored = new_vecs.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
@@ -168,7 +334,7 @@ def ann_index_append(
         .filter(F.col("_rk") == 1)
         .select(id_col, vec_col, F.col("centroid_id").cast("int").alias("cell"))
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{base}/cells")
+    assigned.write.mode("append").partitionBy("cell").parquet(cells_dir)
 
     cb_rows = spark.read.parquet(f"{base}/codebook").collect()
     m = 1 + max(r["sub"] for r in cb_rows)
@@ -178,13 +344,14 @@ def ann_index_append(
         codebook[r["sub"]][r["code"]] = list(r["vals"])
     dsub = len(codebook[0][0])
     quant = _pq_quantize(new_vecs, id_col, vec_col)
-    _pq_encode_df(quant, codebook, dsub).write.mode("append").parquet(
-        f"{base}/codes"
-    )
+    _pq_encode_df(quant, codebook, dsub).write.mode("append").parquet(codes_dir)
 
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_appended"))
 
 
+# ---------------------------------------------------------------------------
+# Delete (tombstones)
+# ---------------------------------------------------------------------------
 def ann_index_delete(
     spark: SparkSession,
     index_dir: str,
@@ -193,14 +360,15 @@ def ann_index_delete(
 ) -> DataFrame:
     """Tombstone deletion — the fifth index verb: deletes never rewrite
     the inverted file in place (that would be a full compaction per
-    delete batch); ids append to a ``tombstones`` table and every probe
-    anti-joins it (the broadcast is tombstone-sized).  Space is
-    reclaimed by the NEXT `ann_index_compact`, which drops tombstoned
-    rows and truncates the tombstone table — the LSM delete story.
+    delete batch); ids append to the CURRENT tombstone generation and
+    every probe anti-joins it (the broadcast is tombstone-sized).
+    Space is reclaimed by the NEXT `ann_index_compact`, whose fresh
+    generation starts with an empty delete log — the LSM delete story.
     Returns the one-row (n_tombstones_added, n_tombstones_total)
     receipt."""
     base = _base(index_dir, version)
-    tdir = f"{base}/tombstones"
+    _, tomb_gen, _ = _state(spark, base)
+    tdir = _tomb_dir(base, tomb_gen)
     spark.createDataFrame(
         [(int(i),) for i in delete_ids], "vec_id long"
     ).coalesce(1).write.mode("append").parquet(tdir)
@@ -211,18 +379,15 @@ def ann_index_delete(
     )
 
 
-def _load_tombstones(spark: SparkSession, base: str):
-    import os
-
-    tdir = f"{base}/tombstones"
-    if not os.path.isdir(tdir):
-        return None
-    t = spark.read.parquet(tdir).distinct()
-    return t
+def _load_tombstones(spark: SparkSession, base: str, tomb_gen: int):
+    t = _try_read(spark, _tomb_dir(base, tomb_gen))
+    return None if t is None else t.distinct()
 
 
-def _anti_tombstones(df: DataFrame, spark: SparkSession, base: str, id_col: str) -> DataFrame:
-    t = _load_tombstones(spark, base)
+def _anti_tombstones(
+    df: DataFrame, spark: SparkSession, base: str, id_col: str, tomb_gen: int
+) -> DataFrame:
+    t = _load_tombstones(spark, base, tomb_gen)
     if t is None:
         return df
     return df.join(
@@ -232,6 +397,9 @@ def _anti_tombstones(df: DataFrame, spark: SparkSession, base: str, id_col: str)
     )
 
 
+# ---------------------------------------------------------------------------
+# Compact
+# ---------------------------------------------------------------------------
 def ann_index_compact(
     spark: SparkSession,
     index_dir: str,
@@ -241,55 +409,60 @@ def ann_index_compact(
     """Compact the inverted file — the fourth index verb: after many
     appends each cell directory accumulates small files (one per
     append), and probe latency becomes file-open bound.  Rewrites every
-    cell partition down to ``files_per_cell`` files with IDENTICAL
-    contents (probe results are pinned byte-identical by test), then
-    swaps the directory atomically (write aside + rename — the store
-    is never half-compacted in place).  Codes get the same treatment.
-    Returns the per-cell (cell, n_vectors) manifest read back from the
-    compacted store.
+    cell partition down to ``files_per_cell`` files with IDENTICAL live
+    contents (probe results are pinned byte-identical by test), drops
+    tombstoned rows, and COMMITS by appending one row to the ``_commits``
+    manifest pointing readers at the new generation directories — never
+    a rename: the swap is a single manifest append, so a crash at ANY
+    point leaves probes on a complete generation (old before the
+    commit, new after), on local disk and object stores alike.  The new
+    generation has no tombstone directory, which IS the truncation of
+    the delete log.  Old generation dirs are GC'd best-effort through
+    the Hadoop FileSystem API afterwards.  Returns the per-cell
+    (cell, n_vectors) manifest read back from the compacted store.
 
     Scale shape: one read + one partitioned write of the index (NOT
     the corpus — the index is the corpus's vectors, but compaction
     runs offline at a cadence, amortized like the build)."""
-    import os
-    import shutil
-
     base = _base(index_dir, version)
-    # compaction reclaims tombstoned rows: the rewrite drops them and
-    # the tombstone table is truncated afterwards (LSM delete story)
+    gen, tomb_gen, seq = _state(spark, base)
+    new_gen = gen + 1
+
     cells = _anti_tombstones(
-        spark.read.parquet(f"{base}/cells"), spark, base, "vec_id"
+        spark.read.parquet(_cells_dir(base, gen)), spark, base, "vec_id", tomb_gen
     )
-    tmp_cells = f"{base}/cells_compacting"
     (
         cells.repartition(files_per_cell, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(tmp_cells)
+        .parquet(_cells_dir(base, new_gen))
     )
-    old = f"{base}/cells_old"
-    os.rename(f"{base}/cells", old)
-    os.rename(tmp_cells, f"{base}/cells")
-    shutil.rmtree(old)
-
     codes = _anti_tombstones(
-        spark.read.parquet(f"{base}/codes"), spark, base, "vec_id"
+        spark.read.parquet(_codes_dir(base, gen)), spark, base, "vec_id", tomb_gen
     )
-    tmp_codes = f"{base}/codes_compacting"
-    codes.coalesce(files_per_cell).write.mode("overwrite").parquet(tmp_codes)
-    os.rename(f"{base}/codes", f"{base}/codes_old")
-    os.rename(tmp_codes, f"{base}/codes")
-    shutil.rmtree(f"{base}/codes_old")
-    if os.path.isdir(f"{base}/tombstones"):
-        shutil.rmtree(f"{base}/tombstones")
+    codes.coalesce(files_per_cell).write.mode("overwrite").parquet(
+        _codes_dir(base, new_gen)
+    )
+
+    # THE commit: readers atomically move to (new_gen, tomb_gen+1) —
+    # the fresh tombstone generation has no directory, i.e. empty log
+    _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
+
+    # best-effort GC of the superseded generation (never load-bearing)
+    _fs_delete(spark, _cells_dir(base, gen))
+    _fs_delete(spark, _codes_dir(base, gen))
+    _fs_delete(spark, _tomb_dir(base, tomb_gen))
 
     return (
-        spark.read.parquet(f"{base}/cells")
+        spark.read.parquet(_cells_dir(base, new_gen))
         .groupBy(F.col("cell").cast("int").alias("cell"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
 
 
+# ---------------------------------------------------------------------------
+# Probe (static pruning)
+# ---------------------------------------------------------------------------
 def ann_index_probe(
     spark: SparkSession,
     index_dir: str,
@@ -306,13 +479,45 @@ def ann_index_probe(
     cell list).  Result is byte-identical to ``similarity.ivf_topk`` on
     the same corpus/params."""
     base = _base(index_dir, version)
-    cells = spark.read.parquet(f"{base}/cells")
+    gen, _, _ = _state(spark, base)
+    cells = spark.read.parquet(_cells_dir(base, gen))
     qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     return ann_index_probe_vectors(
         spark, index_dir, qdf, k=k, n_probe=n_probe, version=version,
         id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _probe_cells_df(
+    qdf: DataFrame, cents: DataFrame, n_probe: int
+) -> DataFrame:
+    """(query_id, qv, cell) — the n_probe nearest centroids per query,
+    same rounding and tie-break as the build-side assignment."""
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    return (
+        qdf.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("ccos"),
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").cast("int").alias("cell"))
+    )
+
+
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
     )
 
 
@@ -334,26 +539,13 @@ def ann_index_probe_vectors(
     self-excluded, so member probes stay byte-identical to the fused
     form."""
     base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
     cents = spark.read.parquet(f"{base}/centroids")
-    cells = spark.read.parquet(f"{base}/cells")
+    cells = spark.read.parquet(_cells_dir(base, gen))
 
     qdf = queries.select(F.col(queries.columns[0]).alias("query_id"),
                          F.col(queries.columns[1]).alias("qv"))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("ccos"), F.asc("centroid_id")
-    )
-    probes = (
-        qdf.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("ccos"),
-        )
-        .withColumn("_rk", F.row_number().over(w_probe))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "qv", F.col("centroid_id").cast("int").alias("cell"))
-    )
+    probes = _probe_cells_df(qdf, cents, n_probe)
     # k-row routing metadata (|queries| x n_probe pairs): collected so the
     # inverted-file read prunes partitions STATICALLY (PartitionFilters
     # in the scan, not a post-hoc filter) — the query-router pattern
@@ -365,7 +557,7 @@ def ann_index_probe_vectors(
     )
     pruned = _anti_tombstones(
         cells.filter(F.col("cell").isin([int(c) for c in probe_cells])),
-        spark, base, id_col,
+        spark, base, id_col, tomb_gen,
     )
     cand = (
         pruned
@@ -377,14 +569,56 @@ def ann_index_probe_vectors(
             F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos", "rk")
+    return _rerank_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# Probe (dynamic partition pruning)
+# ---------------------------------------------------------------------------
+def ann_index_probe_dpp(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe with the probe-cell set kept as a DATAFRAME end-to-end:
+    the broadcast join against the cell-partitioned inverted file lets
+    Spark insert a DynamicPruningExpression on the ``cell`` partition
+    column (fed by the reused broadcast of the probe side), so the scan
+    still touches only the probed cell directories — with ZERO
+    driver-side routing (no collect of the probe list).  Byte-identical
+    to `ann_index_probe` (pinned by test + sweep); the variant for very
+    large offline query batches where even |Q| x n_probe routing rows
+    should not transit the driver."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    cents = spark.read.parquet(f"{base}/centroids")
+    cells = spark.read.parquet(_cells_dir(base, gen))
+
+    qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    probes = _probe_cells_df(qdf, cents, n_probe)
+    live = _anti_tombstones(cells, spark, base, id_col, tomb_gen)
+    cand = (
+        live.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    return _rerank_topk(cand, k)
 
 
+# ---------------------------------------------------------------------------
+# Probe (PQ / ADC)
+# ---------------------------------------------------------------------------
 def ann_index_probe_pq(
     spark: SparkSession,
     index_dir: str,
@@ -395,45 +629,44 @@ def ann_index_probe_pq(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC probe off the persisted PQ codes + codebook — no re-encode.
-    The per-query distance table is exact decimal arithmetic over the
-    round-tripped DECIMAL(9,6) codebook, so distances are the same e12
-    BIGINTs as the fused ``similarity.pq_adc_topk``."""
+    The per-query distance table is ONE Spark expression: quantized
+    query subvectors x the broadcast codebook, exact decimal(30,12)
+    zip_with/aggregate arithmetic over the round-tripped DECIMAL(9,6)
+    entries — the same e12 BIGINTs as the fused
+    ``similarity.pq_adc_topk`` (and as the driver-side Decimal loop
+    this replaced; prec-50 vs 30,12 agree because every product is
+    exactly scale-12).  Driver work is O(1): no |Q|-proportional
+    Python loop, no collect of query vectors."""
     base = _base(index_dir, version)
-    cells = spark.read.parquet(f"{base}/cells")
+    gen, tomb_gen, _ = _state(spark, base)
+    cells = spark.read.parquet(_cells_dir(base, gen))
     codes = _anti_tombstones(
-        spark.read.parquet(f"{base}/codes"), spark, base, id_col
+        spark.read.parquet(_codes_dir(base, gen)), spark, base, id_col, tomb_gen
     )
-
-    cb_rows = spark.read.parquet(f"{base}/codebook").collect()
-    m = 1 + max(r["sub"] for r in cb_rows)
-    k_codes = 1 + max(r["code"] for r in cb_rows)
-    codebook: list[list[list[Decimal]]] = [
-        [None] * k_codes for _ in range(m)  # type: ignore[list-item]
-    ]
-    for r in cb_rows:
-        codebook[r["sub"]][r["code"]] = list(r["vals"])
-    dsub = len(codebook[0][0])
+    cb = spark.read.parquet(f"{base}/codebook")
+    m = sum(1 for c in codes.columns if c.startswith("code"))
 
     qquant = _pq_quantize(
         cells.filter(F.col(id_col).isin(query_ids)), id_col, vec_col
     )
-    qrows = {r[id_col]: list(r["xd"]) for r in qquant.collect()}
-    table_rows = []
-    with _localctx() as ctx:
-        ctx.prec = 50
-        for qid, xd in qrows.items():
-            for s in range(m):
-                qsub = xd[s * dsub : (s + 1) * dsub]
-                for code in range(k_codes):
-                    d = sum(
-                        (a - b) * (a - b)
-                        for a, b in zip(qsub, codebook[s][code])
-                    )
-                    table_rows.append(
-                        (qid, s, code, int(d.scaleb(12).to_integral_exact()))
-                    )
-    dtable = spark.createDataFrame(
-        table_rows, "query_id long, sub int, code int, d_e12 long"
+    # distance table as data: |Q| x m x k_codes rows, built by a
+    # broadcast nested-loop of the (tiny) codebook against the (tiny)
+    # quantized query set — all exact decimal, all JVM-side
+    dtable = (
+        qquant.crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "sub",
+            "code",
+            F.expr(
+                "CAST(aggregate("
+                "  zip_with(slice(xd, sub * size(vals) + 1, size(vals)), vals,"
+                "           (a, b) -> (a - b) * (a - b)),"
+                "  CAST(0 AS DECIMAL(30,12)),"
+                "  (acc, x) -> CAST(acc + x AS DECIMAL(30,12))"
+                ") * 1000000000000 AS BIGINT)"
+            ).alias("d_e12"),
+        )
     )
 
     encoded = codes.select(
