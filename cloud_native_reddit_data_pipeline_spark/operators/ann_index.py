@@ -271,30 +271,41 @@ def ann_index_append(
     byte-identical by tests/test_ann_index.py.  Returns the per-cell
     appended-count manifest.
 
-    Id discipline: with ``assert_unique`` (the default) the append
-    FAILS FAST if any incoming id already lives in the index — a
-    duplicate id would otherwise yield duplicate probe candidates and
-    doubled ADC distance sums (a one-column pruned scan of the
-    inverted file's id column; callers with an external uniqueness
-    guarantee can skip it at very large scale).  An incoming id that is
-    currently TOMBSTONED is a re-insert: its tombstone is cleared by
-    rewriting the (tombstone-sized) delete log into a new tombstone
-    generation committed through the manifest, so the row is visible
-    immediately, not only after the next compact.
+    Id discipline: an incoming id that is currently TOMBSTONED always
+    fails fast — the dead physical row still lives in the inverted file
+    until the next compact, so "clearing" the tombstone would resurrect
+    the OLD vector alongside the new one; the contract is explicit:
+    ``ann_index_compact`` first, then re-insert (checked against the
+    tombstone-sized delete log, so it is always on).  Separately, with
+    ``assert_unique`` (the default) the append also fails fast if any
+    incoming id already lives LIVE in the index — a duplicate id would
+    double probe candidates and ADC distance sums (a one-column pruned
+    scan of the inverted file's id column; callers with an external
+    uniqueness guarantee can skip it at very large scale).
 
     Scale shape: one broadcast centroid scoring pass over ONLY the new
     rows + one partitioned append (no touch of existing cell files);
     the PQ encode is the same narrow broadcast-codebook map."""
     base = _base(index_dir, version)
-    gen, tomb_gen, seq = _state(spark, base)
+    gen, tomb_gen, _ = _state(spark, base)
     cells_dir, codes_dir = _cells_dir(base, gen), _codes_dir(base, gen)
     cents = spark.read.parquet(f"{base}/centroids")
 
+    new_ids = new_vecs.select(F.col(id_col).alias("vec_id")).distinct()
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    if tombs is not None:
+        n_dead = tombs.join(F.broadcast(new_ids), "vec_id", "semi").count()
+        if n_dead:
+            raise ValueError(
+                f"ann_index_append: {n_dead} incoming id(s) are tombstoned — "
+                f"their dead rows still live in the inverted file; run "
+                f"ann_index_compact to reclaim them, then re-insert"
+            )
     if assert_unique:
         dup = (
             spark.read.parquet(cells_dir)
-            .select(id_col)
-            .join(F.broadcast(new_vecs.select(id_col).distinct()), id_col, "semi")
+            .select(F.col(id_col).alias("vec_id"))
+            .join(F.broadcast(new_ids), "vec_id", "semi")
             .count()
         )
         if dup:
@@ -304,23 +315,6 @@ def ann_index_append(
                 f"assert_unique=False only with an external uniqueness "
                 f"guarantee"
             )
-
-    # re-insert of a tombstoned id: clear its tombstone via a new
-    # tombstone generation (write-new + manifest flip; never in-place)
-    tombs = _try_read(spark, _tomb_dir(base, tomb_gen))
-    if tombs is not None:
-        cleared = tombs.join(
-            F.broadcast(new_vecs.select(F.col(id_col).alias("vec_id")).distinct()),
-            "vec_id",
-            "left_anti",
-        )
-        n_before = tombs.distinct().count()
-        n_after = cleared.distinct().count()
-        if n_after < n_before:
-            cleared.distinct().coalesce(1).write.mode("overwrite").parquet(
-                _tomb_dir(base, tomb_gen + 1)
-            )
-            _append_commit(spark, base, seq + 1, gen, tomb_gen + 1)
 
     scored = new_vecs.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
         F.col(id_col),

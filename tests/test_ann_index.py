@@ -295,3 +295,135 @@ def test_delete_tombstones_then_compact_reclaims(spark, tmp_path):
     assert t_pq == sorted(
         map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: DPP probe, manifest-commit compaction, append id guard
+# ---------------------------------------------------------------------------
+def test_probe_dpp_byte_identical_and_dynamic_pruning(spark, built):
+    """The DPP probe keeps the probe-cell set as a DataFrame: results
+    are byte-identical to the static probe AND the executed plan prunes
+    the inverted-file scan through a DynamicPruningExpression (no
+    driver-collected routing list anywhere in the path)."""
+    idx, _ = built
+    static = sorted(
+        map(tuple, ann_index.ann_index_probe(spark, idx, QIDS, k=5, n_probe=4).collect())
+    )
+    dpp_df = ann_index.ann_index_probe_dpp(spark, idx, QIDS, k=5, n_probe=4)
+    plan = dpp_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert sorted(map(tuple, dpp_df.collect())) == static
+
+
+def test_probe_dpp_respects_tombstones(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    dead = list(range(50, 90))
+    ann_index.ann_index_delete(spark, idx, dead)
+    out = ann_index.ann_index_probe_dpp(spark, idx, QIDS).collect()
+    assert out and not any(r["neighbor_id"] in dead for r in out)
+    static = ann_index.ann_index_probe(spark, idx, QIDS).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, static))
+
+
+def test_compact_crash_before_commit_leaves_old_generation(spark, tmp_path, monkeypatch):
+    """Crash-mid-compact: if the job dies at ANY point before the single
+    manifest append (here: the commit itself fails), probes keep serving
+    the OLD generation byte-identically — never a half-swapped store.
+    A later retry of the compact succeeds and flips atomically."""
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    ann_index.ann_index_delete(spark, idx, list(range(100, 140)))
+    before_ivf = sorted(map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect()))
+    before_pq = sorted(
+        map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect())
+    )
+
+    real_commit = ann_index._append_commit
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash at the commit point")
+
+    monkeypatch.setattr(ann_index, "_append_commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ann_index.ann_index_compact(spark, idx)
+    # reader view is untouched: old generation + tombstones still serve
+    assert sorted(
+        map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect())
+    ) == before_ivf
+    assert sorted(
+        map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect())
+    ) == before_pq
+
+    monkeypatch.setattr(ann_index, "_append_commit", real_commit)
+    manifest = ann_index.ann_index_compact(spark, idx).collect()
+    assert sum(r["n_vectors"] for r in manifest) == 500 - 40
+    assert sorted(
+        map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect())
+    ) == before_ivf
+
+
+def test_compact_commits_via_manifest_generations(spark, tmp_path):
+    """Two compactions advance the generation manifest twice; readers
+    resolve through resolve_dirs (never a renamed-in-place directory),
+    and each generation starts with an empty delete log."""
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    d0 = ann_index.resolve_dirs(spark, idx)
+    assert d0["cells"].endswith("/cells") and d0["codes"].endswith("/codes")
+    ann_index.ann_index_compact(spark, idx)
+    d1 = ann_index.resolve_dirs(spark, idx)
+    assert d1["cells"].endswith("cells_g1") and d1["codes"].endswith("codes_g1")
+    ann_index.ann_index_delete(spark, idx, [7])
+    ann_index.ann_index_compact(spark, idx)
+    d2 = ann_index.resolve_dirs(spark, idx)
+    assert d2["cells"].endswith("cells_g2")
+    assert os.path.isdir(d2["cells"]) and os.path.isdir(d2["codes"])
+    # fresh generation: no tombstone dir (that IS the truncation)
+    assert not os.path.isdir(d2["tombstones"])
+    assert ann_index.ann_index_probe(spark, idx, QIDS).count() == 15
+    out = ann_index.ann_index_probe(spark, idx, [3, 4, 5], k=500)
+    assert not any(r["neighbor_id"] == 7 for r in out.collect())
+
+
+def test_append_duplicate_id_raises(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb.filter(F.col("vec_id") <= 250), idx)
+    with pytest.raises(ValueError, match="already present"):
+        ann_index.ann_index_append(
+            spark, emb.filter(F.col("vec_id").between(200, 300)), idx
+        )
+    # the failed append must not have half-written: store still probes
+    # identically to a clean build
+    clean = str(tmp_path / "clean")
+    ann_index.ann_index_build(emb.filter(F.col("vec_id") <= 250), clean)
+    assert sorted(
+        map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect())
+    ) == sorted(map(tuple, ann_index.ann_index_probe(spark, clean, QIDS).collect()))
+
+
+def test_append_tombstoned_id_raises_until_compact(spark, tmp_path):
+    """Re-inserting a tombstoned id must fail fast (the dead row still
+    lives in the inverted file — clearing the tombstone would resurrect
+    it next to the new vector); after a compact reclaims the dead row,
+    the same append succeeds and the id is live again."""
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    ann_index.ann_index_delete(spark, idx, [321])
+    re_ins = emb.filter(F.col("vec_id") == 321)
+    with pytest.raises(ValueError, match="tombstoned"):
+        ann_index.ann_index_append(spark, re_ins, idx)
+    ann_index.ann_index_compact(spark, idx)
+    ann_index.ann_index_append(spark, re_ins, idx)
+    # byte-identical to the never-deleted store on both probe paths
+    clean = str(tmp_path / "clean")
+    ann_index.ann_index_build(emb, clean)
+    for probe in (ann_index.ann_index_probe, ann_index.ann_index_probe_pq):
+        assert sorted(map(tuple, probe(spark, idx, QIDS).collect())) == sorted(
+            map(tuple, probe(spark, clean, QIDS).collect())
+        )
