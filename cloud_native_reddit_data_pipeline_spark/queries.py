@@ -14887,6 +14887,63 @@ def ann_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+_ANNIDX_DPP_QUERY_IDS = [6, 7, 8]
+
+
+@register(
+    "ann_index_probe_dpp",
+    "WITH "
+    + _annidx_assign_sql()
+    + f""",
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({', '.join(map(str, _ANNIDX_DPP_QUERY_IDS))})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_index_probe_dpp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPP probe (ann_index.ann_index_probe_dpp): the probe-cell set
+    stays a DATAFRAME end-to-end and the cell-partitioned inverted-file
+    scan is pruned by a DynamicPruningExpression fed from the reused
+    broadcast of the probe side — zero driver-side routing (the static
+    probe collects a |Q| x n_probe cell list; this variant is the
+    offline-mega-batch form where even that should not transit the
+    driver).  Byte-identical to ann_index_probe on the same store
+    (pinned by tests/test_ann_index.py, which also asserts the
+    dynamicpruning node in the executed plan); the oracle is the same
+    IVF rule over the probed cells."""
+    import tempfile
+
+    from .operators import ann_index
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            load(spark, sf_dir, "embeddings"),
+            f"{tmp}/annidx",
+            n_centroids=_IVF_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        out = ann_index.ann_index_probe_dpp(
+            spark,
+            f"{tmp}/annidx",
+            _ANNIDX_DPP_QUERY_IDS,
+            k=_IVF_K,
+            n_probe=_IVF_PROBE,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register(
     "ann_index_probe_pq",
     "WITH "
@@ -15907,12 +15964,12 @@ def ann_index_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index.ann_index_build(
             emb, idx, n_centroids=8, m=_PQ_M, k_codes=_PQ_K, version="v2",
         ).collect()
-        c1 = spark.read.parquet(f"{idx}/v1/cells").select(
-            "vec_id", F.col("cell").cast("int").alias("cell_v1")
-        )
-        c2 = spark.read.parquet(f"{idx}/v2/cells").select(
-            "vec_id", F.col("cell").cast("int").alias("cell_v2")
-        )
+        c1 = spark.read.parquet(
+            ann_index.resolve_dirs(spark, idx, "v1")["cells"]
+        ).select("vec_id", F.col("cell").cast("int").alias("cell_v1"))
+        c2 = spark.read.parquet(
+            ann_index.resolve_dirs(spark, idx, "v2")["cells"]
+        ).select("vec_id", F.col("cell").cast("int").alias("cell_v2"))
         out = (
             c1.join(c2, "vec_id")
             .groupBy("cell_v1", "cell_v2")
@@ -16110,25 +16167,36 @@ def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_index_fsck",
     "WITH "
     + _annidx_assign_sql()
+    + ","
+    + _pq_base_sql()
     + f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_rows,
-           CAST(COUNT(*) AS BIGINT) AS n_codes_rows,
-           TRUE AS ids_match,
-           TRUE AS cells_in_range,
-           TRUE AS codes_in_range,
-           {_PQ_M} AS m_subspaces,
-           CAST({_PQ_M} * {_PQ_K} AS BIGINT) AS codebook_entries
-    FROM assigned
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned) AS n_cells_rows,
+           (SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) FROM codes) AS n_codes_rows,
+           (SELECT COUNT(*) FROM
+              ((SELECT vec_id FROM assigned EXCEPT SELECT vid FROM codes)
+               UNION ALL
+               (SELECT vid FROM codes EXCEPT SELECT vec_id FROM assigned))
+           ) = 0 AS ids_match,
+           (SELECT COUNT(*) FROM assigned
+             WHERE cell < 0 OR cell >= {_IVF_CENTROIDS}) = 0 AS cells_in_range,
+           (SELECT COUNT(*) FROM codes
+             WHERE code < 0 OR code >= {_PQ_K}) = 0 AS codes_in_range,
+           (SELECT CAST(COUNT(DISTINCT sub) AS INT) FROM cent) AS m_subspaces,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT DISTINCT sub, code FROM cent)) AS codebook_entries
     """,
 )
 def ann_index_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index integrity audit (fsck): the persisted components must
-    agree — cells and codes cover the SAME id set (measured, not
-    assumed: both counts are checked against the oracle's assignment
-    cardinality AND the booleans are computed from real anti-joins),
-    every cell value within [0, n_centroids), every code within
-    [0, k), and the codebook complete.  A missing code row, an
-    orphaned cell row, or a truncated codebook flips the hash."""
+    agree — cells and codes cover the SAME id set, every cell value
+    within [0, n_centroids), every code within [0, k), and the
+    codebook complete.  Both sides DERIVE every field independently:
+    Spark from the on-disk store (directories resolved through the
+    generation manifest — resolve_dirs — so fsck audits exactly what
+    probes read) via real anti-joins and range scans; the oracle from
+    the assignment + PQ-encode CTE replay (no pinned literals).  A
+    missing code row, an orphaned cell row, an out-of-range value, or
+    a truncated codebook flips the hash on either side."""
     import tempfile
 
     from .operators import ann_index
@@ -16139,16 +16207,14 @@ def ann_index_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index.ann_index_build(
             emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K
         ).collect()
-        cells = spark.read.parquet(f"{idx}/v1/cells")
-        codes = spark.read.parquet(f"{idx}/v1/codes")
-        cb = spark.read.parquet(f"{idx}/v1/codebook")
+        dirs = ann_index.resolve_dirs(spark, idx)
+        cells = spark.read.parquet(dirs["cells"])
+        codes = spark.read.parquet(dirs["codes"])
+        cb = spark.read.parquet(dirs["codebook"])
         n_cells = cells.count()
         n_codes = codes.count()
-        orphans = (
-            cells.select("vec_id").join(codes.select("vec_id"), "vec_id", "full")
-            .filter(F.col("vec_id").isNull())
-            .count()
-        )
+        # id-set agreement via the two anti-joins (each direction; a
+        # full-outer null test is vacuous after USING-coalesce)
         only_one_side = (
             cells.select("vec_id")
             .join(codes.select("vec_id"), "vec_id", "left_anti")
@@ -16163,23 +16229,24 @@ def ann_index_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).count()
             == 0
         )
-        code_cols = [f"code{s}" for s in range(_PQ_M)]
+        code_cols = [c for c in codes.columns if c.startswith("code")]
         codes_ok = (
             codes.filter(
                 " OR ".join(f"({c} < 0 OR {c} >= {_PQ_K})" for c in code_cols)
             ).count()
             == 0
         )
+        m_sub = cb.select("sub").distinct().count()
         cb_n = cb.count()
         return spark.createDataFrame(
             [
                 (
                     n_cells,
                     n_codes,
-                    bool(orphans == 0 and only_one_side == 0),
+                    bool(only_one_side == 0),
                     bool(cells_ok),
                     bool(codes_ok),
-                    _PQ_M,
+                    m_sub,
                     cb_n,
                 )
             ],
