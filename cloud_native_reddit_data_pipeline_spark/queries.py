@@ -15529,10 +15529,11 @@ def _annidx_probe_oracle(query_ids: list[int]) -> str:
 def ann_index_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index compaction (ann_index.ann_index_compact — the fourth
     verb): build, append twice (so cell directories hold multiple
-    small files), COMPACT to one file per cell via an atomic
-    write-aside swap, then probe.  The oracle is the plain full-corpus
-    IVF rule — any row lost, duplicated, or drifted by the rewrite
-    flips the hash."""
+    small files), COMPACT to one file per cell via a new generation
+    directory committed through the one-row manifest append (object-
+    store-safe: no rename anywhere), then probe.  The oracle is the
+    plain full-corpus IVF rule — any row lost, duplicated, or drifted
+    by the rewrite flips the hash."""
     import tempfile
 
     from .operators import ann_index
@@ -15608,6 +15609,145 @@ def streaming_ann_index_maintenance_q(spark: SparkSession, sf_dir: str) -> DataF
         out = ann_index.ann_index_probe(
             spark, idx, [15, 16, 17], k=_IVF_K, n_probe=_IVF_PROBE
         )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+_ANNSRV_EPOCH_QIDS = {0: [30, 31], 1: [32, 33], 2: [34, 35]}
+_ANNSRV_D1 = (300, 339)  # tombstoned before epoch-1 probes
+_ANNSRV_D2 = (340, 379)  # tombstoned before epoch-2 probes (post-compact)
+
+
+@register(
+    "streaming_ann_serving_under_deletes",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+    ), qs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id IN ({', '.join(str(i) for e in sorted(_ANNSRV_EPOCH_QIDS) for i in _ANNSRV_EPOCH_QIDS[e])})
+    ), qscored AS (
+      SELECT q.vec_id, q.v, c.centroid_id,
+             ROUND(list_cosine_similarity(q.v, c.cv), 6) AS ccos
+      FROM qs q CROSS JOIN cents c
+    ), probes AS (
+      SELECT CAST(CASE WHEN query_id IN ({', '.join(map(str, _ANNSRV_EPOCH_QIDS[0]))}) THEN 0
+                       WHEN query_id IN ({', '.join(map(str, _ANNSRV_EPOCH_QIDS[1]))}) THEN 1
+                       ELSE 2 END AS INT) AS epoch,
+             query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM qscored) WHERE rk <= {_IVF_PROBE}
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CASE WHEN vec_id BETWEEN {_ANNSRV_D1[0]} AND {_ANNSRV_D1[1]} THEN 1
+                  WHEN vec_id BETWEEN {_ANNSRV_D2[0]} AND {_ANNSRV_D2[1]} THEN 2
+                  ELSE 99 END AS dead_at
+      FROM embeddings
+    ), cscored AS (
+      SELECT e.vec_id, e.v, e.dead_at, c.centroid_id,
+             ROUND(list_cosine_similarity(e.v, c.cv), 6) AS ccos
+      FROM corpus e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, v, dead_at, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM cscored) WHERE rk = 1
+    ), cand AS (
+      SELECT p.epoch, p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id AND a.dead_at > p.epoch
+    )
+    SELECT epoch, query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY epoch, query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def streaming_ann_serving_under_deletes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving while the index MUTATES under it: three query
+    micro-batches (epochs 0/1/2) probe the persisted index, with
+    tombstones landing BETWEEN batches — epoch 1 after a delete batch,
+    epoch 2 after a COMPACTION (generation flip mid-stream) plus a
+    second delete batch tombstoning the fresh generation.  The oracle
+    is the live-corpus IVF rule PER EPOCH (dead_at > epoch), so a probe
+    that returns a deleted id, misses a still-live one, or reads a
+    half-compacted store flips the hash.  Micro-batch order is pinned
+    by distinct source-file mtimes (FileStreamSource orders by
+    timestamp) — the delete schedule is epoch-keyed, derived from batch
+    CONTENT, never from batch_id."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K
+        ).collect()
+        qsrc = f"{tmp}/queries"
+        os.makedirs(qsrc)
+        t0 = _time.time() - 600
+        for e, qids in sorted(_ANNSRV_EPOCH_QIDS.items()):
+            stage = f"{tmp}/stage_{e}"
+            (
+                emb.filter(F.col("vec_id").isin(qids))
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                    F.lit(e).cast("int").alias("epoch"),
+                )
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = next(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = f"{qsrc}/epoch_{e}.parquet"
+            shutil.move(f"{stage}/{part}", dst)
+            os.utime(dst, (t0 + 60 * e, t0 + 60 * e))
+        out_dir = f"{tmp}/results"
+        schema = "query_id long, qv array<float>, epoch int"
+
+        def probe_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            e = int(batch_df.agg(F.max("epoch")).first()[0])
+            if e == 1:
+                ann_index.ann_index_delete(
+                    spark, idx, list(range(_ANNSRV_D1[0], _ANNSRV_D1[1] + 1))
+                ).collect()
+            elif e == 2:
+                ann_index.ann_index_compact(spark, idx).collect()
+                ann_index.ann_index_delete(
+                    spark, idx, list(range(_ANNSRV_D2[0], _ANNSRV_D2[1] + 1))
+                ).collect()
+            out = ann_index.ann_index_probe_vectors(
+                spark, idx, batch_df.select("query_id", "qv"),
+                k=_IVF_K, n_probe=_IVF_PROBE,
+            )
+            out.select(F.lit(e).cast("int").alias("epoch"), "*").write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qsrc)
+        )
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        out = spark.read.parquet(out_dir)
         return spark.createDataFrame(out.collect(), out.schema)
 
 
