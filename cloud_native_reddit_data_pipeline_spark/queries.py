@@ -15310,6 +15310,106 @@ def golden_record_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_golden_record_maintenance",
+    _ER_CLOSURE_SQL
+    + """, final AS (
+      SELECT p_partkey, p_name,
+             CASE WHEN p_partkey % 10 = 3 THEN 'Brand#99' ELSE p_brand END AS p_brand,
+             CASE WHEN p_partkey % 10 = 7 THEN 'PROMO SPECIAL' ELSE p_type END AS p_type
+      FROM part
+    ), mem AS (
+      SELECT l.entity_id, pp.p_partkey, pp.p_name, pp.p_brand,
+             pp.p_type, length(pp.p_name) AS nl
+      FROM lab l JOIN final pp ON l.node = pp.p_partkey
+    ), best AS (
+      SELECT entity_id, COUNT(*) AS n_members,
+             MIN({'a': -nl, 'b': p_partkey}) AS kk
+      FROM mem GROUP BY entity_id
+    ), gb AS (
+      SELECT entity_id, golden_p_brand FROM (
+        SELECT entity_id, p_brand AS golden_p_brand,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY COUNT(*) DESC, p_brand) AS rn
+        FROM mem GROUP BY entity_id, p_brand) WHERE rn = 1
+    ), gc AS (
+      SELECT entity_id, golden_p_type FROM (
+        SELECT entity_id, p_type AS golden_p_type,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY COUNT(*) DESC, p_type) AS rn
+        FROM mem GROUP BY entity_id, p_type) WHERE rn = 1
+    )
+    SELECT b.entity_id, (b.kk).b AS keeper_id,
+           CAST(b.n_members AS BIGINT) AS n_members,
+           gb.golden_p_brand, gc.golden_p_type
+    FROM best b JOIN gb USING (entity_id) JOIN gc USING (entity_id)
+    """,
+)
+def streaming_golden_record_maintenance_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming survivorship (streaming/golden.py): record UPSERTS
+    land in the bucketed CDC store per micro-batch (the reference's ES
+    id-upsert, O8), and after each batch the golden-record table is
+    re-derived over the CURRENT store and republished — survivorship
+    never lags ingest.  Two update batches mutate modal fields (brand
+    for keys %10=3, type for keys %10=7), with batch 1 REDELIVERED
+    inside batch 2 (at-least-once delivery: the keyed upsert makes the
+    replay a value-identical no-op).  The oracle is the batch ER
+    closure + survivorship rule over the FINAL upserted state, so a
+    lost update, a duplicated key, a stale golden table, or a drifted
+    merge rule flips the hash."""
+    import tempfile
+    import uuid
+
+    from .streaming.golden import start_golden_record_maintenance
+    from .streaming.ingest import upsert_parquet_by_key_bucketed
+
+    p = load(spark, sf_dir, "part")
+    records = p.select(
+        "p_partkey", "p_name", "p_brand", "p_type",
+        F.length("p_name").alias("name_len"),
+    )
+    blk = F.concat_ws(
+        "|",
+        F.split(F.col("p_name"), " ").getItem(1),
+        F.substring(F.col("p_name"), 1, 1),
+    )
+
+    def edges_fn(recs: DataFrame) -> DataFrame:
+        return dedup.blocked_entity_edges(
+            recs, "p_partkey", "p_name", blk,
+            max_distance=2, max_block_names=_ER_MAX_BLOCK_NAMES,
+        )
+
+    upd_a = records.filter(F.col("p_partkey") % 10 == 3).withColumn(
+        "p_brand", F.lit("Brand#99")
+    )
+    upd_b = records.filter(F.col("p_partkey") % 10 == 7).withColumn(
+        "p_type", F.lit("PROMO SPECIAL")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        store, golden_dir, usrc = f"{tmp}/store", f"{tmp}/golden", f"{tmp}/updates"
+        # initial load: the store starts as the full record set
+        upsert_parquet_by_key_bucketed(records, store, "p_partkey", n_buckets=16)
+        upd_a.coalesce(1).write.parquet(usrc)
+        upd_a.unionByName(upd_b).coalesce(1).write.mode("append").parquet(usrc)
+        q = start_golden_record_maintenance(
+            spark, usrc, records.schema,
+            store, golden_dir, f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}",
+            "p_partkey", ["p_brand", "p_type"], "name_len", edges_fn,
+        )
+        q.awaitTermination(240)
+        out = spark.read.parquet(golden_dir).select(
+            F.col("label").alias("entity_id"),
+            "keeper_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            "golden_p_brand",
+            "golden_p_type",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
     "l_diversity_t_closeness",
     """
     WITH cs AS (
