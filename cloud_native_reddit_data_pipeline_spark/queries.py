@@ -16125,9 +16125,12 @@ def late_supplier_blame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table): the SOLE late supplier on finished multi-supplier orders
     (late = shipped > 60 days after order date — the commit/receipt
     columns don't exist here).  Collapsed to per-(order, supplier)
-    lateness first, then both correlated predicates fold into ONE
-    per-order aggregate (n suppliers, n late suppliers) joined back —
-    no repeated self-joins of the fact."""
+    lateness first, then both correlated predicates AND the blame-pair
+    identity fold into ONE per-order aggregate: when n_late == 1,
+    ``max(when(late, suppkey))`` IS the sole late supplier, so there is
+    no join back to `per` at all (round 11: removed the per x
+    order_stats sort-merge join that dominated the 100x smoke) — two
+    map-side-combined aggregations and one broadcast dim join total."""
     _utc(spark)
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -16139,13 +16142,16 @@ def late_supplier_blame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("sup_late"))
     )
-    order_stats = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_sup"),
-        F.sum(F.col("sup_late").cast("int")).alias("n_late"),
-    )
     blame = (
-        per.join(order_stats, "l_orderkey")
-        .filter(F.col("sup_late") & (F.col("n_sup") >= 2) & (F.col("n_late") == 1))
+        per.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.sum(F.col("sup_late").cast("int")).alias("n_late"),
+            F.max(F.when(F.col("sup_late"), F.col("l_suppkey"))).alias(
+                "l_suppkey"
+            ),
+        )
+        .filter((F.col("n_sup") >= 2) & (F.col("n_late") == 1))
         .select("l_orderkey", "l_suppkey")
     )
     s = load(spark, sf_dir, "supplier")
