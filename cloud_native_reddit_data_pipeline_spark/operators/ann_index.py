@@ -454,6 +454,77 @@ def ann_index_compact(
     )
 
 
+def ann_index_stats(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> DataFrame:
+    """Index monitoring — the query an ops dashboard runs at a cadence:
+    per cell, physical row count, live count, and tombstoned-but-
+    unreclaimed count (the compaction-debt signal: when n_dead/n_rows
+    crosses a threshold, schedule `ann_index_compact`).  Cell skew
+    shows up directly as the n_rows spread (a hot cell bounds probe
+    latency).  One pruned scan of the inverted file's (id, cell)
+    columns + one broadcast tombstone join; never touches vectors."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    cells = spark.read.parquet(_cells_dir(base, gen)).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    t = _load_tombstones(spark, base, tomb_gen)
+    if t is None:
+        dead = F.lit(0)
+    else:
+        cells = cells.join(
+            F.broadcast(t.withColumn("_dead", F.lit(1))), "vec_id", "left"
+        )
+        dead = F.coalesce(F.col("_dead"), F.lit(0))
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dead).alias("n_dead"),
+        (F.count(F.lit(1)) - F.sum(dead)).alias("n_live"),
+    )
+
+
+def _fs_list(spark: SparkSession, path: str) -> list[str]:
+    """Child names of `path` through the Hadoop FileSystem API (any
+    scheme); [] if the path does not exist."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def ann_index_gc(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> list[str]:
+    """Reclaim SUPERSEDED generation directories the best-effort GC in
+    `ann_index_compact` may have left behind (a crash after the
+    manifest commit leaves the old generation orphaned — readers never
+    see it, but it holds space).  Lists the version root through the
+    Hadoop FS API, keeps exactly the directories the current manifest
+    references, deletes every other cells/codes/tombstones generation.
+    Safe at any time: the manifest is the single source of truth, so
+    nothing referenced can be collected.  Returns the removed names."""
+    import re
+
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    keep = {
+        "centroids", "codebook", "_commits",
+        _cells_dir(base, gen).rsplit("/", 1)[-1],
+        _codes_dir(base, gen).rsplit("/", 1)[-1],
+        _tomb_dir(base, tomb_gen).rsplit("/", 1)[-1],
+    }
+    collectable = re.compile(r"^(cells|codes)(_g\d+)?$|^tombstones(_t\d+)?$")
+    removed = []
+    for name in _fs_list(spark, base):
+        if name not in keep and collectable.match(name):
+            _fs_delete(spark, f"{base}/{name}")
+            removed.append(name)
+    return sorted(removed)
+
+
 # ---------------------------------------------------------------------------
 # Probe (static pruning)
 # ---------------------------------------------------------------------------
@@ -555,6 +626,68 @@ def ann_index_probe_vectors(
     )
     cand = (
         pruned
+        .join(F.broadcast(probes_df), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    return _rerank_topk(cand, k)
+
+
+def ann_index_probe_filtered(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    allowed: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered ANN probe — metadata predicate + vector search ("top-k
+    among documents WHERE <predicate>"), the most common production
+    retrieval shape.  `allowed` is a one-column (vec_id) DataFrame of
+    ids passing the metadata predicate; candidates from the probed
+    cells semi-join it BEFORE the cosine re-rank (post-filtering, the
+    standard IVF approach: cells are probed by vector geometry alone,
+    then the predicate prunes candidates — recall under very selective
+    predicates is recovered by raising n_probe, exactly the FAISS
+    IDSelector trade).  Same rounding/tie-break as the unfiltered
+    probe, so results equal the unfiltered probe's rows restricted and
+    re-ranked within the allowed set.
+
+    Scale shape: the semi-join key set is predicate-sized; for
+    selective predicates it broadcasts, otherwise it is a shuffle join
+    on the already cell-pruned candidate slice (n_probe/|cells| of the
+    corpus), never the full index."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    cents = spark.read.parquet(f"{base}/centroids")
+    cells = spark.read.parquet(_cells_dir(base, gen))
+
+    qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = _probe_cells_df(qdf, cents, n_probe)
+    probe_rows = probes.collect()
+    probe_cells = sorted({r["cell"] for r in probe_rows})
+    probes_df = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["cell"]) for r in probe_rows],
+        probes.schema,
+    )
+    pruned = _anti_tombstones(
+        cells.filter(F.col("cell").isin([int(c) for c in probe_cells])),
+        spark, base, id_col, tomb_gen,
+    )
+    allowed_ids = allowed.select(
+        F.col(allowed.columns[0]).cast("long").alias(id_col)
+    ).distinct()
+    cand = (
+        pruned.join(allowed_ids, id_col, "semi")
         .join(F.broadcast(probes_df), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(

@@ -14887,6 +14887,90 @@ def ann_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+_ANNIDX_FILTER_QUERY_IDS = [9, 10, 11]
+
+
+@register(
+    "ann_index_probe_filtered",
+    "WITH "
+    + _annidx_assign_sql()
+    + f""",
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({', '.join(map(str, _ANNIDX_FILTER_QUERY_IDS))})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id AND a.vec_id % 3 = 0
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_index_probe_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN probe (ann_index.ann_index_probe_filtered) — the
+    metadata-predicate + vector-search retrieval shape: candidates from
+    the probed cells semi-join the allowed-id set (here vec_id % 3 = 0,
+    standing in for any metadata predicate) BEFORE the cosine re-rank
+    (IVF post-filtering; selective predicates recover recall via
+    n_probe — the FAISS IDSelector trade).  The oracle is the IVF rule
+    with the same predicate on candidates."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            emb, f"{tmp}/annidx",
+            n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
+        ).collect()
+        allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+        out = ann_index.ann_index_probe_filtered(
+            spark, f"{tmp}/annidx", _ANNIDX_FILTER_QUERY_IDS, allowed,
+            k=_IVF_K, n_probe=_IVF_PROBE,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "ann_index_stats",
+    "WITH "
+    + _annidx_assign_sql()
+    + """
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN vec_id BETWEEN 100 AND 149 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+           CAST(COUNT(*) - SUM(CASE WHEN vec_id BETWEEN 100 AND 149 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+    FROM assigned GROUP BY cell
+    """,
+)
+def ann_index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index monitoring (ann_index.ann_index_stats): per-cell physical
+    rows, live rows, and tombstoned-but-unreclaimed rows — the
+    compaction-debt and cell-skew dashboard.  Build, tombstone ids
+    100-149, report; the oracle replays the assignment with the same
+    delete range, so a stats query that miscounts tombstones or reads
+    a stale generation flips the hash."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K
+        ).collect()
+        ann_index.ann_index_delete(spark, idx, list(range(100, 150))).collect()
+        out = ann_index.ann_index_stats(spark, idx)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 _ANNIDX_DPP_QUERY_IDS = [6, 7, 8]
 
 

@@ -427,3 +427,86 @@ def test_append_tombstoned_id_raises_until_compact(spark, tmp_path):
         assert sorted(map(tuple, probe(spark, idx, QIDS).collect())) == sorted(
             map(tuple, probe(spark, clean, QIDS).collect())
         )
+
+
+def test_probe_filtered_respects_predicate_and_matches_unfiltered(spark, built):
+    """Filtered probe: every neighbor satisfies the predicate; with the
+    all-ids allowed set it is byte-identical to the unfiltered probe."""
+    idx, _ = built
+    emb = load(spark, SF, "embeddings")
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    out = ann_index.ann_index_probe_filtered(
+        spark, idx, QIDS, allowed, k=5, n_probe=4
+    ).collect()
+    assert len(out) == 15
+    assert all(r["neighbor_id"] % 3 == 0 for r in out)
+    # superset predicate -> identical to the plain probe
+    every = emb.select("vec_id")
+    full = ann_index.ann_index_probe_filtered(
+        spark, idx, QIDS, every, k=5, n_probe=4
+    )
+    plain = ann_index.ann_index_probe(spark, idx, QIDS, k=5, n_probe=4)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_probe_filtered_excludes_tombstoned_even_if_allowed(spark, tmp_path):
+    """The metadata predicate cannot resurrect a deleted row: allowed
+    ∩ tombstoned ids never appear."""
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    ann_index.ann_index_delete(spark, idx, list(range(90, 120)))
+    allowed = emb.select("vec_id")  # everything allowed, incl. deleted
+    out = ann_index.ann_index_probe_filtered(
+        spark, idx, QIDS, allowed, k=500, n_probe=4
+    ).collect()
+    assert out and not any(90 <= r["neighbor_id"] < 120 for r in out)
+
+
+def test_stats_counts_rows_dead_live(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    manifest = {
+        r["cell"]: r["n_vectors"]
+        for r in ann_index.ann_index_build(emb, idx).collect()
+    }
+    ann_index.ann_index_delete(spark, idx, list(range(200, 240)))
+    stats = ann_index.ann_index_stats(spark, idx).collect()
+    assert sum(r["n_rows"] for r in stats) == 500
+    assert sum(r["n_dead"] for r in stats) == 40
+    assert all(r["n_rows"] == r["n_live"] + r["n_dead"] for r in stats)
+    # physical rows agree with the build manifest per cell
+    assert {r["cell"]: r["n_rows"] for r in stats} == manifest
+    # after compaction the debt is reclaimed: no dead rows anywhere
+    ann_index.ann_index_compact(spark, idx)
+    stats2 = ann_index.ann_index_stats(spark, idx).collect()
+    assert sum(r["n_rows"] for r in stats2) == 460
+    assert sum(r["n_dead"] for r in stats2) == 0
+
+
+def test_gc_reclaims_orphaned_generations(spark, tmp_path, monkeypatch):
+    """If compaction's best-effort GC never ran (crash after the
+    manifest commit), ann_index_gc collects exactly the superseded
+    generation dirs, leaves the committed one untouched, and probes are
+    unchanged; a second GC finds nothing."""
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    ann_index.ann_index_delete(spark, idx, [400, 401])
+    monkeypatch.setattr(ann_index, "_fs_delete", lambda *a, **kw: None)
+    ann_index.ann_index_compact(spark, idx)
+    monkeypatch.undo()
+    # superseded gen-0 dirs are orphaned on disk
+    names = set(os.listdir(f"{idx}/v1"))
+    assert {"cells", "codes", "tombstones", "cells_g1", "codes_g1"} <= names
+    before = sorted(map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect()))
+    removed = ann_index.ann_index_gc(spark, idx)
+    assert removed == ["cells", "codes", "tombstones"]
+    names = set(os.listdir(f"{idx}/v1"))
+    assert "cells" not in names and "cells_g1" in names and "codes_g1" in names
+    assert sorted(
+        map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect())
+    ) == before
+    assert ann_index.ann_index_gc(spark, idx) == []
