@@ -1,0 +1,456 @@
+"""Persistent MinHash-LSH dedup index: build once, probe at ingest.
+
+The fused near-dup operators (`dedup.minhash_signatures` →
+`dedup.lsh_candidate_pairs`) re-derive signatures for the WHOLE corpus
+per run — correct for offline dedup sweeps, wrong shape for the
+production ingest path, where a (comparatively tiny) batch of incoming
+documents must be checked against a 100 TB corpus that was already
+signed.  This module persists the signature + band artifacts once and
+gives the ingest path index verbs, mirroring `ann_index.py`'s
+lifecycle (same generation-manifest commit protocol, imported from
+there — see that module's docstring for the object-store-safe commit
+story):
+
+- `dedup_index_build`   — MinHash-sign the corpus, band the signatures,
+  persist both as parquet under ``{index_dir}/{version}/``; the band
+  table is partitioned by ``(band, pfx)`` (pfx = first hex char of the
+  band key, 16 buckets/band) so probes prune on disk.  Returns the
+  per-(band, pfx) manifest read back from the store.
+- `dedup_index_probe`   — sign ONLY the incoming batch, join its band
+  keys against the persisted band table (classic LSH candidate
+  generation — never all-pairs), then estimate Jaccard from signature
+  agreement using the persisted signatures (no raw text of the corpus
+  is ever touched).  The partition-pruning routing set is bounded by
+  ``bands × 16`` rows REGARDLESS of batch size — unlike vector-probe
+  routing there is no |queries|-proportional driver state.
+- `dedup_index_append`  — sign + band the new documents and append to
+  the current generation (signatures are per-document, so
+  build(A) + append(B) is byte-identical to build(A ∪ B) — no frozen
+  global artifact to drift from, unlike IVF centroids).  Tombstoned
+  ids fail fast (compact first — clearing the tombstone would
+  resurrect the dead physical rows); live duplicate ids fail fast
+  under ``assert_unique``.
+- `dedup_index_delete`  — tombstone append (LSM delete); probes
+  anti-join the (broadcast, tombstone-sized) delete log.
+- `dedup_index_compact` — rewrite live rows into a fresh generation
+  directory pair and COMMIT with one ``_commits`` manifest append
+  (the fresh generation has no tombstone dir = log truncation); old
+  generations GC'd best-effort.  Crash-at-any-point leaves probes on
+  a complete generation.
+- `dedup_index_stats`   — ops monitoring: per-(band, pfx) physical /
+  live row counts, distinct keys, and the max live bucket size (the
+  hot-bucket skew monitor — a degenerate band key is the one thing
+  that turns an LSH join quadratic).
+
+Layout under ``{index_dir}/{version}/``::
+
+    sigs/        (doc_id BIGINT, h0..h{n-1} BIGINT)     [sigs_gN]
+    bands/       (doc_id BIGINT, key STRING)
+                 partitioned by band INT, pfx STRING    [bands_gN]
+    tombstones/  (doc_id BIGINT) — append-only delete log
+    _meta/       (num_hashes INT, bands INT, shingle_n INT) — one row;
+                 the index is self-describing, probe/append never
+                 re-pass hyperparameters
+    _commits/    (seq BIGINT, gen INT, tomb_gen INT) — generation
+                 manifest (shared protocol with ann_index)
+
+Scale shape: the build is the fused pipeline's signature half (explode
+→ map-side-combined min() aggregates) plus one partitioned write.  A
+probe signs |batch| documents, prunes the band table to at most
+``bands × 16`` (band, pfx) directories on disk, hash-joins on
+(band, key) inside them, and touches signature rows only for the
+banded candidates — corpus cost is proportional to candidates, not
+corpus.  At very large batch sizes pass ``prune=False`` and the same
+plan degrades gracefully to the full shuffle hash join on (band, key),
+which is the canonical offline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import materialize_and_release
+from .ann_index import _append_commit, _base, _fs_delete, _state, _try_read
+from .dedup import lsh_band_keys, minhash_signatures
+
+
+def _sigs_dir(base: str, gen: int) -> str:
+    return f"{base}/sigs" if gen == 0 else f"{base}/sigs_g{gen}"
+
+
+def _bands_dir(base: str, gen: int) -> str:
+    return f"{base}/bands" if gen == 0 else f"{base}/bands_g{gen}"
+
+
+def _tomb_dir(base: str, tomb_gen: int) -> str:
+    return (
+        f"{base}/tombstones"
+        if tomb_gen == 0
+        else f"{base}/tombstones_t{tomb_gen}"
+    )
+
+
+def resolve_dedup_dirs(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> dict[str, str]:
+    """Public resolver: the CURRENT committed directory per component
+    (audits read through this, so they see exactly what probes see)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    return {
+        "sigs": _sigs_dir(base, gen),
+        "bands": _bands_dir(base, gen),
+        "tombstones": _tomb_dir(base, tomb_gen),
+        "meta": f"{base}/_meta",
+    }
+
+
+def _meta(spark: SparkSession, base: str) -> tuple[int, int, int]:
+    row = spark.read.parquet(f"{base}/_meta").collect()[0]
+    return int(row["num_hashes"]), int(row["bands"]), int(row["shingle_n"])
+
+
+def _banded(
+    docs: DataFrame, id_col: str, text_col: str,
+    num_hashes: int, bands: int, shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, band rows+pfx) for a document frame — the shared
+    signing front-end of build / probe / append."""
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    banded = lsh_band_keys(sigs, id_col, num_hashes=num_hashes, bands=bands).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("key"),
+        F.col("band"),
+        F.substring("key", 1, 1).alias("pfx"),
+    )
+    return sigs.withColumnRenamed(id_col, "doc_id"), banded
+
+
+def _load_tombstones(spark: SparkSession, base: str, tomb_gen: int):
+    t = _try_read(spark, _tomb_dir(base, tomb_gen))
+    return None if t is None else t.distinct()
+
+
+def _anti_tombstones(
+    df: DataFrame, spark: SparkSession, base: str, id_col: str, tomb_gen: int
+) -> DataFrame:
+    t = _load_tombstones(spark, base, tomb_gen)
+    if t is None:
+        return df
+    return df.join(
+        F.broadcast(t.withColumnRenamed("doc_id", "_dead")),
+        df[id_col] == F.col("_dead"),
+        "left_anti",
+    )
+
+
+def _band_manifest(bands_df: DataFrame) -> DataFrame:
+    return bands_df.groupBy(
+        F.col("band").cast("int").alias("band"),
+        F.col("pfx").cast("string").alias("pfx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("key").alias("n_keys"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+def dedup_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    version: str = "v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sign + band the corpus and persist; returns the per-(band, pfx)
+    manifest read BACK from the persisted band table (the gate proves
+    what is on disk, not an in-flight frame)."""
+    spark = docs.sparkSession
+    base = _base(index_dir, version)
+
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_n)],
+        "num_hashes int, bands int, shingle_n int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/_meta")
+
+    sigs, banded = _banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    sigs.write.mode("overwrite").parquet(_sigs_dir(base, 0))
+    # the partitionBy write IS the probe-pruning layout: one directory
+    # per (band, first-hex-char-of-key) — 16 buckets per band
+    banded.write.mode("overwrite").partitionBy("band", "pfx").parquet(
+        _bands_dir(base, 0)
+    )
+    return _band_manifest(spark.read.parquet(_bands_dir(base, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Probe
+# ---------------------------------------------------------------------------
+def dedup_index_probe(
+    spark: SparkSession,
+    probe_docs: DataFrame,
+    index_dir: str,
+    min_agree: int = 0,
+    version: str = "v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_self: bool = True,
+    prune: bool = True,
+) -> DataFrame:
+    """Near-dup check of an incoming batch against the persisted corpus
+    index.  Returns ``(probe_id, index_id, n_agree, est_jaccard)`` —
+    one row per LSH band collision pair with ≥ ``min_agree`` agreeing
+    MinHash components; ``est_jaccard = n_agree / num_hashes`` is the
+    classic unbiased signature estimate.  Tombstoned corpus ids never
+    appear.  With ``prune`` (default) the band-table scan is pruned on
+    disk to the probe batch's (band, pfx) set — a collect bounded by
+    ``bands × 16`` rows regardless of batch size."""
+    base = _base(index_dir, version)
+    num_hashes, bands, shingle_n = _meta(spark, base)
+    gen, tomb_gen, _ = _state(spark, base)
+
+    psigs, pband = _banded(
+        probe_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    psigs = psigs.persist()
+    pband = pband.persist()
+
+    idx_bands = spark.read.parquet(_bands_dir(base, gen))
+    if prune:
+        combos = pband.select("band", "pfx").distinct().collect()  # ≤ bands×16
+        pred = None
+        for r in combos:
+            c = (F.col("band") == int(r["band"])) & (F.col("pfx") == r["pfx"])
+            pred = c if pred is None else (pred | c)
+        if pred is None:  # empty probe batch
+            idx_bands = idx_bands.filter(F.lit(False))
+        else:
+            idx_bands = idx_bands.filter(pred)
+
+    cand = (
+        pband.alias("p")
+        .join(
+            idx_bands.alias("i"),
+            (F.col("p.band") == F.col("i.band")) & (F.col("p.key") == F.col("i.key")),
+        )
+        .select(
+            F.col("p.doc_id").alias("probe_id"),
+            F.col("i.doc_id").alias("index_id"),
+        )
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("probe_id") != F.col("index_id"))
+    cand = cand.distinct()
+    cand = _anti_tombstones(cand, spark, base, "index_id", tomb_gen)
+
+    isigs = spark.read.parquet(_sigs_dir(base, gen))
+    agree = sum(
+        F.when(F.col(f"p.h{i}") == F.col(f"i.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    out = (
+        cand.join(psigs.alias("p"), F.col("probe_id") == F.col("p.doc_id"))
+        .join(isigs.alias("i"), F.col("index_id") == F.col("i.doc_id"))
+        .select(
+            "probe_id",
+            "index_id",
+            agree.cast("int").alias("n_agree"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+    if min_agree > 0:
+        out = out.filter(F.col("n_agree") >= min_agree)
+    # eager executor-local checkpoint (NOT a driver collect): the
+    # probe-side sign pipeline runs once, then its caches are released
+    return materialize_and_release(out, psigs, pband)
+
+
+# ---------------------------------------------------------------------------
+# Append
+# ---------------------------------------------------------------------------
+def dedup_index_append(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    version: str = "v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    assert_unique: bool = True,
+) -> DataFrame:
+    """Sign + band the NEW documents and append to the current
+    generation.  Signatures are a pure per-document function, so
+    build(A) + append(B) leaves the exact same store as build(A ∪ B) —
+    pinned byte-identical by tests/test_dedup_index.py.  Returns the
+    per-(band, pfx) appended-count manifest.
+
+    Id discipline (same contract as ann_index_append): a tombstoned id
+    fails fast — its dead rows still live in sigs/bands until the next
+    compact, so clearing the tombstone would resurrect them next to
+    the new rows; a live duplicate id fails fast under
+    ``assert_unique`` (pruned one-column scan of the signature table)
+    — duplicate ids would double candidate rows."""
+    base = _base(index_dir, version)
+    num_hashes, bands, shingle_n = _meta(spark, base)
+    gen, tomb_gen, _ = _state(spark, base)
+
+    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    if tombs is not None:
+        n_dead = tombs.join(F.broadcast(new_ids), "doc_id", "semi").count()
+        if n_dead:
+            raise ValueError(
+                f"dedup_index_append: {n_dead} incoming id(s) are tombstoned — "
+                f"their dead rows still live in the index; run "
+                f"dedup_index_compact to reclaim them, then re-insert"
+            )
+    if assert_unique:
+        dup = (
+            spark.read.parquet(_sigs_dir(base, gen))
+            .select("doc_id")
+            .join(F.broadcast(new_ids), "doc_id", "semi")
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"dedup_index_append: {dup} incoming id(s) already present "
+                f"in the index — duplicate ids double candidate rows; pass "
+                f"assert_unique=False only with an external uniqueness "
+                f"guarantee"
+            )
+
+    sigs, banded = _banded(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    sigs.write.mode("append").parquet(_sigs_dir(base, gen))
+    banded.write.mode("append").partitionBy("band", "pfx").parquet(
+        _bands_dir(base, gen)
+    )
+    return _band_manifest(banded)
+
+
+# ---------------------------------------------------------------------------
+# Delete (tombstones)
+# ---------------------------------------------------------------------------
+def dedup_index_delete(
+    spark: SparkSession,
+    index_dir: str,
+    delete_ids: list[int],
+    version: str = "v1",
+) -> DataFrame:
+    """Tombstone deletion: ids append to the CURRENT tombstone
+    generation; probes anti-join it; space is reclaimed by the next
+    compact (LSM delete story).  Returns the one-row receipt."""
+    base = _base(index_dir, version)
+    _, tomb_gen, _ = _state(spark, base)
+    tdir = _tomb_dir(base, tomb_gen)
+    spark.createDataFrame(
+        [(int(i),) for i in delete_ids], "doc_id long"
+    ).coalesce(1).write.mode("append").parquet(tdir)
+    total = spark.read.parquet(tdir).distinct().count()
+    return spark.createDataFrame(
+        [(len(delete_ids), total)],
+        "n_tombstones_added long, n_tombstones_total long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compact
+# ---------------------------------------------------------------------------
+def dedup_index_compact(
+    spark: SparkSession,
+    index_dir: str,
+    version: str = "v1",
+    files_per_partition: int = 1,
+) -> DataFrame:
+    """Rewrite live rows into a fresh generation directory pair and
+    COMMIT by appending one row to the ``_commits`` manifest (shared
+    protocol with ann_index_compact — never a rename, crash-safe on
+    object stores; the fresh generation has no tombstone dir, which IS
+    the delete-log truncation).  Old generations GC'd best-effort.
+    Returns the per-(band, pfx) manifest read back from the compacted
+    store."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, seq = _state(spark, base)
+    new_gen = gen + 1
+
+    bands_live = _anti_tombstones(
+        spark.read.parquet(_bands_dir(base, gen)), spark, base, "doc_id", tomb_gen
+    )
+    (
+        bands_live.repartition(files_per_partition, "band", "pfx")
+        .write.mode("overwrite")
+        .partitionBy("band", "pfx")
+        .parquet(_bands_dir(base, new_gen))
+    )
+    sigs_live = _anti_tombstones(
+        spark.read.parquet(_sigs_dir(base, gen)), spark, base, "doc_id", tomb_gen
+    )
+    sigs_live.coalesce(files_per_partition).write.mode("overwrite").parquet(
+        _sigs_dir(base, new_gen)
+    )
+
+    # THE commit: readers atomically move to (new_gen, tomb_gen+1)
+    _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
+
+    # best-effort GC of the superseded generation (never load-bearing)
+    _fs_delete(spark, _bands_dir(base, gen))
+    _fs_delete(spark, _sigs_dir(base, gen))
+    _fs_delete(spark, _tomb_dir(base, tomb_gen))
+
+    return _band_manifest(spark.read.parquet(_bands_dir(base, new_gen)))
+
+
+def dedup_index_manifest(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> DataFrame:
+    """Per-(band, pfx) manifest of the CURRENT committed band table,
+    read back from disk through the generation resolver."""
+    base = _base(index_dir, version)
+    gen, _, _ = _state(spark, base)
+    return _band_manifest(spark.read.parquet(_bands_dir(base, gen)))
+
+
+# ---------------------------------------------------------------------------
+# Stats
+# ---------------------------------------------------------------------------
+def dedup_index_stats(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> DataFrame:
+    """Ops monitoring: per-(band, pfx) physical vs live row counts,
+    live distinct keys, and the max LIVE bucket size — the hot-bucket
+    skew monitor (one degenerate band key is the thing that turns an
+    LSH self-join quadratic; production dedup services alert on it)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    bands_df = spark.read.parquet(_bands_dir(base, gen))
+    live = _anti_tombstones(bands_df, spark, base, "doc_id", tomb_gen)
+
+    phys = bands_df.groupBy("band", "pfx").agg(
+        F.count(F.lit(1)).alias("n_rows_physical")
+    )
+    per_key = live.groupBy("band", "pfx", "key").agg(
+        F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    lv = per_key.groupBy("band", "pfx").agg(
+        F.sum("n_in_bucket").alias("n_rows_live"),
+        F.count(F.lit(1)).alias("n_keys_live"),
+        F.max("n_in_bucket").alias("max_bucket_live"),
+    )
+    return (
+        phys.join(lv, ["band", "pfx"], "left")
+        .select(
+            F.col("band").cast("int").alias("band"),
+            F.col("pfx").cast("string").alias("pfx"),
+            "n_rows_physical",
+            F.coalesce("n_rows_live", F.lit(0)).alias("n_rows_live"),
+            F.coalesce("n_keys_live", F.lit(0)).alias("n_keys_live"),
+            F.coalesce("max_bucket_live", F.lit(0)).alias("max_bucket_live"),
+        )
+    )

@@ -16908,6 +16908,453 @@ def lda_label_stability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Persistent MinHash-LSH dedup index (operators/dedup_index.py): the
+# sign-once / probe-at-ingest lifecycle — build, probe, append, delete,
+# compact, stats, composed capstone.  Every oracle replays the persisted
+# artifacts from the same shingle → salted-md5 MinHash → band-key chain
+# the fused near-dup queries use (must stay in lockstep with
+# dedup.minhash_signatures / dedup.lsh_band_keys).
+# ---------------------------------------------------------------------------
+
+# Shared CTE text: signatures + band keys (+ the pfx partition column,
+# first hex char of the band key) over the whole documents table.
+_DEDUPIDX_BANDED_SQL = (
+    _SHINGLE_SQL
+    + f""", sig AS (
+      SELECT doc_id, {_MINHASH_AGGS_SQL} FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, key, substring(key, 1, 1) AS pfx FROM (
+        SELECT doc_id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat(h6, '|', h7)) FROM sig)
+    )"""
+)
+
+# Signature-agreement estimate between a probe/index candidate pair.
+_DEDUPIDX_AGREE_SQL = (
+    "CAST(("
+    + "+".join(f"(ps.h{i} = isg.h{i})::INT" for i in range(_MINHASH_K))
+    + ") AS INT)"
+)
+
+_DEDUPIDX_MIN_AGREE = 4
+_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI = 1, 149  # literal tombstone id range
+
+
+def _dedupidx_probe_sql(index_pred: str, probe_pred: str) -> str:
+    """Oracle text for a probe: LSH band-collision candidates between
+    the probe set and the LIVE index set, then the n/num_hashes
+    signature-agreement estimate — the exact rule dedup_index_probe
+    serves off the persisted artifacts."""
+    return f"""
+    WITH {_DEDUPIDX_BANDED_SQL}, cand AS (
+      SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS index_id
+      FROM banded p JOIN banded i ON p.band = i.band AND p.key = i.key
+      WHERE ({probe_pred.replace('doc_id', 'p.doc_id')})
+        AND ({index_pred.replace('doc_id', 'i.doc_id')})
+        AND p.doc_id <> i.doc_id
+    ), ag AS (
+      SELECT c.probe_id, c.index_id, {_DEDUPIDX_AGREE_SQL} AS n_agree
+      FROM cand c
+      JOIN sig ps ON ps.doc_id = c.probe_id
+      JOIN sig isg ON isg.doc_id = c.index_id
+    )
+    SELECT probe_id, index_id, n_agree,
+           CAST(n_agree AS DOUBLE) / {_MINHASH_K}.0 AS est_jaccard
+    FROM ag WHERE n_agree >= {_DEDUPIDX_MIN_AGREE}
+    """
+
+
+def _dedupidx_manifest_sql(doc_pred: str = "TRUE") -> str:
+    return f"""
+    WITH {_DEDUPIDX_BANDED_SQL}
+    SELECT band, pfx, COUNT(*) AS n_rows, COUNT(DISTINCT key) AS n_keys,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM banded WHERE {doc_pred} GROUP BY band, pfx
+    """
+
+
+@register("dedup_index_build", _dedupidx_manifest_sql())
+def dedup_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + persist the dedup index (operators/dedup_index.py):
+    MinHash signature table + the (band, pfx)-partitioned band table —
+    the manifest is read BACK from the persisted band table, so the
+    hash gate proves the on-disk layout, not an in-flight frame."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = dedup_index.dedup_index_build(
+            load(spark, sf_dir, "documents"), f"{tmp}/dix"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "dedup_index_probe",
+    _dedupidx_probe_sql("doc_id % 10 != 0", "doc_id % 10 = 0"),
+)
+def dedup_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup check off the PERSISTED index — no corpus
+    re-sign: the incoming batch is signed, its band keys hash-join the
+    band table (pruned on disk to the batch's (band, pfx) set — a
+    routing collect bounded by bands x 16 regardless of batch size),
+    and Jaccard is estimated from the persisted signatures.  Matches
+    the fused signature+band rule exactly (tests/test_dedup_index.py)."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup_index.dedup_index_build(
+            docs.filter("doc_id % 10 != 0"), f"{tmp}/dix"
+        ).collect()
+        out = dedup_index.dedup_index_probe(
+            spark,
+            docs.filter("doc_id % 10 = 0"),
+            f"{tmp}/dix",
+            min_agree=_DEDUPIDX_MIN_AGREE,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register("dedup_index_append", _dedupidx_manifest_sql())
+def dedup_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance: build on half the corpus, append the
+    other half, read the manifest back from disk.  Signatures are a
+    pure per-document function, so the store is byte-identical to a
+    one-shot full build — the oracle IS the full-corpus manifest."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup_index.dedup_index_build(
+            docs.filter("doc_id % 2 = 0"), f"{tmp}/dix"
+        ).collect()
+        dedup_index.dedup_index_append(
+            spark, docs.filter("doc_id % 2 = 1"), f"{tmp}/dix"
+        ).collect()
+        out = dedup_index.dedup_index_manifest(spark, f"{tmp}/dix")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "dedup_index_delete",
+    _dedupidx_probe_sql(
+        f"doc_id % 10 != 0 AND doc_id NOT BETWEEN {_DEDUPIDX_DEL_LO} "
+        f"AND {_DEDUPIDX_DEL_HI}",
+        "doc_id % 10 = 0",
+    ),
+)
+def dedup_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM delete: tombstone a fixed id range, then probe — tombstoned
+    corpus documents must never surface as near-dup hits (the probe
+    anti-joins the broadcast delete log).  Oracle = the probe rule over
+    the live (non-deleted) corpus."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup_index.dedup_index_build(
+            docs.filter("doc_id % 10 != 0"), f"{tmp}/dix"
+        ).collect()
+        dedup_index.dedup_index_delete(
+            spark,
+            f"{tmp}/dix",
+            list(range(_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI + 1)),
+        ).collect()
+        out = dedup_index.dedup_index_probe(
+            spark,
+            docs.filter("doc_id % 10 = 0"),
+            f"{tmp}/dix",
+            min_agree=_DEDUPIDX_MIN_AGREE,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "dedup_index_compact",
+    _dedupidx_manifest_sql(
+        f"doc_id NOT BETWEEN {_DEDUPIDX_DEL_LO} AND {_DEDUPIDX_DEL_HI}"
+    ),
+)
+def dedup_index_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction: tombstone a fixed range, compact into a fresh
+    generation (ONE manifest-append commit — same object-store-safe
+    protocol as ann_index_compact), read the manifest back from the
+    NEW generation.  Oracle = the band manifest over the live corpus:
+    tombstoned rows must be physically gone."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup_index.dedup_index_build(
+            load(spark, sf_dir, "documents"), f"{tmp}/dix"
+        ).collect()
+        dedup_index.dedup_index_delete(
+            spark,
+            f"{tmp}/dix",
+            list(range(_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI + 1)),
+        ).collect()
+        out = dedup_index.dedup_index_compact(spark, f"{tmp}/dix")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "dedup_index_stats",
+    f"""
+    WITH {_DEDUPIDX_BANDED_SQL},
+    live AS (
+      SELECT * FROM banded
+      WHERE doc_id NOT BETWEEN {_DEDUPIDX_DEL_LO} AND {_DEDUPIDX_DEL_HI}
+    ),
+    phys AS (
+      SELECT band, pfx, COUNT(*) AS n_rows_physical
+      FROM banded GROUP BY band, pfx
+    ),
+    perkey AS (
+      SELECT band, pfx, key, COUNT(*) AS nb FROM live GROUP BY band, pfx, key
+    ),
+    lv AS (
+      SELECT band, pfx, CAST(SUM(nb) AS BIGINT) AS n_rows_live,
+             COUNT(*) AS n_keys_live, MAX(nb) AS max_bucket_live
+      FROM perkey GROUP BY band, pfx
+    )
+    SELECT p.band, p.pfx, p.n_rows_physical,
+           COALESCE(lv.n_rows_live, 0) AS n_rows_live,
+           COALESCE(lv.n_keys_live, 0) AS n_keys_live,
+           COALESCE(lv.max_bucket_live, 0) AS max_bucket_live
+    FROM phys p LEFT JOIN lv ON p.band = lv.band AND p.pfx = lv.pfx
+    """,
+)
+def dedup_index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops monitoring after a delete wave: physical vs live rows per
+    (band, pfx) partition, live distinct keys, and the max live bucket
+    size — the hot-bucket skew monitor (one degenerate band key is what
+    turns an LSH join quadratic; production dedup services alert on
+    it).  Oracle derives physical from all rows and live from the
+    non-tombstoned set."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup_index.dedup_index_build(
+            load(spark, sf_dir, "documents"), f"{tmp}/dix"
+        ).collect()
+        dedup_index.dedup_index_delete(
+            spark,
+            f"{tmp}/dix",
+            list(range(_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI + 1)),
+        ).collect()
+        out = dedup_index.dedup_index_stats(spark, f"{tmp}/dix")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "dedup_index_lifecycle",
+    _dedupidx_probe_sql(
+        "doc_id % 3 IN (0, 1) AND doc_id NOT BETWEEN 0 AND 59",
+        "doc_id % 3 = 2",
+    ),
+)
+def dedup_index_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed lifecycle capstone — all verbs in ONE query:
+    build(⅓ of corpus) → append(another ⅓) → delete a fixed range →
+    compact (generation flip) → probe with the remaining ⅓.  The
+    oracle knows nothing about the journey: it is the one-shot probe
+    rule over the final live corpus, so any verb corrupting the store
+    (lost append, resurrected delete, compaction drift) flips the
+    hash."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        d = f"{tmp}/dix"
+        dedup_index.dedup_index_build(docs.filter("doc_id % 3 = 0"), d).collect()
+        dedup_index.dedup_index_append(
+            spark, docs.filter("doc_id % 3 = 1"), d
+        ).collect()
+        dedup_index.dedup_index_delete(spark, d, list(range(0, 60))).collect()
+        dedup_index.dedup_index_compact(spark, d).collect()
+        out = dedup_index.dedup_index_probe(
+            spark,
+            docs.filter("doc_id % 3 = 2"),
+            d,
+            min_agree=_DEDUPIDX_MIN_AGREE,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+def _dedupidx_epoch_sql(e: int, live_pred: str) -> str:
+    """One unrolled ingest epoch: band-collision hits of batch `e`
+    against the live set, best match per probe (max agreement, min
+    index id), and the epoch's ingested survivors."""
+    return f"""
+    c{e} AS (
+      SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS index_id
+      FROM banded p JOIN banded i ON p.band = i.band AND p.key = i.key
+      WHERE p.doc_id % 4 = {e} AND ({live_pred})
+    ), a{e} AS (
+      SELECT c.probe_id, c.index_id, {_DEDUPIDX_AGREE_SQL} AS n_agree
+      FROM c{e} c
+      JOIN sig ps ON ps.doc_id = c.probe_id
+      JOIN sig isg ON isg.doc_id = c.index_id
+    ), b{e} AS (
+      SELECT probe_id, index_id, n_agree FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY n_agree DESC, index_id) AS rk
+        FROM a{e} WHERE n_agree >= {_DEDUPIDX_MIN_AGREE}) WHERE rk = 1
+    ), ing{e} AS (
+      SELECT doc_id FROM documents WHERE doc_id % 4 = {e}
+        AND doc_id NOT IN (SELECT probe_id FROM b{e})
+    )"""
+
+
+def _dedupidx_fate_sql(e: int) -> str:
+    return f"""
+    SELECT CAST({e} AS INT) AS epoch, d.doc_id,
+           CASE WHEN b.probe_id IS NOT NULL THEN 'dup' ELSE 'ingested' END AS fate,
+           b.index_id AS dup_of, b.n_agree
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = {e}) d
+    LEFT JOIN b{e} b ON b.probe_id = d.doc_id"""
+
+
+@register(
+    "streaming_dedup_index_ingest",
+    f"""
+    WITH {_DEDUPIDX_BANDED_SQL},
+    {_dedupidx_epoch_sql(1, "i.doc_id % 4 = 0")},
+    {_dedupidx_epoch_sql(
+        2,
+        "i.doc_id % 4 = 0 OR i.doc_id IN (SELECT doc_id FROM ing1)",
+    )},
+    {_dedupidx_epoch_sql(
+        3,
+        "i.doc_id % 4 = 0 OR i.doc_id IN (SELECT doc_id FROM ing1) "
+        "OR i.doc_id IN (SELECT doc_id FROM ing2)",
+    )}
+    {_dedupidx_fate_sql(1)}
+    UNION ALL {_dedupidx_fate_sql(2)}
+    UNION ALL {_dedupidx_fate_sql(3)}
+    """,
+)
+def streaming_dedup_index_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest-dedup loop as a STREAM: a persistent dedup
+    index is built on a quarter of the corpus; three document
+    micro-batches (epochs 1/2/3 = the other mod-4 classes) arrive in
+    order; each batch is probed against the index state BEFORE the
+    batch (within-batch pairs are deliberately not flagged against each
+    other — the contract at ingest), hit docs are fated 'dup' with
+    their best match (max signature agreement, min index id tie-break),
+    and the survivors are APPENDED — so an epoch-3 document can be a
+    duplicate of an epoch-1 ingest.  The oracle unrolls the three
+    epochs with the live set threaded through (ing1 → ing2 → ing3), so
+    a lost append, a stale index read, or a wrong tie-break flips the
+    hash.  Micro-batch order is pinned by distinct source-file mtimes;
+    the epoch key is derived from batch CONTENT, never batch_id."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/dix"
+        dedup_index.dedup_index_build(docs.filter("doc_id % 4 = 0"), idx).collect()
+        src = f"{tmp}/batches"
+        os.makedirs(src)
+        t0 = _time.time() - 600
+        for e in (1, 2, 3):
+            stage = f"{tmp}/stage_{e}"
+            (
+                docs.filter(f"doc_id % 4 = {e}")
+                .select("doc_id", "text", F.lit(e).cast("int").alias("epoch"))
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = next(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = f"{src}/epoch_{e}.parquet"
+            shutil.move(f"{stage}/{part}", dst)
+            os.utime(dst, (t0 + 60 * e, t0 + 60 * e))
+        out_dir = f"{tmp}/fates"
+
+        def ingest_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            e = int(batch_df.agg(F.max("epoch")).first()[0])
+            batch_docs = batch_df.select("doc_id", "text")
+            hits = dedup_index.dedup_index_probe(
+                spark, batch_docs, idx, min_agree=_DEDUPIDX_MIN_AGREE
+            )
+            w = Window.partitionBy("probe_id").orderBy(
+                F.desc("n_agree"), F.asc("index_id")
+            )
+            best = (
+                hits.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("probe_id", "index_id", "n_agree")
+            )
+            fates = (
+                batch_docs.join(
+                    best, batch_docs["doc_id"] == best["probe_id"], "left"
+                )
+                .select(
+                    F.lit(e).cast("int").alias("epoch"),
+                    "doc_id",
+                    F.when(F.col("probe_id").isNotNull(), F.lit("dup"))
+                    .otherwise(F.lit("ingested"))
+                    .alias("fate"),
+                    F.col("index_id").alias("dup_of"),
+                    F.col("n_agree"),
+                )
+            )
+            # idempotent per-epoch write (redelivery overwrites in place)
+            fates.write.mode("overwrite").parquet(f"{out_dir}/e{e}")
+            survivors = batch_docs.join(
+                best.select("probe_id"),
+                batch_docs["doc_id"] == F.col("probe_id"),
+                "left_anti",
+            )
+            dedup_index.dedup_index_append(spark, survivors, idx)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string, epoch int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        out = spark.read.parquet(
+            *[f"{out_dir}/e{e}" for e in (1, 2, 3)]
+        ).select("epoch", "doc_id", "fate", "dup_of", "n_agree")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

@@ -1,0 +1,230 @@
+"""Persistent MinHash-LSH dedup index (operators/dedup_index.py): the
+sign-once / probe-at-ingest contract.
+
+- probe off the persisted index matches the FUSED rule (signatures +
+  band join recomputed from scratch over the union corpus) exactly
+- build(A) + append(B) leaves a byte-identical store to build(A ∪ B)
+- append of a tombstoned / duplicate id fails fast
+- tombstoned ids never appear in probes; compaction preserves probe
+  results exactly and starts a fresh empty delete log
+- a crash BEFORE the compaction manifest commit leaves probes on the
+  old generation, unchanged
+- the probe path's band scan prunes (band, pfx) partitions ON DISK
+  (numPartitions scan metric, not a post-scan filter)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_reddit_data_pipeline_spark.operators import dedup, dedup_index
+from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("dedupidx") / "idx")
+    docs = load(spark, SF, "documents")
+    manifest = dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx)
+    return idx, manifest.collect()
+
+
+def test_manifest_covers_corpus(spark, built):
+    idx, manifest = built
+    n_docs = load(spark, SF, "documents").filter("doc_id % 10 != 0").count()
+    # every document contributes exactly `bands` band rows
+    assert sum(r["n_rows"] for r in manifest) == n_docs * 4
+    assert all(0 <= r["band"] < 4 for r in manifest)
+    assert all(r["pfx"] in "0123456789abcdef" for r in manifest)
+
+
+def test_layout_on_disk(built):
+    idx, _ = built
+    base = f"{idx}/v1"
+    for part in ("sigs", "bands", "_meta"):
+        assert os.path.isdir(f"{base}/{part}"), part
+    bands = [d for d in os.listdir(f"{base}/bands") if d.startswith("band=")]
+    assert len(bands) == 4  # genuinely partitioned by band
+    pfx = [d for d in os.listdir(f"{base}/bands/{bands[0]}") if d.startswith("pfx=")]
+    assert len(pfx) >= 2  # ... and by key prefix inside each band
+
+
+def _fused_probe_rule(spark, min_agree):
+    """Independent derivation: fused signatures over the WHOLE corpus,
+    banded in memory, probe→index candidate pairs, agreement count."""
+    docs = load(spark, SF, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    banded = dedup.lsh_band_keys(sigs, "doc_id", num_hashes=8, bands=4)
+    p = banded.filter(F.col("doc_id") % 10 == 0).alias("p")
+    i = banded.filter(F.col("doc_id") % 10 != 0).alias("i")
+    cand = (
+        p.join(i, (F.col("p.band") == F.col("i.band")) & (F.col("p.key") == F.col("i.key")))
+        .select(F.col("p.doc_id").alias("probe_id"), F.col("i.doc_id").alias("index_id"))
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col("ps.h" + str(k)) == F.col("ix.h" + str(k)), 1).otherwise(0)
+        for k in range(8)
+    )
+    return (
+        cand.join(sigs.alias("ps"), F.col("probe_id") == F.col("ps.doc_id"))
+        .join(sigs.alias("ix"), F.col("index_id") == F.col("ix.doc_id"))
+        .select(
+            "probe_id",
+            "index_id",
+            agree.cast("int").alias("n_agree"),
+            (agree.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+        )
+        .filter(F.col("n_agree") >= min_agree)
+    )
+
+
+def test_probe_matches_fused_rule(spark, built):
+    idx, _ = built
+    probe_docs = load(spark, SF, "documents").filter("doc_id % 10 = 0")
+    got = dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
+    want = _fused_probe_rule(spark, min_agree=4)
+    assert _sorted(got) == _sorted(want)
+    assert got.count() > 0  # the synthetic corpus has injected near-dups
+
+
+def test_probe_unpruned_identical(spark, built):
+    idx, _ = built
+    probe_docs = load(spark, SF, "documents").filter("doc_id % 10 = 0")
+    a = dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4, prune=True)
+    b = dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4, prune=False)
+    assert _sorted(a) == _sorted(b)
+
+
+def test_append_equals_build(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    dedup_index.dedup_index_build(half_a, inc).collect()
+    dedup_index.dedup_index_append(spark, half_b, inc).collect()
+    dedup_index.dedup_index_build(docs, full).collect()
+    for part in ("sigs", "bands"):
+        a = spark.read.parquet(dedup_index.resolve_dedup_dirs(spark, inc)[part])
+        b = spark.read.parquet(dedup_index.resolve_dedup_dirs(spark, full)[part])
+        assert _sorted(a) == _sorted(b), part
+
+
+def test_append_guards(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id < 100"), idx).collect()
+    # duplicate live id fails fast
+    with pytest.raises(ValueError, match="already present"):
+        dedup_index.dedup_index_append(spark, docs.filter("doc_id = 5"), idx)
+    # tombstoned id fails fast with the compact-first contract
+    dedup_index.dedup_index_delete(spark, idx, [7]).collect()
+    with pytest.raises(ValueError, match="tombstoned"):
+        dedup_index.dedup_index_append(spark, docs.filter("doc_id = 7"), idx)
+    # after compact the id is reclaimed and re-insert succeeds
+    dedup_index.dedup_index_compact(spark, idx).collect()
+    dedup_index.dedup_index_append(spark, docs.filter("doc_id = 7"), idx).collect()
+    sigs = spark.read.parquet(dedup_index.resolve_dedup_dirs(spark, idx)["sigs"])
+    assert sigs.filter("doc_id = 7").count() == 1
+
+
+def test_delete_then_compact_preserves_probes(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx).collect()
+    probe_docs = docs.filter("doc_id % 10 = 0")
+    before = _sorted(dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4))
+    assert before
+    victims = sorted({r[1] for r in before})[:2]
+    dedup_index.dedup_index_delete(spark, idx, victims).collect()
+    after = _sorted(dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4))
+    assert after == [r for r in before if r[1] not in victims]
+    dedup_index.dedup_index_compact(spark, idx).collect()
+    # fresh generation: results identical, delete log empty
+    assert _sorted(
+        dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
+    ) == after
+    dirs = dedup_index.resolve_dedup_dirs(spark, idx)
+    assert dirs["bands"].endswith("bands_g1")
+    assert not os.path.isdir(dirs["tombstones"])
+    # physical rows for the victims are actually reclaimed
+    sigs = spark.read.parquet(dirs["sigs"])
+    assert sigs.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_compact_crash_before_commit_leaves_old_generation(
+    spark, tmp_path, monkeypatch
+):
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx).collect()
+    probe_docs = docs.filter("doc_id % 10 = 0")
+    dedup_index.dedup_index_delete(spark, idx, [8]).collect()
+    before = _sorted(dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4))
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(dedup_index, "_append_commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup_index.dedup_index_compact(spark, idx)
+    monkeypatch.undo()
+    # probes still read the OLD committed generation, byte-identical
+    assert _sorted(
+        dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
+    ) == before
+    assert dedup_index.resolve_dedup_dirs(spark, idx)["bands"].endswith("/bands")
+
+
+def test_probe_scan_prunes_band_partitions(spark, built):
+    """The band-table read must prune at the partition level: the same
+    (band, pfx) OR-chain the probe builds shows up as PartitionFilters
+    and the scan's numPartitions metric drops accordingly."""
+    idx, _ = built
+    bands = spark.read.parquet(f"{idx}/v1/bands")
+    pruned = bands.filter(
+        ((F.col("band") == 0) & (F.col("pfx") == "a"))
+        | ((F.col("band") == 1) & (F.col("pfx") == "b"))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    def scan_metric(df, key):
+        df.collect()
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            n = stack.pop()
+            if "Scan" in n.nodeName():
+                it = n.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == key:
+                        return kv._2().value()
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        raise AssertionError("no scan node found")
+
+    n_all = scan_metric(bands, "numPartitions")
+    n_pruned = scan_metric(pruned, "numPartitions")
+    assert n_pruned == 2 and n_all > n_pruned
+
+
+def test_stats_monitor(spark, built):
+    idx, _ = built
+    st = dedup_index.dedup_index_stats(spark, idx).collect()
+    n_docs = load(spark, SF, "documents").filter("doc_id % 10 != 0").count()
+    assert sum(r["n_rows_physical"] for r in st) == n_docs * 4
+    assert all(r["n_rows_live"] <= r["n_rows_physical"] for r in st)
+    assert all(r["max_bucket_live"] >= 1 for r in st)
+    # hot-bucket monitor: the injected near-dup groups produce at least
+    # one bucket with >1 member somewhere
+    assert max(r["max_bucket_live"] for r in st) > 1
