@@ -17355,6 +17355,190 @@ def streaming_dedup_index_ingest_q(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+# ---------------------------------------------------------------------------
+# Versioned snapshot store (streaming/snapshots.py): append-only commit
+# log + time-travel reads + horizon compaction — the data-versioning
+# layer a reproducible training pipeline needs ("read the corpus as of
+# run X").  The three synthetic changelog batches are deterministic
+# functions of o_orderkey, so the oracle replays each historical state
+# with CASE logic: seq 1 upserts %3 keys, seq 2 updates %6 / tombstones
+# %9, seq 3 re-upserts %12 (resurrecting the %36 keys deleted at seq 2).
+# ---------------------------------------------------------------------------
+
+_SNAP_STATE_SQL = {
+    1: """
+    SELECT o_orderkey AS id, o_totalprice AS val
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    2: """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS val
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 != 0
+    """,
+    3: """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 500
+                WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS val
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+      AND (o_orderkey % 9 != 0 OR o_orderkey % 12 = 0)
+    """,
+}
+
+
+def _snapshot_batches(spark: SparkSession, sf_dir: str):
+    orders = load(spark, sf_dir, "orders")
+    b1 = orders.filter("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    b2 = (
+        orders.filter("o_orderkey % 6 = 0")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 1000).cast("double").alias("val"),
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 9 = 0").select(
+                F.col("o_orderkey").alias("id"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("val"),
+            )
+        )
+    )
+    b3 = orders.filter("o_orderkey % 12 = 0").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(3).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 500).cast("double").alias("val"),
+    )
+    return b1, b2, b3
+
+
+@register(
+    "snapshot_store_time_travel",
+    " UNION ALL ".join(
+        f"SELECT CAST({s} AS INT) AS as_of, id, val FROM ({sql})"
+        for s, sql in _SNAP_STATE_SQL.items()
+    ),
+)
+def snapshot_store_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (streaming/snapshots.py): three changelog batches
+    commit as snapshots 1/2/3 (each commit = one immutable log
+    partition + ONE manifest-row append, which is the commit point);
+    `read_as_of` then reproduces EVERY historical state — including the
+    seq-2 tombstones and the seq-3 resurrect-after-delete.  The oracle
+    derives each state independently from the key arithmetic, so a
+    wrong merge order, a leaked tombstone, or a lost resurrect flips
+    the hash."""
+    import tempfile
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        b1, b2, b3 = _snapshot_batches(spark, sf_dir)
+        for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+            snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+        legs = [
+            snapshots.read_as_of(spark, st, s).select(
+                F.lit(s).cast("int").alias("as_of"), "id", "val"
+            )
+            for s in (1, 2, 3)
+        ]
+        out = legs[0].unionByName(legs[1]).unionByName(legs[2])
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "snapshot_store_compaction",
+    f"SELECT id, val FROM ({_SNAP_STATE_SQL[3]})",
+)
+def snapshot_store_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon compaction: snapshots ≤ 2 fold into a base generation
+    (winners keep their original (snap, seq, op), commit = one
+    `_commits` append — the shared ann_index manifest protocol, crash
+    leaves readers on the full history), then `read_as_of(3)` runs off
+    base + the one tail partition.  Oracle = the final state rule: the
+    fold must be invisible to reads at-or-above the horizon (and
+    tests/test_snapshots.py pins byte-identity against the
+    pre-compaction read + the below-horizon raise + log GC)."""
+    import tempfile
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        b1, b2, b3 = _snapshot_batches(spark, sf_dir)
+        for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+            snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+        snapshots.compact_snapshots(spark, st, 2).collect()
+        out = snapshots.read_as_of(spark, st, 3).select("id", "val")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "streaming_snapshot_commits",
+    " UNION ALL ".join(
+        f"SELECT CAST({s} AS INT) AS as_of, id, val FROM ({sql})"
+        for s, sql in _SNAP_STATE_SQL.items()
+    ),
+)
+def streaming_snapshot_commits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot store fed by a STREAM: three changelog micro-batches
+    (order pinned by source-file mtimes) land through foreachBatch →
+    `snapshot_commit` with the batch_id as the exactly-once key, then
+    time travel reproduces every per-batch state.  Same oracle as the
+    batch twin — the stream must leave an identical snapshot history."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        src = f"{tmp}/changelog"
+        os.makedirs(src)
+        t0 = _time.time() - 600
+        for i, b in enumerate(_snapshot_batches(spark, sf_dir), start=1):
+            stage = f"{tmp}/stage_{i}"
+            b.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = f"{src}/batch_{i}.parquet"
+            shutil.move(f"{stage}/{part}", dst)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        stream = (
+            spark.readStream.schema("id long, seq int, op string, val double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = snapshots.start_snapshot_stream(
+            stream, st, f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}"
+        )
+        q.awaitTermination(240)
+        legs = [
+            snapshots.read_as_of(spark, st, s).select(
+                F.lit(s).cast("int").alias("as_of"), "id", "val"
+            )
+            for s in (1, 2, 3)
+        ]
+        out = legs[0].unionByName(legs[1]).unionByName(legs[2])
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 __all__ = ["queries", "oracle_sql", "register"]
 
 

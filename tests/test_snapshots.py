@@ -1,0 +1,195 @@
+"""Versioned snapshot store (streaming/snapshots.py): the commit-log +
+time-travel contract.
+
+- as-of reads reproduce each historical state exactly (last-writer-wins
+  by (snap, seq), tombstones absent, resurrect-after-delete honored)
+- the manifest append IS the commit: a crash after the data write but
+  before it leaves readers on the previous snapshot, and the retried
+  commit installs cleanly over the orphan partition
+- redelivered batch_ids are no-ops (exactly-once under foreachBatch)
+- compaction preserves every read at-or-above the horizon byte-for-byte,
+  raises below it, and GC's the folded log partitions
+- a crash before the compaction _commits append leaves time travel
+  over the FULL history intact
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+from cloud_native_reddit_data_pipeline_spark.streaming import snapshots
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batches(spark):
+    orders = load(spark, SF, "orders")
+    b1 = orders.filter("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    b2 = (
+        orders.filter("o_orderkey % 6 = 0")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 1000).cast("double").alias("val"),
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 9 = 0").select(
+                F.col("o_orderkey").alias("id"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("val"),
+            )
+        )
+    )
+    b3 = orders.filter("o_orderkey % 12 = 0").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(3).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 500).cast("double").alias("val"),
+    )
+    return b1, b2, b3
+
+
+def _expected(spark, as_of):
+    """Independent derivation of the state at each snapshot from the
+    orders table (the ops are deterministic functions of the key)."""
+    orders = load(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("double").alias("p"),
+    )
+    if as_of == 1:
+        df = orders.filter("id % 3 = 0").select("id", F.col("p").alias("val"))
+    elif as_of == 2:
+        df = (
+            orders.filter("id % 3 = 0 AND id % 9 != 0")
+            .select(
+                "id",
+                F.when(F.col("id") % 6 == 0, F.col("p") + 1000)
+                .otherwise(F.col("p"))
+                .alias("val"),
+            )
+        )
+    else:  # seq-3 upserts win over the seq-2 tombstones (resurrect)
+        df = (
+            orders.filter("id % 3 = 0 AND (id % 9 != 0 OR id % 12 = 0)")
+            .select(
+                "id",
+                F.when(F.col("id") % 12 == 0, F.col("p") + 500)
+                .when(F.col("id") % 6 == 0, F.col("p") + 1000)
+                .otherwise(F.col("p"))
+                .alias("val"),
+            )
+        )
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    st = str(tmp_path_factory.mktemp("snapstore") / "store")
+    b1, b2, b3 = _batches(spark)
+    assert snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="b1") == 1
+    assert snapshots.snapshot_commit(b2, st, "id", "seq", batch_id="b2") == 2
+    assert snapshots.snapshot_commit(b3, st, "id", "seq", batch_id="b3") == 3
+    return st
+
+
+def _read(spark, st, s):
+    return sorted(
+        map(tuple, snapshots.read_as_of(spark, st, s).select("id", "val").collect())
+    )
+
+
+def test_time_travel_reproduces_each_state(spark, store):
+    for s in (1, 2, 3):
+        assert _read(spark, store, s) == _expected(spark, s), f"as_of {s}"
+    # default read = latest committed
+    assert _read(spark, store, None) == _expected(spark, 3)
+
+
+def test_resurrect_after_delete(spark, store):
+    # keys %36 == 0 were tombstoned at seq 2 and re-upserted at seq 3
+    res = (
+        snapshots.read_as_of(spark, store, 3)
+        .filter("id % 36 = 0")
+        .count()
+    )
+    gone_at_2 = (
+        snapshots.read_as_of(spark, store, 2).filter("id % 36 = 0").count()
+    )
+    assert res > 0 and gone_at_2 == 0
+
+
+def test_redelivered_batch_is_noop(spark, store):
+    _, _, b3 = _batches(spark)
+    assert snapshots.snapshot_commit(b3, store, "id", "seq", batch_id="b3") == 3
+    assert snapshots.current_snapshot(spark, store) == 3
+
+
+def test_crash_before_manifest_commit(spark, tmp_path):
+    st = str(tmp_path / "store")
+    b1, b2, _ = _batches(spark)
+    snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="b1")
+    before = _read(spark, st, None)
+    # simulate: batch-2 data written, manifest append crashed — the
+    # uncommitted log partition must be invisible to readers
+    b2.write.mode("overwrite").parquet(f"{st}/log/snap=2")
+    assert snapshots.current_snapshot(spark, st) == 1
+    assert _read(spark, st, None) == before
+    # the retried commit installs over the orphan and is visible
+    assert snapshots.snapshot_commit(b2, st, "id", "seq", batch_id="b2") == 2
+    assert _read(spark, st, None) == _expected(spark, 2)
+
+
+def test_compaction_preserves_and_enforces_horizon(spark, tmp_path):
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    pre2, pre3 = _read(spark, st, 2), _read(spark, st, 3)
+    rec = snapshots.compact_snapshots(spark, st, 2).collect()[0]
+    assert rec["base_gen"] == 1 and rec["horizon"] == 2
+    # reads at and above the horizon are byte-identical
+    assert _read(spark, st, 2) == pre2
+    assert _read(spark, st, 3) == pre3
+    # below the horizon: history folded, explicit error
+    with pytest.raises(ValueError, match="below the compaction horizon"):
+        snapshots.read_as_of(spark, st, 1)
+    # folded log partitions are GC'd; the tail partition survives
+    assert not os.path.isdir(f"{st}/log/snap=1")
+    assert not os.path.isdir(f"{st}/log/snap=2")
+    assert os.path.isdir(f"{st}/log/snap=3")
+
+
+def test_compact_crash_before_commit_keeps_full_history(
+    spark, tmp_path, monkeypatch
+):
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    pre = [_read(spark, st, s) for s in (1, 2, 3)]
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(snapshots, "_append_commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        snapshots.compact_snapshots(spark, st, 2)
+    monkeypatch.undo()
+    # full time travel still works off the old (un-flipped) state
+    assert [_read(spark, st, s) for s in (1, 2, 3)] == pre
+
+
+def test_compaction_guards(spark, store):
+    with pytest.raises(ValueError, match="exceeds the committed"):
+        snapshots.compact_snapshots(spark, store, 99)
