@@ -309,6 +309,18 @@ HEADLINE = [
     # the per-batch cost story is dedupidx_probe_only + append_only).
     "dedup_index_build",
     "dedup_index_probe",
+    # minhash_band_recall_curve (the dedup twin of the benched
+    # ann_nprobe_recall_curve) is correctness-gated but NOT benched,
+    # for the same documented reason as the exact-Jaccard joins above:
+    # its loosest (rows=1) truth-denominator banding degenerates on the
+    # ~50-word synthetic vocabulary (candidate volume grows ~quadratic
+    # — measured 11.9x at 10x data, blow-up at 100x), misrepresenting
+    # the operator's behavior on real corpora where single-hash
+    # collisions are rare.
+    # Snapshot store: the time-travel composite (3 commits + 3 as-of
+    # reads) represents the family; the compaction twin and the
+    # streaming twin follow the capstone/streaming exclusions.
+    "snapshot_store_time_travel",
 ]
 
 

@@ -407,6 +407,66 @@ def dedup_index_compact(
     return _band_manifest(spark.read.parquet(_bands_dir(base, new_gen)))
 
 
+def dedup_index_fsck(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> DataFrame:
+    """Integrity audit (fsck) — the persisted components must agree:
+    the signature table and the band table cover the SAME document set
+    (checked by real anti-joins in both directions), every document
+    carries EXACTLY ``bands`` band rows and ``bands`` distinct band
+    ids, every band id is within [0, bands), and every pfx is the
+    first hex char of its key.  All reads resolve through the
+    generation manifest, so fsck audits exactly what probes see.
+    Returns one hard-gated row — a lost append half (sigs written,
+    bands crashed), a duplicated band row, or a corrupted partition
+    value flips a boolean."""
+    base = _base(index_dir, version)
+    _, bands_n, _ = _meta(spark, base)
+    gen, _, _ = _state(spark, base)
+    sigs = spark.read.parquet(_sigs_dir(base, gen)).select("doc_id")
+    bnd = spark.read.parquet(_bands_dir(base, gen))
+
+    n_sig_docs = sigs.distinct().count()
+    bdocs = bnd.select("doc_id").distinct()
+    only_one_side = (
+        sigs.join(bdocs, "doc_id", "left_anti").count()
+        + bdocs.join(sigs, "doc_id", "left_anti").count()
+    )
+    per_doc = bnd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("band").alias("n_bands"),
+    )
+    rows_ok = (
+        per_doc.filter(
+            (F.col("n_rows") != bands_n) | (F.col("n_bands") != bands_n)
+        ).count()
+        == 0
+    )
+    band_range_ok = (
+        bnd.filter(
+            (F.col("band").cast("int") < 0)
+            | (F.col("band").cast("int") >= bands_n)
+        ).count()
+        == 0
+    )
+    pfx_ok = (
+        bnd.filter(F.col("pfx") != F.substring("key", 1, 1)).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_sig_docs,
+                bool(only_one_side == 0),
+                bool(rows_ok),
+                bool(band_range_ok),
+                bool(pfx_ok),
+            )
+        ],
+        "n_docs long, ids_match boolean, rows_per_doc_ok boolean, "
+        "band_range_ok boolean, pfx_ok boolean",
+    )
+
+
 def dedup_index_manifest(
     spark: SparkSession, index_dir: str, version: str = "v1"
 ) -> DataFrame:

@@ -17197,6 +17197,52 @@ def dedup_index_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+@register(
+    "dedup_index_fsck",
+    f"""
+    WITH {_DEDUPIDX_BANDED_SQL}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sig) AS n_docs,
+           (SELECT COUNT(*) FROM
+              ((SELECT doc_id FROM sig
+                EXCEPT SELECT DISTINCT doc_id FROM banded)
+               UNION ALL
+               (SELECT DISTINCT doc_id FROM banded
+                EXCEPT SELECT doc_id FROM sig))
+           ) = 0 AS ids_match,
+           (SELECT COUNT(*) FROM (
+              SELECT doc_id FROM banded GROUP BY doc_id
+              HAVING COUNT(*) <> 4 OR COUNT(DISTINCT band) <> 4)
+           ) = 0 AS rows_per_doc_ok,
+           (SELECT COUNT(*) FROM banded
+             WHERE band < 0 OR band >= 4) = 0 AS band_range_ok,
+           (SELECT COUNT(*) FROM banded
+             WHERE pfx <> substring(key, 1, 1)) = 0 AS pfx_ok
+    """,
+)
+def dedup_index_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index integrity audit (dedup_index.dedup_index_fsck) after
+    a build + append: signature/band tables must cover the same doc
+    set (real anti-joins both ways), every doc exactly 4 band rows on
+    4 distinct bands, band ids in range, pfx = first hex char of the
+    key.  Both sides DERIVE every boolean — Spark from the on-disk
+    store via the generation resolver, the oracle from the banded CTE
+    replay (no pinned literals)."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup_index.dedup_index_build(
+            docs.filter("doc_id % 2 = 0"), f"{tmp}/dix"
+        ).collect()
+        dedup_index.dedup_index_append(
+            spark, docs.filter("doc_id % 2 = 1"), f"{tmp}/dix"
+        ).collect()
+        out = dedup_index.dedup_index_fsck(spark, f"{tmp}/dix")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def _dedupidx_epoch_sql(e: int, live_pred: str) -> str:
     """One unrolled ingest epoch: band-collision hits of batch `e`
     against the live set, best match per probe (max agreement, min
@@ -17355,6 +17401,97 @@ def streaming_dedup_index_ingest_q(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def _lshcurve_sql() -> str:
+    """Oracle for the LSH banding operating-point curve: per-config band
+    keys + candidate pairs from the shared 8-hash signature, exact
+    Jaccard truth (threshold 0.5) within the loosest (rows=1) config's
+    candidate neighborhood, recall per config."""
+    cfgs = [(8, 1), (4, 2), (2, 4), (1, 8)]
+    # AS MATERIALIZED throughout: the scalar subqueries below reference
+    # pairs_* / truth several times each, and DuckDB inlines plain CTEs
+    # — without materialization the signature + shingle passes would
+    # re-execute per reference (measured: minutes instead of seconds).
+    ctes = []
+    for b, r in cfgs:
+        legs = []
+        for i in range(b):
+            hs = [f"h{i * r + k}" for k in range(r)]
+            inner = ", '|', ".join(hs)
+            legs.append(
+                f"SELECT doc_id, {i} AS band, md5(concat({inner})) AS key FROM sig"
+            )
+        union = " UNION ALL ".join(legs)
+        ctes.append(f"banded_{b} AS MATERIALIZED ({union})")
+        ctes.append(
+            f"pairs_{b} AS MATERIALIZED "
+            f"(SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            f"FROM banded_{b} a JOIN banded_{b} b "
+            f"ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"
+        )
+    truth = """
+    cdocs AS MATERIALIZED (
+      SELECT id_a AS d FROM pairs_8 UNION SELECT id_b FROM pairs_8
+    ), shr AS MATERIALIZED (
+      SELECT * FROM sh WHERE doc_id IN (SELECT d FROM cdocs)
+    ), sz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM shr a JOIN shr b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS MATERIALIZED (
+      SELECT n.id_a, n.id_b
+      FROM inter n
+      JOIN pairs_8 p ON p.id_a = n.id_a AND p.id_b = n.id_b
+      JOIN sz sa ON sa.doc_id = n.id_a
+      JOIN sz sb ON sb.doc_id = n.id_b
+      WHERE ROUND(n.i / (sa.sz + sb.sz - n.i) + 1e-9, 4) >= 0.5
+    )"""
+    selects = []
+    for b, r in cfgs:
+        cap = (
+            f"(SELECT COUNT(*) FROM truth t JOIN pairs_{b} p "
+            f"ON p.id_a = t.id_a AND p.id_b = t.id_b)"
+        )
+        selects.append(f"""
+        SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+               (SELECT COUNT(*) FROM pairs_{b}) AS n_candidates,
+               (SELECT COUNT(*) FROM truth) AS n_truth,
+               {cap} AS n_captured,
+               CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+                 ROUND(CAST({cap} AS DOUBLE)
+                       / (SELECT COUNT(*) FROM truth) + 1e-9, 4)
+               END AS recall""")
+    return (
+        "WITH "
+        + _SHINGLE_SQL
+        + f", sig AS MATERIALIZED "
+        f"(SELECT doc_id, {_MINHASH_AGGS_SQL} FROM sh GROUP BY doc_id),\n"
+        + ",\n".join(ctes)
+        + ","
+        + truth
+        + " UNION ALL ".join(selects)
+    )
+
+
+@register("minhash_band_recall_curve", _lshcurve_sql())
+def minhash_band_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding operating-point curve (dedup.lsh_recall_curve): for
+    each (bands, rows_per_band) split of ONE shared 8-hash MinHash
+    signature, the candidate-pair volume and the recall of true
+    near-dups (exact Jaccard ≥ 0.5 within the loosest config's
+    candidate neighborhood — ≥ 99.6% complete at the threshold by the
+    1-(1-J)^8 collision bound).  The dedup twin of
+    ann_nprobe_recall_curve: the table that picks the
+    recall-vs-volume operating point before a 100 TB dedup run."""
+    from .operators import dedup
+
+    return dedup.lsh_recall_curve(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Versioned snapshot store (streaming/snapshots.py): append-only commit
 # log + time-travel reads + horizon compaction — the data-versioning
@@ -17484,6 +17621,63 @@ def snapshot_store_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def _snapdiff_leg_sql(s_from: int, s_to: int) -> str:
+    return f"""
+    SELECT CAST({s_from} AS INT) AS from_snap, CAST({s_to} AS INT) AS to_snap,
+           b.id AS id, 'added' AS change,
+           CAST(NULL AS DOUBLE) AS val_before, b.val AS val_after
+    FROM s{s_to} b LEFT JOIN s{s_from} a ON a.id = b.id WHERE a.id IS NULL
+    UNION ALL
+    SELECT CAST({s_from} AS INT), CAST({s_to} AS INT),
+           a.id, 'deleted', a.val, CAST(NULL AS DOUBLE)
+    FROM s{s_from} a LEFT JOIN s{s_to} b ON b.id = a.id WHERE b.id IS NULL
+    UNION ALL
+    SELECT CAST({s_from} AS INT), CAST({s_to} AS INT),
+           a.id, 'updated', a.val, b.val
+    FROM s{s_from} a JOIN s{s_to} b ON a.id = b.id WHERE a.val <> b.val
+    """
+
+
+@register(
+    "snapshot_store_diff",
+    f"""
+    WITH s1 AS ({_SNAP_STATE_SQL[1]}), s2 AS ({_SNAP_STATE_SQL[2]}),
+         s3 AS ({_SNAP_STATE_SQL[3]})
+    {_snapdiff_leg_sql(1, 2)} UNION ALL {_snapdiff_leg_sql(2, 3)}
+    """,
+)
+def snapshot_store_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff (snapshots.snapshot_diff): row-level changes between
+    consecutive table versions — 1→2 surfaces the seq-2 updates and
+    tombstone DELETIONS, 2→3 surfaces the seq-3 updates and the
+    resurrect-after-delete keys as ADDITIONS.  Both legs derive from
+    `read_as_of` views, so the diff audits exactly what readers see;
+    the oracle recomputes each state from the key arithmetic and joins
+    the states directly."""
+    import tempfile
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        b1, b2, b3 = _snapshot_batches(spark, sf_dir)
+        for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+            snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+        legs = [
+            snapshots.snapshot_diff(spark, st, f, t).select(
+                F.lit(f).cast("int").alias("from_snap"),
+                F.lit(t).cast("int").alias("to_snap"),
+                "id",
+                "change",
+                "val_before",
+                "val_after",
+            )
+            for f, t in ((1, 2), (2, 3))
+        ]
+        out = legs[0].unionByName(legs[1])
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register(
     "streaming_snapshot_commits",
     " UNION ALL ".join(
@@ -17532,6 +17726,96 @@ def streaming_snapshot_commits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         legs = [
             snapshots.read_as_of(spark, st, s).select(
                 F.lit(s).cast("int").alias("as_of"), "id", "val"
+            )
+            for s in (1, 2, 3)
+        ]
+        out = legs[0].unionByName(legs[1]).unionByName(legs[2])
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "versioned_dedup_ingest",
+    f"""
+    WITH {_DEDUPIDX_BANDED_SQL},
+    {_dedupidx_epoch_sql(1, "i.doc_id % 4 = 0")},
+    {_dedupidx_epoch_sql(
+        2,
+        "i.doc_id % 4 = 0 OR i.doc_id IN (SELECT doc_id FROM ing1)",
+    )},
+    {_dedupidx_epoch_sql(
+        3,
+        "i.doc_id % 4 = 0 OR i.doc_id IN (SELECT doc_id FROM ing1) "
+        "OR i.doc_id IN (SELECT doc_id FROM ing2)",
+    )}
+    SELECT CAST(1 AS INT) AS as_of, d.doc_id, d.n_chars
+    FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM ing1)
+    UNION ALL
+    SELECT CAST(2 AS INT), d.doc_id, d.n_chars
+    FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM ing1)
+       OR d.doc_id IN (SELECT doc_id FROM ing2)
+    UNION ALL
+    SELECT CAST(3 AS INT), d.doc_id, d.n_chars
+    FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM ing1)
+       OR d.doc_id IN (SELECT doc_id FROM ing2)
+       OR d.doc_id IN (SELECT doc_id FROM ing3)
+    """,
+)
+def versioned_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed capstone: the two round-11 stores cooperating — each
+    document batch is near-dup-checked against the PERSISTENT dedup
+    index (probe against pre-batch state), the survivors are appended
+    to the index AND committed to the VERSIONED snapshot store as that
+    epoch's snapshot, and time travel then reproduces the exact
+    dedup-surviving corpus at every epoch ("train run N read snapshot
+    N" — the reproducibility contract).  The oracle threads the live
+    set through the three unrolled epochs and derives each snapshot
+    state independently, so a missed duplicate, a lost append, or a
+    wrong snapshot boundary flips the hash."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .operators import dedup_index
+    from .streaming import snapshots
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/dix"
+        st = f"{tmp}/store"
+        dedup_index.dedup_index_build(docs.filter("doc_id % 4 = 0"), idx).collect()
+        for e in (1, 2, 3):
+            batch = docs.filter(f"doc_id % 4 = {e}")
+            hits = dedup_index.dedup_index_probe(
+                spark, batch.select("doc_id", "text"), idx,
+                min_agree=_DEDUPIDX_MIN_AGREE,
+            )
+            w = Window.partitionBy("probe_id").orderBy(
+                F.desc("n_agree"), F.asc("index_id")
+            )
+            dup_ids = (
+                hits.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(F.col("probe_id").alias("doc_id"))
+            )
+            survivors = batch.join(dup_ids, "doc_id", "left_anti")
+            dedup_index.dedup_index_append(
+                spark, survivors.select("doc_id", "text"), idx
+            )
+            snapshots.snapshot_commit(
+                survivors.select(
+                    "doc_id",
+                    F.lit(e).alias("seq"),
+                    F.lit("U").alias("op"),
+                    "n_chars",
+                ),
+                st,
+                "doc_id",
+                "seq",
+                batch_id=f"epoch-{e}",
+            )
+        legs = [
+            snapshots.read_as_of(spark, st, s, key="doc_id").select(
+                F.lit(s).cast("int").alias("as_of"), "doc_id", "n_chars"
             )
             for s in (1, 2, 3)
         ]

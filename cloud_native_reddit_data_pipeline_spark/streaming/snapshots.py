@@ -225,6 +225,56 @@ def compact_snapshots(
     )
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    store_dir: str,
+    from_snap: int,
+    to_snap: int,
+    key: str = "id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Row-level diff between two table versions — the audit question a
+    versioned store exists to answer ("what changed between the corpus
+    run A trained on and run B's?").  Returns one row per changed key:
+    ``change`` ∈ {'added', 'deleted', 'updated'} plus ``<c>_before`` /
+    ``<c>_after`` for every payload column c.  Derived entirely from
+    two `read_as_of` views, so it sees exactly what readers see
+    (including resurrect-after-delete, which surfaces as 'added').
+    Scale shape: one full-outer join of the two states on the key —
+    the canonical snapshot-diff plan (same as ann_index_version_diff's
+    cell-transition matrix)."""
+    a = read_as_of(spark, store_dir, from_snap, key, seq_col, op_col)
+    b = read_as_of(spark, store_dir, to_snap, key, seq_col, op_col)
+    payload = sorted(c for c in a.columns if c not in {key, seq_col})
+    a = a.select(
+        F.col(key).alias("_ka"),
+        *[F.col(c).alias(f"{c}_before") for c in payload],
+    )
+    b = b.select(
+        F.col(key).alias("_kb"),
+        *[F.col(c).alias(f"{c}_after") for c in payload],
+    )
+    j = a.join(b, a["_ka"] == b["_kb"], "full_outer")
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~(
+            F.col(f"{c}_before").eqNullSafe(F.col(f"{c}_after"))
+        )
+    return (
+        j.select(
+            F.coalesce("_ka", "_kb").alias(key),
+            F.when(F.col("_ka").isNull(), F.lit("added"))
+            .when(F.col("_kb").isNull(), F.lit("deleted"))
+            .when(changed, F.lit("updated"))
+            .alias("change"),
+            *[F.col(f"{c}_before") for c in payload],
+            *[F.col(f"{c}_after") for c in payload],
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
 def start_snapshot_stream(
     changelog_stream: DataFrame,
     store_dir: str,

@@ -228,3 +228,20 @@ def test_stats_monitor(spark, built):
     # hot-bucket monitor: the injected near-dup groups produce at least
     # one bucket with >1 member somewhere
     assert max(r["max_bucket_live"] for r in st) > 1
+
+
+def test_fsck_clean_and_corruption_flips(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id < 200"), idx).collect()
+    row = dedup_index.dedup_index_fsck(spark, idx).collect()[0]
+    assert row["ids_match"] and row["rows_per_doc_ok"]
+    assert row["band_range_ok"] and row["pfx_ok"]
+    # corrupt: duplicate one band row into the store — a doc now has 5
+    # band rows, which must flip rows_per_doc_ok (and nothing else)
+    dirs = dedup_index.resolve_dedup_dirs(spark, idx)
+    one = spark.read.parquet(dirs["bands"]).limit(1)
+    one.write.mode("append").partitionBy("band", "pfx").parquet(dirs["bands"])
+    row2 = dedup_index.dedup_index_fsck(spark, idx).collect()[0]
+    assert not row2["rows_per_doc_ok"]
+    assert row2["ids_match"] and row2["band_range_ok"] and row2["pfx_ok"]

@@ -193,3 +193,17 @@ def test_compact_crash_before_commit_keeps_full_history(
 def test_compaction_guards(spark, store):
     with pytest.raises(ValueError, match="exceeds the committed"):
         snapshots.compact_snapshots(spark, store, 99)
+
+
+def test_snapshot_diff_classes(spark, store):
+    d12 = snapshots.snapshot_diff(spark, store, 1, 2)
+    by = {r["change"] for r in d12.select("change").distinct().collect()}
+    assert by == {"deleted", "updated"}  # seq-2 tombstones + updates
+    # every deleted key is a %9 tombstone victim
+    assert d12.filter("change = 'deleted' AND id % 9 != 0").count() == 0
+    d23 = snapshots.snapshot_diff(spark, store, 2, 3)
+    # resurrect-after-delete surfaces as 'added'
+    added = d23.filter("change = 'added'")
+    assert added.count() > 0
+    assert added.filter("id % 36 != 0").count() == 0
+    assert added.filter("val_before IS NOT NULL").count() == 0
