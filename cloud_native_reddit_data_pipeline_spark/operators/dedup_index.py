@@ -407,6 +407,36 @@ def dedup_index_compact(
     return _band_manifest(spark.read.parquet(_bands_dir(base, new_gen)))
 
 
+def dedup_index_gc(
+    spark: SparkSession, index_dir: str, version: str = "v1"
+) -> list[str]:
+    """Reclaim SUPERSEDED generation directories the best-effort GC in
+    `dedup_index_compact` may have left behind (a crash after the
+    manifest commit leaves the old generation orphaned — readers never
+    see it, but it holds space).  Same contract as `ann_index_gc`:
+    the manifest is the single source of truth, so nothing referenced
+    can be collected.  Returns the removed names."""
+    import re
+
+    from .ann_index import _fs_list
+
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    keep = {
+        "_meta", "_commits",
+        _sigs_dir(base, gen).rsplit("/", 1)[-1],
+        _bands_dir(base, gen).rsplit("/", 1)[-1],
+        _tomb_dir(base, tomb_gen).rsplit("/", 1)[-1],
+    }
+    collectable = re.compile(r"^(sigs|bands)(_g\d+)?$|^tombstones(_t\d+)?$")
+    removed = []
+    for name in _fs_list(spark, base):
+        if name not in keep and collectable.match(name):
+            _fs_delete(spark, f"{base}/{name}")
+            removed.append(name)
+    return sorted(removed)
+
+
 def dedup_index_fsck(
     spark: SparkSession, index_dir: str, version: str = "v1"
 ) -> DataFrame:

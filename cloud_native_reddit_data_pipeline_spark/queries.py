@@ -17733,6 +17733,92 @@ def streaming_snapshot_commits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+_SNAP_LOOKUP_KEYS = [7, 12, 18, 21, 24, 36, 45, 72, 108, 144]
+
+
+@register(
+    "snapshot_store_lookup",
+    f"""
+    WITH s2 AS ({_SNAP_STATE_SQL[2]}), s3 AS ({_SNAP_STATE_SQL[3]})
+    SELECT CAST(2 AS INT) AS as_of, id, val FROM s2
+    WHERE id IN ({', '.join(map(str, _SNAP_LOOKUP_KEYS))})
+    UNION ALL
+    SELECT CAST(3 AS INT), id, val FROM s3
+    WHERE id IN ({', '.join(map(str, _SNAP_LOOKUP_KEYS))})
+    """,
+)
+def snapshot_store_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point time-travel lookups (snapshots.snapshot_lookup): resolve a
+    fixed key batch at snapshots 2 and 3 touching ONLY the bucket
+    sub-partitions the keys hash into (static pruning on the bucket
+    directory column of base and log alike — the Delta/Iceberg
+    point-read shape).  The key set spans every interesting class:
+    updated, tombstoned-then-gone, tombstoned-then-resurrected, plain,
+    and never-present.  Byte-identical to filtering a full read_as_of
+    (pinned by test); oracle = the state rules filtered to the keys."""
+    import tempfile
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        b1, b2, b3 = _snapshot_batches(spark, sf_dir)
+        for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+            snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+        legs = [
+            snapshots.snapshot_lookup(
+                spark, st, _SNAP_LOOKUP_KEYS, s
+            ).select(F.lit(s).cast("int").alias("as_of"), "id", "val")
+            for s in (2, 3)
+        ]
+        out = legs[0].unionByName(legs[1])
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "snapshot_store_fsck",
+    f"""
+    WITH s1 AS ({_SNAP_STATE_SQL[1]}), s2 AS ({_SNAP_STATE_SQL[2]}),
+         s3 AS ({_SNAP_STATE_SQL[3]})
+    SELECT CAST(1 AS INT) AS snap,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows_manifest,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows_log,
+           (SELECT COUNT(*) FROM s1) AS n_state
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 6 = 0)
+             + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 = 0),
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 6 = 0)
+             + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 = 0),
+           (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS INT),
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 12 = 0),
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 12 = 0),
+           (SELECT COUNT(*) FROM s3)
+    """,
+)
+def snapshot_store_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-store integrity audit (snapshots.snapshot_fsck): per
+    committed snapshot, the manifest's recorded row count, the log
+    partition's ACTUAL on-disk count, and the live-state count through
+    `read_as_of` — the engine derives all three from the store, the
+    oracle from the batch/state rules, so a truncated log partition, a
+    lying manifest, or a merge regression flips the hash.  Completes
+    the fsck trio (ann_index_fsck, dedup_index_fsck)."""
+    import tempfile
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        b1, b2, b3 = _snapshot_batches(spark, sf_dir)
+        for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+            snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+        out = snapshots.snapshot_fsck(spark, st)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register(
     "versioned_dedup_ingest",
     f"""

@@ -59,6 +59,12 @@ from pyspark.sql import functions as F
 
 from ..operators.ann_index import _append_commit, _fs_delete, _state, _try_read
 
+# Log partitions are sub-partitioned by a key-hash bucket so point
+# lookups prune on disk (the bucket is a pure key function — merge
+# semantics never see it).  Fixed at store-creation time, like the CDC
+# sink's n_buckets.
+N_LOOKUP_BUCKETS = 16
+
 
 def _manifest(spark: SparkSession, store_dir: str) -> DataFrame | None:
     return _try_read(spark, f"{store_dir}/_snapshots")
@@ -102,8 +108,19 @@ def snapshot_commit(
             raise ValueError(f"snapshot_commit: batch is missing column {c!r}")
     snap = current_snapshot(spark, store_dir) + 1
     # a crashed previous attempt at this snap left an uncommitted dir;
-    # overwrite installs the retried batch in its place
-    batch_df.write.mode("overwrite").parquet(f"{store_dir}/log/snap={snap}")
+    # overwrite installs the retried batch in its place.  The log
+    # partition is sub-partitioned by a key-hash bucket so point
+    # lookups (`snapshot_lookup`) prune on disk — the bucket is a pure
+    # function of the key, so merge semantics are unchanged.
+    (
+        batch_df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(N_LOOKUP_BUCKETS)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{store_dir}/log/snap={snap}")
+    )
     n = spark.read.parquet(f"{store_dir}/log/snap={snap}").count()
     # THE commit point: one single-row manifest append
     spark.createDataFrame(
@@ -142,8 +159,18 @@ def _merged_state(
     allrows = parts[0]
     for p in parts[1:]:
         allrows = allrows.unionByName(p)
+    return _merge_rows(allrows, key, seq_col, op_col)
+
+
+def _merge_rows(
+    allrows: DataFrame, key: str, seq_col: str, op_col: str
+) -> DataFrame:
+    """Seq-authoritative last-writer-wins over changelog rows: winner
+    per key by (snap desc, seq desc, op, deterministic hash)."""
     payload = sorted(
-        c for c in allrows.columns if c not in {key, seq_col, op_col, "snap"}
+        c
+        for c in allrows.columns
+        if c not in {key, seq_col, op_col, "snap", "bucket"}
     )
     row_hash = F.xxhash64(
         *[F.col(c) for c in [key, seq_col, op_col, *payload]]
@@ -176,7 +203,7 @@ def read_as_of(
     committed = current_snapshot(spark, store_dir)
     s = committed if snap is None else min(snap, committed)
     merged = _merged_state(spark, store_dir, s, key, seq_col, op_col)
-    return merged.filter(F.col(op_col) != "D").drop(op_col, "snap")
+    return merged.filter(F.col(op_col) != "D").drop(op_col, "snap", "bucket")
 
 
 def compact_snapshots(
@@ -210,7 +237,11 @@ def compact_snapshots(
         )
     folded = _merged_state(spark, store_dir, upto_snap, key, seq_col, op_col)
     new_gen = gen + 1
-    folded.write.mode("overwrite").parquet(f"{store_dir}/base_g{new_gen}")
+    # the base keeps the bucket sub-partitioning so point lookups prune
+    # the compacted prefix exactly like the log tail
+    folded.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{store_dir}/base_g{new_gen}"
+    )
     n = spark.read.parquet(f"{store_dir}/base_g{new_gen}").count()
     # THE commit: (gen, horizon) flip in one manifest append
     _append_commit(spark, store_dir, seq + 1, new_gen, upto_snap)
@@ -222,6 +253,99 @@ def compact_snapshots(
     return spark.createDataFrame(
         [(new_gen, upto_snap, n)],
         "base_gen int, horizon int, n_rows long",
+    )
+
+
+def snapshot_lookup(
+    spark: SparkSession,
+    store_dir: str,
+    keys: list[int],
+    snap: int | None = None,
+    key: str = "id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Point time-travel lookup — the serving-path read: resolve a
+    (small) key batch at snapshot ``snap`` touching ONLY the bucket
+    sub-partitions those keys hash into, in both the compacted base
+    and the log tail (static partition pruning on the ``bucket``
+    directory column; the routing collect is bounded by
+    min(|keys|, N_LOOKUP_BUCKETS)).  Because the bucket is a pure key
+    function, the within-bucket merge is exact — byte-identical to
+    filtering a full `read_as_of` (pinned by test).  The Delta/Iceberg
+    point-read story: scan cost per lookup is |buckets touched| /
+    N_LOOKUP_BUCKETS of the state, regardless of table size."""
+    committed = current_snapshot(spark, store_dir)
+    s = committed if snap is None else min(snap, committed)
+    gen, horizon = _base_state(spark, store_dir)
+    if s < horizon:
+        raise ValueError(
+            f"snapshot_lookup: snapshot {s} is below the compaction "
+            f"horizon {horizon}"
+        )
+    kdf = spark.createDataFrame([(int(k),) for k in keys], f"{key} long")
+    buckets = [
+        r["b"]
+        for r in kdf.select(
+            F.pmod(F.xxhash64(F.col(key)), F.lit(N_LOOKUP_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    parts = []
+    if gen > 0:
+        parts.append(
+            spark.read.parquet(f"{store_dir}/base_g{gen}").filter(
+                F.col("bucket").isin(buckets)
+            )
+        )
+    tail = _try_read(spark, f"{store_dir}/log")
+    if tail is not None:
+        parts.append(
+            tail.filter(
+                (F.col("snap") > horizon)
+                & (F.col("snap") <= s)
+                & F.col("bucket").isin(buckets)
+            )
+        )
+    if not parts:
+        raise ValueError(f"snapshot_lookup: empty store at {store_dir}")
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    allrows = allrows.filter(F.col(key).isin([int(k) for k in keys]))
+    merged = _merge_rows(allrows, key, seq_col, op_col)
+    return merged.filter(F.col(op_col) != "D").drop(op_col, "snap", "bucket")
+
+
+def snapshot_fsck(
+    spark: SparkSession,
+    store_dir: str,
+    key: str = "id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Store integrity audit — one row per COMMITTED snapshot:
+    ``n_rows_manifest`` (what the commit recorded), ``n_rows_log``
+    (what the log partition actually holds on disk), and ``n_state``
+    (live keys as of that snapshot through `read_as_of`).  A truncated
+    or double-written log partition shows up as a manifest/log
+    mismatch; a merge regression shows up in n_state.  Everything is
+    read through the same resolvers probes use."""
+    m = _manifest(spark, store_dir)
+    if m is None:
+        raise ValueError(f"snapshot_fsck: no manifest at {store_dir}")
+    rows = []
+    for r in sorted(m.collect(), key=lambda r: r["snap"]):
+        s = int(r["snap"])
+        n_log = spark.read.parquet(f"{store_dir}/log/snap={s}").count()
+        n_state = read_as_of(spark, store_dir, s, key, seq_col, op_col).count()
+        rows.append((s, int(r["n_rows"]), n_log, n_state))
+    return spark.createDataFrame(
+        rows,
+        "snap int, n_rows_manifest long, n_rows_log long, n_state long",
     )
 
 

@@ -245,3 +245,29 @@ def test_fsck_clean_and_corruption_flips(spark, tmp_path):
     row2 = dedup_index.dedup_index_fsck(spark, idx).collect()[0]
     assert not row2["rows_per_doc_ok"]
     assert row2["ids_match"] and row2["band_range_ok"] and row2["pfx_ok"]
+
+
+def test_gc_reclaims_orphaned_generations(spark, tmp_path, monkeypatch):
+    """If compaction's best-effort GC never ran (crash after the
+    manifest commit), dedup_index_gc collects exactly the superseded
+    generation dirs, leaves the committed one untouched, and probes are
+    unchanged; a second GC finds nothing."""
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx).collect()
+    dedup_index.dedup_index_delete(spark, idx, [8, 12]).collect()
+    monkeypatch.setattr(dedup_index, "_fs_delete", lambda *a, **kw: None)
+    dedup_index.dedup_index_compact(spark, idx).collect()
+    monkeypatch.undo()
+    names = set(os.listdir(f"{idx}/v1"))
+    assert {"sigs", "bands", "tombstones", "sigs_g1", "bands_g1"} <= names
+    probe_docs = docs.filter("doc_id % 10 = 0")
+    before = _sorted(dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4))
+    removed = dedup_index.dedup_index_gc(spark, idx)
+    assert removed == ["bands", "sigs", "tombstones"]
+    names = set(os.listdir(f"{idx}/v1"))
+    assert "sigs" not in names and "sigs_g1" in names and "bands_g1" in names
+    assert _sorted(
+        dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
+    ) == before
+    assert dedup_index.dedup_index_gc(spark, idx) == []

@@ -140,9 +140,19 @@ def test_crash_before_manifest_commit(spark, tmp_path):
     b1, b2, _ = _batches(spark)
     snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="b1")
     before = _read(spark, st, None)
-    # simulate: batch-2 data written, manifest append crashed — the
-    # uncommitted log partition must be invisible to readers
-    b2.write.mode("overwrite").parquet(f"{st}/log/snap=2")
+    # simulate: batch-2 data written (in the commit's bucketed layout),
+    # manifest append crashed — the uncommitted log partition must be
+    # invisible to readers
+    (
+        b2.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(snapshots.N_LOOKUP_BUCKETS))
+            .cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{st}/log/snap=2")
+    )
     assert snapshots.current_snapshot(spark, st) == 1
     assert _read(spark, st, None) == before
     # the retried commit installs over the orphan and is visible
@@ -207,3 +217,83 @@ def test_snapshot_diff_classes(spark, store):
     assert added.count() > 0
     assert added.filter("id % 36 != 0").count() == 0
     assert added.filter("val_before IS NOT NULL").count() == 0
+
+
+def test_snapshot_fsck_detects_truncated_log(spark, tmp_path):
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    clean = snapshots.snapshot_fsck(spark, st).collect()
+    assert all(r["n_rows_manifest"] == r["n_rows_log"] for r in clean)
+    # corrupt: rewrite snapshot 2's log partition with half its rows —
+    # the manifest now lies about the on-disk count
+    half = spark.read.parquet(f"{st}/log/snap=2").limit(
+        clean[1]["n_rows_log"] // 2
+    )
+    half_rows = half.collect()
+    spark.createDataFrame(half_rows, half.schema).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{st}/log/snap=2")
+    dirty = {r["snap"]: r for r in snapshots.snapshot_fsck(spark, st).collect()}
+    assert dirty[2]["n_rows_log"] < dirty[2]["n_rows_manifest"]
+    assert dirty[1]["n_rows_log"] == dirty[1]["n_rows_manifest"]
+
+
+def test_point_lookup_matches_filtered_read(spark, store):
+    keys = [7, 12, 18, 21, 24, 36, 45, 72, 108, 144]
+    for s in (2, 3):
+        got = sorted(
+            map(tuple, snapshots.snapshot_lookup(spark, store, keys, s).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                snapshots.read_as_of(spark, store, s)
+                .filter(F.col("id").isin(keys))
+                .collect(),
+            )
+        )
+        assert got == want, f"as_of {s}"
+    # the %36 resurrect shows up at 3 but not 2 through the lookup path
+    k36 = [36, 72, 108, 144]
+    at2 = snapshots.snapshot_lookup(spark, store, k36, 2).count()
+    at3 = snapshots.snapshot_lookup(spark, store, k36, 3).count()
+    assert at2 == 0 and at3 > 0
+
+
+def test_lookup_scan_prunes_buckets(spark, store):
+    """The log read must prune bucket sub-partitions on disk."""
+    log = spark.read.parquet(f"{store}/log")
+    pruned = log.filter((F.col("snap") <= 3) & F.col("bucket").isin([1, 2]))
+
+    def scan_metric(df, k):
+        df.collect()
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            n = stack.pop()
+            if "Scan" in n.nodeName():
+                it = n.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == k:
+                        return kv._2().value()
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        raise AssertionError("no scan node")
+
+    n_all = scan_metric(log, "numPartitions")
+    n_pruned = scan_metric(pruned, "numPartitions")
+    assert n_pruned < n_all
+
+
+def test_lookup_after_compaction(spark, tmp_path):
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    keys = [12, 24, 36, 72]
+    pre = sorted(map(tuple, snapshots.snapshot_lookup(spark, st, keys, 3).collect()))
+    snapshots.compact_snapshots(spark, st, 2)
+    post = sorted(map(tuple, snapshots.snapshot_lookup(spark, st, keys, 3).collect()))
+    assert post == pre  # base + tail lookup identical through the fold
