@@ -17621,6 +17621,132 @@ def snapshot_store_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+_DDXSRV_D1 = (1, 99)    # tombstoned before epoch 1
+_DDXSRV_D2 = (101, 199)  # tombstoned before epoch 2 (after a compaction)
+
+
+def _ddxsrv_epoch_leg(e: int, probe_pred: str, live_pred: str) -> str:
+    return f"""
+    SELECT CAST({e} AS INT) AS epoch, probe_id, index_id, n_agree,
+           CAST(n_agree AS DOUBLE) / {_MINHASH_K}.0 AS est_jaccard
+    FROM (
+      SELECT c.probe_id, c.index_id, {_DEDUPIDX_AGREE_SQL} AS n_agree
+      FROM (
+        SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS index_id
+        FROM banded p JOIN banded i ON p.band = i.band AND p.key = i.key
+        WHERE ({probe_pred.replace('doc_id', 'p.doc_id')})
+          AND ({live_pred.replace('doc_id', 'i.doc_id')})
+          AND p.doc_id <> i.doc_id
+      ) c
+      JOIN sig ps ON ps.doc_id = c.probe_id
+      JOIN sig isg ON isg.doc_id = c.index_id
+    ) WHERE n_agree >= {_DEDUPIDX_MIN_AGREE}"""
+
+
+@register(
+    "streaming_dedup_serving_under_deletes",
+    "WITH "
+    + _DEDUPIDX_BANDED_SQL
+    + f"""
+    {_ddxsrv_epoch_leg(0, "doc_id % 30 = 0", "doc_id % 10 != 0")}
+    UNION ALL
+    {_ddxsrv_epoch_leg(
+        1,
+        "doc_id % 30 = 10",
+        f"doc_id % 10 != 0 AND doc_id NOT BETWEEN {_DDXSRV_D1[0]} AND {_DDXSRV_D1[1]}",
+    )}
+    UNION ALL
+    {_ddxsrv_epoch_leg(
+        2,
+        "doc_id % 30 = 20",
+        f"doc_id % 10 != 0 AND doc_id NOT BETWEEN {_DDXSRV_D1[0]} AND {_DDXSRV_D2[1]}",
+    )}
+    """,
+)
+def streaming_dedup_serving_under_deletes_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-index serving while the index MUTATES under it (the dedup
+    twin of streaming_ann_serving_under_deletes): three probe
+    micro-batches (epochs 0/1/2), with tombstones landing before epoch
+    1 and a COMPACTION (generation flip) plus a second tombstone wave
+    before epoch 2 — the epoch-2 probes run against the fresh
+    generation's store with a new delete log.  The oracle is the
+    live-corpus probe rule PER EPOCH, so a probe that surfaces a
+    deleted near-dup, misses a live one, or reads a half-compacted
+    store flips the hash.  Batch order pinned by source-file mtimes;
+    the delete schedule keys off batch CONTENT, never batch_id."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/dix"
+        dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx).collect()
+        src = f"{tmp}/probes"
+        os.makedirs(src)
+        t0 = _time.time() - 600
+        for e in (0, 1, 2):
+            stage = f"{tmp}/stage_{e}"
+            (
+                docs.filter(f"doc_id % 30 = {10 * e}")
+                .select("doc_id", "text", F.lit(e).cast("int").alias("epoch"))
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = next(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = f"{src}/epoch_{e}.parquet"
+            shutil.move(f"{stage}/{part}", dst)
+            os.utime(dst, (t0 + 60 * e, t0 + 60 * e))
+        out_dir = f"{tmp}/results"
+
+        def probe_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            e = int(batch_df.agg(F.max("epoch")).first()[0])
+            if e == 1:
+                dedup_index.dedup_index_delete(
+                    spark, idx, list(range(_DDXSRV_D1[0], _DDXSRV_D1[1] + 1))
+                ).collect()
+            elif e == 2:
+                dedup_index.dedup_index_compact(spark, idx).collect()
+                dedup_index.dedup_index_delete(
+                    spark, idx, list(range(_DDXSRV_D2[0], _DDXSRV_D2[1] + 1))
+                ).collect()
+            out = dedup_index.dedup_index_probe(
+                spark,
+                batch_df.select("doc_id", "text"),
+                idx,
+                min_agree=_DEDUPIDX_MIN_AGREE,
+            )
+            out.select(F.lit(e).cast("int").alias("epoch"), "*").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/e{e}")
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string, epoch int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        out = spark.read.parquet(*[f"{out_dir}/e{e}" for e in (0, 1, 2)])
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def _snapdiff_leg_sql(s_from: int, s_to: int) -> str:
     return f"""
     SELECT CAST({s_from} AS INT) AS from_snap, CAST({s_to} AS INT) AS to_snap,
