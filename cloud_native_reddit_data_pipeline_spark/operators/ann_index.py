@@ -172,6 +172,25 @@ def resolve_dirs(
     }
 
 
+def _reset_version_dir(spark: SparkSession, base: str) -> None:
+    """A (re)build OWNS its version directory: drop the generation
+    manifest and every generation/tombstone directory first, so the
+    fresh gen-0 artifacts are what readers resolve.  Without this, a
+    rebuild over a previously-COMPACTED store writes gen-0 dirs while
+    ``_commits`` still points readers at the old generation — the new
+    build would be silently invisible (and collectable by GC).
+    Rebuild-in-place is still not concurrent-safe with live probes;
+    use a fresh ``version`` key for zero-downtime rebuilds."""
+    import re
+
+    collectable = re.compile(
+        r"^(cells|codes|sigs|bands)(_g\d+)?$|^tombstones(_t\d+)?$|^_commits$"
+    )
+    for name in _fs_list(spark, base):
+        if collectable.match(name):
+            _fs_delete(spark, f"{base}/{name}")
+
+
 # ---------------------------------------------------------------------------
 # Build
 # ---------------------------------------------------------------------------
@@ -193,6 +212,7 @@ def ann_index_build(
 
     spark = emb.sparkSession
     base = _base(index_dir, version)
+    _reset_version_dir(spark, base)
     emb = fan_out(emb)
 
     # -- IVF half: centroids + cell assignment (same derivation, same
@@ -437,6 +457,17 @@ def ann_index_compact(
     codes.coalesce(files_per_cell).write.mode("overwrite").parquet(
         _codes_dir(base, new_gen)
     )
+
+    # verify the new generation is READABLE before flipping readers to
+    # it — compacting a fully-tombstoned index writes file-less dirs,
+    # and committing those would brick the store after the GC below
+    for d in (_cells_dir(base, new_gen), _codes_dir(base, new_gen)):
+        if _try_read(spark, d) is None:
+            raise ValueError(
+                f"ann_index_compact: new generation at {d} is empty or "
+                f"unreadable (every row tombstoned?) — store left on the "
+                f"old generation; rebuild instead of compacting to empty"
+            )
 
     # THE commit: readers atomically move to (new_gen, tomb_gen+1) —
     # the fresh tombstone generation has no directory, i.e. empty log

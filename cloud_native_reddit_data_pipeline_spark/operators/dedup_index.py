@@ -71,7 +71,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import materialize_and_release
-from .ann_index import _append_commit, _base, _fs_delete, _state, _try_read
+from .ann_index import (
+    _append_commit,
+    _base,
+    _fs_delete,
+    _reset_version_dir,
+    _state,
+    _try_read,
+)
 from .dedup import lsh_band_keys, minhash_signatures
 
 
@@ -114,19 +121,23 @@ def _meta(spark: SparkSession, base: str) -> tuple[int, int, int]:
 def _banded(
     docs: DataFrame, id_col: str, text_col: str,
     num_hashes: int, bands: int, shingle_n: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(signatures, band rows+pfx) for a document frame — the shared
-    signing front-end of build / probe / append."""
-    sigs = minhash_signatures(
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(signatures, band rows+pfx, raw-persisted handle) for a document
+    frame — the shared signing front-end of build / probe / append.
+    The raw signature frame is PERSISTED so the explode→min-aggregate
+    sign pass (the dominant cost) runs once even though both outputs
+    derive from it; the caller unpersists the returned handle when its
+    writes/joins are done."""
+    raw = minhash_signatures(
         docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
-    )
-    banded = lsh_band_keys(sigs, id_col, num_hashes=num_hashes, bands=bands).select(
+    ).persist()
+    banded = lsh_band_keys(raw, id_col, num_hashes=num_hashes, bands=bands).select(
         F.col(id_col).alias("doc_id"),
         F.col("key"),
         F.col("band"),
         F.substring("key", 1, 1).alias("pfx"),
     )
-    return sigs.withColumnRenamed(id_col, "doc_id"), banded
+    return raw.withColumnRenamed(id_col, "doc_id"), banded, raw
 
 
 def _load_tombstones(spark: SparkSession, base: str, tomb_gen: int):
@@ -176,19 +187,26 @@ def dedup_index_build(
     what is on disk, not an in-flight frame)."""
     spark = docs.sparkSession
     base = _base(index_dir, version)
+    # a (re)build owns the version dir: reset manifest + generations so
+    # the fresh gen-0 store is what readers resolve (see ann_index)
+    _reset_version_dir(spark, base)
 
     spark.createDataFrame(
         [(num_hashes, bands, shingle_n)],
         "num_hashes int, bands int, shingle_n int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/_meta")
 
-    sigs, banded = _banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    sigs, banded, raw = _banded(
+        docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
     sigs.write.mode("overwrite").parquet(_sigs_dir(base, 0))
     # the partitionBy write IS the probe-pruning layout: one directory
-    # per (band, first-hex-char-of-key) — 16 buckets per band
+    # per (band, first-hex-char-of-key) — 16 buckets per band; the
+    # banded rows derive from the sign pass CACHED by the sigs write
     banded.write.mode("overwrite").partitionBy("band", "pfx").parquet(
         _bands_dir(base, 0)
     )
+    raw.unpersist()
     return _band_manifest(spark.read.parquet(_bands_dir(base, 0)))
 
 
@@ -218,11 +236,9 @@ def dedup_index_probe(
     num_hashes, bands, shingle_n = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
 
-    psigs, pband = _banded(
+    psigs, pband, praw = _banded(
         probe_docs, id_col, text_col, num_hashes, bands, shingle_n
     )
-    psigs = psigs.persist()
-    pband = pband.persist()
 
     idx_bands = spark.read.parquet(_bands_dir(base, gen))
     if prune:
@@ -270,8 +286,8 @@ def dedup_index_probe(
     if min_agree > 0:
         out = out.filter(F.col("n_agree") >= min_agree)
     # eager executor-local checkpoint (NOT a driver collect): the
-    # probe-side sign pipeline runs once, then its caches are released
-    return materialize_and_release(out, psigs, pband)
+    # probe-side sign pipeline runs once, then its cache is released
+    return materialize_and_release(out, praw)
 
 
 # ---------------------------------------------------------------------------
@@ -327,12 +343,16 @@ def dedup_index_append(
                 f"guarantee"
             )
 
-    sigs, banded = _banded(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    sigs, banded, raw = _banded(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
     sigs.write.mode("append").parquet(_sigs_dir(base, gen))
     banded.write.mode("append").partitionBy("band", "pfx").parquet(
         _bands_dir(base, gen)
     )
-    return _band_manifest(banded)
+    manifest = _band_manifest(banded).localCheckpoint(eager=True)
+    raw.unpersist()
+    return manifest
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +415,17 @@ def dedup_index_compact(
     sigs_live.coalesce(files_per_partition).write.mode("overwrite").parquet(
         _sigs_dir(base, new_gen)
     )
+
+    # verify the new generation is READABLE before flipping readers to
+    # it (compacting a fully-tombstoned index writes file-less dirs —
+    # committing those would brick the store after the GC below)
+    for d in (_bands_dir(base, new_gen), _sigs_dir(base, new_gen)):
+        if _try_read(spark, d) is None:
+            raise ValueError(
+                f"dedup_index_compact: new generation at {d} is empty or "
+                f"unreadable (every row tombstoned?) — store left on the "
+                f"old generation; rebuild instead of compacting to empty"
+            )
 
     # THE commit: readers atomically move to (new_gen, tomb_gen+1)
     _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)

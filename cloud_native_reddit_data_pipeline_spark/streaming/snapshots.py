@@ -165,8 +165,14 @@ def _merged_state(
 def _merge_rows(
     allrows: DataFrame, key: str, seq_col: str, op_col: str
 ) -> DataFrame:
-    """Seq-authoritative last-writer-wins over changelog rows: winner
-    per key by (snap desc, seq desc, op, deterministic hash)."""
+    """SEQ-authoritative last-writer-wins over changelog rows: winner
+    per key by (seq desc, snap desc, op, deterministic hash).  The seq
+    ranks FIRST — a late-arriving old op committed in a LATER snapshot
+    must still lose to a higher-seq row from an earlier one (the CDC
+    sink's contract: an old upsert can never resurrect a deleted key);
+    the snapshot id only breaks exact seq ties (a redelivered op
+    re-committed verbatim resolves to the newer physical row, same
+    content)."""
     payload = sorted(
         c
         for c in allrows.columns
@@ -176,8 +182,8 @@ def _merge_rows(
         *[F.col(c) for c in [key, seq_col, op_col, *payload]]
     )
     w = Window.partitionBy(key).orderBy(
-        F.col("snap").desc(),
         F.col(seq_col).desc(),
+        F.col("snap").desc(),
         F.col(op_col).asc(),
         row_hash.asc(),
     )
@@ -199,9 +205,16 @@ def read_as_of(
     """The table exactly as of snapshot ``snap`` (default: the latest
     COMMITTED snapshot).  Tombstoned keys are absent; a later-seq
     upsert after a tombstone resurrects the key (seq-authoritative,
-    same contract as the CDC sink)."""
+    same contract as the CDC sink).  A ``snap`` above the committed
+    maximum raises — a reproducibility read must never silently serve
+    a different table version than the one requested."""
     committed = current_snapshot(spark, store_dir)
-    s = committed if snap is None else min(snap, committed)
+    if snap is not None and snap > committed:
+        raise ValueError(
+            f"read_as_of: snapshot {snap} is not committed (latest is "
+            f"{committed}) — refusing to silently serve a different version"
+        )
+    s = committed if snap is None else snap
     merged = _merged_state(spark, store_dir, s, key, seq_col, op_col)
     return merged.filter(F.col(op_col) != "D").drop(op_col, "snap", "bucket")
 
@@ -276,7 +289,12 @@ def snapshot_lookup(
     point-read story: scan cost per lookup is |buckets touched| /
     N_LOOKUP_BUCKETS of the state, regardless of table size."""
     committed = current_snapshot(spark, store_dir)
-    s = committed if snap is None else min(snap, committed)
+    if snap is not None and snap > committed:
+        raise ValueError(
+            f"snapshot_lookup: snapshot {snap} is not committed (latest is "
+            f"{committed}) — refusing to silently serve a different version"
+        )
+    s = committed if snap is None else snap
     gen, horizon = _base_state(spark, store_dir)
     if s < horizon:
         raise ValueError(
@@ -332,14 +350,21 @@ def snapshot_fsck(
     (what the log partition actually holds on disk), and ``n_state``
     (live keys as of that snapshot through `read_as_of`).  A truncated
     or double-written log partition shows up as a manifest/log
-    mismatch; a merge regression shows up in n_state.  Everything is
-    read through the same resolvers probes use."""
+    mismatch; a merge regression shows up in n_state.  On a COMPACTED
+    store only snapshots above the horizon are audited — the folded
+    log partitions are gone by design (their history lives in the
+    base, whose row count the per-commit manifest rows no longer
+    describe).  Everything is read through the same resolvers probes
+    use."""
     m = _manifest(spark, store_dir)
     if m is None:
         raise ValueError(f"snapshot_fsck: no manifest at {store_dir}")
+    _, horizon = _base_state(spark, store_dir)
     rows = []
     for r in sorted(m.collect(), key=lambda r: r["snap"]):
         s = int(r["snap"])
+        if s <= horizon:
+            continue  # folded into the base; its log partition is GC'd
         n_log = spark.read.parquet(f"{store_dir}/log/snap={s}").count()
         n_state = read_as_of(spark, store_dir, s, key, seq_col, op_col).count()
         rows.append((s, int(r["n_rows"]), n_log, n_state))

@@ -510,3 +510,35 @@ def test_gc_reclaims_orphaned_generations(spark, tmp_path, monkeypatch):
         map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect())
     ) == before
     assert ann_index.ann_index_gc(spark, idx) == []
+
+
+def test_rebuild_after_compact_serves_new_corpus(spark, tmp_path):
+    """Rebuild into the same version dir resets the generation
+    manifest; readers resolve the fresh gen-0 store, and GC never
+    collects it."""
+    emb = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb, idx)
+    ann_index.ann_index_delete(spark, idx, [100])
+    ann_index.ann_index_compact(spark, idx)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index.ann_index_build(half, idx).collect()
+    dirs = ann_index.resolve_dirs(spark, idx)
+    assert dirs["cells"].endswith("/cells")  # back on generation 0
+    n = spark.read.parquet(dirs["cells"]).count()
+    assert n == half.count()
+    assert ann_index.ann_index_gc(spark, idx) == []
+
+
+def test_compact_to_empty_fails_fast_store_intact(spark, tmp_path):
+    emb = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "idx")
+    small = emb.filter(F.col("vec_id") < 40)
+    ann_index.ann_index_build(small, idx).collect()
+    ids = [r["vec_id"] for r in small.select("vec_id").collect()]
+    ann_index.ann_index_delete(spark, idx, ids)
+    with pytest.raises(ValueError, match="empty or unreadable"):
+        ann_index.ann_index_compact(spark, idx)
+    dirs = ann_index.resolve_dirs(spark, idx)
+    assert dirs["cells"].endswith("/cells")
+    assert spark.read.parquet(dirs["cells"]).count() == len(ids)

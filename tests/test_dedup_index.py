@@ -271,3 +271,46 @@ def test_gc_reclaims_orphaned_generations(spark, tmp_path, monkeypatch):
         dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
     ) == before
     assert dedup_index.dedup_index_gc(spark, idx) == []
+
+
+def test_rebuild_after_compact_serves_new_corpus(spark, tmp_path):
+    """A rebuild into the SAME version dir must reset the generation
+    manifest — otherwise readers keep resolving the old compacted
+    generation and silently serve stale artifacts."""
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id < 200"), idx).collect()
+    dedup_index.dedup_index_delete(spark, idx, [5]).collect()
+    dedup_index.dedup_index_compact(spark, idx).collect()
+    # rebuild in place over a DIFFERENT corpus
+    dedup_index.dedup_index_build(
+        docs.filter("doc_id >= 200 AND doc_id < 400"), idx
+    ).collect()
+    dirs = dedup_index.resolve_dedup_dirs(spark, idx)
+    assert dirs["sigs"].endswith("/sigs")  # back on generation 0
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["sigs"]).select("doc_id").collect()
+    }
+    assert got and all(200 <= d < 400 for d in got)
+    # ... and GC after the rebuild never collects the fresh build
+    assert dedup_index.dedup_index_gc(spark, idx) == []
+
+
+def test_compact_to_empty_fails_fast_store_intact(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id < 50"), idx).collect()
+    live = [
+        r["doc_id"]
+        for r in spark.read.parquet(
+            dedup_index.resolve_dedup_dirs(spark, idx)["sigs"]
+        ).select("doc_id").collect()
+    ]
+    dedup_index.dedup_index_delete(spark, idx, live).collect()
+    with pytest.raises(ValueError, match="empty or unreadable"):
+        dedup_index.dedup_index_compact(spark, idx)
+    # store still on the old generation and fully probeable
+    dirs = dedup_index.resolve_dedup_dirs(spark, idx)
+    assert dirs["sigs"].endswith("/sigs")
+    assert spark.read.parquet(dirs["sigs"]).count() == len(live)

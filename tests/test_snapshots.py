@@ -297,3 +297,46 @@ def test_lookup_after_compaction(spark, tmp_path):
     snapshots.compact_snapshots(spark, st, 2)
     post = sorted(map(tuple, snapshots.snapshot_lookup(spark, st, keys, 3).collect()))
     assert post == pre  # base + tail lookup identical through the fold
+
+
+def test_seq_authoritative_across_snapshots(spark, tmp_path):
+    """A late-arriving OLD upsert committed in a LATER snapshot must
+    lose to the higher-seq tombstone from an earlier one — the CDC
+    contract (an old op can never resurrect a deleted key)."""
+    st = str(tmp_path / "store")
+    d = spark.createDataFrame(
+        [(1, 10, "D", None)], "id long, seq int, op string, val double"
+    )
+    stale = spark.createDataFrame(
+        [(1, 5, "U", 42.0)], "id long, seq int, op string, val double"
+    )
+    snapshots.snapshot_commit(d, st, "id", "seq", batch_id="b1")
+    snapshots.snapshot_commit(stale, st, "id", "seq", batch_id="b2")
+    assert snapshots.read_as_of(spark, st, 2).count() == 0
+    # ... and a genuinely newer upsert does resurrect
+    fresh = spark.createDataFrame(
+        [(1, 11, "U", 43.0)], "id long, seq int, op string, val double"
+    )
+    snapshots.snapshot_commit(fresh, st, "id", "seq", batch_id="b3")
+    assert [tuple(r) for r in snapshots.read_as_of(spark, st, 3).collect()] == [
+        (1, 11, 43.0)
+    ]
+
+
+def test_read_above_committed_raises(spark, store):
+    with pytest.raises(ValueError, match="not committed"):
+        snapshots.read_as_of(spark, store, 7)
+    with pytest.raises(ValueError, match="not committed"):
+        snapshots.snapshot_lookup(spark, store, [12], 7)
+
+
+def test_fsck_on_compacted_store(spark, tmp_path):
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    snapshots.compact_snapshots(spark, st, 2)
+    rows = snapshots.snapshot_fsck(spark, st).collect()
+    # only the above-horizon tail is auditable; it must be clean
+    assert [r["snap"] for r in rows] == [3]
+    assert rows[0]["n_rows_manifest"] == rows[0]["n_rows_log"]
