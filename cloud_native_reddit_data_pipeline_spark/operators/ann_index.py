@@ -20,6 +20,9 @@ the fused operators into exactly that shape:
   the ``cell`` partition column, fed by the broadcast probe side)
   instead of a driver-collected cell list.  Byte-identical to
   `ann_index_probe`; the serving path with zero driver-side routing.
+  `ann_index_probe_vectors_dpp` is the same plan for CALLER-SUPPLIED
+  query vectors (the true serving case: fresh query embeddings that
+  never lived in the index), keeping them distributed end-to-end.
 - `ann_index_probe_pq` — ADC probe off the persisted codes + codebook,
   no re-encode.  Byte-identical to `similarity.pq_adc_topk`.  The
   per-query distance table is computed AS A SPARK EXPRESSION over the
@@ -39,30 +42,31 @@ Layout under ``{index_dir}/{version}/``::
                    manifest (see below); absent until the first
                    compaction / tombstone rewrite
 
-**Object-store-safe commits.**  Compaction never renames or deletes on
-the read path: it writes a brand-new generation directory
-(``cells_g{N}`` / ``codes_g{N}``), then commits by appending ONE row to
-the ``_commits`` manifest — readers resolve max-seq and look only at
-that generation's directories (a fresh generation has no tombstone dir,
-which IS the tombstone truncation).  A crash before the manifest append
-leaves readers on the old, fully-consistent generation; a crash after
-it leaves them on the new one (the new dirs are complete before the
-commit row exists).  Old generation directories are garbage-collected
-best-effort through the Hadoop FileSystem API — correctness never
-depends on the GC.  This is the manifest-pointer pattern (Iceberg/Delta
-commit protocol, miniaturized): it works identically on local disk,
-HDFS and S3-style stores where rename is copy+delete.  Single writer
-per index version assumed (one maintenance job owns an index), as in
-any LSM store.
+**Object-store-safe commits.**  The generation-manifest protocol lives
+in `storage/manifest.py` (shared verbatim with the dedup index and the
+snapshot store, and unit-tested there): compaction writes a brand-new
+generation directory, commits with ONE ``_commits`` row append, and
+readers resolve max-seq — never a rename on the read path, so a crash
+at any point leaves readers on a complete generation, on local disk
+and object stores alike.  Single writer per index version assumed.
 
 Scale shape: the build is the fused form's first half (one broadcast
 centroid scoring pass + one partitionBy write — the shuffle is the
-partitioned write itself, exactly the shuffle an inverted layout is FOR).
-A probe reads the centroid table (KBs), prunes the inverted file to
-``n_probe x |queries|`` cell directories on DISK (PartitionFilters for
-the static form, DynamicPruningExpression for the DPP form — never a
-post-scan filter), and re-ranks only those rows — corpus scan cost is
-1/n_centroids per probed cell regardless of corpus size.
+partitioned write itself, exactly the shuffle an inverted layout is FOR,
+laid out as ``files_per_cell`` files per cell directory so file count
+tracks the knob, not the task count).  A probe reads the centroid table
+(KBs), prunes the inverted file to ``n_probe x |queries|`` cell
+directories on DISK (PartitionFilters for the static form,
+DynamicPruningExpression for the DPP form — never a post-scan filter),
+and re-ranks only those rows — corpus scan cost is 1/n_centroids per
+probed cell regardless of corpus size.
+
+Constant-factor discipline (round-12): every verb resolves manifest
+state ONCE per call and loads the tombstone log ONCE per call (the
+resolved frame threads through every anti-join in that verb), append's
+two id guards run as ONE Spark job, and partitioned writes repartition
+by the directory column first so a 32-task write does not scatter 32
+small files into every directory.
 
 Float discipline: embeddings persist as the original ARRAY<FLOAT> (bit
 round-trip through parquet), so probe-side cosines see the exact same
@@ -76,67 +80,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..storage.manifest import (
+    append_commit as _append_commit,
+    fs_delete as _fs_delete,
+    fs_list as _fs_list,
+    local_rows_df as _local_rows,
+    manifest_state as _state,
+    repartition_for_layout as _layout,
+    reset_version_dir as _reset_version_dir,
+    store_base as _base,
+    try_read_parquet as _try_read,
+)
 from .clustering import _quantize as _pq_quantize
 from .similarity import _pq_encode_df, _pq_seed_codebook
-
-
-def _base(index_dir: str, version: str) -> str:
-    return f"{index_dir}/{version}"
-
-
-# ---------------------------------------------------------------------------
-# Generation manifest: FS-agnostic existence + commit + resolve
-# ---------------------------------------------------------------------------
-def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read parquet at `path`, or None if it does not exist — resolved by
-    ATTEMPTING the read (AnalysisException), never by a local-filesystem
-    stat, so tombstone/manifest visibility is identical on file://,
-    hdfs:// and s3a:// index dirs."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force plan resolution (the read itself is lazy)
-        return df
-    except AnalysisException:
-        return None
-
-
-def _fs_delete(spark: SparkSession, path: str) -> None:
-    """Best-effort recursive delete through the Hadoop FileSystem API
-    (works on any supported scheme).  GC only — correctness never
-    depends on it."""
-    try:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(p):
-            fs.delete(p, True)
-    except Exception:
-        pass
-
-
-def _state(spark: SparkSession, base: str) -> tuple[int, int, int]:
-    """(gen, tomb_gen, seq) of the current committed generation —
-    max-seq row of the ``_commits`` manifest, or (0, 0, -1) for a
-    freshly-built index (no manifest yet)."""
-    commits = _try_read(spark, f"{base}/_commits")
-    if commits is None:
-        return 0, 0, -1
-    row = commits.orderBy(F.desc("seq")).limit(1).collect()[0]
-    return int(row["gen"]), int(row["tomb_gen"]), int(row["seq"])
-
-
-def _append_commit(
-    spark: SparkSession, base: str, seq: int, gen: int, tomb_gen: int
-) -> None:
-    """THE commit point: one single-row parquet append to ``_commits``.
-    Everything before this call is invisible to readers; everything
-    after is durable.  Kept as a module-level seam so the crash-mid-
-    compact test can fail it deliberately."""
-    spark.createDataFrame(
-        [(seq, gen, tomb_gen)], "seq long, gen int, tomb_gen int"
-    ).coalesce(1).write.mode("append").parquet(f"{base}/_commits")
 
 
 def _cells_dir(base: str, gen: int) -> str:
@@ -172,25 +128,6 @@ def resolve_dirs(
     }
 
 
-def _reset_version_dir(spark: SparkSession, base: str) -> None:
-    """A (re)build OWNS its version directory: drop the generation
-    manifest and every generation/tombstone directory first, so the
-    fresh gen-0 artifacts are what readers resolve.  Without this, a
-    rebuild over a previously-COMPACTED store writes gen-0 dirs while
-    ``_commits`` still points readers at the old generation — the new
-    build would be silently invisible (and collectable by GC).
-    Rebuild-in-place is still not concurrent-safe with live probes;
-    use a fresh ``version`` key for zero-downtime rebuilds."""
-    import re
-
-    collectable = re.compile(
-        r"^(cells|codes|sigs|bands)(_g\d+)?$|^tombstones(_t\d+)?$|^_commits$"
-    )
-    for name in _fs_list(spark, base):
-        if collectable.match(name):
-            _fs_delete(spark, f"{base}/{name}")
-
-
 # ---------------------------------------------------------------------------
 # Build
 # ---------------------------------------------------------------------------
@@ -203,11 +140,15 @@ def ann_index_build(
     version: str = "v1",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cell: int = 1,
 ) -> DataFrame:
     """Build and persist the ANN index; returns the per-cell manifest
     ``(cell, n_vectors, min_vec_id, max_vec_id)`` read back from the
     persisted inverted file (so the gate proves what is ON DISK, not
-    what was computed in flight)."""
+    what was computed in flight).  ``files_per_cell`` controls the
+    write layout: each cell directory gets at most that many files
+    (raise it on a large cluster for write parallelism within hot
+    cells; the default keeps file count = cell count)."""
     from ..sources.tables import fan_out
 
     spark = emb.sparkSession
@@ -238,8 +179,11 @@ def ann_index_build(
         )
     )
     # the partitionBy write IS the inverted layout: one directory per
-    # cell, so probes prune on disk
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{base}/cells")
+    # cell, so probes prune on disk; the layout repartition keeps it at
+    # files_per_cell files per directory instead of one per write task
+    _layout(assigned, ["cell"], files_per_cell, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{base}/cells")
 
     # -- PQ half: seed codebook + codes ------------------------------
     quant = _pq_quantize(emb, id_col, vec_col)
@@ -250,8 +194,8 @@ def ann_index_build(
         for s in range(m)
         for c in range(k_codes)
     ]
-    spark.createDataFrame(
-        cb_rows, "sub int, code int, vals array<decimal(9,6)>"
+    _local_rows(
+        spark, "sub int, code int, vals array<decimal(9,6)>", cb_rows
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebook")
     _pq_encode_df(quant, codebook, dsub).write.mode("overwrite").parquet(
         f"{base}/codes"
@@ -301,7 +245,10 @@ def ann_index_append(
     incoming id already lives LIVE in the index — a duplicate id would
     double probe candidates and ADC distance sums (a one-column pruned
     scan of the inverted file's id column; callers with an external
-    uniqueness guarantee can skip it at very large scale).
+    uniqueness guarantee can skip it at very large scale).  Both
+    guards resolve in ONE Spark job (a union of the tombstone log and
+    the inverted file's id column, semi-joined against the broadcast
+    incoming-id set).
 
     Scale shape: one broadcast centroid scoring pass over ONLY the new
     rows + one partitioned append (no touch of existing cell files);
@@ -313,27 +260,37 @@ def ann_index_append(
 
     new_ids = new_vecs.select(F.col(id_col).alias("vec_id")).distinct()
     tombs = _load_tombstones(spark, base, tomb_gen)
+    conflicts = []
     if tombs is not None:
-        n_dead = tombs.join(F.broadcast(new_ids), "vec_id", "semi").count()
-        if n_dead:
-            raise ValueError(
-                f"ann_index_append: {n_dead} incoming id(s) are tombstoned — "
-                f"their dead rows still live in the inverted file; run "
-                f"ann_index_compact to reclaim them, then re-insert"
-            )
+        conflicts.append(tombs.select("vec_id", F.lit("dead").alias("_why")))
     if assert_unique:
-        dup = (
+        conflicts.append(
             spark.read.parquet(cells_dir)
-            .select(F.col(id_col).alias("vec_id"))
-            .join(F.broadcast(new_ids), "vec_id", "semi")
-            .count()
+            .select(F.col(id_col).alias("vec_id"), F.lit("live").alias("_why"))
         )
-        if dup:
+    if conflicts:
+        existing = conflicts[0]
+        for c in conflicts[1:]:
+            existing = existing.unionByName(c)
+        hits = {
+            r["_why"]: r["n"]
+            for r in existing.join(F.broadcast(new_ids), "vec_id", "semi")
+            .groupBy("_why")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if hits.get("dead"):
             raise ValueError(
-                f"ann_index_append: {dup} incoming id(s) already present in "
-                f"the index — duplicate ids double probe candidates; pass "
-                f"assert_unique=False only with an external uniqueness "
-                f"guarantee"
+                f"ann_index_append: {hits['dead']} incoming id(s) are "
+                f"tombstoned — their dead rows still live in the inverted "
+                f"file; run ann_index_compact to reclaim them, then re-insert"
+            )
+        if hits.get("live"):
+            raise ValueError(
+                f"ann_index_append: {hits['live']} incoming id(s) already "
+                f"present in the index — duplicate ids double probe "
+                f"candidates; pass assert_unique=False only with an external "
+                f"uniqueness guarantee"
             )
 
     scored = new_vecs.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
@@ -348,7 +305,9 @@ def ann_index_append(
         .filter(F.col("_rk") == 1)
         .select(id_col, vec_col, F.col("centroid_id").cast("int").alias("cell"))
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(cells_dir)
+    _layout(assigned, ["cell"], 1, id_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(cells_dir)
 
     cb_rows = spark.read.parquet(f"{base}/codebook").collect()
     m = 1 + max(r["sub"] for r in cb_rows)
@@ -383,29 +342,31 @@ def ann_index_delete(
     base = _base(index_dir, version)
     _, tomb_gen, _ = _state(spark, base)
     tdir = _tomb_dir(base, tomb_gen)
-    spark.createDataFrame(
-        [(int(i),) for i in delete_ids], "vec_id long"
+    _local_rows(
+        spark, "vec_id long", [(int(i),) for i in delete_ids]
     ).coalesce(1).write.mode("append").parquet(tdir)
     total = spark.read.parquet(tdir).distinct().count()
-    return spark.createDataFrame(
-        [(len(delete_ids), total)],
+    return _local_rows(
+        spark,
         "n_tombstones_added long, n_tombstones_total long",
+        [(len(delete_ids), total)],
     )
 
 
 def _load_tombstones(spark: SparkSession, base: str, tomb_gen: int):
+    """The tombstone log as a distinct-id frame, or None when the log
+    is empty.  Each verb loads this ONCE and threads the frame through
+    every anti-join it performs."""
     t = _try_read(spark, _tomb_dir(base, tomb_gen))
     return None if t is None else t.distinct()
 
 
-def _anti_tombstones(
-    df: DataFrame, spark: SparkSession, base: str, id_col: str, tomb_gen: int
-) -> DataFrame:
-    t = _load_tombstones(spark, base, tomb_gen)
-    if t is None:
+def _anti_tombstones(df: DataFrame, tombs, id_col: str) -> DataFrame:
+    """Drop rows whose `id_col` is in the (pre-loaded) tombstone frame."""
+    if tombs is None:
         return df
     return df.join(
-        F.broadcast(t.withColumnRenamed("vec_id", "_dead")),
+        F.broadcast(tombs.withColumnRenamed("vec_id", "_dead")),
         df[id_col] == F.col("_dead"),
         "left_anti",
     )
@@ -437,22 +398,23 @@ def ann_index_compact(
 
     Scale shape: one read + one partitioned write of the index (NOT
     the corpus — the index is the corpus's vectors, but compaction
-    runs offline at a cadence, amortized like the build)."""
+    runs offline at a cadence, amortized like the build).  The
+    tombstone log is loaded once and reused by both rewrites; the
+    pre-commit readability gate is driver-side schema resolution, not
+    a data scan."""
     base = _base(index_dir, version)
     gen, tomb_gen, seq = _state(spark, base)
     new_gen = gen + 1
+    tombs = _load_tombstones(spark, base, tomb_gen)
 
     cells = _anti_tombstones(
-        spark.read.parquet(_cells_dir(base, gen)), spark, base, "vec_id", tomb_gen
+        spark.read.parquet(_cells_dir(base, gen)), tombs, "vec_id"
     )
-    (
-        cells.repartition(files_per_cell, "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(_cells_dir(base, new_gen))
-    )
+    _layout(cells, ["cell"], files_per_cell, "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(_cells_dir(base, new_gen))
     codes = _anti_tombstones(
-        spark.read.parquet(_codes_dir(base, gen)), spark, base, "vec_id", tomb_gen
+        spark.read.parquet(_codes_dir(base, gen)), tombs, "vec_id"
     )
     codes.coalesce(files_per_cell).write.mode("overwrite").parquet(
         _codes_dir(base, new_gen)
@@ -515,17 +477,6 @@ def ann_index_stats(
     )
 
 
-def _fs_list(spark: SparkSession, path: str) -> list[str]:
-    """Child names of `path` through the Hadoop FileSystem API (any
-    scheme); [] if the path does not exist."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return []
-    return [st.getPath().getName() for st in fs.listStatus(p)]
-
-
 def ann_index_gc(
     spark: SparkSession, index_dir: str, version: str = "v1"
 ) -> list[str]:
@@ -575,14 +526,13 @@ def ann_index_probe(
     cell list).  Result is byte-identical to ``similarity.ivf_topk`` on
     the same corpus/params."""
     base = _base(index_dir, version)
-    gen, _, _ = _state(spark, base)
+    gen, tomb_gen, _ = _state(spark, base)
     cells = spark.read.parquet(_cells_dir(base, gen))
     qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    return ann_index_probe_vectors(
-        spark, index_dir, qdf, k=k, n_probe=n_probe, version=version,
-        id_col=id_col, vec_col=vec_col,
+    return _probe_vectors_static(
+        spark, base, gen, tomb_gen, qdf, k, n_probe, id_col, vec_col
     )
 
 
@@ -617,6 +567,51 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _probe_vectors_static(
+    spark: SparkSession,
+    base: str,
+    gen: int,
+    tomb_gen: int,
+    qdf: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared static-pruning probe body: manifest state is resolved by
+    the CALLER (exactly once per verb), so the member-id wrapper does
+    not pay a second resolution on top of the vector form's."""
+    cents = spark.read.parquet(f"{base}/centroids")
+    cells = spark.read.parquet(_cells_dir(base, gen))
+    probes = _probe_cells_df(qdf, cents, n_probe)
+    # cell-list routing metadata (≤ |queries| x n_probe values):
+    # collected so the inverted-file read prunes partitions STATICALLY
+    # (PartitionFilters in the scan, not a post-hoc filter) — the
+    # query-router pattern.  Only the cell ids transit the driver; the
+    # probe frame itself stays JVM-side and is broadcast as-is (a
+    # re-parallelized driver copy would route every later action
+    # through Python workers).
+    probe_cells = sorted(
+        int(r["cell"]) for r in probes.select("cell").distinct().collect()
+    )
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    pruned = _anti_tombstones(
+        cells.filter(F.col("cell").isin(probe_cells)),
+        tombs, id_col,
+    )
+    cand = (
+        pruned
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    return _rerank_topk(cand, k)
+
+
 def ann_index_probe_vectors(
     spark: SparkSession,
     index_dir: str,
@@ -633,39 +628,16 @@ def ann_index_probe_vectors(
     need to live in the index.  `ann_index_probe` is the corpus-member
     convenience wrapper.  A query whose id matches a corpus vector is
     self-excluded, so member probes stay byte-identical to the fused
-    form."""
+    form.  For very large offline query batches where the
+    |Q| x n_probe routing collect should not transit the driver, use
+    `ann_index_probe_vectors_dpp`."""
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
-    cents = spark.read.parquet(f"{base}/centroids")
-    cells = spark.read.parquet(_cells_dir(base, gen))
-
     qdf = queries.select(F.col(queries.columns[0]).alias("query_id"),
                          F.col(queries.columns[1]).alias("qv"))
-    probes = _probe_cells_df(qdf, cents, n_probe)
-    # k-row routing metadata (|queries| x n_probe pairs): collected so the
-    # inverted-file read prunes partitions STATICALLY (PartitionFilters
-    # in the scan, not a post-hoc filter) — the query-router pattern
-    probe_rows = probes.collect()
-    probe_cells = sorted({r["cell"] for r in probe_rows})
-    probes_df = spark.createDataFrame(
-        [(r["query_id"], r["qv"], r["cell"]) for r in probe_rows],
-        probes.schema,
+    return _probe_vectors_static(
+        spark, base, gen, tomb_gen, qdf, k, n_probe, id_col, vec_col
     )
-    pruned = _anti_tombstones(
-        cells.filter(F.col("cell").isin([int(c) for c in probe_cells])),
-        spark, base, id_col, tomb_gen,
-    )
-    cand = (
-        pruned
-        .join(F.broadcast(probes_df), "cell")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"),
-        )
-    )
-    return _rerank_topk(cand, k)
 
 
 def ann_index_probe_filtered(
@@ -704,22 +676,20 @@ def ann_index_probe_filtered(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     probes = _probe_cells_df(qdf, cents, n_probe)
-    probe_rows = probes.collect()
-    probe_cells = sorted({r["cell"] for r in probe_rows})
-    probes_df = spark.createDataFrame(
-        [(r["query_id"], r["qv"], r["cell"]) for r in probe_rows],
-        probes.schema,
+    probe_cells = sorted(
+        int(r["cell"]) for r in probes.select("cell").distinct().collect()
     )
+    tombs = _load_tombstones(spark, base, tomb_gen)
     pruned = _anti_tombstones(
-        cells.filter(F.col("cell").isin([int(c) for c in probe_cells])),
-        spark, base, id_col, tomb_gen,
+        cells.filter(F.col("cell").isin(probe_cells)),
+        tombs, id_col,
     )
     allowed_ids = allowed.select(
         F.col(allowed.columns[0]).cast("long").alias(id_col)
     ).distinct()
     cand = (
         pruned.join(allowed_ids, id_col, "semi")
-        .join(F.broadcast(probes_df), "cell")
+        .join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -733,35 +703,28 @@ def ann_index_probe_filtered(
 # ---------------------------------------------------------------------------
 # Probe (dynamic partition pruning)
 # ---------------------------------------------------------------------------
-def ann_index_probe_dpp(
+def _probe_dpp_impl(
     spark: SparkSession,
-    index_dir: str,
-    query_ids: list[int],
-    k: int = 5,
-    n_probe: int = 4,
-    version: str = "v1",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    base: str,
+    gen: int,
+    tomb_gen: int,
+    qdf: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF probe with the probe-cell set kept as a DATAFRAME end-to-end:
-    the broadcast join against the cell-partitioned inverted file lets
-    Spark insert a DynamicPruningExpression on the ``cell`` partition
-    column (fed by the reused broadcast of the probe side), so the scan
-    still touches only the probed cell directories — with ZERO
-    driver-side routing (no collect of the probe list).  Byte-identical
-    to `ann_index_probe` (pinned by test + sweep); the variant for very
-    large offline query batches where even |Q| x n_probe routing rows
-    should not transit the driver."""
-    base = _base(index_dir, version)
-    gen, tomb_gen, _ = _state(spark, base)
+    """Shared DPP probe body: the probe-cell set stays a DataFrame
+    end-to-end; the broadcast join against the cell-partitioned
+    inverted file lets Spark insert a DynamicPruningExpression on the
+    ``cell`` partition column (fed by the reused broadcast of the
+    probe side), so the scan touches only the probed cell directories
+    with ZERO driver-side routing (no collect anywhere in the plan)."""
     cents = spark.read.parquet(f"{base}/centroids")
     cells = spark.read.parquet(_cells_dir(base, gen))
-
-    qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
     probes = _probe_cells_df(qdf, cents, n_probe)
-    live = _anti_tombstones(cells, spark, base, id_col, tomb_gen)
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    live = _anti_tombstones(cells, tombs, id_col)
     cand = (
         live.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -772,6 +735,62 @@ def ann_index_probe_dpp(
         )
     )
     return _rerank_topk(cand, k)
+
+
+def ann_index_probe_dpp(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe with the probe-cell set kept as a DATAFRAME end-to-end
+    (DynamicPruningExpression on the ``cell`` partition column instead
+    of a driver-collected cell list).  Byte-identical to
+    `ann_index_probe` (pinned by test + sweep); the variant for very
+    large offline query batches where even |Q| x n_probe routing rows
+    should not transit the driver.  Member-id form; for caller-supplied
+    query vectors use `ann_index_probe_vectors_dpp`."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    cells = spark.read.parquet(_cells_dir(base, gen))
+    qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    return _probe_dpp_impl(
+        spark, base, gen, tomb_gen, qdf, k, n_probe, id_col, vec_col
+    )
+
+
+def ann_index_probe_vectors_dpp(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DPP probe with CALLER-SUPPLIED query vectors — the true serving
+    case (fresh query embeddings that never lived in the index) with
+    ZERO driver-side routing: ``queries`` is (query_id, qv) and stays
+    distributed end-to-end; the inverted-file scan is pruned by a
+    DynamicPruningExpression fed by the broadcast probe side, exactly
+    as the member-id DPP form.  Byte-identical to
+    `ann_index_probe_vectors` on the same queries (pinned by
+    tests/test_ann_index.py, which also asserts the
+    DynamicPruningExpression and the absence of collects)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    qdf = queries.select(F.col(queries.columns[0]).alias("query_id"),
+                         F.col(queries.columns[1]).alias("qv"))
+    return _probe_dpp_impl(
+        spark, base, gen, tomb_gen, qdf, k, n_probe, id_col, vec_col
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -798,8 +817,9 @@ def ann_index_probe_pq(
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
     cells = spark.read.parquet(_cells_dir(base, gen))
+    tombs = _load_tombstones(spark, base, tomb_gen)
     codes = _anti_tombstones(
-        spark.read.parquet(_codes_dir(base, gen)), spark, base, id_col, tomb_gen
+        spark.read.parquet(_codes_dir(base, gen)), tombs, id_col
     )
     cb = spark.read.parquet(f"{base}/codebook")
     m = sum(1 for c in codes.columns if c.startswith("code"))

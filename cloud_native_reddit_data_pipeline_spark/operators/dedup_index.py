@@ -7,9 +7,9 @@ production ingest path, where a (comparatively tiny) batch of incoming
 documents must be checked against a 100 TB corpus that was already
 signed.  This module persists the signature + band artifacts once and
 gives the ingest path index verbs, mirroring `ann_index.py`'s
-lifecycle (same generation-manifest commit protocol, imported from
-there — see that module's docstring for the object-store-safe commit
-story):
+lifecycle (same generation-manifest commit protocol, shared via
+`storage/manifest.py` — see that module's docstring for the
+object-store-safe commit story):
 
 - `dedup_index_build`   — MinHash-sign the corpus, band the signatures,
   persist both as parquet under ``{index_dir}/{version}/``; the band
@@ -29,7 +29,17 @@ story):
   global artifact to drift from, unlike IVF centroids).  Tombstoned
   ids fail fast (compact first — clearing the tombstone would
   resurrect the dead physical rows); live duplicate ids fail fast
-  under ``assert_unique``.
+  under ``assert_unique`` (both guards resolve in ONE Spark job).
+  **Torn-append window**: the two halves (bands, then sigs) are two
+  parquet appends with no joint commit point — a crash between them
+  leaves the new documents visible to banding but without signature
+  rows, so probes simply UNDER-REPORT them (the candidate rows drop at
+  the inner signature join; no phantom or wrong pair can surface) and
+  `dedup_index_fsck` flags the store (ids_match = false).  Bands are
+  deliberately written FIRST: the reverse order would leave signed
+  documents invisible to banding — the same under-report, but
+  undetectable by the band-side join audit.  Re-run the append after
+  a compact to heal.
 - `dedup_index_delete`  — tombstone append (LSM delete); probes
   anti-join the (broadcast, tombstone-sized) delete log.
 - `dedup_index_compact` — rewrite live rows into a fresh generation
@@ -52,17 +62,20 @@ Layout under ``{index_dir}/{version}/``::
                  the index is self-describing, probe/append never
                  re-pass hyperparameters
     _commits/    (seq BIGINT, gen INT, tomb_gen INT) — generation
-                 manifest (shared protocol with ann_index)
+                 manifest (shared protocol, storage/manifest.py)
 
 Scale shape: the build is the fused pipeline's signature half (explode
-→ map-side-combined min() aggregates) plus one partitioned write.  A
-probe signs |batch| documents, prunes the band table to at most
-``bands × 16`` (band, pfx) directories on disk, hash-joins on
-(band, key) inside them, and touches signature rows only for the
+→ map-side-combined min() aggregates) plus one partitioned write laid
+out at ``files_per_partition`` files per (band, pfx) directory (the
+layout repartition keeps file count tracking the knob, not the write
+task count).  A probe signs |batch| documents, prunes the band table
+to at most ``bands × 16`` (band, pfx) directories on disk, hash-joins
+on (band, key) inside them, and touches signature rows only for the
 banded candidates — corpus cost is proportional to candidates, not
 corpus.  At very large batch sizes pass ``prune=False`` and the same
 plan degrades gracefully to the full shuffle hash join on (band, key),
-which is the canonical offline shape.
+which is the canonical offline shape.  Every verb resolves manifest
+state once and loads the tombstone log once per call.
 """
 
 from __future__ import annotations
@@ -71,13 +84,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import materialize_and_release
-from .ann_index import (
-    _append_commit,
-    _base,
-    _fs_delete,
-    _reset_version_dir,
-    _state,
-    _try_read,
+from ..storage.manifest import (
+    append_commit as _append_commit,
+    fs_delete as _fs_delete,
+    fs_list as _fs_list,
+    local_rows_df as _local_rows,
+    manifest_state as _state,
+    repartition_for_layout as _layout,
+    reset_version_dir as _reset_version_dir,
+    store_base as _base,
+    try_read_parquet as _try_read,
 )
 from .dedup import lsh_band_keys, minhash_signatures
 
@@ -127,7 +143,8 @@ def _banded(
     The raw signature frame is PERSISTED so the explode→min-aggregate
     sign pass (the dominant cost) runs once even though both outputs
     derive from it; the caller unpersists the returned handle when its
-    writes/joins are done."""
+    writes/joins are done (in a try/finally — a failed write must not
+    leak the pin for the session lifetime)."""
     raw = minhash_signatures(
         docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
     ).persist()
@@ -141,18 +158,18 @@ def _banded(
 
 
 def _load_tombstones(spark: SparkSession, base: str, tomb_gen: int):
+    """The tombstone log as a distinct-id frame, or None when empty —
+    loaded ONCE per verb and threaded through every anti-join."""
     t = _try_read(spark, _tomb_dir(base, tomb_gen))
     return None if t is None else t.distinct()
 
 
-def _anti_tombstones(
-    df: DataFrame, spark: SparkSession, base: str, id_col: str, tomb_gen: int
-) -> DataFrame:
-    t = _load_tombstones(spark, base, tomb_gen)
-    if t is None:
+def _anti_tombstones(df: DataFrame, tombs, id_col: str) -> DataFrame:
+    """Drop rows whose `id_col` is in the (pre-loaded) tombstone frame."""
+    if tombs is None:
         return df
     return df.join(
-        F.broadcast(t.withColumnRenamed("doc_id", "_dead")),
+        F.broadcast(tombs.withColumnRenamed("doc_id", "_dead")),
         df[id_col] == F.col("_dead"),
         "left_anti",
     )
@@ -181,6 +198,7 @@ def dedup_index_build(
     version: str = "v1",
     id_col: str = "doc_id",
     text_col: str = "text",
+    files_per_partition: int = 1,
 ) -> DataFrame:
     """Sign + band the corpus and persist; returns the per-(band, pfx)
     manifest read BACK from the persisted band table (the gate proves
@@ -188,25 +206,30 @@ def dedup_index_build(
     spark = docs.sparkSession
     base = _base(index_dir, version)
     # a (re)build owns the version dir: reset manifest + generations so
-    # the fresh gen-0 store is what readers resolve (see ann_index)
+    # the fresh gen-0 store is what readers resolve (storage/manifest)
     _reset_version_dir(spark, base)
 
-    spark.createDataFrame(
-        [(num_hashes, bands, shingle_n)],
+    _local_rows(
+        spark,
         "num_hashes int, bands int, shingle_n int",
+        [(num_hashes, bands, shingle_n)],
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/_meta")
 
     sigs, banded, raw = _banded(
         docs, id_col, text_col, num_hashes, bands, shingle_n
     )
-    sigs.write.mode("overwrite").parquet(_sigs_dir(base, 0))
-    # the partitionBy write IS the probe-pruning layout: one directory
-    # per (band, first-hex-char-of-key) — 16 buckets per band; the
-    # banded rows derive from the sign pass CACHED by the sigs write
-    banded.write.mode("overwrite").partitionBy("band", "pfx").parquet(
-        _bands_dir(base, 0)
-    )
-    raw.unpersist()
+    try:
+        sigs.write.mode("overwrite").parquet(_sigs_dir(base, 0))
+        # the partitionBy write IS the probe-pruning layout: one
+        # directory per (band, first-hex-char-of-key) — 16 buckets per
+        # band, laid out at files_per_partition files per directory;
+        # the banded rows derive from the sign pass CACHED by the sigs
+        # write
+        _layout(banded, ["band", "pfx"], files_per_partition, "doc_id").write.mode(
+            "overwrite"
+        ).partitionBy("band", "pfx").parquet(_bands_dir(base, 0))
+    finally:
+        raw.unpersist()
     return _band_manifest(spark.read.parquet(_bands_dir(base, 0)))
 
 
@@ -239,55 +262,62 @@ def dedup_index_probe(
     psigs, pband, praw = _banded(
         probe_docs, id_col, text_col, num_hashes, bands, shingle_n
     )
+    try:
+        idx_bands = spark.read.parquet(_bands_dir(base, gen))
+        if prune:
+            combos = pband.select("band", "pfx").distinct().collect()  # ≤ bands×16
+            pred = None
+            for r in combos:
+                c = (F.col("band") == int(r["band"])) & (F.col("pfx") == r["pfx"])
+                pred = c if pred is None else (pred | c)
+            if pred is None:  # empty probe batch
+                idx_bands = idx_bands.filter(F.lit(False))
+            else:
+                idx_bands = idx_bands.filter(pred)
 
-    idx_bands = spark.read.parquet(_bands_dir(base, gen))
-    if prune:
-        combos = pband.select("band", "pfx").distinct().collect()  # ≤ bands×16
-        pred = None
-        for r in combos:
-            c = (F.col("band") == int(r["band"])) & (F.col("pfx") == r["pfx"])
-            pred = c if pred is None else (pred | c)
-        if pred is None:  # empty probe batch
-            idx_bands = idx_bands.filter(F.lit(False))
-        else:
-            idx_bands = idx_bands.filter(pred)
+        cand = (
+            pband.alias("p")
+            .join(
+                idx_bands.alias("i"),
+                (F.col("p.band") == F.col("i.band"))
+                & (F.col("p.key") == F.col("i.key")),
+            )
+            .select(
+                F.col("p.doc_id").alias("probe_id"),
+                F.col("i.doc_id").alias("index_id"),
+            )
+        )
+        if exclude_self:
+            cand = cand.filter(F.col("probe_id") != F.col("index_id"))
+        cand = cand.distinct()
+        tombs = _load_tombstones(spark, base, tomb_gen)
+        cand = _anti_tombstones(cand, tombs, "index_id")
 
-    cand = (
-        pband.alias("p")
-        .join(
-            idx_bands.alias("i"),
-            (F.col("p.band") == F.col("i.band")) & (F.col("p.key") == F.col("i.key")),
+        isigs = spark.read.parquet(_sigs_dir(base, gen))
+        agree = sum(
+            F.when(F.col(f"p.h{i}") == F.col(f"i.h{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
         )
-        .select(
-            F.col("p.doc_id").alias("probe_id"),
-            F.col("i.doc_id").alias("index_id"),
+        out = (
+            cand.join(psigs.alias("p"), F.col("probe_id") == F.col("p.doc_id"))
+            .join(isigs.alias("i"), F.col("index_id") == F.col("i.doc_id"))
+            .select(
+                "probe_id",
+                "index_id",
+                agree.cast("int").alias("n_agree"),
+                (agree.cast("double") / F.lit(float(num_hashes))).alias(
+                    "est_jaccard"
+                ),
+            )
         )
-    )
-    if exclude_self:
-        cand = cand.filter(F.col("probe_id") != F.col("index_id"))
-    cand = cand.distinct()
-    cand = _anti_tombstones(cand, spark, base, "index_id", tomb_gen)
-
-    isigs = spark.read.parquet(_sigs_dir(base, gen))
-    agree = sum(
-        F.when(F.col(f"p.h{i}") == F.col(f"i.h{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    out = (
-        cand.join(psigs.alias("p"), F.col("probe_id") == F.col("p.doc_id"))
-        .join(isigs.alias("i"), F.col("index_id") == F.col("i.doc_id"))
-        .select(
-            "probe_id",
-            "index_id",
-            agree.cast("int").alias("n_agree"),
-            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
-        )
-    )
-    if min_agree > 0:
-        out = out.filter(F.col("n_agree") >= min_agree)
-    # eager executor-local checkpoint (NOT a driver collect): the
-    # probe-side sign pipeline runs once, then its cache is released
-    return materialize_and_release(out, praw)
+        if min_agree > 0:
+            out = out.filter(F.col("n_agree") >= min_agree)
+        # eager executor-local checkpoint (NOT a driver collect): the
+        # probe-side sign pipeline runs once, then its cache is released
+        return materialize_and_release(out, praw)
+    except BaseException:
+        praw.unpersist()
+        raise
 
 
 # ---------------------------------------------------------------------------
@@ -313,45 +343,65 @@ def dedup_index_append(
     compact, so clearing the tombstone would resurrect them next to
     the new rows; a live duplicate id fails fast under
     ``assert_unique`` (pruned one-column scan of the signature table)
-    — duplicate ids would double candidate rows."""
+    — duplicate ids would double candidate rows.  Both guards resolve
+    in ONE Spark job.
+
+    Crash window: bands append first, sigs second — see the module
+    docstring's torn-append note (a crash between the halves makes
+    probes under-report the new docs only, and fsck flags it)."""
     base = _base(index_dir, version)
     num_hashes, bands, shingle_n = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
 
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
     tombs = _load_tombstones(spark, base, tomb_gen)
+    conflicts = []
     if tombs is not None:
-        n_dead = tombs.join(F.broadcast(new_ids), "doc_id", "semi").count()
-        if n_dead:
+        conflicts.append(tombs.select("doc_id", F.lit("dead").alias("_why")))
+    if assert_unique:
+        conflicts.append(
+            spark.read.parquet(_sigs_dir(base, gen)).select(
+                "doc_id", F.lit("live").alias("_why")
+            )
+        )
+    if conflicts:
+        existing = conflicts[0]
+        for c in conflicts[1:]:
+            existing = existing.unionByName(c)
+        hits = {
+            r["_why"]: r["n"]
+            for r in existing.join(F.broadcast(new_ids), "doc_id", "semi")
+            .groupBy("_why")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if hits.get("dead"):
             raise ValueError(
-                f"dedup_index_append: {n_dead} incoming id(s) are tombstoned — "
-                f"their dead rows still live in the index; run "
+                f"dedup_index_append: {hits['dead']} incoming id(s) are "
+                f"tombstoned — their dead rows still live in the index; run "
                 f"dedup_index_compact to reclaim them, then re-insert"
             )
-    if assert_unique:
-        dup = (
-            spark.read.parquet(_sigs_dir(base, gen))
-            .select("doc_id")
-            .join(F.broadcast(new_ids), "doc_id", "semi")
-            .count()
-        )
-        if dup:
+        if hits.get("live"):
             raise ValueError(
-                f"dedup_index_append: {dup} incoming id(s) already present "
-                f"in the index — duplicate ids double candidate rows; pass "
-                f"assert_unique=False only with an external uniqueness "
-                f"guarantee"
+                f"dedup_index_append: {hits['live']} incoming id(s) already "
+                f"present in the index — duplicate ids double candidate "
+                f"rows; pass assert_unique=False only with an external "
+                f"uniqueness guarantee"
             )
 
     sigs, banded, raw = _banded(
         new_docs, id_col, text_col, num_hashes, bands, shingle_n
     )
-    sigs.write.mode("append").parquet(_sigs_dir(base, gen))
-    banded.write.mode("append").partitionBy("band", "pfx").parquet(
-        _bands_dir(base, gen)
-    )
-    manifest = _band_manifest(banded).localCheckpoint(eager=True)
-    raw.unpersist()
+    try:
+        # bands FIRST (see module docstring: a torn append then only
+        # under-reports, and is band-side detectable by fsck)
+        _layout(banded, ["band", "pfx"], 1, "doc_id").write.mode(
+            "append"
+        ).partitionBy("band", "pfx").parquet(_bands_dir(base, gen))
+        sigs.write.mode("append").parquet(_sigs_dir(base, gen))
+        manifest = _band_manifest(banded).localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
     return manifest
 
 
@@ -370,13 +420,14 @@ def dedup_index_delete(
     base = _base(index_dir, version)
     _, tomb_gen, _ = _state(spark, base)
     tdir = _tomb_dir(base, tomb_gen)
-    spark.createDataFrame(
-        [(int(i),) for i in delete_ids], "doc_id long"
+    _local_rows(
+        spark, "doc_id long", [(int(i),) for i in delete_ids]
     ).coalesce(1).write.mode("append").parquet(tdir)
     total = spark.read.parquet(tdir).distinct().count()
-    return spark.createDataFrame(
-        [(len(delete_ids), total)],
+    return _local_rows(
+        spark,
         "n_tombstones_added long, n_tombstones_total long",
+        [(len(delete_ids), total)],
     )
 
 
@@ -391,51 +442,60 @@ def dedup_index_compact(
 ) -> DataFrame:
     """Rewrite live rows into a fresh generation directory pair and
     COMMIT by appending one row to the ``_commits`` manifest (shared
-    protocol with ann_index_compact — never a rename, crash-safe on
+    protocol, storage/manifest.py — never a rename, crash-safe on
     object stores; the fresh generation has no tombstone dir, which IS
     the delete-log truncation).  Old generations GC'd best-effort.
     Returns the per-(band, pfx) manifest read back from the compacted
-    store."""
+    store.  The tombstone log is loaded once and reused by both
+    rewrites; the band rewrite is cached so the returned manifest
+    aggregates the cached rows instead of re-scanning the new
+    generation."""
     base = _base(index_dir, version)
     gen, tomb_gen, seq = _state(spark, base)
     new_gen = gen + 1
+    tombs = _load_tombstones(spark, base, tomb_gen)
 
     bands_live = _anti_tombstones(
-        spark.read.parquet(_bands_dir(base, gen)), spark, base, "doc_id", tomb_gen
-    )
-    (
-        bands_live.repartition(files_per_partition, "band", "pfx")
-        .write.mode("overwrite")
-        .partitionBy("band", "pfx")
-        .parquet(_bands_dir(base, new_gen))
-    )
-    sigs_live = _anti_tombstones(
-        spark.read.parquet(_sigs_dir(base, gen)), spark, base, "doc_id", tomb_gen
-    )
-    sigs_live.coalesce(files_per_partition).write.mode("overwrite").parquet(
-        _sigs_dir(base, new_gen)
-    )
+        spark.read.parquet(_bands_dir(base, gen)), tombs, "doc_id"
+    ).persist()
+    try:
+        _layout(bands_live, ["band", "pfx"], files_per_partition, "doc_id").write.mode(
+            "overwrite"
+        ).partitionBy("band", "pfx").parquet(_bands_dir(base, new_gen))
+        sigs_live = _anti_tombstones(
+            spark.read.parquet(_sigs_dir(base, gen)), tombs, "doc_id"
+        )
+        sigs_live.coalesce(files_per_partition).write.mode("overwrite").parquet(
+            _sigs_dir(base, new_gen)
+        )
 
-    # verify the new generation is READABLE before flipping readers to
-    # it (compacting a fully-tombstoned index writes file-less dirs —
-    # committing those would brick the store after the GC below)
-    for d in (_bands_dir(base, new_gen), _sigs_dir(base, new_gen)):
-        if _try_read(spark, d) is None:
-            raise ValueError(
-                f"dedup_index_compact: new generation at {d} is empty or "
-                f"unreadable (every row tombstoned?) — store left on the "
-                f"old generation; rebuild instead of compacting to empty"
-            )
+        # verify the new generation is READABLE before flipping readers
+        # (compacting a fully-tombstoned index writes file-less dirs —
+        # committing those would brick the store after the GC below);
+        # driver-side schema resolution only, no data scan
+        for d in (_bands_dir(base, new_gen), _sigs_dir(base, new_gen)):
+            if _try_read(spark, d) is None:
+                raise ValueError(
+                    f"dedup_index_compact: new generation at {d} is empty or "
+                    f"unreadable (every row tombstoned?) — store left on the "
+                    f"old generation; rebuild instead of compacting to empty"
+                )
 
-    # THE commit: readers atomically move to (new_gen, tomb_gen+1)
-    _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
+        # THE commit: readers atomically move to (new_gen, tomb_gen+1)
+        _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
 
-    # best-effort GC of the superseded generation (never load-bearing)
-    _fs_delete(spark, _bands_dir(base, gen))
-    _fs_delete(spark, _sigs_dir(base, gen))
-    _fs_delete(spark, _tomb_dir(base, tomb_gen))
+        # best-effort GC of the superseded generation (never load-bearing)
+        _fs_delete(spark, _bands_dir(base, gen))
+        _fs_delete(spark, _sigs_dir(base, gen))
+        _fs_delete(spark, _tomb_dir(base, tomb_gen))
 
-    return _band_manifest(spark.read.parquet(_bands_dir(base, new_gen)))
+        # receipt from the exact rows just written (cached) — the
+        # on-disk layout itself is gated by the readability check above
+        # and by dedup_index_manifest / fsck, which read back from disk
+        return materialize_and_release(_band_manifest(bands_live), bands_live)
+    except BaseException:
+        bands_live.unpersist()
+        raise
 
 
 def dedup_index_gc(
@@ -448,8 +508,6 @@ def dedup_index_gc(
     the manifest is the single source of truth, so nothing referenced
     can be collected.  Returns the removed names."""
     import re
-
-    from .ann_index import _fs_list
 
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
@@ -473,14 +531,15 @@ def dedup_index_fsck(
 ) -> DataFrame:
     """Integrity audit (fsck) — the persisted components must agree:
     the signature table and the band table cover the SAME document set
-    (checked by real anti-joins in both directions), every document
-    carries EXACTLY ``bands`` band rows and ``bands`` distinct band
-    ids, every band id is within [0, bands), and every pfx is the
-    first hex char of its key.  All reads resolve through the
-    generation manifest, so fsck audits exactly what probes see.
-    Returns one hard-gated row — a lost append half (sigs written,
-    bands crashed), a duplicated band row, or a corrupted partition
-    value flips a boolean."""
+    (checked by real anti-joins in both directions — this is also the
+    detector for a torn append, whose bands-first ordering leaves
+    band-only documents), every document carries EXACTLY ``bands``
+    band rows and ``bands`` distinct band ids, every band id is within
+    [0, bands), and every pfx is the first hex char of its key.  All
+    reads resolve through the generation manifest, so fsck audits
+    exactly what probes see.  Returns one hard-gated row — a lost
+    append half, a duplicated band row, or a corrupted partition value
+    flips a boolean."""
     base = _base(index_dir, version)
     _, bands_n, _ = _meta(spark, base)
     gen, _, _ = _state(spark, base)
@@ -513,7 +572,10 @@ def dedup_index_fsck(
     pfx_ok = (
         bnd.filter(F.col("pfx") != F.substring("key", 1, 1)).count() == 0
     )
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
+        "n_docs long, ids_match boolean, rows_per_doc_ok boolean, "
+        "band_range_ok boolean, pfx_ok boolean",
         [
             (
                 n_sig_docs,
@@ -523,8 +585,6 @@ def dedup_index_fsck(
                 bool(pfx_ok),
             )
         ],
-        "n_docs long, ids_match boolean, rows_per_doc_ok boolean, "
-        "band_range_ok boolean, pfx_ok boolean",
     )
 
 
@@ -551,7 +611,8 @@ def dedup_index_stats(
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
     bands_df = spark.read.parquet(_bands_dir(base, gen))
-    live = _anti_tombstones(bands_df, spark, base, "doc_id", tomb_gen)
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    live = _anti_tombstones(bands_df, tombs, "doc_id")
 
     phys = bands_df.groupBy("band", "pfx").agg(
         F.count(F.lit(1)).alias("n_rows_physical")

@@ -475,6 +475,174 @@ def ranked_keyword_search_bm25(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def porter_lite_stem_sql(expr: str) -> str:
+    """Deterministic Porter-lite suffix stripper over an (already
+    lowercased) token, as PORTABLE SQL — the text runs verbatim in
+    Spark SQL and DuckDB (only CASE/length/right/substr/translate, no
+    regexp: regexp flag syntax diverges between the engines), so the
+    operator and its oracle share one definition by construction.
+
+    Rules (the high-recall slice of Porter steps 1a/1b that covers the
+    ES `multi_match` analyzer behavior users actually observe —
+    redditProcessor.py:67-75: 'joins'/'joining'/'joined' → 'join'):
+      1a. sses→ss · ies→i · keep ss · drop trailing s (len > 3)
+      1b. strip 'ing' (len > 4) / 'ed' (len > 3) when a vowel remains
+          in the stem (translate-based vowel test)
+    Not full Porter (no m-measure, no steps 2-5) — deliberately simple
+    enough to be engine-portable and deterministic."""
+    t = f"({expr})"
+    s1 = (
+        f"(CASE WHEN length{t} > 4 AND right({t}, 4) = 'sses' "
+        f"THEN substr({t}, 1, length{t} - 2) "
+        f"WHEN length{t} > 3 AND right({t}, 3) = 'ies' "
+        f"THEN substr({t}, 1, length{t} - 2) "
+        f"WHEN right({t}, 2) = 'ss' THEN {t} "
+        f"WHEN length{t} > 3 AND right({t}, 1) = 's' "
+        f"THEN substr({t}, 1, length{t} - 1) "
+        f"ELSE {t} END)"
+    )
+    vowel_ing = (
+        f"length(translate(substr({s1}, 1, length({s1}) - 3), 'aeiou', ''))"
+        f" < length({s1}) - 3"
+    )
+    vowel_ed = (
+        f"length(translate(substr({s1}, 1, length({s1}) - 2), 'aeiou', ''))"
+        f" < length({s1}) - 2"
+    )
+    return (
+        f"CASE WHEN length({s1}) > 4 AND right({s1}, 3) = 'ing' AND {vowel_ing} "
+        f"THEN substr({s1}, 1, length({s1}) - 3) "
+        f"WHEN length({s1}) > 3 AND right({s1}, 2) = 'ed' AND {vowel_ed} "
+        f"THEN substr({s1}, 1, length({s1}) - 2) "
+        f"ELSE {s1} END"
+    )
+
+
+def ranked_keyword_search_stemmed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Stemmed BM25 search — the one ES `multi_match` behavior the
+    exact-term rankers miss (redditProcessor.py:67-75 gets an analyzer
+    chain for free from Elasticsearch): document tokens AND query
+    keywords are both stemmed with `porter_lite_stem_sql`, so
+    'joins'/'joining'/'joined' all score against the query 'join'.
+    Scoring, length normalization and tie-breaks are exactly
+    `ranked_keyword_search_bm25` over the stemmed term space (dl stays
+    the raw token count — stemming never changes token counts).
+
+    Scale shape: identical to the exact BM25 (stem is a per-token
+    scalar expression inside the same explode), keyword filter before
+    any shuffle, tiny df/avgdl aggregates broadcast back, top-k limit.
+    The keyword stems are resolved through the SAME SQL expression on a
+    one-row literal frame (one tiny job), so operator and oracle can
+    never disagree on the stemmer."""
+    spark = df.sparkSession
+    kws = sorted({w.lower() for w in keywords})
+    srow = (
+        spark.range(1)
+        .select(
+            *[
+                F.expr(porter_lite_stem_sql(f"'{w}'")).alias(f"k{i}")
+                for i, w in enumerate(kws)
+            ]
+        )
+        .collect()[0]
+    )
+    kset = sorted(set(srow))
+    stem = F.expr(porter_lite_stem_sql("term"))
+    lens = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    stats = lens.select(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .select(id_col, F.lower(F.col("_t")).alias("term"))
+        .select(id_col, stem.alias("term"))
+        .filter(F.col("term").isin(kset))
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        hits.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_hits"),
+            F.round(F.sum(idf * tf_sat), 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def fuzzy_keyword_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    max_edits: int = 1,
+    k: int = 20,
+) -> DataFrame:
+    """Edit-distance fuzzy term search — the ES `multi_match`
+    ``fuzziness`` behavior (redditProcessor.py:67-75): a document token
+    matches a query term when ``levenshtein(token, term) <=
+    max_edits`` (typos: 'spakr' ~ 'spark', 'joind' ~ 'joins').
+    Returns the top-k documents by (n_terms_matched DESC, n_hits DESC,
+    id) with both counts in the output — fuzzy hits are set-shaped, so
+    coverage-of-terms outranks raw hit volume (a document matching all
+    query terms once beats one repeating a single term).
+
+    Scale shape: per-token cost is |keywords| levenshtein evaluations
+    behind a length-window prefilter (abs(len diff) <= max_edits cuts
+    most pairs before the O(len^2) distance), via a broadcast
+    nested-loop join against the tiny keyword frame — a linear corpus
+    scan with no shuffle until the per-document aggregate, then the
+    top-k limit."""
+    kws = sorted({w.lower() for w in keywords})
+    kwdf = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.lit(kws)).alias("kw"))
+        .select("kw", F.length("kw").alias("_kl"))
+    )
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .select(id_col, F.lower(F.col("_t")).alias("term"))
+        .withColumn("_tl", F.length("term"))
+    )
+    hits = toks.join(
+        F.broadcast(kwdf),
+        (F.abs(F.col("_tl") - F.col("_kl")) <= max_edits)
+        & (F.levenshtein(F.col("term"), F.col("kw")) <= max_edits),
+    )
+    out = hits.groupBy(id_col).agg(
+        F.countDistinct("kw").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    return out.orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.col(id_col)
+    ).limit(k)
+
+
 def unigram_divergence(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     """Per-group corpus drift: KL divergence and total-variation distance
     between each group's unigram distribution p and the whole-corpus

@@ -446,6 +446,108 @@ def ranked_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stem_sql(expr: str) -> str:
+    # ONE definition of the stemmer for operator and oracle alike:
+    # the portable-SQL text from textstats.porter_lite_stem_sql runs
+    # verbatim in both Spark SQL and DuckDB (lockstep by construction)
+    from .operators.textstats import porter_lite_stem_sql
+
+    return porter_lite_stem_sql(expr)
+
+
+@register(
+    "ranked_search_stemmed",
+    f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS _n, AVG(dl) AS _avgdl FROM lens),
+    skws AS (
+      SELECT DISTINCT {{STEM_KW}} AS skw FROM (
+        SELECT unnest([{{KW_LIST}}]) AS kw)
+    ),
+    hits AS (
+      SELECT doc_id, {{STEM_TERM}} AS term FROM (
+        SELECT doc_id, lower(term) AS lterm FROM (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                   AS term
+          FROM documents
+        )
+      ) WHERE {{STEM_TERM}} IN (SELECT skw FROM skws)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits,
+             ROUND(SUM(
+               ln(1.0 + (_n - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / _avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_hits, score FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """.replace("{STEM_KW}", _stem_sql("kw"))
+    .replace("{STEM_TERM}", _stem_sql("lterm"))
+    .replace(
+        "{KW_LIST}",
+        ", ".join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS)),
+    ),
+)
+def ranked_search_stemmed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed BM25 (textstats.ranked_keyword_search_stemmed) — the ES
+    multi_match analyzer behavior (redditProcessor.py:67-75) the exact
+    rankers miss: tokens AND keywords stem through ONE portable-SQL
+    Porter-lite expression (porter_lite_stem_sql), shared verbatim by
+    the oracle, so 'joins'/'joining'/'joined' score against 'join'."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.ranked_keyword_search_stemmed(
+        docs, "doc_id", "text", _SEARCH_KEYWORDS, k=20
+    )
+
+
+@register(
+    "fuzzy_keyword_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lower(term) AS term FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS term
+        FROM documents
+      )
+    ),
+    kws AS (
+      SELECT unnest([{', '.join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))}])
+               AS kw
+    ),
+    hits AS (
+      SELECT doc_id, kw FROM toks, kws
+      WHERE abs(length(term) - length(kw)) <= 1
+        AND levenshtein(term, kw) <= 1
+    )
+    SELECT doc_id, CAST(COUNT(DISTINCT kw) AS BIGINT) AS n_terms,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM hits GROUP BY doc_id
+    ORDER BY n_terms DESC, n_hits DESC, doc_id LIMIT 20
+    """,
+)
+def fuzzy_keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term search (textstats.fuzzy_keyword_search) — the ES
+    multi_match fuzziness behavior: levenshtein <= 1 token matches
+    behind a length-window prefilter, ranked by term coverage then hit
+    volume.  Oracle replays the same edit-distance rule in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.fuzzy_keyword_search(
+        docs, "doc_id", "text", _SEARCH_KEYWORDS, max_edits=1, k=20
+    )
+
+
 # Hybrid retrieval: BM25 lexical leg + embedding-cosine vector leg,
 # combined with reciprocal-rank fusion (1/(60+rank)) — the standard
 # RAG retrieval stack end-to-end in one declarative plan.  vec_id and
@@ -6008,7 +6110,7 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         out = spark.table(qname)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -6767,7 +6869,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_events").alias("n_events"),
             F.expr("max_by(total_value, n_events)").alias("total_value"),
         )
-        return spark.createDataFrame(final.collect(), final.schema)
+        return final.localCheckpoint(eager=True)
 
 
 # Stateful streaming event-type profiles — the applyInPandasWithState
@@ -6839,7 +6941,7 @@ def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
-        return spark.createDataFrame(final.collect(), final.schema)
+        return final.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -7173,7 +7275,7 @@ def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         out = spark.table(qname)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _streaming_neardup_oracle() -> str:
@@ -7291,7 +7393,7 @@ def streaming_neardup_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(180)
         out = spark.read.parquet(f"{tmp}/corpus").select("doc_id").orderBy("doc_id")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _streaming_span_cut_oracle() -> str:
@@ -7416,7 +7518,7 @@ def streaming_span_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "n_kept_tokens")
             .orderBy("doc_id")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _streaming_line_dedup_oracle() -> str:
@@ -7524,7 +7626,7 @@ def streaming_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_lines", "n_kept_lines", "cleaned_text")
             .orderBy("doc_id")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -9365,7 +9467,7 @@ def streaming_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("doc_id", "exact_dup", "near_dup", "kept")
             .orderBy("doc_id")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 _UNIMAX_BUDGET, _UNIMAX_EPOCHS = 1000, 4
@@ -11137,7 +11239,7 @@ def streaming_sequence_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame
         out = spark.read.parquet(f"{tmp}/corpus").select(
             "user_id", "event_id", "context", "target"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 # From-scratch HyperLogLog (m=64) over order custkeys — the sketch
@@ -11871,7 +11973,7 @@ def streaming_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(f"{tmp}/out").select(
             "bucket", "n_ref", "n_cur", "p_ref", "p_cur", "psi_contrib"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 # Deterministic class balancing: downsample every label to the
@@ -12253,7 +12355,7 @@ def streaming_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = start_manifest_stream(stream, f"{tmp}/store", f"{tmp}/ckpt")
         q.awaitTermination(180)
         out = read_manifest(spark, f"{tmp}/store")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 # Cross-modal dedup manifest (round-9 capstone): one per-document row
@@ -13325,7 +13427,7 @@ def streaming_thread_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(f"{tmp}/out").select(
             "node_id", "root_id", "depth", "path", "attached"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -13838,7 +13940,7 @@ def streaming_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(180)
         out = final_reservoir(spark, f"{tmp}/store").select("doc_id", "priority")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _hilbert_oracle_sql(bits: int = 5, bucket_bits: int = 6) -> str:
@@ -14192,7 +14294,7 @@ def streaming_topk_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = start_topk_terms_stream(stream, f"{tmp}/store", f"{tmp}/ckpt")
         q.awaitTermination(180)
         out = topk_terms(spark, f"{tmp}/store", k=25)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -14560,7 +14662,7 @@ def streaming_lateness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_late",
             "max_late_sec",
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -14836,7 +14938,7 @@ def ann_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=_PQ_M,
             k_codes=_PQ_K,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -14884,7 +14986,7 @@ def ann_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_IVF_K,
             n_probe=_IVF_PROBE,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 _ANNIDX_FILTER_QUERY_IDS = [9, 10, 11]
@@ -14934,7 +15036,7 @@ def ann_index_probe_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, f"{tmp}/annidx", _ANNIDX_FILTER_QUERY_IDS, allowed,
             k=_IVF_K, n_probe=_IVF_PROBE,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -14968,7 +15070,7 @@ def ann_index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
         ann_index.ann_index_delete(spark, idx, list(range(100, 150))).collect()
         out = ann_index.ann_index_stats(spark, idx)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 _ANNIDX_DPP_QUERY_IDS = [6, 7, 8]
@@ -15025,7 +15127,70 @@ def ann_index_probe_dpp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_IVF_K,
             n_probe=_IVF_PROBE,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
+
+
+_ANNIDX_VDPP_QUERY_IDS = [21, 22, 23]
+
+
+@register(
+    "ann_index_probe_vectors_dpp",
+    "WITH "
+    + _annidx_assign_sql()
+    + f""",
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN ({', '.join(map(str, _ANNIDX_VDPP_QUERY_IDS))})) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_index_probe_vectors_dpp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caller-vector DPP probe (ann_index.ann_index_probe_vectors_dpp —
+    round-12 verdict task 2): the TRUE serving case, where query
+    vectors arrive from outside the index (here: member vectors passed
+    as an external (query_id, qv) DataFrame so the oracle can replay
+    them), kept distributed end-to-end — the inverted-file scan is
+    pruned by a DynamicPruningExpression fed from the broadcast probe
+    side, with zero driver-side routing (the static
+    ann_index_probe_vectors collects a |Q| x n_probe cell list).
+    Byte-identical to ann_index_probe_vectors on the same queries
+    (pinned by tests/test_ann_index.py, which also asserts the
+    dynamicpruning node and the absence of CollectLimit in the
+    executed plan)."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            emb,
+            f"{tmp}/annidx",
+            n_centroids=_IVF_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        qdf = emb.filter(F.col("vec_id").isin(_ANNIDX_VDPP_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        out = ann_index.ann_index_probe_vectors_dpp(
+            spark,
+            f"{tmp}/annidx",
+            qdf,
+            k=_IVF_K,
+            n_probe=_IVF_PROBE,
+        )
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -15072,7 +15237,7 @@ def ann_index_probe_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ann_index.ann_index_probe_pq(
             spark, f"{tmp}/annidx", _ANNIDX_QUERY_IDS, topk=5
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -15223,7 +15388,7 @@ def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_IVF_K,
             n_probe=_IVF_PROBE,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 # Fellegi–Sunter priors (production: EM or labeled pairs; pinned
@@ -15490,7 +15655,7 @@ def streaming_golden_record_maintenance_q(
             "golden_p_brand",
             "golden_p_type",
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -15683,7 +15848,7 @@ def streaming_ann_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(180)
         out = spark.read.parquet(out_dir)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _annidx_probe_oracle(query_ids: list[int]) -> str:
@@ -15740,7 +15905,7 @@ def ann_index_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ann_index.ann_index_probe(
             spark, idx, [12, 13, 14], k=_IVF_K, n_probe=_IVF_PROBE
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register("streaming_ann_index_maintenance", _annidx_probe_oracle([15, 16, 17]))
@@ -15793,7 +15958,7 @@ def streaming_ann_index_maintenance_q(spark: SparkSession, sf_dir: str) -> DataF
         out = ann_index.ann_index_probe(
             spark, idx, [15, 16, 17], k=_IVF_K, n_probe=_IVF_PROBE
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 _ANNSRV_EPOCH_QIDS = {0: [30, 31], 1: [32, 33], 2: [34, 35]}
@@ -15932,7 +16097,7 @@ def streaming_ann_serving_under_deletes_q(spark: SparkSession, sf_dir: str) -> D
         )
         q.awaitTermination(240)
         out = spark.read.parquet(out_dir)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -16305,7 +16470,7 @@ def ann_index_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cell_v1", "cell_v2")
             .agg(F.count(F.lit(1)).alias("n_vectors"))
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -16490,7 +16655,7 @@ def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ann_index.ann_index_probe(
             spark, idx, [18, 19, 20], k=_IVF_K, n_probe=_IVF_PROBE
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -16648,7 +16813,7 @@ def ann_index_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ann_index.ann_index_probe(
             spark, idx, [21, 22, 23], k=_IVF_K, n_probe=_IVF_PROBE
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _nprobe_curve_oracle() -> str:
@@ -16774,7 +16939,7 @@ def wordpiece_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFram
         )
         vocab = base.unionByName(merged).distinct()
         out = _wordpiece.wordpiece_encode_stats(docs, "doc_id", "text", vocab)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register("unigram_artifact_roundtrip", _unigram.unigram_encode_oracle_sql())
@@ -16795,7 +16960,7 @@ def unigram_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _unigram.unigram_encode_stats(
             docs, "doc_id", "text", load_pieces(spark, f"{tmp}/ug")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register("bpe_artifact_roundtrip", bpe_encode_oracle_sql(12))
@@ -16818,7 +16983,7 @@ def bpe_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges = load_merges(spark, f"{tmp}/bpe")
         out = bpe_encode_stats(docs, "doc_id", "text", merges)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -16990,7 +17155,7 @@ def dedup_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = dedup_index.dedup_index_build(
             load(spark, sf_dir, "documents"), f"{tmp}/dix"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17019,7 +17184,7 @@ def dedup_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/dix",
             min_agree=_DEDUPIDX_MIN_AGREE,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register("dedup_index_append", _dedupidx_manifest_sql())
@@ -17041,7 +17206,7 @@ def dedup_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, docs.filter("doc_id % 2 = 1"), f"{tmp}/dix"
         ).collect()
         out = dedup_index.dedup_index_manifest(spark, f"{tmp}/dix")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17077,7 +17242,7 @@ def dedup_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/dix",
             min_agree=_DEDUPIDX_MIN_AGREE,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17106,7 +17271,7 @@ def dedup_index_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             list(range(_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI + 1)),
         ).collect()
         out = dedup_index.dedup_index_compact(spark, f"{tmp}/dix")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17157,7 +17322,7 @@ def dedup_index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             list(range(_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI + 1)),
         ).collect()
         out = dedup_index.dedup_index_stats(spark, f"{tmp}/dix")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17194,7 +17359,7 @@ def dedup_index_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             d,
             min_agree=_DEDUPIDX_MIN_AGREE,
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17240,7 +17405,7 @@ def dedup_index_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, docs.filter("doc_id % 2 = 1"), f"{tmp}/dix"
         ).collect()
         out = dedup_index.dedup_index_fsck(spark, f"{tmp}/dix")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _dedupidx_epoch_sql(e: int, live_pred: str) -> str:
@@ -17398,7 +17563,7 @@ def streaming_dedup_index_ingest_q(spark: SparkSession, sf_dir: str) -> DataFram
         out = spark.read.parquet(
             *[f"{out_dir}/e{e}" for e in (1, 2, 3)]
         ).select("epoch", "doc_id", "fate", "dup_of", "n_agree")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _lshcurve_sql() -> str:
@@ -17591,7 +17756,7 @@ def snapshot_store_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in (1, 2, 3)
         ]
         out = legs[0].unionByName(legs[1]).unionByName(legs[2])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17618,7 +17783,7 @@ def snapshot_store_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
         snapshots.compact_snapshots(spark, st, 2).collect()
         out = snapshots.read_as_of(spark, st, 3).select("id", "val")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 _DDXSRV_D1 = (1, 99)    # tombstoned before epoch 1
@@ -17744,7 +17909,7 @@ def streaming_dedup_serving_under_deletes_q(
         )
         q.awaitTermination(240)
         out = spark.read.parquet(*[f"{out_dir}/e{e}" for e in (0, 1, 2)])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 def _snapdiff_leg_sql(s_from: int, s_to: int) -> str:
@@ -17801,7 +17966,7 @@ def snapshot_store_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f, t in ((1, 2), (2, 3))
         ]
         out = legs[0].unionByName(legs[1])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17856,7 +18021,7 @@ def streaming_snapshot_commits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in (1, 2, 3)
         ]
         out = legs[0].unionByName(legs[1]).unionByName(legs[2])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 _SNAP_LOOKUP_KEYS = [7, 12, 18, 21, 24, 36, 45, 72, 108, 144]
@@ -17898,7 +18063,7 @@ def snapshot_store_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in (2, 3)
         ]
         out = legs[0].unionByName(legs[1])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -17942,7 +18107,65 @@ def snapshot_store_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
             snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
         out = snapshots.snapshot_fsck(spark, st)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_store_retention",
+    f"""
+    WITH s3 AS ({_SNAP_STATE_SQL[3]})
+    SELECT id, val,
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 9 = 0 AND o_orderkey % 12 != 0
+               AND 2 >= 3) AS n_base_tombstones
+    FROM s3
+    """,
+)
+def snapshot_store_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivery-horizon retention (snapshots.compact_snapshots with
+    drop_tombstones_below_seq — round-12 verdict task 4): fold the full
+    history with a seq-3 watermark, dropping the seq-2 tombstones from
+    the base, then HARD-GATE in-query that (a) zero tombstone rows
+    survive in the base, and (b) a late redelivery of the seq-1 batch
+    is REJECTED at commit (the pair is what makes the drop safe — the
+    tombstoned keys stay gone with their tombstones GC'd).  Output is
+    the final state plus the derived base-tombstone count; the oracle
+    derives the same count from the key arithmetic (deletes at seq 2,
+    watermark 3 → none survive).  tests/test_snapshots.py pins the
+    rejection and the unsafe-watermark refusal."""
+    import tempfile
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        b1, b2, b3 = _snapshot_batches(spark, sf_dir)
+        for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+            snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+        snapshots.compact_snapshots(
+            spark, st, 3, drop_tombstones_below_seq=3
+        ).collect()
+        n_tomb = (
+            spark.read.parquet(f"{st}/base_g1")
+            .filter(F.col("op") == "D")
+            .count()
+        )
+        if n_tomb:
+            raise AssertionError(
+                f"retention compact left {n_tomb} tombstones below the "
+                f"watermark in the base"
+            )
+        try:
+            snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="late")
+            raise AssertionError(
+                "late redelivery below the retention watermark was accepted"
+            )
+        except ValueError:
+            pass
+        out = snapshots.read_as_of(spark, st, 3).select(
+            "id", "val", F.lit(n_tomb).cast("long").alias("n_base_tombstones")
+        )
+        return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -18032,7 +18255,7 @@ def versioned_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in (1, 2, 3)
         ]
         out = legs[0].unionByName(legs[1]).unionByName(legs[2])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
 
 
 __all__ = ["queries", "oracle_sql", "register"]

@@ -15,24 +15,32 @@ shape, miniaturized on parquet:
   uncommitted partition readers never select (the retried commit
   overwrites it in place).  Batches carry an optional ``batch_id`` for
   exactly-once under redelivery: a batch_id already in the manifest is
-  a no-op.
+  a no-op.  An EMPTY batch commits as a data-less snapshot (manifest
+  row with n_rows = 0, no log partition) so a quiet changelog interval
+  still advances the version counter.
 - `read_as_of`       — the store's state at snapshot S: union the
   compacted base (if any) with the log partitions in (horizon, S]
   (partition-pruned on the ``snap`` directory column), resolve
-  last-writer-wins per key by (snap, seq) with a deterministic
+  last-writer-wins per key by (seq, snap) with a deterministic
   hash tie-break, drop tombstones.  ``snap=None`` reads the latest
   COMMITTED snapshot — never a half-committed one.
 - `compact_snapshots` — fold everything ≤ ``upto_snap`` into a new
   base generation ``base_g{G}`` (winners keep their ORIGINAL
   (snap, seq, op) columns, so the merge stays uniform afterwards) and
   commit via the shared generation-manifest protocol
-  (`ann_index._append_commit` — one ``_commits`` append, object-store
+  (`storage/manifest.py` — one ``_commits`` append, object-store
   safe, crash leaves readers on the old generation).  Compaction SETS
   THE TIME-TRAVEL HORIZON: as-of reads below ``upto_snap`` raise, and
   the folded log partitions are GC'd best-effort.  This bounds read
   amplification exactly like Delta checkpoints / LSM levels: a reader
   touches one base + (S - horizon) tail partitions, never the full
-  history.
+  history.  With ``drop_tombstones_below_seq`` it ALSO applies the
+  redelivery-horizon retention policy: tombstones older than the seq
+  watermark are dropped from the base, and the watermark is persisted
+  (append-only ``_retention`` log) so `snapshot_commit` REJECTS any
+  later batch carrying ops below it — a dropped tombstone can never
+  be out-raced by a late redelivered upsert, because that upsert can
+  no longer enter the store (the Kafka/CDC retention contract).
 
 Layout under ``{store_dir}/``::
 
@@ -42,22 +50,35 @@ Layout under ``{store_dir}/``::
     base_g{G}/    compacted prefix (created by compact_snapshots)
     _commits/     (seq, gen, tomb_gen) — generation manifest for the
                   base; ``tomb_gen`` carries the horizon (upto_snap)
+    _retention/   (watermark BIGINT) — append-only seq watermarks
+                  (max wins); absent until a retention compact
 
 Semantics: seq-authoritative last-writer-wins with persisted
 tombstones, identical to `upsert_cdc_by_key_bucketed` — including
 resurrect-after-delete when a later-seq upsert lands after a
-tombstone.  Scale shape: a commit writes O(batch); an as-of read scans
-base + pruned tail partitions; compaction is one bounded fold at a
-cadence.  Cites the reference's ES upsert story (addReddit.py:63-64 —
-O8) extended with the versioning ES lacks.
+tombstone, and the same MapType exclusion from the hash tie-break
+(xxhash64 cannot hash maps).  Scale shape: a commit writes O(batch)
+in a handful of Spark jobs (the manifest probe is ONE collect of the
+row-per-commit manifest); an as-of read scans base + pruned tail
+partitions; compaction is one bounded fold at a cadence.  Cites the
+reference's ES upsert story (addReddit.py:63-64 — O8) extended with
+the versioning ES lacks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..operators.ann_index import _append_commit, _fs_delete, _state, _try_read
+from ..storage.manifest import (
+    append_commit as _append_commit,
+    fs_delete as _fs_delete,
+    local_rows_df as _local_rows,
+    manifest_state as _state,
+    repartition_for_layout as _layout,
+    try_read_parquet as _try_read,
+)
 
 # Log partitions are sub-partitioned by a key-hash bucket so point
 # lookups prune on disk (the bucket is a pure key function — merge
@@ -85,6 +106,17 @@ def _base_state(spark: SparkSession, store_dir: str) -> tuple[int, int]:
     return gen, horizon
 
 
+def _retention_watermark(spark: SparkSession, store_dir: str) -> int | None:
+    """The active seq retention watermark (max over the append-only
+    ``_retention`` log), or None when no retention compact has run.
+    No Spark job at all on stores that never configured retention
+    (the directory probe is driver-side)."""
+    r = _try_read(spark, f"{store_dir}/_retention")
+    if r is None:
+        return None
+    return int(r.agg(F.max("watermark")).first()[0])
+
+
 def snapshot_commit(
     batch_df: DataFrame,
     store_dir: str,
@@ -97,34 +129,63 @@ def snapshot_commit(
     Rows must carry ``key``, ``seq_col`` and ``op_col`` ('U' upsert /
     'D' tombstone).  With ``batch_id``, redelivery of an
     already-committed batch is a no-op (exactly-once under foreachBatch
-    retries)."""
+    retries).  On a store with a retention watermark (see
+    `compact_snapshots`), a batch carrying ANY row with seq below the
+    watermark raises — its tombstone history may already be dropped,
+    so admitting it could silently resurrect deleted keys.  An empty
+    batch commits as a data-less snapshot (n_rows = 0, no log
+    partition)."""
     spark = batch_df.sparkSession
-    m = _manifest(spark, store_dir)
-    if batch_id is not None and m is not None:
-        if m.filter(F.col("batch_id") == batch_id).limit(1).count():
-            return current_snapshot(spark, store_dir)
     for c in (key, seq_col, op_col):
         if c not in batch_df.columns:
             raise ValueError(f"snapshot_commit: batch is missing column {c!r}")
-    snap = current_snapshot(spark, store_dir) + 1
+    # ONE manifest probe (row-per-commit table, collect is |commits|):
+    # resolves both the exactly-once batch_id check and the next id
+    m = _manifest(spark, store_dir)
+    latest = 0
+    if m is not None:
+        mrows = m.select("snap", "batch_id").collect()
+        if batch_id is not None and any(r["batch_id"] == batch_id for r in mrows):
+            return max(int(r["snap"]) for r in mrows)
+        latest = max((int(r["snap"]) for r in mrows), default=0)
+    wm = _retention_watermark(spark, store_dir)
+    if wm is not None:
+        n_late = (
+            batch_df.filter(F.col(seq_col) < wm).limit(1).count()
+        )
+        if n_late:
+            raise ValueError(
+                f"snapshot_commit: batch carries op(s) with {seq_col} below "
+                f"the retention watermark {wm} — tombstones below it may "
+                f"already be dropped, so this late redelivery is rejected "
+                f"(re-emit with current seqs if the rows are still wanted)"
+            )
+    snap = latest + 1
     # a crashed previous attempt at this snap left an uncommitted dir;
     # overwrite installs the retried batch in its place.  The log
     # partition is sub-partitioned by a key-hash bucket so point
     # lookups (`snapshot_lookup`) prune on disk — the bucket is a pure
-    # function of the key, so merge semantics are unchanged.
-    (
-        batch_df.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col(key)), F.lit(N_LOOKUP_BUCKETS)).cast("int"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{store_dir}/log/snap={snap}")
+    # function of the key, so merge semantics are unchanged.  The
+    # layout repartition keeps it at one file per bucket directory.
+    bucketed = batch_df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col(key)), F.lit(N_LOOKUP_BUCKETS)).cast("int"),
     )
-    n = spark.read.parquet(f"{store_dir}/log/snap={snap}").count()
+    _layout(bucketed, ["bucket"], 1, key).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{store_dir}/log/snap={snap}")
+    # read BACK what landed (the manifest must describe the on-disk
+    # partition); an empty batch writes a file-less dir — commit it as
+    # an explicit empty snapshot and drop the stub dir
+    landed = _try_read(spark, f"{store_dir}/log/snap={snap}")
+    if landed is None:
+        n = 0
+        _fs_delete(spark, f"{store_dir}/log/snap={snap}")
+    else:
+        n = landed.count()
     # THE commit point: one single-row manifest append
-    spark.createDataFrame(
-        [(snap, n, batch_id)], "snap int, n_rows long, batch_id string"
+    _local_rows(
+        spark, "snap int, n_rows long, batch_id string", [(snap, n, batch_id)]
     ).coalesce(1).write.mode("append").parquet(f"{store_dir}/_snapshots")
     return snap
 
@@ -172,11 +233,16 @@ def _merge_rows(
     sink's contract: an old upsert can never resurrect a deleted key);
     the snapshot id only breaks exact seq ties (a redelivered op
     re-committed verbatim resolves to the newer physical row, same
-    content)."""
+    content).  MapType payload columns are excluded from the hash
+    tie-break exactly as in `upsert_cdc_by_key_bucketed` — xxhash64
+    cannot hash maps; the tie-break stays deterministic over the
+    hashable columns."""
+    by_name = {f.name: f.dataType for f in allrows.schema.fields}
     payload = sorted(
         c
         for c in allrows.columns
         if c not in {key, seq_col, op_col, "snap", "bucket"}
+        and not isinstance(by_name[c], T.MapType)
     )
     row_hash = F.xxhash64(
         *[F.col(c) for c in [key, seq_col, op_col, *payload]]
@@ -226,16 +292,30 @@ def compact_snapshots(
     key: str = "id",
     seq_col: str = "seq",
     op_col: str = "op",
+    drop_tombstones_below_seq: int | None = None,
 ) -> DataFrame:
     """Fold snapshots ≤ ``upto_snap`` into a fresh base generation and
     commit (one ``_commits`` append — readers atomically move to the
     new base + shorter tail).  Winner rows RETAIN their original
     (snap, seq, op) columns so later merges stay uniform; tombstones
-    are kept in the base (a still-later upsert in the tail must lose to
-    nothing, and redelivery-horizon GC of tombstones is a separate
-    policy, as in the CDC sink).  Folded log partitions are GC'd
-    best-effort — correctness never depends on it.  Returns a one-row
-    (new_base_gen, horizon, n_rows) receipt."""
+    are kept in the base by default (a still-later upsert in the tail
+    must lose to nothing).
+
+    ``drop_tombstones_below_seq`` is the redelivery-horizon retention
+    policy: tombstone winners with seq below the watermark are dropped
+    from the new base, and the watermark is persisted so
+    `snapshot_commit` rejects any later batch carrying ops below it —
+    the pair is what makes the drop safe (nothing a dropped tombstone
+    was guarding against can ever enter the store again).  The compact
+    itself refuses the watermark if the REMAINING tail already holds
+    ops below it (they would out-merge nothing after the drop).  The
+    watermark append lands BEFORE the generation commit: a crash
+    between the two leaves a store that rejects stale ingest but still
+    has every tombstone — safe in both halves.
+
+    Folded log partitions are GC'd best-effort — correctness never
+    depends on it.  Returns a one-row (new_base_gen, horizon, n_rows)
+    receipt."""
     committed = current_snapshot(spark, store_dir)
     if upto_snap > committed:
         raise ValueError(
@@ -249,13 +329,42 @@ def compact_snapshots(
             f"horizon {horizon}"
         )
     folded = _merged_state(spark, store_dir, upto_snap, key, seq_col, op_col)
+    if drop_tombstones_below_seq is not None:
+        wm = int(drop_tombstones_below_seq)
+        tail = _try_read(spark, f"{store_dir}/log")
+        if tail is not None and upto_snap < committed:
+            n_below = (
+                tail.filter(
+                    (F.col("snap") > upto_snap)
+                    & (F.col("snap") <= committed)
+                    & (F.col(seq_col) < wm)
+                )
+                .limit(1)
+                .count()
+            )
+            if n_below:
+                raise ValueError(
+                    f"compact_snapshots: the uncompacted tail still holds "
+                    f"op(s) with {seq_col} below the requested retention "
+                    f"watermark {wm} — dropping tombstones under them could "
+                    f"resurrect deleted keys; pick a lower watermark or "
+                    f"compact further first"
+                )
+        folded = folded.filter(
+            ~((F.col(op_col) == "D") & (F.col(seq_col) < wm))
+        )
     new_gen = gen + 1
     # the base keeps the bucket sub-partitioning so point lookups prune
     # the compacted prefix exactly like the log tail
-    folded.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{store_dir}/base_g{new_gen}"
-    )
+    _layout(folded, ["bucket"], 1, key).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{store_dir}/base_g{new_gen}")
     n = spark.read.parquet(f"{store_dir}/base_g{new_gen}").count()
+    if drop_tombstones_below_seq is not None:
+        # watermark BEFORE the flip (see docstring: both crash halves safe)
+        _local_rows(
+            spark, "watermark long", [(int(drop_tombstones_below_seq),)]
+        ).coalesce(1).write.mode("append").parquet(f"{store_dir}/_retention")
     # THE commit: (gen, horizon) flip in one manifest append
     _append_commit(spark, store_dir, seq + 1, new_gen, upto_snap)
     # best-effort GC of the superseded base and the folded tail
@@ -263,16 +372,17 @@ def compact_snapshots(
         _fs_delete(spark, f"{store_dir}/base_g{gen}")
     for s in range(horizon + 1, upto_snap + 1):
         _fs_delete(spark, f"{store_dir}/log/snap={s}")
-    return spark.createDataFrame(
-        [(new_gen, upto_snap, n)],
+    return _local_rows(
+        spark,
         "base_gen int, horizon int, n_rows long",
+        [(new_gen, upto_snap, n)],
     )
 
 
 def snapshot_lookup(
     spark: SparkSession,
     store_dir: str,
-    keys: list[int],
+    keys: list,
     snap: int | None = None,
     key: str = "id",
     seq_col: str = "seq",
@@ -283,11 +393,16 @@ def snapshot_lookup(
     sub-partitions those keys hash into, in both the compacted base
     and the log tail (static partition pruning on the ``bucket``
     directory column; the routing collect is bounded by
-    min(|keys|, N_LOOKUP_BUCKETS)).  Because the bucket is a pure key
-    function, the within-bucket merge is exact — byte-identical to
-    filtering a full `read_as_of` (pinned by test).  The Delta/Iceberg
-    point-read story: scan cost per lookup is |buckets touched| /
-    N_LOOKUP_BUCKETS of the state, regardless of table size."""
+    min(|keys|, N_LOOKUP_BUCKETS)).  The routing frame is built with
+    the store key column's ACTUAL type read from the committed schema
+    — xxhash64 hashes int, long and string inputs differently, so
+    hashing the caller's python literals as anything else would route
+    to the wrong buckets and silently drop rows.  Because the bucket
+    is a pure key function, the within-bucket merge is exact —
+    byte-identical to filtering a full `read_as_of` (pinned by test).
+    The Delta/Iceberg point-read story: scan cost per lookup is
+    |buckets touched| / N_LOOKUP_BUCKETS of the state, regardless of
+    table size."""
     committed = current_snapshot(spark, store_dir)
     if snap is not None and snap > committed:
         raise ValueError(
@@ -301,7 +416,18 @@ def snapshot_lookup(
             f"snapshot_lookup: snapshot {s} is below the compaction "
             f"horizon {horizon}"
         )
-    kdf = spark.createDataFrame([(int(k),) for k in keys], f"{key} long")
+    base_df = (
+        spark.read.parquet(f"{store_dir}/base_g{gen}") if gen > 0 else None
+    )
+    tail = _try_read(spark, f"{store_dir}/log")
+    src = tail if tail is not None else base_df
+    if src is None:
+        raise ValueError(f"snapshot_lookup: empty store at {store_dir}")
+    # the store's real key type — both hash sides MUST agree (see above)
+    ktype = src.schema[key].dataType
+    kdf = _local_rows(
+        spark, f"{key} {ktype.simpleString()}", [(k,) for k in keys]
+    )
     buckets = [
         r["b"]
         for r in kdf.select(
@@ -313,13 +439,8 @@ def snapshot_lookup(
         .collect()
     ]
     parts = []
-    if gen > 0:
-        parts.append(
-            spark.read.parquet(f"{store_dir}/base_g{gen}").filter(
-                F.col("bucket").isin(buckets)
-            )
-        )
-    tail = _try_read(spark, f"{store_dir}/log")
+    if base_df is not None:
+        parts.append(base_df.filter(F.col("bucket").isin(buckets)))
     if tail is not None:
         parts.append(
             tail.filter(
@@ -328,12 +449,10 @@ def snapshot_lookup(
                 & F.col("bucket").isin(buckets)
             )
         )
-    if not parts:
-        raise ValueError(f"snapshot_lookup: empty store at {store_dir}")
     allrows = parts[0]
     for p in parts[1:]:
         allrows = allrows.unionByName(p)
-    allrows = allrows.filter(F.col(key).isin([int(k) for k in keys]))
+    allrows = allrows.filter(F.col(key).isin(list(keys)))
     merged = _merge_rows(allrows, key, seq_col, op_col)
     return merged.filter(F.col(op_col) != "D").drop(op_col, "snap", "bucket")
 
@@ -344,33 +463,76 @@ def snapshot_fsck(
     key: str = "id",
     seq_col: str = "seq",
     op_col: str = "op",
+    state_sample: int = 3,
 ) -> DataFrame:
     """Store integrity audit — one row per COMMITTED snapshot:
     ``n_rows_manifest`` (what the commit recorded), ``n_rows_log``
     (what the log partition actually holds on disk), and ``n_state``
-    (live keys as of that snapshot through `read_as_of`).  A truncated
-    or double-written log partition shows up as a manifest/log
-    mismatch; a merge regression shows up in n_state.  On a COMPACTED
-    store only snapshots above the horizon are audited — the folded
-    log partitions are gone by design (their history lives in the
-    base, whose row count the per-commit manifest rows no longer
-    describe).  Everything is read through the same resolvers probes
-    use."""
+    (live keys as of that snapshot).  A truncated or double-written
+    log partition shows up as a manifest/log mismatch; a merge
+    regression shows up in n_state.
+
+    Single-pass shape (round-12): the on-disk counts for EVERY audited
+    snapshot come from ONE grouped count over the whole ``log/`` tail
+    (partition-column groupBy — a 1000-commit store is one Spark job,
+    not 1000), and the expensive full-merge ``n_state`` is computed
+    only for the HIGHEST ``state_sample`` snapshots (the versions
+    production reads actually serve); older rows carry NULL n_state.
+    Pass ``state_sample`` >= the commit count for the exhaustive
+    audit.  On a COMPACTED store only snapshots above the horizon are
+    audited — the folded log partitions are gone by design (their
+    history lives in the base, whose row count the per-commit manifest
+    rows no longer describe).  Everything is read through the same
+    resolvers probes use."""
     m = _manifest(spark, store_dir)
     if m is None:
         raise ValueError(f"snapshot_fsck: no manifest at {store_dir}")
-    _, horizon = _base_state(spark, store_dir)
+    gen, horizon = _base_state(spark, store_dir)
+    mrows = sorted(m.collect(), key=lambda r: r["snap"])
+    audited = [r for r in mrows if int(r["snap"]) > horizon]
+    # ONE grouped count over the log tail for every on-disk row count
+    tail = _try_read(spark, f"{store_dir}/log")
+    log_counts: dict[int, int] = {}
+    if tail is not None:
+        log_counts = {
+            int(r["snap"]): int(r["n"])
+            for r in tail.filter(F.col("snap") > horizon)
+            .groupBy("snap")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    base_df = (
+        spark.read.parquet(f"{store_dir}/base_g{gen}") if gen > 0 else None
+    )
+    sampled = {int(r["snap"]) for r in audited[-state_sample:]} if state_sample > 0 else set()
     rows = []
-    for r in sorted(m.collect(), key=lambda r: r["snap"]):
+    for r in audited:
         s = int(r["snap"])
-        if s <= horizon:
-            continue  # folded into the base; its log partition is GC'd
-        n_log = spark.read.parquet(f"{store_dir}/log/snap={s}").count()
-        n_state = read_as_of(spark, store_dir, s, key, seq_col, op_col).count()
-        rows.append((s, int(r["n_rows"]), n_log, n_state))
-    return spark.createDataFrame(
-        rows,
+        n_state = None
+        if s in sampled:
+            parts = [] if base_df is None else [base_df]
+            if tail is not None:
+                parts.append(
+                    tail.filter(
+                        (F.col("snap") > horizon) & (F.col("snap") <= s)
+                    )
+                )
+            if not parts:
+                n_state = 0  # manifest-only store (all commits empty)
+            else:
+                allrows = parts[0]
+                for p in parts[1:]:
+                    allrows = allrows.unionByName(p)
+                n_state = (
+                    _merge_rows(allrows, key, seq_col, op_col)
+                    .filter(F.col(op_col) != "D")
+                    .count()
+                )
+        rows.append((s, int(r["n_rows"]), log_counts.get(s, 0), n_state))
+    return _local_rows(
+        spark,
         "snap int, n_rows_manifest long, n_rows_log long, n_state long",
+        rows,
     )
 
 
@@ -437,10 +599,16 @@ def start_snapshot_stream(
     becomes ONE committed snapshot, with the Structured-Streaming
     batch_id as the exactly-once key — a redelivered batch (foreachBatch
     retry after a sink-side crash) finds its batch_id in the manifest
-    and no-ops, so the snapshot history never forks or duplicates."""
-    sink = lambda bdf, bid: snapshot_commit(  # noqa: E731
-        bdf, store_dir, key, seq_col, op_col, batch_id=f"sb-{bid}"
-    )
+    and no-ops, so the snapshot history never forks or duplicates.
+    EMPTY micro-batches are skipped entirely (no data, no manifest
+    row) — availableNow drains and trigger gaps produce them
+    routinely, and committing each would churn the version counter."""
+
+    def sink(bdf, bid):
+        if bdf.isEmpty():
+            return
+        snapshot_commit(bdf, store_dir, key, seq_col, op_col, batch_id=f"sb-{bid}")
+
     writer = changelog_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )

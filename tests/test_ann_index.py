@@ -542,3 +542,76 @@ def test_compact_to_empty_fails_fast_store_intact(spark, tmp_path):
     dirs = ann_index.resolve_dirs(spark, idx)
     assert dirs["cells"].endswith("/cells")
     assert spark.read.parquet(dirs["cells"]).count() == len(ids)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: caller-vector DPP probe + cache discipline
+# ---------------------------------------------------------------------------
+def test_probe_vectors_dpp_byte_identical_and_zero_collect(spark, built):
+    """The caller-vector DPP probe keeps EXTERNAL query vectors
+    distributed end-to-end: byte-identical to ann_index_probe_vectors
+    on the same member vectors, the executed plan prunes the
+    inverted-file scan through a DynamicPruningExpression, and the
+    plan contains no CollectLimit / driver-routing stage."""
+    idx, _ = built
+    emb = load(spark, SF, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    static = sorted(
+        map(tuple, ann_index.ann_index_probe_vectors(spark, idx, qdf, k=5, n_probe=4).collect())
+    )
+    dpp_df = ann_index.ann_index_probe_vectors_dpp(spark, idx, qdf, k=5, n_probe=4)
+    plan = dpp_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "collectlimit" not in plan.lower()
+    assert sorted(map(tuple, dpp_df.collect())) == static
+    # ... and agrees with the member-id DPP form on member queries
+    member = sorted(
+        map(tuple, ann_index.ann_index_probe_dpp(spark, idx, QIDS, k=5, n_probe=4).collect())
+    )
+    assert sorted(map(tuple, dpp_df.collect())) == member
+
+
+def test_probe_vectors_dpp_respects_tombstones(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    dead = list(range(50, 90))
+    ann_index.ann_index_delete(spark, idx, dead)
+    qdf = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ann_index.ann_index_probe_vectors_dpp(spark, idx, qdf).collect()
+    assert out and not any(r["neighbor_id"] in dead for r in out)
+
+
+def test_lifecycle_leaves_cache_idle(spark, tmp_path):
+    """Cache-discipline sweep (round-12 verdict task 7): after EVERY
+    index verb returns and its result is consumed, no persisted RDD
+    may remain registered — a leaked pin would degrade the whole
+    session (caching.py policy)."""
+    from conftest import assert_cache_idle
+
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    base_df = emb.filter(F.col("vec_id") % 20 != 7)
+    new_df = emb.filter(F.col("vec_id") % 20 == 7)
+    qdf = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    steps = [
+        ("build", lambda: ann_index.ann_index_build(base_df, idx).collect()),
+        ("probe", lambda: ann_index.ann_index_probe(spark, idx, QIDS).collect()),
+        ("probe_vectors", lambda: ann_index.ann_index_probe_vectors(spark, idx, qdf).collect()),
+        ("probe_dpp", lambda: ann_index.ann_index_probe_dpp(spark, idx, QIDS).collect()),
+        ("probe_vectors_dpp", lambda: ann_index.ann_index_probe_vectors_dpp(spark, idx, qdf).collect()),
+        ("probe_pq", lambda: ann_index.ann_index_probe_pq(spark, idx, QIDS).collect()),
+        ("append", lambda: ann_index.ann_index_append(spark, new_df, idx).collect()),
+        ("delete", lambda: ann_index.ann_index_delete(spark, idx, [100, 120]).collect()),
+        ("stats", lambda: ann_index.ann_index_stats(spark, idx).collect()),
+        ("compact", lambda: ann_index.ann_index_compact(spark, idx).collect()),
+    ]
+    for name, step in steps:
+        step()
+        assert_cache_idle(spark, f"ann_index {name}")

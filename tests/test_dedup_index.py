@@ -314,3 +314,71 @@ def test_compact_to_empty_fails_fast_store_intact(spark, tmp_path):
     dirs = dedup_index.resolve_dedup_dirs(spark, idx)
     assert dirs["sigs"].endswith("/sigs")
     assert spark.read.parquet(dirs["sigs"]).count() == len(live)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: torn-append detectability + cache discipline
+# ---------------------------------------------------------------------------
+def test_torn_append_underreports_and_fsck_flags(spark, tmp_path):
+    """The documented torn-append window (bands land, sigs crash):
+    probes must not error and must not produce phantom pairs — the new
+    docs simply drop at the signature join (under-report only) — and
+    fsck flags the store (ids_match = false)."""
+    idx = str(tmp_path / "idx")
+    docs = load(spark, SF, "documents")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx)
+    clean = _sorted(
+        dedup_index.dedup_index_probe(
+            spark, docs.filter("doc_id % 10 = 0"), idx, min_agree=4
+        )
+    )
+    # simulate the crash: append ONLY the band half for new docs
+    new_docs = docs.filter("doc_id % 10 = 0")
+    base = f"{idx}/v1"
+    num_hashes, bands, shingle_n = dedup_index._meta(spark, base)
+    _, banded, raw = dedup_index._banded(
+        new_docs, "doc_id", "text", num_hashes, bands, shingle_n
+    )
+    try:
+        banded.write.mode("append").partitionBy("band", "pfx").parquet(
+            f"{base}/bands"
+        )
+    finally:
+        raw.unpersist()
+    fsck = dedup_index.dedup_index_fsck(spark, idx).collect()[0]
+    assert fsck["ids_match"] is False
+    torn = _sorted(
+        dedup_index.dedup_index_probe(
+            spark, docs.filter("doc_id % 10 = 0"), idx, min_agree=4
+        )
+    )
+    assert torn == clean  # no phantoms, no errors — under-report only
+
+
+def test_lifecycle_leaves_cache_idle(spark, tmp_path):
+    """Cache-discipline sweep (round-12 verdict task 7): no persisted
+    RDD survives any dedup-index verb — including the failure path of
+    the probe's sign-pass pin (try/finally unpersist)."""
+    from conftest import assert_cache_idle
+
+    idx = str(tmp_path / "idx")
+    docs = load(spark, SF, "documents")
+    base_df = docs.filter("doc_id % 20 != 7")
+    new_df = docs.filter("doc_id % 20 = 7")
+    steps = [
+        ("build", lambda: dedup_index.dedup_index_build(base_df, idx).collect()),
+        ("probe", lambda: dedup_index.dedup_index_probe(spark, new_df, idx, min_agree=4).collect()),
+        ("append", lambda: dedup_index.dedup_index_append(spark, new_df, idx).collect()),
+        ("delete", lambda: dedup_index.dedup_index_delete(spark, idx, [20, 40]).collect()),
+        ("stats", lambda: dedup_index.dedup_index_stats(spark, idx).collect()),
+        ("compact", lambda: dedup_index.dedup_index_compact(spark, idx).collect()),
+        ("fsck", lambda: dedup_index.dedup_index_fsck(spark, idx).collect()),
+    ]
+    for name, step in steps:
+        step()
+        assert_cache_idle(spark, f"dedup_index {name}")
+    # failure path: a duplicate-id append raises BEFORE signing — and
+    # a probe whose caller errors mid-plan must still release its pin
+    with pytest.raises(ValueError):
+        dedup_index.dedup_index_append(spark, new_df, idx)
+    assert_cache_idle(spark, "dedup_index append-raise")

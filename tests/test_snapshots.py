@@ -340,3 +340,150 @@ def test_fsck_on_compacted_store(spark, tmp_path):
     # only the above-horizon tail is auditable; it must be clean
     assert [r["snap"] for r in rows] == [3]
     assert rows[0]["n_rows_manifest"] == rows[0]["n_rows_log"]
+
+
+# ---------------------------------------------------------------------------
+# Round 12: retention policy, key-type routing, empty commits, map
+# payloads, single-pass fsck, cache discipline
+# ---------------------------------------------------------------------------
+def test_retention_drops_tombstones_and_rejects_late_redelivery(spark, tmp_path):
+    """The redelivery-horizon pair: compact with a seq watermark drops
+    old tombstones from the base AND arms the store so a late batch
+    carrying ops below the watermark is rejected at commit — the
+    tombstoned keys stay gone even though their tombstones are."""
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    before = _read(spark, st, 3)
+    snapshots.compact_snapshots(spark, st, 3, drop_tombstones_below_seq=3)
+    # tombstones (all seq 2) are gone from the base
+    base = spark.read.parquet(f"{st}/base_g1")
+    assert base.filter(F.col("op") == "D").count() == 0
+    # the visible state is untouched by the drop
+    assert _read(spark, st, 3) == before
+    # a late redelivery of the seq-1 batch is REJECTED, not resurrected
+    with pytest.raises(ValueError, match="retention watermark"):
+        snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="late")
+    assert snapshots.current_snapshot(spark, st) == 3  # nothing landed
+    assert _read(spark, st, 3) == before
+    # current-seq traffic still flows
+    b4 = b3.withColumn("seq", F.lit(4))
+    assert snapshots.snapshot_commit(b4, st, "id", "seq", batch_id="b4") == 4
+
+
+def test_retention_refuses_unsafe_watermark(spark, tmp_path):
+    """Compacting the prefix with a watermark ABOVE ops still in the
+    uncompacted tail must refuse: dropping tombstones under live
+    lower-seq tail ops could resurrect deleted keys."""
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    with pytest.raises(ValueError, match="below the requested retention"):
+        snapshots.compact_snapshots(spark, st, 2, drop_tombstones_below_seq=4)
+    # a watermark the tail satisfies works fine
+    snapshots.compact_snapshots(spark, st, 2, drop_tombstones_below_seq=2)
+    assert _read(spark, st, 3) == _expected(spark, 3)
+
+
+def test_lookup_routes_by_store_key_type(spark, tmp_path):
+    """xxhash64 hashes INT and LONG inputs differently: a store keyed
+    by an int column must route lookups through the SAME type, or
+    point reads silently miss (round-12 ADVICE fix).  Lookup results
+    must equal the filtered full read for an int-keyed store."""
+    st = str(tmp_path / "store")
+    b1, _, _ = _batches(spark)
+    b1 = b1.withColumn("id", F.col("id").cast("int"))
+    snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="b1")
+    keys = [int(r["id"]) for r in b1.limit(7).collect()]
+    got = sorted(
+        map(tuple, snapshots.snapshot_lookup(spark, st, keys, 1).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            snapshots.read_as_of(spark, st, 1)
+            .filter(F.col("id").isin(keys))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == len(keys)
+
+
+def test_empty_batch_commits_as_empty_snapshot(spark, tmp_path):
+    """An empty changelog interval is committable: the manifest row
+    records n_rows = 0, no log partition exists, and reads at that
+    snapshot serve the prior state (round-12 ADVICE fix)."""
+    st = str(tmp_path / "store")
+    b1, _, _ = _batches(spark)
+    snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="b1")
+    empty = b1.filter(F.lit(False))
+    assert snapshots.snapshot_commit(empty, st, "id", "seq", batch_id="e") == 2
+    assert snapshots.current_snapshot(spark, st) == 2
+    assert not os.path.isdir(f"{st}/log/snap=2")
+    assert _read(spark, st, 2) == _read(spark, st, 1)
+    rows = {r["snap"]: r for r in snapshots.snapshot_fsck(spark, st).collect()}
+    assert rows[2]["n_rows_manifest"] == rows[2]["n_rows_log"] == 0
+
+
+def test_map_payload_column_reads(spark, tmp_path):
+    """A MapType payload column must not break the merge tie-break
+    (xxhash64 cannot hash maps — the CDC sink excludes them; the
+    snapshot store mirrors it, round-12 ADVICE fix)."""
+    st = str(tmp_path / "store")
+    rows = [(1, 1, "U", {"a": "x"}), (2, 1, "U", {"b": "y"}), (2, 2, "D", None)]
+    b = spark.createDataFrame(
+        rows, "id long, seq int, op string, attrs map<string,string>"
+    )
+    snapshots.snapshot_commit(b, st, "id", "seq", batch_id="m1")
+    got = {r["id"]: r["attrs"] for r in snapshots.read_as_of(spark, st).collect()}
+    assert got == {1: {"a": "x"}}
+    lk = snapshots.snapshot_lookup(spark, st, [1, 2]).collect()
+    assert [(r["id"], r["attrs"]) for r in lk] == [(1, {"a": "x"})]
+
+
+def test_fsck_single_pass_sampling(spark, store):
+    """snapshot_fsck audits on-disk counts for EVERY snapshot from one
+    grouped pass; the expensive merged-state count is computed only
+    for the newest ``state_sample`` snapshots (NULL elsewhere)."""
+    full = {r["snap"]: r for r in snapshots.snapshot_fsck(spark, store).collect()}
+    assert set(full) == {1, 2, 3}
+    assert all(full[s]["n_state"] is not None for s in (1, 2, 3))
+    assert all(
+        full[s]["n_rows_manifest"] == full[s]["n_rows_log"] for s in (1, 2, 3)
+    )
+    assert full[3]["n_state"] == len(_expected(spark, 3))
+    sampled = {
+        r["snap"]: r
+        for r in snapshots.snapshot_fsck(spark, store, state_sample=1).collect()
+    }
+    assert sampled[3]["n_state"] == full[3]["n_state"]
+    assert sampled[1]["n_state"] is None and sampled[2]["n_state"] is None
+    # on-disk counts are still audited for every snapshot
+    assert all(
+        sampled[s]["n_rows_log"] == full[s]["n_rows_log"] for s in (1, 2, 3)
+    )
+
+
+def test_store_verbs_leave_cache_idle(spark, tmp_path):
+    """Cache-discipline sweep (round-12 verdict task 7) for the
+    snapshot store lifecycle."""
+    from conftest import assert_cache_idle
+
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    steps = [
+        ("commit", lambda: snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="b1")),
+        ("commit2", lambda: snapshots.snapshot_commit(b2, st, "id", "seq", batch_id="b2")),
+        ("commit3", lambda: snapshots.snapshot_commit(b3, st, "id", "seq", batch_id="b3")),
+        ("read_as_of", lambda: snapshots.read_as_of(spark, st, 2).count()),
+        ("lookup", lambda: snapshots.snapshot_lookup(spark, st, [12, 18]).count()),
+        ("fsck", lambda: snapshots.snapshot_fsck(spark, st).count()),
+        ("diff", lambda: snapshots.snapshot_diff(spark, st, 1, 3).count()),
+        ("compact", lambda: snapshots.compact_snapshots(spark, st, 2).count()),
+        ("read_post", lambda: snapshots.read_as_of(spark, st, 3).count()),
+    ]
+    for name, step in steps:
+        step()
+        assert_cache_idle(spark, f"snapshot store {name}")
