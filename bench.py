@@ -321,6 +321,15 @@ HEADLINE = [
     # reads) represents the family; the compaction twin and the
     # streaming twin follow the capstone/streaming exclusions.
     "snapshot_store_time_travel",
+    # round-12 additions: the ES multi_match analyzer behaviors
+    # (stemmed BM25, levenshtein fuzzy match) and the caller-vector DPP
+    # probe (the zero-driver-routing serving path for external query
+    # embeddings).  snapshot_store_retention follows the compaction-twin
+    # exclusion (its cost story is snapshot_store_time_travel + one
+    # compact, both represented).
+    "ranked_search_stemmed",
+    "fuzzy_keyword_search",
+    "ann_index_probe_vectors_dpp",
 ]
 
 
@@ -562,6 +571,39 @@ def bench_streaming_ingest_upsert(spark) -> tuple[float, int]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _provenance() -> dict:
+    """Machine-state fields recorded into BENCH_DETAIL.json (round-12
+    verdict task 8): the builder's close-out and the driver's stamp of
+    the SAME code have differed >2x, so round-over-round comparisons
+    need the load average and FS cache state of each run to normalize
+    against.  Never emitted on the stdout JSON line (2000-byte cap)."""
+    prov: dict = {}
+    try:
+        prov["loadavg_1m"], prov["loadavg_5m"], prov["loadavg_15m"] = (
+            round(x, 2) for x in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mem = dict(
+                (line.split(":")[0], line.split(":")[1].strip())
+                for line in f
+                if ":" in line
+            )
+        for k_src, k_out in (
+            ("Cached", "fs_cached_kb"),
+            ("MemAvailable", "mem_available_kb"),
+            ("Dirty", "dirty_kb"),
+        ):
+            if k_src in mem:
+                prov[k_out] = int(mem[k_src].split()[0])
+    except OSError:
+        pass
+    prov["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "")
+    return prov
+
+
 def _emit_final_json(payload: dict, limit: int = 1950) -> str:
     """Serialize the result line, guaranteed to fit the driver's 2000-byte
     stdout tail buffer (round 3's 70-query line overflowed it and the
@@ -591,6 +633,7 @@ def main() -> None:
     from cloud_native_reddit_data_pipeline_spark import queries as registry
     from cloud_native_reddit_data_pipeline_spark.session import build_session
 
+    prov_start = _provenance()
     spark = build_session("cnrdp-bench")
     qs = registry.queries()
 
@@ -680,6 +723,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     detail = dict(payload)
+    detail["provenance"] = {"start": prov_start, "end": _provenance()}
     try:
         with open(detail_path) as f:
             prev = json.load(f)

@@ -95,6 +95,36 @@ from .clustering import _quantize as _pq_quantize
 from .similarity import _pq_encode_df, _pq_seed_codebook
 
 
+def _assign_cells(scored: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Winner centroid per vector from the scored cross product —
+    highest ccos, lowest centroid_id on ties (the exact
+    similarity.ivf_topk assignment rule) — as a MAP-SIDE-COMBINABLE
+    max_by aggregate instead of a window row_number: no per-partition
+    sort, partial aggregation before the shuffle (at corpus scale the
+    assignment pass combines n_centroids-to-1 on the map side; the
+    window form shuffles and sorts every scored row)."""
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col(vec_col).alias("v"),
+                    F.col("centroid_id").alias("c"),
+                ),
+                F.struct(
+                    F.col("ccos").alias("s"),
+                    (-F.col("centroid_id")).alias("nc"),
+                ),
+            ).alias("_w")
+        )
+        .select(
+            id_col,
+            F.col("_w.v").alias(vec_col),
+            F.col("_w.c").cast("int").alias("cell"),
+        )
+    )
+
+
 def _cells_dir(base: str, gen: int) -> str:
     return f"{base}/cells" if gen == 0 else f"{base}/cells_g{gen}"
 
@@ -170,14 +200,7 @@ def ann_index_build(
         F.col("centroid_id"),
         F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
     )
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w_assign))
-        .filter(F.col("_rk") == 1)
-        .select(
-            id_col, vec_col, F.col("centroid_id").cast("int").alias("cell")
-        )
-    )
+    assigned = _assign_cells(scored, id_col, vec_col)
     # the partitionBy write IS the inverted layout: one directory per
     # cell, so probes prune on disk; the layout repartition keeps it at
     # files_per_cell files per directory instead of one per write task
@@ -299,12 +322,7 @@ def ann_index_append(
         F.col("centroid_id"),
         F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
     )
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w_assign))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").cast("int").alias("cell"))
-    )
+    assigned = _assign_cells(scored, id_col, vec_col)
     _layout(assigned, ["cell"], 1, id_col).write.mode("append").partitionBy(
         "cell"
     ).parquet(cells_dir)

@@ -475,6 +475,46 @@ def ranked_keyword_search_bm25(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def _stem_step1_sql(expr: str) -> str:
+    """Porter-lite step 1a (plural stripping) as portable SQL over an
+    already-lowercased token: sses→ss · ies→i · keep ss · drop
+    trailing s (len > 3)."""
+    t = f"({expr})"
+    return (
+        f"CASE WHEN length{t} > 4 AND right({t}, 4) = 'sses' "
+        f"THEN substr({t}, 1, length{t} - 2) "
+        f"WHEN length{t} > 3 AND right({t}, 3) = 'ies' "
+        f"THEN substr({t}, 1, length{t} - 2) "
+        f"WHEN right({t}, 2) = 'ss' THEN {t} "
+        f"WHEN length{t} > 3 AND right({t}, 1) = 's' "
+        f"THEN substr({t}, 1, length{t} - 1) "
+        f"ELSE {t} END"
+    )
+
+
+def _stem_step2_sql(expr: str) -> str:
+    """Porter-lite step 1b (ing/ed stripping, vowel-in-stem gated) as
+    portable SQL over a step-1a output.  The vowel test is
+    translate-based — no regexp, whose flag syntax diverges between
+    Spark SQL and DuckDB."""
+    s = f"({expr})"
+    vowel_ing = (
+        f"length(translate(substr({s}, 1, length{s} - 3), 'aeiou', ''))"
+        f" < length{s} - 3"
+    )
+    vowel_ed = (
+        f"length(translate(substr({s}, 1, length{s} - 2), 'aeiou', ''))"
+        f" < length{s} - 2"
+    )
+    return (
+        f"CASE WHEN length{s} > 4 AND right({s}, 3) = 'ing' AND {vowel_ing} "
+        f"THEN substr({s}, 1, length{s} - 3) "
+        f"WHEN length{s} > 3 AND right({s}, 2) = 'ed' AND {vowel_ed} "
+        f"THEN substr({s}, 1, length{s} - 2) "
+        f"ELSE {s} END"
+    )
+
+
 def porter_lite_stem_sql(expr: str) -> str:
     """Deterministic Porter-lite suffix stripper over an (already
     lowercased) token, as PORTABLE SQL — the text runs verbatim in
@@ -489,33 +529,14 @@ def porter_lite_stem_sql(expr: str) -> str:
       1b. strip 'ing' (len > 4) / 'ed' (len > 3) when a vowel remains
           in the stem (translate-based vowel test)
     Not full Porter (no m-measure, no steps 2-5) — deliberately simple
-    enough to be engine-portable and deterministic."""
-    t = f"({expr})"
-    s1 = (
-        f"(CASE WHEN length{t} > 4 AND right({t}, 4) = 'sses' "
-        f"THEN substr({t}, 1, length{t} - 2) "
-        f"WHEN length{t} > 3 AND right({t}, 3) = 'ies' "
-        f"THEN substr({t}, 1, length{t} - 2) "
-        f"WHEN right({t}, 2) = 'ss' THEN {t} "
-        f"WHEN length{t} > 3 AND right({t}, 1) = 's' "
-        f"THEN substr({t}, 1, length{t} - 1) "
-        f"ELSE {t} END)"
-    )
-    vowel_ing = (
-        f"length(translate(substr({s1}, 1, length({s1}) - 3), 'aeiou', ''))"
-        f" < length({s1}) - 3"
-    )
-    vowel_ed = (
-        f"length(translate(substr({s1}, 1, length({s1}) - 2), 'aeiou', ''))"
-        f" < length({s1}) - 2"
-    )
-    return (
-        f"CASE WHEN length({s1}) > 4 AND right({s1}, 3) = 'ing' AND {vowel_ing} "
-        f"THEN substr({s1}, 1, length({s1}) - 3) "
-        f"WHEN length({s1}) > 3 AND right({s1}, 2) = 'ed' AND {vowel_ed} "
-        f"THEN substr({s1}, 1, length({s1}) - 2) "
-        f"ELSE {s1} END"
-    )
+    enough to be engine-portable and deterministic.  Composed from the
+    two step helpers; the Spark operator evaluates the steps as
+    SEPARATE projections (the step-1a output feeds step 1b once per
+    row, instead of being re-derived inside every step-1b branch —
+    CollapseProject keeps non-cheap multiply-referenced aliases in
+    their own Project, and the 100x smoke measured the fused form 4x
+    slower), while the oracle nests the same texts."""
+    return _stem_step2_sql(_stem_step1_sql(expr))
 
 
 def ranked_keyword_search_stemmed(
@@ -555,15 +576,23 @@ def ranked_keyword_search_stemmed(
         .collect()[0]
     )
     kset = sorted(set(srow))
-    stem = F.expr(porter_lite_stem_sql("term"))
     lens = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
     stats = lens.select(
         F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
     )
+    # stem-invariant prefix prefilter: the stemmer only strips
+    # suffixes, so a token whose stem is in kset must share the stem's
+    # first min(3, shortest-stem) characters — a cheap substring isin
+    # that discards ~all tokens BEFORE the expensive stem expression
+    # (the 100x smoke measured 107s -> single digits with it)
+    plen = min(3, min(len(s) for s in kset)) if kset else 3
+    prefixes = sorted({s[:plen] for s in kset})
     hits = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
         .select(id_col, F.lower(F.col("_t")).alias("term"))
-        .select(id_col, stem.alias("term"))
+        .filter(F.substring("term", 1, plen).isin(prefixes))
+        .withColumn("_s1", F.expr(_stem_step1_sql("term")))
+        .select(id_col, F.expr(_stem_step2_sql("_s1")).alias("term"))
         .filter(F.col("term").isin(kset))
     )
     tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -19,30 +19,38 @@ def spark():
 
 
 def assert_cache_idle(spark, where: str = "") -> None:
-    """Cache-discipline gate: after a store verb returns, NO persisted
-    RDD may remain registered — a leaked pin survives the session and
-    degrades every later query (bench.py measured 3x historically;
-    caching.py documents the policy).  localCheckpoint results don't
-    count: they are executor-local blocks the ContextCleaner reclaims
-    once the DataFrame is garbage-collected, not CacheManager entries
-    — but they DO appear in getPersistentRDDs until collected, so we
-    force a GC-driven cleanup pass first."""
+    """Cache-discipline gate: after a store verb returns, no PERSIST
+    pin may remain registered — a leaked persist survives the session
+    and degrades every later query (bench.py measured 3x historically;
+    caching.py documents the policy).  localCheckpoint results are
+    exempt BY DESIGN: they are ContextCleaner-managed blocks reclaimed
+    asynchronously once the result frame is garbage-collected (the
+    exact mechanism materialize_and_release relies on), so they are
+    filtered out rather than raced."""
     import gc
-
-    gc.collect()
-    sc = spark.sparkContext
-    sc._jvm.System.gc()
-    # the Python ContextCleaner queue drains asynchronously; poll briefly
     import time
 
-    for _ in range(40):
-        n = sc._jsc.sc().getPersistentRDDs().size()
-        if n == 0:
-            return
-        time.sleep(0.25)
+    sc = spark.sparkContext
+
+    def _pinned() -> list[str]:
+        rdds = sc._jsc.sc().getPersistentRDDs()
+        it = rdds.iterator()
+        out = []
+        while it.hasNext():
+            rdd = it.next()._2()
+            if not rdd.isLocallyCheckpointed():
+                out.append(rdd.toString())
+        return out
+
+    # one GC pass gives in-flight unpersists a chance to land
+    for _ in range(8):
         gc.collect()
         sc._jvm.System.gc()
+        pins = _pinned()
+        if not pins:
+            return
+        time.sleep(0.25)
     raise AssertionError(
         f"cache not idle{' after ' + where if where else ''}: "
-        f"{sc._jsc.sc().getPersistentRDDs().size()} persistent RDD(s) pinned"
+        f"{len(pins)} persist pin(s): {pins[:3]}"
     )

@@ -487,3 +487,36 @@ def test_store_verbs_leave_cache_idle(spark, tmp_path):
     for name, step in steps:
         step()
         assert_cache_idle(spark, f"snapshot store {name}")
+
+
+def test_fsck_job_count_constant_in_commits(spark, tmp_path):
+    """The single-pass fsck claim, measured: every on-disk count comes
+    from ONE grouped pass over log/ and n_state from a FIXED sample, so
+    the Spark-job count does not grow with the commit count (the
+    round-11 form launched 2 jobs PER snapshot).  Job counts are
+    AQE-inflated (several jobs per action), so the pin is comparative:
+    a 12-commit store must launch no more jobs than a 4-commit one."""
+
+    def _jobs_for(n_commits: int, group: str) -> int:
+        st = str(tmp_path / f"store{n_commits}")
+        b1, _, _ = _batches(spark)
+        small = b1.limit(40).localCheckpoint(eager=True)
+        for i in range(n_commits):
+            snapshots.snapshot_commit(
+                small.withColumn("seq", F.lit(i + 1)), st, "id", "seq",
+                batch_id=f"b{i}",
+            )
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "fsck job audit")
+        try:
+            snapshots.snapshot_fsck(spark, st, state_sample=2).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group) or []
+        return len(set(jobs))
+
+    small_store = _jobs_for(4, "fsck-count-4")
+    big_store = _jobs_for(12, "fsck-count-12")
+    assert 0 < big_store <= small_store + 1, (
+        f"fsck jobs grew with commits: {small_store} -> {big_store}"
+    )
