@@ -90,6 +90,7 @@ from ..storage.manifest import (
     reset_version_dir as _reset_version_dir,
     store_base as _base,
     try_read_parquet as _try_read,
+    verify_readable as _verify_readable,
 )
 from .clustering import _quantize as _pq_quantize
 from .similarity import _pq_encode_df, _pq_seed_codebook
@@ -441,13 +442,15 @@ def ann_index_compact(
     # verify the new generation is READABLE before flipping readers to
     # it — compacting a fully-tombstoned index writes file-less dirs,
     # and committing those would brick the store after the GC below
-    for d in (_cells_dir(base, new_gen), _codes_dir(base, new_gen)):
-        if _try_read(spark, d) is None:
-            raise ValueError(
-                f"ann_index_compact: new generation at {d} is empty or "
-                f"unreadable (every row tombstoned?) — store left on the "
-                f"old generation; rebuild instead of compacting to empty"
-            )
+    unreadable = _verify_readable(
+        spark, _cells_dir(base, new_gen), _codes_dir(base, new_gen)
+    )
+    if unreadable:
+        raise ValueError(
+            f"ann_index_compact: new generation at {unreadable} is empty "
+            f"or unreadable (every row tombstoned?) — store left on the "
+            f"old generation; rebuild instead of compacting to empty"
+        )
 
     # THE commit: readers atomically move to (new_gen, tomb_gen+1) —
     # the fresh tombstone generation has no directory, i.e. empty log

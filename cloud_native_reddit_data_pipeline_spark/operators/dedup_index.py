@@ -38,8 +38,11 @@ object-store-safe commit story):
   `dedup_index_fsck` flags the store (ids_match = false).  Bands are
   deliberately written FIRST: the reverse order would leave signed
   documents invisible to banding — the same under-report, but
-  undetectable by the band-side join audit.  Re-run the append after
-  a compact to heal.
+  undetectable by the band-side join audit.  The append guard counts
+  band-side ids as live, so a blind re-run fails fast instead of
+  doubling the band half; `dedup_index_compact` HEALS the store (its
+  rewrite keeps only ids present in both halves), after which the
+  append can be re-run cleanly.
 - `dedup_index_delete`  — tombstone append (LSM delete); probes
   anti-join the (broadcast, tombstone-sized) delete log.
 - `dedup_index_compact` — rewrite live rows into a fresh generation
@@ -94,6 +97,7 @@ from ..storage.manifest import (
     reset_version_dir as _reset_version_dir,
     store_base as _base,
     try_read_parquet as _try_read,
+    verify_readable as _verify_readable,
 )
 from .dedup import lsh_band_keys, minhash_signatures
 
@@ -342,13 +346,18 @@ def dedup_index_append(
     fails fast — its dead rows still live in sigs/bands until the next
     compact, so clearing the tombstone would resurrect them next to
     the new rows; a live duplicate id fails fast under
-    ``assert_unique`` (pruned one-column scan of the signature table)
-    — duplicate ids would double candidate rows.  Both guards resolve
-    in ONE Spark job.
+    ``assert_unique``, which checks BOTH halves of the store (the
+    signature table and the band table — a torn append leaves the id
+    band-side only, and re-appending it blind would double its band
+    rows).  Both guards resolve in ONE Spark job (distinct-doc counts
+    over a union semi-join).
 
     Crash window: bands append first, sigs second — see the module
     docstring's torn-append note (a crash between the halves makes
-    probes under-report the new docs only, and fsck flags it)."""
+    probes under-report the new docs only, and fsck flags it).  The
+    heal path: `dedup_index_compact` drops the orphaned band half
+    (its rewrite keeps only doc ids present in BOTH tables), after
+    which the append can be re-run cleanly."""
     base = _base(index_dir, version)
     num_hashes, bands, shingle_n = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
@@ -364,6 +373,11 @@ def dedup_index_append(
                 "doc_id", F.lit("live").alias("_why")
             )
         )
+        conflicts.append(
+            spark.read.parquet(_bands_dir(base, gen)).select(
+                "doc_id", F.lit("live").alias("_why")
+            )
+        )
     if conflicts:
         existing = conflicts[0]
         for c in conflicts[1:]:
@@ -372,7 +386,7 @@ def dedup_index_append(
             r["_why"]: r["n"]
             for r in existing.join(F.broadcast(new_ids), "doc_id", "semi")
             .groupBy("_why")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.countDistinct("doc_id").alias("n"))
             .collect()
         }
         if hits.get("dead"):
@@ -384,9 +398,11 @@ def dedup_index_append(
         if hits.get("live"):
             raise ValueError(
                 f"dedup_index_append: {hits['live']} incoming id(s) already "
-                f"present in the index — duplicate ids double candidate "
-                f"rows; pass assert_unique=False only with an external "
-                f"uniqueness guarantee"
+                f"present in the index (in either store half — a torn "
+                f"append counts) — duplicate ids double candidate rows; "
+                f"run dedup_index_compact to heal a torn store, or pass "
+                f"assert_unique=False only with an external uniqueness "
+                f"guarantee"
             )
 
     sigs, banded, raw = _banded(
@@ -445,11 +461,16 @@ def dedup_index_compact(
     protocol, storage/manifest.py — never a rename, crash-safe on
     object stores; the fresh generation has no tombstone dir, which IS
     the delete-log truncation).  Old generations GC'd best-effort.
-    Returns the per-(band, pfx) manifest read back from the compacted
-    store.  The tombstone log is loaded once and reused by both
-    rewrites; the band rewrite is cached so the returned manifest
-    aggregates the cached rows instead of re-scanning the new
-    generation."""
+    Returns the per-(band, pfx) manifest read BACK from the compacted
+    store (the receipt proves what is ON DISK — same gate discipline
+    as build/append).
+
+    The rewrite also HEALS a torn append: only doc ids present in BOTH
+    live halves survive (an inner-consistency semi-join each way), so
+    an orphaned band half from a crash between the append's two writes
+    is dropped here — after which the interrupted append can be re-run
+    cleanly (its guard counts band-side ids as live until then).  The
+    tombstone log is loaded once and reused by both rewrites."""
     base = _base(index_dir, version)
     gen, tomb_gen, seq = _state(spark, base)
     new_gen = gen + 1
@@ -457,45 +478,51 @@ def dedup_index_compact(
 
     bands_live = _anti_tombstones(
         spark.read.parquet(_bands_dir(base, gen)), tombs, "doc_id"
-    ).persist()
-    try:
-        _layout(bands_live, ["band", "pfx"], files_per_partition, "doc_id").write.mode(
-            "overwrite"
-        ).partitionBy("band", "pfx").parquet(_bands_dir(base, new_gen))
-        sigs_live = _anti_tombstones(
-            spark.read.parquet(_sigs_dir(base, gen)), tombs, "doc_id"
+    )
+    sigs_live = _anti_tombstones(
+        spark.read.parquet(_sigs_dir(base, gen)), tombs, "doc_id"
+    )
+    # torn-append heal: keep only ids covered by BOTH halves (co-keyed
+    # semi-joins on doc_id — one extra shuffle each, amortized like the
+    # rewrite itself; on a consistent store they are no-ops)
+    bands_live = bands_live.join(
+        sigs_live.select("doc_id").distinct(), "doc_id", "semi"
+    )
+    sigs_whole = sigs_live.join(
+        spark.read.parquet(_bands_dir(base, gen)).select("doc_id").distinct(),
+        "doc_id",
+        "semi",
+    )
+    _layout(bands_live, ["band", "pfx"], files_per_partition, "doc_id").write.mode(
+        "overwrite"
+    ).partitionBy("band", "pfx").parquet(_bands_dir(base, new_gen))
+    sigs_whole.coalesce(files_per_partition).write.mode("overwrite").parquet(
+        _sigs_dir(base, new_gen)
+    )
+
+    # verify the new generation is READABLE before flipping readers
+    # (compacting a fully-tombstoned index writes file-less dirs —
+    # committing those would brick the store after the GC below);
+    # driver-side schema resolution only, no data scan
+    unreadable = _verify_readable(
+        spark, _bands_dir(base, new_gen), _sigs_dir(base, new_gen)
+    )
+    if unreadable:
+        raise ValueError(
+            f"dedup_index_compact: new generation at {unreadable} is empty "
+            f"or unreadable (every row tombstoned?) — store left on the "
+            f"old generation; rebuild instead of compacting to empty"
         )
-        sigs_live.coalesce(files_per_partition).write.mode("overwrite").parquet(
-            _sigs_dir(base, new_gen)
-        )
 
-        # verify the new generation is READABLE before flipping readers
-        # (compacting a fully-tombstoned index writes file-less dirs —
-        # committing those would brick the store after the GC below);
-        # driver-side schema resolution only, no data scan
-        for d in (_bands_dir(base, new_gen), _sigs_dir(base, new_gen)):
-            if _try_read(spark, d) is None:
-                raise ValueError(
-                    f"dedup_index_compact: new generation at {d} is empty or "
-                    f"unreadable (every row tombstoned?) — store left on the "
-                    f"old generation; rebuild instead of compacting to empty"
-                )
+    # THE commit: readers atomically move to (new_gen, tomb_gen+1)
+    _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
 
-        # THE commit: readers atomically move to (new_gen, tomb_gen+1)
-        _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
+    # best-effort GC of the superseded generation (never load-bearing)
+    _fs_delete(spark, _bands_dir(base, gen))
+    _fs_delete(spark, _sigs_dir(base, gen))
+    _fs_delete(spark, _tomb_dir(base, tomb_gen))
 
-        # best-effort GC of the superseded generation (never load-bearing)
-        _fs_delete(spark, _bands_dir(base, gen))
-        _fs_delete(spark, _sigs_dir(base, gen))
-        _fs_delete(spark, _tomb_dir(base, tomb_gen))
-
-        # receipt from the exact rows just written (cached) — the
-        # on-disk layout itself is gated by the readability check above
-        # and by dedup_index_manifest / fsck, which read back from disk
-        return materialize_and_release(_band_manifest(bands_live), bands_live)
-    except BaseException:
-        bands_live.unpersist()
-        raise
+    return _band_manifest(spark.read.parquet(_bands_dir(base, new_gen)))
 
 
 def dedup_index_gc(

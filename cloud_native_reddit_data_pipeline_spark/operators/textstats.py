@@ -417,34 +417,24 @@ def bigram_lm_perplexity(
     )
 
 
-def ranked_keyword_search_bm25(
+def _bm25_rank(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    keywords: list[str],
-    k: int = 20,
-    k1: float = 1.2,
-    b: float = 0.75,
+    hits: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
 ) -> DataFrame:
-    """BM25-ranked full-text search — the actual scoring curve behind ES
-    `multi_match` (redditProcessor.py:67-75), vs `ranked_keyword_search`'s
-    TF-IDF: term-frequency saturation (k1) and document-length
-    normalization (b) with the Lucene idf, ln(1 + (N - df + 0.5)/(df + 0.5)).
-
-    Same 100-TB shape as the TF-IDF form — keyword filter before any
-    shuffle, tiny df/avgdl aggregates broadcast back, TakeOrderedAndProject
-    top-k — plus one narrow projection for per-document length (token
-    array size, no explode/shuffle) whose corpus mean feeds the length
-    normalization."""
-    kws = sorted({w.lower() for w in keywords})
+    """Shared BM25 scoring body over a (id, term) hits frame: term-
+    frequency saturation (k1), document-length normalization (b), the
+    Lucene idf ln(1 + (N - df + 0.5)/(df + 0.5)), 4-decimal rounded
+    score, (score DESC, id) top-k.  Both the exact and the stemmed
+    ranker call this, so the scoring math can never diverge between
+    them."""
     lens = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
     stats = lens.select(
         F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
-    )
-    hits = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
-        .select(id_col, F.lower(F.col("_t")).alias("term"))
-        .filter(F.col("term").isin(kws))
     )
     tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
@@ -473,6 +463,34 @@ def ranked_keyword_search_bm25(
         )
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def ranked_keyword_search_bm25(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked full-text search — the actual scoring curve behind ES
+    `multi_match` (redditProcessor.py:67-75), vs `ranked_keyword_search`'s
+    TF-IDF: term-frequency saturation (k1) and document-length
+    normalization (b) with the Lucene idf, ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Same 100-TB shape as the TF-IDF form — keyword filter before any
+    shuffle, tiny df/avgdl aggregates broadcast back, TakeOrderedAndProject
+    top-k — plus one narrow projection for per-document length (token
+    array size, no explode/shuffle) whose corpus mean feeds the length
+    normalization."""
+    kws = sorted({w.lower() for w in keywords})
+    hits = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .select(id_col, F.lower(F.col("_t")).alias("term"))
+        .filter(F.col("term").isin(kws))
+    )
+    return _bm25_rank(df, id_col, text_col, hits, k, k1, b)
 
 
 def _stem_step1_sql(expr: str) -> str:
@@ -560,31 +578,27 @@ def ranked_keyword_search_stemmed(
     Scale shape: identical to the exact BM25 (stem is a per-token
     scalar expression inside the same explode), keyword filter before
     any shuffle, tiny df/avgdl aggregates broadcast back, top-k limit.
-    The keyword stems are resolved through the SAME SQL expression on a
-    one-row literal frame (one tiny job), so operator and oracle can
-    never disagree on the stemmer."""
+    The keyword stems are resolved through the SAME SQL expression
+    applied to a literal keyword COLUMN (one tiny job, no text
+    splicing — keywords with quotes are data, not SQL), so operator
+    and oracle can never disagree on the stemmer."""
     spark = df.sparkSession
     kws = sorted({w.lower() for w in keywords})
-    srow = (
-        spark.range(1)
-        .select(
-            *[
-                F.expr(porter_lite_stem_sql(f"'{w}'")).alias(f"k{i}")
-                for i, w in enumerate(kws)
-            ]
-        )
-        .collect()[0]
-    )
-    kset = sorted(set(srow))
-    lens = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
-    stats = lens.select(
-        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    kset = sorted(
+        {
+            r["s"]
+            for r in spark.range(1)
+            .select(F.explode(F.lit(kws)).alias("kw"))
+            .select(F.expr(_stem_step1_sql("kw")).alias("_s1"))
+            .select(F.expr(_stem_step2_sql("_s1")).alias("s"))
+            .collect()
+        }
     )
     # stem-invariant prefix prefilter: the stemmer only strips
     # suffixes, so a token whose stem is in kset must share the stem's
     # first min(3, shortest-stem) characters — a cheap substring isin
     # that discards ~all tokens BEFORE the expensive stem expression
-    # (the 100x smoke measured 107s -> single digits with it)
+    # (the 100x smoke measured 107s -> 39s with it)
     plen = min(3, min(len(s) for s in kset)) if kset else 3
     prefixes = sorted({s[:plen] for s in kset})
     hits = (
@@ -595,33 +609,7 @@ def ranked_keyword_search_stemmed(
         .select(id_col, F.expr(_stem_step2_sql("_s1")).alias("term"))
         .filter(F.col("term").isin(kset))
     )
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        hits.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.sum("tf").alias("n_hits"),
-            F.round(F.sum(idf * tf_sat), 4).alias("score"),
-        )
-    )
-    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    return _bm25_rank(df, id_col, text_col, hits, k, k1, b)
 
 
 def fuzzy_keyword_search(

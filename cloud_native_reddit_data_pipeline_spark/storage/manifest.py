@@ -232,10 +232,18 @@ def repartition_for_layout(
     and every later read pays the footer-open storm.  With
     ``files_per_dir`` > 1 (write parallelism within hot directories on
     a large cluster), rows are additionally salted by a hash of
-    ``salt_col`` so each directory still caps at that many files.
-    Pure layout control: row content is untouched."""
+    ``salt_col`` so each directory still caps at that many files —
+    the salt column is REQUIRED then (without it the repartition maps
+    each directory to one task and the knob would silently do
+    nothing).  Pure layout control: row content is untouched."""
     cols = [F.col(c) for c in dir_cols]
-    if files_per_dir > 1 and salt_col is not None:
+    if files_per_dir > 1:
+        if salt_col is None:
+            raise ValueError(
+                "repartition_for_layout: files_per_dir > 1 requires a "
+                "salt_col — without one each directory maps to a single "
+                "task and the knob has no effect"
+            )
         cols.append(F.pmod(F.xxhash64(F.col(salt_col)), F.lit(files_per_dir)))
     return df.repartition(*cols)
 

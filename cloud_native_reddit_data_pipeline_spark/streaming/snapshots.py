@@ -331,6 +331,23 @@ def compact_snapshots(
     folded = _merged_state(spark, store_dir, upto_snap, key, seq_col, op_col)
     if drop_tombstones_below_seq is not None:
         wm = int(drop_tombstones_below_seq)
+        # the policy is meaningless over NULL op/seq rows (a NULL op is
+        # neither upsert nor tombstone; a NULL-seq tombstone has no
+        # position against the watermark) — fail fast rather than
+        # guess, and keep the drop filter null-SAFE below so such rows
+        # can never be silently deleted either way
+        n_null = (
+            folded.filter(F.col(op_col).isNull() | F.col(seq_col).isNull())
+            .limit(1)
+            .count()
+        )
+        if n_null:
+            raise ValueError(
+                f"compact_snapshots: retention requested but the folded "
+                f"state holds row(s) with NULL {op_col!r}/{seq_col!r} — "
+                f"the watermark cannot classify them; clean the changelog "
+                f"first"
+            )
         tail = _try_read(spark, f"{store_dir}/log")
         if tail is not None and upto_snap < committed:
             n_below = (
@@ -350,8 +367,14 @@ def compact_snapshots(
                     f"resurrect deleted keys; pick a lower watermark or "
                     f"compact further first"
                 )
+        # null-safe: a row only drops when it is PROVABLY a tombstone
+        # below the watermark (NULL op / NULL seq rows are kept — and
+        # already rejected above)
         folded = folded.filter(
-            ~((F.col(op_col) == "D") & (F.col(seq_col) < wm))
+            ~(
+                F.col(op_col).eqNullSafe(F.lit("D"))
+                & F.coalesce(F.col(seq_col) < wm, F.lit(False))
+            )
         )
     new_gen = gen + 1
     # the base keeps the bucket sub-partitioning so point lookups prune

@@ -353,6 +353,32 @@ def test_torn_append_underreports_and_fsck_flags(spark, tmp_path):
         )
     )
     assert torn == clean  # no phantoms, no errors — under-report only
+    # a blind re-run of the append fails fast: the guard counts the
+    # orphaned band-side ids as live (re-appending would double them)
+    with pytest.raises(ValueError, match="already present"):
+        dedup_index.dedup_index_append(spark, new_docs, idx)
+    # the heal path: compact drops the orphaned band half...
+    dedup_index.dedup_index_compact(spark, idx)
+    healed = dedup_index.dedup_index_fsck(spark, idx).collect()[0]
+    assert healed["ids_match"] is True and healed["rows_per_doc_ok"] is True
+    # ...after which the interrupted append re-runs cleanly and the
+    # store equals a never-torn build+append
+    dedup_index.dedup_index_append(spark, new_docs, idx)
+    final = dedup_index.dedup_index_fsck(spark, idx).collect()[0]
+    assert final["ids_match"] is True and final["rows_per_doc_ok"] is True
+    after = _sorted(
+        dedup_index.dedup_index_probe(
+            spark, docs.filter("doc_id % 10 = 0"), idx, min_agree=4
+        )
+    )
+    ref_idx = str(tmp_path / "ref")
+    dedup_index.dedup_index_build(docs, ref_idx)
+    ref = _sorted(
+        dedup_index.dedup_index_probe(
+            spark, docs.filter("doc_id % 10 = 0"), ref_idx, min_agree=4,
+        )
+    )
+    assert after == ref
 
 
 def test_lifecycle_leaves_cache_idle(spark, tmp_path):

@@ -520,3 +520,20 @@ def test_fsck_job_count_constant_in_commits(spark, tmp_path):
     assert 0 < big_store <= small_store + 1, (
         f"fsck jobs grew with commits: {small_store} -> {big_store}"
     )
+
+
+def test_retention_refuses_null_op_or_seq(spark, tmp_path):
+    """The watermark cannot classify NULL op/seq rows — a retention
+    compact refuses them outright (and the drop filter is null-safe,
+    so they could never be silently deleted either way); a plain
+    compact still folds them."""
+    st = str(tmp_path / "store")
+    rows = [(1, 1, "U", 1.0), (2, 1, None, 2.0), (3, None, "D", None)]
+    b = spark.createDataFrame(rows, "id long, seq int, op string, val double")
+    snapshots.snapshot_commit(b, st, "id", "seq", batch_id="n1")
+    with pytest.raises(ValueError, match="NULL"):
+        snapshots.compact_snapshots(spark, st, 1, drop_tombstones_below_seq=5)
+    # no retention: the fold keeps every winner, null ops included
+    snapshots.compact_snapshots(spark, st, 1)
+    base = spark.read.parquet(f"{st}/base_g1")
+    assert base.count() == 3

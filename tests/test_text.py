@@ -626,3 +626,67 @@ def test_pmi_collocations_planted_phrase(spark):
     assert abs(top.pmi - expect) < 1e-9
     # every returned pair met min_count
     assert all(r.n_pair >= 5 for r in rows)
+
+
+def test_stemmed_search_matches_inflections_and_handles_quotes(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        fuzzy_keyword_search,
+        ranked_keyword_search_bm25,
+        ranked_keyword_search_stemmed,
+    )
+
+    pad = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, "joins joining joined " + pad),
+            (2, "join " + pad),
+            (3, pad),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in ranked_keyword_search_stemmed(
+            df, "doc_id", "text", ["join"]
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1}  # all inflections stem to 'join'
+    # the exact ranker only sees the literal term
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in ranked_keyword_search_bm25(
+            df, "doc_id", "text", ["join"]
+        ).collect()
+    }
+    assert exact == {2: 1}
+    # keywords are DATA, not SQL text: quotes must not parse-error
+    quoted = ranked_keyword_search_stemmed(
+        df, "doc_id", "text", ["it's", "join"]
+    ).collect()
+    assert {r["doc_id"] for r in quoted} == {1, 2}
+
+
+def test_fuzzy_search_edit_distance_and_ranking(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        fuzzy_keyword_search,
+    )
+
+    pad = " ".join(f"zz{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, "sparc joind " + pad),   # 1-edit typo hits for both terms
+            (2, "spark spark " + pad),   # exact hits, one term
+            (3, "sparkle " + pad),       # 2 edits away — no match
+            (4, pad),
+        ],
+        "doc_id int, text string",
+    )
+    rows = fuzzy_keyword_search(
+        df, "doc_id", "text", ["spark", "joins"], max_edits=1, k=10
+    ).collect()
+    got = {r["doc_id"]: (r["n_terms"], r["n_hits"]) for r in rows}
+    assert got[1] == (2, 2)      # both terms matched via 1-edit typos
+    assert got[2] == (1, 2)      # one term, twice
+    assert 3 not in got and 4 not in got
+    # term coverage outranks hit volume
+    assert rows[0]["doc_id"] == 1
