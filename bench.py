@@ -330,6 +330,9 @@ HEADLINE = [
     "ranked_search_stemmed",
     "fuzzy_keyword_search",
     "ann_index_probe_vectors_dpp",
+    # cell-pruned ADC off the persisted store (the FAISS serving shape;
+    # probe_pq's full-code-scan twin is already benched)
+    "ann_index_probe_ivfpq",
 ]
 
 
@@ -429,6 +432,8 @@ def bench_annidx_verbs(spark, sf_dir) -> dict[str, float]:
              lambda: ann_index.ann_index_probe_dpp(spark, idx, qids).count()),
             ("annidx_probe_pq_only",
              lambda: ann_index.ann_index_probe_pq(spark, idx, qids).count()),
+            ("annidx_probe_ivfpq_only",
+             lambda: ann_index.ann_index_probe_ivfpq(spark, idx, qids).count()),
         ):
             best = None
             for _ in range(2):

@@ -886,3 +886,106 @@ def ann_index_probe_pq(
         .filter(F.col("rk") <= topk)
         .select("query_id", "neighbor_id", "adc_e12", "rk")
     )
+
+
+def _adc_dtable(
+    spark: SparkSession, base: str, queries_quant: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-query ADC distance table as ONE Spark expression over the
+    broadcast codebook: |Q| x m x k_codes rows of exact decimal(30,12)
+    zip_with/aggregate arithmetic, the same e12 BIGINTs as the fused
+    forms.  Driver work is O(1)."""
+    cb = spark.read.parquet(f"{base}/codebook")
+    return (
+        queries_quant.crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "sub",
+            "code",
+            F.expr(
+                "CAST(aggregate("
+                "  zip_with(slice(xd, sub * size(vals) + 1, size(vals)), vals,"
+                "           (a, b) -> (a - b) * (a - b)),"
+                "  CAST(0 AS DECIMAL(30,12)),"
+                "  (acc, x) -> CAST(acc + x AS DECIMAL(30,12))"
+                ") * 1000000000000 AS BIGINT)"
+            ).alias("d_e12"),
+        )
+    )
+
+
+def ann_index_probe_ivfpq(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    topk: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite probe off the persisted store — the FAISS
+    production serving shape the separate probes bracket: the IVF half
+    bounds WHICH vectors are scored (only live members of each query's
+    ``n_probe`` nearest cells, via static pruning of the
+    cell-partitioned inverted file) and PQ asymmetric distance bounds
+    HOW MUCH each costs (m code lookups off the persisted codes, no
+    re-encode).  Byte-identical to the fused ``similarity.ivf_pq_topk``
+    on the same corpus/params (pinned by test): same decimal-quantized
+    arithmetic, same e12 BIGINT distances, same tie-breaks.
+
+    vs `ann_index_probe_pq`, which ADC-scans the WHOLE code table:
+    this scans codes only for the ~n_probe/n_centroids candidate slice
+    — the 1/16th-of-the-corpus cost at the default geometry, and the
+    form that holds at 100 TB (candidates bound the join, never the
+    code table's full size)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    cents = spark.read.parquet(f"{base}/centroids")
+    cells = spark.read.parquet(_cells_dir(base, gen))
+
+    qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = _probe_cells_df(qdf, cents, n_probe)
+    probe_cells = sorted(
+        int(r["cell"]) for r in probes.select("cell").distinct().collect()
+    )
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    cand = (
+        _anti_tombstones(
+            cells.filter(F.col("cell").isin(probe_cells)).select(
+                id_col, "cell"
+            ),
+            tombs,
+            id_col,
+        )
+        .join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+
+    codes = spark.read.parquet(_codes_dir(base, gen))
+    m = sum(1 for c in codes.columns if c.startswith("code"))
+    qquant = _pq_quantize(
+        cells.filter(F.col(id_col).isin(query_ids)), id_col, vec_col
+    )
+    dtable = _adc_dtable(spark, base, qquant, id_col)
+    encoded = codes.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"code{s}") for s in range(m)])).alias(
+            "sub", "code"
+        ),
+    )
+    adc = (
+        cand.join(encoded, id_col)
+        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d_e12").alias("adc_e12"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_e12", "neighbor_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "adc_e12", "rk")
+    )

@@ -15240,6 +15240,39 @@ def ann_index_probe_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
 
 
+@register("ann_index_probe_ivfpq", _ORACLES["ivf_pq_topk"])
+def ann_index_probe_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite probe off the PERSISTED store
+    (ann_index.ann_index_probe_ivfpq — round 12): the IVF half prunes
+    the cell-partitioned inverted file to each query's n_probe cells
+    on disk, the PQ half ADC-scores ONLY that candidate slice off the
+    persisted codes (vs ann_index_probe_pq's full-code-table scan —
+    this is the FAISS serving shape that holds at 100 TB).
+    Byte-identical to the fused similarity.ivf_pq_topk (pinned by
+    tests/test_ann_index.py); the oracle IS ivf_pq_topk's composed
+    IVF+ADC replay."""
+    import tempfile
+
+    from .operators import ann_index
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            load(spark, sf_dir, "embeddings"),
+            f"{tmp}/annidx",
+            n_centroids=_IVFPQ_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        out = ann_index.ann_index_probe_ivfpq(
+            spark,
+            f"{tmp}/annidx",
+            _ANN_QUERY_IDS,
+            topk=5,
+            n_probe=_IVFPQ_PROBE,
+        )
+        return out.localCheckpoint(eager=True)
+
+
 @register(
     "streaming_dedup_bounded",
     """

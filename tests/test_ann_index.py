@@ -615,3 +615,39 @@ def test_lifecycle_leaves_cache_idle(spark, tmp_path):
     for name, step in steps:
         step()
         assert_cache_idle(spark, f"ann_index {name}")
+
+
+def test_probe_ivfpq_byte_identical_to_fused(spark, built):
+    """The persisted-store IVF-PQ probe equals the fused
+    similarity.ivf_pq_topk on the same corpus/params — same e12 BIGINT
+    distances, same tie-breaks — while ADC-scanning only the probed
+    cells' candidate slice (vs probe_pq's full code table)."""
+    idx, _ = built
+    emb = load(spark, SF, "embeddings")
+    fused = sorted(
+        map(
+            tuple,
+            similarity.ivf_pq_topk(
+                emb, QIDS, n_centroids=16, n_probe=4, m=4, k=16, topk=5
+            ).collect(),
+        )
+    )
+    stored = sorted(
+        map(
+            tuple,
+            ann_index.ann_index_probe_ivfpq(
+                spark, idx, QIDS, topk=5, n_probe=4
+            ).collect(),
+        )
+    )
+    assert stored == fused
+
+
+def test_probe_ivfpq_respects_tombstones(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    dead = list(range(60, 100))
+    ann_index.ann_index_delete(spark, idx, dead)
+    out = ann_index.ann_index_probe_ivfpq(spark, idx, QIDS).collect()
+    assert out and not any(r["neighbor_id"] in dead for r in out)
