@@ -333,6 +333,9 @@ HEADLINE = [
     # cell-pruned ADC off the persisted store (the FAISS serving shape;
     # probe_pq's full-code-scan twin is already benched)
     "ann_index_probe_ivfpq",
+    # ann_index_probe_vectors_filtered is correctness-gated only: its
+    # cost is the benched ann_index_probe_filtered with an external
+    # (byte-identical) query frame — same build-composite, same plan.
 ]
 
 

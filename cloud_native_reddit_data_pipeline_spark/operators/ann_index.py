@@ -661,6 +661,32 @@ def ann_index_probe_vectors(
     )
 
 
+def ann_index_probe_vectors_filtered(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered ANN probe with CALLER-SUPPLIED query vectors — the
+    serving form of `ann_index_probe_filtered` (metadata predicate +
+    vector search for fresh query embeddings that never lived in the
+    index).  ``queries`` is (query_id, qv); semantics, rounding and
+    tie-breaks match the member-id form exactly (pinned by test:
+    member vectors passed externally give byte-identical results)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    qdf = queries.select(F.col(queries.columns[0]).alias("query_id"),
+                         F.col(queries.columns[1]).alias("qv"))
+    return _probe_filtered_impl(
+        spark, base, gen, tomb_gen, qdf, allowed, k, n_probe, id_col, vec_col
+    )
+
+
 def ann_index_probe_filtered(
     spark: SparkSession,
     index_dir: str,
@@ -690,12 +716,29 @@ def ann_index_probe_filtered(
     corpus), never the full index."""
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
-    cents = spark.read.parquet(f"{base}/centroids")
     cells = spark.read.parquet(_cells_dir(base, gen))
-
     qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    return _probe_filtered_impl(
+        spark, base, gen, tomb_gen, qdf, allowed, k, n_probe, id_col, vec_col
+    )
+
+
+def _probe_filtered_impl(
+    spark: SparkSession,
+    base: str,
+    gen: int,
+    tomb_gen: int,
+    qdf: DataFrame,
+    allowed: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    cents = spark.read.parquet(f"{base}/centroids")
+    cells = spark.read.parquet(_cells_dir(base, gen))
     probes = _probe_cells_df(qdf, cents, n_probe)
     probe_cells = sorted(
         int(r["cell"]) for r in probes.select("cell").distinct().collect()

@@ -15039,6 +15039,37 @@ def ann_index_probe_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
 
 
+@register("ann_index_probe_vectors_filtered", _ORACLES["ann_index_probe_filtered"])
+def ann_index_probe_vectors_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN probe with CALLER-SUPPLIED query vectors
+    (ann_index.ann_index_probe_vectors_filtered — round 12): the
+    metadata-predicate retrieval shape for the true serving case, where
+    query embeddings arrive from outside the index.  Here member
+    vectors are passed as an external (query_id, qv) frame so the
+    member-id oracle replays verbatim — results are byte-identical to
+    ann_index_probe_filtered on the same queries (also pinned by
+    tests/test_ann_index.py)."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            emb, f"{tmp}/annidx",
+            n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
+        ).collect()
+        allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+        qdf = emb.filter(
+            F.col("vec_id").isin(_ANNIDX_FILTER_QUERY_IDS)
+        ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        out = ann_index.ann_index_probe_vectors_filtered(
+            spark, f"{tmp}/annidx", qdf, allowed,
+            k=_IVF_K, n_probe=_IVF_PROBE,
+        )
+        return out.localCheckpoint(eager=True)
+
+
 @register(
     "ann_index_stats",
     "WITH "
@@ -18140,6 +18171,51 @@ def snapshot_store_fsck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
             snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
         out = snapshots.snapshot_fsck(spark, st)
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_store_auto_maintain",
+    f"SELECT id, val FROM ({_SNAP_STATE_SQL[3]})",
+)
+def snapshot_store_auto_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled store maintenance (snapshots.snapshot_maintain): fold
+    all but the newest commit and DERIVE the retention watermark from
+    the surviving tail's min seq (here 3 — batch 3 is the tail), so no
+    operator ever hand-picks a horizon or watermark.  In-query hard
+    gates: the fold landed (horizon = 2), zero tombstones survive in
+    the base, and a late seq-1 redelivery is rejected; output = the
+    untouched final state."""
+    import tempfile
+
+    from .streaming import snapshots
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = f"{tmp}/store"
+        b1, b2, b3 = _snapshot_batches(spark, sf_dir)
+        for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+            snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+        rec = snapshots.snapshot_maintain(
+            spark, st, keep_snapshots=1
+        ).collect()[0]
+        if rec["horizon"] != 2 or rec["base_gen"] != 1:
+            raise AssertionError(f"auto-maintain receipt wrong: {rec}")
+        n_tomb = (
+            spark.read.parquet(f"{st}/base_g1")
+            .filter(F.col("op") == "D")
+            .count()
+        )
+        if n_tomb:
+            raise AssertionError(
+                f"auto-maintain left {n_tomb} tombstones under the derived "
+                f"watermark"
+            )
+        try:
+            snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="late")
+            raise AssertionError("late redelivery accepted after maintain")
+        except ValueError:
+            pass
+        out = snapshots.read_as_of(spark, st, 3).select("id", "val")
         return out.localCheckpoint(eager=True)
 
 

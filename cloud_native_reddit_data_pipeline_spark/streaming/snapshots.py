@@ -402,6 +402,62 @@ def compact_snapshots(
     )
 
 
+def snapshot_maintain(
+    spark: SparkSession,
+    store_dir: str,
+    keep_snapshots: int = 1,
+    drop_tombstones: bool = True,
+    key: str = "id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Auto-maintenance — the verb a scheduler calls at a cadence, so
+    operators never hand-pick compaction horizons or retention
+    watermarks: folds everything except the newest ``keep_snapshots``
+    commits, and (with ``drop_tombstones``) DERIVES the safe retention
+    watermark from the store itself — the minimum seq still present in
+    the surviving tail (one pruned aggregate; every tail op is >= it by
+    construction, so the unsafe-watermark guard can never fire and no
+    late replay below it can exist inside the store).  Commit-time
+    rejection of older ingest then holds automatically, exactly as
+    with an explicit watermark.
+
+    No-ops (returns the current (base_gen, horizon, n_rows=-1) receipt)
+    when there is nothing to fold — fewer committed snapshots than
+    ``keep_snapshots`` + 1 or a horizon already at the target.  The
+    Delta OPTIMIZE/VACUUM-on-a-schedule story, miniaturized."""
+    committed = current_snapshot(spark, store_dir)
+    gen, horizon = _base_state(spark, store_dir)
+    upto = committed - keep_snapshots
+    if upto <= horizon:
+        return _local_rows(
+            spark,
+            "base_gen int, horizon int, n_rows long",
+            [(gen, horizon, -1)],
+        )
+    wm = None
+    if drop_tombstones:
+        tail = _try_read(spark, f"{store_dir}/log")
+        if tail is not None:
+            row = (
+                tail.filter(
+                    (F.col("snap") > upto) & (F.col("snap") <= committed)
+                )
+                .agg(F.min(seq_col).alias("m"))
+                .first()
+            )
+            wm = None if row["m"] is None else int(row["m"])
+    return compact_snapshots(
+        spark,
+        store_dir,
+        upto,
+        key=key,
+        seq_col=seq_col,
+        op_col=op_col,
+        drop_tombstones_below_seq=wm,
+    )
+
+
 def snapshot_lookup(
     spark: SparkSession,
     store_dir: str,

@@ -651,3 +651,31 @@ def test_probe_ivfpq_respects_tombstones(spark, tmp_path):
     ann_index.ann_index_delete(spark, idx, dead)
     out = ann_index.ann_index_probe_ivfpq(spark, idx, QIDS).collect()
     assert out and not any(r["neighbor_id"] in dead for r in out)
+
+
+def test_probe_vectors_filtered_matches_member_form(spark, built):
+    """The caller-vector filtered probe equals the member-id filtered
+    probe when given the same member vectors externally."""
+    idx, _ = built
+    emb = load(spark, SF, "embeddings")
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    member = sorted(
+        map(
+            tuple,
+            ann_index.ann_index_probe_filtered(
+                spark, idx, QIDS, allowed, k=5, n_probe=4
+            ).collect(),
+        )
+    )
+    qdf = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    external = sorted(
+        map(
+            tuple,
+            ann_index.ann_index_probe_vectors_filtered(
+                spark, idx, qdf, allowed, k=5, n_probe=4
+            ).collect(),
+        )
+    )
+    assert external == member and member

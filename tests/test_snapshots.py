@@ -537,3 +537,27 @@ def test_retention_refuses_null_op_or_seq(spark, tmp_path):
     snapshots.compact_snapshots(spark, st, 1)
     base = spark.read.parquet(f"{st}/base_g1")
     assert base.count() == 3
+
+
+def test_snapshot_maintain_derives_safe_watermark(spark, tmp_path):
+    """Auto-maintenance folds all but the newest keep_snapshots commits
+    and derives the retention watermark as the min seq still in the
+    surviving tail — tombstones below it drop, late ingest under it is
+    rejected, and the visible states are untouched."""
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    pre3 = _read(spark, st, 3)
+    rec = snapshots.snapshot_maintain(spark, st, keep_snapshots=1).collect()[0]
+    assert rec["base_gen"] == 1 and rec["horizon"] == 2
+    # derived watermark = min seq in the tail (b3 -> 3): the seq-2
+    # tombstones are gone from the base
+    base = spark.read.parquet(f"{st}/base_g1")
+    assert base.filter(F.col("op") == "D").count() == 0
+    assert _read(spark, st, 3) == pre3
+    with pytest.raises(ValueError, match="retention watermark"):
+        snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="late")
+    # idempotent: nothing more to fold -> no-op receipt
+    rec2 = snapshots.snapshot_maintain(spark, st, keep_snapshots=1).collect()[0]
+    assert rec2["n_rows"] == -1 and rec2["horizon"] == 2
