@@ -331,7 +331,7 @@ HEADLINE = [
     "fuzzy_keyword_search",
     "ann_index_probe_vectors_dpp",
     # cell-pruned ADC off the persisted store (the FAISS serving shape;
-    # probe_pq's full-code-scan twin is already benched)
+    # probe_pq's corpus-wide-ADC twin is already benched)
     "ann_index_probe_ivfpq",
     # ann_index_probe_vectors_filtered is correctness-gated only: its
     # cost is the benched ann_index_probe_filtered with an external

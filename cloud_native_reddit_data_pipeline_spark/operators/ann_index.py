@@ -977,11 +977,14 @@ def ann_index_probe_ivfpq(
     on the same corpus/params (pinned by test): same decimal-quantized
     arithmetic, same e12 BIGINT distances, same tie-breaks.
 
-    vs `ann_index_probe_pq`, which ADC-scans the WHOLE code table:
-    this scans codes only for the ~n_probe/n_centroids candidate slice
-    — the 1/16th-of-the-corpus cost at the default geometry, and the
-    form that holds at 100 TB (candidates bound the join, never the
-    code table's full size)."""
+    vs `ann_index_probe_pq`, which ADC-scores the WHOLE code table
+    (|corpus| x |Q| distance sums): here the candidate join bounds the
+    ADC work to the ~n_probe/n_centroids slice — 1/16th of the corpus
+    at the default geometry.  The codes SCAN itself is still the full
+    (narrow, m-ints-per-vector) table semi-bounded by the join; a
+    cell-partitioned codes layout would prune that too and is the
+    natural next layout evolution if code I/O ever dominates (the
+    vectors, the heavy column, are already cell-pruned)."""
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
     cents = spark.read.parquet(f"{base}/centroids")

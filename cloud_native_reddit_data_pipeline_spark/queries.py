@@ -15277,8 +15277,9 @@ def ann_index_probe_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ann_index.ann_index_probe_ivfpq — round 12): the IVF half prunes
     the cell-partitioned inverted file to each query's n_probe cells
     on disk, the PQ half ADC-scores ONLY that candidate slice off the
-    persisted codes (vs ann_index_probe_pq's full-code-table scan —
-    this is the FAISS serving shape that holds at 100 TB).
+    persisted codes (vs ann_index_probe_pq's corpus-wide ADC — the
+    candidate join bounds the distance compute to ~n_probe/n_centroids
+    of the corpus; the FAISS serving shape).
     Byte-identical to the fused similarity.ivf_pq_topk (pinned by
     tests/test_ann_index.py); the oracle IS ivf_pq_topk's composed
     IVF+ADC replay."""
