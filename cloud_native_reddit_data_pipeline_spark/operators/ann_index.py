@@ -885,7 +885,6 @@ def ann_index_probe_pq(
     codes = _anti_tombstones(
         spark.read.parquet(_codes_dir(base, gen)), tombs, id_col
     )
-    cb = spark.read.parquet(f"{base}/codebook")
     m = sum(1 for c in codes.columns if c.startswith("code"))
 
     qquant = _pq_quantize(
@@ -894,22 +893,7 @@ def ann_index_probe_pq(
     # distance table as data: |Q| x m x k_codes rows, built by a
     # broadcast nested-loop of the (tiny) codebook against the (tiny)
     # quantized query set — all exact decimal, all JVM-side
-    dtable = (
-        qquant.crossJoin(F.broadcast(cb))
-        .select(
-            F.col(id_col).alias("query_id"),
-            "sub",
-            "code",
-            F.expr(
-                "CAST(aggregate("
-                "  zip_with(slice(xd, sub * size(vals) + 1, size(vals)), vals,"
-                "           (a, b) -> (a - b) * (a - b)),"
-                "  CAST(0 AS DECIMAL(30,12)),"
-                "  (acc, x) -> CAST(acc + x AS DECIMAL(30,12))"
-                ") * 1000000000000 AS BIGINT)"
-            ).alias("d_e12"),
-        )
-    )
+    dtable = _adc_dtable(spark, base, qquant, id_col)
 
     encoded = codes.select(
         id_col,
@@ -1013,8 +997,14 @@ def ann_index_probe_ivfpq(
 
     codes = spark.read.parquet(_codes_dir(base, gen))
     m = sum(1 for c in codes.columns if c.startswith("code"))
+    # quantize the SAME query frame the routing used (rename back to
+    # the store's column names) — one query-lookup scan, not two
     qquant = _pq_quantize(
-        cells.filter(F.col(id_col).isin(query_ids)), id_col, vec_col
+        qdf.select(
+            F.col("query_id").alias(id_col), F.col("qv").alias(vec_col)
+        ),
+        id_col,
+        vec_col,
     )
     dtable = _adc_dtable(spark, base, qquant, id_col)
     encoded = codes.select(

@@ -350,11 +350,18 @@ def compact_snapshots(
             )
         tail = _try_read(spark, f"{store_dir}/log")
         if tail is not None and upto_snap < committed:
+            # a NULL-seq tail op is UNCLASSIFIABLE against the
+            # watermark — and the merge ranks NULL seq lowest, so a
+            # dropped tombstone could be out-merged by it: refuse, same
+            # as a provably-below op
             n_below = (
                 tail.filter(
                     (F.col("snap") > upto_snap)
                     & (F.col("snap") <= committed)
-                    & (F.col(seq_col) < wm)
+                    & (
+                        F.col(seq_col).isNull()
+                        | (F.col(seq_col) < wm)
+                    )
                 )
                 .limit(1)
                 .count()
@@ -362,10 +369,10 @@ def compact_snapshots(
             if n_below:
                 raise ValueError(
                     f"compact_snapshots: the uncompacted tail still holds "
-                    f"op(s) with {seq_col} below the requested retention "
-                    f"watermark {wm} — dropping tombstones under them could "
-                    f"resurrect deleted keys; pick a lower watermark or "
-                    f"compact further first"
+                    f"op(s) with {seq_col} NULL or below the requested "
+                    f"retention watermark {wm} — dropping tombstones under "
+                    f"them could resurrect deleted keys; pick a lower "
+                    f"watermark or compact further first"
                 )
         # null-safe: a row only drops when it is PROVABLY a tombstone
         # below the watermark (NULL op / NULL seq rows are kept — and
@@ -382,7 +389,21 @@ def compact_snapshots(
     _layout(folded, ["bucket"], 1, key).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{store_dir}/base_g{new_gen}")
-    n = spark.read.parquet(f"{store_dir}/base_g{new_gen}").count()
+    # pre-commit readability gate (the shared store discipline): an
+    # EMPTY folded state (only empty snapshots, or retention dropped
+    # every winner) writes a file-less dir — committing it would brick
+    # every later read's base scan; clean up and refuse instead (the
+    # store stays exactly as it was)
+    landed = _try_read(spark, f"{store_dir}/base_g{new_gen}")
+    if landed is None:
+        _fs_delete(spark, f"{store_dir}/base_g{new_gen}")
+        raise ValueError(
+            "compact_snapshots: the folded state is empty — nothing to "
+            "fold into a base (only empty snapshots below the target, or "
+            "retention dropped every winner); compact after real data "
+            "lands"
+        )
+    n = landed.count()
     if drop_tombstones_below_seq is not None:
         # watermark BEFORE the flip (see docstring: both crash halves safe)
         _local_rows(
@@ -407,6 +428,7 @@ def snapshot_maintain(
     store_dir: str,
     keep_snapshots: int = 1,
     drop_tombstones: bool = True,
+    retention_lag: int = 0,
     key: str = "id",
     seq_col: str = "seq",
     op_col: str = "op",
@@ -414,27 +436,53 @@ def snapshot_maintain(
     """Auto-maintenance — the verb a scheduler calls at a cadence, so
     operators never hand-pick compaction horizons or retention
     watermarks: folds everything except the newest ``keep_snapshots``
-    commits, and (with ``drop_tombstones``) DERIVES the safe retention
-    watermark from the store itself — the minimum seq still present in
-    the surviving tail (one pruned aggregate; every tail op is >= it by
-    construction, so the unsafe-watermark guard can never fire and no
-    late replay below it can exist inside the store).  Commit-time
-    rejection of older ingest then holds automatically, exactly as
-    with an explicit watermark.
+    commits, and (with ``drop_tombstones``) DERIVES the retention
+    watermark from the store itself: (minimum seq still present in the
+    surviving tail) - ``retention_lag``.  Every tail op is >= the
+    derived value by construction, so the unsafe-watermark guard can
+    never fire on the store's own contents; commit-time rejection of
+    older ingest then holds automatically, exactly as with an explicit
+    watermark.
 
-    No-ops (returns the current (base_gen, horizon, n_rows=-1) receipt)
-    when there is nothing to fold — fewer committed snapshots than
-    ``keep_snapshots`` + 1 or a horizon already at the target.  The
+    ``retention_lag`` is the ingest-disorder allowance — the exact
+    analogue of an event-time watermark delay: with the default 0, the
+    derived watermark ratchets to the tail's minimum seq, which REJECTS
+    any future batch carrying a lower seq (strict cross-batch seq
+    monotonicity — fine for monotone CDC feeds, an ingest outage for
+    disordered ones).  Set it to your cross-batch seq-disorder bound
+    and late-but-legitimate ingest keeps flowing while tombstones
+    older than the bound still reclaim.
+
+    Safety degradations (scheduler verbs must make progress, never
+    corrupt): if the surviving tail holds NULL-seq ops, NO watermark is
+    derived this cadence (a NULL-seq op out-merges any tombstone under
+    seq-authoritative ordering, so dropping tombstones near it is
+    unsafe — the fold still happens, tombstones are kept); if the fold
+    range holds no data at all (empty snapshots only), the verb no-ops
+    with the current (base_gen, horizon, n_rows=-1) receipt.  The
     Delta OPTIMIZE/VACUUM-on-a-schedule story, miniaturized."""
     committed = current_snapshot(spark, store_dir)
     gen, horizon = _base_state(spark, store_dir)
     upto = committed - keep_snapshots
+    noop = _local_rows(
+        spark,
+        "base_gen int, horizon int, n_rows long",
+        [(gen, horizon, -1)],
+    )
     if upto <= horizon:
-        return _local_rows(
-            spark,
-            "base_gen int, horizon int, n_rows long",
-            [(gen, horizon, -1)],
+        return noop
+    # manifest pre-check: a fold over ONLY empty snapshots (no base,
+    # zero recorded rows below the target) has no compactable state —
+    # no-op instead of writing a file-less base
+    m = _manifest(spark, store_dir)
+    if gen == 0 and m is not None:
+        folded_rows = sum(
+            int(r["n_rows"])
+            for r in m.collect()
+            if horizon < int(r["snap"]) <= upto
         )
+        if folded_rows == 0:
+            return noop
     wm = None
     if drop_tombstones:
         tail = _try_read(spark, f"{store_dir}/log")
@@ -443,19 +491,39 @@ def snapshot_maintain(
                 tail.filter(
                     (F.col("snap") > upto) & (F.col("snap") <= committed)
                 )
-                .agg(F.min(seq_col).alias("m"))
+                .agg(
+                    F.min(seq_col).alias("m"),
+                    F.sum(
+                        F.when(F.col(seq_col).isNull(), 1).otherwise(0)
+                    ).alias("n_null"),
+                )
                 .first()
             )
-            wm = None if row["m"] is None else int(row["m"])
-    return compact_snapshots(
-        spark,
-        store_dir,
-        upto,
-        key=key,
-        seq_col=seq_col,
-        op_col=op_col,
-        drop_tombstones_below_seq=wm,
-    )
+            if row["m"] is not None and not (row["n_null"] or 0):
+                wm = int(row["m"]) - int(retention_lag)
+    try:
+        return compact_snapshots(
+            spark,
+            store_dir,
+            upto,
+            key=key,
+            seq_col=seq_col,
+            op_col=op_col,
+            drop_tombstones_below_seq=wm,
+        )
+    except ValueError as e:
+        msg = str(e)
+        if "folded state is empty" in msg:
+            return noop  # retention dropped every winner — nothing to fold
+        if wm is not None and "NULL" in msg:
+            # the FOLDED state holds unclassifiable NULL op/seq rows —
+            # fold without retention this cadence (progress over drops;
+            # the check runs before any write, so nothing landed)
+            return compact_snapshots(
+                spark, store_dir, upto,
+                key=key, seq_col=seq_col, op_col=op_col,
+            )
+        raise
 
 
 def snapshot_lookup(

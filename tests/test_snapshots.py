@@ -561,3 +561,104 @@ def test_snapshot_maintain_derives_safe_watermark(spark, tmp_path):
     # idempotent: nothing more to fold -> no-op receipt
     rec2 = snapshots.snapshot_maintain(spark, st, keep_snapshots=1).collect()[0]
     assert rec2["n_rows"] == -1 and rec2["horizon"] == 2
+
+
+def test_maintain_null_seq_tail_skips_drop_no_resurrect(spark, tmp_path):
+    """Review repro (round 12): a NULL-seq row in the surviving tail
+    makes any derived watermark unsafe (the merge ranks NULL seq
+    lowest, so a dropped tombstone would be out-merged) — maintain must
+    skip the drop that cadence, keep the tombstone, and the deleted
+    key must stay deleted."""
+    st = str(tmp_path / "store")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, seq int, op string, val double"
+    )
+    snapshots.snapshot_commit(
+        mk([(1, 1, "U", 9.0), (7, 1, "U", 7.0)]), st, "id", "seq", batch_id="a"
+    )
+    snapshots.snapshot_commit(
+        mk([(1, 2, "D", None)]), st, "id", "seq", batch_id="b"
+    )
+    snapshots.snapshot_commit(
+        mk([(1, None, "U", 9.0), (2, 3, "U", 2.0)]), st, "id", "seq",
+        batch_id="c",
+    )
+    pre = sorted(map(tuple, snapshots.read_as_of(spark, st, 3).collect()))
+    assert not any(r[0] == 1 for r in pre)  # key 1 dead (NULL seq loses)
+    snapshots.snapshot_maintain(spark, st, keep_snapshots=1)
+    post = sorted(map(tuple, snapshots.read_as_of(spark, st, 3).collect()))
+    assert post == pre  # maintenance never changes visible state
+    # the tombstone survived (no watermark was derived)
+    base = spark.read.parquet(f"{st}/base_g1")
+    assert base.filter(F.col("op") == "D").count() == 1
+
+
+def test_manual_compact_refuses_null_seq_tail_watermark(spark, tmp_path):
+    st = str(tmp_path / "store")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, seq int, op string, val double"
+    )
+    snapshots.snapshot_commit(
+        mk([(1, 1, "U", 1.0), (1, 2, "D", None)]), st, "id", "seq",
+        batch_id="a",
+    )
+    snapshots.snapshot_commit(
+        mk([(2, None, "U", 2.0)]), st, "id", "seq", batch_id="b"
+    )
+    with pytest.raises(ValueError, match="NULL or below"):
+        snapshots.compact_snapshots(spark, st, 1, drop_tombstones_below_seq=3)
+
+
+def test_maintain_retention_lag_admits_disordered_ingest(spark, tmp_path):
+    """retention_lag is the cross-batch disorder allowance: with it,
+    late-but-legitimate lower-seq ingest keeps flowing after a
+    maintain; without it the derived watermark rejects it."""
+    st = str(tmp_path / "store")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, seq int, op string, val double"
+    )
+    snapshots.snapshot_commit(
+        mk([(1, 10, "U", 1.0), (2, 20, "U", 2.0)]), st, "id", "seq",
+        batch_id="a",
+    )
+    snapshots.snapshot_commit(
+        mk([(3, 30, "U", 3.0), (4, 40, "U", 4.0)]), st, "id", "seq",
+        batch_id="b",
+    )
+    snapshots.snapshot_maintain(spark, st, keep_snapshots=1, retention_lag=10)
+    # derived watermark = 30 - 10 = 20: seq-25 disorder is admitted...
+    snapshots.snapshot_commit(
+        mk([(5, 25, "U", 5.0)]), st, "id", "seq", batch_id="c"
+    )
+    # ...seq-15 (older than the allowance) is still rejected
+    with pytest.raises(ValueError, match="retention watermark"):
+        snapshots.snapshot_commit(
+            mk([(6, 15, "U", 6.0)]), st, "id", "seq", batch_id="d"
+        )
+
+
+def test_maintain_noops_on_empty_folds(spark, tmp_path):
+    """Review repro (round 12): empty snapshots below the fold target
+    (or an all-empty store) must no-op with a receipt, not crash on a
+    file-less base."""
+    st = str(tmp_path / "store")
+    b1, b2, _ = _batches(spark)
+    empty = b1.filter(F.lit(False))
+    snapshots.snapshot_commit(empty, st, "id", "seq", batch_id="e1")
+    snapshots.snapshot_commit(b2, st, "id", "seq", batch_id="d1")
+    rec = snapshots.snapshot_maintain(spark, st, keep_snapshots=1).collect()[0]
+    assert rec["n_rows"] == -1 and rec["horizon"] == 0  # no-op, no crash
+    assert not os.path.isdir(f"{st}/base_g1")  # no stray file-less base
+    # all-empty store: also a clean no-op
+    st2 = str(tmp_path / "store2")
+    snapshots.snapshot_commit(empty, st2, "id", "seq", batch_id="e1")
+    snapshots.snapshot_commit(empty, st2, "id", "seq", batch_id="e2")
+    rec2 = snapshots.snapshot_maintain(spark, st2, keep_snapshots=1).collect()[0]
+    assert rec2["n_rows"] == -1
+    # manual compact over the empty prefix refuses cleanly too (an
+    # all-empty store has no log dir at all, so the earlier
+    # empty-store read guard fires; a mixed store reaches the
+    # folded-state gate — both are explicit ValueErrors, no stray dir)
+    with pytest.raises(ValueError, match="empty"):
+        snapshots.compact_snapshots(spark, st2, 1)
+    assert not os.path.isdir(f"{st2}/base_g1")
