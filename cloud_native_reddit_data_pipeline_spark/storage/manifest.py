@@ -23,7 +23,14 @@ The protocol (the Iceberg/Delta commit pattern, miniaturized):
 - Superseded generations are garbage-collected best-effort through the
   Hadoop FileSystem API — correctness never depends on the GC.
 - Single writer per store version assumed (one maintenance job owns a
-  store), as in any LSM store.
+  store), as in any LSM store — and a VIOLATED assumption is detected,
+  not silently absorbed: the reader's max-seq resolution is
+  deterministic on seq ties (highest ``gen`` wins, then ``tomb_gen``),
+  and `append_commit` re-reads the manifest after its append — a
+  writer whose row did not win its own seq raises
+  `CommitConflictError`, so at most one of two racing maintenance jobs
+  believes it committed (the optimistic-concurrency check Delta/Iceberg
+  perform at their commit point; here detect-and-fail, no retry loop).
 
 Existence checks resolve by ATTEMPTING reads (`try_read_parquet`),
 never by local-filesystem stats, so visibility is identical across
@@ -32,8 +39,21 @@ file://, hdfs:// and s3a:// schemes.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+
+class CommitConflictError(ValueError):
+    """Two writers raced a commit at the same seq and this writer LOST
+    (its row is not the deterministic winner) — the store stays
+    consistent on the other writer's generation; this writer's prepared
+    generation is invisible and collectable by GC.  Subclasses
+    ValueError so callers treating commit failures generically keep
+    working."""
 
 
 def store_base(index_dir: str, version: str) -> str:
@@ -99,6 +119,7 @@ def local_rows_df(spark: SparkSession, schema_ddl: str, rows: list) -> DataFrame
     bounded by O(1000) rows (routing/receipt/manifest scale — a plan
     with millions of literal nodes would stress analysis; big data
     belongs in real distributed frames, not literals)."""
+    from pyspark.errors import PySparkException
     from pyspark.sql.types import ArrayType, _parse_datatype_string
 
     schema = _parse_datatype_string(schema_ddl)
@@ -164,7 +185,20 @@ def local_rows_df(spark: SparkSession, schema_ddl: str, rows: list) -> DataFrame
     try:
         lit_rows = _element_at_frame()
         lit_rows.schema  # force analysis so inference errors surface here
-    except Exception:
+    except (PySparkException, TypeError, ValueError) as e:
+        # only the EXPECTED failure class falls back to the O(rows)
+        # per-row-struct plan: lit()/cast type-inference errors
+        # (PySparkTypeError / AnalysisException are PySparkException
+        # subclasses; plain TypeError/ValueError from python-side value
+        # coercion).  Anything else (py4j faults, genuine bugs) raises —
+        # a silent fallback here would mask them AND switch to a plan
+        # with O(rows) literal nodes.
+        _log.debug(
+            "local_rows_df: element_at literal form failed (%s: %s); "
+            "falling back to the per-row struct form",
+            type(e).__name__,
+            e,
+        )
         lit_rows = _struct_frame()
     return empty.unionByName(lit_rows)
 
@@ -173,11 +207,18 @@ def manifest_state(spark: SparkSession, base: str) -> tuple[int, int, int]:
     """(gen, tomb_gen, seq) of the current committed generation — the
     max-seq row of the ``_commits`` manifest, or (0, 0, -1) for a
     freshly-built store (no manifest yet).  One tiny Spark job (the
-    manifest is one row per commit)."""
+    manifest is one row per commit).  Resolution is DETERMINISTIC even
+    if two racing writers landed the same seq (a violated single-writer
+    assumption): ties break to the highest ``gen``, then ``tomb_gen`` —
+    never parquet file order — so every reader resolves the same
+    winner; `append_commit`'s post-append check makes the losing
+    writer raise."""
     commits = try_read_parquet(spark, f"{base}/_commits")
     if commits is None:
         return 0, 0, -1
-    row = commits.orderBy(F.desc("seq")).limit(1).collect()[0]
+    row = commits.orderBy(
+        F.desc("seq"), F.desc("gen"), F.desc("tomb_gen")
+    ).limit(1).collect()[0]
     return int(row["gen"]), int(row["tomb_gen"]), int(row["seq"])
 
 
@@ -187,10 +228,37 @@ def append_commit(
     """THE commit point: one single-row parquet append to ``_commits``.
     Everything before this call is invisible to readers; everything
     after is durable.  Kept as a module-level seam so crash-mid-compact
-    tests can fail it deliberately."""
+    tests can fail it deliberately.
+
+    Concurrent-writer detection: after the append, the manifest is
+    re-read at THIS seq — if another writer's row is present and wins
+    the deterministic tie-break (`manifest_state`'s
+    (seq, gen, tomb_gen) ordering), this writer LOST the race and
+    raises `CommitConflictError` (its generation is invisible to every
+    reader and collectable by GC, so the store stays consistent; the
+    caller must re-resolve state and redo its maintenance).  A
+    duplicate row with identical coordinates (an idempotent retry of
+    the same commit) is not a conflict."""
     local_rows_df(
         spark, "seq long, gen int, tomb_gen int", [(seq, gen, tomb_gen)]
     ).coalesce(1).write.mode("append").parquet(f"{base}/_commits")
+    rivals = [
+        (int(r["gen"]), int(r["tomb_gen"]))
+        for r in spark.read.parquet(f"{base}/_commits")
+        .filter(F.col("seq") == seq)
+        .select("gen", "tomb_gen")
+        .distinct()
+        .collect()
+    ]
+    if len(rivals) > 1 and max(rivals) != (gen, tomb_gen):
+        raise CommitConflictError(
+            f"append_commit: another writer committed seq {seq} with "
+            f"coordinates {max(rivals)} and wins the deterministic "
+            f"tie-break over this writer's ({gen}, {tomb_gen}) — the "
+            f"single-writer assumption was violated; this commit is "
+            f"invisible to readers (store stays consistent); re-resolve "
+            f"manifest state and redo the maintenance"
+        )
 
 
 # Directory names a rebuild owns and may clear: every store component

@@ -58,11 +58,16 @@ tombstones, identical to `upsert_cdc_by_key_bucketed` — including
 resurrect-after-delete when a later-seq upsert lands after a
 tombstone, and the same MapType exclusion from the hash tie-break
 (xxhash64 cannot hash maps).  Scale shape: a commit writes O(batch)
-in a handful of Spark jobs (the manifest probe is ONE collect of the
-row-per-commit manifest); an as-of read scans base + pruned tail
-partitions; compaction is one bounded fold at a cadence.  Cites the
-reference's ES upsert story (addReddit.py:63-64 — O8) extended with
-the versioning ES lacks.
+in a handful of Spark jobs (the manifest probe is ONE two-value
+aggregate over the row-per-commit manifest — per-commit driver cost
+stays O(1) however old the store gets); an as-of read scans base +
+pruned tail partitions; compaction is one bounded fold at a cadence.
+Reads require at least one DATA-BEARING commit: a store whose only
+commits are empty snapshots is legal (the counter advances, fsck
+reports n_state=0) but has no schema to serve, so `read_as_of` /
+`snapshot_lookup` raise ValueError("empty store") on it by design.
+Cites the reference's ES upsert story (addReddit.py:63-64 — O8)
+extended with the versioning ES lacks.
 """
 
 from __future__ import annotations
@@ -85,6 +90,28 @@ from ..storage.manifest import (
 # semantics never see it).  Fixed at store-creation time, like the CDC
 # sink's n_buckets.
 N_LOOKUP_BUCKETS = 16
+
+
+class EmptyFoldError(ValueError):
+    """`compact_snapshots` found NOTHING to fold into a base (only
+    empty snapshots below the target, or retention dropped every
+    winner).  The store is untouched.  A dedicated type so schedulers
+    (`snapshot_maintain`) dispatch on the CLASS, never on message text
+    — rewording the message can't silently change their behavior."""
+
+
+class UnclassifiableNullError(ValueError):
+    """Retention was requested but the folded state holds rows with
+    NULL op/seq, which the watermark cannot classify.  Raised BEFORE
+    any write (the store is untouched), so a scheduler may safely
+    retry the fold without retention."""
+
+
+class UnsafeWatermarkError(ValueError):
+    """The requested retention watermark is unsafe: the uncompacted
+    tail still holds ops with seq NULL or below it, so dropping
+    tombstones under them could resurrect deleted keys.  The store is
+    untouched."""
 
 
 def _manifest(spark: SparkSession, store_dir: str) -> DataFrame | None:
@@ -139,15 +166,23 @@ def snapshot_commit(
     for c in (key, seq_col, op_col):
         if c not in batch_df.columns:
             raise ValueError(f"snapshot_commit: batch is missing column {c!r}")
-    # ONE manifest probe (row-per-commit table, collect is |commits|):
-    # resolves both the exactly-once batch_id check and the next id
+    # ONE manifest probe, AGGREGATED Spark-side: resolves the latest id
+    # and the exactly-once batch_id check in a single two-value row, so
+    # per-commit driver cost stays O(1) however many lifetime commits
+    # the store accumulates (a .collect() of the row-per-commit
+    # manifest would grow linearly with store age)
     m = _manifest(spark, store_dir)
     latest = 0
     if m is not None:
-        mrows = m.select("snap", "batch_id").collect()
-        if batch_id is not None and any(r["batch_id"] == batch_id for r in mrows):
-            return max(int(r["snap"]) for r in mrows)
-        latest = max((int(r["snap"]) for r in mrows), default=0)
+        dup = (
+            F.max((F.col("batch_id") == batch_id).cast("int"))
+            if batch_id is not None
+            else F.lit(0)
+        )
+        row = m.agg(F.max("snap").alias("latest"), dup.alias("dup")).first()
+        latest = int(row["latest"] or 0)
+        if row["dup"]:
+            return latest
     wm = _retention_watermark(spark, store_dir)
     if wm is not None:
         n_late = (
@@ -273,7 +308,14 @@ def read_as_of(
     upsert after a tombstone resurrects the key (seq-authoritative,
     same contract as the CDC sink).  A ``snap`` above the committed
     maximum raises — a reproducibility read must never silently serve
-    a different table version than the one requested."""
+    a different table version than the one requested.
+
+    Requires at least one DATA-BEARING commit: a store whose only
+    commits are empty snapshots is a legal state (the version counter
+    advances; `snapshot_fsck` reports it as n_state = 0) but carries
+    no row schema, so there is nothing well-typed to return — reads on
+    it raise ValueError("empty store") by design rather than guess a
+    schema."""
     committed = current_snapshot(spark, store_dir)
     if snap is not None and snap > committed:
         raise ValueError(
@@ -342,7 +384,7 @@ def compact_snapshots(
             .count()
         )
         if n_null:
-            raise ValueError(
+            raise UnclassifiableNullError(
                 f"compact_snapshots: retention requested but the folded "
                 f"state holds row(s) with NULL {op_col!r}/{seq_col!r} — "
                 f"the watermark cannot classify them; clean the changelog "
@@ -367,7 +409,7 @@ def compact_snapshots(
                 .count()
             )
             if n_below:
-                raise ValueError(
+                raise UnsafeWatermarkError(
                     f"compact_snapshots: the uncompacted tail still holds "
                     f"op(s) with {seq_col} NULL or below the requested "
                     f"retention watermark {wm} — dropping tombstones under "
@@ -397,7 +439,7 @@ def compact_snapshots(
     landed = _try_read(spark, f"{store_dir}/base_g{new_gen}")
     if landed is None:
         _fs_delete(spark, f"{store_dir}/base_g{new_gen}")
-        raise ValueError(
+        raise EmptyFoldError(
             "compact_snapshots: the folded state is empty — nothing to "
             "fold into a base (only empty snapshots below the target, or "
             "retention dropped every winner); compact after real data "
@@ -511,19 +553,18 @@ def snapshot_maintain(
             op_col=op_col,
             drop_tombstones_below_seq=wm,
         )
-    except ValueError as e:
-        msg = str(e)
-        if "folded state is empty" in msg:
-            return noop  # retention dropped every winner — nothing to fold
-        if wm is not None and "NULL" in msg:
-            # the FOLDED state holds unclassifiable NULL op/seq rows —
-            # fold without retention this cadence (progress over drops;
-            # the check runs before any write, so nothing landed)
-            return compact_snapshots(
-                spark, store_dir, upto,
-                key=key, seq_col=seq_col, op_col=op_col,
-            )
-        raise
+    except EmptyFoldError:
+        return noop  # retention dropped every winner — nothing to fold
+    except UnclassifiableNullError:
+        # the FOLDED state holds NULL op/seq rows the watermark cannot
+        # classify — fold without retention this cadence (progress over
+        # drops; the check runs before any write, so nothing landed).
+        # Dispatch is on the exception TYPE, never message text, so a
+        # reworded message can't silently change maintenance behavior.
+        return compact_snapshots(
+            spark, store_dir, upto,
+            key=key, seq_col=seq_col, op_col=op_col,
+        )
 
 
 def snapshot_lookup(
@@ -599,7 +640,13 @@ def snapshot_lookup(
     allrows = parts[0]
     for p in parts[1:]:
         allrows = allrows.unionByName(p)
-    allrows = allrows.filter(F.col(key).isin(list(keys)))
+    # membership test through the SAME typed frame the routing hashed —
+    # a raw isin(keys) here would compare the caller's python literals
+    # against the store column under Spark's coercion rules, which can
+    # coerce or null-drop rows AFTER routing already succeeded (e.g.
+    # int keys against a string-keyed store); the broadcast semi-join
+    # on kdf uses the identical casted values for both hash and match
+    allrows = allrows.join(F.broadcast(kdf), key, "semi")
     merged = _merge_rows(allrows, key, seq_col, op_col)
     return merged.filter(F.col(op_col) != "D").drop(op_col, "snap", "bucket")
 

@@ -662,3 +662,53 @@ def test_maintain_noops_on_empty_folds(spark, tmp_path):
     with pytest.raises(ValueError, match="empty"):
         snapshots.compact_snapshots(spark, st2, 1)
     assert not os.path.isdir(f"{st2}/base_g1")
+
+
+def test_compact_raises_typed_exceptions(spark, tmp_path):
+    """Maintenance dispatches on exception TYPES (round-12 ADVICE fix):
+    an empty fold raises EmptyFoldError, an unsafe watermark raises
+    UnsafeWatermarkError, NULL op/seq under retention raises
+    UnclassifiableNullError — all ValueError subclasses, so generic
+    callers keep working."""
+    # empty fold: retention drops EVERY winner (an all-tombstone batch
+    # below the watermark), so the new base would be file-less
+    st = str(tmp_path / "empty")
+    b1, _, _ = _batches(spark)
+    all_dead = b1.withColumn("op", F.lit("D"))
+    snapshots.snapshot_commit(all_dead, st, "id", "seq", batch_id="d1")
+    with pytest.raises(snapshots.EmptyFoldError):
+        snapshots.compact_snapshots(spark, st, 1, drop_tombstones_below_seq=2)
+
+    # unsafe watermark: tail still holds ops below it
+    st2 = str(tmp_path / "unsafe")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st2, "id", "seq", batch_id=bid)
+    with pytest.raises(snapshots.UnsafeWatermarkError):
+        snapshots.compact_snapshots(spark, st2, 2, drop_tombstones_below_seq=99)
+
+    # unclassifiable NULLs in the folded state under retention
+    st3 = str(tmp_path / "nulls")
+    nb = b1.withColumn(
+        "seq", F.when(F.col("id") % 2 == 0, F.col("seq"))
+    )
+    snapshots.snapshot_commit(nb, st3, "id", "seq", batch_id="n1")
+    with pytest.raises(snapshots.UnclassifiableNullError):
+        snapshots.compact_snapshots(spark, st3, 1, drop_tombstones_below_seq=1)
+
+
+def test_lookup_membership_uses_store_key_type(spark, tmp_path):
+    """The FINAL membership filter must use the same typed frame the
+    routing hashed (round-12 ADVICE fix): python int keys against a
+    STRING-keyed store must match after the store-type cast, not fall
+    through Spark's literal-coercion rules."""
+    st = str(tmp_path / "strstore")
+    b1, _, _ = _batches(spark)
+    b1 = b1.withColumn("id", F.col("id").cast("string"))
+    snapshots.snapshot_commit(b1, st, "id", "seq", batch_id="b1")
+    raw = [r["id"] for r in b1.limit(5).collect()]
+    int_keys = [int(k) for k in raw]
+    got = sorted(
+        r["id"] for r in snapshots.snapshot_lookup(spark, st, int_keys, 1).collect()
+    )
+    assert got == sorted(raw)

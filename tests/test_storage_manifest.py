@@ -158,3 +158,52 @@ def test_local_rows_df_is_jvm_native(spark):
     df = sm.local_rows_df(spark, "vec_id long", [(i,) for i in range(50)])
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "existingrdd" not in plan and "evalpython" not in plan
+
+
+def test_concurrent_commit_loser_raises_winner_resolves(spark, tmp_path):
+    """Two writers racing the same seq: resolution is deterministic
+    (highest gen, then tomb_gen — never parquet file order), the later
+    DIVERGENT writer that loses the tie-break raises
+    CommitConflictError, and the store stays consistent on the winner."""
+    import pytest
+
+    base = str(tmp_path / "store")
+    # writer A commits seq 1 -> (gen 1, tomb 1)
+    sm.append_commit(spark, base, 1, 1, 1)
+    assert sm.manifest_state(spark, base) == (1, 1, 1)
+    # writer B races the same seq with HIGHER coordinates: B wins the
+    # deterministic tie-break, so B's own post-append check passes
+    sm.append_commit(spark, base, 1, 2, 1)
+    assert sm.manifest_state(spark, base) == (2, 1, 1)
+    # writer C races the same seq with LOSING coordinates: C must raise
+    # (its generation is invisible to readers), and the resolved state
+    # is unchanged
+    with pytest.raises(sm.CommitConflictError):
+        sm.append_commit(spark, base, 1, 1, 0)
+    assert sm.manifest_state(spark, base) == (2, 1, 1)
+
+
+def test_concurrent_commit_idempotent_retry_is_not_a_conflict(spark, tmp_path):
+    """A duplicate row with IDENTICAL coordinates (a retried commit of
+    the same generation) is an idempotent no-op, not a conflict."""
+    base = str(tmp_path / "store")
+    sm.append_commit(spark, base, 1, 1, 1)
+    sm.append_commit(spark, base, 1, 1, 1)  # retry — must not raise
+    assert sm.manifest_state(spark, base) == (1, 1, 1)
+
+
+def test_local_rows_df_unexpected_errors_propagate(spark, monkeypatch):
+    """The struct-form fallback fires only on EXPECTED inference errors
+    — an arbitrary bug inside the literal path must propagate, never be
+    silently absorbed into the O(rows) struct plan."""
+    import pytest
+
+    real_element_at = F.element_at
+
+    def boom(*a, **k):
+        raise AttributeError("genuine bug, not an inference error")
+
+    monkeypatch.setattr(F, "element_at", boom)
+    with pytest.raises(AttributeError, match="genuine bug"):
+        sm.local_rows_df(spark, "a int, b int", [(1, 2)])
+    monkeypatch.setattr(F, "element_at", real_element_at)
