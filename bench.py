@@ -336,6 +336,18 @@ HEADLINE = [
     # ann_index_probe_vectors_filtered is correctness-gated only: its
     # cost is the benched ann_index_probe_filtered with an external
     # (byte-identical) query frame — same build-composite, same plan.
+    # round-13 additions: the IVF-PQ serving matrix completion — the
+    # caller-vector + double-DPP form is benched (it exercises the new
+    # cell-partitioned codes layout through DynamicPruningExpression on
+    # BOTH store scans); ann_index_probe_ivfpq_dpp and
+    # ann_index_probe_ivfpq_vectors are correctness-gated only (each is
+    # the same build-composite with a subset of this row's plan).
+    # ann_index_maintain / dedup_index_maintain follow the lifecycle-
+    # capstone exclusion: each is build + delete + compact + gc + probe,
+    # every leg individually benched (annidx_*_only / dedupidx_*_only
+    # rows isolate the per-verb serving costs); the maintain receipts
+    # themselves are three metadata-cheap counts + one driver listing.
+    "ann_index_probe_ivfpq_vectors_dpp",
 ]
 
 
@@ -437,6 +449,9 @@ def bench_annidx_verbs(spark, sf_dir) -> dict[str, float]:
              lambda: ann_index.ann_index_probe_pq(spark, idx, qids).count()),
             ("annidx_probe_ivfpq_only",
              lambda: ann_index.ann_index_probe_ivfpq(spark, idx, qids).count()),
+            ("annidx_probe_ivfpq_dpp_only",
+             lambda: ann_index.ann_index_probe_ivfpq_dpp(
+                 spark, idx, qids).count()),
         ):
             best = None
             for _ in range(2):

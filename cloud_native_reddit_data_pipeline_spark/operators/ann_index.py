@@ -36,6 +36,13 @@ Layout under ``{index_dir}/{version}/``::
     cells/         (vec_id BIGINT, embedding ARRAY<FLOAT>)
                    partitioned by cell INT (the inverted file)
     codes/         (vec_id BIGINT, code0..code{m-1} INT)          4B/vec
+                   partitioned by cell INT (round-13: the PQ codes
+                   share the inverted layout, so the IVF-PQ probes
+                   prune code I/O on disk exactly like the vectors —
+                   PartitionFilters on the static path, a
+                   DynamicPruningExpression on the DPP path; the
+                   corpus-wide `ann_index_probe_pq` is unaffected,
+                   its exhaustive ADC is the semantics)
     codebook/      (sub INT, code INT, vals ARRAY<DECIMAL(9,6)>)  ~KB
     tombstones/    (vec_id BIGINT)  — append-only delete log
     _commits/      (seq BIGINT, gen INT, tomb_gen INT) — generation
@@ -126,6 +133,21 @@ def _assign_cells(scored: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _quantize_keep_cell(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """`clustering._quantize` with the ``cell`` column riding along, so
+    the PQ encode's output can be written straight into the
+    cell-partitioned codes layout (one pass, no re-join against the
+    assignment).  The quantized values are bit-identical to the plain
+    form: the same float→DECIMAL(9,6) cast per element."""
+    from .clustering import QUANT
+
+    return df.select(
+        F.col(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.transform(F.col(vec_col), lambda v: v.cast(QUANT)).alias("xd"),
+    )
+
+
 def _cells_dir(base: str, gen: int) -> str:
     return f"{base}/cells" if gen == 0 else f"{base}/cells_g{gen}"
 
@@ -210,7 +232,15 @@ def ann_index_build(
     ).partitionBy("cell").parquet(f"{base}/cells")
 
     # -- PQ half: seed codebook + codes ------------------------------
-    quant = _pq_quantize(emb, id_col, vec_col)
+    # quantize off the PERSISTED inverted file (embeddings round-trip
+    # parquet bit-exact, so xd is identical to quantizing `emb`): one
+    # pruned-column scan instead of re-running the centroid-scoring
+    # aggregation, and the cell column rides along so the codes land
+    # in the same cell-partitioned layout the vectors use — IVF-PQ
+    # probes then prune code I/O on disk too
+    quant = _quantize_keep_cell(
+        spark.read.parquet(f"{base}/cells"), id_col, vec_col
+    )
     codebook = _pq_seed_codebook(quant, id_col, m, k_codes)
     dsub = len(codebook[0][0])
     cb_rows = [
@@ -221,9 +251,9 @@ def ann_index_build(
     _local_rows(
         spark, "sub int, code int, vals array<decimal(9,6)>", cb_rows
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebook")
-    _pq_encode_df(quant, codebook, dsub).write.mode("overwrite").parquet(
-        f"{base}/codes"
-    )
+    _layout(
+        _pq_encode_df(quant, codebook, dsub), ["cell"], files_per_cell, id_col
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{base}/codes")
 
     return (
         spark.read.parquet(f"{base}/cells")
@@ -335,8 +365,13 @@ def ann_index_append(
     for r in cb_rows:
         codebook[r["sub"]][r["code"]] = list(r["vals"])
     dsub = len(codebook[0][0])
-    quant = _pq_quantize(new_vecs, id_col, vec_col)
-    _pq_encode_df(quant, codebook, dsub).write.mode("append").parquet(codes_dir)
+    # encode from the ASSIGNED frame so the cell rides along into the
+    # cell-partitioned codes layout (re-deriving the batch's assignment
+    # is one broadcast scoring pass over only the new rows)
+    quant = _quantize_keep_cell(assigned, id_col, vec_col)
+    _layout(
+        _pq_encode_df(quant, codebook, dsub), ["cell"], 1, id_col
+    ).write.mode("append").partitionBy("cell").parquet(codes_dir)
 
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_appended"))
 
@@ -435,9 +470,9 @@ def ann_index_compact(
     codes = _anti_tombstones(
         spark.read.parquet(_codes_dir(base, gen)), tombs, "vec_id"
     )
-    codes.coalesce(files_per_cell).write.mode("overwrite").parquet(
-        _codes_dir(base, new_gen)
-    )
+    _layout(codes, ["cell"], files_per_cell, "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(_codes_dir(base, new_gen))
 
     # verify the new generation is READABLE before flipping readers to
     # it — compacting a fully-tombstoned index writes file-less dirs,
@@ -526,6 +561,71 @@ def ann_index_gc(
             _fs_delete(spark, f"{base}/{name}")
             removed.append(name)
     return sorted(removed)
+
+
+def ann_index_maintain(
+    spark: SparkSession,
+    index_dir: str,
+    version: str = "v1",
+    max_dead_ratio: float = 0.2,
+    max_files_per_cell: int = 4,
+    files_per_cell: int = 1,
+) -> DataFrame:
+    """Auto-maintenance — the verb a scheduler calls at a cadence
+    (round-13: the index twin of `snapshots.snapshot_maintain`), so
+    operators never hand-pick compaction moments: derives the two
+    compaction-debt signals from the store itself — the tombstone
+    ratio (reclaimable rows per `ann_index_stats`' n_dead story) and
+    the small-files count per cell directory (append leaves one file
+    per batch per cell; probe latency goes file-open bound) — and runs
+    `ann_index_compact` + `ann_index_gc` when either crosses its
+    threshold.  Idempotent: the compacted generation has an empty
+    delete log and ``files_per_cell`` files per cell, so an immediate
+    second call no-ops.  Probe results are untouched by construction
+    (compaction is pinned byte-identical).  Returns a one-row receipt
+    (action, reason, and each signal as measured BEFORE the action).
+
+    A fully-tombstoned index still raises from the compact (there is
+    nothing to compact TO — that store needs a rebuild decision, not a
+    cadence job); every other state makes progress.  Cost: one
+    metadata-cheap count of the inverted file, one tombstone count,
+    one driver-side file listing (bounded by the file count this verb
+    itself keeps small), plus the compact when triggered."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    cells_dir = _cells_dir(base, gen)
+    n_rows = spark.read.parquet(cells_dir).count()
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    n_dead = 0 if tombs is None else tombs.count()
+    dead_ratio = n_dead / max(n_rows, 1)
+    from ..storage.manifest import max_files_per_leaf_dir
+    max_files = max_files_per_leaf_dir(spark, cells_dir, 1)
+
+    reasons = []
+    if dead_ratio > max_dead_ratio:
+        reasons.append("dead_ratio")
+    if max_files > max_files_per_cell:
+        reasons.append("file_count")
+    n_gc = 0
+    if reasons:
+        ann_index_compact(spark, index_dir, version, files_per_cell).collect()
+        n_gc = len(ann_index_gc(spark, index_dir, version))
+    return _local_rows(
+        spark,
+        "action string, reason string, n_rows long, n_dead long, "
+        "dead_ratio double, max_files_per_cell int, n_gc_removed int",
+        [
+            (
+                "compacted" if reasons else "noop",
+                ",".join(reasons) or "none",
+                n_rows,
+                n_dead,
+                round(dead_ratio, 6),
+                max_files,
+                n_gc,
+            )
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -877,7 +977,11 @@ def ann_index_probe_pq(
     ``similarity.pq_adc_topk`` (and as the driver-side Decimal loop
     this replaced; prec-50 vs 30,12 agree because every product is
     exactly scale-12).  Driver work is O(1): no |Q|-proportional
-    Python loop, no collect of query vectors."""
+    Python loop, no collect of query vectors.  The codes table is
+    cell-partitioned (round-13 layout), but this probe scans ALL of it
+    on purpose — exhaustive ADC over the corpus IS its semantics (the
+    brute-force twin); the cell-pruned form is `ann_index_probe_ivfpq`
+    and friends."""
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
     cells = spark.read.parquet(_cells_dir(base, gen))
@@ -941,61 +1045,61 @@ def _adc_dtable(
     )
 
 
-def ann_index_probe_ivfpq(
+def _probe_ivfpq_impl(
     spark: SparkSession,
-    index_dir: str,
-    query_ids: list[int],
-    topk: int = 5,
-    n_probe: int = 4,
-    version: str = "v1",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    base: str,
+    gen: int,
+    tomb_gen: int,
+    qdf: DataFrame,
+    topk: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    dpp: bool,
 ) -> DataFrame:
-    """IVF-PQ composite probe off the persisted store — the FAISS
-    production serving shape the separate probes bracket: the IVF half
-    bounds WHICH vectors are scored (only live members of each query's
-    ``n_probe`` nearest cells, via static pruning of the
-    cell-partitioned inverted file) and PQ asymmetric distance bounds
-    HOW MUCH each costs (m code lookups off the persisted codes, no
-    re-encode).  Byte-identical to the fused ``similarity.ivf_pq_topk``
-    on the same corpus/params (pinned by test): same decimal-quantized
-    arithmetic, same e12 BIGINT distances, same tie-breaks.
-
-    vs `ann_index_probe_pq`, which ADC-scores the WHOLE code table
-    (|corpus| x |Q| distance sums): here the candidate join bounds the
-    ADC work to the ~n_probe/n_centroids slice — 1/16th of the corpus
-    at the default geometry.  The codes SCAN itself is still the full
-    (narrow, m-ints-per-vector) table semi-bounded by the join; a
-    cell-partitioned codes layout would prune that too and is the
-    natural next layout evolution if code I/O ever dominates (the
-    vectors, the heavy column, are already cell-pruned)."""
-    base = _base(index_dir, version)
-    gen, tomb_gen, _ = _state(spark, base)
+    """Shared IVF-PQ probe body — the FAISS production serving shape:
+    the IVF half bounds WHICH vectors are scored (live members of each
+    query's ``n_probe`` nearest cells) and PQ asymmetric distance
+    bounds HOW MUCH each costs (m code lookups off the persisted
+    codes, no re-encode).  Because the codes share the inverted
+    cell-partitioned layout (round-13), BOTH scans prune on disk:
+    with ``dpp=False`` the collected probe-cell list lands as
+    PartitionFilters on the cells AND codes scans; with ``dpp=True``
+    the probe-cell set stays a DataFrame end-to-end and both scans are
+    pruned by a DynamicPruningExpression fed from the broadcast probe
+    side — zero driver-side routing, the serving path for external
+    query batches.  Byte-identical across all four public forms and to
+    the fused ``similarity.ivf_pq_topk`` (pinned by test): same
+    decimal-quantized arithmetic, same e12 BIGINT distances, same
+    tie-breaks."""
     cents = spark.read.parquet(f"{base}/centroids")
     cells = spark.read.parquet(_cells_dir(base, gen))
-
-    qdf = cells.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    codes = spark.read.parquet(_codes_dir(base, gen))
     probes = _probe_cells_df(qdf, cents, n_probe)
-    probe_cells = sorted(
-        int(r["cell"]) for r in probes.select("cell").distinct().collect()
-    )
     tombs = _load_tombstones(spark, base, tomb_gen)
-    cand = (
-        _anti_tombstones(
-            cells.filter(F.col("cell").isin(probe_cells)).select(
-                id_col, "cell"
-            ),
-            tombs,
-            id_col,
+    if dpp:
+        # both scans prune via DynamicPruningExpression: the cells scan
+        # from the inner broadcast join below, the codes scan from this
+        # broadcast semi-join on its partition column
+        cells_slice = cells
+        codes_slice = codes.join(
+            F.broadcast(probes.select("cell").distinct()), "cell", "semi"
         )
+    else:
+        # cell-list routing metadata (≤ |queries| x n_probe values)
+        # collected so BOTH partitioned scans prune statically
+        probe_cells = sorted(
+            int(r["cell"]) for r in probes.select("cell").distinct().collect()
+        )
+        cells_slice = cells.filter(F.col("cell").isin(probe_cells))
+        codes_slice = codes.filter(F.col("cell").isin(probe_cells))
+    cand = (
+        _anti_tombstones(cells_slice.select(id_col, "cell"), tombs, id_col)
         .join(F.broadcast(probes.select("query_id", "cell")), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col)
     )
 
-    codes = spark.read.parquet(_codes_dir(base, gen))
     m = sum(1 for c in codes.columns if c.startswith("code"))
     # quantize the SAME query frame the routing used (rename back to
     # the store's column names) — one query-lookup scan, not two
@@ -1007,7 +1111,7 @@ def ann_index_probe_ivfpq(
         vec_col,
     )
     dtable = _adc_dtable(spark, base, qquant, id_col)
-    encoded = codes.select(
+    encoded = codes_slice.select(
         id_col,
         F.posexplode(F.array(*[F.col(f"code{s}") for s in range(m)])).alias(
             "sub", "code"
@@ -1024,4 +1128,126 @@ def ann_index_probe_ivfpq(
         adc.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= topk)
         .select("query_id", "neighbor_id", "adc_e12", "rk")
+    )
+
+
+def _member_qdf(
+    cells: DataFrame, query_ids: list[int], id_col: str, vec_col: str
+) -> DataFrame:
+    """Member-id query frame: look the query vectors up in the
+    inverted file itself (the convenience form; serving passes caller
+    vectors)."""
+    return cells.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+
+
+def _caller_qdf(queries: DataFrame) -> DataFrame:
+    """Caller-vector query frame: first column = query id, second =
+    query vector (the convention every *_vectors probe shares)."""
+    return queries.select(
+        F.col(queries.columns[0]).alias("query_id"),
+        F.col(queries.columns[1]).alias("qv"),
+    )
+
+
+def ann_index_probe_ivfpq(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    topk: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite probe off the persisted store, member-id form
+    with static pruning — see `_probe_ivfpq_impl` for the shared plan.
+    vs `ann_index_probe_pq`, which ADC-scores the WHOLE code table by
+    design (the exhaustive-ADC twin): here both the candidate set AND
+    the code I/O are bounded to the ~n_probe/n_centroids cell slice,
+    pruned on disk (the round-12 layout gap — a full codes scan
+    semi-bounded only by the join — is closed by the cell-partitioned
+    codes layout).  The serving matrix: `_dpp` keeps routing off the
+    driver, `_vectors` takes caller-supplied query embeddings,
+    `_vectors_dpp` does both."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    qdf = _member_qdf(
+        spark.read.parquet(_cells_dir(base, gen)), query_ids, id_col, vec_col
+    )
+    return _probe_ivfpq_impl(
+        spark, base, gen, tomb_gen, qdf, topk, n_probe, id_col, vec_col,
+        dpp=False,
+    )
+
+
+def ann_index_probe_ivfpq_dpp(
+    spark: SparkSession,
+    index_dir: str,
+    query_ids: list[int],
+    topk: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe, member-id form with DYNAMIC partition pruning:
+    the probe-cell set stays a DataFrame end-to-end and both the
+    inverted-file and codes scans carry a DynamicPruningExpression —
+    zero driver-side routing (no collect anywhere in the plan).
+    Byte-identical to `ann_index_probe_ivfpq` (pinned by test)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    qdf = _member_qdf(
+        spark.read.parquet(_cells_dir(base, gen)), query_ids, id_col, vec_col
+    )
+    return _probe_ivfpq_impl(
+        spark, base, gen, tomb_gen, qdf, topk, n_probe, id_col, vec_col,
+        dpp=True,
+    )
+
+
+def ann_index_probe_ivfpq_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe with CALLER-SUPPLIED query vectors (``queries`` =
+    (query_id, qv)) — the serving form: fresh query embeddings that
+    never lived in the index.  Member vectors passed externally give
+    byte-identical results to the member-id form (pinned by test)."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    return _probe_ivfpq_impl(
+        spark, base, gen, tomb_gen, _caller_qdf(queries), topk, n_probe,
+        id_col, vec_col, dpp=False,
+    )
+
+
+def ann_index_probe_ivfpq_vectors_dpp(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 4,
+    version: str = "v1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe, caller vectors + dynamic partition pruning — the
+    full production serving shape: external query embeddings stay
+    distributed end-to-end and BOTH store scans (inverted file, codes)
+    prune via DynamicPruningExpression with zero driver routing.
+    Byte-identical to every other IVF-PQ form on the same queries."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    return _probe_ivfpq_impl(
+        spark, base, gen, tomb_gen, _caller_qdf(queries), topk, n_probe,
+        id_col, vec_col, dpp=True,
     )

@@ -553,6 +553,97 @@ def dedup_index_gc(
     return sorted(removed)
 
 
+def dedup_index_maintain(
+    spark: SparkSession,
+    index_dir: str,
+    version: str = "v1",
+    max_dead_ratio: float = 0.2,
+    max_files_per_partition: int = 4,
+    files_per_partition: int = 1,
+) -> DataFrame:
+    """Auto-maintenance — the scheduler verb (round-13: the dedup twin
+    of `ann_index_maintain` / `snapshots.snapshot_maintain`): derives
+    three compaction-debt signals from the store itself and runs
+    `dedup_index_compact` + `dedup_index_gc` when any trips:
+
+    - **torn append** (the documented bands-first crash window,
+      module docstring): ids covered by only ONE store half — the
+      check `dedup_index_fsck` runs as its ids_match audit, wired here
+      to the HEAL it already documents (compact's rewrite keeps only
+      ids present in both halves), so a crashed ingest self-repairs at
+      the next cadence instead of waiting for an operator to connect
+      fsck output to the compact verb by hand;
+    - **tombstone ratio** over live documents;
+    - **small files** per (band, pfx) directory (one per append batch).
+
+    Idempotent: the compacted generation is whole (zero orphans), has
+    an empty delete log and ``files_per_partition`` files per
+    directory, so an immediate second call no-ops.  Returns a one-row
+    receipt with each signal as measured BEFORE the action.  Cost: one
+    two-sided coverage aggregate (orphans + doc count in a single
+    job), one tombstone count, one driver-side file listing, plus the
+    compact when triggered."""
+    base = _base(index_dir, version)
+    gen, tomb_gen, _ = _state(spark, base)
+    sigs_ids = spark.read.parquet(_sigs_dir(base, gen)).select("doc_id")
+    band_ids = spark.read.parquet(_bands_dir(base, gen)).select("doc_id")
+    # orphan ids (torn-append detector) + distinct doc count in ONE job
+    sides = sigs_ids.select(
+        "doc_id", F.lit(1).alias("_s"), F.lit(0).alias("_b")
+    ).unionByName(
+        band_ids.select("doc_id", F.lit(0).alias("_s"), F.lit(1).alias("_b"))
+    )
+    cov = (
+        sides.groupBy("doc_id")
+        .agg(F.max("_s").alias("s"), F.max("_b").alias("b"))
+        .agg(
+            F.sum(
+                F.when(F.col("s") + F.col("b") < 2, 1).otherwise(0)
+            ).alias("orphans"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .first()
+    )
+    n_orphans, n_docs = int(cov["orphans"]), int(cov["n_docs"])
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    n_dead = 0 if tombs is None else tombs.count()
+    dead_ratio = n_dead / max(n_docs, 1)
+    from ..storage.manifest import max_files_per_leaf_dir
+    max_files = max_files_per_leaf_dir(spark, _bands_dir(base, gen), 2)
+
+    reasons = []
+    if n_orphans > 0:
+        reasons.append("torn_append")
+    if dead_ratio > max_dead_ratio:
+        reasons.append("dead_ratio")
+    if max_files > max_files_per_partition:
+        reasons.append("file_count")
+    n_gc = 0
+    if reasons:
+        dedup_index_compact(
+            spark, index_dir, version, files_per_partition
+        ).collect()
+        n_gc = len(dedup_index_gc(spark, index_dir, version))
+    return _local_rows(
+        spark,
+        "action string, reason string, n_docs long, n_orphan_ids long, "
+        "n_dead long, dead_ratio double, max_files_per_partition int, "
+        "n_gc_removed int",
+        [
+            (
+                "compacted" if reasons else "noop",
+                ",".join(reasons) or "none",
+                n_docs,
+                n_orphans,
+                n_dead,
+                round(dead_ratio, 6),
+                max_files,
+                n_gc,
+            )
+        ],
+    )
+
+
 def dedup_index_fsck(
     spark: SparkSession, index_dir: str, version: str = "v1"
 ) -> DataFrame:

@@ -15305,6 +15305,112 @@ def ann_index_probe_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
 
 
+@register("ann_index_probe_ivfpq_dpp", _ORACLES["ivf_pq_topk"])
+def ann_index_probe_ivfpq_dpp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe with DYNAMIC partition pruning
+    (ann_index.ann_index_probe_ivfpq_dpp — round-13 verdict task 2):
+    the probe-cell set stays a DataFrame end-to-end and BOTH
+    partitioned store scans (inverted file + the round-13
+    cell-partitioned codes) carry a DynamicPruningExpression — zero
+    driver-side routing, completing the DPP row of the serving matrix
+    for the composite probe.  Byte-identical to ann_index_probe_ivfpq
+    (pinned by tests/test_ann_index.py, which also asserts the
+    dynamicpruning node on BOTH scans); the oracle IS ivf_pq_topk's
+    composed IVF+ADC replay."""
+    import tempfile
+
+    from .operators import ann_index
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            load(spark, sf_dir, "embeddings"),
+            f"{tmp}/annidx",
+            n_centroids=_IVFPQ_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        out = ann_index.ann_index_probe_ivfpq_dpp(
+            spark,
+            f"{tmp}/annidx",
+            _ANN_QUERY_IDS,
+            topk=5,
+            n_probe=_IVFPQ_PROBE,
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@register("ann_index_probe_ivfpq_vectors", _ORACLES["ivf_pq_topk"])
+def ann_index_probe_ivfpq_vectors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe with CALLER-SUPPLIED query vectors
+    (ann_index.ann_index_probe_ivfpq_vectors — round-13 verdict task
+    2): the serving form, where query embeddings arrive from outside
+    the index (here: member vectors passed as an external (query_id,
+    qv) DataFrame so the oracle can replay them).  Byte-identical to
+    the member-id ann_index_probe_ivfpq on the same queries (pinned by
+    tests/test_ann_index.py)."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            emb,
+            f"{tmp}/annidx",
+            n_centroids=_IVFPQ_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        qdf = emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        out = ann_index.ann_index_probe_ivfpq_vectors(
+            spark,
+            f"{tmp}/annidx",
+            qdf,
+            topk=5,
+            n_probe=_IVFPQ_PROBE,
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@register("ann_index_probe_ivfpq_vectors_dpp", _ORACLES["ivf_pq_topk"])
+def ann_index_probe_ivfpq_vectors_dpp_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ probe, caller vectors + dynamic partition pruning
+    (ann_index.ann_index_probe_ivfpq_vectors_dpp — round-13 verdict
+    task 2): the full production serving shape for the composite probe
+    — external query embeddings stay distributed end-to-end, and both
+    store scans prune via DynamicPruningExpression with zero driver
+    routing.  Byte-identical to every other IVF-PQ form on the same
+    queries (pinned by tests/test_ann_index.py)."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        ann_index.ann_index_build(
+            emb,
+            f"{tmp}/annidx",
+            n_centroids=_IVFPQ_CENTROIDS,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+        ).collect()
+        qdf = emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        out = ann_index.ann_index_probe_ivfpq_vectors_dpp(
+            spark,
+            f"{tmp}/annidx",
+            qdf,
+            topk=5,
+            n_probe=_IVFPQ_PROBE,
+        )
+        return out.localCheckpoint(eager=True)
+
+
 @register(
     "streaming_dedup_bounded",
     """
@@ -16724,6 +16830,86 @@ def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_maintain",
+    f"""
+    WITH live AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id NOT BETWEEN 100 AND 149
+    ), cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM live WHERE vec_id < {_IVF_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS ccos
+      FROM live e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rk
+        FROM scored WHERE vec_id IN (21, 22, 23)) WHERE rk <= {_IVF_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand) WHERE rk <= {_IVF_K}
+    """,
+)
+def ann_index_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled index maintenance (ann_index.ann_index_maintain —
+    round-13 verdict task 3): after a delete wave, the scheduler verb
+    derives the tombstone ratio from the store itself and triggers
+    compact + GC — no operator hand-picks the moment (the index twin
+    of snapshot_store_auto_maintain).  In-query hard gates: the
+    maintain compacted for the dead_ratio reason, zero dead rows
+    remain per ann_index_stats, and an immediate second call no-ops
+    (scheduler idempotence).  Output = the probe over the maintained
+    store; oracle = the IVF rule over the live corpus (identical shape
+    to ann_index_delete's — maintenance must not move results)."""
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/annidx"
+        ann_index.ann_index_build(
+            emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K
+        ).collect()
+        ann_index.ann_index_delete(spark, idx, list(range(100, 150))).collect()
+        rec = ann_index.ann_index_maintain(
+            spark, idx, max_dead_ratio=0.001
+        ).collect()[0]
+        if rec["action"] != "compacted" or "dead_ratio" not in rec["reason"]:
+            raise AssertionError(f"maintain receipt wrong: {rec}")
+        n_dead = (
+            ann_index.ann_index_stats(spark, idx)
+            .agg(F.sum("n_dead"))
+            .first()[0]
+        )
+        if n_dead:
+            raise AssertionError(
+                f"maintain left {n_dead} dead rows unreclaimed"
+            )
+        rec2 = ann_index.ann_index_maintain(
+            spark, idx, max_dead_ratio=0.001
+        ).collect()[0]
+        if rec2["action"] != "noop" or rec2["n_dead"] != 0:
+            raise AssertionError(f"maintain not idempotent: {rec2}")
+        out = ann_index.ann_index_probe(
+            spark, idx, [21, 22, 23], k=_IVF_K, n_probe=_IVF_PROBE
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@register(
     "ann_index_fsck",
     "WITH "
     + _annidx_assign_sql()
@@ -17387,6 +17573,62 @@ def dedup_index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             list(range(_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI + 1)),
         ).collect()
         out = dedup_index.dedup_index_stats(spark, f"{tmp}/dix")
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "dedup_index_maintain",
+    _dedupidx_probe_sql(
+        f"doc_id % 10 != 0 AND doc_id NOT BETWEEN {_DEDUPIDX_DEL_LO} "
+        f"AND {_DEDUPIDX_DEL_HI}",
+        "doc_id % 10 = 0",
+    ),
+)
+def dedup_index_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled index maintenance (dedup_index.dedup_index_maintain —
+    round-13 verdict task 3): after a delete wave, the scheduler verb
+    derives the tombstone ratio from the store itself and triggers the
+    compact + GC — no operator hand-picks the moment.  In-query hard
+    gates: the maintain compacted for the dead_ratio reason, fsck is
+    green on the result, the delete log is empty, and an immediate
+    second call no-ops (scheduler idempotence).  Output = the probe
+    over the maintained store; oracle = the probe rule over the live
+    corpus (identical to dedup_index_delete's — maintenance must not
+    move results).  The torn-append auto-heal path of the same verb is
+    pinned by tests/test_dedup_index.py."""
+    import tempfile
+
+    from .operators import dedup_index
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup_index.dedup_index_build(
+            docs.filter("doc_id % 10 != 0"), f"{tmp}/dix"
+        ).collect()
+        dedup_index.dedup_index_delete(
+            spark,
+            f"{tmp}/dix",
+            list(range(_DEDUPIDX_DEL_LO, _DEDUPIDX_DEL_HI + 1)),
+        ).collect()
+        rec = dedup_index.dedup_index_maintain(
+            spark, f"{tmp}/dix", max_dead_ratio=0.01
+        ).collect()[0]
+        if rec["action"] != "compacted" or "dead_ratio" not in rec["reason"]:
+            raise AssertionError(f"maintain receipt wrong: {rec}")
+        fsck = dedup_index.dedup_index_fsck(spark, f"{tmp}/dix").collect()[0]
+        if not (fsck["ids_match"] and fsck["rows_per_doc_ok"]):
+            raise AssertionError(f"maintained store fails fsck: {fsck}")
+        rec2 = dedup_index.dedup_index_maintain(
+            spark, f"{tmp}/dix", max_dead_ratio=0.01
+        ).collect()[0]
+        if rec2["action"] != "noop" or rec2["n_dead"] != 0:
+            raise AssertionError(f"maintain not idempotent: {rec2}")
+        out = dedup_index.dedup_index_probe(
+            spark,
+            docs.filter("doc_id % 10 = 0"),
+            f"{tmp}/dix",
+            min_agree=_DEDUPIDX_MIN_AGREE,
+        )
         return out.localCheckpoint(eager=True)
 
 

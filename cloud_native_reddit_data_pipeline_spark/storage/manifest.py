@@ -316,6 +316,46 @@ def repartition_for_layout(
     return df.repartition(*cols)
 
 
+def max_files_per_leaf_dir(spark: SparkSession, path: str, levels: int) -> int:
+    """Largest data-file count across the LEAF directories of a
+    ``partitionBy`` layout ``levels`` deep (1 = ``cell=N/``, 2 =
+    ``band=N/pfx=X/``) — the small-files signal auto-maintenance verbs
+    compact on.  Driver-side Hadoop-FS listing: cost is O(files in the
+    store), which is exactly the quantity maintenance keeps bounded
+    (an unmaintained store pays the same listing storm on every scan's
+    footer reads — this probe is never worse than one query).  Names
+    starting with ``_`` or ``.`` (markers, checksums) are not data
+    files.  Returns 0 for a missing path."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    def walk(p, depth: int) -> int:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        if not fs.exists(jp):
+            return 0
+        kids = [
+            (st.getPath().getName(), st.isDirectory())
+            for st in fs.listStatus(jp)
+        ]
+        if depth == 0:
+            return sum(
+                1 for name, is_dir in kids
+                if not is_dir and not name.startswith(("_", "."))
+            )
+        return max(
+            (
+                walk(f"{p}/{name}", depth - 1)
+                for name, is_dir in kids
+                if is_dir and "=" in name
+            ),
+            default=0,
+        )
+
+    return walk(path, levels)
+
+
 def verify_readable(spark: SparkSession, *paths: str) -> list[str]:
     """Pre-commit readability gate: the directories a new generation is
     about to commit must each resolve to a readable parquet dataset

@@ -408,3 +408,69 @@ def test_lifecycle_leaves_cache_idle(spark, tmp_path):
     with pytest.raises(ValueError):
         dedup_index.dedup_index_append(spark, new_df, idx)
     assert_cache_idle(spark, "dedup_index append-raise")
+
+
+def test_maintain_heals_torn_append(spark, tmp_path):
+    """Round-13 (verdict task 8): dedup_index_maintain runs the fsck
+    id-set check itself and triggers the healing compact when a torn
+    append is detected — crash → maintain → fsck green, with no
+    operator wiring the two verbs by hand."""
+    idx = str(tmp_path / "idx")
+    docs = load(spark, SF, "documents")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx)
+    # inject the documented crash: bands half lands, sigs half doesn't
+    new_docs = docs.filter("doc_id % 10 = 0")
+    base = f"{idx}/v1"
+    num_hashes, bands, shingle_n = dedup_index._meta(spark, base)
+    _, banded, raw = dedup_index._banded(
+        new_docs, "doc_id", "text", num_hashes, bands, shingle_n
+    )
+    try:
+        banded.write.mode("append").partitionBy("band", "pfx").parquet(
+            f"{base}/bands"
+        )
+    finally:
+        raw.unpersist()
+    assert dedup_index.dedup_index_fsck(spark, idx).collect()[0][
+        "ids_match"
+    ] is False
+    rec = dedup_index.dedup_index_maintain(spark, idx).collect()[0]
+    assert rec["action"] == "compacted" and "torn_append" in rec["reason"]
+    assert rec["n_orphan_ids"] > 0
+    healed = dedup_index.dedup_index_fsck(spark, idx).collect()[0]
+    assert healed["ids_match"] is True
+    # and the interrupted append can now be re-run cleanly
+    dedup_index.dedup_index_append(spark, new_docs, idx).collect()
+    assert dedup_index.dedup_index_fsck(spark, idx).collect()[0][
+        "ids_match"
+    ] is True
+
+
+def test_maintain_thresholds_and_idempotence(spark, tmp_path):
+    """Signals below thresholds no-op; tombstones above the ratio
+    compact; an immediate second call no-ops (scheduler idempotence);
+    probe results are byte-identical across maintenance."""
+    idx = str(tmp_path / "idx")
+    docs = load(spark, SF, "documents")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx)
+    probe_docs = docs.filter("doc_id % 10 = 0")
+    rec0 = dedup_index.dedup_index_maintain(spark, idx).collect()[0]
+    assert rec0["action"] == "noop" and rec0["reason"] == "none"
+    dead = [int(r["doc_id"]) for r in
+            docs.filter("doc_id % 10 = 3").select("doc_id").collect()]
+    dedup_index.dedup_index_delete(spark, idx, dead).collect()
+    before = _sorted(
+        dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
+    )
+    rec = dedup_index.dedup_index_maintain(
+        spark, idx, max_dead_ratio=0.05
+    ).collect()[0]
+    assert rec["action"] == "compacted" and "dead_ratio" in rec["reason"]
+    rec2 = dedup_index.dedup_index_maintain(
+        spark, idx, max_dead_ratio=0.05
+    ).collect()[0]
+    assert rec2["action"] == "noop" and rec2["n_dead"] == 0
+    after = _sorted(
+        dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
+    )
+    assert before == after and after
