@@ -348,6 +348,9 @@ HEADLINE = [
     # rows isolate the per-verb serving costs); the maintain receipts
     # themselves are three metadata-cheap counts + one driver listing.
     "ann_index_probe_ivfpq_vectors_dpp",
+    # per-field boosted BM25 (title^2 most_fields) — the ES relevance
+    # knob the round-12 verdict listed as the remaining search delta
+    "ranked_search_fielded",
 ]
 
 

@@ -37,14 +37,24 @@ from ..functions.text import tokens
 END_OF_WORD = "</w>"
 
 
-def word_symbol_table(df: DataFrame, text_col: str) -> DataFrame:
+def word_symbol_table(
+    df: DataFrame, text_col: str, words: DataFrame | None = None
+) -> DataFrame:
     """Corpus -> (word, freq, syms) with syms = characters + end-of-word
     marker.  One explode + one groupBy; everything after runs on this
-    vocabulary-sized table."""
-    words = df.select(
-        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("w")
-    )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    vocabulary-sized table.  ``words`` short-circuits the collapse with
+    a precomputed (w, freq) table — the composed fertility query
+    derives ONE word-frequency table from the corpus and shares it
+    across all three tokenizer legs instead of re-scanning per leg
+    (pass it materialized: the caller owns the persistence)."""
+    if words is None:
+        exploded = df.select(
+            F.explode(
+                F.transform(tokens(text_col), lambda t: F.lower(t))
+            ).alias("w")
+        )
+        words = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = words.select("w", "freq")
     chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
     return vocab.withColumn(
         "syms", F.concat(chars, F.array(F.lit(END_OF_WORD)))
@@ -153,6 +163,7 @@ def learn_bpe_merges(
     n_merges: int = 20,
     checkpoint_every: int = 2,
     max_batch: int = 8,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from the corpus.  Returns a
     DataFrame (rank int, left str, right str, merged str, pair_freq long)
@@ -166,7 +177,7 @@ def learn_bpe_merges(
     the output sequence is bit-identical to one-merge-per-round
     greedy (pinned against the pure-Python reference in tests)."""
     spark = df.sparkSession
-    cur = word_symbol_table(df, text_col).select("freq", "syms")
+    cur = word_symbol_table(df, text_col, words).select("freq", "syms")
     cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     # every non-initial symbol is some applied merge's concatenation;
@@ -254,6 +265,7 @@ def bpe_encode_stats(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    doc_words: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge list and report per-document encoding stats
     (word count, BPE token count, chars per BPE token) — the second half
@@ -265,13 +277,17 @@ def bpe_encode_stats(
     sized, the same collapse the learner uses — and per-document stats
     come from joining (doc, word, count) back against the encoded
     vocabulary on the word key.  The corpus text is scanned once and
-    never carries symbol arrays."""
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    doc_words = (
-        df.select(F.col(id_col), F.explode(toks).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    never carries symbol arrays.  ``doc_words`` short-circuits that
+    scan with a precomputed (id, w, n) table — the composed fertility
+    query shares one across all three encode legs (caller owns the
+    persistence)."""
+    if doc_words is None:
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        doc_words = (
+            df.select(F.col(id_col), F.explode(toks).alias("w"))
+            .groupBy(id_col, "w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     vocab = doc_words.groupBy("w").agg(F.sum("n").alias("_f")).select("w")
     chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
     enc = vocab.withColumn("syms", F.concat(chars, F.array(F.lit(END_OF_WORD))))

@@ -132,28 +132,49 @@ def _hilbert_quadrant(rx: Column, ry: Column) -> Column:
 
 def hilbert_index(x: Column, y: Column, bits: int) -> Column:
     """Hilbert curve index of a (x, y) cell in a 2^bits x 2^bits grid —
-    the standard xy2d bit descent (rotate/reflect per level), unrolled
-    to `bits` pure-integer column expressions.  Z-order's diagonal
-    jumps make adjacent codes occasionally far apart in space; the
-    Hilbert walk moves ONE cell per step, so equal-size code ranges
-    are tighter rectangles — measurably fewer buckets per predicate
-    rectangle at the same bucket count (tests/test_layout.py pins the
-    comparison)."""
-    d = F.lit(0).cast("long")
-    for lvl in range(bits - 1, -1, -1):
-        s = 1 << lvl
-        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
-        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
-        d = d + F.lit(s).cast("long") * F.lit(s) * _hilbert_quadrant(rx, ry)
+    the standard xy2d bit descent (rotate/reflect per level) as ONE
+    `F.aggregate` fold over the per-level cell sizes.  Z-order's
+    diagonal jumps make adjacent codes occasionally far apart in
+    space; the Hilbert walk moves ONE cell per step, so equal-size
+    code ranges are tighter rectangles — measurably fewer buckets per
+    predicate rectangle at the same bucket count (tests/test_layout.py
+    pins the comparison).
+
+    Why a fold and not a per-level Python loop of column rewrites: the
+    descent rebuilds BOTH coordinates from both previous coordinates
+    each level, so an unrolled expression tree grows ~3x per level
+    (≈3^bits nodes — at bits=5 the Catalyst analyze/codegen pass on
+    that tree dominated the whole query's wall time).  The fold's
+    lambda is one level's logic regardless of `bits`; values are
+    bit-identical to the unrolled form (pinned against the pure-Python
+    reference in tests)."""
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def _step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        nd = acc["d"] + s * s * _hilbert_quadrant(rx, ry)
         # rotate/reflect the lower bits, then swap axes (ry == 0 arm)
-        nx = F.when(ry == 1, x).otherwise(
-            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+        nx = F.when(ry == 1, acc["x"]).otherwise(
+            F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
         )
-        ny = F.when(ry == 1, y).otherwise(
-            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+        ny = F.when(ry == 1, acc["y"]).otherwise(
+            F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
         )
-        x, y = nx, ny
-    return d
+        return F.struct(
+            nx.cast("long").alias("x"),
+            ny.cast("long").alias("y"),
+            nd.cast("long").alias("d"),
+        )
+
+    sizes = F.array(
+        *[F.lit(1 << lvl).cast("long") for lvl in range(bits - 1, -1, -1)]
+    )
+    return F.aggregate(sizes, init, _step, lambda acc: acc["d"])
 
 
 def hilbert_assignment(

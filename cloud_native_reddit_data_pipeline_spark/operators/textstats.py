@@ -493,6 +493,122 @@ def ranked_keyword_search_bm25(
     return _bm25_rank(df, id_col, text_col, hits, k, k1, b)
 
 
+def _bm25_field_scores(
+    df: DataFrame,
+    id_col: str,
+    field_toks,
+    kws: list[str],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Per-document raw BM25 score over ONE field's token array:
+    field-local tf / df / dl / avgdl (each field is its own BM25
+    universe, the Lucene per-field statistics model).  Returns
+    (id, n_hits, s) UNROUNDED — the fielded ranker sums boosted field
+    scores before the single final rounding.  Same 100-TB shape as
+    `_bm25_rank`: keyword filter before any shuffle, tiny df/stats
+    aggregates broadcast back."""
+    lens = df.select(F.col(id_col), F.size(field_toks).alias("dl"))
+    stats = lens.select(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(field_toks).alias("_t"))
+        .select(id_col, F.lower(F.col("_t")).alias("term"))
+        .filter(F.col("term").isin(kws))
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        hits.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_hits"), F.sum(idf * tf_sat).alias("s"))
+    )
+
+
+def ranked_keyword_search_fielded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    title_len: int = 8,
+    title_boost: float = 2.0,
+    body_boost: float = 1.0,
+) -> DataFrame:
+    """Per-field BOOSTED BM25 — the ES `multi_match` field-boost form
+    (`fields: ["title^2", "body"]`) the reference's two-field search
+    is one flag away from (redditProcessor.py:67-75 passes title +
+    selftext unboosted; the boost syntax is the standard ES relevance
+    knob this engine previously had no analogue for).  `most_fields`
+    combination semantics: each field is scored as its own BM25
+    universe (field-local tf, df, dl, avgdl — the Lucene per-field
+    statistics model) and the document score is the boost-weighted SUM
+    of its field scores, rounded once at the end.
+
+    The corpus here is a single text column, so the field split is a
+    deterministic positional one — title = the first ``title_len``
+    tokens, body = the rest — which both engines replay exactly
+    (array slices; no NLP in the split).  On a corpus with real
+    title/body columns, pass each column's tokens straight in.
+
+    Scale shape: two keyword-filtered explodes (pushed ahead of any
+    shuffle), per-field df/avgdl aggregates broadcast back, one
+    hit-sized full outer join, TakeOrderedAndProject top-k."""
+    kws = sorted({w.lower() for w in keywords})
+    ts = tokens(text_col)
+    title = F.slice(ts, 1, title_len)
+    body = F.slice(
+        ts,
+        title_len + 1,
+        F.greatest(F.size(ts) - title_len, F.lit(0)),
+    )
+    t_s = _bm25_field_scores(df, id_col, title, kws, k1, b).select(
+        F.col(id_col),
+        F.col("n_hits").alias("_tn"),
+        F.col("s").alias("_ts"),
+    )
+    b_s = _bm25_field_scores(df, id_col, body, kws, k1, b).select(
+        F.col(id_col),
+        F.col("n_hits").alias("_bn"),
+        F.col("s").alias("_bs"),
+    )
+    return (
+        t_s.join(b_s, id_col, "full")
+        .select(
+            id_col,
+            (
+                F.coalesce("_tn", F.lit(0)) + F.coalesce("_bn", F.lit(0))
+            ).alias("n_hits"),
+            F.round(
+                F.lit(title_boost) * F.coalesce("_ts", F.lit(0.0))
+                + F.lit(body_boost) * F.coalesce("_bs", F.lit(0.0)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _stem_step1_sql(expr: str) -> str:
     """Porter-lite step 1a (plural stripping) as portable SQL over an
     already-lowercased token: sses→ss · ies→i · keep ss · drop

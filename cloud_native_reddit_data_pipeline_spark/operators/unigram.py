@@ -233,14 +233,19 @@ def learn_unigram_vocab(
     em_rounds: int = 2,
     max_piece_len: int = 4,
     seed_size: int = 200,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn a unigram-LM piece vocabulary: seed from top substrings,
     then `em_rounds` of hard-EM (Viterbi segmentation E-step, count
     re-estimation M-step).  Returns the final (piece, cnt, score)
     table — counts after the last M-step, scores in integer
     micro-nats.  Fixed-round unrolled, one localCheckpoint per round
-    (the bpe.py / graph-operator lineage guard)."""
-    words = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    (the bpe.py / graph-operator lineage guard).  ``words``
+    short-circuits the corpus collapse with a precomputed,
+    caller-materialized (w, freq) table — the composed fertility query
+    shares one across all three tokenizer legs."""
+    if words is None:
+        words = word_freq_table(df, text_col).localCheckpoint(eager=True)
     pieces = scores_from_counts(seed_pieces(words, max_piece_len, seed_size))
     for _ in range(em_rounds):
         seg = _viterbi_pieces(words, pieces, max_piece_len)
@@ -255,18 +260,22 @@ def unigram_encode_stats(
     text_col: str,
     pieces: DataFrame,
     max_piece_len: int = 4,
+    doc_words: DataFrame | None = None,
 ) -> DataFrame:
     """Encode the corpus with a learned piece table and report per-doc
     (n_words, n_pieces, chars_per_piece) — the unigram twin of
     bpe.bpe_encode_stats, and the fertility comparison hook.  One
     Viterbi pass over the distinct-word table, then a join against
-    per-doc word counts; the corpus text is scanned once."""
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    doc_words = (
-        df.select(F.col(id_col), F.explode(toks).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    per-doc word counts; the corpus text is scanned once.
+    ``doc_words`` short-circuits the scan with a precomputed (id, w, n)
+    table shared across encode legs (caller owns the persistence)."""
+    if doc_words is None:
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        doc_words = (
+            df.select(F.col(id_col), F.explode(toks).alias("w"))
+            .groupBy(id_col, "w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     vocab = doc_words.groupBy("w").agg(F.sum("n").alias("freq"))
     seg = _viterbi_pieces(vocab, pieces, max_piece_len).select(
         "w", F.size("ps").alias("n_pieces"), F.length("w").alias("n_chars")

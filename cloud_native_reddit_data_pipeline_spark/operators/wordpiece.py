@@ -72,6 +72,7 @@ def learn_wordpiece_merges(
     text_col: str,
     n_merges: int = 12,
     checkpoint_every: int = 2,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` WordPiece merges.  Returns (rank,
     left, right, merged, pair_freq, score) in merge order, score in
@@ -79,37 +80,44 @@ def learn_wordpiece_merges(
 
     One merge per round (the likelihood scores of surviving pairs all
     shift when symbol counts change, so BPE's provably-independent
-    batching does not carry over); each round is two vocabulary-table
-    aggregates + a broadcast of the two symbol counts into the pair
-    frame."""
+    batching does not carry over).  Each round is two vocabulary-table
+    aggregates; the symbol counts come back to the driver and re-enter
+    the pair scoring as a LITERAL map rather than a broadcast join —
+    the symbol vocabulary is MODEL-sized (|initial characters| +
+    END_OF_WORD + one new symbol per merge, a few hundred entries at
+    any corpus scale), the same bounded driver-side role as the argmax
+    row itself, and the literal form saves a broadcast-exchange job
+    per round in an already job-overhead-bound loop."""
     spark = df.sparkSession
-    cur = word_symbol_table(df, text_col).select("freq", "syms")
+    cur = word_symbol_table(df, text_col, words).select("freq", "syms")
     cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int, int]] = []
     rounds_since_ckpt = 0
     for _ in range(n_merges):
         pairs, syms = _pair_and_symbol_counts(cur)
-        sl = syms.select(F.col("s").alias("l"), F.col("scnt").alias("lcnt"))
-        sr = syms.select(F.col("s").alias("r"), F.col("scnt").alias("rcnt"))
-        scored = (
-            pairs.join(F.broadcast(sl), "l")
-            .join(F.broadcast(sr), "r")
-            .select(
-                "l",
-                "r",
-                "cnt",
-                F.round(
-                    (
-                        F.log(F.col("cnt").cast("double"))
-                        - F.log(F.col("lcnt").cast("double"))
-                        - F.log(F.col("rcnt").cast("double"))
-                    )
-                    * MICRO,
-                    0,
+        srows = syms.collect()  # bounded: symbol vocab, not corpus
+        smap = F.create_map(
+            *[
+                lit
+                for r in srows
+                for lit in (F.lit(r["s"]), F.lit(int(r["scnt"])))
+            ]
+        )
+        scored = pairs.select(
+            "l",
+            "r",
+            "cnt",
+            F.round(
+                (
+                    F.log(F.col("cnt").cast("double"))
+                    - F.log(F.element_at(smap, F.col("l")).cast("double"))
+                    - F.log(F.element_at(smap, F.col("r")).cast("double"))
                 )
-                .cast("long")
-                .alias("score"),
+                * MICRO,
+                0,
             )
+            .cast("long")
+            .alias("score"),
         )
         top = scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r")).limit(1).collect()
         if not top:
@@ -128,17 +136,24 @@ def learn_wordpiece_merges(
     )
 
 
-def wordpiece_vocab(df: DataFrame, text_col: str, n_merges: int = 12) -> DataFrame:
+def wordpiece_vocab(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 12,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """Final WordPiece vocabulary: every initial character (plus the
-    end-of-word marker) and every merged symbol.  Returns (sym)."""
+    end-of-word marker) and every merged symbol.  Returns (sym).
+    ``words`` = optional precomputed (w, freq) table shared with the
+    other tokenizer legs (caller owns the persistence)."""
     base = (
-        word_symbol_table(df, text_col)
+        word_symbol_table(df, text_col, words)
         .select(F.explode("syms").alias("sym"))
         .distinct()
     )
-    merged = learn_wordpiece_merges(df, text_col, n_merges=n_merges).select(
-        F.col("merged").alias("sym")
-    )
+    merged = learn_wordpiece_merges(
+        df, text_col, n_merges=n_merges, words=words
+    ).select(F.col("merged").alias("sym"))
     return base.unionByName(merged).distinct()
 
 
@@ -148,6 +163,7 @@ def wordpiece_encode_stats(
     text_col: str,
     vocab: DataFrame,
     max_sym_len: int = 16,
+    doc_words: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy longest-match-first WordPiece encoding, reported as
     per-document (n_words, n_wp_tokens, chars_per_wp_token).
@@ -161,13 +177,17 @@ def wordpiece_encode_stats(
     ``max_sym_len`` so the per-step candidate scan is constant-width.
     The vocabulary broadcasts as a map literal via a join-free lookup:
     we join the word's own substrings against the vocab ONCE to build
-    a per-word match set, then the walk is pure array logic."""
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    doc_words = (
-        df.select(F.col(id_col), F.explode(toks).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    a per-word match set, then the walk is pure array logic.
+    ``doc_words`` short-circuits the corpus scan with a precomputed
+    (id, w, n) table shared across encode legs (caller owns the
+    persistence)."""
+    if doc_words is None:
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        doc_words = (
+            df.select(F.col(id_col), F.explode(toks).alias("w"))
+            .groupBy(id_col, "w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     words = doc_words.groupBy("w").agg(F.sum("n").alias("freq"))
     # the learner appends END_OF_WORD to each word's symbol string;
     # encode over the same augmented form so vocab symbols line up.

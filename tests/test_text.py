@@ -100,6 +100,59 @@ def test_bm25_saturation_and_length_normalization(spark):
     assert got[4] > got[1]
 
 
+def test_fielded_search_boosts_title_hits(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        ranked_keyword_search_fielded,
+    )
+
+    pad = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "spark intro " + pad),     # hit in title (first 8 tokens)
+            (2, pad + " spark"),           # same single hit, but in body
+            (3, pad),                      # no hits
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ranked_keyword_search_fielded(
+            df, "doc_id", "text", ["spark"]
+        ).collect()
+    }
+    assert 3 not in rows  # no hit, no row
+    assert rows[1]["n_hits"] == 1 and rows[2]["n_hits"] == 1
+    # the title field carries a 2.0 boost: a title hit outranks the
+    # same single hit in the body
+    assert rows[1]["score"] > rows[2]["score"]
+
+
+def test_fielded_search_sums_both_fields(spark):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        ranked_keyword_search_fielded,
+    )
+
+    pad = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "spark here " + pad + " spark"),  # title hit + body hit
+            (2, "spark here " + pad),             # title hit only
+            (3, pad + " spark"),                  # body hit only
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ranked_keyword_search_fielded(
+            df, "doc_id", "text", ["spark"]
+        ).collect()
+    }
+    # most_fields: both fields contribute, so doc 1 beats either
+    # single-field hit and reports both hits
+    assert rows[1]["n_hits"] == 2
+    assert rows[1]["score"] > rows[2]["score"] > rows[3]["score"]
+
+
 def test_repetition_stats_flags_boilerplate(spark):
     from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
         repetition_stats,
