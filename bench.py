@@ -351,6 +351,13 @@ HEADLINE = [
     # per-field boosted BM25 (title^2 most_fields) — the ES relevance
     # knob the round-12 verdict listed as the remaining search delta
     "ranked_search_fielded",
+    # persistent incremental search index: the serving row (build 3/4 +
+    # append 1/4 + bucket-pruned BM25 query — the ES continuous-indexing
+    # shape).  search_index_serving_under_deletes / _maintain /
+    # streaming_search_index follow the lifecycle-capstone exclusion:
+    # each is the same build composite plus delete/compact/stream legs
+    # whose verb costs this row already exercises.
+    "search_index_serve",
 ]
 
 

@@ -266,7 +266,8 @@ def append_commit(
 # the manifest itself.  Config-like one-offs (centroids, codebook,
 # _meta) are NOT collectable — a rebuild overwrites them in place.
 _COLLECTABLE = (
-    r"^(cells|codes|sigs|bands)(_g\d+)?$|^tombstones(_t\d+)?$|^_commits$"
+    r"^(cells|codes|sigs|bands|postings|doclens|stats)(_g\d+)?$"
+    r"|^tombstones(_t\d+)?$|^_commits$"
 )
 
 

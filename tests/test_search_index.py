@@ -1,0 +1,184 @@
+"""Persistent incremental search index (operators/search_index.py):
+
+- build(A) + append(B) serves byte-identically to the corpus-scan BM25
+  ranker over A ∪ B (the store-equivalence contract)
+- deletes: tombstoned docs vanish, stop contributing df, and stop
+  counting toward N/avgdl (negative stats delta); repeated deletes can
+  never double-subtract
+- torn-append crash window (doclens-first): fsck flags it
+  (tokens_covered + stats_match), maintain heals it via compact, and
+  the interrupted append can be re-run cleanly
+- duplicate / tombstoned incoming ids fail fast with TYPED exceptions
+- the postings read prunes term-bucket partitions on disk
+  (PartitionFilters in the scan, not a post-scan filter)
+- maintain is idempotent and receipt-honest
+- no persist pin survives any verb (cache-idle gate)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_reddit_data_pipeline_spark.operators import search_index as si
+from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+    ranked_keyword_search_bm25,
+)
+
+KW = ["join", "spark", "stream", "window"]
+
+
+@pytest.fixture()
+def docs(spark):
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    return load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_build_append_equals_corpus_scan(spark, docs, tmp_path):
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.filter("doc_id % 4 != 3"), idx).collect()
+    si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+    got = _rows(si.search_index_query(spark, idx, KW, k=20))
+    want = _rows(ranked_keyword_search_bm25(docs, "doc_id", "text", KW, k=20))
+    assert got == want
+    from conftest import assert_cache_idle
+
+    assert_cache_idle(spark, "search_index build/append/query")
+
+
+def test_delete_adjusts_results_df_and_stats(spark, docs, tmp_path):
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs, idx).collect()
+    top = si.search_index_query(spark, idx, KW, k=5).collect()
+    dels = [int(r["doc_id"]) for r in top[:3]]
+    rec = si.search_index_delete(spark, idx, dels).collect()[0]
+    assert rec["n_live_docs_removed"] == 3
+    got = _rows(si.search_index_query(spark, idx, KW, k=20))
+    live = docs.filter(~F.col("doc_id").isin(dels))
+    want = _rows(ranked_keyword_search_bm25(live, "doc_id", "text", KW, k=20))
+    assert got == want
+    # fsck: the stats log tracks the live corpus exactly
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs["stats_match"]
+    # repeated delete of the same ids: no double subtraction
+    rec2 = si.search_index_delete(spark, idx, dels).collect()[0]
+    assert rec2["n_tombstones_added"] == 0
+    assert rec2["n_live_docs_removed"] == 0
+    assert si.search_index_fsck(spark, idx).collect()[0]["stats_match"]
+
+
+def test_compact_preserves_results_and_truncates_log(spark, docs, tmp_path):
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs, idx).collect()
+    dels = [
+        int(r["doc_id"])
+        for r in docs.filter("doc_id % 7 = 3").select("doc_id").collect()
+    ]
+    si.search_index_delete(spark, idx, dels).collect()
+    before = _rows(si.search_index_query(spark, idx, KW, k=20))
+    si.search_index_compact(spark, idx).collect()
+    after = _rows(si.search_index_query(spark, idx, KW, k=20))
+    assert before == after
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert all(
+        fs[c]
+        for c in (
+            "postings_covered", "tokens_covered", "doclens_unique",
+            "postings_unique", "tb_ok", "stats_match",
+        )
+    )
+    # delete-log truncated: stats report zero dead
+    st = si.search_index_maintain(spark, idx).collect()[0]
+    assert st["action"] == "noop" and st["n_dead"] == 0
+
+
+def test_typed_guards_on_append(spark, docs, tmp_path):
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.filter("doc_id < 100"), idx).collect()
+    with pytest.raises(si.DuplicateIdsError):
+        si.search_index_append(spark, docs.filter("doc_id < 10"), idx)
+    si.search_index_delete(spark, idx, [1, 2]).collect()
+    with pytest.raises(si.TombstonedIdsError):
+        si.search_index_append(spark, docs.filter("doc_id IN (1, 2)"), idx)
+
+
+def test_torn_append_fsck_maintain_heal(spark, docs, tmp_path, monkeypatch):
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.filter("doc_id % 4 != 3"), idx).collect()
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash between doclens and postings")
+
+    # crash AFTER the doclens append, BEFORE the postings write (the
+    # documented doclens-first torn window)
+    monkeypatch.setattr(si, "_layout", _boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+    monkeypatch.undo()
+
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert not fs["tokens_covered"]  # torn docs: dl > 0, no postings
+    assert not fs["stats_match"]  # stats delta never landed
+
+    # a blind re-run fails fast: the torn ids count as live (doclens side)
+    with pytest.raises(si.DuplicateIdsError):
+        si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+
+    # maintain detects the torn store and heals it via compact
+    rec = si.search_index_maintain(spark, idx).collect()[0]
+    assert rec["action"] == "compacted"
+    assert "torn_append" in rec["reason"]
+    fs2 = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs2["tokens_covered"] and fs2["stats_match"]
+
+    # after the heal the append re-runs cleanly and the store equals
+    # the never-crashed one
+    si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+    got = _rows(si.search_index_query(spark, idx, KW, k=20))
+    want = _rows(ranked_keyword_search_bm25(docs, "doc_id", "text", KW, k=20))
+    assert got == want
+
+
+def test_query_scan_prunes_term_buckets_on_disk(spark, docs, tmp_path):
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs, idx).collect()
+    n_buckets = si.DEFAULT_BUCKETS
+    buckets = sorted({si.term_bucket_py(w, n_buckets) for w in KW})
+    assert len(buckets) < n_buckets  # the prune is non-trivial
+    post = spark.read.parquet(f"{idx}/v1/postings").filter(
+        F.col("tb").isin(buckets) & F.col("term").isin(KW)
+    )
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "tb" in plan.split("PartitionFilters")[1][:80]
+    # the python and spark bucket hashes agree on every indexed term
+    mism = (
+        spark.read.parquet(f"{idx}/v1/postings")
+        .filter(
+            F.col("tb").cast("int")
+            != si._term_bucket_col("term", n_buckets)
+        )
+        .count()
+    )
+    assert mism == 0
+
+
+def test_empty_docs_count_toward_stats(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "spark join"), (2, ""), (3, "spark")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "six")
+    si.search_index_build(df, idx).collect()
+    got = _rows(si.search_index_query(spark, idx, ["spark"], k=10))
+    want = _rows(ranked_keyword_search_bm25(df, "doc_id", "text", ["spark"], k=10))
+    assert got == want  # N = 3 and avgdl include the empty doc
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs["n_docs"] == 3 and fs["stats_match"] and fs["tokens_covered"]
