@@ -353,7 +353,7 @@ HEADLINE = [
     "ranked_search_fielded",
     # persistent incremental search index: the serving row (build 3/4 +
     # append 1/4 + bucket-pruned BM25 query — the ES continuous-indexing
-    # shape).  search_index_serving_under_deletes / _maintain /
+    # shape).  search_index_serving_under_deletes / _maintain / _serve_stemmed / 
     # streaming_search_index follow the lifecycle-capstone exclusion:
     # each is the same build composite plus delete/compact/stream legs
     # whose verb costs this row already exercises.
@@ -543,6 +543,60 @@ def bench_dedupidx_verbs(spark, sf_dir) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_searchidx_verbs(spark, sf_dir) -> dict[str, float]:
+    """Per-verb search-index timings against ONE shared prebuilt index
+    — the serving numbers the composite registry rows can't show
+    (those rebuild per query).  Build is timed once; the query is
+    best-of-2 (read-only, the hot serving path); append/delete/compact
+    are timed once each in lifecycle order.  The held-out 5%
+    (doc_id % 20 == 7) provides genuinely NEW ids for the append."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cloud_native_reddit_data_pipeline_spark.operators import search_index
+    from cloud_native_reddit_data_pipeline_spark.sources.tables import load
+
+    kws = ["join", "spark", "stream", "window"]
+    tmp = tempfile.mkdtemp(prefix="cnrdp-bench-searchidx-")
+    out: dict[str, float] = {}
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        base_df = docs.filter(F.col("doc_id") % 20 != 7)
+        new_df = docs.filter(F.col("doc_id") % 20 == 7)
+        idx = f"{tmp}/idx"
+        t0 = time.perf_counter()
+        search_index.search_index_build(base_df, idx).collect()
+        out["searchidx_build_only"] = round(time.perf_counter() - t0, 2)
+
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            search_index.search_index_query(spark, idx, kws, k=20).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out["searchidx_query_only"] = round(best, 2)
+
+        t0 = time.perf_counter()
+        search_index.search_index_append(spark, new_df, idx).collect()
+        out["searchidx_append_only"] = round(time.perf_counter() - t0, 2)
+
+        dead = [r["doc_id"] for r in
+                docs.filter(F.col("doc_id") % 20 == 9)
+                .select("doc_id").limit(200).collect()]
+        t0 = time.perf_counter()
+        search_index.search_index_delete(spark, idx, dead).collect()
+        out["searchidx_delete_only"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        search_index.search_index_compact(spark, idx).collect()
+        out["searchidx_compact_only"] = round(time.perf_counter() - t0, 2)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_streaming_ingest_upsert(spark) -> tuple[float, int]:
     """End-to-end streaming path: JSON queue batches -> explicit-schema
     parse -> stateful dedup -> bucketed idempotent upsert, drained with
@@ -715,6 +769,10 @@ def main() -> None:
         print(f"# {name}: {dt}s", file=sys.stderr)
     # ... and per-verb dedup-index rows, same shared-index rationale.
     for name, dt in bench_dedupidx_verbs(spark, sf_dir).items():
+        timings[name] = dt
+        print(f"# {name}: {dt}s", file=sys.stderr)
+    # ... and per-verb search-index rows (round 13), same rationale.
+    for name, dt in bench_searchidx_verbs(spark, sf_dir).items():
         timings[name] = dt
         print(f"# {name}: {dt}s", file=sys.stderr)
     # "value" is the sum of best-of-2 per-query times (the comparable

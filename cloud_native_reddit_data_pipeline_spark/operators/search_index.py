@@ -169,22 +169,51 @@ def _term_bucket_col(term, n_buckets: int):
     ).cast("int")
 
 
-def _meta(spark: SparkSession, base: str) -> int:
+def _meta(spark: SparkSession, base: str) -> tuple[int, str]:
     row = spark.read.parquet(f"{base}/_meta").collect()[0]
-    return int(row["n_buckets"])
+    return int(row["n_buckets"]), str(row["analyzer"])
+
+
+def _analyze(term_col, analyzer: str):
+    """Apply the index's analyzer to a lowercased term column.  The
+    ``stemmed`` analyzer is the shared portable Porter-lite SQL
+    (textstats.porter_lite_stem_sql — ONE definition for the engine,
+    the store, and every oracle), applied at INDEX time exactly like
+    an ES analyzer chain: the stored term IS the analyzed form, and
+    queries analyze their keywords the same way."""
+    if analyzer == "exact":
+        return term_col
+    if analyzer == "stemmed":
+        from .textstats import porter_lite_stem_sql
+
+        # the portable CASE text over a named column requires a named
+        # input; callers pass a column already aliased/resolvable
+        return F.expr(porter_lite_stem_sql("term"))
+    raise ValueError(f"search_index: unknown analyzer {analyzer!r}")
 
 
 def _tokenized(
-    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    analyzer: str = "exact",
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, doclens) for a document frame — the shared tokenize
     front-end of build and append.  Postings carry the partition
     bucket; doclens keep dl = 0 rows (empty docs count toward N and
-    avgdl, matching the corpus-scan ranker's statistics)."""
-    terms = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(text_col)).alias("_t"),
-    ).select("doc_id", F.lower(F.col("_t")).alias("term"))
+    avgdl, matching the corpus-scan ranker's statistics).  With the
+    ``stemmed`` analyzer two inflections of one stem merge into one
+    posting (their tf adds), while dl stays the RAW token count —
+    length normalization measures the document, not the analyzer."""
+    terms = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("_t"),
+        )
+        .select("doc_id", F.lower(F.col("_t")).alias("term"))
+        .select("doc_id", _analyze(F.col("term"), analyzer).alias("term"))
+    )
     postings = (
         terms.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -244,20 +273,26 @@ def search_index_build(
     id_col: str = "doc_id",
     text_col: str = "text",
     files_per_partition: int = 1,
+    analyzer: str = "exact",
 ) -> DataFrame:
     """Tokenize the corpus once and persist postings (bucket-
     partitioned), doclens, and the initial stats row; returns the
     per-bucket manifest read BACK from the persisted postings (the
-    gate proves what is on disk, not an in-flight frame)."""
+    gate proves what is on disk, not an in-flight frame).  The
+    ``analyzer`` ("exact" or "stemmed") is stored in _meta — the index
+    is self-describing, and append/query apply the same chain."""
     spark = docs.sparkSession
+    _analyze(F.col("term"), analyzer)  # fail fast on an unknown name
     base = _base(index_dir, version)
     _reset_version_dir(spark, base)
 
-    _local_rows(spark, "n_buckets int", [(n_buckets,)]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{base}/_meta")
+    _local_rows(
+        spark,
+        "n_buckets int, analyzer string",
+        [(n_buckets, analyzer)],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/_meta")
 
-    postings, doclens = _tokenized(docs, id_col, text_col, n_buckets)
+    postings, doclens = _tokenized(docs, id_col, text_col, n_buckets, analyzer)
     doclens.coalesce(files_per_partition).write.mode("overwrite").parquet(
         _doclens_dir(base, 0)
     )
@@ -298,10 +333,23 @@ def search_index_query(
     jobs); N/avgdl come from the additive stats log (one tiny sum);
     tombstoned docs never appear and never contribute df."""
     base = _base(index_dir, version)
-    n_buckets = _meta(spark, base)
+    n_buckets, analyzer = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
 
     kws = sorted({w.lower() for w in keywords})
+    if analyzer != "exact":
+        # analyze the keywords with the INDEX's chain — one tiny Spark
+        # expression over a |keywords|-row literal frame (the stem is
+        # shared SQL text, so there is no Python twin to drift from)
+        kdf = _local_rows(spark, "term string", [(w,) for w in kws])
+        kws = sorted(
+            {
+                r["t"]
+                for r in kdf.select(
+                    _analyze(F.col("term"), analyzer).alias("t")
+                ).collect()
+            }
+        )
     buckets = sorted({term_bucket_py(w, n_buckets) for w in kws})
     post = spark.read.parquet(_postings_dir(base, gen)).filter(
         F.col("tb").isin(buckets) & F.col("term").isin(kws)
@@ -374,7 +422,7 @@ def search_index_append(
     `search_index_fsck`; `search_index_compact` heals, after which the
     append can be re-run cleanly."""
     base = _base(index_dir, version)
-    n_buckets = _meta(spark, base)
+    n_buckets, analyzer = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
 
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
@@ -420,7 +468,9 @@ def search_index_append(
                 f"guarantee"
             )
 
-    postings, doclens = _tokenized(new_docs, id_col, text_col, n_buckets)
+    postings, doclens = _tokenized(
+        new_docs, id_col, text_col, n_buckets, analyzer
+    )
     # materialize the batch doclens once: it is written, summed for the
     # stats delta, and the source of truth for the append receipt
     doclens = doclens.localCheckpoint(eager=True)
@@ -621,7 +671,7 @@ def search_index_fsck(
     resolve through the generation manifest, so fsck audits exactly
     what queries see.  Returns one hard-gated row."""
     base = _base(index_dir, version)
-    n_buckets = _meta(spark, base)
+    n_buckets, _analyzer_name = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
     post = spark.read.parquet(_postings_dir(base, gen))
     lens = spark.read.parquet(_doclens_dir(base, gen))

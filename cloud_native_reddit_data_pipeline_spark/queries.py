@@ -751,6 +751,79 @@ def streaming_search_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
 
 
+_STEM_QUERY_KEYWORDS = ["joins", "sparks", "streamed", "windows"]
+
+
+def _bm25_stemmed_live_oracle_sql(k: int = 20) -> str:
+    """Index-time stemmed BM25 replay: corpus tokens and query keywords
+    both pass the SHARED portable Porter-lite SQL (one definition for
+    engine, store, and oracle — textstats.porter_lite_stem_sql), tf/df
+    aggregate over the STEMMED terms, dl stays the raw token count."""
+    from .operators.textstats import porter_lite_stem_sql as _stem_sql
+
+    kw_vals = ", ".join(
+        "('" + w + "')" for w in sorted(set(_STEM_QUERY_KEYWORDS))
+    )
+    return f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS _n, AVG(dl) AS _avgdl FROM lens),
+    skws AS (
+      SELECT DISTINCT {_stem_sql("lower(kw)")} AS skw
+      FROM (VALUES {kw_vals}) AS t(kw)
+    ),
+    hits AS (
+      SELECT doc_id, {_stem_sql("lower(term)")} AS term FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS term
+        FROM documents
+      ) WHERE {_stem_sql("lower(term)")} IN (SELECT skw FROM skws)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits,
+             ROUND(SUM(
+               ln(1.0 + (_n - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / _avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_hits, score FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register("search_index_serve_stemmed", _bm25_stemmed_live_oracle_sql())
+def search_index_serve_stemmed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-TIME analysis — the way ES analyzer chains actually work
+    (the stored term is the analyzed form; queries analyze their
+    keywords with the same chain), vs `ranked_search_stemmed`'s
+    query-time stemming of the whole corpus per search.  The store is
+    built with analyzer="stemmed" (the shared portable Porter-lite
+    SQL), so inflected queries ("joins", "streamed") match their stems
+    with NO per-query stem work on the corpus — tf/df live pre-stemmed
+    in the postings, dl stays the raw token count."""
+    import tempfile
+
+    from .operators import search_index as si
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/searchidx"
+        si.search_index_build(docs, idx, analyzer="stemmed").collect()
+        out = si.search_index_query(
+            spark, idx, _STEM_QUERY_KEYWORDS, k=20
+        )
+        return out.localCheckpoint(eager=True)
+
+
 def _stem_sql(expr: str) -> str:
     # ONE definition of the stemmer for operator and oracle alike:
     # the portable-SQL text from textstats.porter_lite_stem_sql runs

@@ -170,6 +170,52 @@ def test_query_scan_prunes_term_buckets_on_disk(spark, docs, tmp_path):
     assert mism == 0
 
 
+def test_stemmed_analyzer_matches_inflections(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "joins the stream"),
+            (2, "joined streams yesterday"),
+            (3, "joining and joining again"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "six")
+    si.search_index_build(df, idx, analyzer="stemmed").collect()
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in si.search_index_query(spark, idx, ["join"], k=10).collect()
+    }
+    # every inflection stems to 'join' AT INDEX TIME: tf counts merge
+    assert got == {1: 1, 2: 1, 3: 2}
+    # the query side analyzes its keywords with the same chain
+    got2 = {
+        r["doc_id"]: r["n_hits"]
+        for r in si.search_index_query(spark, idx, ["joins"], k=10).collect()
+    }
+    assert got2 == got
+    # the analyzer is stored in _meta and survives appends
+    si.search_index_append(
+        spark,
+        spark.createDataFrame([(9, "joined")], "doc_id long, text string"),
+        idx,
+    )
+    got3 = {
+        r["doc_id"]: r["n_hits"]
+        for r in si.search_index_query(spark, idx, ["joining"], k=10).collect()
+    }
+    assert got3 == {1: 1, 2: 1, 3: 2, 9: 1}
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs["tb_ok"] and fs["stats_match"] and fs["tokens_covered"]
+
+
+def test_unknown_analyzer_fails_fast(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        si.search_index_build(
+            docs, str(tmp_path / "six"), analyzer="soundex"
+        ).collect()
+
+
 def test_empty_docs_count_toward_stats(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "spark join"), (2, ""), (3, "spark")],
