@@ -169,9 +169,13 @@ def _term_bucket_col(term, n_buckets: int):
     ).cast("int")
 
 
-def _meta(spark: SparkSession, base: str) -> tuple[int, str]:
+def _meta(spark: SparkSession, base: str) -> tuple[int, str, bool]:
     row = spark.read.parquet(f"{base}/_meta").collect()[0]
-    return int(row["n_buckets"]), str(row["analyzer"])
+    return (
+        int(row["n_buckets"]),
+        str(row["analyzer"]),
+        bool(row["positions"]),
+    )
 
 
 def _analyze(term_col, analyzer: str):
@@ -198,6 +202,7 @@ def _tokenized(
     text_col: str,
     n_buckets: int,
     analyzer: str = "exact",
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, doclens) for a document frame — the shared tokenize
     front-end of build and append.  Postings carry the partition
@@ -205,24 +210,34 @@ def _tokenized(
     avgdl, matching the corpus-scan ranker's statistics).  With the
     ``stemmed`` analyzer two inflections of one stem merge into one
     posting (their tf adds), while dl stays the RAW token count —
-    length normalization measures the document, not the analyzer."""
+    length normalization measures the document, not the analyzer.
+    With ``positions`` each posting also carries the sorted 1-based
+    RAW-TOKEN positions of its occurrences (the ES convention: the
+    analyzer rewrites the term, never the position), enabling
+    phrase/proximity queries off the store."""
     terms = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(tokens(text_col)).alias("_t"),
+            F.posexplode(tokens(text_col)).alias("_p0", "_t"),
         )
-        .select("doc_id", F.lower(F.col("_t")).alias("term"))
-        .select("doc_id", _analyze(F.col("term"), analyzer).alias("term"))
+        .select(
+            "doc_id",
+            (F.col("_p0") + 1).alias("pos"),
+            F.lower(F.col("_t")).alias("term"),
+        )
+        .select(
+            "doc_id", "pos", _analyze(F.col("term"), analyzer).alias("term")
+        )
     )
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    cols = ["tb", "term", "doc_id", "tf"]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("pos"))
+        cols.append("pos")
     postings = (
         terms.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select(
-            _term_bucket_col("term", n_buckets).alias("tb"),
-            "term",
-            "doc_id",
-            "tf",
-        )
+        .agg(*aggs)
+        .select(_term_bucket_col("term", n_buckets).alias("tb"), *cols[1:])
     )
     doclens = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -274,13 +289,15 @@ def search_index_build(
     text_col: str = "text",
     files_per_partition: int = 1,
     analyzer: str = "exact",
+    positions: bool = False,
 ) -> DataFrame:
     """Tokenize the corpus once and persist postings (bucket-
     partitioned), doclens, and the initial stats row; returns the
     per-bucket manifest read BACK from the persisted postings (the
     gate proves what is on disk, not an in-flight frame).  The
-    ``analyzer`` ("exact" or "stemmed") is stored in _meta — the index
-    is self-describing, and append/query apply the same chain."""
+    ``analyzer`` ("exact" or "stemmed") and ``positions`` flag are
+    stored in _meta — the index is self-describing, and append/query
+    apply the same chain and schema."""
     spark = docs.sparkSession
     _analyze(F.col("term"), analyzer)  # fail fast on an unknown name
     base = _base(index_dir, version)
@@ -288,11 +305,13 @@ def search_index_build(
 
     _local_rows(
         spark,
-        "n_buckets int, analyzer string",
-        [(n_buckets, analyzer)],
+        "n_buckets int, analyzer string, positions boolean",
+        [(n_buckets, analyzer, bool(positions))],
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/_meta")
 
-    postings, doclens = _tokenized(docs, id_col, text_col, n_buckets, analyzer)
+    postings, doclens = _tokenized(
+        docs, id_col, text_col, n_buckets, analyzer, positions
+    )
     doclens.coalesce(files_per_partition).write.mode("overwrite").parquet(
         _doclens_dir(base, 0)
     )
@@ -333,7 +352,7 @@ def search_index_query(
     jobs); N/avgdl come from the additive stats log (one tiny sum);
     tombstoned docs never appear and never contribute df."""
     base = _base(index_dir, version)
-    n_buckets, analyzer = _meta(spark, base)
+    n_buckets, analyzer, _positions = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
 
     kws = sorted({w.lower() for w in keywords})
@@ -391,6 +410,63 @@ def search_index_query(
     )
 
 
+class PositionsUnavailableError(ValueError):
+    """Raised by `search_index_phrase_query` against a store built
+    without ``positions=True`` — phrase/proximity verification needs
+    the per-occurrence position lists; rebuild with positions."""
+
+
+def search_index_phrase_query(
+    spark: SparkSession,
+    index_dir: str,
+    phrase_terms: list[str],
+    prox_window: int = 3,
+    k: int = 20,
+    version: str = "v1",
+) -> DataFrame:
+    """Positional phrase + proximity query over the persisted index —
+    the ES `match_phrase` / `slop` serving path, answering
+    byte-identically to `textstats.phrase_search` over the live corpus
+    (the ranking body is SHARED: `phrase_rank_from_postings`).  The
+    postings scan prunes on disk to the phrase terms' buckets, the
+    position lists explode only for the matched terms' hit-sized
+    slice, and the join chain never touches raw text."""
+    base = _base(index_dir, version)
+    n_buckets, analyzer, has_pos = _meta(spark, base)
+    if not has_pos:
+        raise PositionsUnavailableError(
+            f"search_index_phrase_query: index at {index_dir} was built "
+            f"without positions=True — phrase verification needs the "
+            f"per-occurrence position lists"
+        )
+    gen, tomb_gen, _ = _state(spark, base)
+
+    terms = [t.lower() for t in phrase_terms]
+    if analyzer != "exact":
+        kdf = _local_rows(spark, "term string", [(w,) for w in terms])
+        stem_of = {
+            r["term"]: r["t"]
+            for r in kdf.select(
+                "term", _analyze(F.col("term"), analyzer).alias("t")
+            ).collect()
+        }
+        terms = [stem_of[w] for w in terms]
+    buckets = sorted({term_bucket_py(w, n_buckets) for w in terms})
+    post = spark.read.parquet(_postings_dir(base, gen)).filter(
+        F.col("tb").isin(buckets) & F.col("term").isin(sorted(set(terms)))
+    )
+    tombs = _load_tombstones(spark, base, tomb_gen)
+    post = _anti_tombstones(post, tombs, "doc_id")
+    flat = post.select(
+        "doc_id", F.explode("pos").alias("pos"), F.col("term").alias("_t")
+    )
+    from .textstats import phrase_rank_from_postings
+
+    return phrase_rank_from_postings(
+        flat, "doc_id", terms, prox_window=prox_window, top_n=k
+    )
+
+
 # ---------------------------------------------------------------------------
 # Append
 # ---------------------------------------------------------------------------
@@ -422,7 +498,7 @@ def search_index_append(
     `search_index_fsck`; `search_index_compact` heals, after which the
     append can be re-run cleanly."""
     base = _base(index_dir, version)
-    n_buckets, analyzer = _meta(spark, base)
+    n_buckets, analyzer, positions = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
 
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
@@ -469,7 +545,7 @@ def search_index_append(
             )
 
     postings, doclens = _tokenized(
-        new_docs, id_col, text_col, n_buckets, analyzer
+        new_docs, id_col, text_col, n_buckets, analyzer, positions
     )
     # materialize the batch doclens once: it is written, summed for the
     # stats delta, and the source of truth for the append receipt
@@ -671,7 +747,7 @@ def search_index_fsck(
     resolve through the generation manifest, so fsck audits exactly
     what queries see.  Returns one hard-gated row."""
     base = _base(index_dir, version)
-    n_buckets, _analyzer_name = _meta(spark, base)
+    n_buckets, _analyzer_name, has_pos = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
     post = spark.read.parquet(_postings_dir(base, gen))
     lens = spark.read.parquet(_doclens_dir(base, gen))
@@ -699,6 +775,17 @@ def search_index_fsck(
         ).count()
         == 0
     )
+    # positional stores: tf must equal the position-list length and
+    # positions must be 1-based (vacuously true on tf-only stores)
+    pos_match = True
+    if has_pos:
+        pos_match = (
+            post.filter(
+                (F.col("tf") != F.size("pos"))
+                | (F.array_min("pos") < 1)
+            ).count()
+            == 0
+        )
     d = lens.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).first()
@@ -725,7 +812,7 @@ def search_index_fsck(
         spark,
         "n_docs long, postings_covered boolean, tokens_covered boolean, "
         "doclens_unique boolean, postings_unique boolean, tb_ok boolean, "
-        "stats_match boolean",
+        "pos_match boolean, stats_match boolean",
         [
             (
                 int(d["n"]),
@@ -734,6 +821,7 @@ def search_index_fsck(
                 bool(doclens_unique),
                 bool(postings_unique),
                 bool(tb_ok),
+                bool(pos_match),
                 bool(stats_match),
             )
         ],

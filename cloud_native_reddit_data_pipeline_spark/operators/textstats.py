@@ -1223,6 +1223,23 @@ def phrase_search(
         .where(F.col("_t").isin(terms))
         .select(id_col, (F.col("_p0") + 1).alias("pos"), "_t")
     )
+    return phrase_rank_from_postings(
+        postings, id_col, terms, prox_window, top_n
+    )
+
+
+def phrase_rank_from_postings(
+    postings: DataFrame,
+    id_col: str,
+    terms: list,
+    prox_window: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """The phrase/proximity ranking body over an ALREADY-FILTERED
+    (id, pos, _t) positional-postings frame — extracted so the
+    corpus-scan `phrase_search` and the persistent search index's
+    phrase query share ONE definition of the join chain, scoring, and
+    tie-break (positions 1-based)."""
     base = postings.where(F.col("_t") == terms[0]).select(id_col, "pos")
     for i, t in enumerate(terms[1:], start=1):
         step = postings.where(F.col("_t") == t).select(

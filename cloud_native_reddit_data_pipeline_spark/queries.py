@@ -8259,9 +8259,7 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "window join" occurrences plus slop-3 co-occurrence, top 20 docs.
 # Deterministic total order (unique doc_id tiebreak) so the LIMIT set
 # is stable on both engines.
-@register(
-    "phrase_search_slop",
-    f"""
+_PHRASE_SLOP_ORACLE = f"""
     WITH p AS (
       SELECT doc_id, u.pos, u.t FROM (
         SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS tk
@@ -8289,8 +8287,10 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p0.first_pos AS BIGINT) AS first_pos
     FROM phagg p0 LEFT JOIN nr n USING (doc_id)
     ORDER BY phrase_hits DESC, near_hits DESC, doc_id LIMIT 20
-    """,
-)
+    """
+
+
+@register("phrase_search_slop", _PHRASE_SLOP_ORACLE)
 def phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.phrase_search(
         load(spark, sf_dir, "documents"),
@@ -8300,6 +8300,28 @@ def phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
         prox_window=3,
         top_n=20,
     )
+
+
+@register("search_index_phrase", _PHRASE_SLOP_ORACLE)
+def search_index_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase/proximity search served OFF THE STORE (ES match_phrase
+    over a positional inverted index, vs `phrase_search_slop`'s
+    corpus scan): the index is built once with positions=True, the
+    phrase terms' buckets prune on disk, and the ranking body is the
+    SHARED textstats.phrase_rank_from_postings — the store must answer
+    byte-identically to the scan (same oracle, verbatim)."""
+    import tempfile
+
+    from .operators import search_index as si
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/searchidx"
+        si.search_index_build(docs, idx, positions=True).collect()
+        out = si.search_index_phrase_query(
+            spark, idx, ["window", "join"], prox_window=3, k=20
+        )
+        return out.localCheckpoint(eager=True)
 
 
 # Tokenizer FERTILITY by language (tokens-per-word, the multilingual

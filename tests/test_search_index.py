@@ -216,6 +216,82 @@ def test_unknown_analyzer_fails_fast(spark, docs, tmp_path):
         ).collect()
 
 
+def test_phrase_query_matches_corpus_scan(spark, docs, tmp_path):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    idx = str(tmp_path / "six")
+    si.search_index_build(
+        docs.filter("doc_id % 4 != 3"), idx, positions=True
+    ).collect()
+    si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+    got = _rows(
+        si.search_index_phrase_query(
+            spark, idx, ["window", "join"], prox_window=3, k=20
+        )
+    )
+    want = _rows(
+        phrase_search(
+            docs, "doc_id", "text", ["window", "join"], prox_window=3, top_n=20
+        )
+    )
+    assert got == want
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs["pos_match"]
+
+
+def test_phrase_query_respects_tombstones(spark, docs, tmp_path):
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs, idx, positions=True).collect()
+    top = si.search_index_phrase_query(
+        spark, idx, ["window", "join"], k=5
+    ).collect()
+    dels = [int(r["doc_id"]) for r in top[:2]]
+    si.search_index_delete(spark, idx, dels).collect()
+    got = _rows(
+        si.search_index_phrase_query(spark, idx, ["window", "join"], k=20)
+    )
+    live = docs.filter(~F.col("doc_id").isin(dels))
+    want = _rows(
+        phrase_search(live, "doc_id", "text", ["window", "join"], top_n=20)
+    )
+    assert got == want
+
+
+def test_phrase_query_requires_positions(spark, docs, tmp_path):
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.limit(50), idx).collect()  # tf-only store
+    with pytest.raises(si.PositionsUnavailableError):
+        si.search_index_phrase_query(spark, idx, ["window", "join"])
+
+
+def test_phrase_on_stemmed_positional_store(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "windows joined tight"),     # stems: window join -> phrase
+            (2, "window of the join"),       # not adjacent
+            (3, "joined windows"),           # reversed order, no phrase
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "six")
+    si.search_index_build(
+        df, idx, analyzer="stemmed", positions=True
+    ).collect()
+    got = si.search_index_phrase_query(
+        spark, idx, ["windows", "joining"], prox_window=3, k=10
+    ).collect()
+    # only doc 1 has the stems adjacent in order; positions stay
+    # raw-token so adjacency means the original neighboring tokens
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["phrase_hits"] == 1
+
+
 def test_empty_docs_count_toward_stats(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "spark join"), (2, ""), (3, "spark")],
