@@ -67,7 +67,8 @@ Layout under ``{index_dir}/{version}/``::
     stats/       (n_docs BIGINT, sum_dl BIGINT) — additive delta log,
                  one row per build/append/delete         [stats_gN]
     tombstones/  (doc_id BIGINT) — append-only delete log
-    _meta/       (n_buckets INT) — one row, self-describing
+    _meta/       (n_buckets INT, analyzer STRING, positions BOOLEAN)
+                 — one row, self-describing
     _commits/    (seq BIGINT, gen INT, tomb_gen INT) — generation
                  manifest (shared protocol, storage/manifest.py)
 
@@ -107,9 +108,16 @@ DEFAULT_BUCKETS = 16
 
 class DuplicateIdsError(ValueError):
     """Raised by `search_index_append` when incoming ids are already
-    live in the store — a TYPED signal so idempotent ingest loops can
-    treat a redelivered batch as already-applied without matching
-    message text (the snapshot-store typed-exception discipline)."""
+    present in the store ON EITHER SIDE (doclens or postings) — a
+    TYPED signal (the snapshot-store typed-exception discipline).
+    CAUTION for ingest loops: this fires both for a genuinely
+    already-applied batch AND for a TORN one (the crash window leaves
+    the ids on the doclens side only), so a redelivery handler must
+    NOT blindly swallow it — run `search_index_maintain` first (a
+    no-op on a whole store, a healing compact on a torn one) and
+    retry the append; only a second DuplicateIdsError then means
+    already-applied.  streaming_search_index in queries.py is the
+    reference implementation of that handler."""
 
 
 class TombstonedIdsError(ValueError):
@@ -178,22 +186,43 @@ def _meta(spark: SparkSession, base: str) -> tuple[int, str, bool]:
     )
 
 
-def _analyze(term_col, analyzer: str):
-    """Apply the index's analyzer to a lowercased term column.  The
-    ``stemmed`` analyzer is the shared portable Porter-lite SQL
+def _analyze(term_col_name: str, analyzer: str):
+    """Apply the index's analyzer to the NAMED lowercased term column
+    of the enclosing frame (the stemmed chain is portable SQL text, so
+    it resolves by column name — the signature takes the name, not a
+    Column, to make that contract explicit).  The ``stemmed`` analyzer
+    is the shared portable Porter-lite SQL
     (textstats.porter_lite_stem_sql — ONE definition for the engine,
     the store, and every oracle), applied at INDEX time exactly like
     an ES analyzer chain: the stored term IS the analyzed form, and
     queries analyze their keywords the same way."""
     if analyzer == "exact":
-        return term_col
+        return F.col(term_col_name)
     if analyzer == "stemmed":
         from .textstats import porter_lite_stem_sql
 
-        # the portable CASE text over a named column requires a named
-        # input; callers pass a column already aliased/resolvable
-        return F.expr(porter_lite_stem_sql("term"))
+        return F.expr(porter_lite_stem_sql(term_col_name))
     raise ValueError(f"search_index: unknown analyzer {analyzer!r}")
+
+
+def _postings_ddl(positions: bool) -> str:
+    base = "tb int, term string, doc_id long, tf long"
+    return base + (", pos array<int>" if positions else "")
+
+
+def _read_postings(
+    spark: SparkSession, base: str, gen: int, positions: bool
+) -> DataFrame:
+    """The postings table, or a correctly-typed EMPTY frame when the
+    directory holds no files yet — a partitionBy write of zero rows
+    produces no parquet files, so an index built on an empty (or
+    all-empty-text) corpus and then appended into continuously (the ES
+    'create empty, ingest forever' lifecycle) must not crash the
+    readers on schema inference."""
+    df = _try_read(spark, _postings_dir(base, gen))
+    if df is not None:
+        return df
+    return spark.createDataFrame([], _postings_ddl(positions))
 
 
 def _tokenized(
@@ -214,20 +243,22 @@ def _tokenized(
     With ``positions`` each posting also carries the sorted 1-based
     RAW-TOKEN positions of its occurrences (the ES convention: the
     analyzer rewrites the term, never the position), enabling
-    phrase/proximity queries off the store."""
+    phrase/proximity queries off the store.  NULL text is normalized
+    to the empty document (dl = 0, no postings) — without the
+    coalesce, size(tokens(NULL)) = -1 would poison sum_dl and make
+    compact's coverage heal silently drop the row."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     terms = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(tokens(text_col)).alias("_p0", "_t"),
+            F.posexplode(tokens(txt)).alias("_p0", "_t"),
         )
         .select(
             "doc_id",
             (F.col("_p0") + 1).alias("pos"),
             F.lower(F.col("_t")).alias("term"),
         )
-        .select(
-            "doc_id", "pos", _analyze(F.col("term"), analyzer).alias("term")
-        )
+        .select("doc_id", "pos", _analyze("term", analyzer).alias("term"))
     )
     aggs = [F.count(F.lit(1)).alias("tf")]
     cols = ["tb", "term", "doc_id", "tf"]
@@ -241,7 +272,7 @@ def _tokenized(
     )
     doclens = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(text_col)).cast("long").alias("dl"),
+        F.size(tokens(txt)).cast("long").alias("dl"),
     )
     return postings, doclens
 
@@ -299,7 +330,7 @@ def search_index_build(
     stored in _meta — the index is self-describing, and append/query
     apply the same chain and schema."""
     spark = docs.sparkSession
-    _analyze(F.col("term"), analyzer)  # fail fast on an unknown name
+    _analyze("term", analyzer)  # fail fast on an unknown name
     base = _base(index_dir, version)
     _reset_version_dir(spark, base)
 
@@ -328,7 +359,7 @@ def search_index_build(
     _write_stats_delta(
         spark, _stats_dir(base, 0), dstats["n"], int(dstats["s"] or 0)
     )
-    return _bucket_manifest(spark.read.parquet(_postings_dir(base, 0)))
+    return _bucket_manifest(_read_postings(spark, base, 0, positions))
 
 
 # ---------------------------------------------------------------------------
@@ -365,12 +396,12 @@ def search_index_query(
             {
                 r["t"]
                 for r in kdf.select(
-                    _analyze(F.col("term"), analyzer).alias("t")
+                    _analyze("term", analyzer).alias("t")
                 ).collect()
             }
         )
     buckets = sorted({term_bucket_py(w, n_buckets) for w in kws})
-    post = spark.read.parquet(_postings_dir(base, gen)).filter(
+    post = _read_postings(spark, base, gen, _positions).filter(
         F.col("tb").isin(buckets) & F.col("term").isin(kws)
     )
     tombs = _load_tombstones(spark, base, tomb_gen)
@@ -387,15 +418,10 @@ def search_index_query(
     lens = _anti_tombstones(
         spark.read.parquet(_doclens_dir(base, gen)), tombs, "doc_id"
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
-    )
+    from .textstats import bm25_idf, bm25_tf_sat
+
+    idf = bm25_idf(F.col("_n"), F.col("df"))
+    tf_sat = bm25_tf_sat(F.col("tf"), F.col("dl"), F.col("_avgdl"), k1, b)
     return (
         post.join(F.broadcast(dfreq), "term")
         .join(lens, "doc_id")  # hit-sized: only matched docs reach here
@@ -447,12 +473,12 @@ def search_index_phrase_query(
         stem_of = {
             r["term"]: r["t"]
             for r in kdf.select(
-                "term", _analyze(F.col("term"), analyzer).alias("t")
+                "term", _analyze("term", analyzer).alias("t")
             ).collect()
         }
         terms = [stem_of[w] for w in terms]
     buckets = sorted({term_bucket_py(w, n_buckets) for w in terms})
-    post = spark.read.parquet(_postings_dir(base, gen)).filter(
+    post = _read_postings(spark, base, gen, True).filter(
         F.col("tb").isin(buckets) & F.col("term").isin(sorted(set(terms)))
     )
     tombs = _load_tombstones(spark, base, tomb_gen)
@@ -513,7 +539,7 @@ def search_index_append(
             )
         )
         conflicts.append(
-            spark.read.parquet(_postings_dir(base, gen)).select(
+            _read_postings(spark, base, gen, positions).select(
                 "doc_id", F.lit("live").alias("_why")
             )
         )
@@ -550,6 +576,10 @@ def search_index_append(
     # materialize the batch doclens once: it is written, summed for the
     # stats delta, and the source of truth for the append receipt
     doclens = doclens.localCheckpoint(eager=True)
+    # ... and the batch postings once as well: they are written AND
+    # aggregated for the returned receipt manifest — without the
+    # checkpoint the tokenize pipeline would run twice per append
+    postings = postings.localCheckpoint(eager=True)
     # doclens FIRST, postings second, stats last (module docstring:
     # every prefix-crash under-reports only and fsck flags it)
     doclens.coalesce(1).write.mode("append").parquet(_doclens_dir(base, gen))
@@ -562,9 +592,7 @@ def search_index_append(
     _write_stats_delta(
         spark, _stats_dir(base, gen), dstats["n"], int(dstats["s"] or 0)
     )
-    return _bucket_manifest(
-        postings
-    ).localCheckpoint(eager=True)
+    return _bucket_manifest(postings).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -646,12 +674,13 @@ def search_index_compact(
     doclens.  Old generations GC'd best-effort.  Returns the
     per-bucket manifest read BACK from the compacted store."""
     base = _base(index_dir, version)
+    _, _, positions = _meta(spark, base)
     gen, tomb_gen, seq = _state(spark, base)
     new_gen = gen + 1
     tombs = _load_tombstones(spark, base, tomb_gen)
 
     post_live = _anti_tombstones(
-        spark.read.parquet(_postings_dir(base, gen)), tombs, "doc_id"
+        _read_postings(spark, base, gen, positions), tombs, "doc_id"
     )
     lens_live = _anti_tombstones(
         spark.read.parquet(_doclens_dir(base, gen)), tombs, "doc_id"
@@ -701,7 +730,9 @@ def search_index_compact(
     _fs_delete(spark, _stats_dir(base, gen))
     _fs_delete(spark, _tomb_dir(base, tomb_gen))
 
-    return _bucket_manifest(spark.read.parquet(_postings_dir(base, new_gen)))
+    return _bucket_manifest(
+        _read_postings(spark, base, new_gen, positions)
+    )
 
 
 def search_index_gc(
@@ -749,7 +780,7 @@ def search_index_fsck(
     base = _base(index_dir, version)
     n_buckets, _analyzer_name, has_pos = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
-    post = spark.read.parquet(_postings_dir(base, gen))
+    post = _read_postings(spark, base, gen, has_pos)
     lens = spark.read.parquet(_doclens_dir(base, gen))
 
     pids = post.select("doc_id").distinct()
@@ -837,8 +868,9 @@ def search_index_stats(
     what turns a keyword query into a corpus scan; production search
     services alert on it and stop-list the term)."""
     base = _base(index_dir, version)
+    _, _, _has_pos = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
-    post = spark.read.parquet(_postings_dir(base, gen))
+    post = _read_postings(spark, base, gen, _has_pos)
     tombs = _load_tombstones(spark, base, tomb_gen)
     live = _anti_tombstones(post, tombs, "doc_id")
 
@@ -884,9 +916,10 @@ def search_index_maintain(
     delete-log-free, so an immediate second call no-ops.  Returns a
     one-row receipt with each signal as measured BEFORE the action."""
     base = _base(index_dir, version)
+    _, _, _has_pos = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
     lens = spark.read.parquet(_doclens_dir(base, gen))
-    pids = spark.read.parquet(_postings_dir(base, gen)).select("doc_id")
+    pids = _read_postings(spark, base, gen, _has_pos).select("doc_id")
     torn = (
         lens.filter(F.col("dl") > 0)
         .join(pids.distinct(), "doc_id", "left_anti")

@@ -417,6 +417,27 @@ def bigram_lm_perplexity(
     )
 
 
+def bm25_idf(n_col, df_col):
+    """The Lucene idf term, ln(1 + (N - df + 0.5)/(df + 0.5)) — THE
+    single definition shared by the corpus-scan rankers, the fielded
+    ranker, and the persistent search index's serving path, so the
+    scoring math can never diverge between them (every oracle
+    transcribes the identical expression)."""
+    return F.log(
+        F.lit(1.0) + (n_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_tf_sat(tf_col, dl_col, avgdl_col, k1: float, b: float):
+    """The BM25 term-frequency saturation + length normalization term
+    — the same single-definition discipline as `bm25_idf`."""
+    return (tf_col * (F.lit(k1) + 1.0)) / (
+        tf_col
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl_col / avgdl_col)
+    )
+
+
 def _bm25_rank(
     df: DataFrame,
     id_col: str,
@@ -443,15 +464,8 @@ def _bm25_rank(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
-    )
+    idf = bm25_idf(F.col("_n"), F.col("df"))
+    tf_sat = bm25_tf_sat(F.col("tf"), F.col("dl"), F.col("_avgdl"), k1, b)
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(lens, id_col)
@@ -524,15 +538,8 @@ def _bm25_field_scores(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
-    )
+    idf = bm25_idf(F.col("_n"), F.col("df"))
+    tf_sat = bm25_tf_sat(F.col("tf"), F.col("dl"), F.col("_avgdl"), k1, b)
     return (
         tf.join(F.broadcast(dfreq), "term")
         .join(lens, id_col)

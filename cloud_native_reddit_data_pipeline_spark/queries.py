@@ -716,15 +716,26 @@ def streaming_search_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             if batch_df.isEmpty():
                 return
             e = int(batch_df.agg(F.max("epoch")).first()[0])
+            batch_docs = batch_df.select("doc_id", "text")
             try:
-                si.search_index_append(
-                    spark, batch_df.select("doc_id", "text"), idx
-                )
+                si.search_index_append(spark, batch_docs, idx)
             except si.DuplicateIdsError:
-                # a redelivered batch is already applied (append is
-                # all-or-nothing on these small batches); re-serving
-                # the query below keeps the per-epoch write idempotent
-                pass
+                # a redelivered batch EITHER was fully applied before
+                # the crash OR is torn (doclens half only — the
+                # documented crash window raises the same typed
+                # error).  maintain distinguishes them: it heals a
+                # torn store via compact (freeing the ids) and no-ops
+                # on a whole one — so retry once, and only a second
+                # DuplicateIdsError means genuinely already-applied.
+                rec = si.search_index_maintain(spark, idx).collect()[0]
+                if rec["action"] == "compacted":
+                    try:
+                        si.search_index_append(spark, batch_docs, idx)
+                    except si.DuplicateIdsError:
+                        # maintain compacted for an unrelated signal
+                        # (e.g. file count) on a store that already
+                        # holds the whole batch — genuinely applied
+                        pass
             top = si.search_index_query(
                 spark, idx, _SEARCH_KEYWORDS, k=10
             ).select(
@@ -12892,7 +12903,7 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return dedup.connected_components(tpairs)
 
-    def _media_leg() -> DataFrame:
+    def _media_leg() -> tuple[DataFrame, DataFrame]:
         # same pipeline as image_phash_dedup (originals + resized)
         media = synthetic_media(spark, 64)
         originals = media.filter(F.col("modality") == "image").select(

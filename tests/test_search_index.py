@@ -292,6 +292,64 @@ def test_phrase_on_stemmed_positional_store(spark, tmp_path):
     assert got[0]["phrase_hits"] == 1
 
 
+def test_empty_corpus_build_then_ingest(spark, docs, tmp_path):
+    """The ES lifecycle: create an EMPTY index, then ingest forever —
+    a zero-postings build (partitionBy writes no files) must leave a
+    readable store for query/append/fsck."""
+    idx = str(tmp_path / "six")
+    empty = docs.filter("doc_id < 0")
+    si.search_index_build(empty, idx).collect()
+    assert si.search_index_query(spark, idx, KW, k=5).collect() == []
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs["n_docs"] == 0 and fs["stats_match"]
+    si.search_index_append(spark, docs.filter("doc_id < 200"), idx)
+    got = _rows(si.search_index_query(spark, idx, KW, k=20))
+    want = _rows(
+        ranked_keyword_search_bm25(
+            docs.filter("doc_id < 200"), "doc_id", "text", KW, k=20
+        )
+    )
+    assert got == want
+
+
+def test_null_text_is_empty_document(spark, tmp_path):
+    """NULL text normalizes to the empty document (dl = 0, no
+    postings): stats stay exact, fsck green, and compact keeps the
+    row (the heal rule must not drop it)."""
+    df = spark.createDataFrame(
+        [(1, "spark join"), (2, None), (3, "spark")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "six")
+    si.search_index_build(df, idx).collect()
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs["n_docs"] == 3 and fs["stats_match"] and fs["tokens_covered"]
+    before = _rows(si.search_index_query(spark, idx, ["spark"], k=10))
+    si.search_index_compact(spark, idx).collect()
+    fs2 = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs2["n_docs"] == 3 and fs2["stats_match"]  # row survived
+    assert _rows(si.search_index_query(spark, idx, ["spark"], k=10)) == before
+
+
+def test_resolver_tracks_generations(spark, docs, tmp_path):
+    """resolve_search_dirs is the public audit entry point: it must
+    point at exactly the generation queries read, before and after a
+    compact bumps it."""
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.limit(100), idx).collect()
+    d0 = si.resolve_search_dirs(spark, idx)
+    assert d0["postings"].endswith("/postings")
+    si.search_index_delete(spark, idx, [1]).collect()
+    si.search_index_compact(spark, idx).collect()
+    d1 = si.resolve_search_dirs(spark, idx)
+    assert d1["postings"].endswith("/postings_g1")
+    assert d1["doclens"].endswith("/doclens_g1")
+    # reading through the resolver sees exactly the live store
+    n = spark.read.parquet(d1["doclens"]).count()
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert n == fs["n_docs"]
+
+
 def test_empty_docs_count_toward_stats(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "spark join"), (2, ""), (3, "spark")],
