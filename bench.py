@@ -358,6 +358,14 @@ HEADLINE = [
     # each is the same build composite plus delete/compact/stream legs
     # whose verb costs this row already exercises.
     "search_index_serve",
+    # round 14: the reference's literal production query — fielded
+    # (title^2/body) BM25 answered BY the store (field-tagged postings,
+    # norms-in-rows, per-field stats log).
+    # search_index_fielded_under_deletes follows the lifecycle-capstone
+    # exclusion (same composite + a delete leg);
+    # search_index_serve_fuzzy's per-verb serving cost is isolated in
+    # the searchidx_query_fuzzy_only row.
+    "search_index_serve_fielded",
 ]
 
 
@@ -578,6 +586,16 @@ def bench_searchidx_verbs(spark, sf_dir) -> dict[str, float]:
             best = dt if best is None else min(best, dt)
         out["searchidx_query_only"] = round(best, 2)
 
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            search_index.search_index_query_fuzzy(
+                spark, idx, kws, max_edits=1, k=20
+            ).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out["searchidx_query_fuzzy_only"] = round(best, 2)
+
         t0 = time.perf_counter()
         search_index.search_index_append(spark, new_df, idx).collect()
         out["searchidx_append_only"] = round(time.perf_counter() - t0, 2)
@@ -592,6 +610,27 @@ def bench_searchidx_verbs(spark, sf_dir) -> dict[str, float]:
         t0 = time.perf_counter()
         search_index.search_index_compact(spark, idx).collect()
         out["searchidx_compact_only"] = round(time.perf_counter() - t0, 2)
+
+        # fielded serving (round 14): its store layout differs (field-
+        # tagged postings, per-field norms), so it gets its own build +
+        # best-of-2 query rows against a second shared index.
+        fidx = f"{tmp}/fidx"
+        t0 = time.perf_counter()
+        search_index.search_index_build(
+            base_df, fidx, title_len=8
+        ).collect()
+        out["searchidx_build_fielded_only"] = round(
+            time.perf_counter() - t0, 2
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            search_index.search_index_query_fielded(
+                spark, fidx, kws, k=20
+            ).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out["searchidx_query_fielded_only"] = round(best, 2)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -691,6 +730,35 @@ def _provenance() -> dict:
     return prov
 
 
+def _warm_page_cache(sf_dir: str) -> dict:
+    """Round-14 (verdict task 7): the driver's official stamp has twice
+    absorbed page-cache state — the 34-minute pytest suite that runs
+    just before the bench evicts the FS cache, and the stamped run then
+    pays cold reads the builder's same-session close-out run does not
+    (r13: frozen core3 +22% cold vs -4% warm under identical code).
+    Read every byte of the sf tables through the OS page cache BEFORE
+    timing begins, so the stamped numbers measure plans, not the
+    machine state the previous gate left behind.  The before/after
+    fs_cached_kb delta is recorded in BENCH_DETAIL.json provenance."""
+    t0 = time.perf_counter()
+    n_bytes = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for fn in files:
+            try:
+                with open(os.path.join(root, fn), "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 22)
+                        if not chunk:
+                            break
+                        n_bytes += len(chunk)
+            except OSError:
+                pass
+    return {
+        "warmed_mb": round(n_bytes / 1048576.0, 1),
+        "warm_sec": round(time.perf_counter() - t0, 2),
+    }
+
+
 def _emit_final_json(payload: dict, limit: int = 1950) -> str:
     """Serialize the result line, guaranteed to fit the driver's 2000-byte
     stdout tail buffer (round 3's 70-query line overflowed it and the
@@ -721,6 +789,16 @@ def main() -> None:
     from cloud_native_reddit_data_pipeline_spark.session import build_session
 
     prov_start = _provenance()
+    warm = _warm_page_cache(sf_dir)  # untimed: page cache, before timing
+    prov_warm = _provenance()
+    prov_warm["warm_scan"] = warm
+    print(
+        f"# warm-start: {warm['warmed_mb']} MB of {sf_dir} read in "
+        f"{warm['warm_sec']}s (fs_cached "
+        f"{prov_start.get('fs_cached_kb', '?')} -> "
+        f"{prov_warm.get('fs_cached_kb', '?')} kB)",
+        file=sys.stderr,
+    )
     spark = build_session("cnrdp-bench")
     qs = registry.queries()
 
@@ -814,7 +892,11 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     detail = dict(payload)
-    detail["provenance"] = {"start": prov_start, "end": _provenance()}
+    detail["provenance"] = {
+        "start": prov_start,
+        "after_warm": prov_warm,
+        "end": _provenance(),
+    }
     try:
         with open(detail_path) as f:
             prev = json.load(f)

@@ -446,9 +446,11 @@ def ann_index_compact(
     point leaves probes on a complete generation (old before the
     commit, new after), on local disk and object stores alike.  The new
     generation has no tombstone directory, which IS the truncation of
-    the delete log.  Old generation dirs are GC'd best-effort through
-    the Hadoop FileSystem API afterwards.  Returns the per-cell
-    (cell, n_vectors) manifest read back from the compacted store.
+    the delete log.  Superseded generation dirs are left for
+    `ann_index_gc` (reader grace: a probe that resolved the manifest
+    before the commit may still be scanning them).  Returns the
+    per-cell (cell, n_vectors) manifest read back from the compacted
+    store.
 
     Scale shape: one read + one partitioned write of the index (NOT
     the corpus — the index is the corpus's vectors, but compaction
@@ -488,13 +490,15 @@ def ann_index_compact(
         )
 
     # THE commit: readers atomically move to (new_gen, tomb_gen+1) —
-    # the fresh tombstone generation has no directory, i.e. empty log
+    # the fresh tombstone generation has no directory, i.e. empty log.
+    # The superseded generation is NOT deleted here: a probe that
+    # resolved the manifest just before this commit may still be
+    # scanning the old directories (snapshot isolation — every probe
+    # answers from entirely one committed generation, never a mix;
+    # pinned by the serve-during-compact test).  Reclamation is
+    # `ann_index_gc`'s job, run after in-flight readers drain
+    # (ann_index_maintain does both in sequence as the scheduler verb).
     _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
-
-    # best-effort GC of the superseded generation (never load-bearing)
-    _fs_delete(spark, _cells_dir(base, gen))
-    _fs_delete(spark, _codes_dir(base, gen))
-    _fs_delete(spark, _tomb_dir(base, tomb_gen))
 
     return (
         spark.read.parquet(_cells_dir(base, new_gen))
@@ -536,14 +540,16 @@ def ann_index_stats(
 def ann_index_gc(
     spark: SparkSession, index_dir: str, version: str = "v1"
 ) -> list[str]:
-    """Reclaim SUPERSEDED generation directories the best-effort GC in
-    `ann_index_compact` may have left behind (a crash after the
-    manifest commit leaves the old generation orphaned — readers never
-    see it, but it holds space).  Lists the version root through the
-    Hadoop FS API, keeps exactly the directories the current manifest
-    references, deletes every other cells/codes/tombstones generation.
-    Safe at any time: the manifest is the single source of truth, so
-    nothing referenced can be collected.  Returns the removed names."""
+    """Reclaim SUPERSEDED generation directories — the ones
+    `ann_index_compact` leaves behind for reader grace, plus anything
+    a crashed compact orphaned (readers never see either: the manifest
+    is the single source of truth).  This is the DESTRUCTIVE half of
+    the compact protocol: run it only after in-flight probes of the
+    old generation have drained (a probe that resolved the manifest
+    before the compact commit still scans the old directories).  Lists
+    the version root through the Hadoop FS API, keeps exactly the
+    directories the current manifest references, deletes every other
+    cells/codes/tombstones generation.  Returns the removed names."""
     import re
 
     base = _base(index_dir, version)

@@ -453,7 +453,11 @@ def ranked_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8 tokens) so both engines replay it exactly; each field is its own
 # BM25 universe (field-local tf/df/dl/avgdl, the Lucene per-field
 # statistics model), document score = 2.0*title + 1.0*body, rounded once.
-def _fielded_oracle_sql() -> str:
+def _fielded_oracle_sql(live_where: str = "TRUE") -> str:
+    """The fielded-BM25 replay parameterized by a LIVE-set predicate —
+    serves both the corpus-scan registration and the persistent-
+    search-index fielded-serving lifecycles (a fielded store holding
+    live corpus L must answer exactly like the scan ranker over L)."""
     kw_in = ", ".join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))
 
     def field_ctes(p: str, arr: str) -> str:
@@ -486,7 +490,7 @@ def _fielded_oracle_sql() -> str:
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
                AS ts
-      FROM documents
+      FROM documents WHERE {live_where}
     ),
     fields AS (
       SELECT doc_id,
@@ -640,7 +644,8 @@ def search_index_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             fs[c]
             for c in (
                 "postings_covered", "tokens_covered", "doclens_unique",
-                "postings_unique", "tb_ok", "stats_match",
+                "postings_unique", "tb_ok", "norms_match", "terms_covered",
+                "stats_match",
             )
         ):
             raise AssertionError(f"fsck red after maintain: {fs}")
@@ -900,20 +905,23 @@ def ranked_search_stemmed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fuzzy_keyword_search",
-    f"""
+def _fuzzy_oracle_sql(live_where: str = "TRUE") -> str:
+    """The fuzzy-search replay parameterized by a LIVE-set predicate —
+    shared by the corpus-scan registration and the persistent-index
+    fuzzy serving (the store's dictionary expansion + exact postings
+    lookup must answer exactly like the scan rule over the live set)."""
+    kw_in = ", ".join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))
+    return f"""
     WITH toks AS (
       SELECT doc_id, lower(term) AS term FROM (
         SELECT doc_id,
                unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
                  AS term
-        FROM documents
+        FROM documents WHERE {live_where}
       )
     ),
     kws AS (
-      SELECT unnest([{', '.join("'" + w + "'" for w in sorted(_SEARCH_KEYWORDS))}])
-               AS kw
+      SELECT unnest([{kw_in}]) AS kw
     ),
     hits AS (
       SELECT doc_id, kw FROM toks, kws
@@ -924,8 +932,10 @@ def ranked_search_stemmed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_hits
     FROM hits GROUP BY doc_id
     ORDER BY n_terms DESC, n_hits DESC, doc_id LIMIT 20
-    """,
-)
+    """
+
+
+@register("fuzzy_keyword_search", _fuzzy_oracle_sql())
 def fuzzy_keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy term search (textstats.fuzzy_keyword_search) — the ES
     multi_match fuzziness behavior: levenshtein <= 1 token matches
@@ -935,6 +945,93 @@ def fuzzy_keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fuzzy_keyword_search(
         docs, "doc_id", "text", _SEARCH_KEYWORDS, max_edits=1, k=20
     )
+
+
+@register("search_index_serve_fielded", _fielded_oracle_sql())
+def search_index_serve_fielded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded/boosted BM25 served OFF the persistent index — the
+    reference's literal production query (ES multi_match over
+    ["title", "selftext"], redditProcessor.py:67-70, with the standard
+    fields: ["title^2", "body"] boost) answered BY the store: a
+    fielded build (title_len=8 tags every posting 't'/'b' and carries
+    the FIELD-local dl in the row) on 3/4 of the corpus, an append of
+    the last quarter (field tags are per-document functions, so
+    build+append ≡ build of the union), then one bucket-pruned query.
+    Oracle = the corpus-scan fielded ranker replay — per-field BM25
+    universes, boost-weighted sum, single rounding."""
+    import tempfile
+
+    from .operators import search_index as si
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/searchidx"
+        si.search_index_build(
+            docs.filter("doc_id % 4 != 3"), idx, title_len=8
+        ).collect()
+        si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+        out = si.search_index_query_fielded(
+            spark, idx, _SEARCH_KEYWORDS, k=20
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "search_index_fielded_under_deletes",
+    _fielded_oracle_sql("doc_id % 7 <> 3"),
+)
+def search_index_fielded_under_deletes_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fielded serving correctness under tombstones: deleted documents
+    must vanish from the fielded results, stop contributing per-field
+    df, AND stop counting toward N and BOTH per-field avgdl (the
+    delete verb's negative stats delta subtracts dl and dl_t), so the
+    store answers exactly like the corpus-scan fielded ranker over the
+    surviving corpus — without a compact."""
+    import tempfile
+
+    from .operators import search_index as si
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/searchidx"
+        si.search_index_build(docs, idx, title_len=8).collect()
+        dels = [
+            int(r["doc_id"])
+            for r in docs.filter("doc_id % 7 = 3").select("doc_id").collect()
+        ]
+        si.search_index_delete(spark, idx, dels).collect()
+        out = si.search_index_query_fielded(
+            spark, idx, _SEARCH_KEYWORDS, k=20
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@register("search_index_serve_fuzzy", _fuzzy_oracle_sql())
+def search_index_serve_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy search served OFF the persistent index —
+    the ES fuzziness behavior the way ES serves it: the keywords
+    expand against the persisted TERM DICTIONARY (levenshtein <= 1
+    behind the scan form's length-window prefilter — a
+    vocabulary-sized pass, never a corpus or postings scan), then the
+    expanded exact terms run the normal bucket-pruned postings lookup.
+    Built 3/4 + appended 1/4 so the dictionary union path is
+    exercised.  Oracle = the corpus-scan fuzzy ranker replay
+    (n_terms DESC, n_hits DESC, doc_id)."""
+    import tempfile
+
+    from .operators import search_index as si
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = f"{tmp}/searchidx"
+        si.search_index_build(docs.filter("doc_id % 4 != 3"), idx).collect()
+        si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+        out = si.search_index_query_fuzzy(
+            spark, idx, _SEARCH_KEYWORDS, max_edits=1, k=20
+        )
+        return out.localCheckpoint(eager=True)
 
 
 # Hybrid retrieval: BM25 lexical leg + embedding-cosine vector leg,

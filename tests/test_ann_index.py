@@ -249,6 +249,9 @@ def test_compact_preserves_probes_and_reduces_files(spark, tmp_path):
         map(tuple, ann_index.ann_index_probe_pq(spark, idx, QIDS).collect())
     )
     manifest = ann_index.ann_index_compact(spark, idx).collect()
+    # compact leaves the superseded generation for reader grace; gc is
+    # the reclaim step (no probes in flight here, so run it now)
+    ann_index.ann_index_gc(spark, idx)
     after_files = n_files()
     assert after_files < before_files
     assert sum(r["n_vectors"] for r in manifest) == 500
@@ -287,6 +290,7 @@ def test_delete_tombstones_then_compact_reclaims(spark, tmp_path):
     assert not any(r[1] in dead for r in t_pq)
 
     manifest = ann_index.ann_index_compact(spark, idx).collect()
+    ann_index.ann_index_gc(spark, idx)  # reclaim step (readers drained)
     assert sum(r["n_vectors"] for r in manifest) == 500 - 50  # reclaimed
     assert not os.path.isdir(f"{idx}/v1/tombstones")  # truncated
     assert t_ivf == sorted(
@@ -510,6 +514,60 @@ def test_gc_reclaims_orphaned_generations(spark, tmp_path, monkeypatch):
         map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect())
     ) == before
     assert ann_index.ann_index_gc(spark, idx) == []
+
+
+def test_concurrent_probe_during_compact(spark, tmp_path):
+    """Snapshot isolation across the compact commit window: probes
+    racing a compact must each answer from entirely the pre- or
+    entirely the post-compact generation — which compaction makes
+    indistinguishable (probe results are pinned byte-identical), so
+    every concurrent answer equals the expected top-k and none errors.
+    Compact defers old-generation deletion to ann_index_gc precisely
+    so an in-flight probe that resolved the old manifest keeps
+    readable files; gc afterwards (readers drained) must not change
+    answers."""
+    import threading
+
+    idx = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    ann_index.ann_index_build(emb, idx)
+    ann_index.ann_index_delete(spark, idx, [400, 401])
+    want = sorted(map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect()))
+
+    started = threading.Barrier(2, timeout=60)
+    answers: list = []
+    errors: list = []
+
+    def reader():
+        try:
+            started.wait()
+            for _ in range(6):
+                answers.append(
+                    sorted(
+                        map(
+                            tuple,
+                            ann_index.ann_index_probe(spark, idx, QIDS).collect(),
+                        )
+                    )
+                )
+        except Exception as e:  # noqa: BLE001 — recorded, asserted below
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    started.wait()
+    ann_index.ann_index_compact(spark, idx)
+    t.join(timeout=300)
+    assert not t.is_alive(), "concurrent prober hung"
+    assert not errors, f"concurrent probe failed during compact: {errors[0]}"
+    assert len(answers) == 6
+    assert all(a == want for a in answers), "a probe saw a mixed generation"
+    removed = ann_index.ann_index_gc(spark, idx)
+    assert "cells" in removed and "codes" in removed
+    assert (
+        sorted(map(tuple, ann_index.ann_index_probe(spark, idx, QIDS).collect()))
+        == want
+    )
 
 
 def test_rebuild_after_compact_serves_new_corpus(spark, tmp_path):

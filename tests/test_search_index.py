@@ -350,6 +350,282 @@ def test_resolver_tracks_generations(spark, docs, tmp_path):
     assert n == fs["n_docs"]
 
 
+def test_fielded_store_matches_scan_ranker(spark, docs, tmp_path):
+    """A fielded build(A) + append(B) must serve the per-field BOOSTED
+    BM25 byte-identically to the corpus-scan fielded ranker over
+    A ∪ B — per-field tf/dl ride in the tagged posting rows, per-field
+    avgdl comes from the (sum_dl, sum_dl_t) stats log."""
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        ranked_keyword_search_fielded,
+    )
+
+    idx = str(tmp_path / "six")
+    si.search_index_build(
+        docs.filter("doc_id % 4 != 3"), idx, title_len=8
+    ).collect()
+    si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+    got = _rows(si.search_index_query_fielded(spark, idx, KW, k=20))
+    want = _rows(
+        ranked_keyword_search_fielded(docs, "doc_id", "text", KW, k=20)
+    )
+    assert got == want
+    # boosts are QUERY-time parameters (the ES fields: ["title^2"]
+    # knob): a different boost pair must match the scan form too
+    got5 = _rows(
+        si.search_index_query_fielded(
+            spark, idx, KW, k=20, title_boost=5.0, body_boost=0.5
+        )
+    )
+    want5 = _rows(
+        ranked_keyword_search_fielded(
+            docs, "doc_id", "text", KW, k=20,
+            title_boost=5.0, body_boost=0.5,
+        )
+    )
+    assert got5 == want5
+    from conftest import assert_cache_idle
+
+    assert_cache_idle(spark, "search_index fielded build/append/query")
+
+
+def test_fielded_lifecycle_preserves_field_tags(spark, docs, tmp_path):
+    """Delete + compact on a fielded store: field tags, per-field
+    norms, and per-field stats survive every lifecycle verb — the
+    fielded query matches the scan ranker over the live set before AND
+    after the compact, and fsck's norms_match pins postings.dl against
+    the doclens-derived field lengths."""
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        ranked_keyword_search_fielded,
+    )
+
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs, idx, title_len=8).collect()
+    top = si.search_index_query_fielded(spark, idx, KW, k=5).collect()
+    dels = [int(r["doc_id"]) for r in top[:3]]
+    si.search_index_delete(spark, idx, dels).collect()
+    live = docs.filter(~F.col("doc_id").isin(dels))
+    want = _rows(
+        ranked_keyword_search_fielded(live, "doc_id", "text", KW, k=20)
+    )
+    assert _rows(si.search_index_query_fielded(spark, idx, KW, k=20)) == want
+    si.search_index_compact(spark, idx).collect()
+    assert _rows(si.search_index_query_fielded(spark, idx, KW, k=20)) == want
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert all(
+        fs[c]
+        for c in (
+            "postings_covered", "tokens_covered", "doclens_unique",
+            "postings_unique", "tb_ok", "norms_match", "terms_covered",
+            "stats_match",
+        )
+    )
+
+
+def test_fielded_query_mismatch_guards(spark, docs, tmp_path):
+    """The query verb and the store's fielding must agree — both
+    mismatch directions fail fast with the typed error."""
+    flat = str(tmp_path / "flat")
+    si.search_index_build(docs.limit(50), flat).collect()
+    with pytest.raises(si.FieldedStoreMismatchError, match="not.*fielded"):
+        si.search_index_query_fielded(spark, flat, KW)
+    fielded = str(tmp_path / "fielded")
+    si.search_index_build(docs.limit(50), fielded, title_len=8).collect()
+    with pytest.raises(si.FieldedStoreMismatchError, match="FIELDED"):
+        si.search_index_query(spark, fielded, KW)
+
+
+def test_fuzzy_query_matches_scan(spark, docs, tmp_path):
+    """Dictionary-expansion fuzzy serving: build(A) + append(B) must
+    answer byte-identically to textstats.fuzzy_keyword_search over
+    A ∪ B, and tombstoned docs must vanish without a compact (a
+    matched dictionary term whose postings are all dead yields no
+    rows)."""
+    from cloud_native_reddit_data_pipeline_spark.operators.textstats import (
+        fuzzy_keyword_search,
+    )
+
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.filter("doc_id % 4 != 3"), idx).collect()
+    si.search_index_append(spark, docs.filter("doc_id % 4 = 3"), idx)
+    got = _rows(
+        si.search_index_query_fuzzy(spark, idx, KW, max_edits=1, k=20)
+    )
+    want = _rows(
+        fuzzy_keyword_search(docs, "doc_id", "text", KW, max_edits=1, k=20)
+    )
+    assert got == want
+    dels = [int(r[0]) for r in got[:3]]
+    si.search_index_delete(spark, idx, dels).collect()
+    live = docs.filter(~F.col("doc_id").isin(dels))
+    want_live = _rows(
+        fuzzy_keyword_search(live, "doc_id", "text", KW, max_edits=1, k=20)
+    )
+    assert (
+        _rows(si.search_index_query_fuzzy(spark, idx, KW, max_edits=1, k=20))
+        == want_live
+    )
+    # compact rebuilds the dictionary exact; results must not move
+    si.search_index_compact(spark, idx).collect()
+    assert (
+        _rows(si.search_index_query_fuzzy(spark, idx, KW, max_edits=1, k=20))
+        == want_live
+    )
+    # no keyword within the edit window of any indexed term -> empty
+    assert (
+        si.search_index_query_fuzzy(
+            spark, idx, ["zzzzzzzzzzzz"], max_edits=1, k=20
+        ).collect()
+        == []
+    )
+
+
+def test_serving_plan_reads_only_postings(spark, docs, tmp_path):
+    """Norms-in-postings plan pins: neither the plain nor the fielded
+    serving plan may read the corpus-proportional doclens table (dl
+    rides in the posting rows — Lucene's norms design), and both scans
+    must prune term buckets ON DISK (PartitionFilters, not a post-scan
+    filter).  (The test name must not contain the component name — the
+    tmp_path embeds it, and the scan's Location string would then
+    false-positive the substring check.)"""
+    flat = str(tmp_path / "flat")
+    si.search_index_build(docs, flat).collect()
+    plan = (
+        si.search_index_query(spark, flat, KW, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "doclens" not in plan
+    assert "PartitionFilters" in plan
+    assert "tb" in plan.split("PartitionFilters")[1][:80]
+    fielded = str(tmp_path / "fielded")
+    si.search_index_build(docs, fielded, title_len=8).collect()
+    fplan = (
+        si.search_index_query_fielded(spark, fielded, KW, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "doclens" not in fplan
+    assert "PartitionFilters" in fplan
+    assert "tb" in fplan.split("PartitionFilters")[1][:80]
+
+
+def test_append_guard_doclens_invariant(spark, docs, tmp_path, monkeypatch):
+    """The append duplicate guard reads the DOCLENS side only; that is
+    sufficient because postings ids ⊆ doclens ids at every lifecycle
+    point — build, clean append, TORN append (doclens land first), and
+    compact heal — pinned here via fsck's postings_covered plus a
+    direct anti-join at each step."""
+    def postings_subset_of_doclens(idx: str) -> bool:
+        d = si.resolve_search_dirs(spark, idx)
+        post = spark.read.parquet(d["postings"]).select("doc_id").distinct()
+        lens = spark.read.parquet(d["doclens"]).select("doc_id")
+        return post.join(lens, "doc_id", "left_anti").count() == 0
+
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.filter("doc_id % 4 = 0"), idx).collect()
+    assert postings_subset_of_doclens(idx)
+    si.search_index_append(spark, docs.filter("doc_id % 4 = 1"), idx)
+    assert postings_subset_of_doclens(idx)
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash between doclens and postings")
+
+    monkeypatch.setattr(si, "_layout", _boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        si.search_index_append(spark, docs.filter("doc_id % 4 = 2"), idx)
+    monkeypatch.undo()
+    # torn: extra doclens ids, still a postings SUPERSET — invariant holds
+    assert postings_subset_of_doclens(idx)
+    # ... and the doclens-only guard still catches the torn ids
+    with pytest.raises(si.DuplicateIdsError):
+        si.search_index_append(spark, docs.filter("doc_id % 4 = 2"), idx)
+    si.search_index_maintain(spark, idx).collect()
+    assert postings_subset_of_doclens(idx)
+    assert si.search_index_fsck(spark, idx).collect()[0]["postings_covered"]
+
+
+def test_maintain_stats_rows_signal(spark, docs, tmp_path):
+    """The additive stats log gains one row per build/append/delete
+    forever until compact — maintain's stats_rows signal bounds the
+    growth: it trips on an append-heavy store, the receipt reports the
+    pre-action row count, the compact folds the log to ONE row, and an
+    immediate second call no-ops (scheduler idempotence)."""
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs.filter("doc_id % 8 = 0"), idx).collect()
+    for m in range(1, 6):
+        si.search_index_append(spark, docs.filter(f"doc_id % 8 = {m}"), idx)
+    rec = si.search_index_maintain(
+        spark, idx, max_stats_rows=3, max_files_per_partition=1000
+    ).collect()[0]
+    assert rec["action"] == "compacted"
+    assert "stats_rows" in rec["reason"]
+    assert rec["stats_rows"] == 6  # 1 build + 5 appends, measured BEFORE
+    d = si.resolve_search_dirs(spark, idx)
+    assert spark.read.parquet(d["stats"]).count() == 1  # folded
+    rec2 = si.search_index_maintain(
+        spark, idx, max_stats_rows=3, max_files_per_partition=1000
+    ).collect()[0]
+    assert rec2["action"] == "noop" and rec2["stats_rows"] == 1
+    # the fold is exact: serving still matches the corpus-scan ranker
+    got = _rows(si.search_index_query(spark, idx, KW, k=20))
+    want = _rows(
+        ranked_keyword_search_bm25(
+            docs.filter("doc_id % 8 < 6"), "doc_id", "text", KW, k=20
+        )
+    )
+    assert got == want
+
+
+def test_concurrent_serve_during_compact(spark, docs, tmp_path):
+    """Snapshot isolation across the compact commit window: queries
+    racing a compact (write → verify → COMMIT) must each answer from
+    entirely the pre- or entirely the post-compact generation — which
+    compaction makes indistinguishable (it must not move results), so
+    every concurrent answer equals the one expected top-k and none
+    errors.  Compact defers old-generation deletion to gc precisely so
+    an in-flight reader that resolved the old manifest keeps readable
+    files; gc afterwards (readers drained) must not change answers."""
+    import threading
+
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs, idx).collect()
+    dels = [
+        int(r["doc_id"])
+        for r in docs.filter("doc_id % 7 = 3").select("doc_id").collect()
+    ]
+    si.search_index_delete(spark, idx, dels).collect()
+    want = _rows(si.search_index_query(spark, idx, KW, k=20))
+
+    started = threading.Barrier(2, timeout=60)
+    answers: list = []
+    errors: list = []
+
+    def reader():
+        try:
+            started.wait()
+            for _ in range(8):
+                answers.append(_rows(si.search_index_query(spark, idx, KW, k=20)))
+        except Exception as e:  # noqa: BLE001 — recorded and re-raised below
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    started.wait()
+    si.search_index_compact(spark, idx).collect()
+    t.join(timeout=300)
+    assert not t.is_alive(), "concurrent reader hung"
+    assert not errors, f"concurrent reader failed during compact: {errors[0]}"
+    assert len(answers) == 8
+    assert all(a == want for a in answers), "a reader saw a mixed generation"
+    # readers drained -> gc reclaims the superseded generation; the
+    # post-gc store still answers identically
+    removed = si.search_index_gc(spark, idx)
+    assert "postings" in removed and "doclens" in removed
+    assert _rows(si.search_index_query(spark, idx, KW, k=20)) == want
+
+
 def test_empty_docs_count_toward_stats(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "spark join"), (2, ""), (3, "spark")],
