@@ -514,13 +514,15 @@ def dedup_index_compact(
             f"old generation; rebuild instead of compacting to empty"
         )
 
-    # THE commit: readers atomically move to (new_gen, tomb_gen+1)
+    # THE commit: readers atomically move to (new_gen, tomb_gen+1).
+    # The superseded generation is NOT deleted here (round 14, store-
+    # family contract): a probe that resolved the manifest just before
+    # this commit may still be scanning the old directories — snapshot
+    # isolation means every probe answers from entirely one committed
+    # generation, never a mix.  `dedup_index_gc` is the destructive
+    # reclaim step, run after in-flight readers drain
+    # (dedup_index_maintain does compact + gc as the scheduler path).
     _append_commit(spark, base, seq + 1, new_gen, tomb_gen + 1)
-
-    # best-effort GC of the superseded generation (never load-bearing)
-    _fs_delete(spark, _bands_dir(base, gen))
-    _fs_delete(spark, _sigs_dir(base, gen))
-    _fs_delete(spark, _tomb_dir(base, tomb_gen))
 
     return _band_manifest(spark.read.parquet(_bands_dir(base, new_gen)))
 

@@ -79,6 +79,7 @@ from pyspark.sql import types as T
 from ..storage.manifest import (
     append_commit as _append_commit,
     fs_delete as _fs_delete,
+    fs_list as _fs_list,
     local_rows_df as _local_rows,
     manifest_state as _state,
     repartition_for_layout as _layout,
@@ -355,9 +356,16 @@ def compact_snapshots(
     between the two leaves a store that rejects stale ingest but still
     has every tombstone — safe in both halves.
 
-    Folded log partitions are GC'd best-effort — correctness never
-    depends on it.  Returns a one-row (new_base_gen, horizon, n_rows)
-    receipt."""
+    Superseded artifacts (the old base generation and the folded log
+    partitions) are NOT deleted here (round 14, store-family
+    contract): a reader that resolved the manifest just before the
+    commit may still be scanning them — every read filters the log by
+    its resolved horizon and reads exactly its resolved base
+    generation, so concurrent reads answer from entirely the pre- or
+    entirely the post-compact state, never a mix.  `snapshot_gc` is
+    the destructive reclaim step (run by `snapshot_maintain` as the
+    scheduler path, or manually after readers drain).  Returns a
+    one-row (new_base_gen, horizon, n_rows) receipt."""
     committed = current_snapshot(spark, store_dir)
     if upto_snap > committed:
         raise ValueError(
@@ -451,18 +459,44 @@ def compact_snapshots(
         _local_rows(
             spark, "watermark long", [(int(drop_tombstones_below_seq),)]
         ).coalesce(1).write.mode("append").parquet(f"{store_dir}/_retention")
-    # THE commit: (gen, horizon) flip in one manifest append
+    # THE commit: (gen, horizon) flip in one manifest append.  The old
+    # base and the folded log partitions stay on disk for reader grace
+    # (docstring) — `snapshot_gc` reclaims them.
     _append_commit(spark, store_dir, seq + 1, new_gen, upto_snap)
-    # best-effort GC of the superseded base and the folded tail
-    if gen > 0:
-        _fs_delete(spark, f"{store_dir}/base_g{gen}")
-    for s in range(horizon + 1, upto_snap + 1):
-        _fs_delete(spark, f"{store_dir}/log/snap={s}")
     return _local_rows(
         spark,
         "base_gen int, horizon int, n_rows long",
         [(new_gen, upto_snap, n)],
     )
+
+
+def snapshot_gc(spark: SparkSession, store_dir: str) -> list[str]:
+    """Reclaim SUPERSEDED store artifacts — the old base generations
+    and the at-or-below-horizon log partitions `compact_snapshots`
+    leaves behind for reader grace, plus anything a crashed compact
+    orphaned (readers never see either: the manifest's (gen, horizon)
+    is the single source of truth — reads scan exactly base_g{gen} and
+    the log partitions above the horizon).  This is the DESTRUCTIVE
+    half of the compact protocol: run it only after in-flight readers
+    that resolved the pre-compact manifest have drained.  Returns the
+    removed names."""
+    import re
+
+    gen, horizon = _base_state(spark, store_dir)
+    removed = []
+    base_re = re.compile(r"^base_g(\d+)$")
+    for name in _fs_list(spark, store_dir):
+        m = base_re.match(name)
+        if m and int(m.group(1)) != gen:
+            _fs_delete(spark, f"{store_dir}/{name}")
+            removed.append(name)
+    snap_re = re.compile(r"^snap=(\d+)$")
+    for name in _fs_list(spark, f"{store_dir}/log"):
+        m = snap_re.match(name)
+        if m and int(m.group(1)) <= horizon:
+            _fs_delete(spark, f"{store_dir}/log/{name}")
+            removed.append(f"log/{name}")
+    return sorted(removed)
 
 
 def snapshot_maintain(
@@ -544,7 +578,7 @@ def snapshot_maintain(
             if row["m"] is not None and not (row["n_null"] or 0):
                 wm = int(row["m"]) - int(retention_lag)
     try:
-        return compact_snapshots(
+        rec = compact_snapshots(
             spark,
             store_dir,
             upto,
@@ -561,10 +595,16 @@ def snapshot_maintain(
         # drops; the check runs before any write, so nothing landed).
         # Dispatch is on the exception TYPE, never message text, so a
         # reworded message can't silently change maintenance behavior.
-        return compact_snapshots(
+        rec = compact_snapshots(
             spark, store_dir, upto,
             key=key, seq_col=seq_col, op_col=op_col,
         )
+    # the scheduler path owns the reclaim decision: compact defers
+    # old-generation deletion for reader grace; the cadence call is the
+    # drain point, so gc here (the receipt frame is a literal — safe to
+    # reclaim before it is collected)
+    snapshot_gc(spark, store_dir)
+    return rec
 
 
 def snapshot_lookup(

@@ -273,6 +273,57 @@ def test_gc_reclaims_orphaned_generations(spark, tmp_path, monkeypatch):
     assert dedup_index.dedup_index_gc(spark, idx) == []
 
 
+def test_concurrent_probe_during_compact(spark, tmp_path):
+    """Snapshot isolation across the compact commit window (round-14
+    store-family contract): probes racing a compact answer from
+    entirely the pre- or entirely the post-compact generation — which
+    compaction makes indistinguishable — so every concurrent answer
+    equals the expected pair set and none errors.  Compact defers
+    old-generation deletion to dedup_index_gc (reader grace); gc after
+    the race must not change answers."""
+    import threading
+
+    docs = load(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 != 0"), idx).collect()
+    dedup_index.dedup_index_delete(spark, idx, [8, 12]).collect()
+    probe_docs = docs.filter("doc_id % 10 = 0")
+    want = _sorted(dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4))
+
+    started = threading.Barrier(2, timeout=60)
+    answers: list = []
+    errors: list = []
+
+    def reader():
+        try:
+            started.wait()
+            for _ in range(5):
+                answers.append(
+                    _sorted(
+                        dedup_index.dedup_index_probe(
+                            spark, probe_docs, idx, min_agree=4
+                        )
+                    )
+                )
+        except Exception as e:  # noqa: BLE001 — recorded, asserted below
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    started.wait()
+    dedup_index.dedup_index_compact(spark, idx).collect()
+    t.join(timeout=300)
+    assert not t.is_alive(), "concurrent prober hung"
+    assert not errors, f"concurrent probe failed during compact: {errors[0]}"
+    assert len(answers) == 5
+    assert all(a == want for a in answers), "a probe saw a mixed generation"
+    removed = dedup_index.dedup_index_gc(spark, idx)
+    assert "bands" in removed and "sigs" in removed
+    assert _sorted(
+        dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
+    ) == want
+
+
 def test_rebuild_after_compact_serves_new_corpus(spark, tmp_path):
     """A rebuild into the SAME version dir must reset the generation
     manifest — otherwise readers keep resolving the old compacted

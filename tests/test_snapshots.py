@@ -174,10 +174,59 @@ def test_compaction_preserves_and_enforces_horizon(spark, tmp_path):
     # below the horizon: history folded, explicit error
     with pytest.raises(ValueError, match="below the compaction horizon"):
         snapshots.read_as_of(spark, st, 1)
-    # folded log partitions are GC'd; the tail partition survives
+    # compact leaves the folded partitions for reader grace; the
+    # explicit gc verb reclaims exactly them and spares the tail
+    assert os.path.isdir(f"{st}/log/snap=1")
+    removed = snapshots.snapshot_gc(spark, st)
+    assert removed == ["log/snap=1", "log/snap=2"]
     assert not os.path.isdir(f"{st}/log/snap=1")
     assert not os.path.isdir(f"{st}/log/snap=2")
     assert os.path.isdir(f"{st}/log/snap=3")
+    # reads unchanged after the reclaim; a second gc finds nothing
+    assert _read(spark, st, 3) == pre3
+    assert snapshots.snapshot_gc(spark, st) == []
+
+
+def test_concurrent_read_during_compact(spark, tmp_path):
+    """Snapshot isolation across the compact commit window (round-14
+    store-family contract): reads racing a compact answer from
+    entirely the pre- or entirely the post-compact state — which the
+    at-or-above-horizon preservation makes indistinguishable — so
+    every concurrent read equals the expected table and none errors.
+    Compact defers old-base/folded-log deletion to snapshot_gc so an
+    in-flight reader that resolved the old manifest keeps readable
+    files; gc afterwards (readers drained) must not change reads."""
+    import threading
+
+    st = str(tmp_path / "store")
+    b1, b2, b3 = _batches(spark)
+    for b, bid in ((b1, "b1"), (b2, "b2"), (b3, "b3")):
+        snapshots.snapshot_commit(b, st, "id", "seq", batch_id=bid)
+    want = _read(spark, st, 3)
+
+    started = threading.Barrier(2, timeout=60)
+    answers: list = []
+    errors: list = []
+
+    def reader():
+        try:
+            started.wait()
+            for _ in range(6):
+                answers.append(_read(spark, st, None))
+        except Exception as e:  # noqa: BLE001 — recorded, asserted below
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    started.wait()
+    snapshots.compact_snapshots(spark, st, 2).collect()
+    t.join(timeout=300)
+    assert not t.is_alive(), "concurrent reader hung"
+    assert not errors, f"concurrent read failed during compact: {errors[0]}"
+    assert len(answers) == 6
+    assert all(a == want for a in answers), "a reader saw a mixed state"
+    snapshots.snapshot_gc(spark, st)
+    assert _read(spark, st, None) == want
 
 
 def test_compact_crash_before_commit_keeps_full_history(
