@@ -576,6 +576,7 @@ def ann_index_maintain(
     max_dead_ratio: float = 0.2,
     max_files_per_cell: int = 4,
     files_per_cell: int = 1,
+    run_gc: bool = True,
 ) -> DataFrame:
     """Auto-maintenance — the verb a scheduler calls at a cadence
     (round-13: the index twin of `snapshots.snapshot_maintain`), so
@@ -596,7 +597,15 @@ def ann_index_maintain(
     cadence job); every other state makes progress.  Cost: one
     metadata-cheap count of the inverted file, one tombstone count,
     one driver-side file listing (bounded by the file count this verb
-    itself keeps small), plus the compact when triggered."""
+    itself keeps small), plus the compact when triggered.
+
+    Reclaim contract: gc runs on EVERY call (even a no-op cadence — a
+    crashed compact's orphaned generation is reclaimed the next tick),
+    because the scheduled cadence IS the drain point: schedule
+    maintain at an interval longer than your longest-running probe
+    (the Delta VACUUM retention reasoning).  Deployments with probes
+    that outlive the cadence pass ``run_gc=False`` and reclaim
+    explicitly via `ann_index_gc` after a drain."""
     base = _base(index_dir, version)
     gen, tomb_gen, _ = _state(spark, base)
     cells_dir = _cells_dir(base, gen)
@@ -612,10 +621,9 @@ def ann_index_maintain(
         reasons.append("dead_ratio")
     if max_files > max_files_per_cell:
         reasons.append("file_count")
-    n_gc = 0
     if reasons:
         ann_index_compact(spark, index_dir, version, files_per_cell).collect()
-        n_gc = len(ann_index_gc(spark, index_dir, version))
+    n_gc = len(ann_index_gc(spark, index_dir, version)) if run_gc else 0
     return _local_rows(
         spark,
         "action string, reason string, n_rows long, n_dead long, "

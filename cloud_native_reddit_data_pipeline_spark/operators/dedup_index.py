@@ -562,6 +562,7 @@ def dedup_index_maintain(
     max_dead_ratio: float = 0.2,
     max_files_per_partition: int = 4,
     files_per_partition: int = 1,
+    run_gc: bool = True,
 ) -> DataFrame:
     """Auto-maintenance — the scheduler verb (round-13: the dedup twin
     of `ann_index_maintain` / `snapshots.snapshot_maintain`): derives
@@ -620,12 +621,16 @@ def dedup_index_maintain(
         reasons.append("dead_ratio")
     if max_files > max_files_per_partition:
         reasons.append("file_count")
-    n_gc = 0
     if reasons:
         dedup_index_compact(
             spark, index_dir, version, files_per_partition
         ).collect()
-        n_gc = len(dedup_index_gc(spark, index_dir, version))
+    # reclaim contract (round 14, store-family): gc on EVERY cadence —
+    # a crashed compact's orphans are reclaimed the next tick, and the
+    # scheduled cadence is the reader-drain point (schedule maintain at
+    # an interval longer than the longest probe; pass run_gc=False and
+    # gc explicitly otherwise)
+    n_gc = len(dedup_index_gc(spark, index_dir, version)) if run_gc else 0
     return _local_rows(
         spark,
         "action string, reason string, n_docs long, n_orphan_ids long, "

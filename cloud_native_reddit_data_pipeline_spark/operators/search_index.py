@@ -289,13 +289,17 @@ def _analyzed_kws(spark: SparkSession, kws: list[str], analyzer: str) -> list[st
     deterministic function of its inputs, so a serving loop that
     re-issues the same standing query (the streaming twin, best-of-N
     benches) pays the keyword-analyze job once per process, not per
-    call (r13 verdict watch item).  The cache is bounded by the number
-    of DISTINCT keyword sets the process serves."""
+    call (r13 verdict watch item).  Hard-capped at 256 entries (reset
+    on overflow) — ad-hoc user-driven keyword sets must not accrete
+    driver memory forever; the standing-query case the memo targets
+    re-populates in one job."""
     if analyzer == "exact":
         return sorted(set(kws))
     key = (analyzer, tuple(sorted(set(kws))))
     hit = _KW_ANALYZE_CACHE.get(key)
     if hit is None:
+        if len(_KW_ANALYZE_CACHE) >= 256:
+            _KW_ANALYZE_CACHE.clear()
         kdf = _local_rows(spark, "term string", [(w,) for w in key[1]])
         hit = tuple(
             sorted(
@@ -1090,6 +1094,12 @@ def search_index_compact(
         _terms_dir(base, new_gen),
         "overwrite",
     )
+    # the stats write below is an APPEND (the shared delta-log writer);
+    # a compact retried after a pre-commit crash would otherwise stack
+    # a second row into the orphaned stats_g{new_gen} and commit a
+    # store with doubled N/sum_dl — clear the target first so the
+    # retry is idempotent like the three overwrite components
+    _fs_delete(spark, _stats_dir(base, new_gen))
     dstats = _doclens_sums(spark.read.parquet(_doclens_dir(base, new_gen)))
     _write_stats_delta(
         spark,
@@ -1330,6 +1340,7 @@ def search_index_maintain(
     max_files_per_partition: int = 4,
     max_stats_rows: int = 64,
     files_per_partition: int = 1,
+    run_gc: bool = True,
 ) -> DataFrame:
     """Auto-maintenance — the scheduler verb (the search twin of
     `ann_index_maintain` / `dedup_index_maintain` /
@@ -1351,7 +1362,16 @@ def search_index_maintain(
     Idempotent: the compacted generation is whole, stats-exact (one
     stats row), and delete-log-free, so an immediate second call
     no-ops.  Returns a one-row receipt with each signal as measured
-    BEFORE the action."""
+    BEFORE the action.
+
+    Reclaim contract: gc runs on EVERY call (even a no-op cadence — a
+    crashed compact's orphaned generation is reclaimed the next tick,
+    not only after the next successful compact), because the scheduled
+    cadence IS the drain point: schedule maintain at an interval
+    longer than your longest-running reader, exactly the Delta VACUUM
+    retention reasoning.  Deployments with readers that outlive the
+    cadence pass ``run_gc=False`` and reclaim explicitly via
+    `search_index_gc` after a drain."""
     base = _base(index_dir, version)
     _, _, _has_pos, _title_len = _meta(spark, base)
     gen, tomb_gen, _ = _state(spark, base)
@@ -1392,12 +1412,11 @@ def search_index_maintain(
         reasons.append("file_count")
     if stats_rows > max_stats_rows:
         reasons.append("stats_rows")
-    n_gc = 0
     if reasons:
         search_index_compact(
             spark, index_dir, version, files_per_partition
         ).collect()
-        n_gc = len(search_index_gc(spark, index_dir, version))
+    n_gc = len(search_index_gc(spark, index_dir, version)) if run_gc else 0
     return _local_rows(
         spark,
         "action string, reason string, n_docs long, n_torn long, "

@@ -508,6 +508,7 @@ def snapshot_maintain(
     key: str = "id",
     seq_col: str = "seq",
     op_col: str = "op",
+    run_gc: bool = True,
 ) -> DataFrame:
     """Auto-maintenance — the verb a scheduler calls at a cadence, so
     operators never hand-pick compaction horizons or retention
@@ -536,17 +537,32 @@ def snapshot_maintain(
     unsafe — the fold still happens, tombstones are kept); if the fold
     range holds no data at all (empty snapshots only), the verb no-ops
     with the current (base_gen, horizon, n_rows=-1) receipt.  The
-    Delta OPTIMIZE/VACUUM-on-a-schedule story, miniaturized."""
+    Delta OPTIMIZE/VACUUM-on-a-schedule story, miniaturized.
+
+    Reclaim contract: `snapshot_gc` runs on EVERY call including the
+    no-op paths (a crashed compact's orphaned base generation is
+    reclaimed the next tick, not only after the next successful fold),
+    because the scheduled cadence IS the reader-drain point — schedule
+    maintain at an interval longer than your longest-running read,
+    exactly the Delta VACUUM retention reasoning.  Deployments with
+    readers that outlive the cadence pass ``run_gc=False`` and reclaim
+    explicitly after a drain."""
     committed = current_snapshot(spark, store_dir)
     gen, horizon = _base_state(spark, store_dir)
     upto = committed - keep_snapshots
+
+    def _receipt_after_gc(rec: DataFrame) -> DataFrame:
+        if run_gc:
+            snapshot_gc(spark, store_dir)
+        return rec
+
     noop = _local_rows(
         spark,
         "base_gen int, horizon int, n_rows long",
         [(gen, horizon, -1)],
     )
     if upto <= horizon:
-        return noop
+        return _receipt_after_gc(noop)
     # manifest pre-check: a fold over ONLY empty snapshots (no base,
     # zero recorded rows below the target) has no compactable state —
     # no-op instead of writing a file-less base
@@ -558,7 +574,7 @@ def snapshot_maintain(
             if horizon < int(r["snap"]) <= upto
         )
         if folded_rows == 0:
-            return noop
+            return _receipt_after_gc(noop)
     wm = None
     if drop_tombstones:
         tail = _try_read(spark, f"{store_dir}/log")
@@ -588,7 +604,8 @@ def snapshot_maintain(
             drop_tombstones_below_seq=wm,
         )
     except EmptyFoldError:
-        return noop  # retention dropped every winner — nothing to fold
+        # retention dropped every winner — nothing to fold
+        return _receipt_after_gc(noop)
     except UnclassifiableNullError:
         # the FOLDED state holds NULL op/seq rows the watermark cannot
         # classify — fold without retention this cadence (progress over
@@ -603,8 +620,7 @@ def snapshot_maintain(
     # old-generation deletion for reader grace; the cadence call is the
     # drain point, so gc here (the receipt frame is a literal — safe to
     # reclaim before it is collected)
-    snapshot_gc(spark, store_dir)
-    return rec
+    return _receipt_after_gc(rec)
 
 
 def snapshot_lookup(

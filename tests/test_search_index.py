@@ -578,6 +578,44 @@ def test_maintain_stats_rows_signal(spark, docs, tmp_path):
     assert got == want
 
 
+def test_compact_retry_after_precommit_crash_is_exact(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A compact that crashes AFTER writing the new generation but
+    BEFORE the manifest commit must be retryable without corruption:
+    the retry targets the same generation number, and the stats write
+    (an append into the delta-log format) must not stack onto the
+    orphaned row from the crashed attempt — doubled N/sum_dl would
+    silently skew every BM25 score while fsck's stats gate reads the
+    same doubled log.  The compact clears the target stats dir first;
+    this pins it."""
+    idx = str(tmp_path / "six")
+    si.search_index_build(docs, idx).collect()
+    dels = [
+        int(r["doc_id"])
+        for r in docs.filter("doc_id % 7 = 3").select("doc_id").collect()
+    ]
+    si.search_index_delete(spark, idx, dels).collect()
+    want = _rows(si.search_index_query(spark, idx, KW, k=20))
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash before the compact commit")
+
+    monkeypatch.setattr(si, "_append_commit", _boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        si.search_index_compact(spark, idx)
+    monkeypatch.undo()
+    # store still serves the old generation, untouched
+    assert _rows(si.search_index_query(spark, idx, KW, k=20)) == want
+    # the RETRY must land an exact store: one stats row, fsck green
+    si.search_index_compact(spark, idx).collect()
+    d = si.resolve_search_dirs(spark, idx)
+    assert spark.read.parquet(d["stats"]).count() == 1
+    fs = si.search_index_fsck(spark, idx).collect()[0]
+    assert fs["stats_match"] and fs["postings_covered"] and fs["terms_covered"]
+    assert _rows(si.search_index_query(spark, idx, KW, k=20)) == want
+
+
 def test_concurrent_serve_during_compact(spark, docs, tmp_path):
     """Snapshot isolation across the compact commit window: queries
     racing a compact (write → verify → COMMIT) must each answer from
