@@ -95,6 +95,7 @@ from ..storage.manifest import (
     manifest_state as _state,
     repartition_for_layout as _layout,
     reset_version_dir as _reset_version_dir,
+    run_concurrent as _run_concurrent,
     store_base as _base,
     try_read_parquet as _try_read,
     verify_readable as _verify_readable,
@@ -353,7 +354,15 @@ def ann_index_append(
         F.col("centroid_id"),
         F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("ccos"),
     )
-    assigned = _assign_cells(scored, id_col, vec_col)
+    # materialize the batch assignment once (batch-sized, eager executor-
+    # local checkpoint): it is written to the inverted file, PQ-encoded
+    # for the codes append, AND aggregated into the returned receipt —
+    # without the checkpoint the broadcast scoring pass runs three times
+    # per append (the same discipline as search_index_append's postings/
+    # doclens checkpoints)
+    assigned = _assign_cells(scored, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     _layout(assigned, ["cell"], 1, id_col).write.mode("append").partitionBy(
         "cell"
     ).parquet(cells_dir)
@@ -365,9 +374,9 @@ def ann_index_append(
     for r in cb_rows:
         codebook[r["sub"]][r["code"]] = list(r["vals"])
     dsub = len(codebook[0][0])
-    # encode from the ASSIGNED frame so the cell rides along into the
-    # cell-partitioned codes layout (re-deriving the batch's assignment
-    # is one broadcast scoring pass over only the new rows)
+    # encode from the (checkpointed) ASSIGNED frame so the cell rides
+    # along into the cell-partitioned codes layout with no re-join
+    # against the assignment
     quant = _quantize_keep_cell(assigned, id_col, vec_col)
     _layout(
         _pq_encode_df(quant, codebook, dsub), ["cell"], 1, id_col
@@ -466,15 +475,24 @@ def ann_index_compact(
     cells = _anti_tombstones(
         spark.read.parquet(_cells_dir(base, gen)), tombs, "vec_id"
     )
-    _layout(cells, ["cell"], files_per_cell, "vec_id").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(_cells_dir(base, new_gen))
     codes = _anti_tombstones(
         spark.read.parquet(_codes_dir(base, gen)), tombs, "vec_id"
     )
-    _layout(codes, ["cell"], files_per_cell, "vec_id").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(_codes_dir(base, new_gen))
+    # the two rewrites are independent and land in the UNCOMMITTED new
+    # generation (the manifest append below is the atomic flip, so
+    # their relative order is crash-irrelevant) — submit them on
+    # concurrent driver threads so the codes rewrite back-fills the
+    # cells rewrite's task tail instead of idling behind it
+    _run_concurrent(
+        lambda: _layout(cells, ["cell"], files_per_cell, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_cells_dir(base, new_gen)),
+        lambda: _layout(codes, ["cell"], files_per_cell, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_codes_dir(base, new_gen)),
+    )
 
     # verify the new generation is READABLE before flipping readers to
     # it — compacting a fully-tombstoned index writes file-less dirs,

@@ -150,6 +150,7 @@ from ..storage.manifest import (
     max_files_per_leaf_dir as _max_files,
     repartition_for_layout as _layout,
     reset_version_dir as _reset_version_dir,
+    run_concurrent as _run_concurrent,
     store_base as _base,
     try_read_parquet as _try_read,
     verify_readable as _verify_readable,
@@ -517,27 +518,40 @@ def search_index_build(
     postings, doclens = _tokenized(
         docs, id_col, text_col, n_buckets, analyzer, positions, title_len
     )
-    doclens.coalesce(files_per_partition).write.mode("overwrite").parquet(
-        _doclens_dir(base, 0)
-    )
-    _layout(postings, ["tb"], files_per_partition, "term").write.mode(
-        "overwrite"
-    ).partitionBy("tb").parquet(_postings_dir(base, 0))
-    # the term dictionary and exact stats row come from the PERSISTED
-    # components, so neither can disagree with what readers resolve
-    _write_terms(
-        _read_postings(spark, base, 0, positions),
-        _terms_dir(base, 0),
-        "overwrite",
-    )
-    dstats = _doclens_sums(spark.read.parquet(_doclens_dir(base, 0)))
-    _write_stats_delta(
-        spark,
-        _stats_dir(base, 0),
-        dstats["n"],
-        int(dstats["s"] or 0),
-        int(dstats["st"] or 0),
-    )
+
+    # two independent chains into the freshly reset version dir (no
+    # reader resolves it until build returns, so inter-chain write
+    # order carries no crash contract — unlike append, whose
+    # doclens-FIRST ordering is load-bearing): [doclens → stats row]
+    # and [postings → term dictionary].  The dictionary and stats row
+    # still come from the PERSISTED components, so neither can disagree
+    # with what readers resolve; the chains run on concurrent driver
+    # threads so the corpus is tokenized by both at once and the wall
+    # is the slower chain.
+    def _lens_chain() -> None:
+        doclens.coalesce(files_per_partition).write.mode("overwrite").parquet(
+            _doclens_dir(base, 0)
+        )
+        dstats = _doclens_sums(spark.read.parquet(_doclens_dir(base, 0)))
+        _write_stats_delta(
+            spark,
+            _stats_dir(base, 0),
+            dstats["n"],
+            int(dstats["s"] or 0),
+            int(dstats["st"] or 0),
+        )
+
+    def _post_chain() -> None:
+        _layout(postings, ["tb"], files_per_partition, "term").write.mode(
+            "overwrite"
+        ).partitionBy("tb").parquet(_postings_dir(base, 0))
+        _write_terms(
+            _read_postings(spark, base, 0, positions),
+            _terms_dir(base, 0),
+            "overwrite",
+        )
+
+    _run_concurrent(_lens_chain, _post_chain)
     return _bucket_manifest(_read_postings(spark, base, 0, positions))
 
 
@@ -1083,31 +1097,43 @@ def search_index_compact(
     post_ok = post_live.join(
         lens_live.select("doc_id").distinct(), "doc_id", "semi"
     )
-    lens_ok.coalesce(files_per_partition).write.mode("overwrite").parquet(
-        _doclens_dir(base, new_gen)
-    )
-    _layout(post_ok, ["tb"], files_per_partition, "term").write.mode(
-        "overwrite"
-    ).partitionBy("tb").parquet(_postings_dir(base, new_gen))
-    _write_terms(
-        _read_postings(spark, base, new_gen, positions),
-        _terms_dir(base, new_gen),
-        "overwrite",
-    )
-    # the stats write below is an APPEND (the shared delta-log writer);
-    # a compact retried after a pre-commit crash would otherwise stack
-    # a second row into the orphaned stats_g{new_gen} and commit a
-    # store with doubled N/sum_dl — clear the target first so the
-    # retry is idempotent like the three overwrite components
-    _fs_delete(spark, _stats_dir(base, new_gen))
-    dstats = _doclens_sums(spark.read.parquet(_doclens_dir(base, new_gen)))
-    _write_stats_delta(
-        spark,
-        _stats_dir(base, new_gen),
-        dstats["n"],
-        int(dstats["s"] or 0),
-        int(dstats["st"] or 0),
-    )
+    # two independent chains into the UNCOMMITTED new generation (the
+    # manifest append below is the atomic flip, so intra-generation
+    # write order is crash-irrelevant): [doclens rewrite → stats row]
+    # and [postings rewrite → exact term dictionary].  Each chain is
+    # internally ordered (its second step reads the PERSISTED first
+    # step); the chains run on concurrent driver threads so the wall
+    # is the slower chain, not the sum of four sequential jobs.
+    def _lens_chain() -> None:
+        lens_ok.coalesce(files_per_partition).write.mode("overwrite").parquet(
+            _doclens_dir(base, new_gen)
+        )
+        # the stats write is an APPEND (the shared delta-log writer); a
+        # compact retried after a pre-commit crash would otherwise stack
+        # a second row into the orphaned stats_g{new_gen} and commit a
+        # store with doubled N/sum_dl — clear the target first so the
+        # retry is idempotent like the three overwrite components
+        _fs_delete(spark, _stats_dir(base, new_gen))
+        dstats = _doclens_sums(spark.read.parquet(_doclens_dir(base, new_gen)))
+        _write_stats_delta(
+            spark,
+            _stats_dir(base, new_gen),
+            dstats["n"],
+            int(dstats["s"] or 0),
+            int(dstats["st"] or 0),
+        )
+
+    def _post_chain() -> None:
+        _layout(post_ok, ["tb"], files_per_partition, "term").write.mode(
+            "overwrite"
+        ).partitionBy("tb").parquet(_postings_dir(base, new_gen))
+        _write_terms(
+            _read_postings(spark, base, new_gen, positions),
+            _terms_dir(base, new_gen),
+            "overwrite",
+        )
+
+    _run_concurrent(_lens_chain, _post_chain)
 
     unreadable = _verify_readable(
         spark,

@@ -357,6 +357,33 @@ def max_files_per_leaf_dir(spark: SparkSession, path: str, levels: int) -> int:
     return walk(path, levels)
 
 
+def run_concurrent(*thunks):
+    """Run independent Spark ACTIONS on concurrent driver threads and
+    return their results in thunk order (first exception re-raised).
+
+    Spark's scheduler runs several jobs at once within one application;
+    actions are sequential only because driver code calls them
+    sequentially — submitting independent jobs from a small pool lets
+    the next job's tasks back-fill executors freed by the current job's
+    tail (the tokenizer-fertility / multimodal-manifest tactic, now
+    shared by the store verbs whose component writes are independent).
+
+    ONLY for jobs with no ordering contract between them: a compact's
+    component rewrites all land in an UNCOMMITTED new generation (the
+    one-row manifest append is the atomic flip, so intra-generation
+    write order is crash-irrelevant), and a build owns a freshly reset
+    version dir with no readers until it returns.  Append verbs with a
+    documented crash-ordering contract (doclens-before-postings,
+    bands-before-sigs) must NOT use this."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def verify_readable(spark: SparkSession, *paths: str) -> list[str]:
     """Pre-commit readability gate: the directories a new generation is
     about to commit must each resolve to a readable parquet dataset
