@@ -36,13 +36,15 @@ object-store-safe commit story):
   rows, so probes simply UNDER-REPORT them (the candidate rows drop at
   the inner signature join; no phantom or wrong pair can surface) and
   `dedup_index_fsck` flags the store (ids_match = false).  Bands are
-  deliberately written FIRST: the reverse order would leave signed
-  documents invisible to banding — the same under-report, but
-  undetectable by the band-side join audit.  The append guard counts
-  band-side ids as live, so a blind re-run fails fast instead of
-  doubling the band half; `dedup_index_compact` HEALS the store (its
-  rewrite keeps only ids present in both halves), after which the
-  append can be re-run cleanly.
+  deliberately written FIRST (by build AND append — round 14): the
+  reverse order would leave signed documents invisible to banding —
+  the same under-report, but undetectable by the band-side join audit
+  — and the resulting store-wide invariant (sigs ids ⊆ bands ids)
+  lets the append's duplicate guard scan the band table alone.  The
+  append guard counts band-side ids as live, so a blind re-run fails
+  fast instead of doubling the band half; `dedup_index_compact` HEALS
+  the store (its rewrite keeps only ids present in both halves), after
+  which the append can be re-run cleanly.
 - `dedup_index_delete`  — tombstone append (LSM delete); probes
   anti-join the (broadcast, tombstone-sized) delete log.
 - `dedup_index_compact` — rewrite live rows into a fresh generation
@@ -95,6 +97,7 @@ from ..storage.manifest import (
     manifest_state as _state,
     repartition_for_layout as _layout,
     reset_version_dir as _reset_version_dir,
+    run_concurrent as _run_concurrent,
     store_base as _base,
     try_read_parquet as _try_read,
     verify_readable as _verify_readable,
@@ -223,15 +226,18 @@ def dedup_index_build(
         docs, id_col, text_col, num_hashes, bands, shingle_n
     )
     try:
-        sigs.write.mode("overwrite").parquet(_sigs_dir(base, 0))
-        # the partitionBy write IS the probe-pruning layout: one
-        # directory per (band, first-hex-char-of-key) — 16 buckets per
-        # band, laid out at files_per_partition files per directory;
-        # the banded rows derive from the sign pass CACHED by the sigs
-        # write
+        # bands FIRST (same order as append — round 14): every write
+        # path then maintains bands ⊇ sigs on ids, which is what lets
+        # the append guard check the band table ALONE (one store-wide
+        # id-column scan per append instead of two).  The partitionBy
+        # write IS the probe-pruning layout: one directory per (band,
+        # first-hex-char-of-key) — 16 buckets per band, laid out at
+        # files_per_partition files per directory; the sigs rows derive
+        # from the sign pass CACHED by the bands write.
         _layout(banded, ["band", "pfx"], files_per_partition, "doc_id").write.mode(
             "overwrite"
         ).partitionBy("band", "pfx").parquet(_bands_dir(base, 0))
+        sigs.write.mode("overwrite").parquet(_sigs_dir(base, 0))
     finally:
         raw.unpersist()
     return _band_manifest(spark.read.parquet(_bands_dir(base, 0)))
@@ -346,11 +352,14 @@ def dedup_index_append(
     fails fast — its dead rows still live in sigs/bands until the next
     compact, so clearing the tombstone would resurrect them next to
     the new rows; a live duplicate id fails fast under
-    ``assert_unique``, which checks BOTH halves of the store (the
-    signature table and the band table — a torn append leaves the id
-    band-side only, and re-appending it blind would double its band
-    rows).  Both guards resolve in ONE Spark job (distinct-doc counts
-    over a union semi-join).
+    ``assert_unique``, which checks the BAND table only — sigs ids ⊆
+    bands ids is a store invariant (bands are written FIRST by both
+    build and append; compact keeps only ids present in both halves;
+    fsck's ``ids_match`` pins it at rest), so the band-side check
+    catches every duplicate INCLUDING the torn-append case (a torn
+    append leaves the ids band-side), at one store-wide id-column scan
+    instead of two.  Both guards resolve in ONE Spark job (distinct-doc
+    counts over a union semi-join).
 
     Crash window: bands append first, sigs second — see the module
     docstring's torn-append note (a crash between the halves makes
@@ -368,11 +377,11 @@ def dedup_index_append(
     if tombs is not None:
         conflicts.append(tombs.select("doc_id", F.lit("dead").alias("_why")))
     if assert_unique:
-        conflicts.append(
-            spark.read.parquet(_sigs_dir(base, gen)).select(
-                "doc_id", F.lit("live").alias("_why")
-            )
-        )
+        # band side ONLY: bands ⊇ sigs on ids at all times (bands are
+        # written first by build and append; compact intersects), so a
+        # sigs-side scan can never catch an id this one misses — one
+        # store-wide id-column scan saved per append (round 14; the
+        # invariant is pinned by tests and audited by fsck ids_match)
         conflicts.append(
             spark.read.parquet(_bands_dir(base, gen)).select(
                 "doc_id", F.lit("live").alias("_why")
@@ -493,11 +502,18 @@ def dedup_index_compact(
         "doc_id",
         "semi",
     )
-    _layout(bands_live, ["band", "pfx"], files_per_partition, "doc_id").write.mode(
-        "overwrite"
-    ).partitionBy("band", "pfx").parquet(_bands_dir(base, new_gen))
-    sigs_whole.coalesce(files_per_partition).write.mode("overwrite").parquet(
-        _sigs_dir(base, new_gen)
+    # both rewrites land in the UNCOMMITTED new generation (the
+    # manifest append below is the atomic flip — intra-generation write
+    # order is crash-irrelevant), so they run on concurrent driver
+    # threads and the wall is the slower leg, not the sum
+    _run_concurrent(
+        lambda: _layout(bands_live, ["band", "pfx"], files_per_partition, "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("band", "pfx")
+        .parquet(_bands_dir(base, new_gen)),
+        lambda: sigs_whole.coalesce(files_per_partition)
+        .write.mode("overwrite")
+        .parquet(_sigs_dir(base, new_gen)),
     )
 
     # verify the new generation is READABLE before flipping readers

@@ -525,3 +525,43 @@ def test_maintain_thresholds_and_idempotence(spark, tmp_path):
         dedup_index.dedup_index_probe(spark, probe_docs, idx, min_agree=4)
     )
     assert before == after and after
+
+
+# Round 14: the bands-superset invariant behind the one-scan append guard
+def test_bands_superset_of_sigs_across_lifecycle(spark, tmp_path):
+    """The append duplicate guard scans the BAND table only; that is
+    sound iff sigs ids ⊆ bands ids at every committed state.  Pin the
+    invariant across the write paths that could break it: build,
+    append, torn append (bands-only — strict superset, still sound:
+    the guard over-detects), and the healing compact (back to equal
+    sets)."""
+
+    def ids(part):
+        d = dedup_index.resolve_dedup_dirs(spark, idx)[part]
+        return {r["doc_id"] for r in
+                spark.read.parquet(d).select("doc_id").distinct().collect()}
+
+    idx = str(tmp_path / "idx")
+    docs = load(spark, SF, "documents")
+    dedup_index.dedup_index_build(docs.filter("doc_id % 10 = 1"), idx).collect()
+    assert ids("sigs") == ids("bands")  # build: equal sets
+    dedup_index.dedup_index_append(
+        spark, docs.filter("doc_id % 10 = 2"), idx
+    ).collect()
+    assert ids("sigs") == ids("bands")  # append: equal sets
+    # torn append (bands land, sigs crash): superset, never the reverse
+    base = f"{idx}/v1"
+    num_hashes, bands, shingle_n = dedup_index._meta(spark, base)
+    _, banded, raw = dedup_index._banded(
+        docs.filter("doc_id % 10 = 3"), "doc_id", "text",
+        num_hashes, bands, shingle_n,
+    )
+    try:
+        banded.write.mode("append").partitionBy("band", "pfx").parquet(
+            f"{base}/bands"
+        )
+    finally:
+        raw.unpersist()
+    assert ids("sigs") < ids("bands")  # strict superset on the torn store
+    dedup_index.dedup_index_compact(spark, idx).collect()
+    assert ids("sigs") == ids("bands")  # compact heals to equal sets
