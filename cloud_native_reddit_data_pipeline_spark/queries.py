@@ -43,6 +43,7 @@ from .operators import (
     windows,
 )
 from .sources.tables import load
+from .storage.manifest import run_concurrent
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -17226,13 +17227,21 @@ def ann_index_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     with tempfile.TemporaryDirectory() as tmp:
         idx = f"{tmp}/annidx"
-        ann_index.ann_index_build(
-            emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
-            version="v1",
-        ).collect()
-        ann_index.ann_index_build(
-            emb, idx, n_centroids=8, m=_PQ_M, k_codes=_PQ_K, version="v2",
-        ).collect()
+        # the two version builds are fully independent (disjoint
+        # {idx}/v1 and {idx}/v2 trees, no shared mutable state) — run
+        # them on concurrent driver threads (guide §2.6) so the v2
+        # build's jobs back-fill the v1 build's task tails instead of
+        # idling the cluster between its small driver-gated steps
+        run_concurrent(
+            lambda: ann_index.ann_index_build(
+                emb, idx, n_centroids=_IVF_CENTROIDS, m=_PQ_M,
+                k_codes=_PQ_K, version="v1",
+            ).collect(),
+            lambda: ann_index.ann_index_build(
+                emb, idx, n_centroids=8, m=_PQ_M, k_codes=_PQ_K,
+                version="v2",
+            ).collect(),
+        )
         c1 = spark.read.parquet(
             ann_index.resolve_dirs(spark, idx, "v1")["cells"]
         ).select("vec_id", F.col("cell").cast("int").alias("cell_v1"))
