@@ -212,12 +212,22 @@ def ann_index_build(
 
     # -- IVF half: centroids + cell assignment (same derivation, same
     #    rounding, same tie-break as similarity.ivf_topk) --------------
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    # the n_centroids-row centroid frame is materialized ONCE with an
+    # eager localCheckpoint: the scoring broadcast and the persisted
+    # centroid table both read the checkpoint, so the corpus is scanned
+    # exactly once for centroid extraction (a broadcast side that
+    # re-executed `scan emb + filter` would be a corpus scan inside a
+    # broadcast exchange at 100 TB), and the tiny centroid write no
+    # longer serializes ahead of the corpus-sized inverted-file write.
+    # Values are identical to the old write-then-read-back form:
+    # ARRAY<FLOAT> round-trips parquet bit-exact.
+    cents = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
+        .localCheckpoint(eager=True)
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
-    cents = spark.read.parquet(f"{base}/centroids")
-
     scored = emb.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -227,10 +237,18 @@ def ann_index_build(
     assigned = _assign_cells(scored, id_col, vec_col)
     # the partitionBy write IS the inverted layout: one directory per
     # cell, so probes prune on disk; the layout repartition keeps it at
-    # files_per_cell files per directory instead of one per write task
-    _layout(assigned, ["cell"], files_per_cell, id_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{base}/cells")
+    # files_per_cell files per directory instead of one per write task.
+    # Both writes land in the freshly reset version dir with no readers
+    # until build returns, so they may overlap (no ordering contract).
+    _run_concurrent(
+        lambda: cents.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/centroids"),
+        lambda: _layout(assigned, ["cell"], files_per_cell, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{base}/cells"),
+    )
 
     # -- PQ half: seed codebook + codes ------------------------------
     # quantize off the PERSISTED inverted file (embeddings round-trip
@@ -249,12 +267,26 @@ def ann_index_build(
         for s in range(m)
         for c in range(k_codes)
     ]
-    _local_rows(
-        spark, "sub int, code int, vals array<decimal(9,6)>", cb_rows
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebook")
-    _layout(
-        _pq_encode_df(quant, codebook, dsub), ["cell"], files_per_cell, id_col
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{base}/codes")
+    # codes encode uses the in-memory codebook list, not the persisted
+    # table — the (tiny) codebook write and the codes write are
+    # independent and overlap
+    _run_concurrent(
+        lambda: _local_rows(
+            spark, "sub int, code int, vals array<decimal(9,6)>", cb_rows
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/codebook"),
+        lambda: _layout(
+            _pq_encode_df(quant, codebook, dsub),
+            ["cell"],
+            files_per_cell,
+            id_col,
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{base}/codes"),
+    )
 
     return (
         spark.read.parquet(f"{base}/cells")
