@@ -1486,7 +1486,17 @@ def kneser_ney_perplexity(
     from ..sources.tables import fan_out
 
     fdf = fan_out(df)
-    per_doc = _bigram_type_counts(fdf, id_col, text_col)
+    # the per-doc bigram table feeds THREE subtrees (the model groupBy,
+    # the type-count total, and the scoring join); without pinning, the
+    # corpus-proportional explode+groupBy pass executes once per
+    # subtree (plan audit: 6 Generate nodes, 0 ReusedExchange).  An
+    # eager localCheckpoint (exact integers — value-identical) computes
+    # it once; MEMORY_AND_DISK blocks spill rather than OOM at scale,
+    # and 1 corpus pass + 2 checkpoint reads beats 3 corpus passes at
+    # any corpus size.
+    per_doc = _bigram_type_counts(fdf, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     c_model = (
         per_doc.groupBy("prev", "cur")
         .agg(F.sum("n").alias("c"))
