@@ -923,17 +923,40 @@ def search_index_append(
                 "doc_id", F.lit("live").alias("_why")
             )
         )
-    if conflicts:
+
+    def _guard_hits() -> dict:
+        if not conflicts:
+            return {}
         existing = conflicts[0]
         for c in conflicts[1:]:
             existing = existing.unionByName(c)
-        hits = {
+        return {
             r["_why"]: r["n"]
             for r in existing.join(F.broadcast(new_ids), "doc_id", "semi")
             .groupBy("_why")
             .agg(F.countDistinct("doc_id").alias("n"))
             .collect()
         }
+
+    postings, doclens = _tokenized(
+        new_docs, id_col, text_col, n_buckets, analyzer, positions, title_len
+    )
+    # The guard scan and the two batch materializations are independent
+    # READ-ONLY jobs — overlap them (guide §2.6).  The crash contract
+    # governs the STORE writes below, which start only after all three
+    # finish and the guard passes (a guard exception propagates before
+    # anything is written).
+    #   - doclens: written, summed for the stats delta, and the source
+    #     of truth for the append receipt
+    #   - postings: written, feed the dictionary delta, AND aggregate
+    #     into the returned receipt manifest — without the checkpoints
+    #     the tokenize pipeline would run three times per append
+    hits, doclens, postings = _run_concurrent(
+        _guard_hits,
+        lambda: doclens.localCheckpoint(eager=True),
+        lambda: postings.localCheckpoint(eager=True),
+    )
+    if conflicts:
         if hits.get("dead"):
             raise TombstonedIdsError(
                 f"search_index_append: {hits['dead']} incoming id(s) are "
@@ -950,17 +973,6 @@ def search_index_append(
                 f"guarantee"
             )
 
-    postings, doclens = _tokenized(
-        new_docs, id_col, text_col, n_buckets, analyzer, positions, title_len
-    )
-    # materialize the batch doclens once: it is written, summed for the
-    # stats delta, and the source of truth for the append receipt
-    doclens = doclens.localCheckpoint(eager=True)
-    # ... and the batch postings once as well: they are written, feed
-    # the dictionary delta, AND aggregate into the returned receipt
-    # manifest — without the checkpoint the tokenize pipeline would run
-    # three times per append
-    postings = postings.localCheckpoint(eager=True)
     # doclens FIRST, postings second, terms third, stats last (module
     # docstring: every prefix-crash under-reports only; fsck flags it)
     doclens.coalesce(1).write.mode("append").parquet(_doclens_dir(base, gen))
