@@ -93,9 +93,19 @@ def learn_wordpiece_merges(
     cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int, int]] = []
     rounds_since_ckpt = 0
+    from ..storage.manifest import run_concurrent
+
     for _ in range(n_merges):
         pairs, syms = _pair_and_symbol_counts(cur)
-        srows = syms.collect()  # bounded: symbol vocab, not corpus
+        # the two vocabulary-table aggregates are independent jobs over
+        # the checkpointed table — overlap them so a round pays ONE
+        # aggregation wall, not two (the symbol collect is bounded:
+        # symbol vocab, not corpus; the pair checkpoint is bounded by
+        # distinct adjacent symbol pairs)
+        srows, pairs = run_concurrent(
+            syms.collect,
+            lambda: pairs.localCheckpoint(eager=True),
+        )
         smap = F.create_map(
             *[
                 lit

@@ -6181,14 +6181,27 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     final word->symbols table equals the learner oracle's v12, so the
     stats replay as one join; also pinned against the independent
     Python reference in tests/test_bpe.py."""
+    from .functions.text import tokens as _tokens
     from .operators.bpe import bpe_encode_stats, learn_bpe_merges
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # one tokenization collapse shared by the learn and encode legs
+    # (the tokenizer_fertility_compare idiom) instead of two
+    # independent corpus explode+groupBy passes
+    toks = F.transform(_tokens("text"), lambda t: F.lower(t))
+    doc_words = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint(eager=True)
+    words = doc_words.groupBy("w").agg(F.sum("n").alias("freq"))
     merges = [
         (r.left, r.right)
-        for r in learn_bpe_merges(docs, "text", n_merges=12).collect()
+        for r in learn_bpe_merges(
+            docs, "text", n_merges=12, words=words
+        ).collect()
     ]
-    return bpe_encode_stats(docs, "doc_id", "text", merges)
+    return bpe_encode_stats(docs, "doc_id", "text", merges, doc_words=doc_words)
 
 
 @register(
@@ -13113,9 +13126,25 @@ def unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_words, n_pieces, chars_per_piece) — the fertility surface the
     tokenizer family comparison reads (see bpe_encode for the BPE
     twin)."""
+    from .functions.text import tokens as _tokens
+
     docs = load(spark, sf_dir, "documents")
-    vocab = _unigram.learn_unigram_vocab(docs, "text", em_rounds=2)
-    return _unigram.unigram_encode_stats(docs, "doc_id", "text", vocab)
+    # one tokenization collapse shared by the learn and encode legs
+    # (the tokenizer_fertility_compare idiom) instead of two
+    # independent corpus explode+groupBy passes
+    toks = F.transform(_tokens("text"), lambda t: F.lower(t))
+    doc_words = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint(eager=True)
+    words = (
+        doc_words.groupBy("w").agg(F.sum("n").alias("freq"))
+    ).localCheckpoint(eager=True)
+    vocab = _unigram.learn_unigram_vocab(docs, "text", em_rounds=2, words=words)
+    return _unigram.unigram_encode_stats(
+        docs, "doc_id", "text", vocab, doc_words=doc_words
+    )
 
 
 from .operators import wordpiece as _wordpiece  # noqa: E402
@@ -13140,9 +13169,26 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF), per-doc (n_words, n_wp_tokens, chars_per_wp_token) —
     completing the three-tokenizer fertility surface (BPE / unigram /
     WordPiece)."""
+    from .functions.text import tokens as _tokens
+
     docs = load(spark, sf_dir, "documents")
-    vocab = _wordpiece.wordpiece_vocab(docs, "text", n_merges=12)
-    return _wordpiece.wordpiece_encode_stats(docs, "doc_id", "text", vocab)
+    # one tokenization collapse shared by the learn and encode legs
+    # (the tokenizer_fertility_compare idiom): without it the corpus
+    # explode+groupBy runs once per leg — vocab base, merge learner,
+    # and encoder each re-scanned the corpus
+    toks = F.transform(_tokens("text"), lambda t: F.lower(t))
+    doc_words = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint(eager=True)
+    words = (
+        doc_words.groupBy("w").agg(F.sum("n").alias("freq"))
+    ).localCheckpoint(eager=True)
+    vocab = _wordpiece.wordpiece_vocab(docs, "text", n_merges=12, words=words)
+    return _wordpiece.wordpiece_encode_stats(
+        docs, "doc_id", "text", vocab, doc_words=doc_words
+    )
 
 
 def _tokenizer_compare_oracle() -> str:
