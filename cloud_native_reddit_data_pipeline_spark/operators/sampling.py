@@ -636,6 +636,13 @@ def poisson_bootstrap_ci(
     out to n*B and immediately partial-aggregate to B groups map-side,
     so the shuffle carries ~B rows per task regardless of n.  One row
     out: n_rows, b_reps, mean, ci_lo, ci_hi."""
+    from ..sources.tables import fan_out
+
+    # the n x B explode inherits the INPUT's split count — a small
+    # single-file table would run the whole exploded hot path on one
+    # core (guide §2.5 input skew); fan_out round-robins it to the
+    # available parallelism and is a no-op at scale
+    df = fan_out(df)
     w_expr = F.lit(len(_POISSON1_CDF))
     u = (
         F.conv(
@@ -721,6 +728,13 @@ def poisson_bootstrap_lift(
     Scale shape: the n x B explode partial-aggregates map-side to
     2B rows per task; everything after lives on the B-row replicate
     frame."""
+    from ..sources.tables import fan_out
+
+    # the n x B explode inherits the INPUT's split count — a small
+    # single-file table would run the whole exploded hot path on one
+    # core (guide §2.5 input skew); fan_out round-robins it to the
+    # available parallelism and is a no-op at scale
+    df = fan_out(df)
     # one md5 yields 128 bits = FOUR 32-bit draws: hash per (row,
     # ceil(B/4)) and slice by b % 4 — 4x fewer md5 evaluations on the
     # n x B hot path, same md5-quality stream, identical in SQL
@@ -842,6 +856,11 @@ def poisson_bootstrap_ci_grouped(
     rows."""
     import math
 
+    from ..sources.tables import fan_out
+
+    # see poisson_bootstrap_ci: spread the n x B explode across the
+    # cluster when the input arrives as one split (no-op at scale)
+    df = fan_out(df)
     u = (
         F.conv(
             F.substring(
