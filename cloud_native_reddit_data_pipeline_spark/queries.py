@@ -12993,7 +12993,9 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent (separate inputs, deterministic outputs), so they are
     submitted on concurrent driver threads — the tokenizer-fertility
     tactic — and the wall is the slower leg.  The embedding leg has no
-    driver iteration (single banded-LSH plan) and stays lazy."""
+    driver iteration (single banded-LSH plan) but is materialized on a
+    third thread (round 14): left lazy it would execute serially inside
+    the final compose plan after both loops finish."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .operators.multimodal import (
@@ -13036,25 +13038,35 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mpairs = phash_candidate_pairs(hashes, max_hamming=10)
         return dedup.connected_components(mpairs), hashes
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    def _emb_leg() -> DataFrame:
+        # embedding leg (vec_id == doc_id by testdata convention):
+        # single banded-LSH plan, but left lazy it would execute
+        # SERIALLY inside the final compose plan after both loops
+        # finish — materialize it on the third thread instead so it
+        # overlaps the slower loop leg (values exact: the checkpoint
+        # pins the same deterministic rows the lazy plan produced)
+        epairs = dedup.embedding_neardup_pairs(
+            load(spark, sf_dir, "embeddings"),
+            threshold=_NEARDUP_THRESHOLD,
+            n_planes=_NEARDUP_PLANES_N,
+            bands=_NEARDUP_BANDS,
+            max_bucket_size=_NEARDUP_CAP,
+        )
+        return (
+            epairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(epairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .withColumn("emb_hit", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_text = pool.submit(_text_leg)
         f_media = pool.submit(_media_leg)
+        f_emb = pool.submit(_emb_leg)
         tcomp = f_text.result()
         mcomp, hashes = f_media.result()
-    # embedding leg (vec_id == doc_id by testdata convention)
-    epairs = dedup.embedding_neardup_pairs(
-        load(spark, sf_dir, "embeddings"),
-        threshold=_NEARDUP_THRESHOLD,
-        n_planes=_NEARDUP_PLANES_N,
-        bands=_NEARDUP_BANDS,
-        max_bucket_size=_NEARDUP_CAP,
-    )
-    edup = (
-        epairs.select(F.col("id_a").alias("doc_id"))
-        .unionAll(epairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("emb_hit", F.lit(True))
-    )
+        edup = f_emb.result()
     media_groups = (
         hashes.join(mcomp, hashes["media_id"] == mcomp["node"], "left")
         .select(
