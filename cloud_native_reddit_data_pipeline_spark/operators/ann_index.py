@@ -355,30 +355,19 @@ def ann_index_append(
             spark.read.parquet(cells_dir)
             .select(F.col(id_col).alias("vec_id"), F.lit("live").alias("_why"))
         )
-    if conflicts:
+    def _guard_hits() -> dict:
+        if not conflicts:
+            return {}
         existing = conflicts[0]
         for c in conflicts[1:]:
             existing = existing.unionByName(c)
-        hits = {
+        return {
             r["_why"]: r["n"]
             for r in existing.join(F.broadcast(new_ids), "vec_id", "semi")
             .groupBy("_why")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        if hits.get("dead"):
-            raise ValueError(
-                f"ann_index_append: {hits['dead']} incoming id(s) are "
-                f"tombstoned — their dead rows still live in the inverted "
-                f"file; run ann_index_compact to reclaim them, then re-insert"
-            )
-        if hits.get("live"):
-            raise ValueError(
-                f"ann_index_append: {hits['live']} incoming id(s) already "
-                f"present in the index — duplicate ids double probe "
-                f"candidates; pass assert_unique=False only with an external "
-                f"uniqueness guarantee"
-            )
 
     scored = new_vecs.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
@@ -391,10 +380,29 @@ def ann_index_append(
     # for the codes append, AND aggregated into the returned receipt —
     # without the checkpoint the broadcast scoring pass runs three times
     # per append (the same discipline as search_index_append's postings/
-    # doclens checkpoints)
-    assigned = _assign_cells(scored, id_col, vec_col).localCheckpoint(
-        eager=True
+    # doclens checkpoints).  The guard scan (store-proportional) and the
+    # checkpoint (batch-proportional) are independent READ-ONLY jobs and
+    # overlap; store writes start only after both finish and the guard
+    # passes, so nothing is ever written for a rejected batch.
+    hits, assigned = _run_concurrent(
+        _guard_hits,
+        lambda: _assign_cells(scored, id_col, vec_col).localCheckpoint(
+            eager=True
+        ),
     )
+    if hits.get("dead"):
+        raise ValueError(
+            f"ann_index_append: {hits['dead']} incoming id(s) are "
+            f"tombstoned — their dead rows still live in the inverted "
+            f"file; run ann_index_compact to reclaim them, then re-insert"
+        )
+    if hits.get("live"):
+        raise ValueError(
+            f"ann_index_append: {hits['live']} incoming id(s) already "
+            f"present in the index — duplicate ids double probe "
+            f"candidates; pass assert_unique=False only with an external "
+            f"uniqueness guarantee"
+        )
     _layout(assigned, ["cell"], 1, id_col).write.mode("append").partitionBy(
         "cell"
     ).parquet(cells_dir)
