@@ -387,17 +387,30 @@ def dedup_index_append(
                 "doc_id", F.lit("live").alias("_why")
             )
         )
-    if conflicts:
+    def _guard_hits() -> dict:
+        if not conflicts:
+            return {}
         existing = conflicts[0]
         for c in conflicts[1:]:
             existing = existing.unionByName(c)
-        hits = {
+        return {
             r["_why"]: r["n"]
             for r in existing.join(F.broadcast(new_ids), "doc_id", "semi")
             .groupBy("_why")
             .agg(F.countDistinct("doc_id").alias("n"))
             .collect()
         }
+
+    sigs, banded, raw = _banded(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    try:
+        # the guard scan (store-proportional) and the sign-pass cache
+        # warm (batch-proportional) are independent READ-ONLY jobs and
+        # overlap; the store writes below start only after both finish
+        # and the guard passes, so nothing is written for a rejected
+        # batch (and the finally releases the pin on the raise path)
+        hits, _ = _run_concurrent(_guard_hits, raw.count)
         if hits.get("dead"):
             raise ValueError(
                 f"dedup_index_append: {hits['dead']} incoming id(s) are "
@@ -413,11 +426,6 @@ def dedup_index_append(
                 f"assert_unique=False only with an external uniqueness "
                 f"guarantee"
             )
-
-    sigs, banded, raw = _banded(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_n
-    )
-    try:
         # bands FIRST (see module docstring: a torn append then only
         # under-reports, and is band-side detectable by fsck)
         _layout(banded, ["band", "pfx"], 1, "doc_id").write.mode(
