@@ -17897,13 +17897,27 @@ def bpe_artifact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.artifacts import load_merges, save_merge_table
     from .operators.bpe import bpe_encode_stats, learn_bpe_merges
 
+    from .functions.text import tokens as _tokens
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # one tokenization collapse shared by the learn and encode legs
+    # (the bpe_encode / fertility-compare idiom)
+    toks = F.transform(_tokens("text"), lambda t: F.lower(t))
+    doc_words = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint(eager=True)
+    words = doc_words.groupBy("w").agg(F.sum("n").alias("freq"))
     with tempfile.TemporaryDirectory() as tmp:
         save_merge_table(
-            learn_bpe_merges(docs, "text", n_merges=12), f"{tmp}/bpe"
+            learn_bpe_merges(docs, "text", n_merges=12, words=words),
+            f"{tmp}/bpe",
         )
         merges = load_merges(spark, f"{tmp}/bpe")
-        out = bpe_encode_stats(docs, "doc_id", "text", merges)
+        out = bpe_encode_stats(
+            docs, "doc_id", "text", merges, doc_words=doc_words
+        )
         return out.localCheckpoint(eager=True)
 
 
