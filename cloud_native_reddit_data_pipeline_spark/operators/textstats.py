@@ -1514,7 +1514,13 @@ def kneser_ney_perplexity(
         * (F.col("n1p_cur") / F.col("bt"))
     )
     scored = (
-        per_doc.join(c_model, ["prev", "cur"])
+        # the model side must NEVER broadcast: its real size is bigram-
+        # type-table-sized (driver-fatal at large corpora), but the
+        # checkpoint above replaces the parquet-derived statistics that
+        # used to steer Catalyst away from broadcasting it (measured: a
+        # 100x smoke OOMed the driver on exactly this join once per_doc
+        # was checkpointed).  Pin the scale-safe strategy explicitly.
+        per_doc.join(c_model.hint("merge"), ["prev", "cur"])
         .crossJoin(F.broadcast(btot))
         .groupBy(id_col)
         .agg(
