@@ -1489,14 +1489,15 @@ def kneser_ney_perplexity(
     # the per-doc bigram table feeds THREE subtrees (the model groupBy,
     # the type-count total, and the scoring join); without pinning, the
     # corpus-proportional explode+groupBy pass executes once per
-    # subtree (plan audit: 6 Generate nodes, 0 ReusedExchange).  An
-    # eager localCheckpoint (exact integers — value-identical) computes
-    # it once; MEMORY_AND_DISK blocks spill rather than OOM at scale,
-    # and 1 corpus pass + 2 checkpoint reads beats 3 corpus passes at
-    # any corpus size.
-    per_doc = _bigram_type_counts(fdf, id_col, text_col).localCheckpoint(
-        eager=True
-    )
+    # subtree (plan audit: 6 Generate nodes, 0 ReusedExchange).
+    # persist(), not localCheckpoint: the SQL cache stores compressed
+    # columnar batches that EVICT under execution pressure and are
+    # released by spark.catalog.clearCache() (a localCheckpoint's
+    # deserialized row blocks are neither — a 100x smoke OOMed the
+    # executor heap on exactly that residency), and it keeps the
+    # child plan's parquet-derived statistics so downstream join
+    # strategies stay data-driven.
+    per_doc = _bigram_type_counts(fdf, id_col, text_col).persist()
     c_model = (
         per_doc.groupBy("prev", "cur")
         .agg(F.sum("n").alias("c"))
