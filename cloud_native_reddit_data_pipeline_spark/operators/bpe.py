@@ -178,7 +178,11 @@ def learn_bpe_merges(
     greedy (pinned against the pure-Python reference in tests)."""
     spark = df.sparkSession
     cur = word_symbol_table(df, text_col, words).select("freq", "syms")
-    cur = cur.localCheckpoint(eager=True)
+    # LAZY checkpoint: plan truncation happens at checkpoint creation;
+    # materialization folds into the first round's pair-count collect
+    # instead of paying a separate blocking job (the learn loop is
+    # job-count-bound — every barrier removed is a round-trip saved)
+    cur = cur.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     # every non-initial symbol is some applied merge's concatenation;
     # initial symbols are single chars (never equal to a 2+-char
@@ -217,7 +221,10 @@ def learn_bpe_merges(
             cur = cur.withColumn("syms", _merge_adjacent("syms", b.l, b.r))
         rounds_since_ckpt += len(batch)
         if rounds_since_ckpt >= checkpoint_every:
-            cur = cur.localCheckpoint(eager=True)
+            # lazy: the next round's collect (or nothing, if this was
+            # the final batch — an eager pin here burned a full job
+            # whose result was never read) materializes it
+            cur = cur.localCheckpoint(eager=False)
             rounds_since_ckpt = 0
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq long"
@@ -294,7 +301,12 @@ def bpe_encode_stats(
     for i, (a, b) in enumerate(merges, start=1):
         enc = enc.withColumn("syms", _merge_adjacent("syms", a, b))
         if i % 2 == 0:
-            enc = enc.localCheckpoint(eager=True)
+            # lazy: still segments the higher-order-aggregate expression
+            # chain for codegen, but the whole rewrite runs as ONE job
+            # at the caller's action instead of one blocking job per
+            # two merges (6 sequential vocabulary-table jobs for a
+            # 12-merge table)
+            enc = enc.localCheckpoint(eager=False)
     enc = enc.select("w", F.size("syms").alias("n_bpe"), F.length("w").alias("n_chars"))
     return (
         doc_words.join(enc, "w")

@@ -386,7 +386,11 @@ def khop_reachability(edges: DataFrame, seeds: list[int], k: int = 3) -> DataFra
             )
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # no checkpoint on the union: each nxt is already a
+            # checkpointed LogicalRDD, so the accumulated visited plan
+            # is a flat k-way union of materialized frames — re-copying
+            # it per round was one O(|visited|) job per hop for nothing
+            visited = visited.unionByName(nxt)
             frontier = nxt.select("node")
     finally:
         edges.unpersist()
@@ -592,9 +596,20 @@ def sssp_bellman_ford(
                 .unionByName(dist)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint: still truncates the per-round plan
+                # (physical planning happens at checkpoint creation) but
+                # defers materialization, so the whole R-round relaxation
+                # runs as ONE Spark job at the eager pin below instead of
+                # one blocking job per round — each round's blocks still
+                # persist on first compute, so the two consumers per
+                # round (join + union) share one evaluation
+                .localCheckpoint(eager=False)
             )
             dist = relaxed
+        # materialize while the edge cache pin is still held (a lazy
+        # return would recompute every round's join against UNCACHED
+        # edges when the caller finally acts on it)
+        dist = dist.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
     return dist
@@ -857,7 +872,12 @@ def kcore_membership(
             alive = (
                 deg.filter(F.col("deg") >= k)
                 .select(F.col("src").alias("node"))
-                .localCheckpoint(eager=True)
+                # LAZY: plan still truncated per round; the final eager
+                # checkpoint below materializes the whole peel as ONE
+                # job (was one blocking job per round), with each
+                # round's blocks persisted on first compute so the two
+                # consumers (a_src, a_dst) share one evaluation
+                .localCheckpoint(eager=False)
             )
         # final within-core degree over the surviving induced subgraph
         a_src = alive.select(F.col("node").alias("src"))

@@ -1529,7 +1529,7 @@ def kneser_ney_perplexity(
             (F.sum(F.col("n") * -F.log(p)) / F.sum("n")).alias("_ce"),
         )
     )
-    return (
+    out = (
         df.select(id_col)
         .join(scored, id_col, "left")
         .select(
@@ -1539,6 +1539,19 @@ def kneser_ney_perplexity(
             F.round(F.exp("_ce") + F.lit(1e-9), 4).alias("perplexity"),
         )
     )
+    # The per_doc pin must not outlive the call: persist() registers in
+    # the CacheManager at call time and is never GC-reclaimed, so a
+    # lazily returned frame leaks the pin into every later query in the
+    # session (the tests' cache-idle gate catches exactly this — the
+    # round-14 persist change shipped the leak because only the
+    # targeted suites were re-run).  The output is one narrow row per
+    # document — far smaller than the pinned bigram table — so the
+    # standard materialize-and-release discipline applies; the
+    # checkpointed blocks are MEMORY_AND_DISK and ContextCleaner-
+    # reclaimed once the frame is dropped.
+    from ..caching import materialize_and_release
+
+    return materialize_and_release(out, per_doc)
 
 
 def classifier_calibration(

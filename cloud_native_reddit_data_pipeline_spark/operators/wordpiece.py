@@ -90,7 +90,11 @@ def learn_wordpiece_merges(
     per round in an already job-overhead-bound loop."""
     spark = df.sparkSession
     cur = word_symbol_table(df, text_col, words).select("freq", "syms")
-    cur = cur.localCheckpoint(eager=True)
+    # LAZY checkpoint: plan truncation at creation, materialization
+    # folded into the first round's (concurrent) aggregates — the
+    # block-level compute locks serialize only the shared parent, so
+    # the overlap of the two consumers is preserved minus one job
+    cur = cur.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int, int]] = []
     rounds_since_ckpt = 0
     from ..storage.manifest import run_concurrent
@@ -137,7 +141,9 @@ def learn_wordpiece_merges(
         cur = cur.withColumn("syms", _merge_adjacent("syms", b.l, b.r))
         rounds_since_ckpt += 1
         if rounds_since_ckpt >= checkpoint_every:
-            cur = cur.localCheckpoint(eager=True)
+            # lazy: next round's aggregates materialize it; an eager pin
+            # here was one blocking vocabulary-copy job per two rounds
+            cur = cur.localCheckpoint(eager=False)
             rounds_since_ckpt = 0
     return spark.createDataFrame(
         merges,

@@ -216,6 +216,15 @@ def test_kneser_ney_matches_python_reference(spark):
     for p_ in cp:
         s = sum(prob(p_, w) for (pp, w) in c if pp == p_)
         assert s <= 1.0 + 1e-9
+    # the operator persists its per-doc bigram table internally; the
+    # pin must not outlive the call (a leaked CacheManager entry
+    # survives the session and trips the NEXT cache-idle gate in suite
+    # order — the round-14 driver failure in
+    # test_search_index::test_build_append_equals_corpus_scan was
+    # exactly this leak, caught two files away from its source)
+    from conftest import assert_cache_idle
+
+    assert_cache_idle(spark, "kneser_ney_perplexity")
 
 
 # --- tokenizer-family properties (round 9): Spark must agree with the
